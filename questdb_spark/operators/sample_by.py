@@ -1,0 +1,195 @@
+"""SAMPLE BY — time-bucketed aggregation with fills.
+
+Reference semantics: QuestDB `SAMPLE BY n{U,T,s,m,h,d,w,M,y}` with
+`FILL(none | null | value | prev | linear)`, `ALIGN TO CALENDAR [WITH OFFSET]`,
+and `FROM ... TO ...` spine bounds. See
+``griffin/engine/groupby/TimestampSamplerFactory.java:153-180`` (units),
+``griffin/engine/groupby/SampleByFillNoneRecordCursorFactory.java:49``,
+``...FillNullRecordCursorFactory.java:58``, ``...FillPrevRecordCursorFactory.java:41``,
+``...FillValueRecordCursorFactory.java:60``,
+``SampleByInterpolateRecordCursorFactory.java:67`` (linear),
+``SqlParser.java:4284-4366`` (FROM/TO + ALIGN parse).
+
+Spark-first lowering (no custom execution):
+
+1. bucket = epoch-micros floor arithmetic (fixed-width units) or
+   ``date_trunc`` (calendar months/years) — stays inside whole-stage codegen;
+2. aggregate with an ordinary ``groupBy(bucket, *keys)`` — Catalyst gives the
+   partial/final hash aggregation QuestDB hand-rolls in
+   ``AsyncGroupByRecordCursorFactory``;
+3. fills build a bucket *spine* with ``sequence()`` (one row → explode, so the
+   spine is never driver-materialized), cross-join the distinct key set, left
+   join the aggregate, then per-fill window math. The spine join shuffles on
+   (bucket, keys) — the same keys the aggregation already shuffled on, so AQE
+   reuses the layout at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# QuestDB sample-by unit → micros (fixed-width units only)
+_UNIT_MICROS = {
+    "U": 1,
+    "T": 1_000,
+    "s": 1_000_000,
+    "m": 60 * 1_000_000,
+    "h": 3600 * 1_000_000,
+    "d": 86400 * 1_000_000,
+    "w": 7 * 86400 * 1_000_000,
+}
+
+
+def parse_interval(spec: str) -> tuple[int, str]:
+    """'15m' -> (15, 'm'); accepts QuestDB unit letters U T s m h d w M y."""
+    spec = spec.strip()
+    i = 0
+    while i < len(spec) and (spec[i].isdigit() or spec[i] == "-"):
+        i += 1
+    n = int(spec[:i] or "1")
+    unit = spec[i:].strip()
+    if unit not in (*_UNIT_MICROS, "M", "y"):
+        raise ValueError(f"unsupported SAMPLE BY unit: {unit!r}")
+    return n, unit
+
+
+def bucket_col(ts: Column, spec: str, offset_us: int = 0) -> Column:
+    """Truncate a timestamp to its SAMPLE BY bucket (bucket start)."""
+    n, unit = parse_interval(spec)
+    if unit == "y":
+        if n != 1:
+            # n-year buckets: years since epoch floored to multiples of n
+            yr = F.year(ts)
+            base = (F.floor((yr - 1970) / n) * n + 1970).cast("int")
+            return F.to_timestamp(F.concat(base.cast("string"), F.lit("-01-01")))
+        return F.date_trunc("year", ts)
+    if unit == "M":
+        if n != 1:
+            months = (F.year(ts) - 1970) * 12 + F.month(ts) - 1
+            fl = (F.floor(months / n) * n).cast("int")
+            return F.make_timestamp(
+                (F.floor(fl / 12) + 1970).cast("int"),
+                (fl % 12 + 1).cast("int"),
+                F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+            )
+        return F.date_trunc("month", ts)
+    width = n * _UNIT_MICROS[unit]
+    us = F.unix_micros(ts) - F.lit(offset_us)
+    return F.timestamp_micros((F.floor(us / width) * width + offset_us).cast("long"))
+
+
+def _spine_step(spec: str) -> str:
+    n, unit = parse_interval(spec)
+    sql_unit = {
+        "U": "MICROSECOND", "T": "MILLISECOND", "s": "SECOND", "m": "MINUTE",
+        "h": "HOUR", "d": "DAY", "w": "WEEK", "M": "MONTH", "y": "YEAR",
+    }[unit]
+    return f"INTERVAL {n} {sql_unit}"
+
+
+def sample_by(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    aggs: Mapping[str, Column],
+    keys: Sequence[str] = (),
+    fill: str | None = None,
+    fill_values: Mapping[str, object] | None = None,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    offset_us: int = 0,
+    bucket_name: str = "ts_bucket",
+) -> DataFrame:
+    """SAMPLE BY lowering. ``fill`` in {None,'none','null','prev','linear','value'}.
+
+    ``aggs`` maps output column name → aggregate Column (already aliased by us).
+    With ``fill='value'`` supply ``fill_values[out_name] = constant``.
+    ``from_ts``/``to_ts`` are ISO strings bounding the spine (TO is exclusive,
+    matching QuestDB's `SAMPLE BY ... FROM x TO y`).
+    """
+    keys = list(keys)
+    b = bucket_col(F.col(ts_col), interval, offset_us)
+    if from_ts is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(from_ts).cast("timestamp"))
+    if to_ts is not None:
+        df = df.filter(F.col(ts_col) < F.lit(to_ts).cast("timestamp"))
+
+    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+    out = df.withColumn(bucket_name, b).groupBy(bucket_name, *keys).agg(*agg_cols)
+
+    if fill in (None, "none"):
+        return out
+
+    # --- build the bucket spine ------------------------------------------
+    step = _spine_step(interval)
+    if from_ts is not None and to_ts is not None:
+        bounds = df.sparkSession.range(1).select(
+            F.lit(from_ts).cast("timestamp").alias("lo"),
+            F.lit(to_ts).cast("timestamp").alias("hi"),
+        )
+        # TO bound is exclusive: step back one microsecond before bucketing
+        bounds = bounds.select(
+            bucket_col(F.col("lo"), interval, offset_us).alias("lo"),
+            bucket_col(F.expr("hi - INTERVAL 1 MICROSECOND"), interval, offset_us).alias("hi"),
+        )
+    else:
+        bounds = out.agg(
+            F.min(bucket_name).alias("lo"), F.max(bucket_name).alias("hi")
+        )
+    spine = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias(bucket_name)
+    )
+    if keys:
+        spine = spine.crossJoin(F.broadcast(df.select(*keys).distinct()))
+
+    filled = spine.join(out, [bucket_name, *keys], "left")
+
+    names = list(aggs.keys())
+    if fill == "null":
+        return filled
+    if fill == "value":
+        fv = fill_values or {}
+        for name in names:
+            if name in fv:
+                filled = filled.withColumn(name, F.coalesce(F.col(name), F.lit(fv[name])))
+        return filled
+    if fill == "prev":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_name)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for name in names:
+            filled = filled.withColumn(name, F.last(name, ignorenulls=True).over(w))
+        return filled
+    if fill == "linear":
+        wp = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_name)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wn = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_name)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        bus = F.unix_micros(F.col(bucket_name))
+        for name in names:
+            c = F.col(name)
+            marked_ts = F.when(c.isNotNull(), bus)
+            pv = F.last(c, ignorenulls=True).over(wp)
+            pt = F.last(marked_ts, ignorenulls=True).over(wp)
+            nv = F.first(c, ignorenulls=True).over(wn)
+            nt = F.first(marked_ts, ignorenulls=True).over(wn)
+            interp = pv + (nv - pv) * (bus - pt) / (nt - pt)
+            filled = filled.withColumn(
+                name,
+                F.when(c.isNotNull(), c).when(
+                    pt.isNotNull() & nt.isNotNull(), interp
+                ),  # QuestDB linear fill leaves leading/trailing gaps null
+            )
+        return filled
+    raise ValueError(f"unknown fill mode: {fill!r}")

@@ -1,0 +1,779 @@
+"""Core analytics queries: scan/filter/project, group-by aggregation,
+joins, top-k, set ops, window functions, scalar-function surface.
+
+Each entry mirrors a SURVEY.md §2 operator family. Every query has a DuckDB
+oracle; to make double-typed aggregates hash-identical across engines we:
+
+- cast the 2-decimal BASE columns to DECIMAL(12,2) (that conversion is
+  unambiguous in both engines because value*100 is far below 2^53),
+- do products/sums entirely in decimal (exact in both engines regardless of
+  partition/merge order),
+- convert to DOUBLE only at the end, after rounding to <= 15 significant
+  digits (DuckDB converts decimal→double via scaled-int division, which
+  double-rounds past 2^53; below it both engines produce the same double).
+
+Divisions/products of identical double operands are IEEE-deterministic, so
+final doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.parquet import load_table
+
+D2 = "decimal(12,2)"  # base columns carry 2 decimal digits — exact in both engines
+
+
+def dec2(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(D2)
+
+
+def to_dbl(col, scale=2):
+    """Exact decimal → double with <= 15 significant digits (see module doc)."""
+    return F.round(col, scale).cast(f"decimal(20,{scale})").cast("double")
+
+
+def _d(col):  # exact-sum helper for 2-decimal base columns
+    return F.sum(dec2(col))
+
+
+# SQL-side equivalents (textual macros)
+def _sql_dbl(expr: str, scale: int = 2) -> str:
+    return f"CAST(CAST(ROUND({expr}, {scale}) AS DECIMAL(20,{scale})) AS DOUBLE)"
+
+
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+# --------------------------------------------------------------------------
+# Scans / filters / projections / group-by
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan → hash aggregation.
+
+    Exercises: predicate pushdown on l_shipdate, column pruning, partial+final
+    agg (QuestDB: AsyncGroupByRecordCursorFactory.java:75 / vec_agg.cpp).
+    """
+    li = load_table(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec2("l_extendedprice") * (one - dec2("l_discount"))  # (16,4)
+    charge = disc_price.cast("decimal(20,4)") * (one + dec2("l_tax")).cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _d("l_quantity").alias("__sq"),
+            _d("l_extendedprice").alias("__sbp"),
+            F.sum(disc_price).alias("__sdp"),
+            F.sum(charge).alias("__sc"),
+            F.count(F.lit(1)).alias("count_order"),
+            _d("l_discount").alias("__sd"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            to_dbl("__sq").alias("sum_qty"),
+            to_dbl("__sbp").alias("sum_base_price"),
+            to_dbl("__sdp").alias("sum_disc_price"),
+            to_dbl("__sc").alias("sum_charge"),
+            (to_dbl("__sq") / F.col("count_order")).alias("avg_qty"),
+            (to_dbl("__sbp") / F.col("count_order")).alias("avg_price"),
+            (to_dbl("__sd") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_sql_dbl("SUM(CAST(l_quantity AS DECIMAL(12,2)))")} AS sum_qty,
+  {_sql_dbl("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))")} AS sum_base_price,
+  {_sql_dbl(f"SUM({_DISC_PRICE})")} AS sum_disc_price,
+  {_sql_dbl(f"SUM(CAST({_DISC_PRICE} AS DECIMAL(20,4)) * CAST(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(4,2)))")} AS sum_charge,
+  {_sql_dbl("SUM(CAST(l_quantity AS DECIMAL(12,2)))")} / COUNT(*) AS avg_qty,
+  {_sql_dbl("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))")} / COUNT(*) AS avg_price,
+  {_sql_dbl("SUM(CAST(l_discount AS DECIMAL(12,2)))")} / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way join + agg + top-k. Small dims broadcast; top-k is
+    TakeOrderedAndProject (QuestDB AsyncTopKRecordCursorFactory.java:73)."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("__r"))
+        .select("l_orderkey", "o_orderdate", to_dbl("__r").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+  {_sql_dbl(f"SUM({_DISC_PRICE})")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """5-way star join: all dimension joins broadcast."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("__r"), F.count(F.lit(1)).alias("n_items"))
+        .select("r_name", "n_name", to_dbl("__r").alias("revenue"), "n_items")
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+  {_sql_dbl(f"SUM({_DISC_PRICE})")} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def time_filter_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval scan: ts-range predicate reaches the parquet reader
+    (QuestDB IntervalFwdPartitionFrameCursor; Spark: PushedFilters)."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+        & (F.col("event_type") == "purchase")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+TIME_FILTER_SQL = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+  AND event_type = 'purchase'
+"""
+
+
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+def tail_limit_events(spark: SparkSession, sf: str) -> DataFrame:
+    """QuestDB `LIMIT -10`: last 10 rows in ts order (SqlOptimiser
+    rewriteNegativeLimit)."""
+    from .operators.limits import limit_signed
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    return limit_signed(ev, -10, ["ts", "event_id"])
+
+
+TAIL_LIMIT_SQL = """
+SELECT * FROM (
+  SELECT event_id, ts, event_type, value FROM events
+  ORDER BY ts DESC, event_id DESC LIMIT 10
+) ORDER BY ts ASC, event_id ASC
+"""
+
+
+def distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) rewrite (SqlOptimiser.java:8133) — built-in in Spark."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def setops_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (§2.7). Nations that have customers but no
+    suppliers, plus those with both, tagged."""
+    cust_n = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp_n = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    only_c = cust_n.distinct().exceptAll(supp_n.distinct()).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only_c)
+
+
+SETOPS_SQL = """
+SELECT nk, 'both' AS tag FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier)
+UNION ALL
+SELECT nk, 'cust_only' AS tag FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier)
+"""
+
+
+def semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi/anti join (QuestDB: IN (subquery) → FilterOnSubQuery)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    with_big = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return with_big.select("c_custkey").withColumn("has_big_order", F.lit(True)).unionByName(
+        without.select("c_custkey").withColumn("has_big_order", F.lit(False))
+    )
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, TRUE AS has_big_order FROM customer
+ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+UNION ALL
+SELECT c_custkey, FALSE AS has_big_order FROM customer
+ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+def theta_join_nested_loop(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi join (QuestDB NestedLoopLeftJoin...): broadcast
+    nested-loop with a range predicate."""
+    part = load_table(spark, sf, "part")
+    supp = load_table(spark, sf, "supplier")
+    return (
+        part.join(F.broadcast(supp), part.p_retailprice > supp.s_acctbal, "inner")
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_cheaper_suppliers"))
+    )
+
+
+THETA_JOIN_SQL = """
+SELECT p_partkey, COUNT(*) AS n_cheaper_suppliers
+FROM part JOIN supplier ON p_retailprice > s_acctbal
+GROUP BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5)
+# --------------------------------------------------------------------------
+
+def window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).filter(F.col("rn") <= 3)
+
+
+WINDOW_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Running sum/count per user in ts order — exact decimal running sum."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec2("value")).over(w).cast("decimal(20,2)").cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT event_id, user_id, ts,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(20,2)) AS DOUBLE) AS running_value,
+  COUNT(*) OVER w AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))).alias("micros_since_prev"),
+    )
+
+
+WINDOW_LEAD_LAG_SQL = """
+SELECT event_id, user_id, ts,
+  LAG(value, 1) OVER w AS prev_value,
+  LEAD(value, 1) OVER w AS next_value,
+  epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w) AS micros_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Moving 5-row mean via exact decimal sum / count."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(dec2("value")).over(w).cast("decimal(20,2)").cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mavg5"),
+    )
+
+
+WINDOW_MOVING_AVG_SQL = """
+SELECT event_id, user_id, ts,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(20,2)) AS DOUBLE)
+    / COUNT(*) OVER w AS mavg5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_first_last_nth(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(w).alias("last_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT event_id, user_id,
+  FIRST_VALUE(value) OVER w AS first_value,
+  LAST_VALUE(value) OVER w AS last_value,
+  NTH_VALUE(value, 2) OVER w AS second_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregate long tail (§2.4)
+# --------------------------------------------------------------------------
+
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """stddev/variance/corr/covar via exact decimal sums (deterministic
+    across partition orders; textbook sum-of-squares identities — QuestDB
+    computes these with SIMD kernels, vec_agg.cpp)."""
+    li = load_table(spark, sf, "lineitem")
+    x = dec2("l_extendedprice")
+    y = dec2("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum((x * x).cast("decimal(25,4)")).alias("_sxx"),
+        F.sum(y).alias("_sy"),
+        F.sum((y * y).cast("decimal(25,4)")).alias("_syy"),
+        F.sum((x * y).cast("decimal(25,4)")).alias("_sxy"),
+    )
+    n = F.col("n")
+    sx = to_dbl("_sx", 2)
+    sxx = to_dbl("_sxx", 0)
+    sy = to_dbl("_sy", 2)
+    syy = to_dbl("_syy", 2)
+    sxy = to_dbl("_sxy", 0)
+    var_pop = (sxx - sx * sx / n) / n
+    var_samp = (sxx - sx * sx / n) / (n - 1)
+    covar_pop = (sxy - sx * sy / n) / n
+    corr = (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return g.select(
+        "l_returnflag",
+        "n",
+        var_pop.alias("var_pop_price"),
+        var_samp.alias("var_samp_price"),
+        F.sqrt(var_samp).alias("stddev_price"),
+        covar_pop.alias("covar_pop_pq"),
+        corr.alias("corr_pq"),
+    )
+
+
+AGG_STATS_SQL = f"""
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    {_sql_dbl("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))", 2)} AS sx,
+    {_sql_dbl("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 0)} AS sxx,
+    {_sql_dbl("SUM(CAST(l_quantity AS DECIMAL(12,2)))", 2)} AS sy,
+    {_sql_dbl("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 2)} AS syy,
+    {_sql_dbl("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 0)} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (sxx - sx * sx / n) / n AS var_pop_price,
+  (sxx - sx * sx / n) / (n - 1) AS var_samp_price,
+  SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_price,
+  (sxy - sx * sy / n) / n AS covar_pop_pq,
+  (sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_pq
+FROM g
+"""
+
+
+def vwap_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """QuestDB vwap() (functions/groupby/VwapDouble...): sum(p*q)/sum(q)."""
+    li = load_table(spark, sf, "lineitem")
+    pq = (dec2("l_extendedprice") * dec2("l_quantity")).cast("decimal(25,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.sum(pq).alias("__pq"), _d("l_quantity").alias("__q"))
+        .select(
+            "l_returnflag",
+            (to_dbl("__pq", 2) / to_dbl("__q", 2)).alias("vwap_price"),
+        )
+    )
+
+
+VWAP_SQL = f"""
+SELECT l_returnflag,
+  {_sql_dbl("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 2)}
+  / {_sql_dbl("SUM(CAST(l_quantity AS DECIMAL(12,2)))", 2)} AS vwap_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def arg_min_max(spark: SparkSession, sf: str) -> DataFrame:
+    """arg_min/arg_max family (QuestDB functions/groupby/ArgMax*). Tie-broken
+    by (value, event_id) so the result is total-ordered and deterministic."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", F.struct("value", "event_id")).alias("max_value_event"),
+        F.min_by("event_id", F.struct("value", "event_id")).alias("min_value_event"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+ARG_MIN_MAX_SQL = """
+SELECT event_type,
+  FIRST(event_id ORDER BY value DESC, event_id DESC) AS max_value_event,
+  FIRST(event_id ORDER BY value ASC, event_id ASC) AS min_value_event,
+  MAX(value) AS max_value,
+  MIN(value) AS min_value
+FROM events GROUP BY event_type
+"""
+
+
+def string_agg_names(spark: SparkSession, sf: str) -> DataFrame:
+    """string_agg / array_agg (QuestDB StringAgg/ArrayAgg groupby fns) with
+    deterministic ordering."""
+    cust = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 30)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+STRING_AGG_SQL = """
+SELECT c_nationkey,
+  STRING_AGG(c_name, ',' ORDER BY c_name) AS names,
+  COUNT(*) AS n
+FROM customer WHERE c_custkey <= 30 GROUP BY c_nationkey
+"""
+
+
+def geomean_bool_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """geomean = exp(avg(ln x)); bool_and/bool_or; count_if. ln(x) is an
+    arbitrary double, so it's cast at scale 6 (magnitude ~10 → exact-enough
+    grid agreement between engines) and summed exactly."""
+    li = load_table(spark, sf, "lineitem")
+    lnp = F.log(F.col("l_extendedprice")).cast("decimal(20,6)")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(lnp).alias("__slnp"),
+            F.count(F.lit(1)).alias("n"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        )
+        .select(
+            "l_linestatus",
+            F.exp(to_dbl("__slnp", 6) / F.col("n")).alias("geomean_price"),
+            "n",
+            "all_positive_qty",
+            "any_big_discount",
+            "n_returned",
+        )
+    )
+
+
+GEOMEAN_SQL = f"""
+SELECT l_linestatus,
+  EXP({_sql_dbl("SUM(CAST(LN(l_extendedprice) AS DECIMAL(20,6)))", 6)} / COUNT(*)) AS geomean_price,
+  COUNT(*) AS n,
+  BOOL_AND(l_quantity > 0) AS all_positive_qty,
+  BOOL_OR(l_discount > 0.09) AS any_big_discount,
+  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def first_last_not_null(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last/first_not_null/last_not_null (QuestDB groupby fns) via
+    min_by/max_by on the designated timestamp."""
+    ev = load_table(spark, sf, "events")
+    ordc = F.struct("ts", "event_id")
+    all_agg = ev.groupBy("user_id").agg(
+        F.min_by("value", ordc).alias("first_value"),
+        F.max_by("value", ordc).alias("last_value"),
+    )
+    nn_agg = (
+        ev.filter(F.col("value") > 50)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", ordc).alias("first_not_null_v50"),
+            F.max_by("value", ordc).alias("last_not_null_v50"),
+        )
+    )
+    return all_agg.join(nn_agg, "user_id", "left")
+
+
+FIRST_LAST_SQL = """
+SELECT user_id,
+  FIRST(value ORDER BY ts, event_id) AS first_value,
+  FIRST(value ORDER BY ts DESC, event_id DESC) AS last_value,
+  FIRST(value ORDER BY ts, event_id) FILTER (WHERE value > 50) AS first_not_null_v50,
+  FIRST(value ORDER BY ts DESC, event_id DESC) FILTER (WHERE value > 50) AS last_not_null_v50
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (§2.8)
+# --------------------------------------------------------------------------
+
+def datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """date_trunc/dateadd/datediff/extract family (QuestDB functions/date/,
+    78 files)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 200)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", ts).alias("month_start"),
+        F.date_trunc("week", ts).alias("week_start"),
+        (ts + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),
+        F.year(ts).alias("yr"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("dom"),
+        F.dayofweek(ts).alias("dow"),
+        F.hour(ts).alias("hr"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), ts).alias("days_to_y2k"),
+        F.last_day(ts).cast("string").alias("month_end"),
+        (F.dayofmonth(F.last_day(ts))).alias("days_in_month"),
+    )
+
+
+DATETIME_SQL = """
+SELECT o_orderkey,
+  DATE_TRUNC('month', o_orderdate) AS month_start,
+  DATE_TRUNC('week', o_orderdate) AS week_start,
+  o_orderdate + INTERVAL 3 DAY AS plus_3d,
+  EXTRACT(year FROM o_orderdate) AS yr,
+  EXTRACT(month FROM o_orderdate) AS mo,
+  EXTRACT(day FROM o_orderdate) AS dom,
+  EXTRACT(dow FROM o_orderdate) + 1 AS dow,
+  EXTRACT(hour FROM o_orderdate) AS hr,
+  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+  CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+  EXTRACT(day FROM LAST_DAY(CAST(o_orderdate AS DATE))) AS days_in_month
+FROM orders WHERE o_orderkey <= 200
+"""
+
+
+def string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """str/ package surface: concat, pads, trims, case, substring,
+    split_part, position, replace, md5."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") <= 50)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.length(name).alias("name_len"),
+        F.lpad(name, 25, "*").alias("lpadded"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.split(name, "#").getItem(1).alias("num_part"),
+        F.concat_ws("-", name, F.col("c_mktsegment")).alias("joined"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.instr(name, "#").alias("hash_pos"),
+        F.md5(name).alias("name_md5"),
+        F.reverse(name).alias("reversed"),
+        name.like("Customer%").alias("is_customer"),
+        F.regexp_replace(name, "[0-9]+", "N").alias("digits_masked"),
+    )
+
+
+STRING_FN_SQL = """
+SELECT c_custkey,
+  UPPER(c_name) AS upper_name,
+  LOWER(c_name) AS lower_name,
+  LENGTH(c_name) AS name_len,
+  LPAD(c_name, 25, '*') AS lpadded,
+  SUBSTRING(c_name, 1, 8) AS prefix8,
+  SPLIT_PART(c_name, '#', 2) AS num_part,
+  c_name || '-' || c_mktsegment AS joined,
+  REPLACE(c_name, 'Customer', 'Cust') AS replaced,
+  POSITION('#' IN c_name) AS hash_pos,
+  MD5(c_name) AS name_md5,
+  REVERSE(c_name) AS reversed,
+  c_name LIKE 'Customer%' AS is_customer,
+  REGEXP_REPLACE(c_name, '[0-9]+', 'N', 'g') AS digits_masked
+FROM customer WHERE c_custkey <= 50
+"""
+
+
+def json_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """json_extract (QuestDB functions/json/, simdjson-backed) →
+    get_json_object."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod10"),
+    )
+
+
+JSON_FN_SQL = """
+SELECT event_id,
+  CAST(props->>'k' AS BIGINT) AS k_value,
+  CAST(props->>'k' AS BIGINT) % 10 AS k_mod10
+FROM events WHERE event_id < 500
+"""
+
+
+def conditional_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE/coalesce/nullif + cast matrix sample (§2.8 conditional/, cast/)."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "high")
+        .when(F.col("l_discount") > 0.02, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("tax_or_null"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(-1.0)).alias("tax_coalesced"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day"),
+        F.round(F.col("l_extendedprice"), 1).alias("price_round1"),
+        F.floor(F.col("l_extendedprice")).alias("price_floor"),
+        F.ceil(F.col("l_extendedprice")).alias("price_ceil"),
+        F.abs(F.col("l_extendedprice") * -1).alias("price_abs"),
+    )
+
+
+CONDITIONAL_CAST_SQL = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_discount > 0.05 THEN 'high' WHEN l_discount > 0.02 THEN 'mid' ELSE 'low' END AS disc_band,
+  NULLIF(l_tax, 0.0) AS tax_or_null,
+  COALESCE(NULLIF(l_tax, 0.0), -1.0) AS tax_coalesced,
+  CAST(l_quantity AS INTEGER) AS qty_int,
+  CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR) AS qty_str,
+  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+  ROUND(l_extendedprice, 1) AS price_round1,
+  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+  ABS(l_extendedprice * -1) AS price_abs
+FROM lineitem WHERE l_orderkey <= 100
+"""

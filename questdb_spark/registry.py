@@ -1,0 +1,72 @@
+"""Central query registry: name → (spark callable, DuckDB oracle SQL).
+
+The driver consumes this through ``__spark_entry__.py``. Oracle SQL is None
+for operators that aren't SQL-expressible (the driver then records a weaker
+rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import queries_core as core
+from . import queries_timeseries as ts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # scans / group-by / joins / set-ops (§2.1-2.4, §2.7)
+    "q1_pricing_summary": (core.q1_pricing_summary, core.Q1_SQL),
+    "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
+    "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
+    "time_filter_scan": (core.time_filter_scan, core.TIME_FILTER_SQL),
+    "topk_orders": (core.topk_orders, core.TOPK_SQL),
+    "tail_limit_events": (core.tail_limit_events, core.TAIL_LIMIT_SQL),
+    "distinct_users": (core.distinct_users, core.DISTINCT_USERS_SQL),
+    "setops_nations": (core.setops_nations, core.SETOPS_SQL),
+    "semi_anti_join": (core.semi_anti_join, core.SEMI_ANTI_SQL),
+    "theta_join_nested_loop": (core.theta_join_nested_loop, core.THETA_JOIN_SQL),
+    # window functions (§2.5)
+    "window_rank": (core.window_rank, core.WINDOW_RANK_SQL),
+    "window_running": (core.window_running, core.WINDOW_RUNNING_SQL),
+    "window_lead_lag": (core.window_lead_lag, core.WINDOW_LEAD_LAG_SQL),
+    "window_moving_avg": (core.window_moving_avg, core.WINDOW_MOVING_AVG_SQL),
+    "window_first_last_nth": (core.window_first_last_nth, core.WINDOW_FIRST_LAST_SQL),
+    "window_distribution": (core.window_distribution, core.WINDOW_DISTRIBUTION_SQL),
+    # aggregate long tail (§2.4)
+    "agg_stats": (core.agg_stats, core.AGG_STATS_SQL),
+    "vwap_lineitem": (core.vwap_lineitem, core.VWAP_SQL),
+    "arg_min_max": (core.arg_min_max, core.ARG_MIN_MAX_SQL),
+    "string_agg_names": (core.string_agg_names, core.STRING_AGG_SQL),
+    "geomean_bool_aggs": (core.geomean_bool_aggs, core.GEOMEAN_SQL),
+    "first_last_not_null": (core.first_last_not_null, core.FIRST_LAST_SQL),
+    # scalar functions (§2.8)
+    "datetime_functions": (core.datetime_functions, core.DATETIME_SQL),
+    "string_functions": (core.string_functions, core.STRING_FN_SQL),
+    "json_functions": (core.json_functions, core.JSON_FN_SQL),
+    "conditional_cast": (core.conditional_cast, core.CONDITIONAL_CAST_SQL),
+    # time series (§2.3 time joins, §2.4 SAMPLE BY, LATEST ON)
+    "sample_by_1h": (ts.sample_by_1h, ts.SAMPLE_BY_1H_SQL),
+    "sample_by_fill_null": (ts.sample_by_fill_null, ts.SAMPLE_BY_FILL_NULL_SQL),
+    "sample_by_fill_prev": (ts.sample_by_fill_prev, ts.SAMPLE_BY_FILL_PREV_SQL),
+    "sample_by_fill_value": (ts.sample_by_fill_value, ts.SAMPLE_BY_FILL_VALUE_SQL),
+    "sample_by_fill_linear": (ts.sample_by_fill_linear, ts.SAMPLE_BY_FILL_LINEAR_SQL),
+    "latest_on_user": (ts.latest_on_user, ts.LATEST_ON_SQL),
+    "asof_join_events": (ts.asof_join_events, ts.ASOF_JOIN_SQL),
+    "asof_join_tolerance": (ts.asof_join_tolerance, ts.ASOF_TOLERANCE_SQL),
+    "lt_join_events": (ts.lt_join_events, ts.LT_JOIN_SQL),
+    "splice_join_events": (ts.splice_join_events, ts.SPLICE_JOIN_SQL),
+    "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
+    "horizon_join_events": (ts.horizon_join_events, ts.HORIZON_JOIN_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

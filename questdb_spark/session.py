@@ -1,0 +1,65 @@
+"""SparkSession factory for the engine.
+
+Reference behavior being re-created: QuestDB executes queries over a shared
+worker pool with parallel page-frame execution
+(``core/src/main/java/io/questdb/griffin/engine/table/AsyncGroupByRecordCursorFactory.java:75``).
+In Spark the equivalents are partition parallelism + AQE, so the session is
+configured once, here, with the scale-oriented settings the rest of the
+engine assumes:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing),
+- auto broadcast for small dimension tables,
+- Arrow for the few Pandas-UDF code paths,
+- UTC session timezone so timestamp semantics are stable and match the
+  DuckDB oracle used by the test harness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "questdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession configured for this engine.
+
+    On a real cluster the same configs apply unchanged; only ``master``
+    differs. Tests run on ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- scale knobs ---------------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- correctness / interop -----------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # nanosecond parquet timestamps (QuestDB TIMESTAMP_NANO,
+        # ColumnType.java:149-150) surface as LongType shadow columns and are
+        # converted to micros in the loader (SURVEY §1.2)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local-mode niceties; harmless on a cluster
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,62 @@
+"""Table loading.
+
+QuestDB reads tables through partition-frame cursors
+(``cairo/FullFwdPartitionFrameCursor.java``); interval scans binary-search
+the designated timestamp (``cairo/IntervalFwdPartitionFrameCursor.java``).
+In Spark both are subsumed by the Parquet scan: partition pruning +
+min/max row-group pruning + predicate pushdown happen automatically once
+filters are expressed on the timestamp column, so the loader's only job is
+to hand back DataFrames (and remember each table's designated timestamp).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# designated timestamp per table (QuestDB: exactly one ts column per table,
+# SqlParser.java:4275 `timestamp(col)`); None = not a time-series table.
+DESIGNATED_TS = {
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+    "events": "ts",
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Nanosecond parquet timestamps (QuestDB TIMESTAMP_NANO) aren't a Spark
+    # type; read them as nano longs and truncate to micros (lossless for
+    # this data — enforced by tests). Set at runtime so the driver's own
+    # SparkSession gets it too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts = DESIGNATED_TS.get(name)
+    if ts is not None and dict(df.dtypes).get(ts) == "bigint":
+        # integer division: nanos ~1.7e18 exceeds double's 53-bit mantissa
+        df = df.withColumn(ts, F.expr(f"timestamp_micros({ts} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can use them."""
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
