@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line with per-query wall seconds.
+
+Each query is executed twice: a warm-up pass at the start amortizes JVM/
+codegen warm-up out of the measured number (QuestDB's JMH benchmarks do the
+same; BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from questdb_spark.registry import REGISTRY  # noqa: E402
+from questdb_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("questdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, parquet footers, codegen
+    for name, (fn, _) in list(REGISTRY.items())[:3]:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, (fn, _) in REGISTRY.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # this data — enforced by tests). Set at runtime so the driver's own
     # SparkSession gets it too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps are naive/UTC in the data; pin the session so results are
+    # stable regardless of the host timezone (the DuckDB oracle is naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ts = DESIGNATED_TS.get(name)
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
