@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, token counting, fingerprinting.
+
+These are not QuestDB features; they extend the engine for LLM-data work
+(driver north star). Design rules for 100 TB: everything is built-in
+column expressions / higher-order functions (JVM-side, whole-stage
+codegen) — no Python UDFs, no collect, one narrow projection per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword lists — deterministic, language-ID heuristic only
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "de": ["der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "en", "du", "est"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wl, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: token count, char count, average token
+    length, stopword ratio, uppercase ratio, digit ratio, distinct-token
+    ratio (type/token — a repetition signal)."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return df.withColumn("__toks", toks).select(
+        *[c for c in df.columns if c != text_col],
+        n_tok.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        (tok_chars / F.size(F.col("__toks"))).alias("avg_token_len"),
+        (
+            stopword_hits(F.col("__toks"), STOPWORDS["en"]) / F.size(F.col("__toks"))
+        ).alias("stopword_ratio_en"),
+        (F.size(F.array_distinct(F.col("__toks"))) / F.size(F.col("__toks"))).alias(
+            "distinct_token_ratio"
+        ),
+        (
+            (F.length(F.col(text_col))
+             - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")))
+            / F.length(F.col(text_col))
+        ).alias("digit_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: score = stopword hits per
+    language; highest wins, ties broken by fixed language order, 'und'
+    (undetermined) when no list scores > 0."""
+    toks = tokens_col(F.col(text_col))
+    out = df.withColumn("__toks", toks)
+    langs = list(STOPWORDS)
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", stopword_hits(F.col("__toks"), STOPWORDS[lang]))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    return out.select(
+        *[c for c in df.columns if c != text_col],
+        *[F.col(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def token_count_regex(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: whitespace tokens plus a regex lexer count
+    (word pieces / numbers / other symbols counted separately)."""
+    t = F.col(text_col)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.size(tokens_col(t)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+"), 0)).alias("n_word_tokens"),
+        # a crude BPE estimate: ~1 token per 4 chars, at least the word count
+        F.greatest(
+            F.ceil(F.length(t) / 4).cast("long"),
+            F.size(tokens_col(t)).cast("long"),
+        ).alias("n_tokens_bpe_est"),
+    )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) — the unit for Jaccard/MinHash."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    # sequence(0, negative) would count DOWN in Spark — guard short docs
+    return F.when(F.size(tokens) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Document fingerprint: min/max md5 over word n-gram shingles (a
+    1-permutation MinHash — rolling-hash style content fingerprint)."""
+    toks = tokens_col(F.col(text_col))
+    sh = shingles_col(toks, n)
+    return df.withColumn("__sh", sh).select(
+        *[c for c in df.columns if c != text_col],
+        F.array_min(F.transform(F.col("__sh"), F.md5)).alias("fp_min"),
+        F.array_max(F.transform(F.col("__sh"), F.md5)).alias("fp_max"),
+        F.size(F.col("__sh")).alias("n_shingles"),
+    )

@@ -1,0 +1,312 @@
+"""Training-data pipeline queries over `documents` and `embeddings`:
+text quality/language-ID/token-count/fingerprint, exact + near dedup
+(Jaccard, MinHash+LSH, SimHash), embedding similarity search.
+
+Oracle strategy: every hash is md5-based and every ratio is a division of
+exact integers, so DuckDB reproduces results bit-for-bit. The oracle SQL
+for MinHash/SimHash/LSH is generated from the same constants as the Spark
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import dedup, multimodal, similarity, text
+from .sources.parquet import load_table
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _sql_stopword_hits(words: list[str], toks: str = "t.toks") -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks}, x -> list_contains({arr}, x)))"
+
+
+def _sql_shingles(n: int = 3, toks: str = "toks") -> str:
+    gram = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n} + 2), i -> {gram})) "
+        f"ELSE [] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text.text_stats(docs)
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  length(text) AS n_chars_actual,
+  list_sum(list_transform(toks, x -> length(x))) / len(toks) AS avg_token_len,
+  {_sql_stopword_hits(text.STOPWORDS["en"], "toks")} / len(toks) AS stopword_ratio_en,
+  len(list_distinct(toks)) / len(toks) AS distinct_token_ratio,
+  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) AS digit_ratio
+FROM t
+"""
+
+
+def language_detect(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    return text.language_id(docs)
+
+
+def _lang_sql() -> str:
+    langs = list(text.STOPWORDS)
+    scores = ",\n  ".join(
+        f"{_sql_stopword_hits(text.STOPWORDS[lg], 'toks')} AS score_{lg}" for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  {scores}
+FROM t)
+SELECT doc_id, lang, {", ".join(f"score_{lg}" for lg in langs)},
+  {case} AS lang_pred
+FROM s
+"""
+
+
+LANGUAGE_DETECT_SQL = _lang_sql()
+
+
+def token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text.token_count_regex(docs)
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  len({_TOKS}) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_word_tokens,
+  GREATEST(CAST(CEIL(length(text) / 4) AS BIGINT), CAST(len({_TOKS}) AS BIGINT)) AS n_tokens_bpe_est
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return text.fingerprint(docs, n=5)
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {_sql_shingles(5, _TOKS)} AS sh FROM documents)
+SELECT doc_id,
+  list_min(list_transform(sh, s -> md5(s))) AS fp_min,
+  list_max(list_transform(sh, s -> md5(s))) AS fp_max,
+  len(sh) AS n_shingles
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM documents),
+sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+  common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.12
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_signature(docs, "doc_id")
+
+
+def _minhash_sql() -> str:
+    mins = ",\n  ".join(
+        f"MIN(md5(shingle || '#{i}')) AS h{i}" for i in range(dedup.N_HASHES)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM documents),
+sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d)
+SELECT doc,
+  {mins}
+FROM sh GROUP BY doc
+"""
+
+
+MINHASH_SIG_SQL = _minhash_sql()
+
+
+def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_candidates(docs, "doc_id")
+
+
+def _minhash_lsh_sql() -> str:
+    n_bands = dedup.N_HASHES // dedup.BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {b} AS band, ".format(b=b)
+        + " || ".join(f"h{b * dedup.BAND_SIZE + j}" for j in range(dedup.BAND_SIZE))
+        + " AS val FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.band AS band
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc < b.doc
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash(docs, "doc_id")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n  ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS doc, UNNEST({_TOKS}) AS tok FROM documents),
+v AS (SELECT doc,
+  {votes}
+FROM toks GROUP BY doc)
+SELECT doc, CAST({bits} AS BIGINT) AS simhash16 FROM v
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk(emb, query, k=10)
+
+
+_QUANT_SQL = "list_transform({v}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_DOT_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+
+EMBEDDING_TOPK_SQL = f"""
+WITH q AS (SELECT {_QUANT_SQL.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v, q.qv AS qv
+  FROM embeddings, q
+)
+SELECT vec_id,
+  {_DOT_SQL.format(a='v', b='qv')}
+    / (SQRT({_DOT_SQL.format(a='v', b='v')}) * SQRT({_DOT_SQL.format(a='qv', b='qv')})) AS cosine
+FROM base
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_lsh_topk(emb, query, k=10)
+
+
+def _ann_lsh_sql() -> str:
+    def bucket(v: str) -> str:
+        bits = []
+        for p in range(similarity.N_PLANES):
+            comp = (
+                f"list_sum(list_transform(range(1, len({v}) + 1), "
+                f"i -> CASE WHEN substr(md5('p{p}:' || i), 1, 1) >= '8' "
+                f"THEN {v}[i] ELSE -{v}[i] END))"
+            )
+            bits.append(f"(CASE WHEN {comp} > 0 THEN {2 ** p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    q = _QUANT_SQL.format(v="embedding")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e),
+qq AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (SELECT b.vec_id, b.v, b.bucket, qq.qv FROM b, qq WHERE b.bucket = qq.qb)
+SELECT vec_id,
+  {_DOT_SQL.format(a='v', b='qv')}
+    / (SQRT({_DOT_SQL.format(a='v', b='v')}) * SQRT({_DOT_SQL.format(a='qv', b='qv')})) AS cosine,
+  bucket
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+EMBEDDING_ANN_SQL = _ann_lsh_sql()
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; stubbed decode)
+# --------------------------------------------------------------------------
+
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return multimodal.decode_image_stub(multimodal.with_binary_payload(docs))
+
+
+MULTIMODAL_SQL = """
+WITH b AS (
+  SELECT doc_id, length(text) AS n_bytes, ascii(text) AS first_byte,
+    CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                 i -> ascii(substr(text, i, 1)))) AS BIGINT)
+      % 1000003 AS checksum
+  FROM documents
+)
+SELECT doc_id, n_bytes, first_byte, checksum,
+  CAST(checksum % 640 AS INTEGER) AS fake_width,
+  CAST(checksum % 480 AS INTEGER) AS fake_height
+FROM b
+"""

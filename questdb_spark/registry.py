@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import queries_core as core
+from . import queries_pipeline as pl
 from . import queries_timeseries as ts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -61,6 +62,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "splice_join_events": (ts.splice_join_events, ts.SPLICE_JOIN_SQL),
     "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
     "horizon_join_events": (ts.horizon_join_events, ts.HORIZON_JOIN_SQL),
+    # training-data pipeline: text / dedup / similarity / multimodal
+    "text_quality": (pl.text_quality, pl.TEXT_QUALITY_SQL),
+    "language_detect": (pl.language_detect, pl.LANGUAGE_DETECT_SQL),
+    "token_counts": (pl.token_counts, pl.TOKEN_COUNTS_SQL),
+    "doc_fingerprints": (pl.doc_fingerprints, pl.DOC_FINGERPRINT_SQL),
+    "dedup_exact": (pl.dedup_exact, pl.DEDUP_EXACT_SQL),
+    "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
+    "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
+    "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),
+    "simhash_docs": (pl.simhash_docs, pl.SIMHASH_SQL),
+    "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
+    "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
+    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
 }
 
 
