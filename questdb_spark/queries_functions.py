@@ -1,0 +1,448 @@
+"""Queries exercising the function library (finance, geohash, IPv4,
+arrays), generators, pivot/unnest/lateral, interval strings, percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import finance, geohash, ipv4
+from .operators.intervals import in_interval
+from .queries_core import dec2, to_dbl
+from .sources import generators
+from .sources.parquet import load_table, register_views
+
+# --------------------------------------------------------------------------
+# Finance
+# --------------------------------------------------------------------------
+
+def twap_vwap_events(spark: SparkSession, sf: str) -> DataFrame:
+    """twap + vwap per event_type over the events stream (QuestDB
+    functions/groupby/Twap*, Vwap*). Weights: twap = next-observation
+    holding time in micros; vwap weights = props.k."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    base = ev.withColumn("__dur", dur).withColumn("__k", k)
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("__dur").isNotNull(), dec2("value") * F.col("__dur"))).alias("__pd"),
+            F.sum("__dur").alias("__d"),
+            F.sum(dec2("value") * F.col("__k")).alias("__pk"),
+            F.sum("__k").alias("__ks"),
+        )
+        .select(
+            "event_type",
+            (to_dbl("__pd", 0) / F.col("__d").cast("double")).alias("twap"),
+            (to_dbl("__pk", 2) / F.col("__ks").cast("double")).alias("vwap_k"),
+        )
+    )
+
+
+TWAP_VWAP_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+    epoch_us(LEAD(ts, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)) - epoch_us(ts) AS dur,
+    CAST(props->>'k' AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(CAST(ROUND(SUM(CASE WHEN dur IS NOT NULL THEN v * dur END), 0) AS DECIMAL(20,0)) AS DOUBLE)
+    / CAST(SUM(dur) AS DOUBLE) AS twap,
+  CAST(CAST(ROUND(SUM(v * k), 2) AS DECIMAL(20,2)) AS DOUBLE)
+    / CAST(SUM(k) AS DOUBLE) AS vwap_k
+FROM base GROUP BY event_type
+"""
+
+
+def l2price_orderbook(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-book sweep price (QuestDB l2price,
+    functions/finance/LevelTwoPriceFunctionFactory): treat each order's
+    lineitems as book levels (size=l_quantity, price=l_extendedprice/qty
+    per unit — here just extendedprice) and compute the average execution
+    price of buying 100 units."""
+    li = load_table(spark, sf, "lineitem")
+    # l_linenumber repeats within an order in this dataset — extend the
+    # ordering to a total one and use an explicit ROWS frame (the default
+    # ordered-window frame is RANGE, which lumps peers together)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = dec2("l_quantity")
+    price = dec2("l_extendedprice")
+    target = F.lit(100).cast("decimal(12,2)")
+    cum = F.sum(size).over(w)
+    filled_before = (cum - size).cast("decimal(20,2)")
+    take = F.least(F.greatest(target - filled_before, F.lit(0).cast("decimal(20,2)")), size)
+    lv = li.select(
+        "l_orderkey",
+        take.alias("__take"),
+        (take * price).cast("decimal(30,4)").alias("__cost"),
+    )
+    agg = lv.groupBy("l_orderkey").agg(
+        F.sum("__take").alias("__filled"), F.sum("__cost").alias("__c")
+    )
+    return agg.select(
+        "l_orderkey",
+        F.when(
+            F.col("__filled") >= target, to_dbl("__c", 2) / F.lit(100.0)
+        ).alias("l2price_100"),
+    )
+
+
+L2PRICE_SQL = """
+WITH lv AS (
+  SELECT l_orderkey,
+    LEAST(GREATEST(CAST(100 AS DECIMAL(12,2)) - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_quantity
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(20,2)),
+      CAST(0 AS DECIMAL(20,2))), CAST(l_quantity AS DECIMAL(12,2))) AS take,
+    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem
+)
+SELECT l_orderkey,
+  CASE WHEN SUM(take) >= CAST(100 AS DECIMAL(12,2))
+       THEN CAST(CAST(ROUND(SUM(CAST(take * price AS DECIMAL(30,4))), 2) AS DECIMAL(20,2)) AS DOUBLE) / 100.0
+  END AS l2price_100
+FROM lv GROUP BY l_orderkey
+"""
+
+
+def ema_events(spark: SparkSession, sf: str) -> DataFrame:
+    """EMA(α=0.2) of value per user (QuestDB window ema()). Closed-form
+    bounded-lookback window — not SQL-expressible in DuckDB, rows-only
+    check."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    return finance.ema(ev, "ts", "value", alpha=0.2, keys=["user_id"])
+
+
+def spread_mid_events(spark: SparkSession, sf: str) -> DataFrame:
+    """mid / spread_bps (functions/finance/): synthesize bid/ask from value."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    bid = F.col("value")
+    ask = F.col("value") + F.get_json_object("props", "$.k").cast("double") / 100.0
+    return ev.select(
+        "event_id",
+        finance.mid(bid, ask).alias("mid"),
+        finance.spread_bps(bid, ask).alias("spread_bps"),
+    )
+
+
+SPREAD_MID_SQL = """
+SELECT event_id,
+  (value + (value + CAST(props->>'k' AS BIGINT) / 100.0)) / 2 AS mid,
+  ((value + CAST(props->>'k' AS BIGINT) / 100.0) - value)
+    / ((value + (value + CAST(props->>'k' AS BIGINT) / 100.0)) / 2) * 10000 AS spread_bps
+FROM events WHERE event_id < 2000
+"""
+
+
+# --------------------------------------------------------------------------
+# Geohash / IPv4
+# --------------------------------------------------------------------------
+
+def geohash_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash encoding of synthetic coordinates (QuestDB make_geohash +
+    GEOLONG cast), plus coarse prefix bucketing."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    lat = F.col("value") % 180.0 - 90.0
+    lon = (F.col("value") * 2.0) % 360.0 - 180.0
+    gh = geohash.geohash_encode(lat, lon, precision=6)
+    return ev.select(
+        "event_id",
+        gh.alias("gh6"),
+        geohash.geohash_prefix(gh, 3).alias("gh3"),
+        geohash.geohash_to_long(gh).alias("gh_long"),
+    )
+
+
+def _geohash_sql() -> str:
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    bits = []
+    lon_k = lat_k = 0
+    for i in range(30):
+        if i % 2 == 0:
+            lon_k += 1
+            bits.append(f"(CAST(FLOOR(lonn * {2 ** lon_k}) AS BIGINT) % 2)")
+        else:
+            lat_k += 1
+            bits.append(f"(CAST(FLOOR(latn * {2 ** lat_k}) AS BIGINT) % 2)")
+    chars = []
+    for c in range(6):
+        v = "0"
+        for j in range(5):
+            v = f"({v} * 2 + {bits[c * 5 + j]})"
+        chars.append(f"substr('{b32}', CAST({v} AS INTEGER) + 1, 1)")
+    gh6 = " || ".join(chars)
+    # gh_long: fold base32 positions
+    return f"""
+WITH c AS (
+  SELECT event_id,
+    ((value % 180.0) - 90.0 + 90.0) / 180.0 AS latn,
+    (((value * 2.0) % 360.0) - 180.0 + 180.0) / 360.0 AS lonn
+  FROM events WHERE event_id < 2000
+),
+g AS (SELECT event_id, {gh6} AS gh6 FROM c)
+SELECT event_id, gh6, substr(gh6, 1, 3) AS gh3,
+  CAST(list_reduce(list_transform(range(1, 7),
+        i -> CAST(strpos('{b32}', substr(gh6, i, 1)) - 1 AS BIGINT)),
+    (a, b) -> a * 32 + b) AS BIGINT) AS gh_long
+FROM g
+"""
+
+
+GEOHASH_SQL = _geohash_sql()
+
+
+def ipv4_subnets(spark: SparkSession, sf: str) -> DataFrame:
+    """IPv4 netmask math (QuestDB IPv4 type + BitwiseAndIPv4): synthesize an
+    IP per event, group by /24 subnet."""
+    ev = load_table(spark, sf, "events")
+    ip_long = (F.col("event_id") * 2654435761) % 4294967296
+    base = ev.select(ip_long.alias("__ip"))
+    sub = ipv4.ipv4_and(F.col("__ip"), ipv4.netmask(24))
+    return (
+        base.select(ipv4.long_to_ipv4(sub).alias("subnet"))
+        .groupBy("subnet")
+        .agg(F.count(F.lit(1)).alias("n_ips"))
+    )
+
+
+IPV4_SQL = """
+WITH b AS (
+  SELECT ((event_id * 2654435761) % 4294967296) & 4294967040 AS sub FROM events
+)
+SELECT
+  CAST((sub >> 24) & 255 AS VARCHAR) || '.' ||
+  CAST((sub >> 16) & 255 AS VARCHAR) || '.' ||
+  CAST((sub >> 8) & 255 AS VARCHAR) || '.' ||
+  CAST(sub & 255 AS VARCHAR) AS subnet,
+  COUNT(*) AS n_ips
+FROM b GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Arrays
+# --------------------------------------------------------------------------
+
+def array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """1-D array op surface (QuestDB functions/array/): sums/extrema/dot/
+    insertion_point/cumsum — quantized to longs where summation order would
+    otherwise make results engine-dependent."""
+    from .pipeline.similarity import dot_q, quantize
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = quantize(F.col("embedding"))
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cumsum5 = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda i: F.aggregate(
+            F.slice(qv, 1, i.cast("int")), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.array_min(dv).alias("min_val"),
+        F.array_max(dv).alias("max_val"),
+        F.size(F.col("embedding")).alias("dim"),
+        dot_q(qv, qv).alias("dot_self_q"),
+        (F.size(F.filter(qv, lambda x: x < 0)) + 1).alias("insertion_point_0"),
+        F.concat_ws(",", cumsum5).alias("cumsum5"),
+    )
+
+
+ARRAY_OPS_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+  CAST(list_min(embedding) AS DOUBLE) AS min_val,
+  CAST(list_max(embedding) AS DOUBLE) AS max_val,
+  len(embedding) AS dim,
+  CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) AS BIGINT) AS dot_self_q,
+  len(list_filter(qv, x -> x < 0)) + 1 AS insertion_point_0,
+  array_to_string(list_transform(range(1, 6),
+      i -> CAST(list_sum(qv[1:i]) AS BIGINT)), ',') AS cumsum5
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot / unnest / lateral
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (QuestDB SqlParser.java:4260, rewrite SqlOptimiser.java:8976):
+    event counts per user × type as dynamic columns."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+def unnest_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY (QuestDB UnnestRecordCursorFactory,
+    OrdinalityUnnestSource) → posexplode."""
+    from .pipeline.text import tokens_col
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return docs.select("doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "token"))
+
+
+UNNEST_SQL = """
+SELECT doc_id,
+  UNNEST(range(0, len(string_split_regex(lower(trim(text)), '\\s+')))) AS pos,
+  UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS token
+FROM documents WHERE doc_id < 20
+"""
+
+
+def lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL join (QuestDB LateralJoinRewriter): top-2 orders per
+    customer via correlated lateral subquery in Spark SQL."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )
+
+
+LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval strings / percentiles / generators
+# --------------------------------------------------------------------------
+
+def interval_search(spark: SparkSession, sf: str) -> DataFrame:
+    """QuestDB `ts IN '2024-01-15'` + `IN '...;2d'` duration form
+    (WhereClauseParser.java:77) — lowered to pushdown-able range predicates."""
+    ev = load_table(spark, sf, "events")
+    day = ev.filter(in_interval(F.col("ts"), "2024-01-15")).select(
+        "event_id", "ts", F.lit("day").alias("which")
+    )
+    span = ev.filter(in_interval(F.col("ts"), "2024-01-20T06;2d")).select(
+        "event_id", "ts", F.lit("span").alias("which")
+    )
+    return day.unionByName(span)
+
+
+INTERVAL_SEARCH_SQL = """
+SELECT event_id, ts, 'day' AS which FROM events
+ WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+UNION ALL
+SELECT event_id, ts, 'span' AS which FROM events
+ WHERE ts >= TIMESTAMP '2024-01-20 06:00:00' AND ts < TIMESTAMP '2024-01-22 07:00:00'
+"""
+
+
+def percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (QuestDB approx_percentile's exact
+    sibling; Spark `percentile` = DuckDB `quantile_cont`)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.median("l_quantity").alias("median_qty"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS p50_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  median(l_quantity) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog — QuestDB
+    griffin/engine/groupby/hyperloglog/HyperLogLog.java:39) and
+    percentile_approx. Sketch internals differ per engine → rows-only."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+    )
+
+
+def generate_series_rnd(spark: SparkSession, sf: str) -> DataFrame:
+    """Row generators (QuestDB long_sequence + rnd_* + timestamp_sequence,
+    functions/rnd/): deterministic mixing arithmetic, engine-portable."""
+    base = generators.long_sequence(spark, 1000)
+    return base.select(
+        "x",
+        generators.rnd_double(F.col("x")).alias("r"),
+        generators.rnd_int(F.col("x"), 1, 100).alias("ri"),
+        generators.rnd_symbol(F.col("x"), ["a", "b", "c"]).alias("sym"),
+        generators.rnd_symbol_zipf(F.col("x"), ["s0", "s1", "s2", "s3"]).alias("zsym"),
+        F.expr("timestampadd(MINUTE, CAST(x AS INT), TIMESTAMP '2024-01-01')").alias("ts"),
+    )
+
+
+def _gen_sql() -> str:
+    # mirror rnd_symbol_zipf cumulative thresholds for 4 symbols
+    weights = [1.0 / (k + 1) for k in range(4)]
+    total = sum(weights)
+    cum, acc = [], 0.0
+    for wt in weights:
+        acc += wt
+        cum.append(acc / total)
+    zipf = (
+        f"CASE WHEN u < {cum[0]!r} THEN 's0' WHEN u < {cum[1]!r} THEN 's1' "
+        f"WHEN u < {cum[2]!r} THEN 's2' ELSE 's3' END"
+    )
+    return f"""
+WITH s AS (SELECT UNNEST(range(1, 1001)) AS x),
+b AS (SELECT x, ((x * 2654435761) % 1000000) / 1000000.0 AS u FROM s)
+SELECT x, u AS r,
+  CAST((x * 2654435761) % 100 + 1 AS INTEGER) AS ri,
+  ['a','b','c'][CAST((x * 2654435761) % 3 AS INTEGER) + 1] AS sym,
+  {zipf} AS zsym,
+  TIMESTAMP '2024-01-01' + x * INTERVAL 1 MINUTE AS ts
+FROM b
+"""
+
+
+GENERATE_SERIES_SQL = _gen_sql()

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import queries_core as core
+from . import queries_functions as fn
 from . import queries_pipeline as pl
 from . import queries_timeseries as ts
 
@@ -75,6 +76,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
     "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
     "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
+    # function library / generators / pivot / unnest / lateral / intervals
+    "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
+    "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
+    "ema_events": (fn.ema_events, None),  # recurrence — not SQL-expressible
+    "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
+    "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
+    "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
+    "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
+    "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
+    "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),
+    "lateral_topn": (fn.lateral_topn, fn.LATERAL_SQL),
+    "interval_search": (fn.interval_search, fn.INTERVAL_SEARCH_SQL),
+    "percentiles_exact": (fn.percentiles_exact, fn.PERCENTILES_SQL),
+    "approx_aggs": (fn.approx_aggs, None),  # sketch internals differ per engine
+    "generate_series_rnd": (fn.generate_series_rnd, fn.GENERATE_SERIES_SQL),
 }
 
 
