@@ -1,0 +1,77 @@
+"""Incrementally-refreshed materialized views.
+
+Reference: QuestDB mat views are incrementally refreshed SAMPLE BY queries
+(``cairo/mv/MatViewRefreshJob.java:77``, ``cairo/mv/
+SampleByIntervalIterator.java``): on new WAL transactions, only the time
+buckets touched by new rows are recomputed.
+
+Spark mapping: Structured Streaming windowed aggregation with watermark
+(late data within the watermark updates its bucket), sunk via foreachBatch
+into a parquet result keyed by bucket — each micro-batch overwrites ONLY
+the buckets it touched (dynamic partition overwrite = QuestDB's
+interval-iterator refresh).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sample_by_matview(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str,
+    interval: str,
+    aggs: Mapping[str, Column],
+    keys: Sequence[str] = (),
+    watermark: str = "10 seconds",
+    trigger_available_now: bool = False,
+):
+    """Maintain `SELECT bucket, keys, aggs ... SAMPLE BY interval` as a
+    continuously-refreshed parquet table."""
+    keys = list(keys)
+    bucketed = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval).alias("__w"), *keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .select(F.col("__w.start").alias("ts_bucket"), *keys, *aggs.keys())
+    )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        new = batch.withColumn("__bucket_part", F.col("ts_bucket").cast("date"))
+        # update mode emits only changed (bucket, keys) rows; an overwrite of
+        # the touched date partitions must carry the untouched rows too —
+        # merge them in (anti-join on the grain) before writing
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            touched = new.select("__bucket_part").distinct()
+            keep = (
+                existing.join(F.broadcast(touched), "__bucket_part", "left_semi")
+                .join(new.select("ts_bucket", *keys), ["ts_bucket", *keys], "left_anti")
+            )
+            new = new.unionByName(keep)
+        new.write.mode("overwrite").partitionBy("__bucket_part").parquet(path)
+
+    w = (
+        bucketed.writeStream.outputMode("update")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_matview(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("__bucket_part")

@@ -1,0 +1,131 @@
+"""Streaming path: ILP parsing, ingest with DEDUP UPSERT semantics,
+incremental SAMPLE BY materialized view."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from questdb_spark.sources.ilp import ilp_to_table, parse_ilp
+from questdb_spark.streaming.ingest import compact, read_deduped, write_stream_ingest
+from questdb_spark.streaming.matview import read_matview, sample_by_matview
+
+ILP_LINES_A = [
+    'trades,sym=AAPL,side=buy price=101.5,size=10i 1704067200000000000',
+    'trades,sym=AAPL,side=sell price=102.0,size=5i 1704067260000000000',
+    'trades,sym=MSFT,side=buy price=390.25,size=7i 1704067320000000000',
+    'weather,city=SF temp=13.5,wind=2.0 1704067200000000000',
+    'bad line without fields',
+]
+# second batch: out-of-order + duplicate upsert for (AAPL, first ts)
+ILP_LINES_B = [
+    'trades,sym=AAPL,side=buy price=999.0,size=99i 1704067200000000000',
+    'trades,sym=GOOG,side=buy price=140.0,size=3i 1704067080000000000',
+]
+
+
+def test_parse_ilp(spark):
+    df = spark.createDataFrame([(l,) for l in ILP_LINES_A], ["value"])
+    parsed = parse_ilp(df)
+    trades = [r for r in parsed.collect() if r["measurement"] == "trades"]
+    assert len(trades) == 3
+    by_sym = {(r["tags"]["sym"], r["tags"]["side"]): r for r in trades}
+    assert by_sym[("AAPL", "buy")]["fields_double"]["price"] == 101.5
+    assert by_sym[("AAPL", "buy")]["fields_long"]["size"] == 10
+    assert str(by_sym[("AAPL", "buy")]["ts"]) == "2024-01-01 00:00:00"
+    assert by_sym[("MSFT", "buy")]["fields_double"]["price"] == 390.25
+    # malformed line → NULL measurement
+    assert sum(1 for r in parsed.collect() if r["measurement"] is None) == 1
+
+
+def test_ilp_to_table(spark):
+    df = spark.createDataFrame([(l,) for l in ILP_LINES_A], ["value"])
+    table = ilp_to_table(parse_ilp(df), "trades")
+    assert set(table.columns) == {"sym", "side", "price", "size", "ts"}
+    assert table.count() == 3
+
+
+def _run_ingest_batch(spark, lines, in_dir, out_dir, ckpt, fname):
+    with open(os.path.join(in_dir, fname), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    stream = spark.readStream.format("text").load(in_dir)
+    table = parse_ilp(stream).filter(F.col("measurement") == "trades").select(
+        F.col("tags")["sym"].alias("sym"),
+        F.col("fields_double")["price"].alias("price"),
+        F.col("fields_long")["size"].alias("size"),
+        "ts",
+    )
+    q = write_stream_ingest(
+        table, out_dir, "ts", ["sym"], ckpt, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+
+def test_ingest_dedup_upsert(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = os.path.join(tmp, "in")
+        out_dir = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(in_dir)
+        _run_ingest_batch(spark, ILP_LINES_A, in_dir, out_dir, ckpt, "a.txt")
+        _run_ingest_batch(spark, ILP_LINES_B, in_dir, out_dir, ckpt, "b.txt")
+
+        view = read_deduped(spark, out_dir, "ts", ["sym"])
+        rows = {(r["sym"], str(r["ts"])): r for r in view.collect()}
+        # 3 original trades + GOOG, with the AAPL@t0 row upserted
+        assert len(rows) == 4
+        assert rows[("AAPL", "2024-01-01 00:00:00")]["price"] == 999.0
+        assert rows[("AAPL", "2024-01-01 00:00:00")]["size"] == 99
+
+        # compaction materializes the same view
+        compact(spark, out_dir, "ts", ["sym"])
+        after = {
+            (r["sym"], str(r["ts"])): r
+            for r in read_deduped(spark, out_dir, "ts", ["sym"]).collect()
+        }
+        assert {k: v["price"] for k, v in after.items()} == {
+            k: v["price"] for k, v in rows.items()
+        }
+
+
+def test_sample_by_matview(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = os.path.join(tmp, "in")
+        mv_dir = os.path.join(tmp, "mv")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(in_dir)
+
+        def run(lines, fname):
+            with open(os.path.join(in_dir, fname), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            stream = spark.readStream.format("text").load(in_dir)
+            table = parse_ilp(stream).filter(F.col("measurement") == "trades").select(
+                F.col("tags")["sym"].alias("sym"),
+                F.col("fields_double")["price"].alias("price"),
+                "ts",
+            )
+            q = sample_by_matview(
+                table,
+                mv_dir,
+                ckpt,
+                "ts",
+                "1 minute",
+                {"n": F.count(F.lit(1)), "max_price": F.max("price")},
+                keys=["sym"],
+                watermark="2 days",  # o3MaxLag: late rows within it update their bucket
+                trigger_available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run(ILP_LINES_A, "a.txt")
+        run(ILP_LINES_B, "b.txt")
+        mv = {
+            (r["sym"], str(r["ts_bucket"])): r for r in read_matview(spark, mv_dir).collect()
+        }
+        # AAPL minute-0 bucket got the late 999.0 row merged in
+        assert mv[("AAPL", "2024-01-01 00:00:00")]["n"] == 2
+        assert mv[("AAPL", "2024-01-01 00:00:00")]["max_price"] == 999.0
+        assert mv[("MSFT", "2024-01-01 00:02:00")]["n"] == 1
+        assert mv[("GOOG", "2023-12-31 23:58:00")]["n"] == 1
