@@ -1,0 +1,205 @@
+"""Operator-level tests against independent references (pandas, python
+reimplementations) — the fuzz/property layer of SURVEY §5."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from questdb_spark.functions import finance, geohash, ipv4
+from questdb_spark.operators.asof import asof_join, lt_join
+from questdb_spark.operators.intervals import parse_interval_string
+from questdb_spark.operators.latest import latest_on
+from questdb_spark.operators.limits import limit_range, limit_signed
+from questdb_spark.operators.sample_by import bucket_col, parse_interval
+
+
+def _random_streams(seed: int, n_master=200, n_slave=150, n_keys=5):
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    master = [
+        (i, rng.randrange(n_keys), base + timedelta(seconds=rng.randrange(100000)), rng.random())
+        for i in range(n_master)
+    ]
+    slave_rows = {}
+    for _ in range(n_slave):
+        k = rng.randrange(n_keys)
+        ts = base + timedelta(seconds=rng.randrange(100000))
+        slave_rows[(k, ts)] = rng.random() * 100
+    slave = [(k, ts, v) for (k, ts), v in slave_rows.items()]
+    return master, slave
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_lt_vs_pandas_merge_asof(spark, seed, strict):
+    master, slave = _random_streams(seed)
+    mdf = spark.createDataFrame(master, ["mid", "k", "ts", "mval"])
+    sdf = spark.createDataFrame(slave, ["k", "ts", "sval"])
+    fn = lt_join if strict else asof_join
+    out = fn(mdf, sdf, "ts", keys=["k"]).toPandas().set_index("mid").sort_index()
+
+    mp = pd.DataFrame(master, columns=["mid", "k", "ts", "mval"]).sort_values("ts")
+    sp = pd.DataFrame(slave, columns=["k", "ts", "sval"]).sort_values("ts")
+    ref = pd.merge_asof(
+        mp, sp, on="ts", by="k", allow_exact_matches=not strict
+    ).set_index("mid").sort_index()
+
+    mism = [
+        (a, b)
+        for a, b in zip(out["sval"], ref["sval"])
+        if not ((pd.isna(a) and pd.isna(b)) or a == b)
+    ]
+    assert not mism
+
+
+def test_asof_tolerance_vs_pandas(spark):
+    master, slave = _random_streams(7)
+    mdf = spark.createDataFrame(master, ["mid", "k", "ts", "mval"])
+    sdf = spark.createDataFrame(slave, ["k", "ts", "sval"])
+    out = (
+        asof_join(mdf, sdf, "ts", keys=["k"], tolerance="1 HOUR")
+        .toPandas().set_index("mid").sort_index()
+    )
+    mp = pd.DataFrame(master, columns=["mid", "k", "ts", "mval"]).sort_values("ts")
+    sp = pd.DataFrame(slave, columns=["k", "ts", "sval"]).sort_values("ts")
+    ref = pd.merge_asof(
+        mp, sp, on="ts", by="k", tolerance=pd.Timedelta("1h")
+    ).set_index("mid").sort_index()
+    mism = [
+        (a, b)
+        for a, b in zip(out["sval"], ref["sval"])
+        if not ((pd.isna(a) and pd.isna(b)) or a == b)
+    ]
+    assert not mism
+
+
+def test_ema_vs_pandas_ewm(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, i % 3, datetime(2024, 1, 1) + timedelta(minutes=i), rng.random() * 10)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["i", "k", "ts", "x"])
+    out = (
+        finance.ema(df, "ts", "x", alpha=0.3, keys=["k"])
+        .toPandas().set_index("i").sort_index()
+    )
+    pdf = pd.DataFrame(rows, columns=["i", "k", "ts", "x"])
+    ref = (
+        pdf.sort_values("ts")
+        .groupby("k")["x"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+    )
+    pdf["ref"] = ref
+    pdf = pdf.set_index("i").sort_index()
+    assert list(out["ema"]) == pytest.approx(list(pdf["ref"]), rel=1e-9)
+
+
+def test_latest_on_small(spark):
+    rows = [
+        (1, "a", datetime(2024, 1, 1, 0), 1.0),
+        (2, "a", datetime(2024, 1, 1, 5), 2.0),
+        (3, "a", datetime(2024, 1, 1, 5), 3.0),  # ts tie → higher id wins
+        (4, "b", datetime(2024, 1, 1, 1), 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts", "v"])
+    out = {r["k"]: r for r in latest_on(df, "ts", ["k"], tiebreak="id").collect()}
+    assert out["a"]["id"] == 3 and out["a"]["v"] == 3.0
+    assert out["b"]["id"] == 4
+
+
+def test_limit_signed_and_range(spark):
+    df = spark.range(1, 101).select(F.col("id").alias("x"))
+    assert [r["x"] for r in limit_signed(df, 3, ["x"]).collect()] == [1, 2, 3]
+    assert [r["x"] for r in limit_signed(df, -3, ["x"]).collect()] == [98, 99, 100]
+    assert [r["x"] for r in limit_range(df, 10, 13, ["x"]).collect()] == [11, 12, 13]
+
+
+def test_sample_by_interval_parse():
+    assert parse_interval("15m") == (15, "m")
+    assert parse_interval("1h") == (1, "h")
+    assert parse_interval("3M") == (3, "M")
+    with pytest.raises(ValueError):
+        parse_interval("5q")
+
+
+def test_bucket_col_units(spark):
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 17, 14, 37, 21, 500000),)], ["ts"]
+    )
+    got = df.select(
+        bucket_col(F.col("ts"), "5m").alias("m5"),
+        bucket_col(F.col("ts"), "1h").alias("h1"),
+        bucket_col(F.col("ts"), "1d").alias("d1"),
+        bucket_col(F.col("ts"), "1M").alias("mo"),
+        bucket_col(F.col("ts"), "3M").alias("q"),
+        bucket_col(F.col("ts"), "1y").alias("y"),
+    ).first()
+    assert str(got["m5"]) == "2024-03-17 14:35:00"
+    assert str(got["h1"]) == "2024-03-17 14:00:00"
+    assert str(got["d1"]) == "2024-03-17 00:00:00"
+    assert str(got["mo"]) == "2024-03-01 00:00:00"
+    assert str(got["q"]) == "2024-01-01 00:00:00"
+    assert str(got["y"]) == "2024-01-01 00:00:00"
+
+
+def test_interval_string_parse():
+    lo, hi = parse_interval_string("2024-01")
+    assert (str(lo), str(hi)) == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    lo, hi = parse_interval_string("2024-12")
+    assert str(hi) == "2025-01-01 00:00:00"
+    lo, hi = parse_interval_string("2024-01-15T12")
+    assert (str(lo), str(hi)) == ("2024-01-15 12:00:00", "2024-01-15 13:00:00")
+    lo, hi = parse_interval_string("2024-01-15;2d")
+    assert str(hi) == "2024-01-18 00:00:00"
+    with pytest.raises(ValueError):
+        parse_interval_string("not-a-date")
+
+
+def test_l2price_fold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [10.0, 10.0, 100.0], [1.0, 2.0, 3.0]),   # fill 15: 10@1 + 5@2
+            (2, [5.0, 5.0], [1.0, 2.0]),                  # can't fill 15 → NULL
+        ],
+        ["id", "sizes", "prices"],
+    )
+    out = {
+        r["id"]: r["px"]
+        for r in df.select(
+            "id", finance.l2price(F.lit(15.0), F.col("sizes"), F.col("prices")).alias("px")
+        ).collect()
+    }
+    assert out[1] == pytest.approx((10 * 1.0 + 5 * 2.0) / 15)
+    assert out[2] is None
+
+
+def test_geohash_roundtrip(spark):
+    # reference values from the public geohash algorithm
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-25.382708, -49.265506), (0.0, 0.0)],
+        ["lat", "lon"],
+    )
+    out = df.select(
+        geohash.geohash_encode(F.col("lat"), F.col("lon"), 8).alias("gh")
+    ).collect()
+    assert out[0]["gh"] == "u4pruydq"
+    assert out[1]["gh"] == "6gkzwgjz"
+    assert out[2]["gh"][:4] == "s000"
+
+
+def test_ipv4_roundtrip(spark):
+    df = spark.createDataFrame([("192.168.1.77",), ("10.0.255.1",)], ["ip"])
+    out = df.select(
+        ipv4.long_to_ipv4(ipv4.ipv4_to_long(F.col("ip"))).alias("rt"),
+        ipv4.long_to_ipv4(
+            ipv4.ipv4_and(ipv4.ipv4_to_long(F.col("ip")), ipv4.netmask(24))
+        ).alias("subnet"),
+    ).collect()
+    assert out[0]["rt"] == "192.168.1.77" and out[0]["subnet"] == "192.168.1.0"
+    assert out[1]["rt"] == "10.0.255.1" and out[1]["subnet"] == "10.0.255.0"

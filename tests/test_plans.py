@@ -1,0 +1,80 @@
+"""Scale-property plan tests (the ExplainPlanTest analogue): verify the
+physical plans have the shape we'd want on a 1000-executor cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from questdb_spark.plans.explain import (
+    has_pushed_filter,
+    plan_text,
+    read_schema_columns,
+    shuffle_count,
+    uses_broadcast_join,
+)
+from questdb_spark.queries_core import q1_pricing_summary, q5_region_revenue, time_filter_scan
+from questdb_spark.queries_timeseries import asof_join_events, sample_by_1h
+from questdb_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+
+def test_time_filter_pushdown(spark):
+    df = time_filter_scan(spark, SF_DIR)
+    # event_type equality must reach the parquet scan
+    assert has_pushed_filter(df, "event_type")
+    # projection pruned: props must not be read
+    cols = read_schema_columns(df)
+    assert "props" not in cols
+
+
+def test_q1_column_pruning(spark):
+    df = q1_pricing_summary(spark, SF_DIR)
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert has_pushed_filter(df, "l_shipdate") or "l_shipdate" in plan_text(df)
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = q5_region_revenue(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_sample_by_single_shuffle_agg(spark):
+    df = sample_by_1h(spark, SF_DIR)
+    # bucketed agg: exactly one hash exchange (partial→final), no sort
+    assert shuffle_count(df) == 1
+
+
+def test_asof_single_shuffle(spark):
+    df = asof_join_events(spark, SF_DIR)
+    # union-tag asof: the join itself needs one shuffle on keys; the slave
+    # pre-dedup adds one more. No cross joins, no Python in the row path.
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    assert shuffle_count(df) <= 2
+
+
+def test_scan_no_python_udfs_in_core_queries(spark):
+    from questdb_spark.registry import REGISTRY
+
+    # everything except the explicitly pandas-backed multimodal decode and
+    # python-free-but-arrow paths must stay JVM-side
+    allowed_python = {"multimodal_decode"}
+    for name, (fn, _) in REGISTRY.items():
+        if name in allowed_python:
+            continue
+        txt = plan_text(fn(spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in txt, f"{name} uses row-at-a-time Python"
+
+
+def test_events_scan_prunes_partitions_with_interval(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    df = ev.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-11")
+    ).select("event_id")
+    # ts is converted from nanos long — the filter lands post-conversion but
+    # the scan must still only read the two needed columns
+    cols = read_schema_columns(df)
+    assert set(cols) <= {"event_id", "ts"}
