@@ -93,7 +93,8 @@ def ema(df: DataFrame, ts_col: str, value_col: str, alpha: float,
     """
     import math
 
-    lookback = min(int(math.ceil(60.0 / alpha)), 10_000)
+    # smallest L with (1-a)^L < 1e-18 (below double resolution of the sum)
+    lookback = min(int(math.ceil(math.log(1e-18) / math.log(1.0 - alpha))), 10_000)
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_col)

@@ -57,19 +57,25 @@ def cosine_topk(
 
 
 N_PLANES = 8
+MAX_DIM = 256
+
+
+def plane_signs(plane: int, n: int = MAX_DIM) -> list[int]:
+    """±1 hyperplane components from md5(f'p{plane}:{i}') — the same value
+    an engine-side md5 would produce, but hyperplanes are CONSTANTS, so we
+    evaluate them at plan-build time (60s → ms on the bench) and inline
+    literal arrays into the plan."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"p{plane}:{i}".encode()).hexdigest()[0] >= "8" else -1
+        for i in range(1, n + 1)
+    ]
 
 
 def _plane_sign(vec: Column, plane: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[i] = ±1 derived from
-    md5(plane:i) (first hex char >= '8' → +1). Deterministic in any engine."""
-    idx = F.sequence(F.lit(1), F.size(vec))
-    comp = F.transform(
-        idx,
-        lambda i: F.when(
-            F.substring(F.md5(F.concat(F.lit(f"p{plane}:"), i.cast("string"))), 1, 1) >= "8",
-            F.element_at(vec, i.cast("int")),
-        ).otherwise(-F.element_at(vec, i.cast("int"))),
-    )
+    signs = F.array(*[F.lit(s) for s in plane_signs(plane)])
+    comp = F.zip_with(vec, F.slice(signs, 1, F.size(vec)), lambda x, s: x * s)
     s = F.aggregate(comp, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (s > 0).cast("int")
 

@@ -261,10 +261,10 @@ def _ann_lsh_sql() -> str:
     def bucket(v: str) -> str:
         bits = []
         for p in range(similarity.N_PLANES):
+            signs = "[" + ",".join(str(s) for s in similarity.plane_signs(p)) + "]"
             comp = (
                 f"list_sum(list_transform(range(1, len({v}) + 1), "
-                f"i -> CASE WHEN substr(md5('p{p}:' || i), 1, 1) >= '8' "
-                f"THEN {v}[i] ELSE -{v}[i] END))"
+                f"i -> {v}[i] * ({signs})[i]))"
             )
             bits.append(f"(CASE WHEN {comp} > 0 THEN {2 ** p} ELSE 0 END)")
         return " + ".join(bits)
