@@ -56,8 +56,28 @@ def parse_interval(spec: str) -> tuple[int, str]:
     return n, unit
 
 
-def bucket_col(ts: Column, spec: str, offset_us: int = 0) -> Column:
-    """Truncate a timestamp to its SAMPLE BY bucket (bucket start)."""
+def parse_offset(offset: str) -> int:
+    """QuestDB `WITH OFFSET 'hh:mm'` → microseconds."""
+    sign = -1 if offset.startswith("-") else 1
+    hh, mm = offset.lstrip("+-").split(":")
+    return sign * (int(hh) * 3600 + int(mm) * 60) * 1_000_000
+
+
+def bucket_col(ts: Column, spec: str, offset_us: int = 0, tz: str | None = None) -> Column:
+    """Truncate a timestamp to its SAMPLE BY bucket (bucket start).
+
+    ``tz``: QuestDB `ALIGN TO CALENDAR TIME ZONE '<tz>'` — buckets align to
+    local-time calendar boundaries (``TimezoneFloorTimestampSampler``); the
+    returned bucket start is converted back to the session zone.
+    """
+    if tz is not None:
+        # convert_timezone works on TIMESTAMP_NTZ; the session is pinned to
+        # UTC, so NTZ↔LTZ casts preserve the wall clock
+        local = F.convert_timezone(F.lit("UTC"), F.lit(tz), ts).cast("timestamp")
+        local_bucket = bucket_col(local, spec, offset_us, tz=None)
+        return F.convert_timezone(
+            F.lit(tz), F.lit("UTC"), local_bucket.cast("timestamp_ntz")
+        ).cast("timestamp")
     n, unit = parse_interval(spec)
     if unit == "y":
         if n != 1:
@@ -101,6 +121,7 @@ def sample_by(
     from_ts: str | None = None,
     to_ts: str | None = None,
     offset_us: int = 0,
+    tz: str | None = None,
     bucket_name: str = "ts_bucket",
 ) -> DataFrame:
     """SAMPLE BY lowering. ``fill`` in {None,'none','null','prev','linear','value'}.
@@ -111,7 +132,7 @@ def sample_by(
     matching QuestDB's `SAMPLE BY ... FROM x TO y`).
     """
     keys = list(keys)
-    b = bucket_col(F.col(ts_col), interval, offset_us)
+    b = bucket_col(F.col(ts_col), interval, offset_us, tz)
     if from_ts is not None:
         df = df.filter(F.col(ts_col) >= F.lit(from_ts).cast("timestamp"))
     if to_ts is not None:
@@ -132,8 +153,8 @@ def sample_by(
         )
         # TO bound is exclusive: step back one microsecond before bucketing
         bounds = bounds.select(
-            bucket_col(F.col("lo"), interval, offset_us).alias("lo"),
-            bucket_col(F.expr("hi - INTERVAL 1 MICROSECOND"), interval, offset_us).alias("hi"),
+            bucket_col(F.col("lo"), interval, offset_us, tz).alias("lo"),
+            bucket_col(F.expr("hi - INTERVAL 1 MICROSECOND"), interval, offset_us, tz).alias("hi"),
         )
     else:
         bounds = out.agg(

@@ -168,6 +168,8 @@ class QdbEngine:
                 raise ValueError(f"unsupported FILL: {fill!r}")
             fill_values = {name: const for name in aggs}
             fill = "value"
+        from ..operators.sample_by import parse_offset
+
         return sample_by(
             df,
             ts_col,
@@ -178,6 +180,8 @@ class QdbEngine:
             fill_values=fill_values,
             from_ts=sb.from_ts,
             to_ts=sb.to_ts,
+            offset_us=parse_offset(sb.offset) if sb.offset else 0,
+            tz=sb.tz,
             bucket_name=bucket_name,
         )
 

@@ -45,6 +45,8 @@ class SampleBySpec:
     fill: str | None  # none|null|prev|linear|<const>
     from_ts: str | None
     to_ts: str | None
+    tz: str | None = None         # ALIGN TO CALENDAR TIME ZONE '<tz>'
+    offset: str | None = None     # WITH OFFSET 'hh:mm'
 
 
 @dataclass
@@ -131,7 +133,14 @@ def parse(sql: str) -> QdbQuery:
     limit = None
 
     for kw, text in clauses:
-        if kw == "FROM":
+        if kw == "FROM" and text.lstrip().startswith("'") and sample is not None:
+            # SAMPLE BY ... FROM 'lo' TO 'hi' — the spine-bound form, not a
+            # table clause (SqlParser.java:4284 rewriteSampleByFromTo)
+            mft = re.match(r"^'([^']+)'\s+TO\s+'([^']+)'", text.strip(), re.IGNORECASE)
+            if not mft:
+                raise ValueError(f"bad SAMPLE BY FROM/TO: {text!r}")
+            sample.from_ts, sample.to_ts = mft.group(1), mft.group(2)
+        elif kw == "FROM":
             toks = text.split()
             table = toks[0]
             if len(toks) > 1 and toks[1].upper() != "AS":
@@ -198,4 +207,11 @@ def _parse_sample_by(text: str) -> SampleBySpec:
     mr = re.search(r"\bFROM\s+'([^']+)'\s+TO\s+'([^']+)'", rest, re.IGNORECASE)
     if mr:
         from_ts, to_ts = mr.group(1), mr.group(2)
-    return SampleBySpec(interval, fill, from_ts, to_ts)
+    tz = offset = None
+    mt = re.search(r"ALIGN\s+TO\s+CALENDAR(?:\s+TIME\s+ZONE\s+'([^']+)')?", rest, re.IGNORECASE)
+    if mt:
+        tz = mt.group(1)
+    mo_ = re.search(r"WITH\s+OFFSET\s+'([^']+)'", rest, re.IGNORECASE)
+    if mo_:
+        offset = mo_.group(1)
+    return SampleBySpec(interval, fill, from_ts, to_ts, tz, offset)

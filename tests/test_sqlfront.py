@@ -123,3 +123,33 @@ def test_order_limit_sql(eng):
     df = eng.sql("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 3")
     vals = [r["o_totalprice"] for r in df.collect()]
     assert vals == sorted(vals, reverse=True) and len(vals) == 3
+
+
+def test_sample_by_align_tz_sql(eng):
+    df = eng.sql(
+        "SELECT ts, count(*) AS n FROM events SAMPLE BY 1d "
+        "ALIGN TO CALENDAR TIME ZONE 'America/New_York'"
+    )
+    buckets = sorted(str(r["ts"]) for r in df.collect())
+    # NY-aligned day buckets surface as 05:00 UTC starts in January (EST)
+    assert all(b.endswith("05:00:00") for b in buckets)
+
+
+def test_sample_by_offset_sql(eng):
+    df = eng.sql(
+        "SELECT ts, count(*) AS n FROM events SAMPLE BY 1h "
+        "ALIGN TO CALENDAR WITH OFFSET '00:30'"
+    )
+    assert all(str(r["ts"]).endswith("30:00") for r in df.collect())
+
+
+def test_sample_by_from_to_sql(eng):
+    df = eng.sql(
+        "SELECT ts, count(*) AS n FROM events "
+        "SAMPLE BY 1d FILL(0) FROM '2024-01-10' TO '2024-01-13'"
+    )
+    buckets = sorted(str(r["ts"]) for r in df.collect())
+    assert buckets == [
+        "2024-01-10 00:00:00", "2024-01-11 00:00:00", "2024-01-12 00:00:00"
+    ]
+    assert all(r["n"] is not None for r in df.collect())

@@ -1,0 +1,88 @@
+"""TimeTable: partition layout, interval scans, dedup append, UPDATE/
+DELETE/DROP PARTITION partition-rewrite maintenance."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from questdb_spark.plans.explain import plan_text
+from questdb_spark.table import TimeTable
+
+
+@pytest.fixture()
+def tmppath():
+    with tempfile.TemporaryDirectory() as d:
+        yield os.path.join(d, "t")
+
+
+def _mk_rows():
+    return [
+        (1, "a", datetime(2024, 1, 1, 10), 1.0),
+        (2, "b", datetime(2024, 1, 1, 11), 2.0),
+        (3, "a", datetime(2024, 1, 2, 9), 3.0),
+        (4, "b", datetime(2024, 1, 3, 8), 4.0),
+        (5, "a", datetime(2024, 1, 3, 9), 5.0),
+    ]
+
+
+def test_write_partition_layout(spark, tmppath):
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.write(df)
+    assert sorted(os.listdir(tmppath))[:1] == ["_SUCCESS"] or any(
+        p.startswith("part_date=") for p in os.listdir(tmppath)
+    )
+    dirs = [p for p in os.listdir(tmppath) if p.startswith("part_date=")]
+    assert sorted(dirs) == [
+        "part_date=2024-01-01", "part_date=2024-01-02", "part_date=2024-01-03"
+    ]
+
+
+def test_interval_scan_prunes_partitions(spark, tmppath):
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.write(df)
+    scan = t.scan_interval("2024-01-03")
+    assert sorted(r["id"] for r in scan.collect()) == [4, 5]
+    # the partition filter must appear in the plan (PartitionFilters)
+    txt = plan_text(scan)
+    assert "PartitionFilters" in txt and "part_date" in txt
+
+
+def test_dedup_append_upsert(spark, tmppath):
+    t = TimeTable(spark, tmppath, "ts", dedup_keys=["sym"])
+    df1 = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.append(df1, seq=1)
+    # same (sym, ts) key as row 1 → upsert on read
+    df2 = spark.createDataFrame(
+        [(99, "a", datetime(2024, 1, 1, 10), 111.0)], ["id", "sym", "ts", "price"]
+    )
+    t.append(df2, seq=2)
+    out = {(r["sym"], str(r["ts"])): r for r in t.read().collect()}
+    assert len(out) == 5
+    assert out[("a", "2024-01-01 10:00:00")]["price"] == 111.0
+    t.compact()
+    out2 = {(r["sym"], str(r["ts"])): r["price"] for r in t.read().collect()}
+    assert out2[("a", "2024-01-01 10:00:00")] == 111.0 and len(out2) == 5
+
+
+def test_update_delete_drop(spark, tmppath):
+    t = TimeTable(spark, tmppath, "ts")
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.write(df)
+
+    t.update_where(F.col("sym") == "a", {"price": F.col("price") * 10})
+    got = {r["id"]: r["price"] for r in t.read().collect()}
+    assert got[1] == 10.0 and got[3] == 30.0 and got[5] == 50.0
+    assert got[2] == 2.0 and got[4] == 4.0  # untouched
+
+    t.delete_where(F.col("id") == 2)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3, 4, 5]
+
+    t.drop_partition("2024-01-03")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
