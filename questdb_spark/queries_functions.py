@@ -446,3 +446,121 @@ FROM b
 
 
 GENERATE_SERIES_SQL = _gen_sql()
+
+
+# --------------------------------------------------------------------------
+# Aggregate long tail: haversine, sparkline, union harmonization
+# --------------------------------------------------------------------------
+
+def haversine_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """haversine_dist_deg aggregate (QuestDB
+    functions/groupby/HaversineDistDegree...): per-user great-circle path
+    over synthetic coordinates, segments summed exactly via decimal."""
+    from .functions.misc_aggs import haversine_dist_deg
+
+    ev = load_table(spark, sf, "events")
+    lat = F.col("value") % 180.0 - 90.0
+    lon = (F.col("value") * 2.0) % 360.0 - 180.0
+    base = ev.select("user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = haversine_dist_deg(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    return (
+        base.withColumn("__seg", seg.cast("decimal(30,6)"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("__seg").cast("decimal(20,6)").cast("double").alias("path_km"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+HAVERSINE_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+    (value % 180.0) - 90.0 AS lat, ((value * 2.0) % 360.0) - 180.0 AS lon
+  FROM events
+),
+lagged AS (
+  SELECT user_id, lat, lon,
+    LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+  CAST(CAST(SUM(CAST(
+    2 * 6371.0 * ASIN(SQRT(
+      SIN(RADIANS(lat - plat) / 2) * SIN(RADIANS(lat - plat) / 2)
+      + COS(RADIANS(plat)) * COS(RADIANS(lat))
+        * SIN(RADIANS(lon - plon) / 2) * SIN(RADIANS(lon - plon) / 2)
+    )) AS DECIMAL(30,6))) AS DECIMAL(20,6)) AS DOUBLE) AS path_km,
+  COUNT(*) AS n_points
+FROM lagged GROUP BY user_id
+"""
+
+
+def sparkline_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """sparkline() (QuestDB functions/groupby/Sparkline...): unicode chart
+    of daily event counts per type."""
+    from .functions.misc_aggs import sparkline
+    from .operators.sample_by import bucket_col
+
+    ev = load_table(spark, sf, "events")
+    daily = (
+        ev.withColumn("d", bucket_col(F.col("ts"), "1d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d"), F.col("n")))
+        ).alias("__s")
+    ).select(
+        "event_type",
+        sparkline(F.transform(F.col("__s"), lambda s: s["n"])).alias("chart"),
+    )
+    return series
+
+
+SPARKLINE_SQL = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(n ORDER BY d) AS s FROM daily GROUP BY event_type
+),
+lv AS (
+  SELECT event_type, s, list_min(s) AS lo,
+    CASE WHEN list_max(s) > list_min(s) THEN list_max(s) - list_min(s) ELSE 1.0 END AS span
+  FROM series
+)
+SELECT event_type,
+  list_aggr(list_transform(s, v ->
+    array_extract('▁▂▃▄▅▆▇█', LEAST(CAST(FLOOR((v - lo) / span * 8) AS INTEGER), 7) + 1)
+  ), 'string_agg', '') AS chart
+FROM lv
+"""
+
+
+def union_harmonize_types(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION implicit-cast harmonization (§2.7, UnionCastRecord): int keys
+    vs double measures unify positionally to the wider type."""
+    from .functions.misc_aggs import union_harmonized
+
+    a = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("v")
+    )
+    b = load_table(spark, sf, "customer").select(
+        F.col("c_acctbal").alias("k"), F.col("c_mktsegment").alias("v")
+    )
+    return union_harmonized(a, b)
+
+
+UNION_CAST_SQL = """
+SELECT CAST(n_nationkey AS DOUBLE) AS k, n_name AS v FROM nation
+UNION ALL
+SELECT c_acctbal AS k, c_mktsegment AS v FROM customer
+"""

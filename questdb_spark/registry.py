@@ -91,6 +91,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "percentiles_exact": (fn.percentiles_exact, fn.PERCENTILES_SQL),
     "approx_aggs": (fn.approx_aggs, None),  # sketch internals differ per engine
     "generate_series_rnd": (fn.generate_series_rnd, fn.GENERATE_SERIES_SQL),
+    "haversine_paths": (fn.haversine_paths, fn.HAVERSINE_SQL),
+    "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
+    "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
 }
 
 
