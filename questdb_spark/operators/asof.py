@@ -82,6 +82,7 @@ def asof_join(
     tolerance: str | None = None,
     strict: bool = False,
     slave_ts_out: str = "slave_ts",
+    chunk: str | None = None,
 ) -> DataFrame:
     """ASOF (or LT when ``strict``) join; both inputs share ``ts_col`` name.
 
@@ -89,14 +90,23 @@ def asof_join(
     matched slave timestamp comes back as ``slave_ts_out``. ``tolerance`` is
     a SQL interval string (e.g. ``'1 hour'``): matches older than it are
     nulled out (QuestDB `TOLERANCE`).
+
+    ``chunk`` (keyless joins only): a SQL interval (e.g. ``'1 hour'``) that
+    time-slices the stream so the carry window parallelizes — without it a
+    keyless ASOF is a single-partition window. Two passes: carry within
+    each chunk, then prefix-propagate each chunk's closing slave state to
+    the next chunk's rows that precede their first in-chunk slave row.
     """
     unioned, mcols, spayload = _union_tag(master, slave, ts_col, keys, slave_ts_out, strict)
-    w = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy("__ts", _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(_SSTRUCT, F.last(_SSTRUCT, ignorenulls=True).over(w))
+    if chunk is not None and not keys:
+        carried = _chunked_carry(unioned, chunk)
+    else:
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy("__ts", _SIDE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(_SSTRUCT, F.last(_SSTRUCT, ignorenulls=True).over(w))
     out = carried.filter(F.col(_SIDE) != 0)
 
     matched = F.col(_SSTRUCT)
@@ -108,6 +118,48 @@ def asof_join(
         *[F.col(f"__m_{c}").alias(c) for c in mcols],
         matched[slave_ts_out].alias(slave_ts_out),
         *[matched[c].alias(c) for c in spayload],
+    )
+
+
+def _chunked_carry(unioned: DataFrame, chunk: str) -> DataFrame:
+    """Parallel carry for keyless streams.
+
+    1. partition the union by coarse time chunk; carry the slave payload
+       within each chunk (windows now parallelize across chunks);
+    2. aggregate each chunk's LAST slave payload (tiny: one row per chunk),
+       prefix-carry it across the chunk sequence with a window over that
+       tiny frame, shift by one chunk (state entering the chunk);
+    3. broadcast-join the carry-in back and coalesce for rows before their
+       chunk's first slave row.
+    """
+    chunked = unioned.withColumn(
+        "__chunk", F.window(F.col("__ts"), chunk)["start"]
+    )
+    wc = (
+        Window.partitionBy("__chunk")
+        .orderBy("__ts", _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = chunked.withColumn("__carry", F.last(_SSTRUCT, ignorenulls=True).over(wc))
+
+    closing = (
+        within.filter(F.col(_SSTRUCT).isNotNull())
+        .groupBy("__chunk")
+        .agg(F.max_by(F.col(_SSTRUCT), F.struct("__ts", _SIDE)).alias("__closing"))
+    )
+    all_chunks = chunked.select("__chunk").distinct()
+    wprefix = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    carry_in = (
+        all_chunks.join(closing, "__chunk", "left")
+        .select(
+            "__chunk",
+            F.last("__closing", ignorenulls=True).over(wprefix).alias("__carry_in"),
+        )
+    )
+    return (
+        within.join(F.broadcast(carry_in), "__chunk", "left")
+        .withColumn(_SSTRUCT, F.coalesce(F.col("__carry"), F.col("__carry_in")))
+        .drop("__chunk", "__carry", "__carry_in")
     )
 
 

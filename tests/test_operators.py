@@ -203,3 +203,36 @@ def test_ipv4_roundtrip(spark):
     ).collect()
     assert out[0]["rt"] == "192.168.1.77" and out[0]["subnet"] == "192.168.1.0"
     assert out[1]["rt"] == "10.0.255.1" and out[1]["subnet"] == "10.0.255.0"
+
+
+@pytest.mark.parametrize("chunk", ["30 minutes", "1 hour", "6 hours"])
+def test_keyless_asof_chunked_equals_global(spark, chunk):
+    """The parallel chunked keyless ASOF must equal the single-partition
+    formulation exactly (including chunks with no slave rows)."""
+    rng = random.Random(23)
+    base = datetime(2024, 1, 1)
+    master = [
+        (i, base + timedelta(seconds=rng.randrange(90000)), rng.random())
+        for i in range(300)
+    ]
+    slave_rows = {}
+    for _ in range(80):
+        # cluster slave rows to leave some chunks empty
+        ts = base + timedelta(seconds=rng.choice([0, 20000, 70000]) + rng.randrange(4000))
+        slave_rows[ts] = rng.random() * 100
+    slave = [(ts, v) for ts, v in slave_rows.items()]
+
+    mdf = spark.createDataFrame(master, ["mid", "ts", "mval"])
+    sdf = spark.createDataFrame(slave, ["ts", "sval"])
+
+    plain = asof_join(mdf, sdf, "ts").toPandas().set_index("mid").sort_index()
+    chunked = (
+        asof_join(mdf, sdf, "ts", chunk=chunk).toPandas().set_index("mid").sort_index()
+    )
+    for col in ["sval", "slave_ts"]:
+        mism = [
+            (a, b)
+            for a, b in zip(plain[col], chunked[col])
+            if not ((pd.isna(a) and pd.isna(b)) or a == b)
+        ]
+        assert not mism, f"{col}: {mism[:3]}"
