@@ -1,0 +1,106 @@
+"""Window-function gap fillers: GROUPS frames, EXCLUDE clauses, vwema.
+
+Reference: QuestDB frames support ROWS / RANGE / GROUPS and EXCLUDE
+CURRENT ROW / GROUP / TIES / NO OTHERS (``griffin/model/
+WindowExpression.java:47-55``). Spark has only ROWS/RANGE and no EXCLUDE —
+both are emulated here by composition:
+
+- GROUPS frame = RANGE frame over ``dense_rank`` of the ordering (peer
+  groups collapse to consecutive integers, so "N groups preceding" is a
+  numeric range of width N);
+- EXCLUDE CURRENT ROW / GROUP / TIES = full-frame aggregate minus the
+  excluded slice (current row value / peer-group aggregate / peers minus
+  self) — exact for sum/count/avg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def groups_frame_sum(
+    df: DataFrame,
+    value: str,
+    order_by: str,
+    keys: Sequence[str] = (),
+    groups_preceding: int = 0,
+    groups_following: int = 0,
+    out_col: str = "groups_sum",
+) -> DataFrame:
+    """SUM over ``GROUPS BETWEEN n PRECEDING AND m FOLLOWING``."""
+    keys = list(keys)
+    wrank = Window.partitionBy(*keys).orderBy(order_by)
+    ranked = df.withColumn("__grp", F.dense_rank().over(wrank))
+    wg = (
+        Window.partitionBy(*keys)
+        .orderBy("__grp")
+        .rangeBetween(-groups_preceding, groups_following)
+    )
+    return ranked.withColumn(out_col, F.sum(value).over(wg)).drop("__grp")
+
+
+def _frame(keys: Sequence[str], order_by: str) -> WindowSpec:
+    return (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+
+def sum_exclude(
+    df: DataFrame,
+    value: str,
+    order_by: str,
+    keys: Sequence[str] = (),
+    exclude: str = "current row",
+    out_col: str = "sum_excl",
+) -> DataFrame:
+    """SUM over the full partition with an EXCLUDE clause.
+
+    exclude: 'current row' | 'group' (peers incl. self) | 'ties'
+    (peers except self) | 'no others'.
+    """
+    keys = list(keys)
+    full = F.sum(value).over(_frame(keys, order_by))
+    wpeer = (
+        Window.partitionBy(*keys)
+        .orderBy(order_by)
+        .rangeBetween(0, 0)  # exactly the peer group of the current row
+    )
+    peers = F.sum(value).over(wpeer)
+    v = F.col(value)
+    if exclude == "current row":
+        out = full - v
+    elif exclude == "group":
+        out = full - peers
+    elif exclude == "ties":
+        out = full - (peers - v)
+    elif exclude == "no others":
+        out = full
+    else:
+        raise ValueError(f"unknown EXCLUDE clause: {exclude!r}")
+    return df.withColumn(out_col, out)
+
+
+def vwema(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    weight_col: str,
+    alpha: float,
+    keys: Sequence[str] = (),
+    out_col: str = "vwema",
+) -> DataFrame:
+    """Volume-weighted EMA (QuestDB VwemaDoubleWindowFunctionFactory):
+    vwema = ema(value*weight) / ema(weight)."""
+    from .finance import ema
+
+    tagged = df.withColumn("__vw", F.col(value_col) * F.col(weight_col))
+    num = ema(tagged, ts_col, "__vw", alpha, keys, out_col="__ema_vw")
+    both = ema(num, ts_col, weight_col, alpha, keys, out_col="__ema_w")
+    return both.withColumn(out_col, F.col("__ema_vw") / F.col("__ema_w")).drop(
+        "__vw", "__ema_vw", "__ema_w"
+    )

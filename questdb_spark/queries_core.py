@@ -777,3 +777,128 @@ SELECT l_orderkey, l_linenumber,
   ABS(l_extendedprice * -1) AS price_abs
 FROM lineitem WHERE l_orderkey <= 100
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan → ungrouped agg
+    (QuestDB GroupByNotKeyedRecordCursorFactory + JIT filter)."""
+    li = load_table(spark, sf, "lineitem")
+    rev = (dec2("l_extendedprice") * dec2("l_discount")).cast("decimal(25,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("__r"), F.count(F.lit(1)).alias("n_items"))
+        .select(to_dbl("__r").alias("revenue"), "n_items")
+    )
+
+
+Q6_SQL = f"""
+SELECT
+  {_sql_dbl("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(25,4)))")} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi join + grouped count."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation × customer-nation revenue flows."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.snk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.cnk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).alias("__r"), F.count(F.lit(1)).alias("n_items"))
+        .select("supp_nation", "cust_nation", to_dbl("__r").alias("revenue"), "n_items")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  {_sql_dbl(f"SUM({_DISC_PRICE})")} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("__r"))
+        .select("c_custkey", "c_name", to_dbl("__r").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name,
+  {_sql_dbl(f"SUM({_DISC_PRICE})")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""

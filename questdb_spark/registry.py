@@ -24,6 +24,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q1_pricing_summary": (core.q1_pricing_summary, core.Q1_SQL),
     "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
     "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
+    "q6_forecast_revenue": (core.q6_forecast_revenue, core.Q6_SQL),
+    "q4_priority_exists": (core.q4_priority_exists, core.Q4_SQL),
+    "q7_nation_trade": (core.q7_nation_trade, core.Q7_SQL),
+    "q10_returned_items": (core.q10_returned_items, core.Q10_SQL),
     "time_filter_scan": (core.time_filter_scan, core.TIME_FILTER_SQL),
     "topk_orders": (core.topk_orders, core.TOPK_SQL),
     "tail_limit_events": (core.tail_limit_events, core.TAIL_LIMIT_SQL),
