@@ -59,6 +59,13 @@ class QdbEngine:
         q = parse(rewritten)
         return self._lower(q)
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """EXPLAIN (QuestDB ExplainPlanFactory): the Spark physical plan
+        for a dialect query."""
+        from ..plans.explain import plan_text
+
+        return plan_text(self.sql(query), mode)
+
     # ------------------------------------------------------------------
     def _needs_dialect(self, s: str) -> bool:
         return bool(

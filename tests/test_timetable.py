@@ -86,3 +86,41 @@ def test_update_delete_drop(spark, tmppath):
 
     t.drop_partition("2024-01-03")
     assert sorted(r["id"] for r in t.read().collect()) == [1, 3]
+
+
+def test_catalog_and_copy(spark, tmppath):
+    import os
+
+    from questdb_spark.sources.catalog import (
+        copy_from_csv, copy_to, table_columns, table_partitions, tables,
+    )
+
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.write(df)
+
+    parts = {r["partition"]: r for r in table_partitions(spark, tmppath).collect()}
+    assert set(parts) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in parts.values())
+
+    df.createOrReplaceTempView("cat_probe")
+    assert "cat_probe" in {r["table_name"] for r in tables(spark).collect()}
+    cols = {r["column_name"]: r["data_type"] for r in table_columns(spark, "cat_probe").collect()}
+    assert cols["price"] == "double" and cols["ts"] == "timestamp"
+
+    csv_dir = os.path.join(os.path.dirname(tmppath), "csv_out")
+    copy_to(df, csv_dir, fmt="csv")
+    back = copy_from_csv(spark, csv_dir)
+    assert back.count() == 5
+    assert dict(back.dtypes)["price"] == "double"  # type inference
+
+
+def test_explain_surface(spark):
+    from questdb_spark.sqlfront.engine import QdbEngine
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    eng = QdbEngine(spark)
+    eng.register("events", load_table(spark, SF_DIR, "events"), designated_ts="ts")
+    txt = eng.explain("SELECT ts, count(*) AS n FROM events SAMPLE BY 1h", "simple")
+    assert "HashAggregate" in txt and "FileScan" in txt
