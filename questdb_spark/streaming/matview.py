@@ -75,3 +75,55 @@ def sample_by_matview(
 
 def read_matview(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("__bucket_part")
+
+
+def latest_on_liveview(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str,
+    keys: Sequence[str],
+    watermark: str = "1 hour",
+    trigger_available_now: bool = False,
+):
+    """Live view (QuestDB ``cairo/lv/`` checkpointed incremental state):
+    continuously maintain LATEST ON ts PARTITION BY keys as a parquet table.
+
+    Stateful streaming max_by per key in update mode; each micro-batch
+    merges its changed keys into the result (checkpoint = the live-view
+    checkpoint store)."""
+    keys = list(keys)
+    payload = [c for c in stream.columns if c not in keys]
+    latest = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(ts_col)).alias("__row")
+        )
+        .select(*keys, *[F.col("__row")[c].alias(c) for c in payload])
+    )
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        out = batch
+        if existing is not None:
+            keep = existing.join(batch.select(*keys), keys, "left_anti")
+            out = batch.unionByName(keep)
+        tmp = path.rstrip("/") + ".lv_tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+    w = (
+        latest.writeStream.outputMode("update")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -129,3 +129,37 @@ def test_sample_by_matview(spark):
         assert mv[("AAPL", "2024-01-01 00:00:00")]["max_price"] == 999.0
         assert mv[("MSFT", "2024-01-01 00:02:00")]["n"] == 1
         assert mv[("GOOG", "2023-12-31 23:58:00")]["n"] == 1
+
+
+def test_latest_on_liveview(spark):
+    from questdb_spark.streaming.matview import latest_on_liveview
+
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = os.path.join(tmp, "in")
+        lv_dir = os.path.join(tmp, "lv")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(in_dir)
+
+        def run(lines, fname):
+            with open(os.path.join(in_dir, fname), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            stream = parse_ilp(
+                spark.readStream.format("text").load(in_dir)
+            ).filter(F.col("measurement") == "trades").select(
+                F.col("tags")["sym"].alias("sym"),
+                F.col("fields_double")["price"].alias("price"),
+                "ts",
+            )
+            q = latest_on_liveview(
+                stream, lv_dir, ckpt, "ts", ["sym"], trigger_available_now=True
+            )
+            q.awaitTermination(120)
+
+        run(ILP_LINES_A, "a.txt")
+        lv1 = {r["sym"]: r["price"] for r in spark.read.parquet(lv_dir).collect()}
+        assert lv1 == {"AAPL": 102.0, "MSFT": 390.25}
+
+        run(ILP_LINES_B, "b.txt")
+        lv2 = {r["sym"]: r["price"] for r in spark.read.parquet(lv_dir).collect()}
+        # GOOG appears; AAPL's latest is still the ts=1min sell (999 was at ts=0)
+        assert lv2 == {"AAPL": 102.0, "MSFT": 390.25, "GOOG": 140.0}
