@@ -78,19 +78,23 @@ def twap(df: DataFrame, ts_col: str, price_col: str, keys: Sequence[str] = ()) -
 
 
 def ema(df: DataFrame, ts_col: str, value_col: str, alpha: float,
-        keys: Sequence[str] = (), out_col: str = "ema") -> DataFrame:
+        keys: Sequence[str] = (), out_col: str = "ema",
+        method: str = "pandas") -> DataFrame:
     """Exponential moving average per key (functions/window/EmaDouble...).
 
-    EMA is a linear recurrence (y_i = a*x_i + (1-a)*y_{i-1}); Spark windows
-    can't express it directly, so we use the closed form over a bounded
-    lookback: y_n = a * sum_{j=0..L} (1-a)^j x_{n-j} (+ (1-a)^n x_0 term).
-    For numerical stability the lookback L is capped where (1-a)^L
-    underflows ulp(1) — beyond ~60/a rows the contribution is < 1e-16 and
-    provably below double resolution, so results equal the exact recurrence
-    bit-for-bit is NOT guaranteed, but error is < 1e-12 relative.
+    EMA is a linear recurrence (y_i = a*x_i + (1-a)*y_{i-1}) — the one
+    shape Spark windows can't express. Two lowerings:
 
-    Implemented with collect over a rows window + aggregate HOF.
+    - ``method='pandas'`` (default): grouped ``applyInPandas`` running the
+      exact recurrence via ``Series.ewm(adjust=False)`` — Arrow-batched,
+      O(n) per key, exact. This is the documented "UDFs are the slow path"
+      exception: a true recurrence.
+    - ``method='closed_form'``: pure-JVM closed form over a bounded
+      lookback L where (1-a)^L < 1e-18 (below double resolution) —
+      window collect + aggregate HOF; < 1e-12 relative error, no Python.
     """
+    if method == "pandas":
+        return _ema_pandas(df, ts_col, value_col, alpha, keys, out_col)
     import math
 
     # smallest L with (1-a)^L < 1e-18 (below double resolution of the sum)
@@ -114,3 +118,25 @@ def ema(df: DataFrame, ts_col: str, value_col: str, alpha: float,
     )
     ema_col = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
     return df.withColumn(out_col, ema_col)
+
+
+def _ema_pandas(df: DataFrame, ts_col: str, value_col: str, alpha: float,
+                keys: Sequence[str], out_col: str) -> DataFrame:
+    import pandas as pd
+
+    keys = list(keys)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+    sort_cols = [ts_col]
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(apply, schema=schema)
+    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: apply(pdf.drop(columns="__g")), schema=schema
+    )
