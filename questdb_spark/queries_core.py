@@ -902,3 +902,80 @@ GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+def mode_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    """mode (deterministic: ties → smallest value) + skewness/kurtosis via
+    exact decimal moment sums (QuestDB Mode*/Skewness*/Kurtosis* groupby
+    functions; vec_agg kernels)."""
+    li = load_table(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    mode = counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", F.struct(F.col("c"), -F.col("l_quantity"))).alias("mode_qty")
+    )
+    q = dec2("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("_s1"),
+        F.sum((q * q).cast("decimal(25,4)")).alias("_s2"),
+        F.sum((q * q * q).cast("decimal(30,6)")).alias("_s3"),
+        F.sum((q * q * q * q).cast("decimal(35,8)")).alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = to_dbl("_s1", 2)
+    s2 = to_dbl("_s2", 2)
+    s3 = to_dbl("_s3", 2)
+    s4 = to_dbl("_s4", 2)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - 3
+    stats = m.select("l_returnflag", "n", skew.alias("skewness_qty"), kurt.alias("kurtosis_qty"))
+    return stats.join(mode, "l_returnflag")
+
+
+MODE_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c FROM lineitem GROUP BY 1, 2
+),
+mode_t AS (
+  SELECT l_returnflag, FIRST(l_quantity ORDER BY c DESC, l_quantity ASC) AS mode_qty
+  FROM counts GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    {_sql_dbl("SUM(CAST(l_quantity AS DECIMAL(12,2)))", 2)} AS s1,
+    {_sql_dbl("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 2)} AS s2,
+    {_sql_dbl("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,6)))", 2)} AS s3,
+    {_sql_dbl("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(35,8)))", 2)} AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+moments AS (
+  SELECT l_returnflag, n,
+    s1 / CAST(n AS DOUBLE) AS mu,
+    s2 / CAST(n AS DOUBLE) AS e2,
+    s3 / CAST(n AS DOUBLE) AS e3,
+    s4 / CAST(n AS DOUBLE) AS e4,
+    s2, s3, s4
+  FROM m
+),
+stats AS (
+  -- formulas mirror the Spark Column expressions operation-for-operation
+  -- (x*x*x, not POW: POW differs in the last ulp)
+  SELECT l_returnflag, n,
+    (s3 / CAST(n AS DOUBLE) - 3 * mu * s2 / CAST(n AS DOUBLE) + 2 * mu * mu * mu)
+      / SQRT(m2 * m2 * m2) AS skewness_qty,
+    (s4 / CAST(n AS DOUBLE) - 4 * mu * s3 / CAST(n AS DOUBLE)
+       + 6 * mu * mu * s2 / CAST(n AS DOUBLE) - 3 * mu * mu * mu * mu)
+      / (m2 * m2) - 3 AS kurtosis_qty
+  FROM (
+    SELECT *, s2 / CAST(n AS DOUBLE) AS s3_term,
+      e2 - mu * mu AS m2
+    FROM moments
+  )
+)
+SELECT s.l_returnflag, s.n, s.skewness_qty, s.kurtosis_qty, mt.mode_qty
+FROM stats s JOIN mode_t mt ON s.l_returnflag = mt.l_returnflag
+"""
