@@ -979,3 +979,52 @@ stats AS (
 SELECT s.l_returnflag, s.n, s.skewness_qty, s.kurtosis_qty, mt.mode_qty
 FROM stats s JOIN mode_t mt ON s.l_returnflag = mt.l_returnflag
 """
+
+
+def wide_aggregation(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench-style wide aggregation: many aggregates in one pass
+    (QuestDB asserts plans for all ClickBench queries,
+    test/griffin/ClickBenchTest.java:42)."""
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("__k", k)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(dec2("value")).alias("__sv"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+            F.sum("__k").alias("sum_k"),
+            F.countDistinct("__k").alias("n_distinct_k"),
+        )
+        .select(
+            "user_id", "n", "n_types", "first_ts", "last_ts",
+            to_dbl("__sv").alias("sum_value"),
+            (to_dbl("__sv") / F.col("n")).alias("avg_value"),
+            "min_value", "max_value", "n_clicks", "n_purchases", "n_errors",
+            "sum_k", "n_distinct_k",
+        )
+    )
+
+
+WIDE_AGG_SQL = f"""
+SELECT user_id, COUNT(*) AS n,
+  COUNT(DISTINCT event_type) AS n_types,
+  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+  {_sql_dbl("SUM(CAST(value AS DECIMAL(12,2)))")} AS sum_value,
+  {_sql_dbl("SUM(CAST(value AS DECIMAL(12,2)))")} / COUNT(*) AS avg_value,
+  MIN(value) AS min_value, MAX(value) AS max_value,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+FROM events GROUP BY user_id
+"""

@@ -50,6 +50,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "geomean_bool_aggs": (core.geomean_bool_aggs, core.GEOMEAN_SQL),
     "first_last_not_null": (core.first_last_not_null, core.FIRST_LAST_SQL),
     "mode_skew_kurtosis": (core.mode_skew_kurtosis, core.MODE_SKEW_SQL),
+    "wide_aggregation": (core.wide_aggregation, core.WIDE_AGG_SQL),
     # scalar functions (§2.8)
     "datetime_functions": (core.datetime_functions, core.DATETIME_SQL),
     "string_functions": (core.string_functions, core.STRING_FN_SQL),
