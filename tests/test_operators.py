@@ -236,3 +236,23 @@ def test_keyless_asof_chunked_equals_global(spark, chunk):
             if not ((pd.isna(a) and pd.isna(b)) or a == b)
         ]
         assert not mism, f"{col}: {mism[:3]}"
+
+
+def test_salted_join_equals_plain(spark):
+    from questdb_spark.operators.skew import salted_join
+
+    rng = random.Random(5)
+    left = spark.createDataFrame(
+        [(i, rng.choice(["hot", "hot", "hot", "a", "b"]), rng.random()) for i in range(500)],
+        ["id", "k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("a", 2.0), ("b", 3.0), ("absent", 4.0)], ["k", "w"]
+    )
+    plain = left.join(right, ["k"]).select("id", "k", "v", "w")
+    salted = salted_join(left, right, ["k"]).select("id", "k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join parity incl. unmatched rows
+    pl = left.join(right, ["k"], "left").select("id", "w")
+    sl = salted_join(left, right, ["k"], "left").select("id", "w")
+    assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, sl.collect()))
