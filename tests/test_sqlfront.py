@@ -153,3 +153,47 @@ def test_sample_by_from_to_sql(eng):
         "2024-01-10 00:00:00", "2024-01-11 00:00:00", "2024-01-12 00:00:00"
     ]
     assert all(r["n"] is not None for r in df.collect())
+
+
+def test_combined_asof_where_sample_by(eng, spark):
+    """Composability: ASOF JOIN + WHERE + SAMPLE BY in one dialect query."""
+    ev0 = load_table(spark, SF_DIR, "events")
+    eng.register(
+        "clicks",
+        ev0.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", F.col("value").alias("click_value")
+        ),
+        designated_ts="ts",
+    )
+    eng.register(
+        "purchases",
+        ev0.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value")),
+        designated_ts="ts",
+    )
+    df = eng.sql(
+        "SELECT ts, count(*) AS n, max(purchase_value) AS max_pv "
+        "FROM clicks ASOF JOIN purchases ON (user_id) "
+        "WHERE purchase_value > 50 SAMPLE BY 1d"
+    )
+    rows_ = df.collect()
+    assert len(rows_) > 0
+    from questdb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    master = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    slave = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    joined = asof_join(master, slave, "ts", keys=["user_id"]).filter(
+        F.col("purchase_value") > 50
+    )
+    expected = joined.groupBy(F.date_trunc("day", "ts").alias("ts")).agg(
+        F.count(F.lit(1)).alias("n"), F.max("purchase_value").alias("max_pv")
+    )
+    assert rows(df.select("ts", "n", "max_pv")) == rows(expected)

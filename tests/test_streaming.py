@@ -163,3 +163,71 @@ def test_latest_on_liveview(spark):
         lv2 = {r["sym"]: r["price"] for r in spark.read.parquet(lv_dir).collect()}
         # GOOG appears; AAPL's latest is still the ts=1min sell (999 was at ts=0)
         assert lv2 == {"AAPL": 102.0, "MSFT": 390.25, "GOOG": 140.0}
+
+
+def test_ilp_fuzz_roundtrip(spark):
+    """Property test: random well-formed ILP lines parse back to their
+    source values (QuestDB fuzz-test analogue for the parser)."""
+    import random
+    import string
+
+    rng = random.Random(99)
+
+    def ident(n=6):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    cases = []
+    for i in range(200):
+        meas = ident()
+        tags = {ident(): ident() for _ in range(rng.randrange(0, 4))}
+        fields = {}
+        for _ in range(rng.randrange(1, 5)):
+            kind = rng.choice(["f", "i", "s", "b"])
+            name = ident()
+            if kind == "f":
+                fields[name] = round(rng.uniform(-1000, 1000), 3)
+            elif kind == "i":
+                fields[name] = rng.randrange(-10**9, 10**9)
+            elif kind == "s":
+                fields[name] = ident(8)
+            else:
+                fields[name] = rng.choice([True, False])
+        ts_ns = rng.randrange(1_500_000_000, 1_800_000_000) * 1_000_000_000
+        tag_part = ("," + ",".join(f"{k}={v}" for k, v in tags.items())) if tags else ""
+
+        def fmt(v):
+            if isinstance(v, bool):
+                return "t" if v else "f"
+            if isinstance(v, int):
+                return f"{v}i"
+            if isinstance(v, float):
+                return repr(v)
+            return f'"{v}"'
+
+        field_part = ",".join(f"{k}={fmt(v)}" for k, v in fields.items())
+        line = f"{meas}{tag_part} {field_part} {ts_ns}"
+        cases.append((i, meas, tags, fields, ts_ns, line))
+
+    df = spark.createDataFrame([(c[5],) for c in cases], ["value"])
+    parsed = parse_ilp(df).collect()
+    by_meas = {}
+    for r in parsed:
+        by_meas.setdefault(r["measurement"], []).append(r)
+    for i, meas, tags, fields, ts_ns, line in cases:
+        rows = by_meas.get(meas)
+        assert rows, f"lost line: {line}"
+        r = rows[0] if len(rows) == 1 else next(
+            x for x in rows if (x["tags"] or {}) == tags
+        )
+        assert (r["tags"] or {}) == tags
+        got_fields = {
+            **(r["fields_double"] or {}), **(r["fields_long"] or {}),
+            **(r["fields_string"] or {}), **(r["fields_bool"] or {}),
+        }
+        assert got_fields == fields, f"{line}: {got_fields} != {fields}"
+        import datetime as dt
+
+        want_ts = dt.datetime.utcfromtimestamp(ts_ns / 1e9).replace(
+            microsecond=(ts_ns // 1000) % 1_000_000
+        )
+        assert r["ts"] == want_ts
