@@ -152,3 +152,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select("doc", sim.cast("long").alias("simhash16"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters: connected components via
+    min-label propagation (each doc converges to the smallest doc id in its
+    component — the canonical document).
+
+    Input: (doc_a, doc_b) candidate pairs (from `ngram_jaccard_pairs` or
+    `minhash_lsh_candidates`). Output: (doc, cluster) for every doc that
+    appears in a pair.
+
+    Scale notes: label propagation is O(diameter) iterative joins; dedup
+    graphs are overwhelmingly star-shaped (diameter ≤ ~3), so this
+    converges in 2-3 rounds. Each round is one shuffle on doc id;
+    convergence is checked with a cheap count of changed labels.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+    )
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))

@@ -310,3 +310,12 @@ SELECT doc_id, n_bytes, first_byte, checksum,
   CAST(checksum % 480 AS INTEGER) AS fake_height
 FROM b
 """
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters: Jaccard pairs → connected components → canonical
+    (minimum) doc id per cluster. Iterative — rows-only driver check; the
+    pytest suite verifies components on a hand-built graph."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
+    return dedup.dedup_clusters(pairs)

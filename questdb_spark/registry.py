@@ -79,6 +79,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
     "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),
     "simhash_docs": (pl.simhash_docs, pl.SIMHASH_SQL),
+    "dedup_cluster_canonical": (pl.dedup_cluster_canonical, None),  # iterative
     "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
     "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
     "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),

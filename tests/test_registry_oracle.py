@@ -23,3 +23,15 @@ def test_query_matches_oracle(spark, ddb, name, fn, sql):
 def test_query_without_oracle_runs(spark, name, fn, sql):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_dedup_clusters_components(spark):
+    """Hand-built graph: two components + an isolated pair; labels must be
+    the component minimum."""
+    from questdb_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (3, 7), (20, 21)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 12: 1, 3: 3, 7: 3, 20: 20, 21: 20}
