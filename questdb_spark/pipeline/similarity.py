@@ -73,18 +73,21 @@ def plane_signs(plane: int, n: int = MAX_DIM) -> list[int]:
     ]
 
 
-def _plane_sign(vec: Column, plane: int) -> Column:
-    signs = F.array(*[F.lit(s) for s in plane_signs(plane)])
+def _plane_sign(vec: Column, plane: int, dim: int = MAX_DIM) -> Column:
+    signs = F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
     comp = F.zip_with(vec, F.slice(signs, 1, F.size(vec)), lambda x, s: x * s)
     s = F.aggregate(comp, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (s > 0).cast("int")
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """N_PLANES random-hyperplane sign bits packed into an int bucket id."""
+def lsh_bucket(vec: Column, dim: int = MAX_DIM) -> Column:
+    """N_PLANES random-hyperplane sign bits packed into an int bucket id.
+
+    ``dim``: upper bound on the vector length — pass the real dimension
+    when known to keep the inlined sign arrays small."""
     out = F.lit(0)
     for p in range(N_PLANES):
-        out = out + _plane_sign(vec, p) * F.lit(2 ** p)
+        out = out + _plane_sign(vec, p, dim) * F.lit(2 ** p)
     return out
 
 
@@ -94,16 +97,17 @@ def ann_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = MAX_DIM,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scoring to the query's LSH
     bucket. At scale the bucket column is a partition/bucketing key, so the
     probe touches 1/2^N_PLANES of the data."""
     qv = quantize(F.col(vec_col))
     q = F.broadcast(
-        query.select(qv.alias("__qv"), lsh_bucket(qv).alias("__qb"))
+        query.select(qv.alias("__qv"), lsh_bucket(qv, dim).alias("__qb"))
     )
     base = (
-        df.select(F.col(id_col), qv.alias("__v"), lsh_bucket(qv).alias("__b"))
+        df.select(F.col(id_col), qv.alias("__v"), lsh_bucket(qv, dim).alias("__b"))
         .join(q, F.col("__b") == F.col("__qb"))
     )
     dot = dot_q(F.col("__v"), F.col("__qv"))

@@ -254,7 +254,7 @@ LIMIT 10
 def embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    return similarity.ann_lsh_topk(emb, query, k=10)
+    return similarity.ann_lsh_topk(emb, query, k=10, dim=64)
 
 
 def _ann_lsh_sql() -> str:
