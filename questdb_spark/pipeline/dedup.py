@@ -175,8 +175,9 @@ def dedup_clusters(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
+        .persist()  # iterated over — never recompute the candidate-pair lineage
     )
-    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label"))
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label")).persist()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -192,6 +193,7 @@ def dedup_clusters(
                 ),
             )
         )
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
@@ -199,7 +201,9 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))
