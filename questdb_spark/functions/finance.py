@@ -94,7 +94,13 @@ def ema(df: DataFrame, ts_col: str, value_col: str, alpha: float,
       window collect + aggregate HOF; < 1e-12 relative error, no Python.
     """
     if method == "pandas":
+        if not keys:
+            # keyless: the grouped path would funnel the WHOLE stream through
+            # one Python task — use the parallel affine-chunk decomposition
+            return _ema_keyless_chunked(df, ts_col, value_col, alpha, out_col)
         return _ema_pandas(df, ts_col, value_col, alpha, keys, out_col)
+    if method == "chunked":
+        return _ema_keyless_chunked(df, ts_col, value_col, alpha, out_col)
     import math
 
     # smallest L with (1-a)^L < 1e-18 (below double resolution of the sum)
@@ -118,6 +124,91 @@ def ema(df: DataFrame, ts_col: str, value_col: str, alpha: float,
     )
     ema_col = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
     return df.withColumn(out_col, ema_col)
+
+
+def _ema_keyless_chunked(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str,
+    chunk: str = "7 days",
+) -> DataFrame:
+    """Parallel keyless EMA via affine-map decomposition.
+
+    EMA is y_i = a·x_i + (1-a)·y_{i-1}; over a chunk of rows it is the
+    affine map y_out = d·y_in + L with d = (1-a)^n and L the zero-seeded
+    local EMA of the chunk — and affine maps compose associatively. So:
+
+    1. partition the stream into coarse time chunks; per chunk (grouped
+       ``applyInPandas``, parallel across chunks) compute per-row
+       L_i (zero-seed recurrence) and d_i = (1-a)^(i+1);
+    2. fold the tiny one-row-per-chunk (d_end, L_end, x0) frame through the
+       affine composition (JVM ``aggregate`` HOF over a collected array —
+       chunk count is bounded by time span / chunk, never by row count),
+       yielding each chunk's carry-in y value;
+    3. broadcast the carry-ins back: y_i = L_i + d_i·coalesce(carry_in, x0)
+       — the coalesce reproduces pandas' seed convention (y_0 = x_0) for
+       the first chunk exactly.
+
+    Same recurrence semantics as the grouped path, but the stream is
+    processed by one Python task PER CHUNK instead of one overall.
+    """
+    import numpy as np
+    import pandas as pd
+
+    chunked = df.withColumn("__chunk", F.window(F.col(ts_col), chunk)["start"])
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunked.schema.fields
+    ) + ", __L double, __d double, __Lend double, __dend double, __x0 double"
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col], kind="mergesort")
+        x = pdf[value_col].astype("float64")
+        # zero-seed recurrence L_i = a·x_i + (1-a)·L_{i-1}, L_{-1} = 0:
+        # prepend a literal 0 so ewm's seed row is the zero state
+        L = pd.concat([pd.Series([0.0]), x]).ewm(alpha=alpha, adjust=False).mean().iloc[1:]
+        pdf["__L"] = L.values
+        pdf["__d"] = np.power(1.0 - alpha, np.arange(1, len(pdf) + 1, dtype="float64"))
+        pdf["__Lend"] = L.values[-1]
+        pdf["__dend"] = (1.0 - alpha) ** len(pdf)
+        pdf["__x0"] = x.values[0]
+        return pdf
+
+    with_local = chunked.groupBy("__chunk").applyInPandas(local, schema)
+
+    summaries = with_local.groupBy("__chunk").agg(
+        F.min("__Lend").alias("L"), F.min("__dend").alias("d"), F.min("__x0").alias("x0")
+    )
+    cs = F.array_sort(F.collect_list(F.struct("__chunk", "L", "d", "x0")))
+    init = F.struct(
+        F.array().cast("array<double>").alias("arr"),
+        F.lit(None).cast("double").alias("cur"),
+    )
+    step = lambda acc, c: F.struct(  # noqa: E731
+        F.concat(acc["arr"], F.array(acc["cur"])).alias("arr"),
+        (c["L"] + c["d"] * F.coalesce(acc["cur"], c["x0"])).alias("cur"),
+    )
+    folded = summaries.agg(cs.alias("cs")).select(
+        F.explode(
+            F.zip_with(
+                F.col("cs"),
+                F.aggregate("cs", init, step)["arr"],
+                lambda c, carry: F.struct(
+                    c["__chunk"].alias("__chunk"), carry.alias("__carry_in")
+                ),
+            )
+        ).alias("z")
+    ).select("z.__chunk", "z.__carry_in")
+
+    return (
+        with_local.join(F.broadcast(folded), "__chunk")
+        .withColumn(
+            out_col,
+            F.col("__L") + F.col("__d") * F.coalesce(F.col("__carry_in"), F.col("__x0")),
+        )
+        .drop("__chunk", "__L", "__d", "__Lend", "__dend", "__x0", "__carry_in")
+    )
 
 
 def _ema_pandas(df: DataFrame, ts_col: str, value_col: str, alpha: float,

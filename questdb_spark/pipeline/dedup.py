@@ -5,19 +5,54 @@ Scale design (the point of this module):
 - near-dup candidate generation NEVER does an all-pairs cross join: both
   the Jaccard and MinHash paths go shingle→explode→equi-join, so cost is
   proportional to shared-shingle pairs, and LSH banding caps the join key
-  cardinality. Skewed "stop-shingles" (shared by thousands of docs) are
-  the classic blow-up; `max_shingle_df` drops them (off by default so the
-  DuckDB oracle stays expressible).
-- hashes are md5-based so results are engine-independent and
+  cardinality. Skewed "stop-shingles" (shared by >`max_shingle_df` docs —
+  boilerplate, headers, license text) are the classic blow-up: the shingle
+  self-join is O(df²) per shingle, so the guard is ON by default
+  (`MAX_SHINGLE_DF`); the web-scale route is `lsh_prefilter=True`, which
+  generates candidates through MinHash-LSH banding and only then computes
+  exact Jaccard on the candidate pairs.
+- MinHash derives all `n_hashes` slots from ONE md5 per shingle via
+  universal hashing h_i = (a_i·h + b_i) mod p (p = 2³¹−1): one hash +
+  k fused multiply-mods per shingle instead of k md5s — at 100 TB the md5
+  is the dominant cost, so this is ~`n_hashes`× cheaper than seeded-md5.
+  All hashes stay md5-anchored so results are engine-independent and
   deterministic (no JVM hash seeding).
+
+Production defaults: 128 MinHash slots / band size 8 (16 bands → catches
+J ≳ 0.7 with high probability), 64-bit SimHash, stop-shingle df cap 100k.
+Reference parity: QuestDB has no near-dup operators; this module is the
+LLM-training-pipeline extension requested alongside SURVEY.md §2.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import shingles_col, tokens_col
+
+# Mersenne prime 2^31-1: a_i·h + b_i < 2^62 — no BIGINT overflow in Spark
+# or DuckDB (DuckDB *throws* on 64-bit overflow, so this bound is load-bearing).
+MERSENNE_P = (1 << 31) - 1
+
+N_HASHES = 128  # production default: 128 slots
+BAND_SIZE = 8  # → 16 bands
+SIMHASH_BITS = 64
+MAX_SHINGLE_DF = 100_000  # stop-shingle guard: boilerplate shared by >100k docs
+
+
+def hash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients (a_i, b_i) for slot i.
+    Fixed LCG expansion — no RNG, identical across runs and engines."""
+    a = (1103515245 * (i + 1) + 12345) % MERSENNE_P
+    b = (69069 * (i + 1) + 1234567) % MERSENNE_P
+    return (a or 1, b)
+
+
+def _shingle_hash_col(shingle: Column) -> Column:
+    """First 8 hex chars of md5 → unsigned 32-bit int → mod p. One md5 per
+    shingle; every MinHash slot is derived from this value."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long") % MERSENNE_P
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -37,40 +72,70 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
 
 
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Remove stop-shingles (document frequency > max_shingle_df). The hot
+    set is tiny by construction (only keys above the cap), so it broadcasts."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+    lsh_prefilter: bool = False,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
-    shingle-join candidate generation: |common shingles| per pair, then
-    jaccard = common / (|a| + |b| - common). Exact (within the shingle
-    representation) — no approximation.
+    Default path: shingle-join candidate generation — |common shingles| per
+    pair, then jaccard = common / (|a| + |b| - common). Exact (within the
+    shingle representation), with the stop-shingle guard ON by default.
+
+    ``lsh_prefilter=True`` is the web-scale path: candidates come from
+    MinHash-LSH banding (`minhash_lsh_candidates`), then exact Jaccard is
+    computed ONLY for candidate pairs via a set intersection — the shingle
+    self-join never happens, so a hot shingle costs O(df), not O(df²).
+    Recall is bounded by LSH (pairs missed by every band are not scored).
     """
     sh = _shingle_table(df, id_col, text_col, n)
-    if max_shingle_df is not None:  # stop-shingle removal (skew guard)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count_distinct("doc").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    if lsh_prefilter:
+        cand = minhash_lsh_candidates(
+            df, id_col, text_col, n, n_hashes=n_hashes, band_size=band_size
+        ).select("doc_a", "doc_b")
+        sets = sh.groupBy("doc").agg(F.collect_set("shingle").alias("sh_set"))
+        common = (
+            cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("sh_set").alias("__sa")), "doc_a")
+            .join(sets.select(F.col("doc").alias("doc_b"), F.col("sh_set").alias("__sb")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("__sa", "__sb")).alias("common"),
+            )
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -79,35 +144,56 @@ def ngram_jaccard_pairs(
     )
 
 
-N_HASHES = 8
-BAND_SIZE = 4  # → 2 bands
-
-
-def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """MinHash signature: one pass over exploded shingles, N_HASHES
-    min-aggregations of seeded md5 (single shuffle; no per-seed explode)."""
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """MinHash signature: one pass over exploded shingles, `n_hashes`
+    min-aggregations (single shuffle; no per-seed explode). One md5 per
+    shingle — slots derive via (a_i·h + b_i) mod p, all JVM-side."""
     sh = _shingle_table(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
+    sh = sh.withColumn("__h", _shingle_hash_col(F.col("shingle")))
+    aggs = []
+    for i in range(n_hashes):
+        a, b = hash_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
+        )
     return sh.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """LSH banding over the MinHash signature: band value = concat of
-    BAND_SIZE signature slots; docs sharing any band are candidates.
-    Returns distinct candidate pairs (doc_a < doc_b, with the matching
-    band id)."""
-    sig = minhash_signature(df, id_col, text_col, n)
-    n_bands = N_HASHES // BAND_SIZE
+    """LSH banding over the MinHash signature: band value = '-'-joined
+    signature slots; docs sharing any band are candidates. Returns distinct
+    candidate pairs (doc_a < doc_b, with the matching band id).
+
+    At 1000 executors the (band, val) key IS the partition key of the
+    equi-join — no all-pairs stage exists anywhere in the plan."""
+    if n_hashes % band_size:
+        raise ValueError(f"band_size {band_size} must divide n_hashes {n_hashes}")
+    sig = minhash_signature(df, id_col, text_col, n, n_hashes, max_shingle_df)
+    n_bands = n_hashes // band_size
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat(*[F.col(f"h{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]).alias("val"),
+                F.concat_ws(
+                    "-", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("val"),
             )
             for b in range(n_bands)
         ]
@@ -129,29 +215,47 @@ def minhash_lsh_candidates(
     )
 
 
-SIMHASH_BITS = 16
-
-
-def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """SimHash over tokens: bit b of the hash of token t = (hex nibble b of
-    md5(t) >= '8'); document bit = sign of the per-bit vote sum. 16 bits
-    (one md5 nibble per bit) keeps it engine-portable; the aggregation is a
-    single groupBy with SIMHASH_BITS conditional sums."""
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash over tokens, up to 64 bits. Bit b of token t = (hex nibble b
+    of md5-stream of t >= '8'); document bit = sign of the per-bit vote sum.
+    The 64-bit value is returned as two 32-bit halves (simhash_hi,
+    simhash_lo) so neither engine's signed BIGINT can overflow; hamming
+    distance = bit_count(hi⊕hi') + bit_count(lo⊕lo') (`simhash_hamming`).
+    One groupBy with `bits` conditional sums — map-side partial aggregation
+    does the heavy lifting; ≤32 md5-nibbles per md5, so 64 bits = 2 md5s."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("__md5", F.md5(F.col("tok")))
+    ).withColumn("__md5a", F.md5(F.col("tok")))
+    if bits > 32:
+        toks = toks.withColumn("__md5b", F.md5(F.concat(F.col("tok"), F.lit("#1"))))
+
+    def nibble(b: int) -> Column:
+        src = "__md5a" if b < 32 else "__md5b"
+        return F.substring(F.col(src), (b % 32) + 1, 1)
+
     votes = [
-        F.sum(
-            F.when(F.substring(F.col("__md5"), b + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
+        F.sum(F.when(nibble(b) >= "8", 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
     ]
     agg = toks.groupBy("doc").agg(*votes)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agg.select("doc", sim.cast("long").alias("simhash16"))
+
+    def half(lo_bit: int, hi_bit: int) -> Column:
+        out = F.lit(0)
+        for b in range(lo_bit, min(hi_bit, bits)):
+            out = out + F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - lo_bit))).otherwise(F.lit(0))
+        return out.cast("long")
+
+    return agg.select(
+        "doc", half(32, 64).alias("simhash_hi"), half(0, 32).alias("simhash_lo")
+    )
+
+
+def simhash_hamming(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> Column:
+    """Hamming distance between two hi/lo simhash pairs (JVM bit_count)."""
+    return F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
 
 
 def dedup_clusters(

@@ -134,9 +134,19 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
 
 
-DEDUP_JACCARD_SQL = f"""
+def _jaccard_sql(threshold: float, max_shingle_df: int | None) -> str:
+    guard = ""
+    if max_shingle_df is not None:
+        guard = f""",
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(DISTINCT doc) > {max_shingle_df})"""
+        src = "SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)"
+    else:
+        src = "SELECT * FROM sh0"
+    return f"""
 WITH d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM documents),
-sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+sh0 AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d){guard},
+sh AS ({src}),
 sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
 common AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
@@ -148,46 +158,84 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
-WHERE common / (sa.sz + sb.sz - common) >= 0.12
+WHERE common / (sa.sz + sb.sz - common) >= {threshold}
 """
+
+
+# default MAX_SHINGLE_DF never fires at test scale → identical to unguarded
+DEDUP_JACCARD_SQL = _jaccard_sql(0.12, None)
+
+
+def dedup_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
+    """Stop-shingle guard actively firing: shingles shared by >3 docs are
+    dropped BEFORE the self-join (the O(df²) blow-up never materializes).
+    3 is a test-scale cap chosen so the guard demonstrably drops shingles
+    at sf0.01 (max df there is 7); the library production default is
+    `dedup.MAX_SHINGLE_DF` = 100k."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=3)
+
+
+DEDUP_JACCARD_GUARDED_SQL = _jaccard_sql(0.12, 3)
+
+
+# DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): positional
+# nibble parse of the first 8 hex chars (lowercase md5 → strpos is exact).
+def _sql_hex8_mod_p(m: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({m}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {dedup.MERSENNE_P})"
+
+
+# test-scale MinHash params (library production defaults are 128/8; the
+# oracle SQL is generated from the SAME hash_coeffs, so any param choice
+# stays verifiable — 16/4 keeps the sf0.1 bench fast)
+_MH_HASHES = 16
+_MH_BAND = 4
 
 
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_signature(docs, "doc_id")
+    return dedup.minhash_signature(docs, "doc_id", n_hashes=_MH_HASHES)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(n_hashes: int) -> str:
     mins = ",\n  ".join(
-        f"MIN(md5(shingle || '#{i}')) AS h{i}" for i in range(dedup.N_HASHES)
+        "MIN(({a} * h + {b}) % {p}) AS h{i}".format(
+            a=dedup.hash_coeffs(i)[0], b=dedup.hash_coeffs(i)[1], p=dedup.MERSENNE_P, i=i
+        )
+        for i in range(n_hashes)
     )
     return f"""
 WITH d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM documents),
-sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d)
+sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+hv AS (SELECT doc, {_sql_hex8_mod_p('md5(shingle)')} AS h FROM sh)
 SELECT doc,
   {mins}
-FROM sh GROUP BY doc
+FROM hv GROUP BY doc
 """
 
 
-MINHASH_SIG_SQL = _minhash_sql()
+MINHASH_SIG_SQL = _minhash_sql(_MH_HASHES)
 
 
 def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_lsh_candidates(docs, "doc_id")
+    return dedup.minhash_lsh_candidates(docs, "doc_id", n_hashes=_MH_HASHES, band_size=_MH_BAND)
 
 
-def _minhash_lsh_sql() -> str:
-    n_bands = dedup.N_HASHES // dedup.BAND_SIZE
+def _minhash_lsh_sql(n_hashes: int, band_size: int) -> str:
+    n_bands = n_hashes // band_size
     band_rows = " UNION ALL ".join(
-        "SELECT doc, {b} AS band, ".format(b=b)
-        + " || ".join(f"h{b * dedup.BAND_SIZE + j}" for j in range(dedup.BAND_SIZE))
-        + " AS val FROM sig"
+        "SELECT doc, {b} AS band, concat_ws('-', ".format(b=b)
+        + ", ".join(f"h{b * band_size + j}" for j in range(band_size))
+        + ") AS val FROM sig"
         for b in range(n_bands)
     )
     return f"""
-WITH sig AS ({_minhash_sql()}),
+WITH sig AS ({_minhash_sql(n_hashes)}),
 bands AS ({band_rows})
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.band AS band
 FROM bands a JOIN bands b
@@ -195,32 +243,42 @@ FROM bands a JOIN bands b
 """
 
 
-MINHASH_LSH_SQL = _minhash_lsh_sql()
+MINHASH_LSH_SQL = _minhash_lsh_sql(_MH_HASHES, _MH_BAND)
 
 
 def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return dedup.simhash(docs, "doc_id")
+    return dedup.simhash(docs, "doc_id")  # production default: 64-bit
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int) -> str:
+    def nib(b: int) -> str:
+        return f"substr(ma, {b + 1}, 1)" if b < 32 else f"substr(mb, {b - 31}, 1)"
+
     votes = ",\n  ".join(
-        f"SUM(CASE WHEN substr(md5(tok), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(dedup.SIMHASH_BITS)
+        f"SUM(CASE WHEN {nib(b)} >= '8' THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
     )
-    bits = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(dedup.SIMHASH_BITS)
+    lo = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(min(bits, 32))
+    )
+    hi = (
+        " + ".join(
+            f"CASE WHEN v{b} > 0 THEN {1 << (b - 32)} ELSE 0 END" for b in range(32, bits)
+        )
+        if bits > 32
+        else "0"
     )
     return f"""
 WITH toks AS (SELECT doc_id AS doc, UNNEST({_TOKS}) AS tok FROM documents),
+m AS (SELECT doc, md5(tok) AS ma, md5(tok || '#1') AS mb FROM toks),
 v AS (SELECT doc,
   {votes}
-FROM toks GROUP BY doc)
-SELECT doc, CAST({bits} AS BIGINT) AS simhash16 FROM v
+FROM m GROUP BY doc)
+SELECT doc, CAST({hi} AS BIGINT) AS simhash_hi, CAST({lo} AS BIGINT) AS simhash_lo FROM v
 """
 
 
-SIMHASH_SQL = _simhash_sql()
+SIMHASH_SQL = _simhash_sql(dedup.SIMHASH_BITS)
 
 
 # --------------------------------------------------------------------------

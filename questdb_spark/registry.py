@@ -19,7 +19,43 @@ from . import queries_timeseries as ts
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name → (fn, oracle_sql | None)
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+#
+# ORDER MATTERS: the driver's correctness harness checks at most ~50 queries
+# per round, in registry order.  Queries without a green CORRECTNESS row from a
+# previous round (plus anything newly added this round) go FIRST; queries the
+# driver already verified (CORRECTNESS_r01.json: all 50 pass) go LAST so every
+# registry entry eventually accumulates a driver-verified row.
+_UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
+    # --- new this round ---
+    "dedup_jaccard_guarded": (pl.dedup_jaccard_guarded, pl.DEDUP_JACCARD_GUARDED_SQL),
+    # --- round-1 tail the driver never reached (positions 51-74) ---
+    "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
+    "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),
+    "simhash_docs": (pl.simhash_docs, pl.SIMHASH_SQL),
+    "dedup_cluster_canonical": (pl.dedup_cluster_canonical, None),  # iterative
+    "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
+    "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
+    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
+    "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
+    "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
+    "ema_events": (fn.ema_events, None),  # recurrence — not SQL-expressible
+    "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
+    "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
+    "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
+    "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
+    "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
+    "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),
+    "lateral_topn": (fn.lateral_topn, fn.LATERAL_SQL),
+    "interval_search": (fn.interval_search, fn.INTERVAL_SEARCH_SQL),
+    "percentiles_exact": (fn.percentiles_exact, fn.PERCENTILES_SQL),
+    "approx_aggs": (fn.approx_aggs, None),  # sketch internals differ per engine
+    "generate_series_rnd": (fn.generate_series_rnd, fn.GENERATE_SERIES_SQL),
+    "haversine_paths": (fn.haversine_paths, fn.HAVERSINE_SQL),
+    "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
+    "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
+}
+
+_VERIFIED_R1: dict[str, tuple[QueryFn, str | None]] = {
     # scans / group-by / joins / set-ops (§2.1-2.4, §2.7)
     "q1_pricing_summary": (core.q1_pricing_summary, core.Q1_SQL),
     "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
@@ -76,32 +112,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprints": (pl.doc_fingerprints, pl.DOC_FINGERPRINT_SQL),
     "dedup_exact": (pl.dedup_exact, pl.DEDUP_EXACT_SQL),
     "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
-    "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
-    "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),
-    "simhash_docs": (pl.simhash_docs, pl.SIMHASH_SQL),
-    "dedup_cluster_canonical": (pl.dedup_cluster_canonical, None),  # iterative
-    "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
-    "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
-    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
-    # function library / generators / pivot / unnest / lateral / intervals
-    "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
-    "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
-    "ema_events": (fn.ema_events, None),  # recurrence — not SQL-expressible
-    "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
-    "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
-    "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
-    "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
-    "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
-    "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),
-    "lateral_topn": (fn.lateral_topn, fn.LATERAL_SQL),
-    "interval_search": (fn.interval_search, fn.INTERVAL_SEARCH_SQL),
-    "percentiles_exact": (fn.percentiles_exact, fn.PERCENTILES_SQL),
-    "approx_aggs": (fn.approx_aggs, None),  # sketch internals differ per engine
-    "generate_series_rnd": (fn.generate_series_rnd, fn.GENERATE_SERIES_SQL),
-    "haversine_paths": (fn.haversine_paths, fn.HAVERSINE_SQL),
-    "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
-    "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
 }
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {**_UNVERIFIED, **_VERIFIED_R1}
 
 
 def queries() -> dict[str, QueryFn]:

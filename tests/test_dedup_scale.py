@@ -1,0 +1,103 @@
+"""Scale-hardening tests for the near-dup path: stop-shingle guard,
+LSH-prefiltered exact Jaccard, parameterized MinHash/SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from questdb_spark.pipeline import dedup
+from questdb_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+
+def _pairs_set(df):
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+
+def test_guard_noop_on_cold_data(spark):
+    """With the production cap (100k) the guard must not change results on
+    data with no hot shingles — guarded path == exact path."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pairs_set(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=None)
+    )
+    guarded = _pairs_set(dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12))
+    assert guarded == exact
+
+
+def test_guard_drops_hot_shingles(spark):
+    """A synthetic hot shingle shared by every doc must be excluded: docs
+    that only share the boilerplate produce NO pair under the guard."""
+    boiler = "common header boilerplate"
+    rows = [(i, f"{boiler} unique{i} text{i} body{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    unguarded = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01, max_shingle_df=None)
+    guarded = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01, max_shingle_df=5)
+    assert unguarded.count() == 20 * 19 // 2  # boilerplate connects everything
+    assert guarded.count() == 0
+
+
+def test_lsh_prefilter_matches_exact_on_candidates(spark):
+    """LSH-prefiltered Jaccard returns a subset of the exact pairs, with
+    bit-identical jaccard values for every pair it returns; with enough
+    bands it finds all high-similarity pairs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pairs_set(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=None)
+    )
+    lsh = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.12, lsh_prefilter=True, n_hashes=32, band_size=2
+        )
+    )
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # band_size=2 → 16 bands of 2: P(catch | J=0.5) ≈ 1-(1-0.25)^16 ≈ 99%;
+    # the sf0.001 near-dups are J≥0.12 clones sharing many shingles
+    high = {k for k, v in exact.items() if v >= 0.5}
+    assert high <= set(lsh)
+
+
+def test_minhash_parameterized_defaults(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    sig = dedup.minhash_signature(docs, "doc_id")  # production: 128 slots
+    assert [c for c in sig.columns if c.startswith("h")] == [f"h{i}" for i in range(128)]
+    row = sig.limit(1).collect()[0]
+    assert all(0 <= row[f"h{i}"] < dedup.MERSENNE_P for i in range(128))
+    cand = dedup.minhash_lsh_candidates(docs, "doc_id")  # 16 bands of 8
+    assert cand.columns == ["doc_a", "doc_b", "band"]
+    cand.count()  # plan executes
+
+
+def test_simhash_64bit_halves(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    sh = dedup.simhash(docs, "doc_id")  # production: 64-bit
+    rows = sh.collect()
+    assert all(0 <= r["simhash_hi"] < 2**32 and 0 <= r["simhash_lo"] < 2**32 for r in rows)
+    # self-distance is 0; near-dup clones have small distance
+    a = sh.alias("a")
+    b = sh.alias("b")
+    d = (
+        a.join(b, F.col("a.doc") == F.col("b.doc"))
+        .select(
+            dedup.simhash_hamming(
+                F.col("a.simhash_hi"), F.col("a.simhash_lo"),
+                F.col("b.simhash_hi"), F.col("b.simhash_lo"),
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert d == 0
+
+
+def test_simhash_bits_validation(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dedup.simhash(docs, "doc_id", bits=65)
+    lo_only = dedup.simhash(docs, "doc_id", bits=16).collect()
+    assert all(r["simhash_hi"] == 0 and r["simhash_lo"] < 2**16 for r in lo_only)

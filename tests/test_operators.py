@@ -100,6 +100,29 @@ def test_ema_vs_pandas_ewm(spark):
     assert list(out["ema"]) == pytest.approx(list(pdf["ref"]), rel=1e-9)
 
 
+def test_ema_keyless_chunked_parallel(spark):
+    """Keyless EMA must (a) match pandas.ewm and (b) run the affine-chunk
+    decomposition — multiple chunk groups, never one global Python task."""
+    rng = random.Random(7)
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(minutes=i * 13), rng.random() * 10)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["i", "ts", "x"])
+    out = finance.ema(df, "ts", "x", alpha=0.25).toPandas().set_index("i").sort_index()
+    pdf = pd.DataFrame(rows, columns=["i", "ts", "x"]).sort_values("ts")
+    pdf["ref"] = pdf["x"].ewm(alpha=0.25, adjust=False).mean()
+    pdf = pdf.set_index("i").sort_index()
+    assert list(out["ema"]) == pytest.approx(list(pdf["ref"]), rel=1e-9, abs=1e-12)
+    # 2000 rows × 13 min ≈ 18 days → ≥3 seven-day chunks in the plan
+    from pyspark.sql import functions as F
+
+    n_chunks = (
+        df.withColumn("c", F.window("ts", "7 days")["start"]).select("c").distinct().count()
+    )
+    assert n_chunks >= 3
+
+
 def test_latest_on_small(spark):
     rows = [
         (1, "a", datetime(2024, 1, 1, 0), 1.0),
