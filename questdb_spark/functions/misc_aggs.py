@@ -92,17 +92,22 @@ def union_harmonized(a: DataFrame, b: DataFrame) -> DataFrame:
     from pyspark.sql.types import DataType
 
     def wider(t1: DataType, t2: DataType) -> str:
-        order = ["boolean", "tinyint", "smallint", "int", "bigint", "float",
-                 "double", "decimal", "timestamp", "date", "string"]
+        # ordered within each family; DATE widens to TIMESTAMP (a date is a
+        # midnight timestamp — the reverse cast would truncate time-of-day)
+        numeric = ["boolean", "tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal"]
+        temporal = ["date", "timestamp"]
         s1, s2 = t1.simpleString(), t2.simpleString()
         if s1 == s2:
             return s1
         base1 = "decimal" if s1.startswith("decimal") else s1
         base2 = "decimal" if s2.startswith("decimal") else s2
-        try:
-            return s1 if order.index(base1) >= order.index(base2) else s2
-        except ValueError:
-            return "string"
+        for order in (numeric, temporal):
+            if base1 in order and base2 in order:
+                return s1 if order.index(base1) >= order.index(base2) else s2
+        # cross-family (e.g. double vs timestamp) or unknown: harmonize via
+        # string rather than inventing a lossy numeric↔temporal cast
+        return "string"
 
     cols_a, cols_b = [], []
     for fa, fb in zip(a.schema.fields, b.schema.fields):

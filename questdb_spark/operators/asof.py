@@ -114,10 +114,18 @@ def asof_join(
         within = matched[slave_ts_out] >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
         matched = F.when(within, matched)
 
+    # a slave payload column sharing a name with a master column would make
+    # downstream selects ambiguous — suffix the slave side (QuestDB prefixes
+    # with the slave table alias; '<col>_slave' is the aliasless equivalent)
+    taken = set(mcols)
+
+    def out_name(c: str) -> str:
+        return f"{c}_slave" if c in taken else c
+
     return out.select(
         *[F.col(f"__m_{c}").alias(c) for c in mcols],
-        matched[slave_ts_out].alias(slave_ts_out),
-        *[matched[c].alias(c) for c in spayload],
+        matched[slave_ts_out].alias(out_name(slave_ts_out)),
+        *[matched[c].alias(out_name(c)) for c in spayload],
     )
 
 
@@ -218,11 +226,13 @@ def splice_join(
         u.withColumn("__m", F.last("__m", ignorenulls=True).over(w))
         .withColumn("__s", F.last("__s", ignorenulls=True).over(w))
     )
+    mset = set(mpay)
     return carried.select(
         *keys,
         F.col("__ts").alias(ts_col),
         F.col("__m")["m_ts"].alias("master_ts"),
         *[F.col("__m")[c].alias(c) for c in mpay],
         F.col("__s")["s_ts"].alias("slave_ts"),
-        *[F.col("__s")[c].alias(c) for c in spay],
+        # slave payload columns colliding with master payload get suffixed
+        *[F.col("__s")[c].alias(f"{c}_slave" if c in mset else c) for c in spay],
     )

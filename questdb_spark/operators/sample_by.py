@@ -123,6 +123,7 @@ def sample_by(
     offset_us: int = 0,
     tz: str | None = None,
     bucket_name: str = "ts_bucket",
+    align: str = "calendar",
 ) -> DataFrame:
     """SAMPLE BY lowering. ``fill`` in {None,'none','null','prev','linear','value'}.
 
@@ -130,16 +131,54 @@ def sample_by(
     With ``fill='value'`` supply ``fill_values[out_name] = constant``.
     ``from_ts``/``to_ts`` are ISO strings bounding the spine (TO is exclusive,
     matching QuestDB's `SAMPLE BY ... FROM x TO y`).
+
+    ``align='first_observation'``: buckets originate at the stream's FIRST
+    observed timestamp instead of calendar boundaries — QuestDB
+    ``ALIGN TO FIRST OBSERVATION`` (``AbstractNoRecordSampleByCursor.java:233``
+    sets the sampler start to the first record's timestamp;
+    ``SimpleTimestampSampler.setStart``). The origin is GLOBAL (set once per
+    cursor in the reference, not per key). Lowered as one tiny min-aggregate
+    broadcast back onto the scan — no collect, no driver round-trip in the
+    plan. Incompatible with FROM-TO (``SqlParser.java:4352``) and with
+    tz/offset calendar alignment.
     """
     keys = list(keys)
-    b = bucket_col(F.col(ts_col), interval, offset_us, tz)
+    if align not in ("calendar", "first_observation"):
+        raise ValueError(f"unknown align mode: {align!r}")
     if from_ts is not None:
         df = df.filter(F.col(ts_col) >= F.lit(from_ts).cast("timestamp"))
     if to_ts is not None:
         df = df.filter(F.col(ts_col) < F.lit(to_ts).cast("timestamp"))
 
-    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
-    out = df.withColumn(bucket_name, b).groupBy(bucket_name, *keys).agg(*agg_cols)
+    if align == "first_observation":
+        if from_ts is not None or to_ts is not None:
+            raise ValueError("ALIGN TO FIRST OBSERVATION is incompatible with FROM-TO")
+        if tz is not None or offset_us:
+            raise ValueError("ALIGN TO FIRST OBSERVATION excludes calendar tz/offset")
+        n, unit = parse_interval(interval)
+        if unit in ("M", "y"):
+            raise ValueError("first-observation alignment supports fixed-width units")
+        width = n * _UNIT_MICROS[unit]
+        origin = df.agg(F.min(ts_col).alias("__origin"))
+        df = df.crossJoin(F.broadcast(origin))
+        o_us = F.unix_micros(F.col("__origin"))
+        b = F.timestamp_micros(
+            (
+                o_us
+                + F.floor((F.unix_micros(F.col(ts_col)) - o_us) / F.lit(width))
+                * F.lit(width)
+            ).cast("long")
+        )
+        out = (
+            df.withColumn(bucket_name, b)
+            .drop("__origin")
+            .groupBy(bucket_name, *keys)
+            .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        )
+    else:
+        b = bucket_col(F.col(ts_col), interval, offset_us, tz)
+        agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+        out = df.withColumn(bucket_name, b).groupBy(bucket_name, *keys).agg(*agg_cols)
 
     if fill in (None, "none"):
         return out

@@ -22,12 +22,40 @@ Spark-first lowering:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .asof import asof_join
+
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def interval_micros(interval: str) -> int:
+    """Plan-time parse of a SQL interval string ('-1 hour', '90 minutes',
+    '1 day 6 hours') into microseconds. Only day-time units — mirrors the
+    units WINDOW JOIN accepts in the reference grammar."""
+    total = 0
+    matched = False
+    sign = -1 if interval.lstrip().startswith("-") else 1
+    for num, unit in re.findall(r"(\d+)\s*(\w+?)s?\b", interval.lower()):
+        if unit not in _UNIT_US:
+            raise ValueError(f"unsupported interval unit {unit!r} in {interval!r}")
+        total += int(num) * _UNIT_US[unit]
+        matched = True
+    if not matched:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    return sign * total
 
 
 def window_join(
@@ -44,16 +72,42 @@ def window_join(
 
     ``lo``/``hi`` are SQL interval strings (lo may be negative, e.g.
     ``'-1 hour'``). ``aggs`` reference slave columns as ``s.<col>`` via the
-    provided aliases; ``master_id`` must uniquely identify master rows.
+    provided aliases and must be null-ignoring (sum/count/avg/min/max —
+    masters with an empty window contribute null slave rows); ``master_id``
+    must uniquely identify master rows.
+
+    Scale-safe lowering (the streaming shape of
+    ``WindowJoinRecordCursorFactory.java:82``, re-expressed for a batch
+    engine): bucket time to the window width W = hi - lo. A length-W window
+    overlaps at most two width-W buckets, so each master row is exploded to
+    its ≤2 covering buckets and the join is an EQUI-join on
+    (keys…, bucket) with the exact range check as a post-filter. Pair
+    materialization is bounded by slave density within ±W of each master —
+    a hot key no longer materializes |master_k| × |slave_k| pairs the way a
+    keys-only equi-join would. The (keys, bucket) tuple is also the shuffle
+    partition key, so dense time ranges spread across executors instead of
+    landing on one key's partition.
     """
     keys = list(keys)
-    m = master.alias("m")
-    s = slave.alias("s")
-    # interval strings may be negative ('-1 hour') — Spark accepts INTERVAL -1 HOUR
+    lo_us, hi_us = interval_micros(lo), interval_micros(hi)
+    if hi_us < lo_us:
+        raise ValueError(f"window hi {hi!r} precedes lo {lo!r}")
+    width = max(hi_us - lo_us, 1)
+
+    # master window start bucket; the window covers __bucket and __bucket+1
+    start_bucket = F.floor((F.unix_micros(F.col(ts_col)) + F.lit(lo_us)) / F.lit(width))
+    m = master.withColumn(
+        "__bucket", F.explode(F.array(start_bucket, start_bucket + 1))
+    ).alias("m")
+    s = slave.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(width))
+    ).alias("s")
+
     cond = F.expr(
         " AND ".join(
             [f"m.{k} <=> s.{k}" for k in keys]
             + [
+                "m.__bucket = s.__bucket",
                 f"s.{ts_col} >= m.{ts_col} + INTERVAL {lo}",
                 f"s.{ts_col} <= m.{ts_col} + INTERVAL {hi}",
             ]
@@ -62,6 +116,49 @@ def window_join(
     joined = m.join(s, cond, "left")
     mcols = [f"m.{c}" for c in master.columns]
     return joined.groupBy(*[F.col(c) for c in mcols]).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+
+def markout_agg(
+    master: DataFrame,
+    slave: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    frm: str,
+    to: str,
+    step: str,
+    aggs: Mapping[str, Column],
+    extra_keys: Sequence[str] = (),
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Markout AGGREGATE form of HORIZON JOIN: ``HORIZON JOIN slave ON keys
+    RANGE FROM frm TO to STEP step AS h`` + ``GROUP BY h.offset`` —
+    ``MarkoutHorizonRecordCursorFactory.java:95``,
+    ``HorizonJoinTest.java:123``. For each offset in the range, every
+    master row is ASOF-matched against the slave at ``master.ts + offset``
+    and the matches are aggregated PER OFFSET (plus ``extra_keys``),
+    yielding one markout row per horizon.
+
+    ``offset_col`` is emitted in microseconds (h.offset semantics). Offsets
+    are generated plan-side; the data-side cost is |offsets| × one ASOF
+    join — explode + one shuffle, same scale shape as ``horizon_join``.
+    """
+    f_us, t_us, s_us = interval_micros(frm), interval_micros(to), interval_micros(step)
+    if s_us <= 0:
+        raise ValueError(f"STEP must be positive, got {step!r}")
+    if t_us < f_us:
+        raise ValueError(f"RANGE TO {to!r} precedes FROM {frm!r}")
+    offsets = list(range(f_us, t_us + 1, s_us))
+    exploded = master.withColumn(
+        offset_col, F.explode(F.array(*[F.lit(o).cast("long") for o in offsets]))
+    )
+    shifted = exploded.withColumn("__orig_ts", F.col(ts_col)).withColumn(
+        ts_col, F.expr(f"timestampadd(MICROSECOND, {offset_col}, {ts_col})")
+    )
+    joined = asof_join(shifted, slave, ts_col, keys)
+    joined = joined.withColumn(ts_col, F.col("__orig_ts")).drop("__orig_ts")
+    return joined.groupBy(offset_col, *extra_keys).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
 

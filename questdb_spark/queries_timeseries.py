@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from .operators.asof import asof_join, lt_join, splice_join
 from .operators.latest import latest_on
 from .operators.sample_by import sample_by
-from .operators.window_join import horizon_join, window_join
+from .operators.window_join import horizon_join, markout_agg, window_join
 from .sources.parquet import load_table
 
 D2 = "decimal(12,2)"
@@ -45,6 +45,40 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts_bucket, event_type,
   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
   COUNT(*) AS n
 FROM events GROUP BY 1, 2
+"""
+
+
+def sample_by_first_obs(spark: SparkSession, sf: str) -> DataFrame:
+    """SAMPLE BY 90m ALIGN TO FIRST OBSERVATION: buckets originate at the
+    stream's first timestamp, not calendar boundaries
+    (``AbstractNoRecordSampleByCursor.java:233``, ``SqlParser.java:4284``).
+    90m is deliberately non-divisor-of-day so first-obs and calendar
+    alignment provably differ."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "click")
+    return sample_by(
+        ev,
+        "ts",
+        "90m",
+        {
+            "sum_value": F.sum(F.col("value").cast(D2)).cast("decimal(20,2)").cast("double"),
+            "n": F.count(F.lit(1)),
+        },
+        keys=["user_id"],
+        align="first_observation",
+    )
+
+
+SAMPLE_BY_FIRST_OBS_SQL = """
+WITH e AS (SELECT * FROM events WHERE event_type = 'click'),
+o AS (SELECT MIN(ts) AS origin FROM e)
+SELECT
+  o.origin + to_microseconds(
+    CAST(FLOOR(date_diff('microsecond', o.origin, e.ts) / 5400000000) * 5400000000 AS BIGINT)
+  ) AS ts_bucket,
+  e.user_id,
+  CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n
+FROM e, o GROUP BY 1, 2
 """
 
 
@@ -394,4 +428,54 @@ SELECT m.event_id, m.user_id, m.ts, m.horizon,
   (SELECT s.purchase_value FROM s WHERE s.user_id = m.user_id AND s.ts <= m.hts
    ORDER BY s.ts DESC LIMIT 1) AS purchase_value
 FROM m
+"""
+
+
+def markout_horizon_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Markout AGGREGATE form of HORIZON JOIN (GROUP BY over horizons):
+    ``SELECT h.offset, count(*), count(matched), avg(value) ... HORIZON
+    JOIN purchases ON (user_id) RANGE FROM 0s TO 30m STEP 10m AS h`` —
+    ``MarkoutHorizonRecordCursorFactory.java:95``, ``HorizonJoinTest.java:123``.
+    Decimal-exact value sums keep avg bit-identical to the oracle."""
+    ev = load_table(spark, sf, "events")
+    master = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    _, slave = _master_slave(spark, sf)
+    dec = F.col("purchase_value").cast("decimal(12,2)")
+    out = markout_agg(
+        master, slave, "ts", keys=["user_id"],
+        frm="0 second", to="30 minute", step="10 minute",
+        aggs={
+            "n_masters": F.count(F.lit(1)),
+            "n_matched": F.count("slave_ts"),
+            "__sum": F.sum(dec),
+        },
+    )
+    avg = (
+        F.round("__sum", 2).cast("decimal(20,2)").cast("double") / F.col("n_matched")
+    )
+    return out.select(
+        "offset", "n_masters", "n_matched", avg.alias("avg_markout_value")
+    )
+
+
+MARKOUT_HORIZON_AGG_SQL = f"""
+WITH m0 AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+s AS ({_SLAVE_SQL}),
+m AS (
+  SELECT m0.*, CAST(o."offset" AS BIGINT) AS "offset",
+    m0.ts + to_microseconds(o."offset") AS hts
+  FROM m0 CROSS JOIN (VALUES (0), (600000000), (1200000000), (1800000000)) AS o("offset")
+),
+j AS (
+  SELECT m."offset",
+    (SELECT s.ts FROM s WHERE s.user_id = m.user_id AND s.ts <= m.hts
+     ORDER BY s.ts DESC LIMIT 1) AS purchase_ts,
+    (SELECT s.purchase_value FROM s WHERE s.user_id = m.user_id AND s.ts <= m.hts
+     ORDER BY s.ts DESC LIMIT 1) AS purchase_value
+  FROM m
+)
+SELECT "offset", COUNT(*) AS n_masters, COUNT(purchase_ts) AS n_matched,
+  CAST(CAST(ROUND(SUM(CAST(purchase_value AS DECIMAL(12,2))), 2) AS DECIMAL(20,2)) AS DOUBLE)
+    / COUNT(purchase_ts) AS avg_markout_value
+FROM j GROUP BY "offset"
 """

@@ -28,6 +28,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
     # --- new this round ---
     "dedup_jaccard_guarded": (pl.dedup_jaccard_guarded, pl.DEDUP_JACCARD_GUARDED_SQL),
+    "markout_horizon_agg": (ts.markout_horizon_agg, ts.MARKOUT_HORIZON_AGG_SQL),
+    "sample_by_first_obs": (ts.sample_by_first_obs, ts.SAMPLE_BY_FIRST_OBS_SQL),
     # --- round-1 tail the driver never reached (positions 51-74) ---
     "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
     "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),

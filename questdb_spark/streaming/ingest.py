@@ -56,7 +56,18 @@ def _batch_upsert(path: str, ts_col: str, keys: list[str], unit: str, seq_col: s
     def apply(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        b = batch.withColumn(seq_col, F.lit(batch_id))
+        # monotonic WAL sequence: (batch, row-within-batch). The sub-order is
+        # monotonically_increasing_id — per input partition it follows source
+        # row order (the WAL-segment order a streaming source delivers), so
+        # duplicates WITHIN one micro-batch resolve last-write-wins instead
+        # of tying arbitrarily on a constant batch id.
+        b = batch.withColumn(
+            seq_col,
+            F.struct(
+                F.lit(batch_id).cast("long").alias("batch"),
+                F.monotonically_increasing_id().alias("sub"),
+            ),
+        )
         # in-batch last-write-wins on (keys, ts): WAL-segment dedup
         b = latest_on(b, seq_col, [*keys, ts_col])
         (
@@ -89,7 +100,10 @@ def compact(
     merge, done lazily). Rewrites into a sibling dir then swaps."""
     tmp = path.rstrip("/") + ".compact"
     out = read_deduped(spark, path, ts_col, dedup_keys, seq_col).withColumn(
-        seq_col, F.lit(-1)
+        seq_col,
+        F.struct(
+            F.lit(-1).cast("long").alias("batch"), F.lit(-1).cast("long").alias("sub")
+        ),
     )
     (
         out.withColumn("part_date", F.date_trunc("day", F.col(ts_col)).cast("date"))

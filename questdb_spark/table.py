@@ -53,9 +53,27 @@ class TimeTable:
 
     # -- write path --------------------------------------------------------
     def _with_partition(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            PARTITION_COL, F.date_trunc(self.partition_by, F.col(self.ts_col)).cast("date")
-        )
+        """Partition value for a row. HOUR granularity keeps the hour in the
+        value as a 'yyyy-MM-dd-HH' string (PartitionBy.java HOUR) — casting
+        to date would silently coarsen hourly partitions to daily, weakening
+        pruning and drop_partition. Coarser units stay date-typed."""
+        trunc = F.date_trunc(self.partition_by, F.col(self.ts_col))
+        if self.partition_by == "hour":
+            return df.withColumn(PARTITION_COL, F.date_format(trunc, "yyyy-MM-dd-HH"))
+        return df.withColumn(PARTITION_COL, trunc.cast("date"))
+
+    def _part_bound(self, dt):
+        """Truncate a python datetime to this table's partition value
+        (the literal compared against PARTITION_COL)."""
+        from datetime import date
+
+        if self.partition_by == "hour":
+            return dt.strftime("%Y-%m-%d-%H")
+        if self.partition_by == "day":
+            return dt.date()
+        if self.partition_by == "month":
+            return date(dt.year, dt.month, 1)
+        return date(dt.year, 1, 1)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""
@@ -95,6 +113,8 @@ class TimeTable:
     def scan_interval(self, interval: str, dedup: bool = True) -> DataFrame:
         """QuestDB interval scan: `'2024-01'`-style strings become partition
         + row-group pruned range reads (IntervalFwdPartitionFrameCursor)."""
+        from datetime import timedelta
+
         lo, hi = parse_interval_string(interval)
         ts = F.col(self.ts_col)
         # Spark can't derive part_date bounds from the ts predicate — add the
@@ -102,10 +122,15 @@ class TimeTable:
         # (the ts PushedFilters then prune row groups within survivors).
         # Filter BEFORE dedup: ts is part of the dedup grain, so range-
         # filtering first is semantics-preserving and keeps the pushdown.
+        # Bounds are truncated to the PARTITION unit: a partition's value is
+        # its period START, so a mid-period `lo` must not exclude the
+        # partition containing it; `hi` is exclusive, so bound by hi - 1µs.
         part = F.col(PARTITION_COL)
+        lo_p = self._part_bound(lo)
+        hi_p = self._part_bound(hi - timedelta(microseconds=1))
         df = self.spark.read.parquet(self.path).filter(
-            (part >= F.lit(lo.date().isoformat()).cast("date"))
-            & (part <= F.lit(hi.date().isoformat()).cast("date"))
+            (part >= F.lit(lo_p))
+            & (part <= F.lit(hi_p))
             & (ts >= F.lit(lo.isoformat(sep=" ")).cast("timestamp"))
             & (ts < F.lit(hi.isoformat(sep=" ")).cast("timestamp"))
         )
@@ -143,12 +168,20 @@ class TimeTable:
     def drop_partition(self, interval: str) -> None:
         """ALTER TABLE DROP PARTITION equivalents: remove partition dirs in
         a time range (no data rewrite)."""
+        from datetime import datetime
+
         lo, hi = parse_interval_string(interval)
         df = self.spark.read.parquet(self.path)
+
+        def start_of(p) -> datetime:
+            if isinstance(p, str):  # hour partitions: 'yyyy-MM-dd-HH'
+                return datetime.strptime(p, "%Y-%m-%d-%H")
+            return datetime(p.year, p.month, p.day)
+
         parts = [
             r[PARTITION_COL]
             for r in df.select(PARTITION_COL).distinct().collect()
-            if lo.date() <= r[PARTITION_COL] < hi.date()
+            if lo <= start_of(r[PARTITION_COL]) < hi
         ]
         for p in parts:
             shutil.rmtree(os.path.join(self.path, f"{PARTITION_COL}={p}"), ignore_errors=True)

@@ -279,3 +279,19 @@ def test_salted_join_equals_plain(spark):
     pl = left.join(right, ["k"], "left").select("id", "w")
     sl = salted_join(left, right, ["k"], "left").select("id", "w")
     assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, sl.collect()))
+
+
+def test_asof_slave_column_collision_suffixed(spark):
+    """A slave column named like a master column must come back as
+    '<col>_slave', not as a duplicate column name."""
+    m = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1), 10.0)], ["id", "ts", "value"]
+    )
+    s = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0), 99.0)], ["ts", "value"]
+    )
+    out = asof_join(m, s, "ts")
+    assert out.columns.count("value") == 1
+    assert "value_slave" in out.columns
+    row = out.collect()[0]
+    assert row["value"] == 10.0 and row["value_slave"] == 99.0

@@ -78,3 +78,37 @@ def test_events_scan_prunes_partitions_with_interval(spark):
     # the scan must still only read the two needed columns
     cols = read_schema_columns(df)
     assert set(cols) <= {"event_id", "ts"}
+
+
+def test_window_join_bucketed_equijoin(spark):
+    """WINDOW JOIN must join on (keys, time-bucket), not keys alone: the
+    bucket key bounds pair materialization on hot keys, and the exact range
+    check stays a post-filter. Also verifies results against brute force on
+    a dense single-key fixture (the worst case for a keys-only join)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from questdb_spark.operators.window_join import window_join
+
+    base = datetime(2024, 1, 1)
+    master = spark.createDataFrame(
+        [(i, "k", base + timedelta(minutes=7 * i)) for i in range(120)],
+        ["mid", "key", "ts"],
+    )
+    slave = spark.createDataFrame(
+        [(j, "k", base + timedelta(minutes=j), float(j)) for j in range(900)],
+        ["sid", "key", "ts", "v"],
+    )
+    out = window_join(
+        master, slave, "ts", ["key"], "-30 minutes", "30 minutes",
+        {"n": F.count("s.v"), "sv": F.sum("s.v")}, "mid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan  # bucket participates in the equi-join keys
+    got = {r["mid"]: (r["n"], r["sv"]) for r in out.collect()}
+    for i in range(120):
+        mt = 7 * i
+        js = [j for j in range(900) if mt - 30 <= j <= mt + 30]
+        assert got[i][0] == len(js), i
+        assert got[i][1] == (float(sum(js)) if js else None), i

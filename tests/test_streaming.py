@@ -90,6 +90,26 @@ def test_ingest_dedup_upsert(spark):
         }
 
 
+def test_ingest_intra_batch_dedup_order(spark):
+    """Duplicates for the same (sym, ts) WITHIN one micro-batch must resolve
+    last-write-wins in arrival order (WAL commit order), not tie arbitrarily
+    on the batch id."""
+    dup_lines = [
+        'trades,sym=AAPL,side=buy price=1.0,size=1i 1704067200000000000',
+        'trades,sym=AAPL,side=buy price=2.0,size=2i 1704067200000000000',
+        'trades,sym=AAPL,side=buy price=3.0,size=3i 1704067200000000000',
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = os.path.join(tmp, "in")
+        out_dir = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(in_dir)
+        _run_ingest_batch(spark, dup_lines, in_dir, out_dir, ckpt, "dups.txt")
+        view = read_deduped(spark, out_dir, "ts", ["sym"]).collect()
+        assert len(view) == 1
+        assert view[0]["price"] == 3.0 and view[0]["size"] == 3
+
+
 def test_sample_by_matview(spark):
     with tempfile.TemporaryDirectory() as tmp:
         in_dir = os.path.join(tmp, "in")

@@ -124,3 +124,37 @@ def test_explain_surface(spark):
     eng.register("events", load_table(spark, SF_DIR, "events"), designated_ts="ts")
     txt = eng.explain("SELECT ts, count(*) AS n FROM events SAMPLE BY 1h", "simple")
     assert "HashAggregate" in txt and "FileScan" in txt
+
+
+def test_hour_partition_granularity(spark, tmppath):
+    """partition_by='hour' must create one partition PER HOUR (not per day),
+    prune interval scans to the hour, and drop single-hour partitions."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="hour")
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.write(df)
+    dirs = sorted(p for p in os.listdir(tmppath) if p.startswith("part_date="))
+    assert dirs == [
+        "part_date=2024-01-01-10",
+        "part_date=2024-01-01-11",
+        "part_date=2024-01-02-09",
+        "part_date=2024-01-03-08",
+        "part_date=2024-01-03-09",
+    ]
+    got = t.scan_interval("2024-01-01T11").select("id").collect()
+    assert [r["id"] for r in got] == [2]
+    # partition pruning visible in the plan: only the 11:00 dir survives
+    plan = plan_text(t.scan_interval("2024-01-01T11"))
+    assert "2024-01-01-10" not in plan
+    t.drop_partition("2024-01-03T08")
+    remaining = {r["id"] for r in t.read(dedup=False).collect()}
+    assert remaining == {1, 2, 3, 5}
+
+
+def test_month_partition_midmonth_scan(spark, tmppath):
+    """A mid-month interval must NOT prune away the month partition that
+    contains it (partition value = period start)."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="month")
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.write(df)
+    got = {r["id"] for r in t.scan_interval("2024-01-02").collect()}
+    assert got == {3}
