@@ -145,6 +145,9 @@ def sample_by(
     keys = list(keys)
     if align not in ("calendar", "first_observation"):
         raise ValueError(f"unknown align mode: {align!r}")
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        # unix_micros needs TIMESTAMP; session tz is UTC so the cast is exact
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if from_ts is not None:
         df = df.filter(F.col(ts_col) >= F.lit(from_ts).cast("timestamp"))
     if to_ts is not None:

@@ -1,0 +1,313 @@
+"""Registry queries routed through the QuestDB-dialect SQL front-end
+(``QdbEngine.sql``) instead of hand-built DataFrames, so the parser +
+lowering layer itself is oracle-verified by the driver.
+
+Each query here is the SQL-text twin of an operator elsewhere in the
+registry; the DuckDB oracle is written independently in ANSI SQL. Covers
+the dialect surface of ``griffin/SqlParser.java``: SAMPLE BY (:4284,
+calendar and FIRST OBSERVATION alignment), LATEST ON (:4246), ASOF JOIN
+(:5069), WINDOW JOIN (:4754), HORIZON JOIN (:4895), PIVOT (:4260),
+DECLARE (:3604), negative LIMIT, multi-join FROM clauses and subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.parquet import load_table
+from .sqlfront.engine import QdbEngine
+
+_MASTER_SQL = """
+SELECT event_id, user_id, ts, value AS click_value FROM events WHERE event_type = 'click'
+"""
+_SLAVE_SQL = """
+SELECT user_id, ts, FIRST(value ORDER BY event_id DESC) AS purchase_value
+FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+"""
+
+
+def _engine(spark: SparkSession, sf: str, tables: dict[str, str]) -> QdbEngine:
+    """QdbEngine with the named parquet tables registered
+    (table → designated timestamp column, '' for none)."""
+    eng = QdbEngine(spark)
+    for t, ts_col in tables.items():
+        eng.register(
+            t,
+            load_table(spark, sf, t),
+            designated_ts=ts_col or None,
+            # LATEST ON tie-break: QuestDB resolves equal timestamps by
+            # physical row order; event_id is this table's total order
+            tiebreak="event_id" if t == "events" else None,
+        )
+    return eng
+
+
+def _register_streams(eng: QdbEngine, spark: SparkSession, sf: str) -> None:
+    """clicks (master) / purchases (slave, deduped per (user_id, ts)) —
+    same carve-out as ``queries_timeseries._master_slave``."""
+    ev = load_table(spark, sf, "events")
+    master = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    slave = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.col("value"), F.col("event_id")).alias("purchase_value"))
+    )
+    eng.register("clicks", master, designated_ts="ts")
+    eng.register("purchases", slave, designated_ts="ts")
+
+
+# --------------------------------------------------------------------------
+# SAMPLE BY through SQL text
+# --------------------------------------------------------------------------
+
+def sql_sample_by(spark: SparkSession, sf: str) -> DataFrame:
+    """``SAMPLE BY 1h`` parsed from SQL text (SqlParser.java:4284)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT ts, event_type, "
+        "cast(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_value, "
+        "count(*) AS n "
+        "FROM events SAMPLE BY 1h"
+    )
+
+
+SQL_SAMPLE_BY_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts, event_type,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def sql_sample_by_first_obs(spark: SparkSession, sf: str) -> DataFrame:
+    """``SAMPLE BY 90m ALIGN TO FIRST OBSERVATION`` from SQL text
+    (SqlParser.java:4284-4366)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.register(
+        "clicks_all",
+        load_table(spark, sf, "events").filter(F.col("event_type") == "click"),
+        designated_ts="ts",
+    )
+    return eng.sql(
+        "SELECT ts, count(*) AS n, max(value) AS max_value "
+        "FROM clicks_all SAMPLE BY 90m ALIGN TO FIRST OBSERVATION"
+    )
+
+
+SQL_SAMPLE_BY_FIRST_OBS_SQL = """
+WITH e AS (SELECT * FROM events WHERE event_type = 'click'),
+o AS (SELECT MIN(ts) AS origin FROM e)
+SELECT
+  o.origin + to_microseconds(
+    CAST(FLOOR(date_diff('microsecond', o.origin, e.ts) / 5400000000) * 5400000000 AS BIGINT)
+  ) AS ts,
+  COUNT(*) AS n, MAX(e.value) AS max_value
+FROM e, o GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# LATEST ON / negative LIMIT / DECLARE
+# --------------------------------------------------------------------------
+
+def sql_latest_on(spark: SparkSession, sf: str) -> DataFrame:
+    """``LATEST ON ts PARTITION BY user_id, event_type`` from SQL text
+    (SqlParser.java:4246)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    df = eng.sql("SELECT * FROM events LATEST ON ts PARTITION BY user_id, event_type")
+    return df.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+SQL_LATEST_ON_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def sql_declare_neg_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """``DECLARE @et := 'click', @n := 25 SELECT ... LIMIT -@n`` — variable
+    bindings (SqlParser.java:3604) + negative-limit tail rewrite."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "DECLARE @et := 'click', @n := 25 "
+        "SELECT event_id, ts, value FROM events WHERE event_type = @et LIMIT -@n"
+    )
+
+
+SQL_DECLARE_NEG_LIMIT_SQL = """
+SELECT event_id, ts, value FROM events WHERE event_type = 'click'
+ORDER BY ts DESC LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-series joins through SQL text
+# --------------------------------------------------------------------------
+
+def sql_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """``ASOF JOIN ... ON (user_id)`` from SQL text (SqlParser.java:5069)."""
+    eng = _engine(spark, sf, {})
+    _register_streams(eng, spark, sf)
+    df = eng.sql("SELECT * FROM clicks ASOF JOIN purchases ON (user_id)")
+    return df.select(
+        "event_id", "user_id", "ts", "click_value",
+        F.col("slave_ts").alias("purchase_ts"), "purchase_value",
+    )
+
+
+SQL_ASOF_JOIN_SQL = f"""
+WITH m AS ({_MASTER_SQL}), s AS ({_SLAVE_SQL})
+SELECT m.event_id, m.user_id, m.ts, m.click_value,
+  (SELECT s.ts FROM s WHERE s.user_id = m.user_id AND s.ts <= m.ts
+   ORDER BY s.ts DESC LIMIT 1) AS purchase_ts,
+  (SELECT s.purchase_value FROM s WHERE s.user_id = m.user_id AND s.ts <= m.ts
+   ORDER BY s.ts DESC LIMIT 1) AS purchase_value
+FROM m
+"""
+
+
+def sql_window_join(spark: SparkSession, sf: str) -> DataFrame:
+    """``WINDOW JOIN ... RANGE BETWEEN 1 hour PRECEDING AND 1 hour
+    FOLLOWING`` from SQL text (SqlParser.java:4754)."""
+    eng = _engine(spark, sf, {})
+    _register_streams(eng, spark, sf)
+    return eng.sql(
+        "SELECT event_id, user_id, ts, click_value, "
+        "count(p.purchase_value) AS n_purchases, "
+        "cast(cast(sum(cast(p.purchase_value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_purchases "
+        "FROM clicks WINDOW JOIN purchases p ON (user_id) "
+        "RANGE BETWEEN 1 hour PRECEDING AND 1 hour FOLLOWING"
+    )
+
+
+SQL_WINDOW_JOIN_SQL = f"""
+WITH m AS ({_MASTER_SQL}), s AS ({_SLAVE_SQL})
+SELECT m.event_id, m.user_id, m.ts, m.click_value,
+  COUNT(s.purchase_value) AS n_purchases,
+  CAST(CAST(SUM(CAST(s.purchase_value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_purchases
+FROM m LEFT JOIN s ON s.user_id = m.user_id
+  AND s.ts >= m.ts - INTERVAL 1 HOUR AND s.ts <= m.ts + INTERVAL 1 HOUR
+GROUP BY m.event_id, m.user_id, m.ts, m.click_value
+"""
+
+
+def sql_horizon_markout(spark: SparkSession, sf: str) -> DataFrame:
+    """``HORIZON JOIN ... RANGE FROM 0s TO 30m STEP 10m AS h GROUP BY
+    h.offset`` — markout aggregate form from SQL text
+    (SqlParser.java:4895, MarkoutHorizonRecordCursorFactory.java:95)."""
+    eng = _engine(spark, sf, {})
+    _register_streams(eng, spark, sf)
+    ev = load_table(spark, sf, "events")
+    eng.register(
+        "signups",
+        ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts"),
+        designated_ts="ts",
+    )
+    return eng.sql(
+        "SELECT h.offset, count(*) AS n_masters, count(p.ts) AS n_matched "
+        "FROM signups HORIZON JOIN purchases p ON (user_id) "
+        "RANGE FROM 0s TO 30m STEP 10m AS h GROUP BY h.offset"
+    )
+
+
+SQL_HORIZON_MARKOUT_SQL = f"""
+WITH m0 AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+s AS ({_SLAVE_SQL}),
+m AS (
+  SELECT m0.*, CAST(o."offset" AS BIGINT) AS "offset",
+    m0.ts + to_microseconds(o."offset") AS hts
+  FROM m0 CROSS JOIN (VALUES (0), (600000000), (1200000000), (1800000000)) AS o("offset")
+)
+SELECT m."offset", COUNT(*) AS n_masters,
+  COUNT((SELECT s.ts FROM s WHERE s.user_id = m.user_id AND s.ts <= m.hts
+         ORDER BY s.ts DESC LIMIT 1)) AS n_matched
+FROM m GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-join / subquery / PIVOT
+# --------------------------------------------------------------------------
+
+def sql_multi_join_sample_by(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI ``JOIN`` inside a dialect query: orders x customer, filtered,
+    daily SAMPLE BY — multi-join FROM clauses in the clause parser."""
+    eng = _engine(spark, sf, {"orders": "o_orderdate", "customer": ""})
+    return eng.sql(
+        "SELECT o_orderdate, count(*) AS n, "
+        "cast(cast(sum(cast(o_totalprice AS decimal(14,2))) AS decimal(24,2)) AS double) AS rev "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' SAMPLE BY 1d"
+    )
+
+
+SQL_MULTI_JOIN_SQL = """
+SELECT time_bucket(INTERVAL 1 DAY, CAST(o.o_orderdate AS TIMESTAMP)) AS o_orderdate,
+  COUNT(*) AS n,
+  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(24,2)) AS DOUBLE) AS rev
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
+def sql_subquery_dialect(spark: SparkSession, sf: str) -> DataFrame:
+    """Dialect clause INSIDE a FROM subquery: LATEST ON per user, outer
+    plain aggregation over the latest rows."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_type, count(*) AS n_users, "
+        "cast(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_latest "
+        "FROM (SELECT * FROM events LATEST ON ts PARTITION BY user_id) "
+        "GROUP BY event_type"
+    )
+
+
+SQL_SUBQUERY_DIALECT_SQL = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT event_type, COUNT(*) AS n_users,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_latest
+FROM latest GROUP BY event_type
+"""
+
+
+def sql_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """``PIVOT (agg FOR col IN (...))`` (SqlParser.java:4260) — Spark SQL
+    PIVOT is a direct passthrough; counts per user bucketed by type."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    df = eng.sql(
+        "SELECT * FROM (SELECT event_type, user_id FROM events) "
+        "PIVOT (count(event_type) FOR event_type IN "
+        "('click', 'purchase', 'signup', 'logout', 'view'))"
+    )
+    return df.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("n_click"),
+        F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        F.coalesce("signup", F.lit(0)).alias("n_signup"),
+        F.coalesce("logout", F.lit(0)).alias("n_logout"),
+        F.coalesce("view", F.lit(0)).alias("n_view"),
+    )
+
+
+SQL_PIVOT_SQL = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS n_click,
+  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+  COUNT(*) FILTER (event_type = 'logout') AS n_logout,
+  COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY user_id
+"""

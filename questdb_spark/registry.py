@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import queries_core as core
 from . import queries_functions as fn
 from . import queries_pipeline as pl
+from . import queries_sqlfront as sq
 from . import queries_timeseries as ts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -26,6 +27,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver already verified (CORRECTNESS_r01.json: all 50 pass) go LAST so every
 # registry entry eventually accumulates a driver-verified row.
 _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
+    # --- new this round: SQL front-end (QdbEngine.sql) routed queries ---
+    "sql_sample_by": (sq.sql_sample_by, sq.SQL_SAMPLE_BY_SQL),
+    "sql_sample_by_first_obs": (sq.sql_sample_by_first_obs, sq.SQL_SAMPLE_BY_FIRST_OBS_SQL),
+    "sql_latest_on": (sq.sql_latest_on, sq.SQL_LATEST_ON_SQL),
+    "sql_declare_neg_limit": (sq.sql_declare_neg_limit, sq.SQL_DECLARE_NEG_LIMIT_SQL),
+    "sql_asof_join": (sq.sql_asof_join, sq.SQL_ASOF_JOIN_SQL),
+    "sql_window_join": (sq.sql_window_join, sq.SQL_WINDOW_JOIN_SQL),
+    "sql_horizon_markout": (sq.sql_horizon_markout, sq.SQL_HORIZON_MARKOUT_SQL),
+    "sql_multi_join_sample_by": (sq.sql_multi_join_sample_by, sq.SQL_MULTI_JOIN_SQL),
+    "sql_subquery_dialect": (sq.sql_subquery_dialect, sq.SQL_SUBQUERY_DIALECT_SQL),
+    "sql_pivot": (sq.sql_pivot, sq.SQL_PIVOT_SQL),
     # --- new this round ---
     "dedup_jaccard_guarded": (pl.dedup_jaccard_guarded, pl.DEDUP_JACCARD_GUARDED_SQL),
     "markout_horizon_agg": (ts.markout_horizon_agg, ts.MARKOUT_HORIZON_AGG_SQL),

@@ -25,7 +25,8 @@ from ..operators.intervals import parse_interval_string
 from ..operators.latest import latest_on
 from ..operators.limits import limit_signed
 from ..operators.sample_by import sample_by
-from .parser import QdbQuery, SelectItem, parse
+from ..operators.window_join import markout_agg, window_join
+from .parser import QdbQuery, SelectItem, expand_declare, parse
 
 _AGG_FNS = (
     "sum|avg|count|min|max|first|last|stddev|stddev_samp|stddev_pop|variance|"
@@ -43,17 +44,30 @@ class QdbEngine:
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.designated_ts: dict[str, str] = {}
+        self.tiebreak: dict[str, str] = {}
 
-    def register(self, name: str, df: DataFrame, designated_ts: str | None = None) -> None:
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        designated_ts: str | None = None,
+        tiebreak: str | None = None,
+    ) -> None:
+        """``tiebreak``: column making LATEST ON deterministic when several
+        rows share a timestamp within a key (QuestDB resolves by physical
+        row order — ``LatestByAllIndexedRecordCursorFactory``; a batch
+        engine needs an explicit total order)."""
         self.tables[name] = df
         if designated_ts:
             self.designated_ts[name] = designated_ts
+        if tiebreak:
+            self.tiebreak[name] = tiebreak
         df.createOrReplaceTempView(name)
 
     # ------------------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """Execute a QuestDB-dialect query."""
-        rewritten = self._rewrite_intervals(query)
+        rewritten = self._rewrite_intervals(expand_declare(query))
         if not self._needs_dialect(rewritten):
             return self.spark.sql(rewritten)
         q = parse(rewritten)
@@ -71,7 +85,7 @@ class QdbEngine:
         return bool(
             re.search(
                 r"\b(SAMPLE\s+BY|LATEST\s+ON|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|"
-                r"LIMIT\s+-\d+)\b",
+                r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+)\b",
                 s,
                 re.IGNORECASE,
             )
@@ -97,14 +111,27 @@ class QdbEngine:
 
     # ------------------------------------------------------------------
     def _table(self, name: str, alias: str | None) -> DataFrame:
-        if name not in self.tables:
-            raise ValueError(f"unknown table: {name}")
-        df = self.tables[name]
+        """Resolve a FROM/JOIN source: a registered table, a temp view, or a
+        parenthesized subquery (recursively lowered — dialect clauses inside
+        subqueries work, ``SqlParser.java`` parseSubQuery equivalent)."""
+        if name.startswith("("):
+            df = self.sql(name[1:-1])
+        elif name in self.tables:
+            df = self.tables[name]
+        else:
+            df = self.spark.table(name)  # temp views / catalog tables
         return df.alias(alias) if alias else df
 
     def _lower(self, q: QdbQuery) -> DataFrame:
         df = self._table(q.table, q.table_alias)
         ts_col = self.designated_ts.get(q.table, "ts")
+
+        for j in q.sql_joins:  # plain ANSI joins, in textual order
+            other = self._table(j.table, j.alias)
+            if j.how == "cross":
+                df = df.crossJoin(other)
+            else:
+                df = df.join(other, on=F.expr(j.on) if j.on else None, how=j.how)
 
         if q.join is not None:
             other = self._table(q.join.table, q.join.alias)
@@ -119,13 +146,21 @@ class QdbEngine:
 
         if q.latest_on is not None:
             lts, keys = q.latest_on
-            df = latest_on(df, lts, keys)
+            df = latest_on(df, lts, keys, tiebreak=self.tiebreak.get(q.table))
+
+        if q.window_join is not None:
+            return self._finish(self._lower_window_join(df, q, ts_col), q, ts_col)
+        if q.horizon_join is not None:
+            return self._finish(self._lower_horizon_join(df, q, ts_col), q, ts_col)
 
         if q.sample_by is not None:
             df = self._lower_sample_by(df, q, ts_col)
         else:
             df = self._project(df, q)
 
+        return self._finish(df, q, ts_col)
+
+    def _finish(self, df: DataFrame, q: QdbQuery, ts_col: str) -> DataFrame:
         if q.order_by:
             df = df.orderBy(*[_order_col(o) for o in q.order_by.split(",")])
         if q.limit is not None:
@@ -139,20 +174,104 @@ class QdbEngine:
                 df = df.limit(lo)
         return df
 
+    # -- WINDOW JOIN / HORIZON JOIN lowering ---------------------------------
+    def _lower_window_join(self, df: DataFrame, q: QdbQuery, ts_col: str) -> DataFrame:
+        """``WINDOW JOIN slave [ON (keys)] RANGE BETWEEN x PRECEDING AND y
+        FOLLOWING`` (``SqlParser.java:4754``): aggregate select items run over
+        the slave rows in each master row's window; the rest are per-master
+        passthrough columns."""
+        spec = q.window_join
+        if spec.include_prevailing:
+            raise ValueError("INCLUDE PREVAILING is not supported yet")
+        slave_ts = self.designated_ts.get(spec.table, "ts")
+        slave = self._table(spec.table, None)
+        if slave_ts != ts_col:
+            slave = slave.withColumnRenamed(slave_ts, ts_col)
+        m_alias = q.table_alias or q.table
+        s_alias = spec.alias or spec.table
+
+        def strip_m(e: str) -> str:
+            return re.sub(rf"\b{re.escape(m_alias)}\.", "", e)
+
+        def to_s(e: str) -> str:
+            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", strip_m(e))
+
+        agg_items = [i for i in q.select_items if _AGG_RE.search(i.expr)]
+        pass_items = [i for i in q.select_items if not _AGG_RE.search(i.expr)]
+        mcols = [strip_m(i.expr).strip() for i in pass_items]
+        for extra in (ts_col, *spec.keys):
+            if extra not in mcols:
+                mcols.append(extra)
+        for c in mcols:
+            if not re.fullmatch(r"\w+", c):
+                raise ValueError(
+                    f"WINDOW JOIN master select items must be plain columns: {c!r}"
+                )
+        master = df.select(*mcols)
+        aggs = {i.out_name: F.expr(to_s(i.expr)) for i in agg_items}
+        out = window_join(
+            master, slave, ts_col, spec.keys, spec.lo, spec.hi, aggs,
+            master_id=mcols[0],
+        )
+        names = [
+            (i.alias or strip_m(i.expr).strip()) if i in pass_items else i.out_name
+            for i in q.select_items
+        ]
+        sel = [
+            F.col(strip_m(i.expr).strip()).alias(n) if i in pass_items else F.col(n)
+            for i, n in zip(q.select_items, names)
+        ]
+        return out.select(*sel)
+
+    def _lower_horizon_join(self, df: DataFrame, q: QdbQuery, ts_col: str) -> DataFrame:
+        """``HORIZON JOIN slave [ON (keys)] RANGE FROM f TO t STEP s AS h`` +
+        ``GROUP BY h.offset`` — the markout aggregate form
+        (``MarkoutHorizonRecordCursorFactory.java:95``). ``h.offset`` is the
+        horizon offset in microseconds."""
+        spec = q.horizon_join
+        slave_ts = self.designated_ts.get(spec.table, "ts")
+        slave = self._table(spec.table, None)
+        if slave_ts != ts_col:
+            slave = slave.withColumnRenamed(slave_ts, ts_col)
+        m_alias = q.table_alias or q.table
+        s_alias = spec.alias or spec.table
+
+        def xlate(e: str) -> str:
+            e = re.sub(rf"\b{re.escape(spec.range_alias)}\.offset\b", "offset", e)
+            e = re.sub(rf"\b{re.escape(s_alias)}\.{re.escape(ts_col)}\b", "slave_ts", e)
+            e = re.sub(rf"\b{re.escape(s_alias)}\.", "", e)
+            return re.sub(rf"\b{re.escape(m_alias)}\.", "", e)
+
+        agg_items = [i for i in q.select_items if _AGG_RE.search(i.expr)]
+        aggs = {i.out_name: F.expr(xlate(i.expr)) for i in agg_items}
+        extra_keys = [
+            xlate(g).strip() for g in q.group_by if xlate(g).strip() != "offset"
+        ]
+        out = markout_agg(
+            df, slave, ts_col, spec.keys, spec.frm, spec.to, spec.step, aggs,
+            extra_keys=extra_keys, offset_col="offset",
+        )
+        sel = []
+        for i in q.select_items:
+            if i in agg_items:
+                sel.append(F.col(i.out_name))
+            else:
+                name = i.alias or xlate(i.expr).strip()
+                sel.append(F.expr(xlate(i.expr)).alias(name))
+        return out.select(*sel)
+
     def _project(self, df: DataFrame, q: QdbQuery) -> DataFrame:
         items = q.select_items
-        if len(items) == 1 and items[0].expr == "*":
-            out = df
-        else:
-            out = df.select(*[_item_col(i) for i in items])
         if q.group_by:
-            aggs = [i for i in q.select_items if _AGG_RE.search(i.expr)]
-            keys = [i for i in q.select_items if not _AGG_RE.search(i.expr)]
-            out = (
+            aggs = [i for i in items if _AGG_RE.search(i.expr)]
+            keys = [i for i in items if not _AGG_RE.search(i.expr)]
+            return (
                 df.groupBy(*[F.expr(k.expr).alias(k.out_name) for k in keys])
                 .agg(*[_item_col(a) for a in aggs])
             )
-        return out
+        if len(items) == 1 and items[0].expr == "*":
+            return df
+        return df.select(*[_item_col(i) for i in items])
 
     def _lower_sample_by(self, df: DataFrame, q: QdbQuery, ts_col: str) -> DataFrame:
         sb = q.sample_by
@@ -190,6 +309,7 @@ class QdbEngine:
             offset_us=parse_offset(sb.offset) if sb.offset else 0,
             tz=sb.tz,
             bucket_name=bucket_name,
+            align=sb.align,
         )
 
 

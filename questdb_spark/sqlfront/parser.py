@@ -2,14 +2,18 @@
 skeleton and leaves everything inside expressions to Spark SQL.
 
 Reference grammar points (``griffin/SqlParser.java``): SAMPLE BY :4284-4366
-(FROM/TO, ALIGN TO), LATEST ON :4246, ASOF/LT/SPLICE JOIN + TOLERANCE
-:5069, negative LIMIT (``SqlOptimiser`` rewriteNegativeLimit), interval
-strings in WHERE (``WhereClauseParser.java:77``).
+(FROM/TO, ALIGN TO CALENDAR / FIRST OBSERVATION), LATEST ON :4246,
+ASOF/LT/SPLICE JOIN + TOLERANCE :5069, WINDOW JOIN :4754 (RANGE BETWEEN
+bounds + PREVAILING), HORIZON JOIN :4895 (RANGE FROM/TO/STEP AS alias),
+PIVOT :4260, negative LIMIT (``SqlOptimiser`` rewriteNegativeLimit),
+interval strings in WHERE (``WhereClauseParser.java:77``).
 
 This is deliberately a *clause-level* parser: select-list items, predicates
 and aggregate expressions are opaque strings handed to ``F.expr`` — Spark's
 own parser (and Catalyst) does the heavy lifting, matching the engine's
-Spark-first design.
+Spark-first design. Clause keywords are recognized ONLY at paren/quote
+depth 0, so subqueries, string literals and ``substring(x FROM 1)`` can't
+corrupt the clause skeleton.
 """
 
 from __future__ import annotations
@@ -40,6 +44,27 @@ class JoinSpec:
 
 
 @dataclass
+class WindowJoinSpec:
+    table: str
+    alias: str | None
+    keys: list[str]
+    lo: str  # SQL interval string, e.g. '-30 seconds'
+    hi: str
+    include_prevailing: bool
+
+
+@dataclass
+class HorizonJoinSpec:
+    table: str
+    alias: str | None
+    keys: list[str]
+    frm: str  # SQL interval strings for markout RANGE FROM/TO/STEP
+    to: str
+    step: str
+    range_alias: str  # the `AS h` name exposing h.offset
+
+
+@dataclass
 class SampleBySpec:
     interval: str  # QuestDB spec, e.g. '1h'
     fill: str | None  # none|null|prev|linear|<const>
@@ -47,12 +72,22 @@ class SampleBySpec:
     to_ts: str | None
     tz: str | None = None         # ALIGN TO CALENDAR TIME ZONE '<tz>'
     offset: str | None = None     # WITH OFFSET 'hh:mm'
+    align: str = "calendar"       # 'calendar' | 'first_observation'
+
+
+@dataclass
+class SqlJoinSpec:
+    """A plain ANSI join inside a dialect query (multi-join FROM clauses)."""
+    how: str  # 'inner' | 'left' | 'right' | 'full' | 'cross'
+    table: str  # table name or '(subquery)'
+    alias: str | None
+    on: str | None  # raw ON expression, handed to F.expr
 
 
 @dataclass
 class QdbQuery:
     select_items: list[SelectItem]
-    table: str
+    table: str  # table name or '(subquery)'
     table_alias: str | None
     join: JoinSpec | None
     where: str | None
@@ -61,14 +96,26 @@ class QdbQuery:
     group_by: list[str] = field(default_factory=list)
     order_by: str | None = None
     limit: tuple[int, int | None] | None = None  # (lo/hi) or (n, None)
+    window_join: WindowJoinSpec | None = None
+    horizon_join: HorizonJoinSpec | None = None
+    sql_joins: list[SqlJoinSpec] = field(default_factory=list)
 
 
-_KEYWORDS_SPLIT = re.compile(
-    r"\b(FROM|WHERE|LATEST\s+ON|SAMPLE\s+BY|GROUP\s+BY|ORDER\s+BY|LIMIT|"
-    r"ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN)\b",
+# clause keywords, longest-match-first; recognized at depth 0 only
+_CLAUSE_KEYWORDS = [
+    "LATEST ON", "SAMPLE BY", "GROUP BY", "ORDER BY",
+    "ASOF JOIN", "LT JOIN", "SPLICE JOIN", "WINDOW JOIN", "HORIZON JOIN",
+    "LEFT OUTER JOIN", "RIGHT OUTER JOIN", "FULL OUTER JOIN",
+    "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN", "CROSS JOIN",
+    "JOIN", "FROM", "WHERE", "LIMIT",
+]
+_KW_RE = re.compile(
+    "|".join(r"\b" + kw.replace(" ", r"\s+") + r"\b" for kw in _CLAUSE_KEYWORDS),
     re.IGNORECASE,
 )
 
+_QDB_UNIT = {"U": "microsecond", "T": "millisecond", "s": "second",
+             "m": "minute", "h": "hour", "d": "day", "w": "week"}
 _TOL_UNIT = {"s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY"}
 
 
@@ -100,6 +147,49 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
     return [p for p in parts if p]
 
 
+def depth0_spans(s: str) -> list[tuple[int, int]]:
+    """Maximal [start, end) spans of `s` at paren/quote depth 0."""
+    spans, depth, q, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+                if depth == 0:
+                    start = i + 1  # resume after the literal closes
+            continue
+        if ch in "'\"":
+            if depth == 0 and start < i:
+                spans.append((start, i))
+            q = ch
+        elif ch == "(":
+            if depth == 0 and start < i:
+                spans.append((start, i))
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                start = i + 1
+    if depth == 0 and q is None and start < len(s):
+        spans.append((start, len(s)))
+    return spans
+
+
+def _clause_splits(s: str) -> list[tuple[int, int, str]]:
+    """(start, end, normalized_keyword) for every depth-0 clause keyword,
+    skipping FROM when it belongs to `RANGE FROM` / `SAMPLE BY ... FROM`."""
+    out = []
+    for lo, hi in depth0_spans(s):
+        for m in _KW_RE.finditer(s, lo, hi):
+            kw = re.sub(r"\s+", " ", m.group(0).upper())
+            if kw == "FROM":
+                prev = s[:m.start()].rstrip()
+                last_word = prev.split()[-1].upper() if prev.split() else ""
+                if last_word == "RANGE":
+                    continue  # HORIZON JOIN ... RANGE FROM
+            out.append((m.start(), m.end(), kw))
+    return out
+
+
 def _parse_item(item: str) -> SelectItem:
     m = re.match(r"^(.*?)\s+[aA][sS]\s+([\w\"]+)$", item.strip(), re.DOTALL)
     if m:
@@ -107,30 +197,67 @@ def _parse_item(item: str) -> SelectItem:
     return SelectItem(item.strip(), None)
 
 
+def _qdb_interval_to_sql(spec: str) -> str:
+    """'30s' → '30 second' (for operators that take SQL interval strings)."""
+    m = re.match(r"^(-?\d+)\s*([UTsmhdw])$", spec.strip())
+    if not m:
+        raise ValueError(f"bad interval spec: {spec!r}")
+    return f"{m.group(1)} {_QDB_UNIT[m.group(2)]}"
+
+
+def expand_declare(sql: str) -> str:
+    """``DECLARE @a := <expr>[, @b := <expr>] SELECT ...`` → the SELECT with
+    every ``@name`` textually bound (``SqlParser.java:3604`` parseDeclare).
+    Bindings may reference earlier bindings."""
+    s = sql.strip()
+    m = re.match(r"^DECLARE\b", s, re.IGNORECASE)
+    if not m:
+        return sql
+    body = s[m.end():]
+    msel = re.search(r"\bSELECT\b", body, re.IGNORECASE)
+    if not msel:
+        raise ValueError("DECLARE without a SELECT")
+    decls, query = body[: msel.start()], body[msel.start():]
+    bindings: dict[str, str] = {}
+    for part in split_top_level(decls):
+        dm = re.match(r"^@(\w+)\s*:=\s*(.+)$", part.strip(), re.DOTALL)
+        if not dm:
+            raise ValueError(f"bad DECLARE binding: {part!r}")
+        val = dm.group(2).strip()
+        for name, v in bindings.items():  # earlier bindings visible
+            val = re.sub(rf"@{name}\b", v, val)
+        bindings[dm.group(1)] = val
+    for name, v in bindings.items():
+        query = re.sub(rf"@{name}\b", v, query)
+    return query
+
+
 def parse(sql: str) -> QdbQuery:
     """Parse one QuestDB-dialect SELECT into its clause skeleton."""
-    s = re.sub(r"\s+", " ", sql.strip()).rstrip(";")
+    s = re.sub(r"\s+", " ", expand_declare(sql).strip()).rstrip(";")
     if not re.match(r"^SELECT\b", s, re.IGNORECASE):
         raise ValueError("only SELECT supported by the dialect front-end")
 
-    # tokenize into clause segments
     body = s[len("SELECT "):]
-    pieces = _KEYWORDS_SPLIT.split(body)
-    # pieces = [select_list, KW, text, KW, text, ...]
-    select_items = [_parse_item(i) for i in split_top_level(pieces[0])]
+    splits = _clause_splits(body)
+    first = splits[0][0] if splits else len(body)
+    select_items = [_parse_item(i) for i in split_top_level(body[:first])]
     clauses: list[tuple[str, str]] = []
-    for i in range(1, len(pieces) - 1, 2):
-        kw = re.sub(r"\s+", " ", pieces[i].upper())
-        clauses.append((kw, pieces[i + 1].strip()))
+    for n, (st, en, kw) in enumerate(splits):
+        nxt = splits[n + 1][0] if n + 1 < len(splits) else len(body)
+        clauses.append((kw, body[en:nxt].strip()))
 
     table = table_alias = None
     join = None
+    window_join = None
+    horizon_join = None
     where = None
     latest = None
     sample = None
     group_by: list[str] = []
     order_by = None
     limit = None
+    sql_joins: list[SqlJoinSpec] = []
 
     for kw, text in clauses:
         if kw == "FROM" and text.lstrip().startswith("'") and sample is not None:
@@ -141,14 +268,25 @@ def parse(sql: str) -> QdbQuery:
                 raise ValueError(f"bad SAMPLE BY FROM/TO: {text!r}")
             sample.from_ts, sample.to_ts = mft.group(1), mft.group(2)
         elif kw == "FROM":
-            toks = text.split()
-            table = toks[0]
-            if len(toks) > 1 and toks[1].upper() != "AS":
-                table_alias = toks[1]
-            elif len(toks) > 2:
-                table_alias = toks[2]
+            table, table_alias, _rest = _parse_source(text)
+        elif kw.endswith("JOIN") and kw not in (
+            "ASOF JOIN", "LT JOIN", "SPLICE JOIN", "WINDOW JOIN", "HORIZON JOIN"
+        ):
+            how = kw.split()[0].lower() if kw != "JOIN" else "inner"
+            if how == "outer":  # defensive — kw always starts with the type
+                how = "full"
+            jt, ja, rest = _parse_source(text)
+            on = None
+            mo_on = re.match(r"^ON\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+            if mo_on:
+                on = mo_on.group(1).strip()
+            sql_joins.append(SqlJoinSpec(how, jt, ja, on))
         elif kw in ("ASOF JOIN", "LT JOIN", "SPLICE JOIN"):
             join = _parse_join(kw.split()[0].lower(), text)
+        elif kw == "WINDOW JOIN":
+            window_join = _parse_window_join(text)
+        elif kw == "HORIZON JOIN":
+            horizon_join = _parse_horizon_join(text)
         elif kw == "WHERE":
             where = text
         elif kw == "LATEST ON":
@@ -170,8 +308,71 @@ def parse(sql: str) -> QdbQuery:
         raise ValueError("no FROM clause")
     return QdbQuery(
         select_items, table, table_alias, join, where, latest, sample,
-        group_by, order_by, limit,
+        group_by, order_by, limit, window_join, horizon_join, sql_joins,
     )
+
+
+def _parse_source(text: str) -> tuple[str, str | None, str]:
+    """Leading ``<table> [AS] [alias]`` or ``(<subquery>) [AS] [alias]`` →
+    (table_or_parenthesized_subquery, alias, rest)."""
+    text = text.strip()
+    if text.startswith("("):
+        depth, q = 0, None
+        for i, ch in enumerate(text):
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    src = text[: i + 1]
+                    _, alias, rest = _split_table_alias("__sub " + text[i + 1:])
+                    return src, alias, rest
+        raise ValueError(f"unbalanced parens in FROM source: {text!r}")
+    return _split_table_alias(text)
+
+
+def _split_table_alias(text: str) -> tuple[str, str | None, str]:
+    """Leading `<table> [AS] [alias]` of a join clause → (table, alias, rest)."""
+    toks = text.split()
+    table = toks[0]
+    alias = None
+    used = 1
+    _KWS = {"ON", "TOLERANCE", "RANGE", "INCLUDE", "EXCLUDE", "WHERE", "ORDER",
+            "GROUP", "LIMIT", "SAMPLE", "LATEST"}
+    if len(toks) > 1 and toks[1].upper() == "AS" and len(toks) > 2:
+        alias, used = toks[2], 3
+    elif len(toks) > 1 and toks[1].upper() not in _KWS:
+        alias, used = toks[1], 2
+    return table, alias, " ".join(toks[used:])
+
+
+def _parse_on_keys(text: str) -> tuple[list[str], str]:
+    keys: list[str] = []
+    mo = re.match(r"^ON\s*\(([^)]*)\)\s*", text, re.IGNORECASE) or re.match(
+        r"^ON\s+([\w\s,]+?)(?=$|RANGE\b|TOLERANCE\b|INCLUDE\b|EXCLUDE\b)",
+        text, re.IGNORECASE,
+    )
+    if mo:
+        raw = mo.group(1)
+        # `a.sym = b.sym` equi-key form → the bare key column set
+        for part in raw.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            me = re.match(r"^(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)$", part)
+            if me:
+                if me.group(1) != me.group(2):
+                    raise ValueError(f"only equi-keys on same-named columns: {part!r}")
+                keys.append(me.group(1))
+            else:
+                keys.append(part.split(".")[-1])
+        text = text[mo.end():]
+    return keys, text.strip()
 
 
 def _parse_join(kind: str, text: str) -> JoinSpec:
@@ -180,17 +381,67 @@ def _parse_join(kind: str, text: str) -> JoinSpec:
     if m:
         tol = f"{m.group(1)} {_TOL_UNIT[m.group(2).lower()]}"
         text = text[: m.start()] + text[m.end():]
-    keys: list[str] = []
-    mo = re.search(r"\bON\s*\(?([\w\s,]+?)\)?\s*$", text, re.IGNORECASE)
-    if mo:
-        keys = [k.strip() for k in mo.group(1).split(",") if k.strip()]
-        text = text[: mo.start()]
-    toks = text.split()
-    table = toks[0]
-    alias = None
-    if len(toks) > 1:
-        alias = toks[2] if toks[1].upper() == "AS" and len(toks) > 2 else toks[1]
+    table, alias, rest = _split_table_alias(text.strip())
+    keys, _ = _parse_on_keys(rest)
     return JoinSpec(kind, table, alias, keys, tol)
+
+
+_BOUND_RE = re.compile(
+    r"RANGE\s+BETWEEN\s+(.+?)\s+(PRECEDING|FOLLOWING)\s+AND\s+(.+?)\s+"
+    r"(PRECEDING|FOLLOWING)",
+    re.IGNORECASE,
+)
+
+
+def _parse_bound(expr: str, direction: str) -> str:
+    """'30 seconds' / '1 minute' + PRECEDING|FOLLOWING → signed interval."""
+    m = re.match(r"^(\d+)\s*(\w+?)s?$", expr.strip(), re.IGNORECASE)
+    if not m:
+        raise ValueError(f"unsupported WINDOW JOIN bound: {expr!r} "
+                         "(only static numeric bounds)")
+    n, unit = int(m.group(1)), m.group(2).lower()
+    sign = -1 if direction.upper() == "PRECEDING" else 1
+    return f"{sign * n} {unit}"
+
+
+def _parse_window_join(text: str) -> WindowJoinSpec:
+    """``WINDOW JOIN slave [alias] [ON (keys)] RANGE BETWEEN x PRECEDING AND
+    y FOLLOWING [INCLUDE|EXCLUDE PREVAILING]`` (SqlParser.java:4754)."""
+    table, alias, rest = _split_table_alias(text.strip())
+    keys, rest = _parse_on_keys(rest)
+    m = _BOUND_RE.search(rest)
+    if not m:
+        # CURRENT ROW forms
+        m2 = re.search(
+            r"RANGE\s+BETWEEN\s+(.+?)\s+AND\s+(.+)", rest, re.IGNORECASE
+        )
+        raise ValueError(f"bad WINDOW JOIN RANGE clause: {rest!r}" if not m2 else
+                         f"unsupported WINDOW JOIN bounds: {m2.group(0)!r}")
+    lo = _parse_bound(m.group(1), m.group(2))
+    hi = _parse_bound(m.group(3), m.group(4))
+    prevailing = bool(re.search(r"\bINCLUDE\s+PREVAILING\b", rest, re.IGNORECASE))
+    return WindowJoinSpec(table, alias, keys, lo, hi, prevailing)
+
+
+def _parse_horizon_join(text: str) -> HorizonJoinSpec:
+    """``HORIZON JOIN slave [alias] [ON (keys)] RANGE FROM 0s TO 2s STEP 1s
+    AS h`` (SqlParser.java:4895, HorizonJoinTest.java:123)."""
+    table, alias, rest = _split_table_alias(text.strip())
+    keys, rest = _parse_on_keys(rest)
+    m = re.search(
+        r"RANGE\s+FROM\s+(-?\d+\s*[UTsmhdw])\s+TO\s+(-?\d+\s*[UTsmhdw])\s+"
+        r"STEP\s+(\d+\s*[UTsmhdw])\s+AS\s+(\w+)",
+        rest, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"bad HORIZON JOIN RANGE clause: {rest!r}")
+    return HorizonJoinSpec(
+        table, alias, keys,
+        _qdb_interval_to_sql(m.group(1)),
+        _qdb_interval_to_sql(m.group(2)),
+        _qdb_interval_to_sql(m.group(3)),
+        m.group(4),
+    )
 
 
 def _parse_sample_by(text: str) -> SampleBySpec:
@@ -208,10 +459,13 @@ def _parse_sample_by(text: str) -> SampleBySpec:
     if mr:
         from_ts, to_ts = mr.group(1), mr.group(2)
     tz = offset = None
+    align = "calendar"
+    if re.search(r"ALIGN\s+TO\s+FIRST\s+OBSERVATION", rest, re.IGNORECASE):
+        align = "first_observation"  # SqlParser.java:4284-4366
     mt = re.search(r"ALIGN\s+TO\s+CALENDAR(?:\s+TIME\s+ZONE\s+'([^']+)')?", rest, re.IGNORECASE)
     if mt:
         tz = mt.group(1)
     mo_ = re.search(r"WITH\s+OFFSET\s+'([^']+)'", rest, re.IGNORECASE)
     if mo_:
         offset = mo_.group(1)
-    return SampleBySpec(interval, fill, from_ts, to_ts, tz, offset)
+    return SampleBySpec(interval, fill, from_ts, to_ts, tz, offset, align)

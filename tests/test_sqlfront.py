@@ -197,3 +197,191 @@ def test_combined_asof_where_sample_by(eng, spark):
         F.count(F.lit(1)).alias("n"), F.max("purchase_value").alias("max_pv")
     )
     assert rows(df.select("ts", "n", "max_pv")) == rows(expected)
+
+
+# ---------------------------------------------------------------------------
+# round 2: WINDOW/HORIZON JOIN syntax, ALIGN TO FIRST OBSERVATION, subqueries,
+# multi-join, PIVOT passthrough, DECLARE, depth-0 clause robustness
+# ---------------------------------------------------------------------------
+
+def _register_streams(eng, spark):
+    from questdb_spark.queries_timeseries import _master_slave
+
+    master, slave = _master_slave(spark, SF_DIR)
+    eng.register("clicks", master, designated_ts="ts")
+    eng.register("purchases", slave, designated_ts="ts")
+    return master, slave
+
+
+def test_window_join_sql(eng, spark):
+    from questdb_spark.operators.window_join import window_join
+
+    master, slave = _register_streams(eng, spark)
+    out = eng.sql(
+        "SELECT event_id, user_id, ts, click_value, "
+        "count(p.purchase_value) AS n_purchases "
+        "FROM clicks WINDOW JOIN purchases p ON (user_id) "
+        "RANGE BETWEEN 1 hour PRECEDING AND 1 hour FOLLOWING"
+    )
+    expected = window_join(
+        master.select("event_id", "user_id", "ts", "click_value"),
+        slave, "ts", ["user_id"], "-1 hour", "1 hour",
+        {"n_purchases": F.count(F.col("s.purchase_value"))},
+        master_id="event_id",
+    )
+    assert rows(out) == rows(expected)
+
+
+def test_horizon_join_markout_sql(eng, spark):
+    from questdb_spark.operators.window_join import markout_agg
+
+    _, slave = _register_streams(eng, spark)
+    ev = load_table(spark, SF_DIR, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    eng.register("signups", signups, designated_ts="ts")
+    out = eng.sql(
+        "SELECT h.offset, count(*) AS n_masters, count(p.ts) AS n_matched "
+        "FROM signups HORIZON JOIN purchases p ON (user_id) "
+        "RANGE FROM 0s TO 30m STEP 10m AS h GROUP BY h.offset"
+    )
+    expected = markout_agg(
+        signups, slave, "ts", ["user_id"],
+        "0 second", "30 minute", "10 minute",
+        {"n_masters": F.count(F.lit(1)), "n_matched": F.count("slave_ts")},
+    )
+    assert rows(out) == rows(expected)
+
+
+def test_sample_by_first_observation_sql(eng, spark):
+    from questdb_spark.operators.sample_by import sample_by
+
+    df = eng.sql(
+        "SELECT ts, count(*) AS n FROM events SAMPLE BY 1h ALIGN TO FIRST OBSERVATION"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    expected = sample_by(
+        ev, "ts", "1h", {"n": F.count(F.lit(1))},
+        align="first_observation", bucket_name="ts",
+    )
+    assert rows(df) == rows(expected)
+
+
+def test_subquery_from_dialect_sql(eng, spark):
+    # inner plain-SQL subquery, outer SAMPLE BY
+    df = eng.sql(
+        "SELECT ts, count(*) AS n "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') SAMPLE BY 1d"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    expected = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert rows(df) == rows(expected)
+
+
+def test_subquery_with_dialect_inside(eng, spark):
+    # dialect clause INSIDE the subquery, plain outer aggregation
+    df = eng.sql(
+        "SELECT count(*) AS n "
+        "FROM (SELECT * FROM events LATEST ON ts PARTITION BY user_id)"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    assert df.collect()[0]["n"] == ev.select("user_id").distinct().count()
+
+
+def test_multi_join_sample_by_sql(eng, spark):
+    from questdb_spark.operators.sample_by import sample_by
+
+    for t in ("customer",):
+        eng.register(t, load_table(spark, SF_DIR, t))
+    df = eng.sql(
+        "SELECT o_orderdate, count(*) AS n FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' SAMPLE BY 1d"
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    expected = sample_by(
+        joined, "o_orderdate", "1d", {"n": F.count(F.lit(1))},
+        bucket_name="o_orderdate",
+    )
+    assert rows(df) == rows(expected)
+
+
+def test_pivot_passthrough_sql(eng):
+    # QuestDB PIVOT (SqlParser.java:4260) ≈ Spark SQL PIVOT: pure passthrough
+    df = eng.sql(
+        "SELECT * FROM (SELECT event_type, user_id FROM events) "
+        "PIVOT (count(user_id) FOR event_type IN ('click', 'purchase'))"
+    )
+    assert {"click", "purchase"}.issubset(set(df.columns))
+    assert df.count() > 0
+
+
+def test_declare_sql(eng, spark):
+    # DECLARE bindings (SqlParser.java:3604), incl. inside a dialect query
+    df = eng.sql(
+        "DECLARE @et := 'click', @n := 5 "
+        "SELECT event_id, ts FROM events WHERE event_type = @et LIMIT -@n"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    expected = (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.col("ts").desc()).limit(5).orderBy("ts")
+        .select("event_id", "ts")
+    )
+    assert rows(df) == rows(expected)
+
+
+def test_depth0_string_literal_keywords(eng):
+    # clause keywords inside string literals must not split the skeleton
+    df = eng.sql(
+        "SELECT event_id FROM events "
+        "WHERE event_type = ' from where limit sample by ' LIMIT -3"
+    )
+    assert df.count() == 0
+
+
+def test_parser_depth0_units():
+    from questdb_spark.sqlfront.parser import parse
+
+    q = parse(
+        "SELECT substring(event_type FROM 1 FOR 3) AS t3, count(*) AS n "
+        "FROM events SAMPLE BY 1d"
+    )
+    assert q.table == "events"
+    assert q.select_items[0].expr.lower().startswith("substring")
+    assert q.sample_by.interval == "1d"
+
+    q2 = parse(
+        "SELECT * FROM t WINDOW JOIN s ON (a, b) "
+        "RANGE BETWEEN 30 seconds PRECEDING AND 10 seconds FOLLOWING"
+    )
+    assert q2.window_join.keys == ["a", "b"]
+    assert q2.window_join.lo == "-30 second"
+    assert q2.window_join.hi == "10 second"
+
+    q3 = parse(
+        "SELECT h.offset, count(*) AS n FROM m "
+        "HORIZON JOIN s ON (k) RANGE FROM -10s TO 20s STEP 10s AS h "
+        "GROUP BY h.offset"
+    )
+    assert (q3.horizon_join.frm, q3.horizon_join.to, q3.horizon_join.step) == (
+        "-10 second", "20 second", "10 second"
+    )
+    assert q3.horizon_join.range_alias == "h"
+
+    # subquery in FROM + ANSI join captured as table/spec
+    q4 = parse(
+        "SELECT a FROM (SELECT a FROM x WHERE b IN (1, 2)) t "
+        "LEFT JOIN y ON t.a = y.a SAMPLE BY 1h"
+    )
+    assert q4.table.startswith("(") and q4.table_alias == "t"
+    assert q4.sql_joins[0].how == "left" and q4.sql_joins[0].on == "t.a = y.a"
