@@ -18,6 +18,7 @@ discipline).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -52,12 +53,12 @@ class TimeTable:
         self.seq_col = seq_col
 
     # -- write path --------------------------------------------------------
-    def _with_partition(self, df: DataFrame) -> DataFrame:
+    def _with_partition(self, df: DataFrame, ts_col: str | None = None) -> DataFrame:
         """Partition value for a row. HOUR granularity keeps the hour in the
         value as a 'yyyy-MM-dd-HH' string (PartitionBy.java HOUR) — casting
         to date would silently coarsen hourly partitions to daily, weakening
         pruning and drop_partition. Coarser units stay date-typed."""
-        trunc = F.date_trunc(self.partition_by, F.col(self.ts_col))
+        trunc = F.date_trunc(self.partition_by, F.col(ts_col or self.ts_col))
         if self.partition_by == "hour":
             return df.withColumn(PARTITION_COL, F.date_format(trunc, "yyyy-MM-dd-HH"))
         return df.withColumn(PARTITION_COL, trunc.cast("date"))
@@ -77,6 +78,12 @@ class TimeTable:
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""
+        if mode == "overwrite":
+            # fresh table definition — any pending DDL journal is void
+            try:
+                os.remove(self._meta_path)
+            except OSError:
+                pass
         (
             self._with_partition(df)
             .repartition(PARTITION_COL)
@@ -87,23 +94,156 @@ class TimeTable:
         )
 
     def append(self, df: DataFrame, seq: int = 0) -> None:
-        """WAL-style append; `seq` orders writes for dedup resolution."""
+        """WAL-style append; `seq` orders writes for dedup resolution.
+        Incoming frames use the LOGICAL schema; renamed columns are mapped
+        back to their on-disk names so every partition stays mergeable."""
         base = df
         if self.dedup_keys:
             base = base.withColumn(self.seq_col, F.lit(seq))
             base = latest_on(base, self.seq_col, [*self.dedup_keys, self.ts_col])
+        base = self._to_physical(base)  # dedup first: keys are logical names
+        phys_ts = self._physical_name(self.ts_col)
         (
-            self._with_partition(base)
+            self._with_partition(base, phys_ts)
             .repartition(PARTITION_COL)
-            .sortWithinPartitions(self.ts_col)
+            .sortWithinPartitions(phys_ts)
             .write.mode("append")
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
 
+    # -- ALTER TABLE column surface (AlterOperation.java) --------------------
+    # add/drop/rename are METADATA-ONLY: an ops journal (`_qdb_meta.json`,
+    # invisible to parquet discovery) is replayed onto every read. That
+    # mirrors the reference — ADD COLUMN backfills nothing
+    # (`AlterOperation.java` ADD_COLUMN), DROP/RENAME touch only column
+    # metadata (`ColumnVersionWriter`) — and stays O(1) at 100 TB where a
+    # rewrite-per-DDL would be a full-table job. Type conversion
+    # (`ConvertOperatorImpl.java`) genuinely rewrites column data in the
+    # reference and does here too.
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_qdb_meta.json")
+
+    def _ops(self) -> list[dict]:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)["ops"]
+        except (OSError, ValueError, KeyError):
+            return []
+
+    def _append_op(self, op: dict) -> None:
+        ops = self._ops()
+        ops.append(op)
+        with open(self._meta_path, "w") as f:
+            json.dump({"ops": ops}, f)
+
+    def add_column(self, name: str, dtype: str) -> None:
+        """ALTER TABLE ADD COLUMN — null for existing rows, no backfill."""
+        if name in self._logical_columns() or name in self._retired_names():
+            raise ValueError(f"column exists: {name}")
+        self._append_op({"op": "add", "name": name, "type": dtype})
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only."""
+        if name == self.ts_col or name in self.dedup_keys:
+            raise ValueError(f"cannot drop designated/dedup column: {name}")
+        if name not in self._logical_columns():
+            raise ValueError(f"no such column: {name}")
+        self._append_op({"op": "drop", "name": name})
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only."""
+        cols = self._logical_columns()
+        if old not in cols:
+            raise ValueError(f"no such column: {old}")
+        if new in cols or new in self._retired_names():
+            raise ValueError(f"column exists: {new}")
+        self._append_op({"op": "rename", "old": old, "new": new})
+        if old == self.ts_col:
+            self.ts_col = new
+        self.dedup_keys = [new if k == old else k for k in self.dedup_keys]
+
+    def alter_column_type(self, name: str, new_type: str) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE (ConvertOperatorImpl.java): casts
+        and physically rewrites; pending metadata ops are materialized."""
+        if name not in self._logical_columns():
+            raise ValueError(f"no such column: {name}")
+        df = self._logical(self.spark.read.option("mergeSchema", "true").parquet(self.path))
+        df = df.withColumn(name, F.col(name).cast(new_type))
+        tmp = self.path.rstrip("/") + ".convert"
+        (
+            df.drop(PARTITION_COL)
+            .transform(self._with_partition)
+            .repartition(PARTITION_COL)
+            .sortWithinPartitions(self.ts_col)
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def _logical_columns(self) -> list[str]:
+        return [
+            c
+            for c in self._logical(
+                self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            ).columns
+            if c != PARTITION_COL
+        ]
+
+    def _logical(self, df: DataFrame) -> DataFrame:
+        """Replay the ops journal: physical parquet schema → logical schema."""
+        for op in self._ops():
+            if op["op"] == "add" and op["name"] not in df.columns:
+                df = df.withColumn(op["name"], F.lit(None).cast(op["type"]))
+            elif op["op"] == "drop" and op["name"] in df.columns:
+                df = df.drop(op["name"])
+            elif op["op"] == "rename" and op["old"] in df.columns:
+                if op["new"] in df.columns:
+                    # mixed physical state: old partitions carry the old
+                    # name, rewritten partitions the new — fold them
+                    df = df.withColumn(
+                        op["new"], F.coalesce(F.col(op["new"]), F.col(op["old"]))
+                    ).drop(op["old"])
+                else:
+                    df = df.withColumnRenamed(op["old"], op["new"])
+        return df
+
+    def _retired_names(self) -> set[str]:
+        """Names still present in old partition files (renamed-away or
+        dropped) — reusing one would collide with on-disk data."""
+        out: set[str] = set()
+        for op in self._ops():
+            if op["op"] == "rename":
+                out.add(op["old"])
+            elif op["op"] == "drop":
+                out.add(op["name"])
+        return out
+
+    def _physical_name(self, name: str) -> str:
+        """Logical column name → its on-disk name (undo renames)."""
+        for op in reversed(self._ops()):
+            if op["op"] == "rename" and op["new"] == name:
+                name = op["old"]
+        return name
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Logical → physical for writes: renamed columns go back to their
+        on-disk names so partitions stay schema-mergeable; dropped columns
+        are removed."""
+        for op in reversed(self._ops()):
+            if op["op"] == "rename" and op["new"] in df.columns:
+                df = df.withColumnRenamed(op["new"], op["old"])
+            elif op["op"] == "drop" and op["name"] in df.columns:
+                df = df.drop(op["name"])
+        return df
+
     # -- read path ---------------------------------------------------------
     def read(self, dedup: bool = True) -> DataFrame:
-        df = self.spark.read.parquet(self.path)
+        df = self._logical(self.spark.read.option("mergeSchema", "true").parquet(self.path))
         if self.dedup_keys and dedup and self.seq_col in df.columns:
             df = latest_on(df, self.seq_col, [*self.dedup_keys, self.ts_col]).drop(
                 self.seq_col
@@ -128,7 +268,9 @@ class TimeTable:
         part = F.col(PARTITION_COL)
         lo_p = self._part_bound(lo)
         hi_p = self._part_bound(hi - timedelta(microseconds=1))
-        df = self.spark.read.parquet(self.path).filter(
+        df = self._logical(
+            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        ).filter(
             (part >= F.lit(lo_p))
             & (part <= F.lit(hi_p))
             & (ts >= F.lit(lo.isoformat(sep=" ")).cast("timestamp"))
@@ -144,7 +286,9 @@ class TimeTable:
     def update_where(self, predicate: Column, assignments: dict[str, Column]) -> None:
         """UPDATE ... SET ... WHERE ...: rewrite ONLY partitions containing
         matching rows (UpdateOperatorImpl; partition-granular like O3)."""
-        df = self.spark.read.parquet(self.path)
+        df = self._logical(
+            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        )
         touched = (
             df.filter(predicate).select(PARTITION_COL).distinct().collect()
         )
@@ -154,16 +298,18 @@ class TimeTable:
         sub = df.filter(F.col(PARTITION_COL).isin(parts))
         for name, expr in assignments.items():
             sub = sub.withColumn(name, F.when(predicate, expr).otherwise(F.col(name)))
-        self._rewrite_partitions(sub, parts)
+        self._rewrite_partitions(self._to_physical(sub), parts)
 
     def delete_where(self, predicate: Column) -> None:
-        df = self.spark.read.parquet(self.path)
+        df = self._logical(
+            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        )
         touched = df.filter(predicate).select(PARTITION_COL).distinct().collect()
         parts = [r[PARTITION_COL] for r in touched]
         if not parts:
             return
         sub = df.filter(F.col(PARTITION_COL).isin(parts)).filter(~predicate)
-        self._rewrite_partitions(sub, parts)
+        self._rewrite_partitions(self._to_physical(sub), parts)
 
     def drop_partition(self, interval: str) -> None:
         """ALTER TABLE DROP PARTITION equivalents: remove partition dirs in
@@ -207,7 +353,7 @@ class TimeTable:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             sub.repartition(PARTITION_COL)
-            .sortWithinPartitions(self.ts_col)
+            .sortWithinPartitions(self._physical_name(self.ts_col))
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
             .parquet(self.path)

@@ -158,3 +158,91 @@ def test_month_partition_midmonth_scan(spark, tmppath):
     t.write(df)
     got = {r["id"] for r in t.scan_interval("2024-01-02").collect()}
     assert got == {3}
+
+
+# -- ALTER TABLE column surface (AlterOperation.java) -----------------------
+
+def test_alter_add_column(spark, tmppath):
+    """ADD COLUMN is metadata-only: existing rows read as null, appends may
+    carry values, no partition is rewritten."""
+    t = TimeTable(spark, tmppath, "ts")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t.add_column("score", "double")
+    df = t.read()
+    assert dict(df.dtypes)["score"] == "double"
+    assert all(r["score"] is None for r in df.collect())
+    t.append(
+        spark.createDataFrame(
+            [(6, "c", datetime(2024, 1, 4, 1), 6.0, 0.5)],
+            ["id", "sym", "ts", "price", "score"],
+        )
+    )
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got[6] == 0.5 and got[1] is None and len(got) == 6
+    with pytest.raises(ValueError):
+        t.add_column("price", "double")
+
+
+def test_alter_drop_column(spark, tmppath):
+    t = TimeTable(spark, tmppath, "ts", dedup_keys=["sym"])
+    t.append(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]), seq=1)
+    t.drop_column("price")
+    assert "price" not in t.read().columns
+    with pytest.raises(ValueError):
+        t.drop_column("ts")  # designated timestamp
+    with pytest.raises(ValueError):
+        t.drop_column("sym")  # dedup key
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
+
+
+def test_alter_rename_column_mixed_partitions(spark, tmppath):
+    """RENAME: old partitions keep the old physical name; appends after the
+    rename are mapped back to it, and reads/updates see only the new name."""
+    t = TimeTable(spark, tmppath, "ts")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t.rename_column("price", "px")
+    assert "px" in t.read().columns and "price" not in t.read().columns
+    t.append(
+        spark.createDataFrame(
+            [(7, "d", datetime(2024, 1, 5, 2), 7.5)], ["id", "sym", "ts", "px"]
+        )
+    )
+    got = {r["id"]: r["px"] for r in t.read().collect()}
+    assert got[1] == 1.0 and got[7] == 7.5 and len(got) == 6
+    # maintenance ops speak the logical schema too
+    t.update_where(F.col("px") == 7.5, {"px": F.lit(70.0)})
+    assert {r["px"] for r in t.read().filter(F.col("id") == 7).collect()} == {70.0}
+    with pytest.raises(ValueError):
+        t.rename_column("px", "sym")
+    with pytest.raises(ValueError):
+        t.add_column("price", "double")  # retired physical name
+
+
+def test_alter_rename_designated_ts(spark, tmppath):
+    t = TimeTable(spark, tmppath, "ts")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t.rename_column("ts", "event_ts")
+    assert t.ts_col == "event_ts"
+    t.append(
+        spark.createDataFrame(
+            [(8, "e", datetime(2024, 1, 6, 3), 8.0)], ["id", "sym", "event_ts", "price"]
+        )
+    )
+    got = {r["id"] for r in t.scan_interval("2024-01-06").collect()}
+    assert got == {8}
+    assert "event_ts" in t.read().columns
+
+
+def test_alter_column_type_rewrites(spark, tmppath):
+    """ALTER COLUMN TYPE physically rewrites (ConvertOperatorImpl.java) and
+    materializes any pending metadata ops (journal is cleared)."""
+    t = TimeTable(spark, tmppath, "ts")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t.rename_column("price", "px")
+    t.alter_column_type("px", "string")
+    assert not os.path.exists(t._meta_path)  # ops materialized
+    df = t.read()
+    assert dict(df.dtypes)["px"] == "string"
+    got = {r["id"]: r["px"] for r in df.collect()}
+    assert got[1] == "1.0" and len(got) == 5
