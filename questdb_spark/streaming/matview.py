@@ -29,16 +29,41 @@ def sample_by_matview(
     aggs: Mapping[str, Column],
     keys: Sequence[str] = (),
     watermark: str = "10 seconds",
+    tz: str | None = None,
+    offset: str | None = None,
     trigger_available_now: bool = False,
 ):
     """Maintain `SELECT bucket, keys, aggs ... SAMPLE BY interval` as a
-    continuously-refreshed parquet table."""
+    continuously-refreshed parquet table.
+
+    ``tz`` / ``offset``: QuestDB ``ALIGN TO CALENDAR TIME ZONE '<tz>'
+    [WITH OFFSET 'hh:mm']`` (``TimezoneFloorTimestampSampler``): buckets
+    align to LOCAL calendar boundaries. Lowered by shifting the event time
+    to wall-clock local time (per-row ``convert_timezone`` — DST-correct,
+    unlike a constant shift), windowing on the shifted column, and shifting
+    the bucket start back to UTC. ``offset`` is a Spark duration string
+    (e.g. ``'30 minutes'``) applied as the window's startTime."""
     keys = list(keys)
+    evt = ts_col
+    if tz is not None:
+        stream = stream.withColumn(
+            "__local_ts",
+            F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col(ts_col)).cast("timestamp"),
+        )
+        evt = "__local_ts"
+    win = (
+        F.window(evt, interval, interval, offset) if offset else F.window(evt, interval)
+    )
+    start = F.col("__w.start")
+    if tz is not None:
+        start = F.convert_timezone(
+            F.lit(tz), F.lit("UTC"), start.cast("timestamp_ntz")
+        ).cast("timestamp")
     bucketed = (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, interval).alias("__w"), *keys)
+        stream.withWatermark(evt, watermark)
+        .groupBy(win.alias("__w"), *keys)
         .agg(*[expr.alias(name) for name, expr in aggs.items()])
-        .select(F.col("__w.start").alias("ts_bucket"), *keys, *aggs.keys())
+        .select(start.alias("ts_bucket"), *keys, *aggs.keys())
     )
 
     def refresh(batch: DataFrame, batch_id: int) -> None:

@@ -295,3 +295,37 @@ def test_asof_slave_column_collision_suffixed(spark):
     assert "value_slave" in out.columns
     row = out.collect()[0]
     assert row["value"] == 10.0 and row["value_slave"] == 99.0
+
+
+def test_approx_aggs_error_bounds(spark, ddb):
+    """Sketch aggregates vs the exact oracle, tolerance-checked (VERDICT §9;
+    ref GroupByHistogram.java / hyperloglog/HyperLogLog.java):
+    - approx_count_distinct: HLL++ relative standard deviation defaults to
+      0.05; assert per-group relative error <= 4*rsd (catches a broken
+      sketch while immune to noise).
+    - percentile_approx(accuracy=1000): rank error <= 1/accuracy; assert the
+      approx p50 lies within the exact [p45, p55] value envelope (50x the
+      documented rank tolerance — fails only if the sketch is wrong)."""
+    from questdb_spark.queries_functions import approx_aggs
+    from .conftest import SF_DIR
+
+    got = {r["event_type"]: r for r in approx_aggs(spark, SF_DIR).collect()}
+    exact = {
+        r[0]: (r[1], r[2], r[3])
+        for r in ddb.execute(
+            """
+            SELECT event_type,
+                   count(DISTINCT user_id),
+                   quantile_cont(value, 0.45),
+                   quantile_cont(value, 0.55)
+            FROM events GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    for et, (nd, p45, p55) in exact.items():
+        rel = abs(got[et]["approx_users"] - nd) / nd
+        assert rel <= 4 * 0.05, f"{et}: HLL rel error {rel:.3f} > 0.20"
+        assert p45 <= got[et]["approx_p50"] <= p55, (
+            f"{et}: approx p50 {got[et]['approx_p50']} outside [{p45}, {p55}]"
+        )

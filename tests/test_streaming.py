@@ -251,3 +251,67 @@ def test_ilp_fuzz_roundtrip(spark):
             microsecond=(ts_ns // 1000) % 1_000_000
         )
         assert r["ts"] == want_ts
+
+
+def test_sample_by_matview_tz_aligned(spark):
+    """Incremental SAMPLE BY live view with ALIGN TO CALENDAR TIME ZONE:
+    out-of-order batches, daily buckets on America/New_York local midnights;
+    final view must equal the batch sample_by over the same rows."""
+    from questdb_spark.operators.sample_by import sample_by
+
+    # UTC instants straddling NY local midnight (UTC-5 in January)
+    lines_a = [
+        'trades,sym=AAPL price=1.0,size=1i 1704169800000000000',  # NY Jan 1 23:30
+        'trades,sym=AAPL price=3.0,size=1i 1704173400000000000',  # NY Jan 2 00:30
+    ]
+    lines_b = [  # late arrival, belongs to the Jan-1 local-day bucket
+        'trades,sym=AAPL price=2.0,size=1i 1704170700000000000',  # NY Jan 1 23:45
+    ]
+    aggs = {"n": F.count(F.lit(1)), "max_price": F.max("price")}
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir = os.path.join(tmp, "in")
+        mv_dir = os.path.join(tmp, "mv")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(in_dir)
+
+        def run(lines, fname):
+            with open(os.path.join(in_dir, fname), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            stream = spark.readStream.format("text").load(in_dir)
+            table = parse_ilp(stream).select(
+                F.col("tags")["sym"].alias("sym"),
+                F.col("fields_double")["price"].alias("price"),
+                "ts",
+            )
+            q = sample_by_matview(
+                table, mv_dir, ckpt, "ts", "1 day", aggs, keys=["sym"],
+                watermark="2 days", tz="America/New_York",
+                trigger_available_now=True,
+            )
+            q.awaitTermination(120)
+
+        run(lines_a, "a.txt")
+        run(lines_b, "b.txt")
+
+        got = {
+            (r["sym"], str(r["ts_bucket"])): (r["n"], r["max_price"])
+            for r in read_matview(spark, mv_dir).collect()
+        }
+        # buckets start at NY local midnight = 05:00 UTC
+        assert got[("AAPL", "2024-01-01 05:00:00")] == (2, 2.0)
+        assert got[("AAPL", "2024-01-02 05:00:00")] == (1, 3.0)
+
+        batch = parse_ilp(
+            spark.createDataFrame([(l,) for l in lines_a + lines_b], ["value"])
+        ).select(
+            F.col("tags")["sym"].alias("sym"),
+            F.col("fields_double")["price"].alias("price"),
+            "ts",
+        )
+        expected = {
+            (r["sym"], str(r["ts_bucket"])): (r["n"], r["max_price"])
+            for r in sample_by(
+                batch, "ts", "1d", aggs, keys=["sym"], tz="America/New_York"
+            ).collect()
+        }
+        assert got == expected
