@@ -5,9 +5,9 @@ Scale design (the point of this module):
 - near-dup candidate generation NEVER does an all-pairs cross join: both
   the Jaccard and MinHash paths go shingle→explode→equi-join, so cost is
   proportional to shared-shingle pairs, and LSH banding caps the join key
-  cardinality. Skewed "stop-shingles" (shared by >`max_shingle_df` docs —
+  cardinality. Skewed "stop-shingles" (>`max_shingle_df` occurrences —
   boilerplate, headers, license text) are the classic blow-up: the shingle
-  self-join is O(df²) per shingle, so the guard is ON by default
+  self-join is O(occurrences²) per shingle, so the guard is ON by default
   (`MAX_SHINGLE_DF`); the web-scale route is `lsh_prefilter=True`, which
   generates candidates through MinHash-LSH banding and only then computes
   exact Jaccard on the candidate pairs.
@@ -67,18 +67,35 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ahead of a 10-100× per-row expansion (tokenize/shingle
+    explode) when the scan came in with too few partitions — a handful of
+    compact parquet files would otherwise pin the whole expansion on a
+    handful of tasks. Only fires when the input is narrower than half the
+    shuffle width, so a properly-partitioned 100 TB scan passes through
+    untouched (no gratuitous full-corpus shuffle). Safe only for integer/
+    order-insensitive downstream aggregation (min/count/sum-of-int)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     sh = shingles_col(tokens_col(F.col(text_col)), n)
-    return df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+    return _spread(df).select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
 
 
 def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
-    """Remove stop-shingles (document frequency > max_shingle_df). The hot
-    set is tiny by construction (only keys above the cap), so it broadcasts."""
+    """Remove stop-shingles (occurrence count > max_shingle_df). Occurrence
+    count — not distinct-doc count — is the metric that actually bounds the
+    self-join blow-up (join pairs per shingle = occurrences²), and it needs
+    no distinct expansion: one partial-aggregated count. The hot set is tiny
+    by construction (only keys above the cap), so it broadcasts."""
     hot = (
         sh.groupBy("shingle")
-        .agg(F.count_distinct("doc").alias("df"))
-        .filter(F.col("df") > max_shingle_df)
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > max_shingle_df)
         .select("shingle")
     )
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
@@ -218,28 +235,37 @@ def minhash_lsh_candidates(
 def simhash(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """SimHash over tokens, up to 64 bits. Bit b of token t = (hex nibble b
-    of md5-stream of t >= '8'); document bit = sign of the per-bit vote sum.
-    The 64-bit value is returned as two 32-bit halves (simhash_hi,
-    simhash_lo) so neither engine's signed BIGINT can overflow; hamming
-    distance = bit_count(hi⊕hi') + bit_count(lo⊕lo') (`simhash_hamming`).
-    One groupBy with `bits` conditional sums — map-side partial aggregation
-    does the heavy lifting; ≤32 md5-nibbles per md5, so 64 bits = 2 md5s."""
+    """SimHash over tokens, up to 64 bits, from ONE md5 per token: each of
+    the 32 hex nibbles contributes its top two bits (bit b<32 = nibble b's
+    8-bit, bit b>=32 = nibble (b-32)'s 4-bit) — half the hashing cost of a
+    second salted md5 at identical bit independence. Document bit = sign of
+    the per-bit vote sum. The 64-bit value is returned as two 32-bit halves
+    (simhash_hi, simhash_lo) so neither engine's signed BIGINT can overflow;
+    hamming distance = bit_count(hi⊕hi') + bit_count(lo⊕lo')
+    (`simhash_hamming`). One groupBy with `bits` branch-free integer sums:
+    the md5 is parsed ONCE into four 32-bit words and every vote is a
+    shift-mask-multiply — no per-bit string ops in the hot loop; map-side
+    partial aggregation does the heavy lifting."""
     if not 1 <= bits <= 64:
         raise ValueError("bits must be in [1, 64]")
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).withColumn("__md5a", F.md5(F.col("tok")))
-    if bits > 32:
-        toks = toks.withColumn("__md5b", F.md5(F.concat(F.col("tok"), F.lit("#1"))))
+    # four 8-hex-char words; word g covers nibbles 8g..8g+7, first char most
+    # significant (matches the positional substring semantics)
+    for g in range(4):
+        toks = toks.withColumn(
+            f"__h{g}",
+            F.conv(F.substring(F.col("__md5a"), 8 * g + 1, 8), 16, 10).cast("long"),
+        )
 
-    def nibble(b: int) -> Column:
-        src = "__md5a" if b < 32 else "__md5b"
-        return F.substring(F.col(src), (b % 32) + 1, 1)
+    def bit(b: int) -> Column:
+        nb = b % 32  # nibble index; b<32 → its 8-bit, b>=32 → its 4-bit
+        g, r = nb // 8, nb % 8
+        shift = 4 * (7 - r) + (3 if b < 32 else 2)
+        return F.shiftright(F.col(f"__h{g}"), shift).bitwiseAND(F.lit(1))
 
-    votes = [
-        F.sum(F.when(nibble(b) >= "8", 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
-    ]
+    votes = [F.sum(bit(b) * 2 - 1).alias(f"v{b}") for b in range(bits)]
     agg = toks.groupBy("doc").agg(*votes)
 
     def half(lo_bit: int, hi_bit: int) -> Column:
@@ -288,6 +314,8 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the previous label through the propagate join so convergence
+        # detection is a filter on the cached frame, not another join
         new_labels = (
             labels.join(neighbor_min, "u", "left")
             .select(
@@ -295,18 +323,15 @@ def dedup_clusters(
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
+                F.col("label").alias("__prev"),
             )
         )
         new_labels = new_labels.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
         )
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -251,13 +251,26 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(docs, "doc_id")  # production default: 64-bit
 
 
-def _simhash_sql(bits: int) -> str:
-    def nib(b: int) -> str:
-        return f"substr(ma, {b + 1}, 1)" if b < 32 else f"substr(mb, {b - 31}, 1)"
-
-    votes = ",\n  ".join(
-        f"SUM(CASE WHEN {nib(b)} >= '8' THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+def _sql_hex8(m: str, start: int) -> str:
+    """DuckDB parse of 8 hex chars of `m` from 1-based `start` (mirrors
+    Spark conv(substring(m,start,8),16,10))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({m}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
     )
+    return f"({terms})"
+
+
+def _simhash_sql(bits: int) -> str:
+    # one md5 per token parsed into four 32-bit words; bit b<32 = nibble b's
+    # 8-bit, b>=32 = nibble (b-32)'s 4-bit — mirrors dedup.simhash exactly
+    def bit(b: int) -> str:
+        nb = b % 32
+        g, r = nb // 8, nb % 8
+        shift = 4 * (7 - r) + (3 if b < 32 else 2)
+        return f"((h{g} >> {shift}) & 1)"
+
+    votes = ",\n  ".join(f"SUM({bit(b)} * 2 - 1) AS v{b}" for b in range(bits))
     lo = " + ".join(
         f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(min(bits, 32))
     )
@@ -270,10 +283,14 @@ def _simhash_sql(bits: int) -> str:
     )
     return f"""
 WITH toks AS (SELECT doc_id AS doc, UNNEST({_TOKS}) AS tok FROM documents),
-m AS (SELECT doc, md5(tok) AS ma, md5(tok || '#1') AS mb FROM toks),
+m AS (SELECT doc, md5(tok) AS ma FROM toks),
+hw AS (SELECT doc,
+  {_sql_hex8('ma', 1)} AS h0, {_sql_hex8('ma', 9)} AS h1,
+  {_sql_hex8('ma', 17)} AS h2, {_sql_hex8('ma', 25)} AS h3
+FROM m),
 v AS (SELECT doc,
   {votes}
-FROM m GROUP BY doc)
+FROM hw GROUP BY doc)
 SELECT doc, CAST({hi} AS BIGINT) AS simhash_hi, CAST({lo} AS BIGINT) AS simhash_lo FROM v
 """
 
