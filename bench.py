@@ -33,19 +33,23 @@ def main() -> None:
     for name, (fn, _) in REGISTRY.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = round(time.perf_counter() - t0, 2)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # ONE compact line: round-1's file was tail-truncated by the driver's
+    # capture window, losing per-query detail.  Compact separators + 2-decimal
+    # timings + headline fields first keep the line as short as possible.
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": timings,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -98,13 +98,25 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = MAX_DIM,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scoring to the query's LSH
     bucket. At scale the bucket column is a partition/bucketing key, so the
-    probe touches 1/2^N_PLANES of the data."""
+    probe touches 1/2^N_PLANES of the data.
+
+    ``n_probes`` > 1 is classic multi-probe LSH: also search the buckets at
+    Hamming distance 1 from the query's bucket (flip plane 0, 1, ... in
+    order), trading n_probes× candidate volume for recall — near neighbors
+    that fall on the wrong side of ONE hyperplane are recovered. Probing
+    stays an equi-join (query side explodes to n_probes bucket keys; the
+    corpus is never re-bucketed), so the scale shape is unchanged."""
+    if not 1 <= n_probes <= N_PLANES + 1:
+        raise ValueError(f"n_probes must be in [1, {N_PLANES + 1}]")
     qv = quantize(F.col(vec_col))
+    qb = lsh_bucket(qv, dim)
+    probes = F.array(qb, *[qb.bitwiseXOR(F.lit(1 << p)) for p in range(n_probes - 1)])
     q = F.broadcast(
-        query.select(qv.alias("__qv"), lsh_bucket(qv, dim).alias("__qb"))
+        query.select(qv.alias("__qv"), F.explode(probes).alias("__qb"))
     )
     base = (
         df.select(F.col(id_col), qv.alias("__v"), lsh_bucket(qv, dim).alias("__b"))
@@ -116,6 +128,177 @@ def ann_lsh_topk(
     )
     return (
         base.select(F.col(id_col), (dot / norm).alias("cosine"), F.col("__b").alias("bucket"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# -- embedding-cosine near-dup (banded LSH pairs) ----------------------------
+
+def band_key(vec: Column, band: int, planes_per_band: int, dim: int = MAX_DIM) -> Column:
+    """Pack ``planes_per_band`` hyperplane sign bits (planes
+    band*ppb .. band*ppb+ppb-1) into one band key — the classic LSH-OR
+    construction: a pair is a candidate if it collides in ANY band."""
+    out = F.lit(0)
+    for j in range(planes_per_band):
+        out = out + _plane_sign(vec, band * planes_per_band + j, dim) * F.lit(2**j)
+    return out
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = MAX_DIM,
+    n_bands: int = 2,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: banded random-hyperplane LSH
+    for candidate generation (equi-join on (band, key) — NEVER all-pairs),
+    exact integer-quantized cosine on candidates, ``>= threshold`` filter.
+
+    Scale shape: each row explodes to ``n_bands`` keys; the self-join
+    shuffles on (band, key), so per-bucket work is (n/2^planes_per_band)²
+    per band. Size ``planes_per_band`` ~ log2(corpus)/2 so buckets stay
+    bounded as the corpus grows; raise ``n_bands`` to recover recall lost
+    to the finer buckets. Same recipe as minhash_lsh_candidates
+    (pipeline/dedup.py) with hyperplanes instead of minhash rows."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                band_key(F.col("__v"), b, planes_per_band, dim).alias("bk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keyed = (
+        df.select(F.col(id_col), quantize(F.col(vec_col)).alias("__v"))
+        .select(id_col, "__v", F.explode(bands).alias("__band"))
+        .select(
+            id_col,
+            "__v",
+            F.col("__band.bi").alias("__bi"),
+            F.col("__band.bk").alias("__bk"),
+        )
+    )
+    left = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bi", "__bk"
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__bi").alias("__bi2"),
+        F.col("__bk").alias("__bk2"),
+    )
+    cand = left.join(
+        right,
+        (F.col("__bi") == F.col("__bi2"))
+        & (F.col("__bk") == F.col("__bk2"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    dot = dot_q(F.col("__va"), F.col("__vb"))
+    norm = F.sqrt(dot_q(F.col("__va"), F.col("__va"))) * F.sqrt(
+        dot_q(F.col("__vb"), F.col("__vb"))
+    )
+    return (
+        cand.select("id_a", "id_b", (dot / norm).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()  # a pair colliding in BOTH bands appears twice
+        .orderBy("id_a", "id_b")
+    )
+
+
+# -- IVF (inverted-file) ANN -------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Coarse-quantizer centroids: the `n_cells` lowest-id vectors,
+    quantized. Deterministic sampling instead of k-means iterations keeps
+    the quantizer engine-reproducible (an oracle can name the same rows).
+
+    This IS a collect — of n_cells·dim ints, the coarse quantizer itself,
+    never data-proportional. Every IVF system ships its centroids to every
+    worker (FAISS trains them centrally); inlining them as plan literals
+    makes cell assignment a pure projection: no join, no shuffle, no
+    16×-row expansion through an aggregate."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__v"))
+        .orderBy("__id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["__v"]) for r in rows]
+
+
+def _cell_dists(vec: Column, centroids: list[list[int]]) -> list[Column]:
+    """Squared-L2 distance (exact integer arithmetic) to each centroid."""
+    out = []
+    for cent in centroids:
+        lit = F.array(*[F.lit(c) for c in cent])
+        d = F.aggregate(
+            F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out.append(d)
+    return out
+
+
+def _nearest_cells(vec: Column, centroids: list[list[int]], n: int) -> Column:
+    """Array of the n nearest cell ids (ties → lower cell id; array_sort on
+    (dist, cid) structs is deterministic in both engines)."""
+    pairs = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(c).alias("cid"))
+            for c, d in enumerate(_cell_dists(vec, centroids))
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(pairs), 1, n), lambda s: s["cid"])
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: list[list[int]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid (pure
+    projection — centroids are plan literals), then score exactly ONLY the
+    vectors whose cell is among the query's `n_probe` nearest cells.
+
+    At scale the cell id is the partition/bucketing key of the stored
+    index: a probe reads n_probe/n_cells of the corpus, and the probe join
+    is a broadcast of n_probe cell ids — no shuffle of the corpus."""
+    qv = quantize(F.col(vec_col))
+    q = F.broadcast(
+        query.select(
+            qv.alias("__qv"),
+            F.explode(_nearest_cells(qv, centroids, n_probe)).alias("__qc"),
+        )
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            qv.alias("__v"),
+            _nearest_cells(qv, centroids, 1)[0].alias("__cell"),
+        )
+        .join(q, F.col("__cell") == F.col("__qc"))
+    )
+    dot = dot_q(F.col("__v"), F.col("__qv"))
+    norm = F.sqrt(dot_q(F.col("__v"), F.col("__v"))) * F.sqrt(
+        dot_q(F.col("__qv"), F.col("__qv"))
+    )
+    return (
+        base.select(F.col(id_col), (dot / norm).alias("cosine"), F.col("__cell").alias("cell"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )

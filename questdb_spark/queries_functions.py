@@ -564,3 +564,52 @@ SELECT CAST(n_nationkey AS DOUBLE) AS k, n_name AS v FROM nation
 UNION ALL
 SELECT c_acctbal AS k, c_mktsegment AS v FROM customer
 """
+
+
+def uuid_long256_bin(spark: SparkSession, sf: str) -> DataFrame:
+    """UUID / LONG256 / BINARY surface (ColumnType.java UUID/LONG256/BINARY,
+    Long256Impl.java): deterministic uuid-v4 shape, 256-bit hex values with
+    literal round-trip, binary hex import/export — all fixed-width string /
+    BinaryType lowerings, so comparisons and joins stay JVM-native."""
+    from .functions import uuid256 as u
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 200)
+    l256 = u.long256_from(F.col("user_id"))
+    lit = u.long256_to_literal(l256)
+    payload = u.bin_from_hex(F.md5(F.col("user_id").cast("string")))
+    return ev.select(
+        "event_id",
+        u.uuid_v4_from(F.col("user_id")).alias("uid"),
+        l256.alias("l256"),
+        lit.alias("l256_literal"),
+        (u.long256_normalize(lit) == l256).alias("l256_roundtrip"),
+        F.length(payload).alias("bin_len"),
+        u.bin_to_hex(payload).alias("bin_hex"),
+    )
+
+
+_UUID_VARIANT_SQL = (
+    "substr('89ab', (strpos('0123456789abcdef', substr(m, 17, 1)) - 1) % 4 + 1, 1)"
+)
+
+UUID_LONG256_SQL = f"""
+WITH base AS (
+  SELECT event_id, md5(CAST(user_id AS VARCHAR)) AS m,
+         md5(CAST(user_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR) || ':1') AS h
+  FROM events WHERE event_id < 200
+),
+lit AS (
+  SELECT *, '0x' || (CASE WHEN regexp_replace(h, '^0+', '') = '' THEN '0'
+                          ELSE regexp_replace(h, '^0+', '') END) AS l256_literal
+  FROM base
+)
+SELECT event_id,
+  substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-4' || substr(m, 14, 3)
+    || '-' || {_UUID_VARIANT_SQL} || substr(m, 18, 3) || '-' || substr(m, 21, 12) AS uid,
+  h AS l256,
+  l256_literal,
+  lpad(lower(regexp_replace(l256_literal, '^0[xX]', '')), 64, '0') = h AS l256_roundtrip,
+  octet_length(from_hex(m)) AS bin_len,
+  lower(hex(from_hex(m))) AS bin_hex
+FROM lit
+"""

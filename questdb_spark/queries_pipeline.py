@@ -363,6 +363,131 @@ LIMIT 10
 EMBEDDING_ANN_SQL = _ann_lsh_sql()
 
 
+def embedding_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH: query bucket + Hamming-1 neighbors (recall recovery
+    for near neighbors split off by a single hyperplane)."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_lsh_topk(emb, query, k=10, dim=64, n_probes=4)
+
+
+def _ann_multiprobe_sql(n_probes: int) -> str:
+    def bucket(v: str) -> str:
+        bits = []
+        for p in range(similarity.N_PLANES):
+            signs = "[" + ",".join(str(s) for s in similarity.plane_signs(p)) + "]"
+            comp = (
+                f"list_sum(list_transform(range(1, len({v}) + 1), "
+                f"i -> {v}[i] * ({signs})[i]))"
+            )
+            bits.append(f"(CASE WHEN {comp} > 0 THEN {2 ** p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(n_probes - 1)])
+    q = _QUANT_SQL.format(v="embedding")
+    return f"""
+WITH e AS (SELECT vec_id, {q} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e),
+qq AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (SELECT b.vec_id, b.v, b.bucket, qq.qv FROM b, qq
+         WHERE b.bucket IN ({probes}))
+SELECT vec_id,
+  {_DOT_SQL.format(a='v', b='qv')}
+    / (SQRT({_DOT_SQL.format(a='v', b='v')}) * SQRT({_DOT_SQL.format(a='qv', b='qv')})) AS cosine,
+  bucket
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+EMBEDDING_MULTIPROBE_SQL = _ann_multiprobe_sql(4)
+
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded LSH candidates (2 bands × 4
+    hyperplanes), exact quantized cosine >= threshold on candidates only."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
+
+
+def _near_dup_sql(threshold: float, n_bands: int, ppb: int) -> str:
+    def band(v: str, b: int) -> str:
+        bits = []
+        for j in range(ppb):
+            signs = "[" + ",".join(str(s) for s in similarity.plane_signs(b * ppb + j)) + "]"
+            comp = (
+                f"list_sum(list_transform(range(1, len({v}) + 1), "
+                f"i -> {v}[i] * ({signs})[i]))"
+            )
+            bits.append(f"(CASE WHEN {comp} > 0 THEN {2 ** j} ELSE 0 END)")
+        return " + ".join(bits)
+
+    keyed = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS bi, {band('v', b)} AS bk FROM e"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v FROM embeddings),
+k AS ({keyed}),
+cand AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+  FROM k l JOIN k r ON l.bi = r.bi AND l.bk = r.bk AND l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    {_DOT_SQL.format(a='va', b='vb')}
+      / (SQRT({_DOT_SQL.format(a='va', b='va')}) * SQRT({_DOT_SQL.format(a='vb', b='vb')})) AS cosine
+  FROM cand
+)
+SELECT DISTINCT id_a, id_b, cosine FROM scored
+WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+EMBEDDING_NEAR_DUP_SQL = _near_dup_sql(0.35, 2, 4)
+
+
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+
+
+def embedding_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (lowest-id vectors) inlined
+    as plan literals; probe the query's 2 nearest cells."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    cents = similarity.ivf_centroids(emb, n_cells=_IVF_CELLS)
+    return similarity.ann_ivf_topk(emb, query, cents, k=10, n_probe=_IVF_PROBE)
+
+
+_L2_SQL = "list_sum(list_transform(range(1, len({a}) + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+
+EMBEDDING_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v FROM embeddings),
+c AS (SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM e)
+      WHERE cid < {_IVF_CELLS}),
+d AS (SELECT e.vec_id, e.v, c.cid, {_L2_SQL.format(a='e.v', b='c.cv')} AS dist
+      FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+      WHERE rn = 1),
+qp AS (SELECT cid AS qc FROM (
+        SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn FROM d WHERE vec_id = 0)
+      WHERE rn <= {_IVF_PROBE}),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (SELECT a.vec_id, a.v, a.cell, qq.qv FROM a JOIN qp ON a.cell = qp.qc CROSS JOIN qq)
+SELECT vec_id,
+  {_DOT_SQL.format(a='v', b='qv')}
+    / (SQRT({_DOT_SQL.format(a='v', b='v')}) * SQRT({_DOT_SQL.format(a='qv', b='qv')})) AS cosine,
+  cell
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas; stubbed decode)
 # --------------------------------------------------------------------------

@@ -49,6 +49,9 @@ _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_cluster_canonical": (pl.dedup_cluster_canonical, None),  # iterative
     "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
     "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
+    "embedding_ann_multiprobe": (pl.embedding_ann_multiprobe, pl.EMBEDDING_MULTIPROBE_SQL),
+    "embedding_ann_ivf": (pl.embedding_ann_ivf, pl.EMBEDDING_IVF_SQL),
+    "embedding_near_dup": (pl.embedding_near_dup, pl.EMBEDDING_NEAR_DUP_SQL),
     "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
     "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
     "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
@@ -56,6 +59,7 @@ _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
     "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
     "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
     "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
+    "uuid_long256_bin": (fn.uuid_long256_bin, fn.UUID_LONG256_SQL),
     "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
     "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
     "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),

@@ -101,3 +101,45 @@ def test_simhash_bits_validation(spark):
         dedup.simhash(docs, "doc_id", bits=65)
     lo_only = dedup.simhash(docs, "doc_id", bits=16).collect()
     assert all(r["simhash_hi"] == 0 and r["simhash_lo"] < 2**16 for r in lo_only)
+
+
+# -- similarity / ANN --------------------------------------------------------
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH candidates are a superset of single-probe: recall vs
+    the exact top-k can only improve. Measured on the real embeddings."""
+    from questdb_spark.pipeline import similarity as sim
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, query, k=10).collect()}
+    single = {r["vec_id"] for r in sim.ann_lsh_topk(emb, query, k=10, dim=64).collect()}
+    multi = {
+        r["vec_id"]
+        for r in sim.ann_lsh_topk(emb, query, k=10, dim=64, n_probes=4).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert 0 in multi  # the query itself is always in its own bucket
+
+
+def test_ivf_probes_only_nearest_cells(spark):
+    """IVF: every returned row's cell must be one of the query's n_probe
+    nearest cells, and the query vector itself must be found."""
+    from questdb_spark.pipeline import similarity as sim
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    cents = sim.ivf_centroids(emb, n_cells=16)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    out = sim.ann_ivf_topk(emb, query, cents, k=10, n_probe=2).collect()
+    cells = {r["cell"] for r in out}
+    assert len(cells) <= 2
+    assert 0 in {r["vec_id"] for r in out}
+    # scores are true cosines: all within [-1, 1], sorted descending
+    scores = [r["cosine"] for r in out]
+    assert all(-1.000001 <= s <= 1.000001 for s in scores)
+    assert scores == sorted(scores, reverse=True)
