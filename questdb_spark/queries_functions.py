@@ -613,3 +613,58 @@ SELECT event_id,
   lower(hex(from_hex(m))) AS bin_hex
 FROM lit
 """
+
+
+def nanos_sample_by(spark: SparkSession, sf: str) -> DataFrame:
+    """TIMESTAMP_NANO surface (ColumnType.java:149-150,
+    NanosTimestampDriver.java): SAMPLE BY 6h computed entirely in epoch-nanos
+    int64 arithmetic — truncation, diff and sub-second extraction never
+    round-trip through doubles.
+
+    Cross-engine note: the DuckDB oracle truncates parquet NANO timestamps
+    to micros at scan (DuckDB 1.0 maps them to TIMESTAMP), so this entry
+    feeds the nano kernel the micros-resolution column via ns_of() — both
+    engines then see bit-identical inputs. The true sub-microsecond path
+    (load_table_ns shadow column) is exercised in
+    tests/test_operators.py::test_nanos_true_resolution against a pyarrow
+    ground truth, which DOES see the raw nanos."""
+    from .functions import nanos as N
+
+    ev = load_table(spark, sf, "events")
+    ns = N.ns_of(F.col("ts"))
+    return (
+        ev.select(N.ns_trunc(ns, 6, "h").alias("bucket_ns"), ns.alias("__ns"))
+        .groupBy("bucket_ns")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__ns").alias("first_ns"),
+            F.max("__ns").alias("last_ns"),
+            F.sum(N.subsec_ns(F.col("__ns"))).alias("subsec_sum"),
+        )
+        .select(
+            "bucket_ns",
+            N.ns_to_timestamp(F.col("bucket_ns")).alias("bucket_ts"),
+            "n",
+            "first_ns",
+            "last_ns",
+            N.ns_diff(F.col("last_ns"), F.col("first_ns")).alias("span_ns"),
+            "subsec_sum",
+        )
+        .orderBy("bucket_ns")
+    )
+
+
+NANOS_SAMPLE_BY_SQL = """
+WITH e AS (
+  SELECT epoch_ns(ts) AS ns, epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS bucket_ns
+  FROM events
+)
+SELECT bucket_ns,
+  make_timestamp(bucket_ns // 1000) AS bucket_ts,
+  COUNT(*) AS n,
+  MIN(ns) AS first_ns,
+  MAX(ns) AS last_ns,
+  MAX(ns) - MIN(ns) AS span_ns,
+  CAST(SUM(ns % 1000000000) AS BIGINT) AS subsec_sum
+FROM e GROUP BY bucket_ns ORDER BY bucket_ns
+"""

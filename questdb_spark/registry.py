@@ -60,6 +60,7 @@ _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
     "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
     "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
     "uuid_long256_bin": (fn.uuid_long256_bin, fn.UUID_LONG256_SQL),
+    "nanos_sample_by": (fn.nanos_sample_by, fn.NANOS_SAMPLE_BY_SQL),
     "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
     "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
     "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),

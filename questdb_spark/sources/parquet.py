@@ -55,6 +55,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_ns(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like load_table, but keep the designated timestamp at its native
+    NANOSECOND resolution as an epoch-nanos long shadow column ``<ts>_ns``
+    (QuestDB TIMESTAMP_NANO, ColumnType.java:149-150) alongside the micros
+    TimestampType column. functions/nanos.py operates on the shadow."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ts = DESIGNATED_TS.get(name)
+    if ts is not None and dict(df.dtypes).get(ts) == "bigint":
+        df = df.withColumn(f"{ts}_ns", F.col(ts)).withColumn(
+            ts, F.expr(f"timestamp_micros({ts} div 1000)")
+        )
+    elif ts is not None:
+        # micros-resolution storage: synthesize the shadow (×1000 exact)
+        df = df.withColumn(f"{ts}_ns", F.unix_micros(F.col(ts)) * F.lit(1_000))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 

@@ -329,3 +329,36 @@ def test_approx_aggs_error_bounds(spark, ddb):
         assert p45 <= got[et]["approx_p50"] <= p55, (
             f"{et}: approx p50 {got[et]['approx_p50']} outside [{p45}, {p55}]"
         )
+
+
+def test_nanos_true_resolution(spark):
+    """TIMESTAMP_NANO shadow column carries TRUE sub-microsecond precision
+    (ColumnType.java:149-150): verify load_table_ns + functions/nanos against
+    a pyarrow ground truth, which reads the raw nano int64s directly —
+    unlike the DuckDB oracle, whose parquet scan truncates nanos to micros
+    (that is why the registry `nanos_sample_by` entry feeds micros input)."""
+    import pyarrow.parquet as pq
+
+    from questdb_spark.functions import nanos as N
+    from questdb_spark.sources.parquet import load_table_ns
+    from .conftest import SF_DIR
+
+    ev = load_table_ns(spark, SF_DIR, "events")
+    got = ev.agg(
+        F.min("ts_ns").alias("mn"),
+        F.max("ts_ns").alias("mx"),
+        F.sum(N.subsec_ns(F.col("ts_ns"))).alias("sub"),
+    ).collect()[0]
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])
+    raw = tbl.column("ts").cast("int64").to_pylist()
+    assert got["mn"] == min(raw)
+    assert got["mx"] == max(raw)
+    assert got["sub"] == sum(v % 1_000_000_000 for v in raw)
+    # prove the data really is sub-microsecond (the point of the shadow col)
+    assert any(v % 1_000 for v in raw)
+    # micros TimestampType column agrees with the truncated shadow
+    trunc = ev.select(
+        F.sum((N.ns_of(F.col("ts")) - F.col("ts_ns") + F.col("ts_ns") % 1_000).cast("long")).alias("z")
+    ).collect()[0]["z"]
+    assert trunc == 0
