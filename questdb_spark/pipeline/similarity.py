@@ -163,7 +163,13 @@ def cosine_near_dup_pairs(
     per band. Size ``planes_per_band`` ~ log2(corpus)/2 so buckets stay
     bounded as the corpus grows; raise ``n_bands`` to recover recall lost
     to the finer buckets. Same recipe as minhash_lsh_candidates
-    (pipeline/dedup.py) with hyperplanes instead of minhash rows."""
+    (pipeline/dedup.py) with hyperplanes instead of minhash rows.
+
+    Cost shape: HOF lambdas (aggregate/zip_with) are interpreted, not
+    codegen'd, so per-CANDIDATE work dominates. Self-norms are computed
+    once per ROW before the explode (not once per candidate), and pairs
+    colliding in several bands are deduplicated BEFORE the exact-cosine
+    scoring, leaving exactly one interpreted dot product per unique pair."""
     bands = F.array(
         *[
             F.struct(
@@ -175,37 +181,45 @@ def cosine_near_dup_pairs(
     )
     keyed = (
         df.select(F.col(id_col), quantize(F.col(vec_col)).alias("__v"))
-        .select(id_col, "__v", F.explode(bands).alias("__band"))
+        .withColumn("__n", F.sqrt(dot_q(F.col("__v"), F.col("__v"))))
+        .select(id_col, "__v", "__n", F.explode(bands).alias("__band"))
         .select(
             id_col,
             "__v",
+            "__n",
             F.col("__band.bi").alias("__bi"),
             F.col("__band.bk").alias("__bk"),
         )
     )
     left = keyed.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__bi", "__bk"
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__bi",
+        "__bk",
     )
     right = keyed.select(
         F.col(id_col).alias("id_b"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.col("__bi").alias("__bi2"),
         F.col("__bk").alias("__bk2"),
     )
-    cand = left.join(
-        right,
-        (F.col("__bi") == F.col("__bi2"))
-        & (F.col("__bk") == F.col("__bk2"))
-        & (F.col("id_a") < F.col("id_b")),
+    cand = (
+        left.join(
+            right,
+            (F.col("__bi") == F.col("__bi2"))
+            & (F.col("__bk") == F.col("__bk2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        # a pair colliding in SEVERAL bands appears once per band — dedup
+        # before the expensive exact scoring (payloads are identical per pair)
+        .dropDuplicates(["id_a", "id_b"])
     )
     dot = dot_q(F.col("__va"), F.col("__vb"))
-    norm = F.sqrt(dot_q(F.col("__va"), F.col("__va"))) * F.sqrt(
-        dot_q(F.col("__vb"), F.col("__vb"))
-    )
     return (
-        cand.select("id_a", "id_b", (dot / norm).alias("cosine"))
+        cand.select("id_a", "id_b", (dot / (F.col("__na") * F.col("__nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()  # a pair colliding in BOTH bands appears twice
         .orderBy("id_a", "id_b")
     )
 
