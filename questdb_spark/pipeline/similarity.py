@@ -14,8 +14,11 @@ so top-k membership and the reported score are bit-stable across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 QUANT = 1000
 
@@ -42,14 +45,11 @@ def cosine_topk(
 
     ``query`` is a 1-row DataFrame with the same vec column; it is
     broadcast (never collected on the driver)."""
-    q = F.broadcast(query.select(quantize(F.col(vec_col)).alias("__qv")))
-    base = df.select(
-        F.col(id_col), quantize(F.col(vec_col)).alias("__v")
-    ).crossJoin(q)
-    dot = dot_q(F.col("__v"), F.col("__qv"))
-    norm = F.sqrt(dot_q(F.col("__v"), F.col("__v"))) * F.sqrt(
-        dot_q(F.col("__qv"), F.col("__qv"))
-    )
+    pair, n2 = _pair_dot_udf(), _norm2_udf()
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v")).crossJoin(q)
+    dot = pair(F.col("__v"), F.col("__qv"))
+    norm = F.sqrt(n2(F.col("__v"))) * F.sqrt(n2(F.col("__qv")))
     scored = base.select(
         F.col(id_col), (dot / norm).alias("cosine")
     )
@@ -58,6 +58,122 @@ def cosine_topk(
 
 N_PLANES = 8
 MAX_DIM = 256
+
+
+# -- Arrow-vectorized integer kernels ----------------------------------------
+#
+# The HOF forms above (transform/zip_with/aggregate) are the REFERENCE
+# implementations — exact, engine-independent, and what the oracle SQL
+# mirrors. But Spark evaluates HOF lambdas interpreted (CodegenFallback),
+# ~10µs per element call, so a 64-dim dot costs ~1ms/row of interpreter
+# dispatch — CPU-bound long before I/O at 100 TB. Dense fixed-dim vector
+# math is the one place Arrow-batched numpy beats the JVM expression
+# engine by orders of magnitude (one BLAS matmul per batch), so the hot
+# kernels below move ONLY the integer arithmetic to pandas UDFs:
+# every returned value is an int64 dot/bucket/cell — bit-identical to the
+# HOF forms (test_dedup_scale asserts equality on real data) — and all
+# floating-point math (sqrt, division) stays in JVM expressions so oracle
+# determinism is untouched.
+
+
+def _quant_np(s: pd.Series) -> np.ndarray:
+    """float32 vectors → n×dim int64, matching round(cast(x as double) *
+    QUANT) HALF_UP semantics (sign · floor(|x·Q| + ½) = round half away
+    from zero, the Spark/DuckDB tie rule)."""
+    a = np.vstack(s.to_numpy()).astype(np.float64) * float(QUANT)
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
+def _sign_matrix(n_planes: int, dim: int) -> np.ndarray:
+    return np.array([plane_signs(p, dim) for p in range(n_planes)], dtype=np.int64)
+
+
+def _bucket_udf(dim: int):
+    """vec → packed N_PLANES-bit LSH bucket id (int, = lsh_bucket)."""
+    m = _sign_matrix(N_PLANES, dim)
+    pows = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    @pandas_udf("int")
+    def f(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        d = q @ m[:, : q.shape[1]].T
+        return pd.Series(((d > 0) @ pows).astype(np.int32))
+
+    return f
+
+
+def _band_keys_udf(n_bands: int, planes_per_band: int, dim: int):
+    """vec → array<int> of band keys (element b = band_key(vec, b, ppb))."""
+    m = _sign_matrix(n_bands * planes_per_band, dim)
+    pows = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def f(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        bits = (q @ m[:, : q.shape[1]].T) > 0  # n × (n_bands·ppb)
+        keys = [
+            (bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ pows).astype(
+                np.int32
+            )
+            for b in range(n_bands)
+        ]
+        return pd.Series(list(np.stack(keys, axis=1)))
+
+    return f
+
+
+def _pair_dot_udf():
+    """(vec_a, vec_b) → quantized int64 dot (= dot_q(quantize, quantize))."""
+
+    @pandas_udf("long")
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        qa, qb = _quant_np(a), _quant_np(b)
+        return pd.Series(np.einsum("ij,ij->i", qa, qb))
+
+    return f
+
+
+def _norm2_udf():
+    """vec → int64 self-dot (‖quantize(vec)‖²)."""
+
+    @pandas_udf("long")
+    def f(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        return pd.Series(np.einsum("ij,ij->i", q, q))
+
+    return f
+
+
+def _cell_udf(centroids: list[list[int]]):
+    """vec → nearest IVF cell id (ties → lower cid, = _nearest_cells n=1)."""
+    c = np.array(centroids, dtype=np.int64)  # K×dim
+    cnorm = np.einsum("ij,ij->i", c, c)
+
+    @pandas_udf("int")
+    def f(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        # ‖q−c‖² = ‖q‖² − 2q·c + ‖c‖²; ‖q‖² constant per row → argmin over
+        # (−2q·c + ‖c‖²). np.argmin takes the FIRST minimum = lowest cid.
+        d = -2 * (q @ c[:, : q.shape[1]].T) + cnorm
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return f
+
+
+def _cells_udf(centroids: list[list[int]], n: int):
+    """vec → array<int> of the n nearest cell ids (ties → lower cid)."""
+    c = np.array(centroids, dtype=np.int64)
+    cnorm = np.einsum("ij,ij->i", c, c)
+
+    @pandas_udf("array<int>")
+    def f(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        d = -2 * (q @ c[:, : q.shape[1]].T) + cnorm
+        # stable argsort on distance = ties resolved by lower cid
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return f
 
 
 def plane_signs(plane: int, n: int = MAX_DIM) -> list[int]:
@@ -112,20 +228,20 @@ def ann_lsh_topk(
     corpus is never re-bucketed), so the scale shape is unchanged."""
     if not 1 <= n_probes <= N_PLANES + 1:
         raise ValueError(f"n_probes must be in [1, {N_PLANES + 1}]")
-    qv = quantize(F.col(vec_col))
-    qb = lsh_bucket(qv, dim)
-    probes = F.array(qb, *[qb.bitwiseXOR(F.lit(1 << p)) for p in range(n_probes - 1)])
-    q = F.broadcast(
-        query.select(qv.alias("__qv"), F.explode(probes).alias("__qb"))
+    bud, pair, n2 = _bucket_udf(dim), _pair_dot_udf(), _norm2_udf()
+    rv = F.col(vec_col)
+    q0 = query.select(rv.alias("__qv"), bud(rv).alias("__qb0"))
+    probes = F.array(
+        F.col("__qb0"),
+        *[F.col("__qb0").bitwiseXOR(F.lit(1 << p)) for p in range(n_probes - 1)],
     )
+    q = F.broadcast(q0.select("__qv", F.explode(probes).alias("__qb")))
     base = (
-        df.select(F.col(id_col), qv.alias("__v"), lsh_bucket(qv, dim).alias("__b"))
+        df.select(F.col(id_col), rv.alias("__v"), bud(rv).alias("__b"))
         .join(q, F.col("__b") == F.col("__qb"))
     )
-    dot = dot_q(F.col("__v"), F.col("__qv"))
-    norm = F.sqrt(dot_q(F.col("__v"), F.col("__v"))) * F.sqrt(
-        dot_q(F.col("__qv"), F.col("__qv"))
-    )
+    dot = pair(F.col("__v"), F.col("__qv"))
+    norm = F.sqrt(n2(F.col("__v"))) * F.sqrt(n2(F.col("__qv")))
     return (
         base.select(F.col(id_col), (dot / norm).alias("cosine"), F.col("__b").alias("bucket"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -165,31 +281,25 @@ def cosine_near_dup_pairs(
     to the finer buckets. Same recipe as minhash_lsh_candidates
     (pipeline/dedup.py) with hyperplanes instead of minhash rows.
 
-    Cost shape: HOF lambdas (aggregate/zip_with) are interpreted, not
-    codegen'd, so per-CANDIDATE work dominates. Self-norms are computed
-    once per ROW before the explode (not once per candidate), and pairs
-    colliding in several bands are deduplicated BEFORE the exact-cosine
-    scoring, leaving exactly one interpreted dot product per unique pair."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("bi"),
-                band_key(F.col("__v"), b, planes_per_band, dim).alias("bk"),
-            )
-            for b in range(n_bands)
-        ]
+    Cost shape: band keys and norms come from the Arrow kernels (one numpy
+    matmul per batch); self-norms are computed once per ROW before the
+    explode (not once per candidate), and pairs colliding in several bands
+    are deduplicated BEFORE the exact-cosine scoring, leaving exactly one
+    vectorized dot product per unique pair."""
+    bku, pair, n2 = (
+        _band_keys_udf(n_bands, planes_per_band, dim),
+        _pair_dot_udf(),
+        _norm2_udf(),
     )
+    rv = F.col(vec_col)
     keyed = (
-        df.select(F.col(id_col), quantize(F.col(vec_col)).alias("__v"))
-        .withColumn("__n", F.sqrt(dot_q(F.col("__v"), F.col("__v"))))
-        .select(id_col, "__v", "__n", F.explode(bands).alias("__band"))
-        .select(
-            id_col,
-            "__v",
-            "__n",
-            F.col("__band.bi").alias("__bi"),
-            F.col("__band.bk").alias("__bk"),
+        df.select(
+            F.col(id_col),
+            rv.alias("__v"),
+            F.sqrt(n2(rv)).alias("__n"),
+            bku(rv).alias("__keys"),
         )
+        .select(id_col, "__v", "__n", F.posexplode("__keys").alias("__bi", "__bk"))
     )
     left = keyed.select(
         F.col(id_col).alias("id_a"),
@@ -216,7 +326,7 @@ def cosine_near_dup_pairs(
         # before the expensive exact scoring (payloads are identical per pair)
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = dot_q(F.col("__va"), F.col("__vb"))
+    dot = pair(F.col("__va"), F.col("__vb"))
     return (
         cand.select("id_a", "id_b", (dot / (F.col("__na") * F.col("__nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -292,25 +402,18 @@ def ann_ivf_topk(
     At scale the cell id is the partition/bucketing key of the stored
     index: a probe reads n_probe/n_cells of the corpus, and the probe join
     is a broadcast of n_probe cell ids — no shuffle of the corpus."""
-    qv = quantize(F.col(vec_col))
+    cu, csu = _cell_udf(centroids), _cells_udf(centroids, n_probe)
+    pair, n2 = _pair_dot_udf(), _norm2_udf()
+    rv = F.col(vec_col)
     q = F.broadcast(
-        query.select(
-            qv.alias("__qv"),
-            F.explode(_nearest_cells(qv, centroids, n_probe)).alias("__qc"),
-        )
+        query.select(rv.alias("__qv"), F.explode(csu(rv)).alias("__qc"))
     )
     base = (
-        df.select(
-            F.col(id_col),
-            qv.alias("__v"),
-            _nearest_cells(qv, centroids, 1)[0].alias("__cell"),
-        )
+        df.select(F.col(id_col), rv.alias("__v"), cu(rv).alias("__cell"))
         .join(q, F.col("__cell") == F.col("__qc"))
     )
-    dot = dot_q(F.col("__v"), F.col("__qv"))
-    norm = F.sqrt(dot_q(F.col("__v"), F.col("__v"))) * F.sqrt(
-        dot_q(F.col("__qv"), F.col("__qv"))
-    )
+    dot = pair(F.col("__v"), F.col("__qv"))
+    norm = F.sqrt(n2(F.col("__v"))) * F.sqrt(n2(F.col("__qv")))
     return (
         base.select(F.col(id_col), (dot / norm).alias("cosine"), F.col("__cell").alias("cell"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -143,3 +143,44 @@ def test_ivf_probes_only_nearest_cells(spark):
     scores = [r["cosine"] for r in out]
     assert all(-1.000001 <= s <= 1.000001 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_arrow_kernels_equal_hof_reference(spark):
+    """The Arrow-vectorized integer kernels (numpy matmul per batch) must be
+    BIT-IDENTICAL to the interpreted HOF reference forms on every real
+    vector — buckets, band keys, IVF cell assignment, self/pair dots. This
+    is what licenses using the fast kernels in the oracle-checked queries."""
+    from questdb_spark.pipeline import similarity as sim
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = sim.ivf_centroids(emb, 16)
+    qv = sim.quantize(F.col("embedding"))
+    ref = emb.select(
+        "vec_id",
+        sim.lsh_bucket(qv, 64).alias("b_ref"),
+        sim.dot_q(qv, qv).alias("n2_ref"),
+        *[sim.band_key(qv, b, 4, 64).alias(f"bk{b}_ref") for b in range(2)],
+        sim._nearest_cells(qv, cents, 1)[0].alias("c_ref"),
+    )
+    ker = emb.select(
+        "vec_id",
+        sim._bucket_udf(64)(F.col("embedding")).alias("b_k"),
+        sim._norm2_udf()(F.col("embedding")).alias("n2_k"),
+        sim._band_keys_udf(2, 4, 64)(F.col("embedding")).alias("bks"),
+        sim._cell_udf(cents)(F.col("embedding")).alias("c_k"),
+        sim._pair_dot_udf()(F.col("embedding"), F.col("embedding")).alias("pd_k"),
+    )
+    j = ref.join(ker, "vec_id")
+    n = j.count()
+    assert n > 0
+    bad = j.filter(
+        (F.col("b_ref") != F.col("b_k"))
+        | (F.col("n2_ref") != F.col("n2_k"))
+        | (F.col("bk0_ref") != F.col("bks")[0])
+        | (F.col("bk1_ref") != F.col("bks")[1])
+        | (F.col("c_ref") != F.col("c_k"))
+        | (F.col("n2_ref") != F.col("pd_k"))
+    ).count()
+    assert bad == 0
