@@ -37,17 +37,21 @@ def main() -> None:
 
     total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # ONE compact line: round-1's file was tail-truncated by the driver's
-    # capture window, losing per-query detail.  Compact separators + 2-decimal
-    # timings + headline fields first keep the line as short as possible.
+    # ONE compact line.  The driver keeps only the TAIL of long output
+    # (round-1's capture cut the head, losing the headline fields and the
+    # first queries), so emit per-query detail FIRST — slowest first, so a
+    # truncated head drops only the fastest queries — and the headline
+    # metric/value/sf fields LAST where they always survive.
+    slowest_first = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     print(
         json.dumps(
             {
+                "queries": slowest_first,
+                "n_queries": len(timings),
                 "metric": "total_query_seconds",
-                "value": total,
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
+                "value": total,
             },
             separators=(",", ":"),
         )
