@@ -668,3 +668,60 @@ SELECT bucket_ns,
   CAST(SUM(ns % 1000000000) AS BIGINT) AS subsec_sum
 FROM e GROUP BY bucket_ns ORDER BY bucket_ns
 """
+
+
+def count_star_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """count(*) fast path (CountRecordCursorFactory.java — QuestDB answers
+    from table metadata without scanning): Spark answers from parquet
+    row-group footers — the scan's ReadSchema is the empty struct, no data
+    pages are decoded (asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events")
+    return (
+        li.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("lineitem").alias("tab"), "cnt")
+        .unionAll(
+            ev.groupBy().agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("events").alias("tab"), "cnt")
+        )
+    )
+
+
+COUNT_STAR_SQL = """
+SELECT 'lineitem' AS tab, COUNT(*) AS cnt FROM lineitem
+UNION ALL
+SELECT 'events' AS tab, COUNT(*) AS cnt FROM events
+"""
+
+
+def bind_variables(spark: SparkSession, sf: str) -> DataFrame:
+    """Bind variables (griffin/engine/functions/bind/*, PGwire extended
+    protocol): parameterized SQL via spark.sql(sql, args) — named markers
+    are bound server-side, the plan is built with the literals in place
+    (same constant-folding benefits as QuestDB's bind variable cache)."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+                    AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderdate >= :lo AND o_orderdate < :hi AND o_orderstatus = :st
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"lo": "1996-01-01", "hi": "1997-01-01", "st": "O"},
+    )
+
+
+BIND_VARIABLES_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

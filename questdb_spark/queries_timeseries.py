@@ -82,6 +82,43 @@ FROM e, o GROUP BY 1, 2
 """
 
 
+def sample_by_tz_day(spark: SparkSession, sf: str) -> DataFrame:
+    """SAMPLE BY 1d ALIGN TO CALENDAR TIME ZONE 'America/New_York'
+    (``SqlParser.java:4284``, ``TimestampSamplerFactory``): buckets align
+    to LOCAL calendar days and surface as the UTC instant of local
+    midnight (05:00 UTC under EST). Lowered as
+    convert_timezone(UTC→tz) → date_trunc → convert_timezone(tz→UTC); the
+    tz math is a projection, so the aggregation is still one shuffle."""
+    ev = load_table(spark, sf, "events")
+    return sample_by(
+        ev,
+        "ts",
+        "1d",
+        {
+            "sum_value": F.sum(F.col("value").cast(D2)).cast("decimal(20,2)").cast("double"),
+            "n": F.count(F.lit(1)),
+        },
+        keys=["event_type"],
+        tz="America/New_York",
+    )
+
+
+# DuckDB tz composition mirrors the Spark lowering exactly:
+# timezone('UTC', ts)   naive-UTC -> instant
+# timezone(tz, instant) instant   -> naive local      (= convert_timezone)
+# then truncate, and apply the inverse pair to return to naive UTC.
+SAMPLE_BY_TZ_SQL = """
+SELECT
+  CAST(timezone('UTC', timezone('America/New_York',
+       date_trunc('day', timezone('America/New_York', timezone('UTC', ts)))))
+       AS TIMESTAMP) AS ts_bucket,
+  event_type,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def sample_by_fill_null(spark: SparkSession, sf: str) -> DataFrame:
     """SAMPLE BY 6h FILL(null) with FROM/TO spine bounds."""
     ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")

@@ -27,6 +27,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # driver already verified (CORRECTNESS_r01.json: all 50 pass) go LAST so every
 # registry entry eventually accumulates a driver-verified row.
 _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
+    # --- new this round: calendar-tz sample by, count(*) fast path, binds ---
+    "sample_by_tz_day": (ts.sample_by_tz_day, ts.SAMPLE_BY_TZ_SQL),
+    "count_star_fast": (fn.count_star_fast, fn.COUNT_STAR_SQL),
+    "bind_variables": (fn.bind_variables, fn.BIND_VARIABLES_SQL),
     # --- new this round: SQL front-end (QdbEngine.sql) routed queries ---
     "sql_sample_by": (sq.sql_sample_by, sq.SQL_SAMPLE_BY_SQL),
     "sql_sample_by_first_obs": (sq.sql_sample_by_first_obs, sq.SQL_SAMPLE_BY_FIRST_OBS_SQL),

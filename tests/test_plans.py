@@ -112,3 +112,24 @@ def test_window_join_bucketed_equijoin(spark):
         js = [j for j in range(900) if mt - 30 <= j <= mt + 30]
         assert got[i][0] == len(js), i
         assert got[i][1] == (float(sum(js)) if js else None), i
+
+
+def test_count_star_reads_no_columns(spark):
+    """count(*) fast path: the parquet scan decodes ZERO data columns —
+    Spark answers from row-group metadata (the CountRecordCursorFactory
+    analogue)."""
+    from questdb_spark.queries_functions import count_star_fast
+
+    df = count_star_fast(spark, SF_DIR)
+    assert not read_schema_columns(df)
+
+
+def test_near_dup_shuffle_join_not_broadcast(spark):
+    """The LSH band self-join must be a co-partitioned shuffle join: at
+    corpus scale neither side is broadcastable, and the hint pins the same
+    plan locally."""
+    from questdb_spark.queries_pipeline import embedding_near_dup
+
+    df = embedding_near_dup(spark, SF_DIR)
+    txt = plan_text(df)
+    assert "ShuffledHashJoin" in txt or "SortMergeJoin" in txt
