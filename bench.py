@@ -25,8 +25,11 @@ def main() -> None:
     spark = get_session("questdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, parquet footers, codegen
-    for name, (fn, _) in list(REGISTRY.items())[:3]:
+    # warm-up: JVM, parquet footers, codegen — plus one pandas-UDF query so
+    # the Python worker pool (fork + numpy import per core) is paid here,
+    # not inside the first measured Arrow-kernel query
+    warm = [*list(REGISTRY.items())[:3], ("embedding_topk", REGISTRY["embedding_topk"])]
+    for name, (fn, _) in warm:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

@@ -1,0 +1,125 @@
+"""DECIMAL128/DECIMAL256 arithmetic beyond Spark's 38-digit cap.
+
+Reference: ``cairo/ColumnType.java:104-135`` — QuestDB stores decimals in
+8..256-bit widths (``DECIMAL256`` = 76 significant digits); its
+``griffin/engine/functions/decimal/`` package does exact +/-/cmp/sum on
+them. Spark's ``DecimalType`` stops at precision 38, so wider values are
+emulated here as a **little-endian struct of four base-10¹⁸ limbs**
+(``l0`` least significant), each limb a non-negative LONG < 10¹⁸ — 72
+significant digits, covering the reference's DECIMAL256 integer range for
+analytics (sums of monetary values at precisions 38 can exceed 38 digits
+long before 72).
+
+Why base 10¹⁸ / LONG limbs:
+
+- carry detection is plain integer compare (limb ≥ 10¹⁸), no bit tricks;
+- a group SUM first widens each limb to ``decimal(38,0)`` — exact for up
+  to 10²⁰ rows — then a single carry-ripple renormalizes, so the whole
+  aggregate is ONE map-side-combinable hash aggregate with four partial
+  sums: the same shuffle shape as ``sum(long)``, no UDF/UDAF anywhere;
+- every operation is expressible identically in DuckDB (HUGEINT limbs),
+  which is what makes the ``decimal256_sum`` registry entry
+  oracle-verifiable.
+
+Scope: non-negative magnitudes with exact add / carry-normalized SUM /
+compare / string round-trip. Signed subtract would add a borrow ripple
+(same shape); multiplication would need limb convolution — both left out
+until a query needs them, and documented here so the limitation is
+explicit rather than silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+LIMB = 10**18
+N_LIMBS = 4
+FIELDS = [f"l{i}" for i in range(N_LIMBS)]
+
+
+def wide(*limbs: Column | int) -> Column:
+    """Build a wide decimal from ≤4 little-endian base-10¹⁸ limbs
+    (ints or long Columns); missing high limbs are zero."""
+    if len(limbs) > N_LIMBS:
+        raise ValueError(f"at most {N_LIMBS} limbs")
+    cols = [
+        (F.lit(x) if isinstance(x, int) else x).cast("long").alias(FIELDS[i])
+        for i, x in enumerate(limbs)
+    ]
+    cols += [F.lit(0).cast("long").alias(FIELDS[i]) for i in range(len(limbs), N_LIMBS)]
+    return F.struct(*cols)
+
+
+def from_long(x: Column) -> Column:
+    """Non-negative LONG → wide (two limbs cover the int64 range).
+    High limb via subtract-remainder-then-divide: the quotient is exactly
+    integral, so no float/rounded-decimal division is ever involved."""
+    x = x.cast("long")
+    lo = x % F.lit(LIMB)
+    hi = ((x - lo).cast("decimal(38,0)") / F.lit(LIMB)).cast("long")
+    return wide(lo, hi)
+
+
+def _ripple(limbs: list[Column]) -> Column:
+    """Carry-normalize: limb i keeps value % 10¹⁸, carry goes to limb i+1.
+    Inputs may be any exact numeric (long or decimal(38,0) partial sums);
+    output limbs are LONG < 10¹⁸. The carry is (acc − acc%10¹⁸)/10¹⁸ —
+    exactly integral before the division, so Spark's round-on-decimal-cast
+    can never perturb it (a plain acc/10¹⁸ cast would ROUND, corrupting
+    carries near limb boundaries). Overflow past limb 3 raises via ANSI
+    long cast rather than wrapping silently."""
+    out, carry = [], F.lit(0).cast("decimal(38,0)")
+    for i, l in enumerate(limbs):
+        acc = l.cast("decimal(38,0)") + carry
+        rem = acc % F.lit(LIMB)
+        out.append(rem.cast("long").alias(FIELDS[i]))
+        carry = ((acc - rem) / F.lit(LIMB)).cast("decimal(38,0)")
+    return F.struct(*out)
+
+
+def add(a: Column, b: Column) -> Column:
+    """Exact a + b (non-negative wides)."""
+    return _ripple([a[f] + b[f] for f in FIELDS])
+
+
+def sum_agg(col: Column) -> list[Column]:
+    """Partial aggregates for SUM over a wide column: four widened limb
+    sums. Use inside ``.agg(*sum_agg(F.col('w')))`` then finish with
+    ``normalized('sum_')``. Map-side combinable — one shuffle, like any
+    hash aggregate."""
+    return [
+        F.sum(col[f].cast("decimal(38,0)")).alias(f"sum_{f}") for f in FIELDS
+    ]
+
+
+def normalized(prefix: str = "sum_") -> Column:
+    """Carry-ripple the widened per-limb sums back into a wide struct."""
+    return _ripple([F.col(prefix + f) for f in FIELDS])
+
+
+def compare(a: Column, b: Column) -> Column:
+    """-1 / 0 / 1 — big-endian lexicographic limb compare."""
+    out = F.lit(0)
+    for f in FIELDS:  # ascending significance: later comparisons win
+        out = F.when(a[f] > b[f], 1).when(a[f] < b[f], -1).otherwise(out)
+    return out
+
+
+def to_string(w: Column) -> Column:
+    """Canonical digit string (no leading zeros; '0' for zero)."""
+    s = F.concat(
+        *[F.lpad(w[f].cast("string"), 18, "0") for f in reversed(FIELDS)]
+    )
+    trimmed = F.regexp_replace(s, "^0+", "")
+    return F.when(trimmed == "", "0").otherwise(trimmed)
+
+
+def from_string(s: Column) -> Column:
+    """Digit string (≤72 chars, non-negative) → wide."""
+    padded = F.lpad(s, 18 * N_LIMBS, "0")
+    limbs = [
+        F.substring(padded, 18 * (N_LIMBS - 1 - i) + 1, 18).cast("long")
+        for i in range(N_LIMBS)
+    ]
+    return F.struct(*[l.alias(f) for l, f in zip(limbs, FIELDS)])

@@ -725,3 +725,83 @@ WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01' AND o_orderstat
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def decimal256_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """DECIMAL256 arithmetic past Spark's 38-digit cap
+    (ColumnType.java:104-135, griffin/engine/functions/decimal/): per-row
+    ~54-digit values built as base-10^18 limbs, exact group SUM via four
+    map-side-combinable limb sums + one carry ripple, canonical digit
+    string out. Limb 0 is engineered near the 10^18 boundary so carries
+    genuinely fire at every test scale."""
+    from .functions import decimal256 as D
+
+    li = load_table(spark, sf, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    w = D.wide(
+        (cents * F.lit(999983)) % F.lit(D.LIMB),
+        cents,
+        F.col("l_orderkey").cast("long"),
+    )
+    agg = (
+        li.select(F.col("l_returnflag"), w.alias("__w"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), *D.sum_agg(F.col("__w")))
+    )
+    wide_sum = D.normalized("sum_")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        *[wide_sum[f].alias(f) for f in D.FIELDS],
+        D.to_string(wide_sum).alias("wide_str"),
+    ).orderBy("l_returnflag")
+
+
+DECIMAL256_SUM_SQL = """
+WITH rows_w AS (
+  SELECT l_returnflag,
+    (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 999983)
+      % 1000000000000000000 AS w0,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS w1,
+    l_orderkey AS w2
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    SUM(CAST(w0 AS HUGEINT)) AS s0, SUM(CAST(w1 AS HUGEINT)) AS s1,
+    SUM(CAST(w2 AS HUGEINT)) AS s2, CAST(0 AS HUGEINT) AS s3
+  FROM rows_w GROUP BY l_returnflag
+),
+r AS (
+  SELECT l_returnflag, n, s2,
+    s0 % 1000000000000000000 AS l0,
+    s1 + (s0 - s0 % 1000000000000000000) // 1000000000000000000 AS a1
+  FROM s
+),
+r2 AS (
+  SELECT l_returnflag, n, l0,
+    a1 % 1000000000000000000 AS l1,
+    s2 + (a1 - a1 % 1000000000000000000) // 1000000000000000000 AS a2
+  FROM r
+),
+r3 AS (
+  SELECT l_returnflag, n, l0, l1,
+    a2 % 1000000000000000000 AS l2,
+    (a2 - a2 % 1000000000000000000) // 1000000000000000000 AS l3
+  FROM r2
+)
+SELECT l_returnflag, n,
+  CAST(l0 AS BIGINT) AS l0, CAST(l1 AS BIGINT) AS l1,
+  CAST(l2 AS BIGINT) AS l2, CAST(l3 AS BIGINT) AS l3,
+  CASE WHEN ltrim(
+         lpad(CAST(l3 AS VARCHAR), 18, '0') || lpad(CAST(l2 AS VARCHAR), 18, '0')
+         || lpad(CAST(l1 AS VARCHAR), 18, '0') || lpad(CAST(l0 AS VARCHAR), 18, '0'),
+         '0') = ''
+       THEN '0'
+       ELSE ltrim(
+         lpad(CAST(l3 AS VARCHAR), 18, '0') || lpad(CAST(l2 AS VARCHAR), 18, '0')
+         || lpad(CAST(l1 AS VARCHAR), 18, '0') || lpad(CAST(l0 AS VARCHAR), 18, '0'),
+         '0')
+  END AS wide_str
+FROM r3 ORDER BY l_returnflag
+"""

@@ -362,3 +362,48 @@ def test_nanos_true_resolution(spark):
         F.sum((N.ns_of(F.col("ts")) - F.col("ts_ns") + F.col("ts_ns") % 1_000).cast("long")).alias("z")
     ).collect()[0]["z"]
     assert trunc == 0
+
+
+def test_decimal256_limb_arithmetic(spark):
+    """DECIMAL256 emulation (ColumnType.java:104-135): limb add/sum/compare/
+    string round-trip vs Python's arbitrary-precision ints on values built
+    to hit carry boundaries."""
+    import random
+
+    from questdb_spark.functions import decimal256 as D
+
+    rng = random.Random(7)
+    vals = [0, 1, D.LIMB - 1, D.LIMB, D.LIMB**2 - 1] + [
+        rng.randrange(0, 10**54) for _ in range(40)
+    ]
+    rows = [(i, str(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    wcol = D.from_string(F.col("s"))
+    # round-trip
+    out = df.select("i", "s", D.to_string(wcol).alias("rt")).collect()
+    assert all(r["s"] == r["rt"] for r in out)
+    # pairwise add + compare vs python
+    a = df.select(F.col("i").alias("ia"), wcol.alias("wa"), F.col("s").alias("sa"))
+    b = df.select(F.col("i").alias("ib"), wcol.alias("wb"), F.col("s").alias("sb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib")).select(
+        "sa", "sb",
+        D.to_string(D.add(F.col("wa"), F.col("wb"))).alias("sum_str"),
+        D.compare(F.col("wa"), F.col("wb")).alias("cmp"),
+    )
+    for r in pairs.collect():
+        x, y = int(r["sa"]), int(r["sb"])
+        assert r["sum_str"] == str(x + y)
+        assert r["cmp"] == (0 if x == y else (1 if x > y else -1))
+    # group SUM with carry ripple vs python
+    g = df.withColumn("grp", F.col("i") % 3)
+    got = (
+        g.select("grp", wcol.alias("w"))
+        .groupBy("grp")
+        .agg(*D.sum_agg(F.col("w")))
+        .select("grp", D.to_string(D.normalized()).alias("total"))
+        .collect()
+    )
+    exp = {}
+    for i, v in enumerate(vals):
+        exp[i % 3] = exp.get(i % 3, 0) + v
+    assert {r["grp"]: r["total"] for r in got} == {k: str(v) for k, v in exp.items()}
