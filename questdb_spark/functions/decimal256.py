@@ -21,11 +21,12 @@ Why base 10¹⁸ / LONG limbs:
   which is what makes the ``decimal256_sum`` registry entry
   oracle-verifiable.
 
-Scope: non-negative magnitudes with exact add / carry-normalized SUM /
-compare / string round-trip. Signed subtract would add a borrow ripple
-(same shape); multiplication would need limb convolution — both left out
-until a query needs them, and documented here so the limitation is
-explicit rather than silent.
+Scope: non-negative magnitudes with exact add / subtract (borrow ripple,
+``a >= b`` required — signed values would wrap a sign flag around the
+magnitude struct) / multiply (limb convolution; partial products up to
+10³⁶ stay exact inside ``decimal(38,0)``) / carry-normalized SUM /
+compare / string round-trip. Division is left out until a query needs it
+— documented here so the limitation is explicit rather than silent.
 """
 
 from __future__ import annotations
@@ -81,6 +82,57 @@ def _ripple(limbs: list[Column]) -> Column:
 def add(a: Column, b: Column) -> Column:
     """Exact a + b (non-negative wides)."""
     return _ripple([a[f] + b[f] for f in FIELDS])
+
+
+def subtract(a: Column, b: Column) -> Column:
+    """Exact a − b; requires a ≥ b (use :func:`compare` to order operands
+    first). Borrow ripple: limb i computes a_i − b_i − borrow_in, and lends
+    itself 10¹⁸ when that goes negative — all plain LONG arithmetic."""
+    out, borrow = [], F.lit(0)
+    for f in FIELDS:
+        raw = a[f] - b[f] - borrow
+        out.append(F.when(raw < 0, raw + F.lit(LIMB)).otherwise(raw).alias(f))
+        borrow = F.when(raw < 0, F.lit(1)).otherwise(F.lit(0))
+    return F.struct(*out)
+
+
+def multiply(a: Column, b: Column) -> Column:
+    """Exact a × b; the result must fit 4 limbs (72 digits). Computes the
+    FULL 7-position limb convolution in ``decimal(38,0)`` (each partial
+    product l_i×l_j < 10³⁶ is exact; a position's ≤4 products plus inbound
+    carry stay < 10³⁸), carry-ripples across all 7 positions, keeps the low
+    4, and raises if any high limb or the final carry is nonzero — so
+    overflow (including a carry OUT of limb 3, which a structural
+    high-limb check would miss) always errors instead of truncating."""
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    positions: list[Column] = []
+    for p in range(2 * N_LIMBS - 1):
+        terms = [
+            d38(a[FIELDS[i]]) * d38(b[FIELDS[p - i]])
+            for i in range(N_LIMBS)
+            if 0 <= p - i < N_LIMBS
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        positions.append(acc)
+    rems, carry = [], F.lit(0).cast("decimal(38,0)")
+    for l in positions:
+        acc = l + carry
+        rem = acc % F.lit(LIMB)
+        rems.append(rem)
+        carry = ((acc - rem) / F.lit(LIMB)).cast("decimal(38,0)")
+    overflow = rems[N_LIMBS] + rems[N_LIMBS + 1] + rems[N_LIMBS + 2] + carry
+    lo = F.when(overflow == 0, rems[0]).otherwise(
+        F.assert_true(overflow == 0, F.lit("decimal256 multiply overflow"))
+        .cast("decimal(38,0)")
+    )
+    return F.struct(
+        *[
+            r.cast("long").alias(f)
+            for r, f in zip([lo, *rems[1:N_LIMBS]], FIELDS)
+        ]
+    )
 
 
 def sum_agg(col: Column) -> list[Column]:

@@ -64,20 +64,27 @@ def sum_exclude(
     (peers except self) | 'no others'.
     """
     keys = list(keys)
-    full = F.sum(value).over(_frame(keys, order_by))
+    wfull = _frame(keys, order_by)
+    full = F.sum(value).over(wfull)
+    n_full = F.count(F.lit(1)).over(wfull)
     wpeer = (
         Window.partitionBy(*keys)
         .orderBy(order_by)
         .rangeBetween(0, 0)  # exactly the peer group of the current row
     )
     peers = F.sum(value).over(wpeer)
+    n_peers = F.count(F.lit(1)).over(wpeer)
     v = F.col(value)
+    # SQL standard: SUM over an EMPTY frame is NULL, so the subtraction
+    # identities must be guarded — e.g. EXCLUDE CURRENT ROW on a single-row
+    # partition is NULL, not 0 (DuckDB's native EXCLUDE agrees; the driver
+    # oracle exercises this).
     if exclude == "current row":
-        out = full - v
+        out = F.when(n_full > 1, full - v)
     elif exclude == "group":
-        out = full - peers
+        out = F.when(n_full > n_peers, full - peers)
     elif exclude == "ties":
-        out = full - (peers - v)
+        out = full - (peers - v)  # frame always contains the current row
     elif exclude == "no others":
         out = full
     else:

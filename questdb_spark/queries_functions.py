@@ -805,3 +805,58 @@ SELECT l_returnflag, n,
   END AS wide_str
 FROM r3 ORDER BY l_returnflag
 """
+
+
+def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPS frames + EXCLUDE clauses (WindowExpression.java:47-55) over
+    events: minute-truncated ts creates real peer groups per user. GROUPS
+    is lowered to dense_rank+RANGE (its SQL definition); EXCLUDE variants
+    are frame-subtraction identities with SQL-standard empty-frame NULLs —
+    checked against DuckDB's NATIVE ``EXCLUDE`` window clause."""
+    from .functions.window_extras import groups_frame_sum, sum_exclude
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        dec2("value").alias("v"),
+    )
+    out = groups_frame_sum(ev, "v", "m", keys=["user_id"], groups_preceding=1, out_col="__g")
+    out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="current row", out_col="__ec")
+    out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="group", out_col="__eg")
+    out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="ties", out_col="__et")
+    dd = lambda c, n: F.col(c).cast("decimal(20,2)").cast("double").alias(n)  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        "m",
+        dd("__g", "sum_groups"),
+        dd("__ec", "sum_excl_cur"),
+        dd("__eg", "sum_excl_grp"),
+        dd("__et", "sum_excl_ties"),
+    )
+
+
+WINDOW_GROUPS_EXCLUDE_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, date_trunc('minute', ts) AS m,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+ranked AS (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY user_id ORDER BY m) AS grp FROM base
+)
+SELECT event_id, user_id, m,
+  CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY grp
+       RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS DOUBLE) AS sum_groups,
+  CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY m
+       RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       EXCLUDE CURRENT ROW) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_cur,
+  CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY m
+       RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       EXCLUDE GROUP) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_grp,
+  CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY m
+       RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       EXCLUDE TIES) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_ties
+FROM ranked
+"""

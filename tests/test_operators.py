@@ -407,3 +407,44 @@ def test_decimal256_limb_arithmetic(spark):
     for i, v in enumerate(vals):
         exp[i % 3] = exp.get(i % 3, 0) + v
     assert {r["grp"]: r["total"] for r in got} == {k: str(v) for k, v in exp.items()}
+
+
+def test_decimal256_subtract_multiply(spark):
+    """DECIMAL256 subtract (borrow ripple) and multiply (full 7-position
+    limb convolution) vs Python bigints, on values engineered to hit limb
+    boundaries, long borrow chains, and near-the-72-digit-cap products."""
+    import random
+
+    from questdb_spark.functions import decimal256 as D
+
+    rng = random.Random(11)
+    # keep every pairwise product < 10^72: (10^36-1)^2 fits, 10^36*10^36 not
+    vals = [0, 1, D.LIMB - 1, D.LIMB, D.LIMB + 1, 10**36 - 1] + [
+        rng.randrange(0, 10**35) for _ in range(25)
+    ]
+    rows = [(i, str(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    wcol = D.from_string(F.col("s"))
+    a = df.select(F.col("i").alias("ia"), wcol.alias("wa"), F.col("s").alias("sa"))
+    b = df.select(F.col("i").alias("ib"), wcol.alias("wb"), F.col("s").alias("sb"))
+    pairs = a.crossJoin(b).select(
+        "sa", "sb",
+        # subtract requires a >= b: order operands by compare first
+        D.to_string(
+            F.when(
+                D.compare(F.col("wa"), F.col("wb")) >= 0,
+                D.subtract(F.col("wa"), F.col("wb")),
+            ).otherwise(D.subtract(F.col("wb"), F.col("wa")))
+        ).alias("diff_str"),
+        D.to_string(D.multiply(F.col("wa"), F.col("wb"))).alias("prod_str"),
+    )
+    for r in pairs.collect():
+        x, y = int(r["sa"]), int(r["sb"])
+        assert r["diff_str"] == str(abs(x - y)), (x, y)
+        assert r["prod_str"] == str(x * y), (x, y)
+    # multiply overflow (>= 10^72) raises rather than truncating
+    import pytest as _pytest
+
+    big = spark.range(1).select(D.from_string(F.lit("9" * 40)).alias("w"))
+    with _pytest.raises(Exception, match="(?i)overflow|assert"):
+        big.select(D.to_string(D.multiply(F.col("w"), F.col("w")))).collect()
