@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from .functions import finance, geohash, ipv4
 from .operators.intervals import in_interval
+from .queries_core import _sql_dbl as _sdbl
 from .queries_core import dec2, to_dbl
 from .sources import generators
 from .sources.parquet import load_table, register_views
@@ -859,4 +860,105 @@ SELECT event_id, user_id, m,
        RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
        EXCLUDE TIES) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_ties
 FROM ranked
+"""
+
+
+def regr_bit_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate long tail: linear regression (RegressionSlope/Intercept/
+    R2FunctionFactory.java, AbstractRegressionGroupByFunction.java),
+    bit_and/bit_or/bit_xor (BitAndLongGroupByFunction.java family),
+    string_distinct_agg (StringDistinctAggGroupByFunction.java),
+    frequency-weighted stddev (AbstractWeightedStdDevGroupByFunction.java),
+    isOrdered (functions/groupby IsOrdered*). All moments as exact decimal
+    sums, so the final double expressions are bit-identical across engines;
+    bit/string aggs are exact by construction."""
+    li = load_table(spark, sf, "lineitem")
+    x = dec2("l_quantity")
+    y = dec2("l_extendedprice")
+    w = F.col("l_linenumber").cast("long")
+    ordered = F.col("l_shipdate") >= F.lag("l_shipdate").over(
+        Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    )
+    g = (
+        li.withColumn("__ord", F.coalesce(ordered, F.lit(True)))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum((x * x).cast("decimal(25,4)")).alias("_sxx"),
+            F.sum((y * y).cast("decimal(25,4)")).alias("_syy"),
+            F.sum((x * y).cast("decimal(25,4)")).alias("_sxy"),
+            F.sum(w).alias("_sw"),
+            F.sum((y * w.cast("decimal(3,0)")).cast("decimal(25,2)")).alias("_swy"),
+            F.sum(
+                ((y * y).cast("decimal(25,4)") * w.cast("decimal(3,0)")).cast(
+                    "decimal(30,4)"
+                )
+            ).alias("_swyy"),
+            F.bit_and(F.col("l_partkey")).alias("band_part"),
+            F.bit_or(F.col("l_partkey")).alias("bor_part"),
+            F.bit_xor(F.col("l_partkey")).alias("bxor_part"),
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+                "distinct_status"
+            ),
+            F.bool_and("__ord").alias("is_ordered_shipdate"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = to_dbl("_sx", 2), to_dbl("_sy", 2)
+    sxx, syy, sxy = to_dbl("_sxx", 0), to_dbl("_syy", 0), to_dbl("_sxy", 0)
+    sw = F.col("_sw").cast("double")
+    swy, swyy = to_dbl("_swy", 2), to_dbl("_swyy", 0)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    wvar = (swyy - swy * swy / sw) / (sw - F.lit(1.0))
+    return g.select(
+        "l_returnflag",
+        "n",
+        slope.alias("regr_slope_pq"),
+        ((sy - slope * sx) / n).alias("regr_intercept_pq"),
+        r2.alias("regr_r2_pq"),
+        F.sqrt(wvar).alias("wstddev_price"),
+        "band_part",
+        "bor_part",
+        "bxor_part",
+        "distinct_status",
+        "is_ordered_shipdate",
+    )
+
+
+REGR_BIT_AGGS_SQL = f"""
+WITH base AS (
+  SELECT *,
+    COALESCE(l_shipdate >= LAG(l_shipdate) OVER (
+      PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber), TRUE) AS o
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    {_sdbl("SUM(CAST(l_quantity AS DECIMAL(12,2)))", 2)} AS sx,
+    {_sdbl("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))", 2)} AS sy,
+    {_sdbl("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 0)} AS sxx,
+    {_sdbl("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 0)} AS syy,
+    {_sdbl("SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)))", 0)} AS sxy,
+    CAST(SUM(CAST(l_linenumber AS BIGINT)) AS DOUBLE) AS sw,
+    {_sdbl("SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_linenumber AS DECIMAL(3,0)) AS DECIMAL(25,2)))", 2)} AS swy,
+    {_sdbl("SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4)) * CAST(l_linenumber AS DECIMAL(3,0)) AS DECIMAL(30,4)))", 0)} AS swyy,
+    BIT_AND(l_partkey) AS band_part,
+    BIT_OR(l_partkey) AS bor_part,
+    BIT_XOR(l_partkey) AS bxor_part,
+    ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS distinct_status,
+    BOOL_AND(o) AS is_ordered_shipdate
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS regr_slope_pq,
+  (sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE) AS regr_intercept_pq,
+  ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+    / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS regr_r2_pq,
+  SQRT((swyy - swy * swy / sw) / (sw - 1.0)) AS wstddev_price,
+  band_part, bor_part, bxor_part, distinct_status, is_ordered_shipdate
+FROM g
 """

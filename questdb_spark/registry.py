@@ -31,6 +31,7 @@ _UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
     "sample_by_tz_day": (ts.sample_by_tz_day, ts.SAMPLE_BY_TZ_SQL),
     "decimal256_sum": (fn.decimal256_sum, fn.DECIMAL256_SUM_SQL),
     "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
+    "regr_bit_aggs": (fn.regr_bit_aggs, fn.REGR_BIT_AGGS_SQL),
     "count_star_fast": (fn.count_star_fast, fn.COUNT_STAR_SQL),
     "bind_variables": (fn.bind_variables, fn.BIND_VARIABLES_SQL),
     # --- new this round: SQL front-end (QdbEngine.sql) routed queries ---
