@@ -1,0 +1,484 @@
+"""QuestDB-dialect DDL/DML statements routed onto :class:`TimeTable`.
+
+Reference lifecycle: ``griffin/SqlCompilerImpl.java:3281-3360`` dispatches
+on the leading keyword before ever building a query model; the operations
+land in ``griffin/engine/ops/`` (``CreateTableOperationImpl``,
+``AlterOperation``), ``griffin/UpdateOperatorImpl.java``, and the parser
+grammar lives in ``SqlParser.java`` (``:3081`` DEDUP UPSERT KEYS, ``:4275``
+``timestamp(col)`` designation, ``PartitionBy.java:46-55`` units).
+
+Spark-first: every statement becomes either a TimeTable method (partitioned
+parquet + ops journal — see ``table.py``) or a tiny catalog DataFrame. The
+statement surface:
+
+    CREATE TABLE [IF NOT EXISTS] t (c TYPE, ...) [TIMESTAMP(ts)]
+        [PARTITION BY HOUR|DAY|MONTH|YEAR] [WAL] [DEDUP UPSERT KEYS(...)]
+    CREATE TABLE t AS (SELECT ...) [TIMESTAMP(ts)] [PARTITION BY ...] [...]
+    INSERT INTO t [(cols)] VALUES (...), (...)   |   INSERT INTO t SELECT ...
+    UPDATE t SET c = expr [, ...] [WHERE pred]
+    ALTER TABLE t ADD COLUMN c TYPE | DROP COLUMN c
+        | RENAME COLUMN a TO b | ALTER COLUMN c TYPE newtype
+        | DROP PARTITION LIST 'p' [, 'p'] | DEDUP ENABLE UPSERT KEYS(...)
+        | DEDUP DISABLE
+    TRUNCATE TABLE t | DROP TABLE [IF EXISTS] t | RENAME TABLE a TO b
+    SHOW TABLES | SHOW COLUMNS FROM t | SHOW PARTITIONS FROM t
+
+Statements return a DataFrame (SHOW = rows; mutations = 1-row status), so
+``QdbEngine.sql`` has a single return type.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..table import PARTITION_COL, TimeTable
+from .parser import split_top_level
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .engine import QdbEngine
+
+_STMT_RE = re.compile(
+    r"^\s*(create|insert|update|alter|truncate|drop|rename|show)\b", re.IGNORECASE
+)
+
+# ColumnType.java:77-135 tag names → Spark DDL types (SURVEY §1.2 mapping).
+_TYPES = {
+    "boolean": "boolean",
+    "byte": "tinyint",
+    "short": "smallint",
+    "char": "string",
+    "int": "int",
+    "long": "bigint",
+    "date": "timestamp",  # QuestDB DATE = epoch millis, not a calendar date
+    "timestamp": "timestamp",
+    "timestamp_ns": "timestamp",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "symbol": "string",  # dictionary encoding is a parquet detail
+    "varchar": "string",
+    "uuid": "string",
+    "long256": "string",
+    "long128": "string",
+    "binary": "binary",
+    "ipv4": "string",
+    "geohash": "string",
+}
+
+
+def statement_kind(sql: str) -> str | None:
+    """Leading-keyword fast path (SqlCompilerImpl.java:3281). None = not a
+    DDL/DML statement (plain query)."""
+    m = _STMT_RE.match(sql)
+    return m.group(1).lower() if m else None
+
+
+def execute(eng: QdbEngine, sql: str) -> DataFrame:
+    kind = statement_kind(sql)
+    s = sql.strip().rstrip(";")
+    if kind == "create":
+        return _create(eng, s)
+    if kind == "insert":
+        return _insert(eng, s)
+    if kind == "update":
+        return _update(eng, s)
+    if kind == "alter":
+        return _alter(eng, s)
+    if kind == "truncate":
+        return _truncate(eng, s)
+    if kind == "drop":
+        return _drop(eng, s)
+    if kind == "rename":
+        return _rename(eng, s)
+    if kind == "show":
+        return _show(eng, s)
+    raise ValueError(f"unsupported statement: {sql!r}")
+
+
+# ---------------------------------------------------------------------------
+
+
+def _qdb_type(t: str) -> str:
+    t = t.strip().lower()
+    if re.fullmatch(r"decimal\s*\(\s*\d+\s*,\s*\d+\s*\)", t):
+        return t
+    if t.endswith("[]"):  # DOUBLE[] n-dim arrays (cairo/arr/)
+        return f"array<{_qdb_type(t[:-2])}>"
+    if re.fullmatch(r"geohash\s*\(\s*\d+[bc]\s*\)", t):
+        return "string"
+    if t in _TYPES:
+        return _TYPES[t]
+    raise ValueError(f"unknown column type: {t!r}")
+
+
+def _status(eng: QdbEngine, op: str, table: str, detail: str = "") -> DataFrame:
+    return eng.spark.createDataFrame(
+        [(op, table, detail)], "operation string, table string, detail string"
+    )
+
+
+def _tbl(eng: QdbEngine, name: str) -> TimeTable:
+    if name not in eng.ddl_tables:
+        raise ValueError(f"no such table: {name}")
+    return eng.ddl_tables[name]
+
+
+def _has_files(t: TimeTable) -> bool:
+    for root, _dirs, files in os.walk(t.path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _refresh_view(eng: QdbEngine, name: str) -> None:
+    """Keep a temp view in sync so ANSI queries (plain ``spark.sql``) see
+    the table too, not only the dialect path."""
+    eng.ddl_read(name).createOrReplaceTempView(name)
+
+
+# -- CREATE -----------------------------------------------------------------
+
+_CREATE_RE = re.compile(
+    r"^create\s+table\s+(?:if\s+not\s+exists\s+)?(\w+)\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _create(eng: QdbEngine, s: str) -> DataFrame:
+    m = _CREATE_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse CREATE: {s!r}")
+    name, rest = m.group(1), m.group(2).strip()
+    if_not_exists = re.search(r"if\s+not\s+exists", s, re.IGNORECASE) is not None
+    if name in eng.ddl_tables:
+        if if_not_exists:
+            return _status(eng, "create", name, "exists")
+        raise ValueError(f"table exists: {name}")
+
+    # tail clauses (order-insensitive, all optional)
+    ts_col = None
+    tsm = re.search(r"\btimestamp\s*\(\s*(\w+)\s*\)", rest, re.IGNORECASE)
+    if tsm:
+        ts_col = tsm.group(1)
+    part = "day"
+    pm = re.search(r"\bpartition\s+by\s+(hour|day|month|year)\b", rest, re.IGNORECASE)
+    if pm:
+        part = pm.group(1).lower()
+    dedup: list[str] = []
+    dm = re.search(r"\bdedup\s+upsert\s+keys\s*\(([^)]*)\)", rest, re.IGNORECASE)
+    if dm:
+        dedup = [c.strip() for c in dm.group(1).split(",") if c.strip()]
+
+    asm = re.match(r"^as\s*(\(.*\)|select\b.*)", rest, re.IGNORECASE | re.DOTALL)
+    path = os.path.join(eng.warehouse, name)
+    if asm:
+        body = asm.group(1).strip()
+        # strip the tail clauses that belong to CREATE, not the query —
+        # iterate to a fixpoint since the clauses appear in any order
+        pats = (
+            r"\btimestamp\s*\(\s*\w+\s*\)\s*$",
+            r"\bpartition\s+by\s+\w+\s*$",
+            r"\bdedup\s+upsert\s+keys\s*\([^)]*\)\s*$",
+            r"\bwal\s*$",
+        )
+        changed = True
+        while changed:
+            changed = False
+            for pat in pats:
+                nb = re.sub(pat, "", body, flags=re.IGNORECASE).strip()
+                if nb != body:
+                    body, changed = nb, True
+        if body.startswith("("):
+            body = body[1:-1]
+        df = eng.sql(body)
+        ts_col = ts_col or ("ts" if "ts" in df.columns else df.columns[0])
+        dedup_keys = [k for k in dedup if k != ts_col]
+        t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
+        if dedup_keys:
+            df = df.withColumn(t.seq_col, F.lit(0))
+        t.write(df)
+        eng.ddl_tables[name] = t
+        eng.ddl_schemas[name] = None
+    else:
+        cm = re.match(r"^\((.*)\)\s*(.*)$", rest, re.DOTALL)
+        if not cm:
+            raise ValueError(f"cannot parse CREATE column list: {s!r}")
+        # the column list may contain parens (decimal(p,s)) — re-split at
+        # depth 0 over the full rest, taking the first balanced group
+        inner, tail = _balanced_group(rest)
+        cols = []
+        for item in split_top_level(inner, ","):
+            cparts = item.strip().split(None, 1)
+            if len(cparts) != 2:
+                raise ValueError(f"bad column def: {item!r}")
+            cols.append((cparts[0], _qdb_type(cparts[1])))
+        ts_col = ts_col or next(
+            (c for c, t_ in cols if t_ == "timestamp"), cols[0][0]
+        )
+        dedup_keys = [k for k in dedup if k != ts_col]
+        t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
+        eng.ddl_tables[name] = t
+        eng.ddl_schemas[name] = ", ".join(f"{c} {t_}" for c, t_ in cols)
+    eng.designated_ts[name] = ts_col
+    eng.ddl_seq[name] = 0
+    _refresh_view(eng, name)
+    return _status(eng, "create", name, f"timestamp({ts_col}) partition by {part}")
+
+
+def _balanced_group(s: str) -> tuple[str, str]:
+    """Return (inner of first top-level paren group, remainder)."""
+    depth = 0
+    start = s.index("(")
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1 : i], s[i + 1 :]
+    raise ValueError(f"unbalanced parens: {s!r}")
+
+
+# -- INSERT -----------------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    r"^insert\s+into\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(values\b.*|select\b.*|\(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _insert(eng: QdbEngine, s: str) -> DataFrame:
+    m = _INSERT_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse INSERT: {s!r}")
+    name, collist, body = m.group(1), m.group(2), m.group(3).strip()
+    t = _tbl(eng, name)
+    target = eng.ddl_read(name, dedup=False)
+    tcols = [c for c in target.columns if c not in (PARTITION_COL, t.seq_col)]
+
+    if body.lower().startswith("values"):
+        cols = (
+            [c.strip() for c in collist.split(",")] if collist else list(tcols)
+        )
+        tuples = body[len("values") :].strip()
+        df = eng.spark.sql(
+            f"SELECT * FROM VALUES {tuples} AS v({', '.join(cols)})"
+        )
+    else:
+        if body.startswith("("):
+            body = body[1:-1]
+        df = eng.sql(body)
+        cols = (
+            [c.strip() for c in collist.split(",")] if collist else list(df.columns)
+        )
+        df = df.toDF(*cols)
+
+    # align to target schema: missing columns null, order fixed, types cast
+    tgt_fields = {f.name: f.dataType for f in target.schema.fields}
+    sel = []
+    for c in tcols:
+        if c in df.columns:
+            sel.append(F.col(c).cast(tgt_fields[c]).alias(c))
+        else:
+            sel.append(F.lit(None).cast(tgt_fields[c]).alias(c))
+    aligned = df.select(*sel)
+
+    n = aligned.count()
+    if _has_files(t):
+        eng.ddl_seq[name] = eng.ddl_seq.get(name, 0) + 1
+        t.append(aligned, seq=eng.ddl_seq[name])
+    else:
+        if t.dedup_keys:
+            aligned = aligned.withColumn(t.seq_col, F.lit(0))
+        t.write(aligned)
+    _refresh_view(eng, name)
+    return _status(eng, "insert", name, f"{n} rows")
+
+
+# -- UPDATE -----------------------------------------------------------------
+
+_UPDATE_RE = re.compile(
+    r"^update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _update(eng: QdbEngine, s: str) -> DataFrame:
+    m = _UPDATE_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse UPDATE: {s!r}")
+    name, sets, where = m.group(1), m.group(2), m.group(3)
+    t = _tbl(eng, name)
+    assignments = {}
+    for item in split_top_level(sets, ","):
+        lhs, rhs = item.split("=", 1)
+        assignments[lhs.strip()] = F.expr(rhs.strip())
+    pred = F.expr(where.strip()) if where else F.lit(True)
+    t.update_where(pred, assignments)
+    _refresh_view(eng, name)
+    return _status(eng, "update", name, ", ".join(assignments))
+
+
+# -- ALTER ------------------------------------------------------------------
+
+
+def _alter(eng: QdbEngine, s: str) -> DataFrame:
+    m = re.match(r"^alter\s+table\s+(\w+)\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse ALTER: {s!r}")
+    name, rest = m.group(1), m.group(2).strip()
+    t = _tbl(eng, name)
+    low = rest.lower()
+
+    if low.startswith("add column"):
+        col, typ = rest[len("add column") :].strip().split(None, 1)
+        t.add_column(col, _qdb_type(typ))
+        detail = f"add {col}"
+    elif low.startswith("drop column"):
+        col = rest[len("drop column") :].strip()
+        t.drop_column(col)
+        detail = f"drop {col}"
+    elif low.startswith("rename column"):
+        rm = re.match(
+            r"rename\s+column\s+(\w+)\s+to\s+(\w+)$", rest, re.IGNORECASE
+        )
+        if not rm:
+            raise ValueError(f"cannot parse RENAME COLUMN: {rest!r}")
+        t.rename_column(rm.group(1), rm.group(2))
+        if eng.designated_ts.get(name) == rm.group(1):
+            eng.designated_ts[name] = rm.group(2)
+        detail = f"rename {rm.group(1)} -> {rm.group(2)}"
+    elif low.startswith("alter column"):
+        am = re.match(
+            r"alter\s+column\s+(\w+)\s+(?:set\s+)?type\s+(.+)$", rest, re.IGNORECASE
+        )
+        if not am:
+            raise ValueError(f"cannot parse ALTER COLUMN: {rest!r}")
+        t.alter_column_type(am.group(1), _qdb_type(am.group(2)))
+        detail = f"convert {am.group(1)} -> {am.group(2).strip()}"
+    elif low.startswith("drop partition"):
+        pm = re.match(
+            r"drop\s+partition\s+list\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
+        )
+        if not pm:
+            raise ValueError("only DROP PARTITION LIST '...' is supported")
+        parts = [
+            p.strip().strip("'") for p in split_top_level(pm.group(1), ",")
+        ]
+        for p in parts:
+            t.drop_partition(p)
+        detail = f"drop partitions {parts}"
+    elif low.startswith("dedup enable"):
+        dm = re.search(r"upsert\s+keys\s*\(([^)]*)\)", rest, re.IGNORECASE)
+        if not dm:
+            raise ValueError(f"cannot parse DEDUP ENABLE: {rest!r}")
+        t.dedup_keys = [
+            c.strip() for c in dm.group(1).split(",")
+            if c.strip() and c.strip() != t.ts_col
+        ]
+        detail = f"dedup keys {t.dedup_keys}"
+    elif low.startswith("dedup disable"):
+        t.dedup_keys = []
+        detail = "dedup disabled"
+    else:
+        raise ValueError(f"unsupported ALTER: {rest!r}")
+    _refresh_view(eng, name)
+    return _status(eng, "alter", name, detail)
+
+
+# -- TRUNCATE / DROP / RENAME / SHOW ---------------------------------------
+
+
+def _truncate(eng: QdbEngine, s: str) -> DataFrame:
+    m = re.match(r"^truncate\s+table\s+(\w+)$", s, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse TRUNCATE: {s!r}")
+    name = m.group(1)
+    t = _tbl(eng, name)
+    if eng.ddl_schemas.get(name) is None and _has_files(t):
+        # AS-SELECT table: snapshot the schema BEFORE deleting the data so
+        # the now-empty table still reads with its column types
+        eng.ddl_schemas[name] = eng.ddl_read(name, dedup=False).schema
+    shutil.rmtree(t.path, ignore_errors=True)
+    _refresh_view(eng, name)
+    return _status(eng, "truncate", name)
+
+
+def _drop(eng: QdbEngine, s: str) -> DataFrame:
+    m = re.match(r"^drop\s+table\s+(?:if\s+exists\s+)?(\w+)$", s, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse DROP: {s!r}")
+    name = m.group(1)
+    if name not in eng.ddl_tables:
+        if re.search(r"if\s+exists", s, re.IGNORECASE):
+            return _status(eng, "drop", name, "absent")
+        raise ValueError(f"no such table: {name}")
+    shutil.rmtree(eng.ddl_tables[name].path, ignore_errors=True)
+    del eng.ddl_tables[name]
+    eng.ddl_schemas.pop(name, None)
+    eng.designated_ts.pop(name, None)
+    eng.spark.catalog.dropTempView(name)
+    return _status(eng, "drop", name)
+
+
+def _rename(eng: QdbEngine, s: str) -> DataFrame:
+    m = re.match(r"^rename\s+table\s+(\w+)\s+to\s+(\w+)$", s, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse RENAME: {s!r}")
+    old, new = m.group(1), m.group(2)
+    t = _tbl(eng, old)
+    if new in eng.ddl_tables:
+        raise ValueError(f"table exists: {new}")
+    new_path = os.path.join(eng.warehouse, new)
+    if os.path.exists(t.path):
+        os.rename(t.path, new_path)
+    t.path = new_path
+    eng.ddl_tables[new] = eng.ddl_tables.pop(old)
+    eng.ddl_schemas[new] = eng.ddl_schemas.pop(old, None)
+    if old in eng.designated_ts:
+        eng.designated_ts[new] = eng.designated_ts.pop(old)
+    eng.ddl_seq[new] = eng.ddl_seq.pop(old, 0)
+    eng.spark.catalog.dropTempView(old)
+    _refresh_view(eng, new)
+    return _status(eng, "rename", new, f"from {old}")
+
+
+def _show(eng: QdbEngine, s: str) -> DataFrame:
+    low = re.sub(r"\s+", " ", s.strip().lower())
+    if low == "show tables":
+        rows = [
+            (n, t.ts_col, t.partition_by, ",".join(t.dedup_keys))
+            for n, t in sorted(eng.ddl_tables.items())
+        ]
+        return eng.spark.createDataFrame(
+            rows or [("", "", "", "")],
+            "table string, designated_ts string, partition_by string, dedup_keys string",
+        ).filter(F.col("table") != "")
+    m = re.match(r"show (columns|partitions) from (\w+)", low)
+    if not m:
+        raise ValueError(f"unsupported SHOW: {s!r}")
+    what, name = m.group(1), m.group(2)
+    if what == "columns":
+        df = eng.ddl_read(name, dedup=False)
+        t = eng.ddl_tables.get(name)
+        skip = {PARTITION_COL} | ({t.seq_col} if t else set())
+        rows = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.name not in skip
+        ]
+        return eng.spark.createDataFrame(rows, "column string, type string")
+    t = _tbl(eng, name)
+    if not _has_files(t):
+        return eng.spark.createDataFrame([], "partition string, num_rows long")
+    return (
+        eng.spark.read.parquet(t.path)
+        .groupBy(F.col(PARTITION_COL).cast("string").alias("partition"))
+        .agg(F.count(F.lit(1)).alias("num_rows"))
+        .orderBy("partition")
+    )

@@ -40,11 +40,43 @@ _IN_INTERVAL_RE = re.compile(r"(\w+(?:\.\w+)?)\s+IN\s+'([^']+)'", re.IGNORECASE)
 
 
 class QdbEngine:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        """``warehouse``: directory where DDL-created tables live as
+        partitioned parquet (``TimeTable``); defaults to a fresh temp dir
+        (the reference's ``db/`` root, ``CairoConfiguration.getDbRoot``)."""
+        import tempfile
+
         self.spark = spark
         self.tables: dict[str, DataFrame] = {}
         self.designated_ts: dict[str, str] = {}
         self.tiebreak: dict[str, str] = {}
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="qdb_warehouse_")
+        # DDL-managed tables (CREATE TABLE …): name → TimeTable, plus the
+        # declared schema (Spark DDL string) for empty tables and a per-table
+        # WAL sequence for dedup resolution.
+        self.ddl_tables: dict = {}
+        self.ddl_schemas: dict = {}
+        self.ddl_seq: dict[str, int] = {}
+
+    def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
+        """Read a DDL-created table at its LOGICAL schema (dedup applied,
+        bookkeeping columns dropped). Empty tables read as 0 rows with the
+        declared schema — a CREATEd-but-unwritten table is queryable, like
+        the reference's empty native table."""
+        if name not in self.ddl_tables:
+            raise ValueError(f"no such table: {name}")
+        t = self.ddl_tables[name]
+        from .ddl import _has_files
+
+        if not _has_files(t):
+            schema = self.ddl_schemas.get(name)
+            if schema is None:
+                raise ValueError(f"table {name} is empty with unknown schema")
+            return self.spark.createDataFrame([], schema)
+        df = t.read(dedup=dedup)
+        from ..table import PARTITION_COL
+
+        return df.drop(*[c for c in (PARTITION_COL, t.seq_col) if c in df.columns])
 
     def register(
         self,
@@ -66,7 +98,11 @@ class QdbEngine:
 
     # ------------------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        """Execute a QuestDB-dialect query."""
+        """Execute a QuestDB-dialect query or DDL/DML statement."""
+        from . import ddl
+
+        if ddl.statement_kind(query) is not None:
+            return ddl.execute(self, query)
         rewritten = self._rewrite_intervals(expand_declare(query))
         if not self._needs_dialect(rewritten):
             return self.spark.sql(rewritten)

@@ -101,6 +101,10 @@ class TimeTable:
         if self.dedup_keys:
             base = base.withColumn(self.seq_col, F.lit(seq))
             base = latest_on(base, self.seq_col, [*self.dedup_keys, self.ts_col])
+            # latest_on emits keys-first — restore the incoming column order
+            # so every partition file keeps ONE schema order (mergeSchema
+            # reads, and positional INSERTs, depend on it)
+            base = base.select(*df.columns, self.seq_col)
         base = self._to_physical(base)  # dedup first: keys are logical names
         phys_ts = self._physical_name(self.ts_col)
         (
