@@ -30,27 +30,42 @@ def main() -> None:
     # not inside the first measured Arrow-kernel query
     warm = [*list(REGISTRY.items())[:3], ("embedding_topk", REGISTRY["embedding_topk"])]
     for name, (fn, _) in warm:
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
-    timings: dict[str, float] = {}
+    # per-query isolation: one broken query must never zero the round's perf
+    # evidence (round 2 lost ALL timings to a single analysis exception) —
+    # record null for failures and always emit the JSON line
+    timings: dict[str, float | None] = {}
+    errors: list[str] = []
     for name, (fn, _) in REGISTRY.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 2)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors.append(name)
+            print(f"bench: {name} FAILED: {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 2)
+    total = round(sum(t for t in timings.values() if t is not None), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # ONE compact line.  The driver keeps only the TAIL of long output
     # (round-1's capture cut the head, losing the headline fields and the
     # first queries), so emit per-query detail FIRST — slowest first, so a
     # truncated head drops only the fastest queries — and the headline
     # metric/value/sf fields LAST where they always survive.
-    slowest_first = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    slowest_first = dict(
+        sorted(timings.items(), key=lambda kv: -(kv[1] if kv[1] is not None else 1e9))
+    )
     print(
         json.dumps(
             {
                 "queries": slowest_first,
                 "n_queries": len(timings),
+                "n_failed": len(errors),
                 "metric": "total_query_seconds",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

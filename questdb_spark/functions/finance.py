@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tsutil import to_micros
+
 
 def mid(bid: Column, ask: Column) -> Column:
     """Midpoint price (functions/finance/MidPriceFunctionFactory)."""
@@ -68,9 +70,7 @@ def twap(df: DataFrame, ts_col: str, price_col: str, keys: Sequence[str] = ()) -
     (zero holding time), matching interval-weighted semantics."""
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(ts_col)
-    dur = (F.unix_micros(F.lead(ts_col, 1).over(w)) - F.unix_micros(F.col(ts_col))).cast(
-        "double"
-    )
+    dur = (to_micros(F.lead(ts_col, 1).over(w)) - to_micros(ts_col)).cast("double")
     weighted = df.withColumn("__dur", dur).filter(F.col("__dur").isNotNull())
     return weighted.groupBy(*keys).agg(
         (F.sum(F.col(price_col) * F.col("__dur")) / F.sum("__dur")).alias("twap")

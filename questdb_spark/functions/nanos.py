@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..tsutil import to_nanos
+
 NS_PER = {
     "ns": 1,
     "us": 1_000,
@@ -41,8 +43,8 @@ def _width(amount: int, unit: str) -> int:
 
 def ns_of(ts: Column) -> Column:
     """TimestampType (micros) → epoch-nanos long. unix_micros is integer
-    micros; ×1000 stays well inside int64."""
-    return F.unix_micros(ts) * F.lit(1_000)
+    micros; ×1000 stays well inside int64. NTZ-robust via tsutil."""
+    return to_nanos(ts)
 
 
 def ns_trunc(ns: Column, amount: int, unit: str) -> Column:

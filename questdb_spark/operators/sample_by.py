@@ -31,6 +31,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..tsutil import to_micros
+
 # QuestDB sample-by unit → micros (fixed-width units only)
 _UNIT_MICROS = {
     "U": 1,
@@ -73,7 +75,9 @@ def bucket_col(ts: Column, spec: str, offset_us: int = 0, tz: str | None = None)
     if tz is not None:
         # convert_timezone works on TIMESTAMP_NTZ; the session is pinned to
         # UTC, so NTZ↔LTZ casts preserve the wall clock
-        local = F.convert_timezone(F.lit("UTC"), F.lit(tz), ts).cast("timestamp")
+        local = F.convert_timezone(
+            F.lit("UTC"), F.lit(tz), ts.cast("timestamp_ntz")
+        ).cast("timestamp")
         local_bucket = bucket_col(local, spec, offset_us, tz=None)
         return F.convert_timezone(
             F.lit(tz), F.lit("UTC"), local_bucket.cast("timestamp_ntz")
@@ -97,7 +101,7 @@ def bucket_col(ts: Column, spec: str, offset_us: int = 0, tz: str | None = None)
             )
         return F.date_trunc("month", ts)
     width = n * _UNIT_MICROS[unit]
-    us = F.unix_micros(ts) - F.lit(offset_us)
+    us = to_micros(ts) - F.lit(offset_us)
     return F.timestamp_micros((F.floor(us / width) * width + offset_us).cast("long"))
 
 
@@ -164,11 +168,11 @@ def sample_by(
         width = n * _UNIT_MICROS[unit]
         origin = df.agg(F.min(ts_col).alias("__origin"))
         df = df.crossJoin(F.broadcast(origin))
-        o_us = F.unix_micros(F.col("__origin"))
+        o_us = to_micros(F.col("__origin"))
         b = F.timestamp_micros(
             (
                 o_us
-                + F.floor((F.unix_micros(F.col(ts_col)) - o_us) / F.lit(width))
+                + F.floor((to_micros(F.col(ts_col)) - o_us) / F.lit(width))
                 * F.lit(width)
             ).cast("long")
         )
@@ -239,7 +243,7 @@ def sample_by(
             .orderBy(bucket_name)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        bus = F.unix_micros(F.col(bucket_name))
+        bus = to_micros(F.col(bucket_name))
         for name in names:
             c = F.col(name)
             marked_ts = F.when(c.isNotNull(), bus)

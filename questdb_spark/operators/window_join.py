@@ -28,6 +28,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tsutil import to_micros
 from .asof import asof_join
 
 _UNIT_US = {
@@ -67,6 +68,7 @@ def window_join(
     hi: str,
     aggs: Mapping[str, Column],
     master_id: str,
+    include_prevailing: bool = False,
 ) -> DataFrame:
     """For each master row, aggregate slave rows in [ts+lo, ts+hi] per key.
 
@@ -75,6 +77,15 @@ def window_join(
     provided aliases and must be null-ignoring (sum/count/avg/min/max —
     masters with an empty window contribute null slave rows); ``master_id``
     must uniquely identify master rows.
+
+    ``include_prevailing``: additionally aggregate the PREVAILING slave row —
+    the latest key-matching row with ``ts < master.ts + lo`` (QuestDB
+    ``WINDOW JOIN ... INCLUDE PREVAILING``,
+    ``WindowJoinRecordCursorFactory.java:421`` /
+    ``AsyncWindowJoinRecordCursorFactory.findPrevailingForMasterRow``;
+    parse ``SqlParser.java:4967``). With duplicate (key, ts) slave rows all
+    ties aggregate (the reference's backward scan picks the last stored
+    row); the testdata has unique timestamps per key.
 
     Scale-safe lowering (the streaming shape of
     ``WindowJoinRecordCursorFactory.java:82``, re-expressed for a batch
@@ -87,6 +98,12 @@ def window_join(
     keys-only equi-join would. The (keys, bucket) tuple is also the shuffle
     partition key, so dense time ranges spread across executors instead of
     landing on one key's partition.
+
+    The prevailing row keeps that shape: its timestamp is resolved first by
+    a (chunked, scale-safe) LT/ASOF join probed at the window start, then
+    its bucket joins as a THIRD exploded master bucket — the unbounded
+    look-back lives inside the asof operator's carry pass, never as an
+    unbounded join range here.
     """
     keys = list(keys)
     lo_us, hi_us = interval_micros(lo), interval_micros(hi)
@@ -94,23 +111,52 @@ def window_join(
         raise ValueError(f"window hi {hi!r} precedes lo {lo!r}")
     width = max(hi_us - lo_us, 1)
 
-    # master window start bucket; the window covers __bucket and __bucket+1
-    start_bucket = F.floor((F.unix_micros(F.col(ts_col)) + F.lit(lo_us)) / F.lit(width))
-    m = master.withColumn(
-        "__bucket", F.explode(F.array(start_bucket, start_bucket + 1))
-    ).alias("m")
+    range_cond = (
+        f"s.{ts_col} >= m.{ts_col} + INTERVAL {lo}"
+        f" AND s.{ts_col} <= m.{ts_col} + INTERVAL {hi}"
+    )
+    if include_prevailing:
+        # prevailing ts per master: LT (strict-<) asof probe at window start
+        probe = master.select(
+            F.col(master_id),
+            *[F.col(k) for k in keys],
+            F.expr(f"{ts_col} + INTERVAL {lo}").alias(ts_col),
+        )
+        prev = asof_join(
+            probe,
+            slave.select(*[F.col(k) for k in keys], F.col(ts_col)),
+            ts_col,
+            keys,
+            strict=True,
+            slave_ts_out="__prev_ts",
+            chunk=None if keys else "7 days",
+        ).select(F.col(master_id), F.col("__prev_ts"))
+        master2 = master.join(prev, master_id, "left")
+        start_bucket = F.floor((to_micros(ts_col) + F.lit(lo_us)) / F.lit(width))
+        prev_bucket = F.floor(to_micros("__prev_ts") / F.lit(width))
+        buckets = F.array_distinct(
+            F.filter(
+                F.array(start_bucket, start_bucket + 1, prev_bucket),
+                lambda b: b.isNotNull(),
+            )
+        )
+        m = master2.withColumn("__bucket", F.explode(buckets)).alias("m")
+        match_cond = f"(({range_cond}) OR s.{ts_col} = m.__prev_ts)"
+    else:
+        start_bucket = F.floor((to_micros(ts_col) + F.lit(lo_us)) / F.lit(width))
+        m = master.withColumn(
+            "__bucket", F.explode(F.array(start_bucket, start_bucket + 1))
+        ).alias("m")
+        match_cond = f"({range_cond})"
+
     s = slave.withColumn(
-        "__bucket", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(width))
+        "__bucket", F.floor(to_micros(ts_col) / F.lit(width))
     ).alias("s")
 
     cond = F.expr(
         " AND ".join(
             [f"m.{k} <=> s.{k}" for k in keys]
-            + [
-                "m.__bucket = s.__bucket",
-                f"s.{ts_col} >= m.{ts_col} + INTERVAL {lo}",
-                f"s.{ts_col} <= m.{ts_col} + INTERVAL {hi}",
-            ]
+            + ["m.__bucket = s.__bucket", match_cond]
         )
     )
     joined = m.join(s, cond, "left")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sources.parquet import load_table
+from .tsutil import to_micros
 
 D2 = "decimal(12,2)"  # base columns carry 2 decimal digits — exact in both engines
 
@@ -357,7 +358,7 @@ def window_lead_lag(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.lag("value", 1).over(w).alias("prev_value"),
         F.lead("value", 1).over(w).alias("next_value"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))).alias("micros_since_prev"),
+        (to_micros("ts") - to_micros(F.lag("ts", 1).over(w))).alias("micros_since_prev"),
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from .functions import finance, geohash, ipv4
 from .operators.intervals import in_interval
 from .queries_core import _sql_dbl as _sdbl
+from .tsutil import to_micros
 from .queries_core import dec2, to_dbl
 from .sources import generators
 from .sources.parquet import load_table, register_views
@@ -24,7 +25,7 @@ def twap_vwap_events(spark: SparkSession, sf: str) -> DataFrame:
     holding time in micros; vwap weights = props.k."""
     ev = load_table(spark, sf, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    dur = F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))
+    dur = to_micros(F.lead("ts", 1).over(w)) - to_micros("ts")
     k = F.get_json_object("props", "$.k").cast("long")
     base = ev.withColumn("__dur", dur).withColumn("__k", k)
     return (
@@ -116,11 +117,31 @@ FROM lv GROUP BY l_orderkey
 
 
 def ema_events(spark: SparkSession, sf: str) -> DataFrame:
-    """EMA(α=0.2) of value per user (QuestDB window ema()). Closed-form
-    bounded-lookback window — not SQL-expressible in DuckDB, rows-only
-    check."""
+    """EMA(α=0.2) of value per user (QuestDB window ema()). Oracle: DuckDB
+    recursive CTE running the identical recurrence y = 0.2·x + 0.8·y_prev
+    (pandas ewm(adjust=False) computes the same expression, so the floats
+    agree to the driver's rounding)."""
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
     return finance.ema(ev, "ts", "value", alpha=0.2, keys=["user_id"])
+
+
+# The recurrence is per-(user, row-rank): seed with rn=1, join rn = prev+1.
+# (user_id, ts) is unique in the testdata, so the ordering is deterministic.
+EMA_EVENTS_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+rec(event_id, user_id, ts, value, ema, rn) AS (
+  SELECT event_id, user_id, ts, value, value AS ema, rn FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.ts, o.value,
+         0.2 * o.value + 0.8 * r.ema, o.rn
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, ts, value, ema FROM rec
+"""
 
 
 def spread_mid_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -400,12 +421,35 @@ FROM lineitem GROUP BY l_returnflag
 def approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog — QuestDB
     griffin/engine/groupby/hyperloglog/HyperLogLog.java:39) and
-    percentile_approx. Sketch internals differ per engine → rows-only."""
+    percentile_approx. Sketch internals differ per engine, so the
+    driver-checkable contract is the ERROR BOUND, not the raw sketch value:
+    emit per-group booleans asserting |approx-exact| is inside the
+    documented rsd (HLL default rsd 5% → assert 15% ≈ 3σ) / rank-error
+    (accuracy 1000 → well inside the exact p45..p55 band); the oracle's
+    TRUE literals then hash-match iff every bound holds."""
     ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("__au"),
+        F.countDistinct("user_id").alias("__eu"),
+        F.percentile_approx("value", 0.5, 1000).alias("__ap50"),
+        F.expr("percentile(value, 0.45)").alias("__p45"),
+        F.expr("percentile(value, 0.55)").alias("__p55"),
     )
+    return agg.select(
+        "event_type",
+        (F.abs(F.col("__au") - F.col("__eu")) <= F.col("__eu") * 0.15).alias("users_within_rsd"),
+        ((F.col("__ap50") >= F.col("__p45")) & (F.col("__ap50") <= F.col("__p55"))).alias(
+            "p50_within_rank_err"
+        ),
+    )
+
+
+APPROX_AGGS_SQL = """
+SELECT event_type,
+       TRUE AS users_within_rsd,
+       TRUE AS p50_within_rank_err
+FROM events GROUP BY event_type
+"""
 
 
 def generate_series_rnd(spark: SparkSession, sf: str) -> DataFrame:

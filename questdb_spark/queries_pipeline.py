@@ -514,8 +514,28 @@ FROM b
 
 def dedup_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clusters: Jaccard pairs → connected components → canonical
-    (minimum) doc id per cluster. Iterative — rows-only driver check; the
-    pytest suite verifies components on a hand-built graph."""
+    (minimum) doc id per cluster. Oracle: DuckDB WITH RECURSIVE transitive
+    closure over the same pair set, label = MIN(reachable id); pytest also
+    verifies components on a hand-built graph."""
     docs = load_table(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
     return dedup.dedup_clusters(pairs)
+
+
+# Connected components in ANSI SQL: symmetric edge set → recursive
+# transitive closure (UNION dedups, guaranteeing termination) → per-doc
+# minimum reachable id == min-label-propagation's fixpoint.
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql(0.12, None)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc
+"""

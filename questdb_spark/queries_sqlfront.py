@@ -174,7 +174,9 @@ FROM m
 
 def sql_window_join(spark: SparkSession, sf: str) -> DataFrame:
     """``WINDOW JOIN ... RANGE BETWEEN 1 hour PRECEDING AND 1 hour
-    FOLLOWING`` from SQL text (SqlParser.java:4754)."""
+    FOLLOWING EXCLUDE PREVAILING`` from SQL text (SqlParser.java:4754;
+    EXCLUDE is explicit because the reference defaults to INCLUDE
+    PREVAILING, WindowJoinContext.java:39)."""
     eng = _engine(spark, sf, {})
     _register_streams(eng, spark, sf)
     return eng.sql(
@@ -182,7 +184,7 @@ def sql_window_join(spark: SparkSession, sf: str) -> DataFrame:
         "count(p.purchase_value) AS n_purchases, "
         "cast(cast(sum(cast(p.purchase_value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_purchases "
         "FROM clicks WINDOW JOIN purchases p ON (user_id) "
-        "RANGE BETWEEN 1 hour PRECEDING AND 1 hour FOLLOWING"
+        "RANGE BETWEEN 1 hour PRECEDING AND 1 hour FOLLOWING EXCLUDE PREVAILING"
     )
 
 
@@ -194,6 +196,49 @@ SELECT m.event_id, m.user_id, m.ts, m.click_value,
 FROM m LEFT JOIN s ON s.user_id = m.user_id
   AND s.ts >= m.ts - INTERVAL 1 HOUR AND s.ts <= m.ts + INTERVAL 1 HOUR
 GROUP BY m.event_id, m.user_id, m.ts, m.click_value
+"""
+
+
+def sql_window_join_prevailing(spark: SparkSession, sf: str) -> DataFrame:
+    """``WINDOW JOIN ... INCLUDE PREVAILING`` (SqlParser.java:4967,
+    WindowJoinContext.java:39 — the reference DEFAULT): besides the slave
+    rows inside [ts-30m, ts+30m], the latest key-matching slave row BEFORE
+    the window start joins the aggregate
+    (AsyncWindowJoinRecordCursorFactory.findPrevailingForMasterRow)."""
+    eng = _engine(spark, sf, {})
+    _register_streams(eng, spark, sf)
+    return eng.sql(
+        "SELECT event_id, user_id, ts, click_value, "
+        "count(p.purchase_value) AS n_purchases, "
+        "cast(cast(sum(cast(p.purchase_value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_purchases "
+        "FROM clicks WINDOW JOIN purchases p ON (user_id) "
+        "RANGE BETWEEN 30 minute PRECEDING AND 30 minute FOLLOWING INCLUDE PREVAILING"
+    )
+
+
+# prevailing emulation: per-master MAX(s.ts) strictly before window start,
+# UNION ALL'd into the in-window pair stream before the shared aggregate
+SQL_WINDOW_JOIN_PREVAILING_SQL = f"""
+WITH m AS ({_MASTER_SQL}), s AS ({_SLAVE_SQL}),
+prev AS (
+  SELECT m.event_id AS mid, MAX(s.ts) AS pts
+  FROM m JOIN s ON s.user_id = m.user_id AND s.ts < m.ts - INTERVAL 30 MINUTE
+  GROUP BY m.event_id
+),
+pairs AS (
+  SELECT m.event_id, m.user_id, m.ts, m.click_value, s.purchase_value
+  FROM m LEFT JOIN s ON s.user_id = m.user_id
+    AND s.ts >= m.ts - INTERVAL 30 MINUTE AND s.ts <= m.ts + INTERVAL 30 MINUTE
+  UNION ALL
+  SELECT m.event_id, m.user_id, m.ts, m.click_value, s.purchase_value
+  FROM m
+  JOIN prev ON prev.mid = m.event_id
+  JOIN s ON s.user_id = m.user_id AND s.ts = prev.pts
+)
+SELECT event_id, user_id, ts, click_value,
+  COUNT(purchase_value) AS n_purchases,
+  CAST(CAST(SUM(CAST(purchase_value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_purchases
+FROM pairs GROUP BY event_id, user_id, ts, click_value
 """
 
 

@@ -22,67 +22,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (fn, oracle_sql | None)
 #
 # ORDER MATTERS: the driver's correctness harness checks at most ~50 queries
-# per round, in registry order.  Queries without a green CORRECTNESS row from a
-# previous round (plus anything newly added this round) go FIRST; queries the
-# driver already verified (CORRECTNESS_r01.json: all 50 pass) go LAST so every
-# registry entry eventually accumulates a driver-verified row.
-_UNVERIFIED: dict[str, tuple[QueryFn, str | None]] = {
-    # --- new this round: calendar-tz sample by, count(*) fast path, binds ---
-    "sample_by_tz_day": (ts.sample_by_tz_day, ts.SAMPLE_BY_TZ_SQL),
-    "decimal256_sum": (fn.decimal256_sum, fn.DECIMAL256_SUM_SQL),
-    "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
-    "regr_bit_aggs": (fn.regr_bit_aggs, fn.REGR_BIT_AGGS_SQL),
-    "count_star_fast": (fn.count_star_fast, fn.COUNT_STAR_SQL),
-    "bind_variables": (fn.bind_variables, fn.BIND_VARIABLES_SQL),
-    # --- new this round: SQL front-end (QdbEngine.sql) routed queries ---
-    "sql_sample_by": (sq.sql_sample_by, sq.SQL_SAMPLE_BY_SQL),
-    "sql_sample_by_first_obs": (sq.sql_sample_by_first_obs, sq.SQL_SAMPLE_BY_FIRST_OBS_SQL),
-    "sql_latest_on": (sq.sql_latest_on, sq.SQL_LATEST_ON_SQL),
-    "sql_declare_neg_limit": (sq.sql_declare_neg_limit, sq.SQL_DECLARE_NEG_LIMIT_SQL),
-    "sql_asof_join": (sq.sql_asof_join, sq.SQL_ASOF_JOIN_SQL),
+# per round, in registry order.  Priority groups, first-50 window rotation
+# (VERDICT r2 finding 3 — r1-green queries silently regressed because they
+# sat past position 50 for a whole round):
+#   _PRIORITY — fixed-this-round (r2 crashes) + brand-new queries + formerly
+#               no-oracle entries that now have oracles;
+#   _RECHECK  — r1-green families the driver has NOT re-verified since r1
+#               (ASOF / window / SAMPLE BY / core TPC-H) — rotate through;
+#   _RECENT   — r2-green queries (just verified) go LAST.
+_PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- r2 crashes, fixed this round (NTZ loader normalization) ---
     "sql_window_join": (sq.sql_window_join, sq.SQL_WINDOW_JOIN_SQL),
-    "sql_horizon_markout": (sq.sql_horizon_markout, sq.SQL_HORIZON_MARKOUT_SQL),
-    "sql_multi_join_sample_by": (sq.sql_multi_join_sample_by, sq.SQL_MULTI_JOIN_SQL),
-    "sql_subquery_dialect": (sq.sql_subquery_dialect, sq.SQL_SUBQUERY_DIALECT_SQL),
-    "sql_pivot": (sq.sql_pivot, sq.SQL_PIVOT_SQL),
-    # --- new this round ---
-    "dedup_jaccard_guarded": (pl.dedup_jaccard_guarded, pl.DEDUP_JACCARD_GUARDED_SQL),
-    "markout_horizon_agg": (ts.markout_horizon_agg, ts.MARKOUT_HORIZON_AGG_SQL),
-    "sample_by_first_obs": (ts.sample_by_first_obs, ts.SAMPLE_BY_FIRST_OBS_SQL),
-    # --- round-1 tail the driver never reached (positions 51-74) ---
-    "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
-    "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),
-    "simhash_docs": (pl.simhash_docs, pl.SIMHASH_SQL),
-    "dedup_cluster_canonical": (pl.dedup_cluster_canonical, None),  # iterative
-    "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
-    "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
-    "embedding_ann_multiprobe": (pl.embedding_ann_multiprobe, pl.EMBEDDING_MULTIPROBE_SQL),
-    "embedding_ann_ivf": (pl.embedding_ann_ivf, pl.EMBEDDING_IVF_SQL),
-    "embedding_near_dup": (pl.embedding_near_dup, pl.EMBEDDING_NEAR_DUP_SQL),
-    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
     "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
-    "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
-    "ema_events": (fn.ema_events, None),  # recurrence — not SQL-expressible
-    "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
-    "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
-    "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
-    "uuid_long256_bin": (fn.uuid_long256_bin, fn.UUID_LONG256_SQL),
     "nanos_sample_by": (fn.nanos_sample_by, fn.NANOS_SAMPLE_BY_SQL),
-    "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
-    "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
-    "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),
-    "lateral_topn": (fn.lateral_topn, fn.LATERAL_SQL),
-    "interval_search": (fn.interval_search, fn.INTERVAL_SEARCH_SQL),
-    "percentiles_exact": (fn.percentiles_exact, fn.PERCENTILES_SQL),
-    "approx_aggs": (fn.approx_aggs, None),  # sketch internals differ per engine
-    "generate_series_rnd": (fn.generate_series_rnd, fn.GENERATE_SERIES_SQL),
-    "haversine_paths": (fn.haversine_paths, fn.HAVERSINE_SQL),
     "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
-    "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
+    # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
+    "sql_window_join_prevailing": (
+        sq.sql_window_join_prevailing,
+        sq.SQL_WINDOW_JOIN_PREVAILING_SQL,
+    ),
+    # --- formerly rows-only; oracles added this round ---
+    "dedup_cluster_canonical": (pl.dedup_cluster_canonical, pl.DEDUP_CLUSTER_SQL),
+    "ema_events": (fn.ema_events, fn.EMA_EVENTS_SQL),
+    "approx_aggs": (fn.approx_aggs, fn.APPROX_AGGS_SQL),
 }
 
-_VERIFIED_R1: dict[str, tuple[QueryFn, str | None]] = {
-    # scans / group-by / joins / set-ops (§2.1-2.4, §2.7)
+_RECHECK: dict[str, tuple[QueryFn, str | None]] = {
+    # r2-crashed members of r1-green families (re-green first)
+    "window_lead_lag": (core.window_lead_lag, core.WINDOW_LEAD_LAG_SQL),
+    "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
+    # ASOF / time-join family (r1-green, skipped by r2's window)
+    "asof_join_events": (ts.asof_join_events, ts.ASOF_JOIN_SQL),
+    "asof_join_tolerance": (ts.asof_join_tolerance, ts.ASOF_TOLERANCE_SQL),
+    "lt_join_events": (ts.lt_join_events, ts.LT_JOIN_SQL),
+    "splice_join_events": (ts.splice_join_events, ts.SPLICE_JOIN_SQL),
+    "horizon_join_events": (ts.horizon_join_events, ts.HORIZON_JOIN_SQL),
+    # SAMPLE BY family
+    "sample_by_1h": (ts.sample_by_1h, ts.SAMPLE_BY_1H_SQL),
+    "sample_by_fill_null": (ts.sample_by_fill_null, ts.SAMPLE_BY_FILL_NULL_SQL),
+    "sample_by_fill_prev": (ts.sample_by_fill_prev, ts.SAMPLE_BY_FILL_PREV_SQL),
+    "sample_by_fill_value": (ts.sample_by_fill_value, ts.SAMPLE_BY_FILL_VALUE_SQL),
+    "sample_by_fill_linear": (ts.sample_by_fill_linear, ts.SAMPLE_BY_FILL_LINEAR_SQL),
+    "latest_on_user": (ts.latest_on_user, ts.LATEST_ON_SQL),
+    # window-function family
+    "window_rank": (core.window_rank, core.WINDOW_RANK_SQL),
+    "window_running": (core.window_running, core.WINDOW_RUNNING_SQL),
+    "window_moving_avg": (core.window_moving_avg, core.WINDOW_MOVING_AVG_SQL),
+    "window_first_last_nth": (core.window_first_last_nth, core.WINDOW_FIRST_LAST_SQL),
+    "window_distribution": (core.window_distribution, core.WINDOW_DISTRIBUTION_SQL),
+    # core TPC-H / scan family
     "q1_pricing_summary": (core.q1_pricing_summary, core.Q1_SQL),
     "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
     "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
@@ -97,14 +85,7 @@ _VERIFIED_R1: dict[str, tuple[QueryFn, str | None]] = {
     "setops_nations": (core.setops_nations, core.SETOPS_SQL),
     "semi_anti_join": (core.semi_anti_join, core.SEMI_ANTI_SQL),
     "theta_join_nested_loop": (core.theta_join_nested_loop, core.THETA_JOIN_SQL),
-    # window functions (§2.5)
-    "window_rank": (core.window_rank, core.WINDOW_RANK_SQL),
-    "window_running": (core.window_running, core.WINDOW_RUNNING_SQL),
-    "window_lead_lag": (core.window_lead_lag, core.WINDOW_LEAD_LAG_SQL),
-    "window_moving_avg": (core.window_moving_avg, core.WINDOW_MOVING_AVG_SQL),
-    "window_first_last_nth": (core.window_first_last_nth, core.WINDOW_FIRST_LAST_SQL),
-    "window_distribution": (core.window_distribution, core.WINDOW_DISTRIBUTION_SQL),
-    # aggregate long tail (§2.4)
+    # aggregate long tail (r1-green, not re-checked since)
     "agg_stats": (core.agg_stats, core.AGG_STATS_SQL),
     "vwap_lineitem": (core.vwap_lineitem, core.VWAP_SQL),
     "arg_min_max": (core.arg_min_max, core.ARG_MIN_MAX_SQL),
@@ -113,25 +94,12 @@ _VERIFIED_R1: dict[str, tuple[QueryFn, str | None]] = {
     "first_last_not_null": (core.first_last_not_null, core.FIRST_LAST_SQL),
     "mode_skew_kurtosis": (core.mode_skew_kurtosis, core.MODE_SKEW_SQL),
     "wide_aggregation": (core.wide_aggregation, core.WIDE_AGG_SQL),
-    # scalar functions (§2.8)
+    # scalar functions
     "datetime_functions": (core.datetime_functions, core.DATETIME_SQL),
     "string_functions": (core.string_functions, core.STRING_FN_SQL),
     "json_functions": (core.json_functions, core.JSON_FN_SQL),
     "conditional_cast": (core.conditional_cast, core.CONDITIONAL_CAST_SQL),
-    # time series (§2.3 time joins, §2.4 SAMPLE BY, LATEST ON)
-    "sample_by_1h": (ts.sample_by_1h, ts.SAMPLE_BY_1H_SQL),
-    "sample_by_fill_null": (ts.sample_by_fill_null, ts.SAMPLE_BY_FILL_NULL_SQL),
-    "sample_by_fill_prev": (ts.sample_by_fill_prev, ts.SAMPLE_BY_FILL_PREV_SQL),
-    "sample_by_fill_value": (ts.sample_by_fill_value, ts.SAMPLE_BY_FILL_VALUE_SQL),
-    "sample_by_fill_linear": (ts.sample_by_fill_linear, ts.SAMPLE_BY_FILL_LINEAR_SQL),
-    "latest_on_user": (ts.latest_on_user, ts.LATEST_ON_SQL),
-    "asof_join_events": (ts.asof_join_events, ts.ASOF_JOIN_SQL),
-    "asof_join_tolerance": (ts.asof_join_tolerance, ts.ASOF_TOLERANCE_SQL),
-    "lt_join_events": (ts.lt_join_events, ts.LT_JOIN_SQL),
-    "splice_join_events": (ts.splice_join_events, ts.SPLICE_JOIN_SQL),
-    "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
-    "horizon_join_events": (ts.horizon_join_events, ts.HORIZON_JOIN_SQL),
-    # training-data pipeline: text / dedup / similarity / multimodal
+    # pipeline text/dedup family (r1-green)
     "text_quality": (pl.text_quality, pl.TEXT_QUALITY_SQL),
     "language_detect": (pl.language_detect, pl.LANGUAGE_DETECT_SQL),
     "token_counts": (pl.token_counts, pl.TOKEN_COUNTS_SQL),
@@ -140,7 +108,52 @@ _VERIFIED_R1: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
 }
 
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {**_UNVERIFIED, **_VERIFIED_R1}
+_RECENT: dict[str, tuple[QueryFn, str | None]] = {
+    # --- r2-green (CORRECTNESS_r02), just verified — checked last ---
+    "sample_by_tz_day": (ts.sample_by_tz_day, ts.SAMPLE_BY_TZ_SQL),
+    "decimal256_sum": (fn.decimal256_sum, fn.DECIMAL256_SUM_SQL),
+    "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
+    "regr_bit_aggs": (fn.regr_bit_aggs, fn.REGR_BIT_AGGS_SQL),
+    "count_star_fast": (fn.count_star_fast, fn.COUNT_STAR_SQL),
+    "bind_variables": (fn.bind_variables, fn.BIND_VARIABLES_SQL),
+    "sql_sample_by": (sq.sql_sample_by, sq.SQL_SAMPLE_BY_SQL),
+    "sql_sample_by_first_obs": (sq.sql_sample_by_first_obs, sq.SQL_SAMPLE_BY_FIRST_OBS_SQL),
+    "sql_latest_on": (sq.sql_latest_on, sq.SQL_LATEST_ON_SQL),
+    "sql_declare_neg_limit": (sq.sql_declare_neg_limit, sq.SQL_DECLARE_NEG_LIMIT_SQL),
+    "sql_asof_join": (sq.sql_asof_join, sq.SQL_ASOF_JOIN_SQL),
+    "sql_horizon_markout": (sq.sql_horizon_markout, sq.SQL_HORIZON_MARKOUT_SQL),
+    "sql_multi_join_sample_by": (sq.sql_multi_join_sample_by, sq.SQL_MULTI_JOIN_SQL),
+    "sql_subquery_dialect": (sq.sql_subquery_dialect, sq.SQL_SUBQUERY_DIALECT_SQL),
+    "sql_pivot": (sq.sql_pivot, sq.SQL_PIVOT_SQL),
+    "dedup_jaccard_guarded": (pl.dedup_jaccard_guarded, pl.DEDUP_JACCARD_GUARDED_SQL),
+    "markout_horizon_agg": (ts.markout_horizon_agg, ts.MARKOUT_HORIZON_AGG_SQL),
+    "sample_by_first_obs": (ts.sample_by_first_obs, ts.SAMPLE_BY_FIRST_OBS_SQL),
+    "minhash_signatures": (pl.minhash_signatures, pl.MINHASH_SIG_SQL),
+    "minhash_lsh": (pl.minhash_lsh, pl.MINHASH_LSH_SQL),
+    "simhash_docs": (pl.simhash_docs, pl.SIMHASH_SQL),
+    "embedding_topk": (pl.embedding_topk, pl.EMBEDDING_TOPK_SQL),
+    "embedding_ann_lsh": (pl.embedding_ann_lsh, pl.EMBEDDING_ANN_SQL),
+    "embedding_ann_multiprobe": (pl.embedding_ann_multiprobe, pl.EMBEDDING_MULTIPROBE_SQL),
+    "embedding_ann_ivf": (pl.embedding_ann_ivf, pl.EMBEDDING_IVF_SQL),
+    "embedding_near_dup": (pl.embedding_near_dup, pl.EMBEDDING_NEAR_DUP_SQL),
+    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
+    "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
+    "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
+    "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
+    "ipv4_subnets": (fn.ipv4_subnets, fn.IPV4_SQL),
+    "uuid_long256_bin": (fn.uuid_long256_bin, fn.UUID_LONG256_SQL),
+    "array_ops": (fn.array_ops, fn.ARRAY_OPS_SQL),
+    "pivot_events": (fn.pivot_events, fn.PIVOT_SQL),
+    "unnest_tokens": (fn.unnest_tokens, fn.UNNEST_SQL),
+    "lateral_topn": (fn.lateral_topn, fn.LATERAL_SQL),
+    "interval_search": (fn.interval_search, fn.INTERVAL_SEARCH_SQL),
+    "percentiles_exact": (fn.percentiles_exact, fn.PERCENTILES_SQL),
+    "generate_series_rnd": (fn.generate_series_rnd, fn.GENERATE_SERIES_SQL),
+    "haversine_paths": (fn.haversine_paths, fn.HAVERSINE_SQL),
+    "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
+}
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {**_PRIORITY, **_RECHECK, **_RECENT}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -56,6 +56,9 @@ def get_session(
         # ColumnType.java:149-150) surface as LongType shadow columns and are
         # converted to micros in the loader (SURVEY §1.2)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps load as TIMESTAMP (not NTZ): the engine
+        # models QuestDB's single UTC-micros timestamp type (tsutil.py)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # local-mode niceties; harmless on a cluster
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

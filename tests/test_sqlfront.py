@@ -217,6 +217,8 @@ def test_window_join_sql(eng, spark):
     from questdb_spark.operators.window_join import window_join
 
     master, slave = _register_streams(eng, spark)
+    # bare syntax = INCLUDE PREVAILING (the reference default,
+    # WindowJoinContext.java:39)
     out = eng.sql(
         "SELECT event_id, user_id, ts, click_value, "
         "count(p.purchase_value) AS n_purchases "
@@ -228,8 +230,27 @@ def test_window_join_sql(eng, spark):
         slave, "ts", ["user_id"], "-1 hour", "1 hour",
         {"n_purchases": F.count(F.col("s.purchase_value"))},
         master_id="event_id",
+        include_prevailing=True,
     )
     assert rows(out) == rows(expected)
+
+    out_excl = eng.sql(
+        "SELECT event_id, user_id, ts, click_value, "
+        "count(p.purchase_value) AS n_purchases "
+        "FROM clicks WINDOW JOIN purchases p ON (user_id) "
+        "RANGE BETWEEN 1 hour PRECEDING AND 1 hour FOLLOWING EXCLUDE PREVAILING"
+    )
+    expected_excl = window_join(
+        master.select("event_id", "user_id", "ts", "click_value"),
+        slave, "ts", ["user_id"], "-1 hour", "1 hour",
+        {"n_purchases": F.count(F.col("s.purchase_value"))},
+        master_id="event_id",
+    )
+    assert rows(out_excl) == rows(expected_excl)
+    # prevailing adds rows for masters whose window missed an earlier quote
+    n_incl = sum(r["n_purchases"] for r in out.collect())
+    n_excl = sum(r["n_purchases"] for r in out_excl.collect())
+    assert n_incl > n_excl
 
 
 def test_horizon_join_markout_sql(eng, spark):
