@@ -250,32 +250,64 @@ def simhash(
         raise ValueError("bits must be in [1, 64]")
     toks = _spread(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("__md5a", F.md5(F.col("tok")))
-    # four 8-hex-char words; word g covers nibbles 8g..8g+7, first char most
-    # significant (matches the positional substring semantics)
-    for g in range(4):
-        toks = toks.withColumn(
-            f"__h{g}",
-            F.conv(F.substring(F.col("__md5a"), 8 * g + 1, 8), 16, 10).cast("long"),
+    ).selectExpr(
+        "doc",
+        # four 8-hex-char words; word g covers nibbles 8g..8g+7, first char
+        # most significant (matches the positional substring semantics)
+        *[f"CAST(conv(substring(md5(tok), {8 * g + 1}, 8), 16, 10) AS BIGINT) AS h{g}"
+          for g in range(4)],
+    )
+
+    # SWAR vote packing (replaces r2's 64 independent SUM expressions — the
+    # plan-build + codegen cost of that 256-node tree was the round-2 2×
+    # perf regression; expressions are generated as SQL strings so plan
+    # construction is one py4j call each, not hundreds). Per 32-bit md5
+    # word w, the eight per-nibble vote bits land on a 4-stride comb:
+    # (w >> 3) & 0x11111111 (the nibbles' 8-bits, simhash bits b<32) and
+    # (w >> 2) & 0x11111111 (their 4-bits, b>=32). Comb bits 4k and 4k+16
+    # are already 16-bit-lane aligned, so (comb >> 4k) & 0x00010001 is a
+    # packed PAIR of counters; two words' pairs combine into one 64-bit
+    # accumulator with 4 lanes. Aggregation state: 16 long sums + one count
+    # instead of 64 sums. Lanes are non-negative and each lane total < 2^16
+    # while a doc has < 65536 tokens, so lane sums never carry into
+    # neighbors — exact. Bit b's vote sum is 2·set_b − n > 0 ⟺ 2·set_b > n,
+    # so only set-bit counts accumulate.
+    COMB, PAIR = 0x11111111, 0x00010001
+    packed_exprs: list[str] = []
+    lane_of: dict[int, tuple[str, int]] = {}  # simhash bit → (sum col, lane)
+    for parity, shift in ((0, 3), (1, 2)):  # parity 0: b<32, parity 1: b>=32
+        combs = [f"(shiftright(h{g}, {shift}) & {COMB})" for g in range(4)]
+        for g0, g1 in ((0, 1), (2, 3)):
+            for k in range(4):
+                name = f"p{parity}_{g0}_{k}"
+                packed_exprs.append(
+                    f"SUM((shiftright({combs[g0]}, {4 * k}) & {PAIR})"
+                    f" + shiftleft(shiftright({combs[g1]}, {4 * k}) & {PAIR}, 32))"
+                    f" AS {name}"
+                )
+                # comb position 4j holds nibble 7-j (nibble 0 is the word's
+                # most significant); lanes use comb positions 4k and
+                # 4(k+4), i.e. nibbles 7-k and 3-k; +32 for parity 1
+                for lane, g, nib in ((0, g0, 7 - k), (1, g0, 3 - k), (2, g1, 7 - k), (3, g1, 3 - k)):
+                    b = 32 * parity + 8 * g + nib
+                    lane_of[b] = (name, lane)
+    agg = toks.groupBy("doc").agg(
+        *[F.expr(e) for e in packed_exprs], F.count(F.lit(1)).alias("n")
+    )
+
+    def set_count(b: int) -> str:
+        name, lane = lane_of[b]
+        return f"(shiftright({name}, {16 * lane}) & 65535)"
+
+    def half(lo_bit: int, hi_bit: int) -> str:
+        terms = " + ".join(
+            f"IF({set_count(b)} * 2 > n, {1 << (b - lo_bit)}L, 0L)"
+            for b in range(lo_bit, min(hi_bit, bits))
         )
+        return f"CAST({terms or '0'} AS BIGINT)"
 
-    def bit(b: int) -> Column:
-        nb = b % 32  # nibble index; b<32 → its 8-bit, b>=32 → its 4-bit
-        g, r = nb // 8, nb % 8
-        shift = 4 * (7 - r) + (3 if b < 32 else 2)
-        return F.shiftright(F.col(f"__h{g}"), shift).bitwiseAND(F.lit(1))
-
-    votes = [F.sum(bit(b) * 2 - 1).alias(f"v{b}") for b in range(bits)]
-    agg = toks.groupBy("doc").agg(*votes)
-
-    def half(lo_bit: int, hi_bit: int) -> Column:
-        out = F.lit(0)
-        for b in range(lo_bit, min(hi_bit, bits)):
-            out = out + F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - lo_bit))).otherwise(F.lit(0))
-        return out.cast("long")
-
-    return agg.select(
-        "doc", half(32, 64).alias("simhash_hi"), half(0, 32).alias("simhash_lo")
+    return agg.selectExpr(
+        "doc", f"{half(32, 64)} AS simhash_hi", f"{half(0, 32)} AS simhash_lo"
     )
 
 
