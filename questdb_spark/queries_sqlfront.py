@@ -63,6 +63,41 @@ def _register_streams(eng: QdbEngine, spark: SparkSession, sf: str) -> None:
 # SAMPLE BY through SQL text
 # --------------------------------------------------------------------------
 
+def sql_matview(spark: SparkSession, sf: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW + incremental REFRESH + read-back
+    (SqlCompilerImpl.java:3338 CREATE_MAT_VIEW dispatch,
+    cairo/mv/MatViewRefreshJob.java:77 interval refresh). The view is built
+    over the first ~2/3 of events, the rest is appended, and an INCREMENTAL
+    refresh brings it current — so the oracle equality proves the
+    bucket-merge path, not just create."""
+    eng = _engine(spark, sf, {})
+    ev = load_table(spark, sf, "events")
+    cut = ev.selectExpr("percentile(unix_micros(ts), 0.66) AS c").collect()[0]["c"]
+    eng.register(
+        "ev_head",
+        ev.filter(F.unix_micros("ts") <= F.lit(int(cut))),
+        designated_ts="ts",
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_hourly AS ("
+        "SELECT ts, event_type, "
+        "cast(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_value, "
+        "count(*) AS n "
+        "FROM ev_head SAMPLE BY 1h)"
+    )
+    eng.register("ev_head", ev, designated_ts="ts")  # append the tail
+    eng.sql("REFRESH MATERIALIZED VIEW mv_hourly INCREMENTAL")
+    return eng.sql("SELECT * FROM mv_hourly")
+
+
+SQL_MATVIEW_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts, event_type,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def sql_sample_by(spark: SparkSession, sf: str) -> DataFrame:
     """``SAMPLE BY 1h`` parsed from SQL text (SqlParser.java:4284)."""
     eng = _engine(spark, sf, {"events": "ts"})

@@ -36,6 +36,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
     "nanos_sample_by": (fn.nanos_sample_by, fn.NANOS_SAMPLE_BY_SQL),
     "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
+    # --- new this round: materialized view DDL + incremental refresh ---
+    "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,

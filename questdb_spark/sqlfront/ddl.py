@@ -43,7 +43,8 @@ if TYPE_CHECKING:  # pragma: no cover
     from .engine import QdbEngine
 
 _STMT_RE = re.compile(
-    r"^\s*(create|insert|update|alter|truncate|drop|rename|show)\b", re.IGNORECASE
+    r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh)\b",
+    re.IGNORECASE,
 )
 
 # ColumnType.java:77-135 tag names → Spark DDL types (SURVEY §1.2 mapping).
@@ -79,8 +80,12 @@ def statement_kind(sql: str) -> str | None:
 
 
 def execute(eng: QdbEngine, sql: str) -> DataFrame:
+    from . import matview_ddl
+
     kind = statement_kind(sql)
     s = sql.strip().rstrip(";")
+    if kind in ("create", "refresh", "drop") and matview_ddl.is_matview_stmt(kind, s):
+        return matview_ddl.execute(eng, kind, s)
     if kind == "create":
         return _create(eng, s)
     if kind == "insert":

@@ -57,6 +57,8 @@ class QdbEngine:
         self.ddl_tables: dict = {}
         self.ddl_schemas: dict = {}
         self.ddl_seq: dict[str, int] = {}
+        # materialized / live views (sqlfront/matview_ddl.py): name → def
+        self.matviews: dict = {}
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,
@@ -104,6 +106,11 @@ class QdbEngine:
         if ddl.statement_kind(query) is not None:
             return ddl.execute(self, query)
         rewritten = self._rewrite_intervals(expand_declare(query))
+        for nm, dd in self.matviews.items():
+            if dd.live and re.search(rf"\b{re.escape(nm)}\b", rewritten):
+                from .matview_ddl import read_with_live_refresh
+
+                read_with_live_refresh(self, nm)
         if not self._needs_dialect(rewritten):
             return self.spark.sql(rewritten)
         q = parse(rewritten)
@@ -153,6 +160,10 @@ class QdbEngine:
         if name.startswith("("):
             df = self.sql(name[1:-1])
         elif name in self.tables:
+            if name in self.matviews:  # LIVE views refresh on read
+                from .matview_ddl import read_with_live_refresh
+
+                read_with_live_refresh(self, name)
             df = self.tables[name]
         else:
             df = self.spark.table(name)  # temp views / catalog tables

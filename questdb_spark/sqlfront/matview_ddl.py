@@ -1,0 +1,236 @@
+"""CREATE/REFRESH/DROP MATERIALIZED VIEW and CREATE LIVE VIEW statements.
+
+Reference: mat views are first-class statements dispatched before query
+compilation (``griffin/SqlCompilerImpl.java:3338-3346`` CREATE_MAT_VIEW /
+CREATE_LIVE_VIEW arms), defined by a stored SAMPLE BY query over a base
+table (``cairo/mv/MatViewDefinition.java:54-84``) and refreshed
+incrementally — only the time buckets touched by new base transactions are
+recomputed (``cairo/mv/MatViewRefreshJob.java:77``,
+``cairo/mv/SampleByIntervalIterator.java``). ``REFRESH MATERIALIZED VIEW
+name INCREMENTAL`` is the manual-refresh form
+(``MatViewDefinition.REFRESH_TYPE_MANUAL``); LIVE views refresh on read.
+
+Spark-first lowering (batch twin of ``streaming/matview.py``):
+
+- the view body is lowered through the engine's own dialect front-end, so
+  everything a SAMPLE BY query supports works in a view;
+- storage is date-partitioned parquet under the engine warehouse;
+- incremental refresh tracks the base table's high-water mark (max
+  designated ts at last refresh — the batch stand-in for WAL txn ranges)
+  and recomputes only buckets >= bucket_floor(hwm): the recomputed tail is
+  merged with the untouched head rows of the touched date partitions and
+  written with dynamic partition overwrite, so refresh I/O is proportional
+  to NEW data, not view size — the exact economics of the reference's
+  interval iterator. Out-of-order base writes older than the high-water
+  mark need ``REFRESH ... FULL`` (the streaming path covers bounded
+  lateness via watermarks instead).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.sample_by import _UNIT_MICROS, parse_interval
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .engine import QdbEngine
+
+_PART = "__mv_part"
+
+_CREATE_RE = re.compile(
+    r"^create\s+(materialized|live)\s+view\s+(if\s+not\s+exists\s+)?(\w+)\s*"
+    r"(?:with\s+base\s+'?(\w+)'?\s*)?(?:refresh\s+(?:immediate|manual)\s*)?as\s*\(",
+    re.IGNORECASE,
+)
+_REFRESH_RE = re.compile(
+    r"^refresh\s+materialized\s+view\s+(\w+)(?:\s+(full|incremental))?$",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^drop\s+(?:materialized|live)\s+view\s+(?:if\s+exists\s+)?(\w+)$", re.IGNORECASE
+)
+
+
+@dataclass
+class MatViewDef:
+    name: str
+    base: str  # base table name (WITH BASE or the query's FROM table)
+    inner_sql: str  # the stored SAMPLE BY query text
+    base_ts: str  # base table's designated timestamp column
+    ts_out: str  # output column carrying the bucket timestamp
+    interval: str  # SAMPLE BY interval spec ('1h', '30m', ...)
+    live: bool = False  # LIVE VIEW: incremental refresh on every read
+    hwm: datetime | None = None  # base high-water mark at last refresh
+    path: str = field(default="")
+
+
+def is_matview_stmt(kind: str, s: str) -> bool:
+    low = re.sub(r"\s+", " ", s.strip().lower())
+    return (
+        (kind == "create" and bool(re.match(r"create (materialized|live) view\b", low)))
+        or kind == "refresh"
+        or (kind == "drop" and bool(re.match(r"drop (materialized|live) view\b", low)))
+    )
+
+
+def execute(eng: QdbEngine, kind: str, s: str) -> DataFrame:
+    if kind == "create":
+        return _create(eng, s)
+    if kind == "refresh":
+        return _refresh_stmt(eng, s)
+    return _drop(eng, s)
+
+
+def _status(eng: QdbEngine, op: str, name: str, detail: str = "") -> DataFrame:
+    return eng.spark.createDataFrame(
+        [(op, name, detail)], "op string, view string, detail string"
+    )
+
+
+def _create(eng: QdbEngine, s: str) -> DataFrame:
+    from .ddl import _balanced_group
+    from .parser import parse
+
+    m = _CREATE_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse CREATE VIEW: {s!r}")
+    live = m.group(1).lower() == "live"
+    if_not_exists, name, with_base = bool(m.group(2)), m.group(3), m.group(4)
+    if name in eng.matviews:
+        if if_not_exists:
+            return _status(eng, "create", name, "exists")
+        raise ValueError(f"view exists: {name}")
+    inner, _rest = _balanced_group(s[m.end() - 1 :])  # trailing PARTITION BY ignored:
+    # storage is always date-partitioned parquet (PartitionBy is a native
+    # storage detail the parquet layout subsumes)
+    q = parse(eng._rewrite_intervals(inner))
+    if q.sample_by is None:
+        raise ValueError("materialized views must be SAMPLE BY queries "
+                         "(MatViewDefinition: matViewSql is a sampled query)")
+    base = with_base or q.table
+    base_ts = eng.designated_ts.get(base, "ts")
+    # output column holding the bucket: the select item that is the bare
+    # designated timestamp (the engine's SAMPLE BY lowering buckets it)
+    ts_out = next(
+        (i.alias or i.expr.strip() for i in q.select_items
+         if (i.alias or i.expr.strip()) and i.expr.strip() == base_ts),
+        base_ts,
+    )
+    d = MatViewDef(
+        name=name, base=base, inner_sql=inner, base_ts=base_ts, ts_out=ts_out,
+        interval=q.sample_by.interval, live=live,
+        path=os.path.join(eng.warehouse, f"__mv_{name}"),
+    )
+    eng.matviews[name] = d
+    _refresh(eng, d, full=True)
+    return _status(eng, "create", name, "live" if live else "materialized")
+
+
+def _refresh_stmt(eng: QdbEngine, s: str) -> DataFrame:
+    m = _REFRESH_RE.match(re.sub(r"\s+", " ", s.strip()))
+    if not m:
+        raise ValueError(f"cannot parse REFRESH: {s!r}")
+    name, mode = m.group(1), (m.group(2) or "incremental").lower()
+    d = eng.matviews.get(name)
+    if d is None:
+        raise ValueError(f"no such materialized view: {name}")
+    n = _refresh(eng, d, full=mode == "full")
+    return _status(eng, f"refresh_{mode}", name, f"{n} buckets-window rows")
+
+
+def _drop(eng: QdbEngine, s: str) -> DataFrame:
+    m = _DROP_RE.match(s)
+    if not m:
+        raise ValueError(f"cannot parse DROP VIEW: {s!r}")
+    name = m.group(1)
+    d = eng.matviews.pop(name, None)
+    if d is None:
+        if re.search(r"if\s+exists", s, re.IGNORECASE):
+            return _status(eng, "drop", name, "absent")
+        raise ValueError(f"no such materialized view: {name}")
+    shutil.rmtree(d.path, ignore_errors=True)
+    eng.tables.pop(name, None)
+    eng.spark.catalog.dropTempView(name)
+    return _status(eng, "drop", name)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _bucket_floor(dt: datetime, interval: str) -> datetime | None:
+    """Python-side bucket floor for fixed-width units; None → caller must
+    FULL-refresh (calendar month/year buckets)."""
+    n, unit = parse_interval(interval)
+    if unit in ("M", "y"):
+        return None
+    width = n * _UNIT_MICROS[unit]
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    us = int(dt.timestamp() * 1_000_000)
+    return datetime.fromtimestamp((us - us % width) / 1_000_000, tz=timezone.utc)
+
+
+def _compute(eng: QdbEngine, d: MatViewDef, since: datetime | None) -> DataFrame:
+    """Lower the stored view query, optionally bounded to buckets >= since
+    (the predicate lands on the BASE scan — parquet row groups older than
+    the cutoff are pruned, which is where the incremental economics come
+    from)."""
+    from .parser import parse
+
+    q = parse(eng._rewrite_intervals(d.inner_sql))
+    if since is not None:
+        cond = f"{d.base_ts} >= TIMESTAMP '{since.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        q.where = f"({q.where}) AND {cond}" if q.where else cond
+    return eng._lower(q)
+
+
+def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
+    spark = eng.spark
+    base_df = eng.tables.get(d.base) or spark.table(d.base)
+    new_hwm_row = base_df.agg(F.max(d.base_ts).alias("m")).collect()[0]
+    new_hwm = new_hwm_row["m"]
+
+    cutoff = None if full or d.hwm is None else _bucket_floor(d.hwm, d.interval)
+    if cutoff is None:
+        out = _compute(eng, d, None).withColumn(_PART, F.col(d.ts_out).cast("date"))
+        out.write.partitionBy(_PART).mode("overwrite").parquet(d.path)
+    else:
+        if new_hwm is not None and d.hwm is not None and new_hwm <= d.hwm.replace(tzinfo=None):
+            _register(eng, d)
+            return 0
+        tail = _compute(eng, d, cutoff).withColumn(_PART, F.col(d.ts_out).cast("date"))
+        cutoff_lit = F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+        existing = spark.read.parquet(d.path)
+        # rows of the touched date partitions that precede the recomputed
+        # window must ride along in the overwrite (same merge the streaming
+        # sink does); untouched date partitions are never rewritten
+        carry = existing.filter(F.col(d.ts_out) < cutoff_lit).join(
+            tail.select(_PART).distinct(), _PART, "left_semi"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        carry.unionByName(tail).write.partitionBy(_PART).mode("overwrite").parquet(d.path)
+    if new_hwm is not None:
+        d.hwm = new_hwm if new_hwm.tzinfo else new_hwm.replace(tzinfo=timezone.utc)
+    _register(eng, d)
+    return 1
+
+
+def _register(eng: QdbEngine, d: MatViewDef) -> None:
+    df = eng.spark.read.parquet(d.path).drop(_PART)
+    eng.register(d.name, df, designated_ts=d.ts_out)
+
+
+def read_with_live_refresh(eng: QdbEngine, name: str) -> None:
+    """Called by the engine's table resolver: a LIVE view incrementally
+    refreshes before every read (the batch stand-in for
+    REFRESH_TYPE_IMMEDIATE's refresh-on-transaction)."""
+    d = eng.matviews.get(name)
+    if d is not None and d.live:
+        _refresh(eng, d, full=False)

@@ -143,3 +143,86 @@ def test_hour_partitioning(eng):
     assert parts == ["2024-01-01-00", "2024-01-01-01"]
     eng.sql("ALTER TABLE h DROP PARTITION LIST '2024-01-01T00'")
     assert rows(eng.sql("SELECT v FROM h")) == [(2,)]
+
+
+# -- materialized / live views (sqlfront/matview_ddl.py) ---------------------
+
+
+def _seed_events(eng, name="ev"):
+    """Small append-friendly base table with a designated timestamp."""
+    eng.sql(f"CREATE TABLE {name} (ts TIMESTAMP, sym SYMBOL, v DOUBLE) "
+            f"TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql(
+        f"INSERT INTO {name} VALUES "
+        "(TIMESTAMP '2024-01-01 00:10:00', 'a', 1.0), "
+        "(TIMESTAMP '2024-01-01 00:50:00', 'a', 2.0), "
+        "(TIMESTAMP '2024-01-01 01:10:00', 'b', 3.0), "
+        "(TIMESTAMP '2024-01-01 02:20:00', 'a', 4.0)"
+    )
+    eng.register(name, eng.ddl_read(name), designated_ts="ts")
+
+
+def test_matview_create_query_refresh_drop(eng):
+    _seed_events(eng)
+    st = eng.sql(
+        "CREATE MATERIALIZED VIEW hourly AS ("
+        "SELECT ts, sym, sum(v) AS total, count(*) AS n FROM ev SAMPLE BY 1h)"
+    ).collect()
+    assert st[0]["op"] == "create"
+
+    got = {(str(r["ts"]), r["sym"]): (r["total"], r["n"])
+           for r in eng.sql("SELECT * FROM hourly").collect()}
+    assert got[("2024-01-01 00:00:00", "a")] == (3.0, 2)
+    assert got[("2024-01-01 01:00:00", "b")] == (3.0, 1)
+    assert got[("2024-01-01 02:00:00", "a")] == (4.0, 1)
+
+    # append rows: one into the hwm bucket, one into a new bucket
+    eng.sql(
+        "INSERT INTO ev VALUES "
+        "(TIMESTAMP '2024-01-01 02:40:00', 'a', 10.0), "
+        "(TIMESTAMP '2024-01-01 03:05:00', 'b', 7.0)"
+    )
+    eng.register("ev", eng.ddl_read("ev"), designated_ts="ts")
+
+    # stale until refreshed (manual refresh type)
+    stale = {str(r["ts"]) for r, in zip(eng.sql("SELECT ts FROM hourly").collect())}
+    assert "2024-01-01 03:00:00" not in stale
+
+    eng.sql("REFRESH MATERIALIZED VIEW hourly INCREMENTAL")
+    got2 = {(str(r["ts"]), r["sym"]): (r["total"], r["n"])
+            for r in eng.sql("SELECT * FROM hourly").collect()}
+    assert got2[("2024-01-01 02:00:00", "a")] == (14.0, 2)  # hwm bucket recomputed
+    assert got2[("2024-01-01 03:00:00", "b")] == (7.0, 1)   # new bucket appears
+    assert got2[("2024-01-01 00:00:00", "a")] == (3.0, 2)   # untouched head intact
+
+    eng.sql("DROP MATERIALIZED VIEW hourly")
+    assert "hourly" not in eng.matviews
+    with pytest.raises(Exception):
+        eng.sql("REFRESH MATERIALIZED VIEW hourly FULL")
+
+
+def test_matview_full_refresh_covers_o3(eng):
+    _seed_events(eng, "ev2")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv2 AS ("
+        "SELECT ts, sum(v) AS total FROM ev2 SAMPLE BY 1h)"
+    )
+    # out-of-order insert BEFORE the high-water mark: incremental misses it,
+    # FULL repairs — the documented contract
+    eng.sql("INSERT INTO ev2 VALUES (TIMESTAMP '2024-01-01 00:30:00', 'c', 100.0)")
+    eng.register("ev2", eng.ddl_read("ev2"), designated_ts="ts")
+    eng.sql("REFRESH MATERIALIZED VIEW mv2 FULL")
+    got = {str(r["ts"]): r["total"] for r in eng.sql("SELECT * FROM mv2").collect()}
+    assert got["2024-01-01 00:00:00"] == 103.0
+
+
+def test_live_view_refreshes_on_read(eng):
+    _seed_events(eng, "ev3")
+    eng.sql(
+        "CREATE LIVE VIEW lv AS (SELECT ts, count(*) AS n FROM ev3 SAMPLE BY 1h)"
+    )
+    eng.sql("INSERT INTO ev3 VALUES (TIMESTAMP '2024-01-01 05:00:01', 'z', 9.0)")
+    eng.register("ev3", eng.ddl_read("ev3"), designated_ts="ts")
+    # no explicit REFRESH: reading the live view picks the new bucket up
+    got = {str(r["ts"]) for r in eng.sql("SELECT ts FROM lv").collect()}
+    assert "2024-01-01 05:00:00" in got
