@@ -71,9 +71,42 @@ def _add_units(t: datetime, n: int, unit: str) -> datetime:
                 "w": timedelta(weeks=n)}[unit]
 
 
+# '<base>;<period><unit>;<count>' repetition — base may itself carry a
+# ';duration' suffix: '2018-01-10T10:30;30m;2d;2' = the 30-minute range on
+# Jan 10 AND the same range shifted +2d, 2 occurrences total
+# (IntervalUtils.parseIntervalSuffix case 2, WhereClauseParser.java:464).
+_REP_RE = re.compile(r"^(.*?);(\d+)([smhdwMy]);(\d+)$")
+
+
+def parse_interval_ranges(s: str) -> list[tuple[datetime, datetime]]:
+    """Interval string → one or more [lo, hi) ranges (repetition expands to
+    `count` period-shifted copies of the base range)."""
+    m = _REP_RE.match(s)
+    if m is None:
+        return [parse_interval_string(s)]
+    base, pn, punit, count = m.group(1), int(m.group(2)), m.group(3), int(m.group(4))
+    if ";" not in base:
+        # reference grammar requires the full 4-part date;dur;period;count
+        # form (parseIntervalSuffix: 2 semicolons → error)
+        raise ValueError(f"invalid interval format: {s!r}")
+    if count < 1:
+        raise ValueError(f"interval repeat count must be positive: {s!r}")
+    lo, hi = parse_interval_string(base)
+    return [
+        (_add_units(lo, k * pn, punit), _add_units(hi, k * pn, punit))
+        for k in range(count)
+    ]
+
+
 def in_interval(ts: Column, interval: str) -> Column:
-    """`ts IN '<interval>'` predicate → half-open range comparison."""
-    lo, hi = parse_interval_string(interval)
-    return (ts >= F.lit(lo.isoformat(sep=" ")).cast("timestamp")) & (
-        ts < F.lit(hi.isoformat(sep=" ")).cast("timestamp")
-    )
+    """`ts IN '<interval>'` predicate → OR of half-open range comparisons
+    (a single range for plain intervals; repetition yields several — all
+    constant bounds, so every range still pushes down to the parquet
+    scan)."""
+    pred = None
+    for lo, hi in parse_interval_ranges(interval):
+        rng = (ts >= F.lit(lo.isoformat(sep=" ")).cast("timestamp")) & (
+            ts < F.lit(hi.isoformat(sep=" ")).cast("timestamp")
+        )
+        pred = rng if pred is None else (pred | rng)
+    return pred

@@ -398,6 +398,29 @@ SELECT event_id, ts, 'span' AS which FROM events
 """
 
 
+def interval_repeat(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeating interval `'2024-01-10T09;4h;1d;5'` — the morning window on
+    Jan 10 and the same window on the next 4 days
+    (IntervalUtils.parseIntervalSuffix case 2, WhereClauseParser.java:464).
+    Lowered to an OR of constant ranges, all parquet-pushdown-able."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(in_interval(F.col("ts"), "2024-01-10T09;4h;1d;5")).select(
+        "event_id", "ts", "event_type"
+    )
+
+
+def _repeat_sql() -> str:
+    terms = " OR ".join(
+        f"(ts >= TIMESTAMP '2024-01-{10 + k} 09:00:00'"
+        f" AND ts < TIMESTAMP '2024-01-{10 + k} 14:00:00')"
+        for k in range(5)
+    )
+    return f"SELECT event_id, ts, event_type FROM events WHERE {terms}"
+
+
+INTERVAL_REPEAT_SQL = _repeat_sql()
+
+
 def percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles (QuestDB approx_percentile's exact
     sibling; Spark `percentile` = DuckDB `quantile_cont`)."""

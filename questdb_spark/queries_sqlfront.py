@@ -117,6 +117,23 @@ FROM events GROUP BY 1, 2
 """
 
 
+def sql_sample_by_having(spark: SparkSession, sf: str) -> DataFrame:
+    """``SAMPLE BY ... HAVING`` — post-aggregate filter in the dialect
+    parser (round-2 advice: HAVING previously misparsed in dialect
+    queries; ANSI HAVING semantics, applied after the bucket aggregate)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT ts, event_type, count(*) AS n "
+        "FROM events SAMPLE BY 2h HAVING count(*) > 8"
+    )
+
+
+SQL_SAMPLE_BY_HAVING_SQL = """
+SELECT time_bucket(INTERVAL 2 HOUR, ts) AS ts, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2 HAVING COUNT(*) > 8
+"""
+
+
 def sql_sample_by_first_obs(spark: SparkSession, sf: str) -> DataFrame:
     """``SAMPLE BY 90m ALIGN TO FIRST OBSERVATION`` from SQL text
     (SqlParser.java:4284-4366)."""

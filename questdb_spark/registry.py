@@ -38,6 +38,10 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
     # --- new this round: materialized view DDL + incremental refresh ---
     "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
+    # --- new this round: HAVING in the dialect parser ---
+    "sql_sample_by_having": (sq.sql_sample_by_having, sq.SQL_SAMPLE_BY_HAVING_SQL),
+    # --- new this round: repeating interval syntax ---
+    "interval_repeat": (fn.interval_repeat, fn.INTERVAL_REPEAT_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,

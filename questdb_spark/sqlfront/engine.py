@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, lt_join, splice_join
-from ..operators.intervals import parse_interval_string
+from ..operators.intervals import parse_interval_ranges
 from ..operators.latest import latest_on
 from ..operators.limits import limit_signed
 from ..operators.sample_by import sample_by
@@ -142,13 +142,15 @@ class QdbEngine:
         def repl(m: re.Match) -> str:
             col, text = m.group(1), m.group(2)
             try:
-                lo, hi = parse_interval_string(text)
+                ranges = parse_interval_ranges(text)
             except ValueError:
                 return m.group(0)
-            return (
+            terms = [
                 f"({col} >= TIMESTAMP '{lo.isoformat(sep=' ')}'"
                 f" AND {col} < TIMESTAMP '{hi.isoformat(sep=' ')}')"
-            )
+                for lo, hi in ranges
+            ]
+            return "(" + " OR ".join(terms) + ")"
 
         return _IN_INTERVAL_RE.sub(repl, s)
 
@@ -204,6 +206,17 @@ class QdbEngine:
             df = self._lower_sample_by(df, q, ts_col)
         else:
             df = self._project(df, q)
+
+        if q.having:
+            # HAVING runs over the aggregated frame; aggregate expressions
+            # that textually match a select item are rewritten to that
+            # item's output alias (`HAVING count(*) > 10` works whether or
+            # not the item was aliased)
+            having = q.having
+            for i in q.select_items:
+                if i.alias and i.expr.strip() in having:
+                    having = having.replace(i.expr.strip(), i.alias)
+            df = df.filter(F.expr(having))
 
         return self._finish(df, q, ts_col)
 

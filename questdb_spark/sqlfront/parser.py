@@ -99,11 +99,12 @@ class QdbQuery:
     window_join: WindowJoinSpec | None = None
     horizon_join: HorizonJoinSpec | None = None
     sql_joins: list[SqlJoinSpec] = field(default_factory=list)
+    having: str | None = None  # post-aggregate filter (ANSI HAVING)
 
 
 # clause keywords, longest-match-first; recognized at depth 0 only
 _CLAUSE_KEYWORDS = [
-    "LATEST ON", "SAMPLE BY", "GROUP BY", "ORDER BY",
+    "LATEST ON", "SAMPLE BY", "GROUP BY", "ORDER BY", "HAVING",
     "ASOF JOIN", "LT JOIN", "SPLICE JOIN", "WINDOW JOIN", "HORIZON JOIN",
     "LEFT OUTER JOIN", "RIGHT OUTER JOIN", "FULL OUTER JOIN",
     "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN", "CROSS JOIN",
@@ -257,6 +258,7 @@ def parse(sql: str) -> QdbQuery:
     group_by: list[str] = []
     order_by = None
     limit = None
+    having = None
     sql_joins: list[SqlJoinSpec] = []
 
     for kw, text in clauses:
@@ -298,6 +300,8 @@ def parse(sql: str) -> QdbQuery:
             sample = _parse_sample_by(text)
         elif kw == "GROUP BY":
             group_by = [c.strip() for c in split_top_level(text)]
+        elif kw == "HAVING":
+            having = text
         elif kw == "ORDER BY":
             order_by = text
         elif kw == "LIMIT":
@@ -309,6 +313,7 @@ def parse(sql: str) -> QdbQuery:
     return QdbQuery(
         select_items, table, table_alias, join, where, latest, sample,
         group_by, order_by, limit, window_join, horizon_join, sql_joins,
+        having=having,
     )
 
 

@@ -406,3 +406,57 @@ def test_parser_depth0_units():
     )
     assert q4.table.startswith("(") and q4.table_alias == "t"
     assert q4.sql_joins[0].how == "left" and q4.sql_joins[0].on == "t.a = y.a"
+
+
+def test_having_clause(eng, spark):
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    eng.register("events_h", ev, designated_ts="ts")
+    out = eng.sql(
+        "SELECT ts, event_type, count(*) AS n "
+        "FROM events_h SAMPLE BY 6h HAVING count(*) > 3"
+    )
+    assert out.filter(F.col("n") <= 3).count() == 0
+    assert out.count() > 0
+    # alias-reference form
+    out2 = eng.sql(
+        "SELECT ts, event_type, count(*) AS n FROM events_h SAMPLE BY 6h HAVING n > 3"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_interval_repetition(spark):
+    from datetime import datetime
+
+    from questdb_spark.operators.intervals import parse_interval_ranges
+
+    rs = parse_interval_ranges("2018-01-10T10:30;30m;2d;2")
+    # base: [10:30, 10:31+30m) per the granularity-advance + duration rule
+    assert rs[0] == (datetime(2018, 1, 10, 10, 30), datetime(2018, 1, 10, 11, 1))
+    assert rs[1] == (datetime(2018, 1, 12, 10, 30), datetime(2018, 1, 12, 11, 1))
+    # plain forms still single-range
+    assert len(parse_interval_ranges("2024-01")) == 1
+    assert len(parse_interval_ranges("2024-01-15;2d")) == 1
+    # reference rejects the 3-part form (parseIntervalSuffix: 2 semis = error)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_interval_ranges("2024-01-10;2d;2")
+
+
+def test_interval_repetition_in_sql(eng, spark):
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    eng.register("events_r", ev, designated_ts="ts")
+    out = eng.sql(
+        "SELECT count(*) AS n FROM events_r WHERE ts IN '2024-01-10T09;4h;1d;3'"
+    )
+    expected = ev.filter(
+        "(ts >= TIMESTAMP '2024-01-10 09:00:00' AND ts < TIMESTAMP '2024-01-10 14:00:00')"
+        " OR (ts >= TIMESTAMP '2024-01-11 09:00:00' AND ts < TIMESTAMP '2024-01-11 14:00:00')"
+        " OR (ts >= TIMESTAMP '2024-01-12 09:00:00' AND ts < TIMESTAMP '2024-01-12 14:00:00')"
+    ).count()
+    assert out.collect()[0]["n"] == expected
