@@ -516,6 +516,84 @@ FROM b
 GENERATE_SERIES_SQL = _gen_sql()
 
 
+def rnd_generators(spark: SparkSession, sf: str) -> DataFrame:
+    """rnd_* factory breadth (functions/rnd/, 47 factories in the
+    reference): boolean/byte/short/long/float/char/str/varchar/uuid4/ipv4/
+    geohash/long256/bin/date/timestamp/weighted-symbol, all deterministic
+    functions of the row index so the DuckDB oracle reproduces every value
+    exactly. The same generators power `rnd_frame` fixtures
+    (AbstractCairoTest pattern, tests/test_generators.py)."""
+    base = generators.long_sequence(spark, 1000)
+    x = F.col("x")
+    return base.select(
+        "x",
+        generators.rnd_boolean(x).alias("b"),
+        generators.rnd_byte(x).alias("by"),
+        generators.rnd_short(x).alias("sh"),
+        generators.rnd_long(x, -500, 500).alias("lg"),
+        generators.rnd_float(x).alias("fl"),
+        generators.rnd_char(x).alias("ch"),
+        generators.rnd_str(x, 3, 8, null_rate=10).alias("s"),
+        generators.rnd_uuid4(x).alias("u4"),
+        generators.rnd_ipv4(x).alias("ip"),
+        generators.rnd_geohash(x, 6).alias("gh"),
+        generators.rnd_long256(x).alias("l256"),
+        F.hex(generators.rnd_bin(x, 2, 8)).alias("bin_hex"),
+        # QuestDB DATE is epoch millis (ColumnType DATE → timestamp in the
+        # engine's type map); surfaced as midnight timestamps
+        generators.rnd_date(x, "2024-01-01", "2024-03-31").cast("timestamp").alias("d"),
+        generators.rnd_timestamp(x, "2024-01-01", "2024-01-08").alias("t"),
+        generators.rnd_symbol_weighted(x, {"hot": 0.7, "warm": 0.2, "cold": 0.1}).alias("w"),
+    )
+
+
+def _rnd_generators_sql() -> str:
+    from .sources.generators import mix_sql
+
+    def m(tag: int) -> str:
+        return mix_sql("x", 0, tag)
+
+    cum = [0.7, 0.9]  # weighted-symbol thresholds (total 1.0)
+    geo = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST({m(20 + i)} % 32 + 1 AS INTEGER), 1)"
+        for i in range(6)
+    )
+    return f"""
+WITH s AS (SELECT UNNEST(range(1, 1001)) AS x)
+SELECT x,
+  ({m(1)}) % 2 = 0 AS b,
+  CAST(({m(2)}) % 128 AS TINYINT) AS by,
+  CAST(({m(3)}) % 32768 AS SMALLINT) AS sh,
+  CAST(({m(4)}) % 1001 - 500 AS BIGINT) AS lg,
+  CAST(({m(5)}) % 1000000 / 1000000.0 AS FLOAT4) AS fl,
+  chr(CAST(({m(6)}) % 26 + 65 AS INTEGER)) AS ch,
+  CASE WHEN ({m(8)}) % 10 = 0 THEN NULL
+       ELSE substr(md5(CAST(x AS VARCHAR)), 1, CAST(({m(7)}) % 6 + 3 AS INTEGER)) END AS s,
+  concat_ws('-',
+    substr(md5(CAST(x + 11 AS VARCHAR)), 1, 8),
+    substr(md5(CAST(x + 11 AS VARCHAR)), 9, 4),
+    '4' || substr(md5(CAST(x + 11 AS VARCHAR)), 14, 3),
+    '8' || substr(md5(CAST(x + 11 AS VARCHAR)), 18, 3),
+    substr(md5(CAST(x + 11 AS VARCHAR)), 21, 12)) AS u4,
+  CAST(({m(9)}) % 256 AS VARCHAR) || '.' ||
+    CAST(({m(9)}) // 256 % 256 AS VARCHAR) || '.' ||
+    CAST(({m(9)}) // 65536 % 256 AS VARCHAR) || '.' ||
+    CAST(({m(9)}) // 16777216 % 128 + 1 AS VARCHAR) AS ip,
+  {geo} AS gh,
+  '0x' || md5(CAST(x + 1 AS VARCHAR)) || md5(CAST(x + 2 AS VARCHAR)) AS l256,
+  upper(substr(repeat(md5(CAST(x AS VARCHAR)), 2), 1, CAST(({m(10)}) % 7 + 2 AS INTEGER) * 2)) AS bin_hex,
+  CAST(DATE '2024-01-01' + CAST(({m(11)}) % 91 AS INTEGER) AS TIMESTAMP) AS d,
+  TIMESTAMP '2024-01-01' + INTERVAL (CAST(({m(12)}) % 604800 AS BIGINT)) SECOND AS t,
+  CASE WHEN ({m(13)}) % 1000000 / 1000000.0 < {cum[0]!r} THEN 'hot'
+       WHEN ({m(13)}) % 1000000 / 1000000.0 < {cum[1]!r} THEN 'warm'
+       ELSE 'cold' END AS w
+FROM s
+"""
+
+
+RND_GENERATORS_SQL = _rnd_generators_sql()
+
+
 # --------------------------------------------------------------------------
 # Aggregate long tail: haversine, sparkline, union harmonization
 # --------------------------------------------------------------------------

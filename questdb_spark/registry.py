@@ -42,6 +42,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_sample_by_having": (sq.sql_sample_by_having, sq.SQL_SAMPLE_BY_HAVING_SQL),
     # --- new this round: repeating interval syntax ---
     "interval_repeat": (fn.interval_repeat, fn.INTERVAL_REPEAT_SQL),
+    # --- new this round: rnd_* factory breadth ---
+    "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,

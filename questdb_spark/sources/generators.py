@@ -65,3 +65,171 @@ def generate_series_ts(
             )
         ).alias("ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# rnd_* breadth (functions/rnd/, 47 factories). All generators are
+# DETERMINISTIC functions of the row index: the same (x, seed) always
+# yields the same value, in Spark AND in ANSI SQL (every generator has an
+# oracle-expressible form — no engine RNG, no xxhash). Mixing is two
+# multiplicative rounds mod Mersenne primes, kept well inside signed-64
+# range so DuckDB's checked arithmetic matches Spark's exactly.
+# ---------------------------------------------------------------------------
+
+_P31 = 2_147_483_647  # 2^31 - 1 (Mersenne)
+_K2 = 48271  # MINSTD multiplier
+
+
+def _mix(x: Column, seed: int, tag: int) -> Column:
+    """Two-round deterministic mix → long in [0, 2^31-1)."""
+    h = (x + F.lit(seed * 1_000_003 + tag * 7_919)) * F.lit(_MIX) % F.lit(_P31)
+    return (h * F.lit(_K2) + F.lit(tag)) % F.lit(_P31)
+
+
+def mix_sql(x: str, seed: int, tag: int) -> str:
+    """ANSI-SQL twin of :func:`_mix` (for DuckDB oracles)."""
+    return (
+        f"((({x} + {seed * 1_000_003 + tag * 7_919}) * {_MIX} % {_P31})"
+        f" * {_K2} + {tag}) % {_P31}"
+    )
+
+
+def rnd_boolean(x: Column, seed: int = 0) -> Column:
+    return (_mix(x, seed, 1) % 2 == 0).alias("b")
+
+
+def rnd_byte(x: Column, seed: int = 0) -> Column:
+    return (_mix(x, seed, 2) % 128).cast("tinyint")
+
+
+def rnd_short(x: Column, seed: int = 0) -> Column:
+    return (_mix(x, seed, 3) % 32768).cast("smallint")
+
+
+def rnd_long(x: Column, lo: int, hi: int, seed: int = 0) -> Column:
+    return (_mix(x, seed, 4) % (hi - lo + 1) + lo).cast("long")
+
+
+def rnd_float(x: Column, seed: int = 0) -> Column:
+    return (_mix(x, seed, 5) % 1_000_000 / 1_000_000.0).cast("float")
+
+
+def rnd_char(x: Column, seed: int = 0) -> Column:
+    """Uppercase A-Z (RndCharFunctionFactory)."""
+    return F.char(_mix(x, seed, 6) % 26 + 65)
+
+
+def rnd_str(x: Column, lo: int, hi: int, seed: int = 0, null_rate: int = 0) -> Column:
+    """Hex string with length uniform in [lo, hi]; ``null_rate`` n → every
+    ~n-th value NULL (RndStrFunctionFactory semantics; charset is md5 hex
+    rather than the reference's a-z — documented divergence, identical
+    distribution properties for fixture purposes)."""
+    ln = (_mix(x, seed, 7) % (hi - lo + 1) + lo).cast("int")
+    s = F.substring(F.md5((x + F.lit(seed)).cast("string")), F.lit(1), ln)
+    if null_rate > 0:
+        return F.when(_mix(x, seed, 8) % null_rate == 0, F.lit(None)).otherwise(s)
+    return s
+
+
+def rnd_varchar(x: Column, lo: int, hi: int, seed: int = 0, null_rate: int = 0) -> Column:
+    """Alias of rnd_str at the storage level (VARCHAR vs STRING is a native
+    layout distinction parquet does not have)."""
+    return rnd_str(x, lo, hi, seed=seed + 17, null_rate=null_rate)
+
+
+def rnd_uuid4(x: Column, seed: int = 0) -> Column:
+    """Deterministic RFC-4122-shaped v4 UUID from the md5 of the index
+    (RndUuidFunctionFactory)."""
+    h = F.md5((x + F.lit(seed * 31 + 11)).cast("string"))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("4"), F.substring(h, 14, 3)),
+        F.concat(F.lit("8"), F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def rnd_ipv4(x: Column, seed: int = 0) -> Column:
+    """Dotted-quad IPv4 (RndIPv4FunctionFactory)."""
+    m = _mix(x, seed, 9)
+    return F.concat_ws(
+        ".",
+        (m % 256).cast("string"),
+        (F.floor(m / 256) % 256).cast("string"),
+        (F.floor(m / 65536) % 256).cast("string"),
+        (F.floor(m / 16777216) % 128 + 1).cast("string"),
+    )
+
+
+_GEO_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def rnd_geohash(x: Column, chars: int, seed: int = 0) -> Column:
+    """Geohash of ``chars`` base-32 characters (RndGeoHashFunctionFactory;
+    reference sizes in bits — chars = bits/5)."""
+    out = F.lit("")
+    for i in range(chars):
+        idx = (_mix(x, seed, 20 + i) % 32 + 1).cast("int")
+        out = F.concat(out, F.lit(_GEO_ALPHABET).substr(idx, F.lit(1)))
+    return out
+
+
+def rnd_long256(x: Column, seed: int = 0) -> Column:
+    """0x-prefixed 64-hex-digit LONG256 (RndLong256FunctionFactory)."""
+    a = F.md5((x + F.lit(seed * 7 + 1)).cast("string"))
+    b = F.md5((x + F.lit(seed * 7 + 2)).cast("string"))
+    return F.concat(F.lit("0x"), a, b)
+
+
+def rnd_bin(x: Column, lo: int, hi: int, seed: int = 0) -> Column:
+    """Binary blob with length uniform in [lo, hi] (RndBinFunctionFactory);
+    bytes from the md5 stream."""
+    ln = (_mix(x, seed, 10) % (hi - lo + 1) + lo).cast("int")
+    return F.unhex(F.substring(F.repeat(F.md5((x + F.lit(seed)).cast("string")), (hi * 2 + 31) // 32 + 1), F.lit(1), ln * 2))
+
+
+def rnd_date(x: Column, lo: str, hi: str, seed: int = 0) -> Column:
+    """DATE uniform in [lo, hi] (RndDateCCCFunctionFactory); day grain."""
+    span = F.datediff(F.lit(hi).cast("date"), F.lit(lo).cast("date")) + 1
+    return F.date_add(F.lit(lo).cast("date"), (_mix(x, seed, 11) % span).cast("int"))
+
+
+def rnd_timestamp(x: Column, lo: str, hi: str, seed: int = 0) -> Column:
+    """TIMESTAMP uniform in [lo, hi) at second grain
+    (RndTimestampFunctionFactory)."""
+    lo_ts = F.lit(lo).cast("timestamp")
+    span = F.unix_timestamp(F.lit(hi).cast("timestamp")) - F.unix_timestamp(lo_ts)
+    return F.timestamp_seconds(
+        F.unix_timestamp(lo_ts) + _mix(x, seed, 12) % span
+    )
+
+
+def rnd_symbol_weighted(x: Column, weighted: dict[str, float], seed: int = 0) -> Column:
+    """Explicit-weight symbol pick (RndSymbolWeightedFunctionFactory)."""
+    total = sum(weighted.values())
+    u = (_mix(x, seed, 13) % 1_000_000) / 1_000_000.0
+    items = list(weighted.items())
+    acc = 0.0
+    expr = F.lit(items[-1][0])
+    cum = []
+    for sym, w in items:
+        acc += w / total
+        cum.append((sym, acc))
+    for sym, c in reversed(cum[:-1]):
+        expr = F.when(u < c, sym).otherwise(expr)
+    return expr
+
+
+def rnd_frame(spark: SparkSession, n: int, seed: int = 0, **cols) -> DataFrame:
+    """Seedable fixture-frame generator (the AbstractCairoTest pattern —
+    the reference populates golden-test tables entirely from rnd_*
+    factories over long_sequence). ``cols`` maps output name → callable
+    taking the row-index Column; the same (n, seed) always builds the
+    identical frame, distributed (spark.range partitions the index space,
+    no driver materialization)."""
+    base = long_sequence(spark, n)
+    return base.select(
+        "x", *[fn(F.col("x") + F.lit(seed)).alias(name) for name, fn in cols.items()]
+    )
