@@ -76,7 +76,14 @@ def _spread(df: DataFrame) -> DataFrame:
     untouched (no gratuitous full-corpus shuffle). Safe only for integer/
     order-insensitive downstream aggregation (min/count/sum-of-int)."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # input-file count approximates the scan's partition count without
+    # forcing plan analysis through the legacy RDD path (df.rdd breaks
+    # under Spark Connect and costs a full analysis round-trip)
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = target  # non-file source: assume properly partitioned
+    if 0 < width < max(2, target // 2):
         return df.repartition(target)
     return df
 

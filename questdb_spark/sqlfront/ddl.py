@@ -43,9 +43,28 @@ if TYPE_CHECKING:  # pragma: no cover
     from .engine import QdbEngine
 
 _STMT_RE = re.compile(
-    r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh)\b",
+    r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh"
+    r"|vacuum|checkpoint|snapshot)\b",
     re.IGNORECASE,
 )
+
+# TTL value+unit → reference encoding: positive hours / negative months
+# (SqlParser.parseTtlHoursOrMonths:334, units H/D/W/M/Y or spelled forms)
+_TTL_RE = re.compile(r"\bttl\s+(\d+)\s*(hours?|days?|weeks?|months?|years?|[hdwmy])\b",
+                     re.IGNORECASE)
+
+
+def parse_ttl(n: int, unit: str) -> int:
+    u = unit.lower()[0]
+    if u == "h":
+        return n
+    if u == "d":
+        return n * 24
+    if u == "w":
+        return n * 24 * 7
+    if u == "m":
+        return -n
+    return -n * 12  # years
 
 # ColumnType.java:77-135 tag names → Spark DDL types (SURVEY §1.2 mapping).
 _TYPES = {
@@ -102,6 +121,10 @@ def execute(eng: QdbEngine, sql: str) -> DataFrame:
         return _rename(eng, s)
     if kind == "show":
         return _show(eng, s)
+    if kind == "vacuum":
+        return _vacuum(eng, s)
+    if kind in ("checkpoint", "snapshot"):
+        return _checkpoint(eng, s)
     raise ValueError(f"unsupported statement: {sql!r}")
 
 
@@ -178,6 +201,10 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
     dm = re.search(r"\bdedup\s+upsert\s+keys\s*\(([^)]*)\)", rest, re.IGNORECASE)
     if dm:
         dedup = [c.strip() for c in dm.group(1).split(",") if c.strip()]
+    ttl = 0
+    tm = _TTL_RE.search(rest)
+    if tm:
+        ttl = parse_ttl(int(tm.group(1)), tm.group(2))
 
     asm = re.match(r"^as\s*(\(.*\)|select\b.*)", rest, re.IGNORECASE | re.DOTALL)
     path = os.path.join(eng.warehouse, name)
@@ -190,6 +217,7 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
             r"\bpartition\s+by\s+\w+\s*$",
             r"\bdedup\s+upsert\s+keys\s*\([^)]*\)\s*$",
             r"\bwal\s*$",
+            r"\bttl\s+\d+\s*\w+\s*$",
         )
         changed = True
         while changed:
@@ -229,6 +257,7 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
         eng.ddl_tables[name] = t
         eng.ddl_schemas[name] = ", ".join(f"{c} {t_}" for c, t_ in cols)
+    eng.ddl_tables[name].ttl_hours_or_months = ttl
     eng.designated_ts[name] = ts_col
     eng.ddl_seq[name] = 0
     _refresh_view(eng, name)
@@ -301,8 +330,11 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
         if t.dedup_keys:
             aligned = aligned.withColumn(t.seq_col, F.lit(0))
         t.write(aligned)
+    # TTL runs inside the ingest commit (TableWriter.enforceTtl:2684)
+    evicted = t.enforce_ttl()
     _refresh_view(eng, name)
-    return _status(eng, "insert", name, f"{n} rows")
+    detail = f"{n} rows" + (f"; ttl evicted {evicted}" if evicted else "")
+    return _status(eng, "insert", name, detail)
 
 
 # -- UPDATE -----------------------------------------------------------------
@@ -390,6 +422,15 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
     elif low.startswith("dedup disable"):
         t.dedup_keys = []
         detail = "dedup disabled"
+    elif low.startswith("set ttl"):
+        tm = _TTL_RE.search("ttl " + rest[len("set ttl"):].strip())
+        if not tm:
+            raise ValueError(f"cannot parse SET TTL: {rest!r}")
+        t.ttl_hours_or_months = parse_ttl(int(tm.group(1)), tm.group(2))
+        evicted = t.enforce_ttl() if _has_files(t) else []
+        detail = f"ttl {tm.group(1)} {tm.group(2)}" + (
+            f"; evicted {evicted}" if evicted else ""
+        )
     else:
         raise ValueError(f"unsupported ALTER: {rest!r}")
     _refresh_view(eng, name)
@@ -487,3 +528,75 @@ def _show(eng: QdbEngine, s: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("num_rows"))
         .orderBy("partition")
     )
+
+
+# -- VACUUM / CHECKPOINT ----------------------------------------------------
+
+
+def _vacuum(eng: QdbEngine, s: str) -> DataFrame:
+    """``VACUUM TABLE t`` (``cairo/VacuumColumnVersions.java``; the grammar
+    moved from VACUUM PARTITIONS to VACUUM TABLE, ``SqlParser.java:4264``):
+    reclaim storage by compacting fragmented partitions."""
+    m = re.match(r"^vacuum\s+(?:table|partitions)\s+(\w+)$", s, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse VACUUM: {s!r}")
+    name = m.group(1)
+    t = _tbl(eng, name)
+    n = t.vacuum() if _has_files(t) else 0
+    _refresh_view(eng, name)
+    return _status(eng, "vacuum", name, f"{n} partitions compacted")
+
+
+def _checkpoint(eng: QdbEngine, s: str) -> DataFrame:
+    """``CHECKPOINT CREATE|RELEASE`` (+ legacy ``SNAPSHOT PREPARE|COMPLETE``,
+    ``cairo/DatabaseCheckpointAgent.java``, ``SqlCompilerImpl.java:2921``):
+    a consistent point-in-time manifest of every DDL table's parquet files.
+    Parquet files are immutable and appends only add files, so a file-level
+    manifest IS a snapshot — readers of the manifest see the checkpointed
+    state while writers keep committing (the same property the reference's
+    filesystem snapshot relies on)."""
+    import json
+
+    low = re.sub(r"\s+", " ", s.strip().lower())
+    mdir = os.path.join(eng.warehouse, "_checkpoint")
+    if low in ("checkpoint create", "snapshot prepare"):
+        manifest = {}
+        for name, t in eng.ddl_tables.items():
+            files = []
+            if os.path.isdir(t.path):
+                for root, _dirs, fnames in os.walk(t.path):
+                    files.extend(
+                        os.path.join(root, f) for f in fnames if f.endswith(".parquet")
+                    )
+            manifest[name] = {"ts_col": t.ts_col, "files": sorted(files)}
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return _status(eng, "checkpoint", "create", f"{len(manifest)} tables")
+    if low in ("checkpoint release", "snapshot complete"):
+        try:
+            os.remove(os.path.join(mdir, "manifest.json"))
+            detail = "released"
+        except OSError:
+            detail = "no checkpoint"
+        return _status(eng, "checkpoint", "release", detail)
+    raise ValueError(f"unsupported CHECKPOINT/SNAPSHOT: {s!r}")
+
+
+def read_checkpoint(eng: QdbEngine, name: str) -> DataFrame:
+    """Read a table AS OF the current checkpoint manifest (files appended
+    after CHECKPOINT CREATE are invisible)."""
+    import json
+
+    with open(os.path.join(eng.warehouse, "_checkpoint", "manifest.json")) as fh:
+        manifest = json.load(fh)
+    if name not in manifest:
+        raise ValueError(f"table {name} not in checkpoint")
+    files = manifest[name]["files"]
+    if not files:
+        return eng.ddl_read(name)
+    t = eng.ddl_tables[name]
+    df = eng.spark.read.option("mergeSchema", "true").option(
+        "basePath", t.path
+    ).parquet(*files)
+    return df.drop(*[c for c in (PARTITION_COL, t.seq_col) if c in df.columns])

@@ -51,6 +51,9 @@ class TimeTable:
         self.partition_by = partition_by
         self.dedup_keys = list(dedup_keys) if dedup_keys else []
         self.seq_col = seq_col
+        # TTL, reference encoding (SqlParser.parseTtlHoursOrMonths): positive
+        # = hours, negative = months; 0 = disabled
+        self.ttl_hours_or_months = 0
 
     # -- write path --------------------------------------------------------
     def _with_partition(self, df: DataFrame, ts_col: str | None = None) -> DataFrame:
@@ -352,6 +355,98 @@ class TimeTable:
         )
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)
+
+    def enforce_ttl(self) -> list:
+        """Evict partitions whose CEILING (start of the next logical
+        partition) is older than max(ts) − TTL — a partition expires only
+        once even its newest possible record is past the TTL, and the
+        active partition is never evicted (``TableWriter.enforceTtl``:7197,
+        ``TableUtils.checkTtl``:395). Runs inside the ingest commit like
+        the reference; cost is one max-ts lookup on the newest partition +
+        directory removals, no data rewrite."""
+        from datetime import datetime, timedelta
+
+        ttl = self.ttl_hours_or_months
+        if ttl == 0:
+            return []
+        parts = sorted(
+            p for p in os.listdir(self.path) if p.startswith(f"{PARTITION_COL}=")
+        )
+        if len(parts) < 2:
+            return []  # only the active partition
+        # max ts lives in the newest partition — scan just that directory
+        newest = os.path.join(self.path, parts[-1])
+        max_ts = (
+            self.spark.read.parquet(newest)
+            .agg(F.max(self._physical_name(self.ts_col)))
+            .collect()[0][0]
+        )
+        if max_ts is None:
+            return []
+
+        def start_of(pv: str) -> datetime:
+            if self.partition_by == "hour":
+                return datetime.strptime(pv, "%Y-%m-%d-%H")
+            return datetime.strptime(pv, "%Y-%m-%d")
+
+        def ceiling(dt: datetime) -> datetime:
+            if self.partition_by == "hour":
+                return dt + timedelta(hours=1)
+            if self.partition_by == "day":
+                return dt + timedelta(days=1)
+            if self.partition_by == "month":
+                return datetime(dt.year + (dt.month == 12), dt.month % 12 + 1, 1)
+            return datetime(dt.year + 1, 1, 1)
+
+        def minus_ttl(dt: datetime) -> datetime:
+            if ttl > 0:
+                return dt - timedelta(hours=ttl)
+            months = -ttl
+            mo = (dt.month - 1 - months) % 12 + 1
+            yr = dt.year + (dt.month - 1 - months) // 12
+            from calendar import monthrange
+
+            return dt.replace(year=yr, month=mo, day=min(dt.day, monthrange(yr, mo)[1]))
+
+        boundary = minus_ttl(max_ts)
+        evicted = []
+        for p in parts[:-1]:  # oldest first, never the active partition
+            pv = p.split("=", 1)[1]
+            if ceiling(start_of(pv)) <= boundary:
+                shutil.rmtree(os.path.join(self.path, p), ignore_errors=True)
+                evicted.append(pv)
+            else:
+                break  # partitions are time-sorted; the rest are younger
+        return evicted
+
+    def vacuum(self, max_files_per_partition: int = 1) -> int:
+        """VACUUM TABLE: reclaim storage (``VacuumColumnVersions.java``;
+        the parquet analog of purging superseded column versions is
+        compacting the small append files each WAL commit leaves behind).
+        Partitions holding more than ``max_files_per_partition`` parquet
+        files are rewritten as one sorted file; returns the number of
+        partitions compacted. Partition-granular — a 100 TB table vacuums
+        only its fragmented partitions."""
+        compacted = 0
+        for p in sorted(os.listdir(self.path)):
+            if not p.startswith(f"{PARTITION_COL}="):
+                continue
+            pdir = os.path.join(self.path, p)
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if len(files) <= max_files_per_partition:
+                continue
+            tmp = pdir + ".vacuum"
+            (
+                self.spark.read.option("mergeSchema", "true").parquet(pdir)
+                .sort(self._physical_name(self.ts_col))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(pdir)
+            os.rename(tmp, pdir)
+            compacted += 1
+        return compacted
 
     def _rewrite_partitions(self, sub: DataFrame, parts: list) -> None:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

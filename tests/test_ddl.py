@@ -226,3 +226,71 @@ def test_live_view_refreshes_on_read(eng):
     # no explicit REFRESH: reading the live view picks the new bucket up
     got = {str(r["ts"]) for r in eng.sql("SELECT ts FROM lv").collect()}
     assert "2024-01-01 05:00:00" in got
+
+
+# -- TTL / VACUUM / CHECKPOINT ----------------------------------------------
+
+
+def test_ttl_eviction(eng):
+    eng.sql("CREATE TABLE sensor (ts TIMESTAMP, v DOUBLE) TIMESTAMP(ts) "
+            "PARTITION BY DAY TTL 2 DAYS")
+    assert eng.ddl_tables["sensor"].ttl_hours_or_months == 48
+    eng.sql(
+        "INSERT INTO sensor VALUES "
+        "(TIMESTAMP '2024-01-01 12:00:00', 1.0), "
+        "(TIMESTAMP '2024-01-02 12:00:00', 2.0), "
+        "(TIMESTAMP '2024-01-03 12:00:00', 3.0)"
+    )
+    # all partitions young enough: ceiling(01-01)=01-02 > 01-03T12 - 48h
+    assert eng.ddl_read("sensor").count() == 3
+    # a new append advances max ts to Jan-5: partitions whose CEILING is
+    # >= 48h old expire (TableUtils.isOlderThanTtl uses >=) — Jan-1
+    # (ceiling Jan-2, 72h old) and Jan-2 (ceiling Jan-3, exactly 48h) go;
+    # Jan-3 (ceiling Jan-4, 24h) stays
+    eng.sql("INSERT INTO sensor VALUES (TIMESTAMP '2024-01-05 00:00:00', 5.0)")
+    vals = sorted(r["v"] for r in eng.ddl_read("sensor").collect())
+    assert vals == [3.0, 5.0]
+
+
+def test_alter_set_ttl(eng):
+    eng.sql("CREATE TABLE logs (ts TIMESTAMP, m SYMBOL) TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql(
+        "INSERT INTO logs VALUES "
+        "(TIMESTAMP '2024-01-01 00:00:00', 'a'), "
+        "(TIMESTAMP '2024-01-10 00:00:00', 'b')"
+    )
+    st = eng.sql("ALTER TABLE logs SET TTL 3 DAYS").collect()[0]
+    assert eng.ddl_tables["logs"].ttl_hours_or_months == 72
+    assert "evicted" in st["detail"]
+    assert [r["m"] for r in eng.ddl_read("logs").collect()] == ["b"]
+
+
+def test_vacuum_compacts_partitions(eng):
+    eng.sql("CREATE TABLE frag (ts TIMESTAMP, v LONG) TIMESTAMP(ts) PARTITION BY DAY")
+    for i in range(3):  # three appends → three files in the same partition
+        eng.sql(f"INSERT INTO frag VALUES (TIMESTAMP '2024-01-01 0{i}:00:00', {i})")
+    t = eng.ddl_tables["frag"]
+    import os
+    pdir = os.path.join(t.path, "part_date=2024-01-01")
+    assert len([f for f in os.listdir(pdir) if f.endswith(".parquet")]) >= 3
+    st = eng.sql("VACUUM TABLE frag").collect()[0]
+    assert "1 partitions compacted" in st["detail"]
+    assert len([f for f in os.listdir(pdir) if f.endswith(".parquet")]) == 1
+    assert sorted(r["v"] for r in eng.ddl_read("frag").collect()) == [0, 1, 2]
+
+
+def test_checkpoint_snapshot_isolation(eng):
+    from questdb_spark.sqlfront.ddl import read_checkpoint
+
+    eng.sql("CREATE TABLE cp (ts TIMESTAMP, v LONG) TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql("INSERT INTO cp VALUES (TIMESTAMP '2024-01-01 00:00:00', 1)")
+    eng.sql("CHECKPOINT CREATE")
+    eng.sql("INSERT INTO cp VALUES (TIMESTAMP '2024-01-02 00:00:00', 2)")
+    # live read sees both; checkpoint read sees only the snapshot
+    assert eng.ddl_read("cp").count() == 2
+    assert [r["v"] for r in read_checkpoint(eng, "cp").collect()] == [1]
+    st = eng.sql("CHECKPOINT RELEASE").collect()[0]
+    assert st["detail"] == "released"
+    # legacy aliases parse
+    eng.sql("SNAPSHOT PREPARE")
+    eng.sql("SNAPSHOT COMPLETE")
