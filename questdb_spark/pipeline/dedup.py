@@ -127,9 +127,9 @@ def ngram_jaccard_pairs(
 
     ``lsh_prefilter=True`` is the web-scale path: candidates come from
     MinHash-LSH banding (`minhash_lsh_candidates`), then exact Jaccard is
-    computed ONLY for candidate pairs via a set intersection — the shingle
-    self-join never happens, so a hot shingle costs O(df), not O(df²).
-    Recall is bounded by LSH (pairs missed by every band are not scored).
+    computed ONLY for candidate pairs — the full shingle self-join never
+    happens, so a hot shingle costs O(df), not O(df²). Recall is bounded by
+    LSH (pairs missed by every band are not scored).
     """
     sh = _shingle_table(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -137,18 +137,34 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     if lsh_prefilter:
-        cand = minhash_lsh_candidates(
-            df, id_col, text_col, n, n_hashes=n_hashes, band_size=band_size
-        ).select("doc_a", "doc_b")
-        sets = sh.groupBy("doc").agg(F.collect_set("shingle").alias("sh_set"))
-        common = (
-            cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("sh_set").alias("__sa")), "doc_a")
-            .join(sets.select(F.col("doc").alias("doc_b"), F.col("sh_set").alias("__sb")), "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("__sa", "__sb")).alias("common"),
+        # one row per colliding band comes back — dedup BEFORE the shingle
+        # expansion or duplicated pairs multiply the common counts
+        cand = (
+            minhash_lsh_candidates(
+                df, id_col, text_col, n, n_hashes=n_hashes, band_size=band_size
             )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # candidate-restricted shingle join (r2 advice: the previous
+        # collect_set-per-doc built unbounded in-row arrays — a multi-MB
+        # doc OOMs the row). Expanding candidate pairs by doc_a's shingles
+        # and equi-joining (doc_b, shingle) keeps every row fixed-width,
+        # every shuffle bounded by Σ_cand |shingles|, and reproduces the
+        # exact path's multiset-count semantics bit-for-bit.
+        # unique column names on both shingle branches: `sh` appears twice
+        # in this plan and Spark's self-join resolution silently binds
+        # same-named columns to the wrong side otherwise
+        sh_a = sh.select(F.col("doc").alias("doc_a"), F.col("shingle").alias("__sha"))
+        sh_b = sh.select(F.col("doc").alias("__db"), F.col("shingle").alias("__shb"))
+        common = (
+            cand.join(sh_a, "doc_a")
+            .join(
+                sh_b,
+                (F.col("doc_b") == F.col("__db")) & (F.col("__sha") == F.col("__shb")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
         )
     else:
         a = sh.alias("a")
