@@ -64,3 +64,24 @@ def geohash_prefix(gh: Column, chars: int) -> Column:
     """Truncate a geohash to a coarser precision (QuestDB cast
     geohash→geohash of fewer bits)."""
     return F.substring(gh, 1, chars)
+
+
+def cast_str_to_geohash(col: Column, chars: int) -> Column:
+    """``cast(str as geohash(Nc))`` (``CastStrToGeoHashFunctionFactory``):
+    longer strings truncate to the target precision; strings shorter than
+    the precision or containing non-base32 characters (geohash base32
+    excludes a, i, l, o) yield NULL."""
+    g = F.lower(F.substring(col, 1, chars))
+    return F.when(g.rlike(f"^[{_B32}]{{{chars}}}$"), g)
+
+
+def geohash_to_bits(gh: Column, bits: int) -> Column:
+    """Geohash string → GEOLONG bit value truncated to ``bits`` (1-60) —
+    the bit-granularity geohash cast (``ColumnType.java:61-69`` sizes
+    geohash types in BITS, so ``geohash(27b)`` is legal and truncation
+    lands mid-character)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("geohash bits must be in [1, 60]")
+    chars = (bits + 4) // 5
+    full = geohash_to_long(geohash_prefix(gh, chars))
+    return F.shiftright(full, chars * 5 - bits)

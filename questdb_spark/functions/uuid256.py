@@ -68,6 +68,44 @@ def long256_to_literal(col: Column) -> Column:
     )
 
 
+def long256_add(a: Column, b: Column) -> Column:
+    """Exact 256-bit addition mod 2^256 on canonical 64-hex forms
+    (``AddLong256FunctionFactory.java`` — the one arithmetic op the
+    reference defines on LONG256). Eight 32-bit limbs with a carry
+    ripple; every limb total < 2^33 stays exact in long arithmetic."""
+    limbs = []
+    carry = F.lit(0).cast("long")
+    for i in range(7, -1, -1):  # limb 7 = least-significant 8 hex chars
+        la = F.conv(F.substring(a, 8 * i + 1, 8), 16, 10).cast("long")
+        lb = F.conv(F.substring(b, 8 * i + 1, 8), 16, 10).cast("long")
+        tot = la + lb + carry
+        limb = tot % F.lit(4294967296)
+        carry = F.floor(tot / F.lit(4294967296)).cast("long")
+        limbs.insert(0, F.lower(F.lpad(F.hex(limb), 8, "0")))
+    return F.concat(*limbs)  # overflow carry out of limb 0 drops (mod 2^256)
+
+
+def long256_to_long(col: Column) -> Column:
+    """LONG256 → BIGINT: the low 64 bits reinterpreted as signed
+    (``CastLong256ToLongFunctionFactory`` semantics)."""
+    v = F.conv(F.substring(col, 49, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(v >= two63, v - two64).otherwise(v).cast("long")
+
+
+def long256_from_long(col: Column) -> Column:
+    """BIGINT → LONG256 canonical form (zero-extended; negative values
+    wrap as two's complement like the reference's raw-bits cast)."""
+    return F.lpad(F.lower(F.hex(col)), 64, "0")
+
+
+def long256_to_boolean(col: Column) -> Column:
+    """LONG256 → BOOLEAN: true iff non-zero
+    (``CastLong256ToBooleanFunctionFactory``)."""
+    return F.regexp_replace(col, "0", "") != ""
+
+
 def bin_from_hex(col: Column) -> Column:
     """Hex string → BinaryType (QuestDB BINARY import)."""
     return F.unhex(col)

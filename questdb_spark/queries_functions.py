@@ -734,6 +734,87 @@ def uuid_long256_bin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cast_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Implicit/explicit cast-matrix edges Spark's own coercion does not
+    cover (reference ``functions/cast/``, 247 factories): LONG256
+    arithmetic (``AddLong256FunctionFactory``) and narrowing casts
+    (``CastLong256To{Long,Boolean}``), BIGINT→LONG256 widening, and
+    string→geohash with base32 validation + bit-granularity truncation
+    (``CastStrToGeoHashFunctionFactory``, geohash types sized in bits)."""
+    from .functions import geohash as gh
+    from .functions import uuid256 as u
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 500)
+    a = u.long256_from(F.col("user_id"))
+    b = u.long256_from(F.col("event_id"))
+    s = u.long256_add(a, b)
+    g6 = gh.cast_str_to_geohash(F.md5(F.col("event_id").cast("string")), 6)
+    return ev.select(
+        "event_id",
+        s.alias("sum256"),
+        u.long256_to_long(s).alias("low_long"),
+        u.long256_to_boolean(s).alias("nonzero"),
+        u.long256_from_long(F.col("user_id")).alias("from_long"),
+        g6.alias("gh6"),
+        F.when(g6.isNotNull(), gh.geohash_to_bits(g6, 27)).alias("gh_bits27"),
+    )
+
+
+def _cast_matrix_sql() -> str:
+    from .queries_pipeline import _sql_hex8
+
+    def limbs(col: str, tag: str) -> str:
+        return ", ".join(
+            f"{_sql_hex8(col, 8 * i + 1)} AS {tag}{i}" for i in range(8)
+        )
+
+    # carry ripple via DuckDB lateral column aliases, least-significant first
+    chain = []
+    for i in range(7, -1, -1):
+        cin = f" + c{i + 1}" if i < 7 else ""
+        chain.append(f"a{i} + b{i}{cin} AS t{i}")
+        chain.append(f"t{i} % 4294967296 AS l{i}")
+        chain.append(f"t{i} // 4294967296 AS c{i}")
+    hexcat = " || ".join(f"printf('%08x', l{i})" for i in range(8))
+    g32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    gh_full = " + ".join(
+        f"(strpos('{g32}', substr(gh6, {i + 1}, 1)) - 1) * {32 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id,
+         md5(CAST(user_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR) || ':1') AS ha,
+         md5(CAST(event_id AS VARCHAR)) || md5(CAST(event_id AS VARCHAR) || ':1') AS hb,
+         lower(substr(md5(CAST(event_id AS VARCHAR)), 1, 6)) AS g
+  FROM events WHERE event_id < 500
+),
+parsed AS (SELECT *, {limbs('ha', 'a')}, {limbs('hb', 'b')} FROM base),
+summed AS (SELECT *, {', '.join(chain)} FROM parsed),
+packed AS (
+  SELECT event_id, user_id, g, {hexcat} AS sum256 FROM summed
+),
+lowp AS (
+  SELECT *,
+    CAST({_sql_hex8('sum256', 49)} AS HUGEINT) * 4294967296
+      + CAST({_sql_hex8('sum256', 57)} AS HUGEINT) AS lowu
+  FROM packed
+)
+SELECT event_id, sum256,
+  CAST(CASE WHEN lowu >= 9223372036854775808 THEN lowu - 18446744073709551616
+            ELSE lowu END AS BIGINT) AS low_long,
+  regexp_replace(sum256, '0', '', 'g') <> '' AS nonzero,
+  lpad(lower(hex(user_id)), 64, '0') AS from_long,
+  CASE WHEN regexp_matches(g, '^[{g32}]{{6}}$') THEN g END AS gh6,
+  CASE WHEN regexp_matches(g, '^[{g32}]{{6}}$')
+       THEN ({gh_full}) // 8 END AS gh_bits27
+FROM lowp
+"""
+
+
+CAST_MATRIX_SQL = _cast_matrix_sql()
+
+
 _UUID_VARIANT_SQL = (
     "substr('89ab', (strpos('0123456789abcdef', substr(m, 17, 1)) - 1) % 4 + 1, 1)"
 )

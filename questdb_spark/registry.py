@@ -44,6 +44,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "interval_repeat": (fn.interval_repeat, fn.INTERVAL_REPEAT_SQL),
     # --- new this round: rnd_* factory breadth ---
     "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
+    # --- new this round: cast-matrix edges (long256 arith, str→geohash) ---
+    "cast_matrix": (fn.cast_matrix, fn.CAST_MATRIX_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,

@@ -109,3 +109,64 @@ def test_generator_value_ranges(spark):
         o = [int(p) for p in r["ip"].split(".")]
         assert len(o) == 4 and all(0 <= v <= 255 for v in o) and 1 <= o[3] <= 128
         assert "A" <= r["ch"] <= "Z"
+
+
+def test_long256_arithmetic_vs_python(spark):
+    """long256_add/to_long vs Python's arbitrary-precision ints on values
+    built to hit limb-carry boundaries (AddLong256FunctionFactory)."""
+    from questdb_spark.functions import uuid256 as u
+
+    vals = [
+        (0, 0),
+        (2**256 - 1, 1),                      # full wraparound
+        (2**64 - 1, 1),                       # carry across limb 1
+        (2**128 - 1, 2**128 - 1),             # long ripple
+        (0xDEADBEEF, 0xCAFEBABE),
+        (2**255, 2**255),                     # top-bit wrap
+        ((2**32 - 1) * (2**32 + 1), 12345),
+    ]
+    rows = [(f"{a:064x}", f"{b:064x}") for a, b in vals]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        u.long256_add(F.col("a"), F.col("b")).alias("s"),
+        u.long256_to_long(u.long256_add(F.col("a"), F.col("b"))).alias("lo"),
+        u.long256_to_boolean(F.col("a")).alias("nz"),
+    ).collect()
+    for (a, b), r in zip(vals, got):
+        s = (a + b) % 2**256
+        assert r["s"] == f"{s:064x}"
+        lo = s % 2**64
+        assert r["lo"] == (lo - 2**64 if lo >= 2**63 else lo)
+        assert r["nz"] == (a != 0)
+
+
+def test_long256_from_long_negative(spark):
+    from questdb_spark.functions import uuid256 as u
+
+    df = spark.createDataFrame([(5,), (-1,), (-(2**62),)], "v long")
+    got = [r[0] for r in df.select(u.long256_from_long(F.col("v"))).collect()]
+    assert got[0] == "0" * 63 + "5"
+    assert got[1] == "0" * 48 + "f" * 16  # two's-complement low 64 bits
+    assert got[2] == "0" * 48 + "c" + "0" * 15
+
+
+def test_geohash_cast_and_bits(spark):
+    from questdb_spark.functions import geohash as gh
+
+    df = spark.createDataFrame(
+        [("u4pruydqqvj8",), ("ABCDEF",), ("u4",), ("u4pru!",)], "g string"
+    )
+    out = df.select(
+        gh.cast_str_to_geohash(F.col("g"), 6).alias("c6"),
+        gh.geohash_to_bits(F.lit("u4pruy"), 27).alias("b27"),
+        gh.geohash_to_bits(F.lit("u4pruy"), 30).alias("b30"),
+    ).collect()
+    assert out[0]["c6"] == "u4pruy"      # truncates longer input
+    assert out[1]["c6"] is None          # 'a' not in geohash base32
+    assert out[2]["c6"] is None          # shorter than precision
+    assert out[3]["c6"] is None          # invalid char
+    full = 0
+    for ch in "u4pruy":
+        full = full * 32 + "0123456789bcdefghjkmnpqrstuvwxyz".index(ch)
+    assert out[0]["b30"] == full
+    assert out[0]["b27"] == full >> 3
