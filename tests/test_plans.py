@@ -133,3 +133,68 @@ def test_near_dup_shuffle_join_not_broadcast(spark):
     df = embedding_near_dup(spark, SF_DIR)
     txt = plan_text(df)
     assert "ShuffledHashJoin" in txt or "SortMergeJoin" in txt
+
+
+def test_window_join_prevailing_bucketed_and_correct(spark):
+    """INCLUDE PREVAILING keeps the bucketed-equi-join shape (the prevailing
+    row joins as a 3rd exploded bucket — never an unbounded range) and
+    matches brute force: window rows PLUS the latest row before the start."""
+    from datetime import datetime, timedelta
+
+    from questdb_spark.operators.window_join import window_join
+
+    base = datetime(2024, 1, 1)
+    master = spark.createDataFrame(
+        [(i, "k", base + timedelta(minutes=37 * i)) for i in range(40)],
+        ["mid", "key", "ts"],
+    )
+    slave = spark.createDataFrame(
+        [(j, "k", base + timedelta(minutes=5 * j), float(j)) for j in range(250)],
+        ["sid", "key", "ts", "v"],
+    )
+    out = window_join(
+        master, slave, "ts", ["key"], "-10 minutes", "10 minutes",
+        {"n": F.count(F.col("s.v")), "sv": F.sum(F.col("s.v"))}, "mid",
+        include_prevailing=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {r["mid"]: (r["n"], r["sv"]) for r in out.collect()}
+    for i in range(40):
+        mt = 37 * i
+        js = [j for j in range(250) if mt - 10 <= 5 * j <= mt + 10]
+        prev = [j for j in range(250) if 5 * j < mt - 10]
+        if prev:
+            js = js + [max(prev)]
+        assert got[i][0] == len(js), i
+        assert got[i][1] == (float(sum(js)) if js else None), i
+
+
+def test_matview_incremental_overwrites_only_touched_partitions(spark, tmp_path):
+    """Incremental refresh must not rewrite untouched date partitions —
+    the refresh-I/O-proportional-to-new-data property."""
+    import os
+    import time
+
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark, warehouse=str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE src (ts TIMESTAMP, v DOUBLE) TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql(
+        "INSERT INTO src VALUES "
+        "(TIMESTAMP '2024-01-01 01:00:00', 1.0), (TIMESTAMP '2024-01-05 01:00:00', 5.0)"
+    )
+    eng.register("src", eng.ddl_read("src"), designated_ts="ts")
+    eng.sql("CREATE MATERIALIZED VIEW mv AS (SELECT ts, sum(v) AS sv FROM src SAMPLE BY 1h)")
+    d = eng.matviews["mv"]
+    old_dir = os.path.join(d.path, "__mv_part=2024-01-01")
+    mtime_before = max(os.path.getmtime(os.path.join(old_dir, f)) for f in os.listdir(old_dir))
+    time.sleep(1.1)
+    eng.sql("INSERT INTO src VALUES (TIMESTAMP '2024-01-06 01:00:00', 6.0)")
+    eng.register("src", eng.ddl_read("src"), designated_ts="ts")
+    eng.sql("REFRESH MATERIALIZED VIEW mv INCREMENTAL")
+    mtime_after = max(os.path.getmtime(os.path.join(old_dir, f)) for f in os.listdir(old_dir))
+    assert mtime_after == mtime_before  # Jan-1 partition untouched
+    got = {str(r["ts"]): r["sv"] for r in eng.sql("SELECT * FROM mv").collect()}
+    assert got["2024-01-06 01:00:00"] == 6.0 and got["2024-01-01 01:00:00"] == 1.0
