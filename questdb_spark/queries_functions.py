@@ -544,6 +544,10 @@ def rnd_generators(spark: SparkSession, sf: str) -> DataFrame:
         generators.rnd_date(x, "2024-01-01", "2024-03-31").cast("timestamp").alias("d"),
         generators.rnd_timestamp(x, "2024-01-01", "2024-01-08").alias("t"),
         generators.rnd_symbol_weighted(x, {"hot": 0.7, "warm": 0.2, "cold": 0.1}).alias("w"),
+        # surfaced as double for the cross-engine hash (pandas reprs a Spark
+        # DECIMAL as Decimal, DuckDB's as float; the 12-digit value is
+        # double-exact so the cast loses nothing)
+        generators.rnd_decimal(x, 12, 2).cast("double").alias("dec"),
     )
 
 
@@ -586,7 +590,13 @@ SELECT x,
   TIMESTAMP '2024-01-01' + INTERVAL (CAST(({m(12)}) % 604800 AS BIGINT)) SECOND AS t,
   CASE WHEN ({m(13)}) % 1000000 / 1000000.0 < {cum[0]!r} THEN 'hot'
        WHEN ({m(13)}) % 1000000 / 1000000.0 < {cum[1]!r} THEN 'warm'
-       ELSE 'cold' END AS w
+       ELSE 'cold' END AS w,
+  CAST(substr(lpad(CAST(({m(30)}) % 1000000000 AS VARCHAR), 9, '0')
+           || lpad(CAST(({m(39)}) % 1000 AS VARCHAR), 3, '0'), 1, 10)
+    || '.' ||
+    substr(lpad(CAST(({m(30)}) % 1000000000 AS VARCHAR), 9, '0')
+           || lpad(CAST(({m(39)}) % 1000 AS VARCHAR), 3, '0'), 11, 2)
+    AS DOUBLE) AS dec
 FROM s
 """
 

@@ -222,6 +222,58 @@ def rnd_symbol_weighted(x: Column, weighted: dict[str, float], seed: int = 0) ->
     return expr
 
 
+def rnd_decimal(x: Column, precision: int, scale: int, seed: int = 0) -> Column:
+    """DECIMAL(p,s) uniform over the full p-digit range
+    (RndDecimalFunctionFactory ``rnd_decimal(iii)``). Digits come from
+    chained mixes so any precision ≤ 38 is exact."""
+    if not 1 <= precision <= 38 or not 0 <= scale <= precision:
+        raise ValueError("need 1 <= precision <= 38, 0 <= scale <= precision")
+    digits = F.lit("")
+    for i in range(0, precision, 9):  # 9 decimal digits per mix draw
+        take = min(9, precision - i)
+        d = F.lpad((_mix(x, seed, 30 + i) % (10**take)).cast("string"), take, "0")
+        digits = F.concat(digits, d)
+    unscaled = digits
+    if scale == 0:
+        return unscaled.cast(f"decimal({precision},0)")
+    body = F.concat(
+        F.substring(unscaled, 1, precision - scale),
+        F.lit("."),
+        F.substring(unscaled, precision - scale + 1, scale),
+    )
+    return body.cast(f"decimal({precision},{scale})")
+
+
+def rnd_log(x: Column, scale: float = 1.0, seed: int = 0) -> Column:
+    """Log-distributed positive double (RndLogFunctionFactory
+    ``rnd_log(ld)``): -scale·ln(u) with u uniform in (0,1]."""
+    u = (_mix(x, seed, 40) % 1_000_000 + 1) / 1_000_000.0
+    return -F.lit(float(scale)) * F.log(u)
+
+
+def rnd_interval(x: Column, lo: str = "2024-01-01", hi: str = "2024-03-01",
+                 seed: int = 0) -> Column:
+    """INTERVAL value as a (start, end) timestamp struct
+    (RndIntervalFunctionFactory; the reference bounds span at ~6 years —
+    here the caller supplies the base range)."""
+    start = rnd_timestamp(x, lo, hi, seed=seed)
+    span_s = _mix(x, seed, 41) % 86_400  # up to a day
+    return F.struct(
+        start.alias("lo"),
+        (start + F.make_dt_interval(secs=span_s.cast("double"))).alias("hi"),
+    )
+
+
+def rnd_double_array(x: Column, length: int, seed: int = 0) -> Column:
+    """DOUBLE[] of fixed length (RndDoubleArrayFunctionFactory
+    ``rnd_double_array(lv)``; reference caps dim length at 16)."""
+    if not 1 <= length <= 16:
+        raise ValueError("length must be in [1, 16]")
+    return F.array(*[
+        (_mix(x, seed, 50 + i) % 1_000_000 / 1_000_000.0) for i in range(length)
+    ])
+
+
 def rnd_frame(spark: SparkSession, n: int, seed: int = 0, **cols) -> DataFrame:
     """Seedable fixture-frame generator (the AbstractCairoTest pattern —
     the reference populates golden-test tables entirely from rnd_*

@@ -170,3 +170,25 @@ def test_geohash_cast_and_bits(spark):
         full = full * 32 + "0123456789bcdefghjkmnpqrstuvwxyz".index(ch)
     assert out[0]["b30"] == full
     assert out[0]["b27"] == full >> 3
+
+
+def test_rnd_log_decimal_interval_array(spark):
+    import math
+
+    df = G.rnd_frame(
+        spark, 300, seed=3,
+        lg=lambda x: G.rnd_log(x, scale=2.0),
+        dec=lambda x: G.rnd_decimal(x, 20, 4),
+        iv=lambda x: G.rnd_interval(x),
+        arr=lambda x: G.rnd_double_array(x, 5),
+    )
+    rows = df.collect()
+    for r in rows:
+        assert r["lg"] > 0  # -scale*ln(u), u in (0,1]
+        assert r["lg"] < 2.0 * math.log(1_000_001) + 1e-9
+        d = r["dec"]
+        assert d.as_tuple().exponent == -4 and len(d.as_tuple().digits) <= 20
+        assert r["iv"]["lo"] <= r["iv"]["hi"]
+        assert len(r["arr"]) == 5 and all(0.0 <= v < 1.0 for v in r["arr"])
+    # deterministic across invocations
+    assert rows == df.collect()
