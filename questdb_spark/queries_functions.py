@@ -744,6 +744,62 @@ def uuid_long256_bin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ilp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ILP ingest end-to-end under the driver oracle: deterministic ILP
+    text lines (tags, double/int fields, nano timestamps —
+    ``cutlass/line/tcp/LineTcpParser.java:45``) are built, parsed with the
+    pure-column parser, flattened to a table (auto-create schema
+    inference), and aggregated; the oracle recomputes the same values from
+    the generator arithmetic directly, so a parse error anywhere breaks
+    the hash."""
+    from .sources.generators import long_sequence, rnd_int, rnd_symbol
+    from .sources.ilp import ilp_to_table, parse_ilp
+
+    base = long_sequence(spark, 2000)
+    x = F.col("x")
+    dev = rnd_symbol(x, ["cpu0", "cpu1", "cpu2"])
+    host = rnd_symbol(x, ["east", "west"], seed=5)
+    usage = rnd_int(x, 0, 10000) / F.lit(100.0)
+    cnt = rnd_int(x, 1, 50, seed=9)
+    ts_ns = F.lit(1_704_067_200_000_000_000) + x * F.lit(1_000_000_000)
+    line = F.concat(
+        F.lit("metrics,dev="), dev, F.lit(",host="), host,
+        F.lit(" usage="), usage.cast("string"),
+        F.lit(",cnt="), cnt.cast("string"), F.lit("i "),
+        ts_ns.cast("string"),
+    )
+    tbl = ilp_to_table(parse_ilp(base.select(line.alias("value"))), "metrics")
+    return tbl.groupBy("dev", "host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("usage").cast("decimal(12,2)")).cast("double").alias("sum_usage"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def _ilp_sql() -> str:
+    mix = 2654435761
+    return f"""
+WITH s AS (SELECT UNNEST(range(1, 2001)) AS x),
+v AS (
+  SELECT x,
+    ['cpu0','cpu1','cpu2'][CAST((x * {mix}) % 3 AS INTEGER) + 1] AS dev,
+    ['east','west'][CAST(((x + 5) * {mix}) % 2 AS INTEGER) + 1] AS host,
+    ((x * {mix}) % 10001) / 100.0 AS usage,
+    ((x + 9) * {mix}) % 50 + 1 AS cnt,
+    TIMESTAMP '2024-01-01' + INTERVAL (x) SECOND AS ts
+  FROM s
+)
+SELECT dev, host, COUNT(*) AS n,
+  CAST(SUM(CAST(usage AS DECIMAL(12,2))) AS DOUBLE) AS sum_usage,
+  CAST(SUM(cnt) AS BIGINT) AS sum_cnt, MAX(ts) AS max_ts
+FROM v GROUP BY dev, host
+"""
+
+
+ILP_ROUNDTRIP_SQL = _ilp_sql()
+
+
 def cast_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Implicit/explicit cast-matrix edges Spark's own coercion does not
     cover (reference ``functions/cast/``, 247 factories): LONG256

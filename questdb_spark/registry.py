@@ -46,6 +46,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
     # --- new this round: cast-matrix edges (long256 arith, str→geohash) ---
     "cast_matrix": (fn.cast_matrix, fn.CAST_MATRIX_SQL),
+    # --- new this round: ILP parse → table → aggregate, oracle-checked ---
+    "ilp_roundtrip": (fn.ilp_roundtrip, fn.ILP_ROUNDTRIP_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,
