@@ -44,7 +44,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _STMT_RE = re.compile(
     r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh"
-    r"|vacuum|checkpoint|snapshot)\b",
+    r"|vacuum|checkpoint|snapshot|explain)\b",
     re.IGNORECASE,
 )
 
@@ -125,7 +125,20 @@ def execute(eng: QdbEngine, sql: str) -> DataFrame:
         return _vacuum(eng, s)
     if kind in ("checkpoint", "snapshot"):
         return _checkpoint(eng, s)
+    if kind == "explain":
+        return _explain(eng, s)
     raise ValueError(f"unsupported statement: {sql!r}")
+
+
+def _explain(eng: QdbEngine, s: str) -> DataFrame:
+    """``EXPLAIN <query>`` (ExecutionModel.EXPLAIN,
+    ``SqlCompilerImpl.java:4212``; the reference returns the plan as rows
+    of text — here the Spark physical plan)."""
+    inner = re.sub(r"^explain\s+", "", s, flags=re.IGNORECASE)
+    text = eng.explain(inner)
+    return eng.spark.createDataFrame(
+        [(line,) for line in text.splitlines() if line.strip()], "plan string"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -505,6 +518,38 @@ def _show(eng: QdbEngine, s: str) -> DataFrame:
             rows or [("", "", "", "")],
             "table string, designated_ts string, partition_by string, dedup_keys string",
         ).filter(F.col("table") != "")
+    cm = re.match(r"show create (?:materialized view|live view) (\w+)", low)
+    if cm:
+        # SHOW CREATE MATERIALIZED/LIVE VIEW re-emits the stored query
+        # (SqlParser.java:1546 round-trip contract)
+        d = eng.matviews.get(cm.group(1))
+        if d is None:
+            raise ValueError(f"no such view: {cm.group(1)}")
+        kind_kw = "LIVE" if d.live else "MATERIALIZED"
+        ddl = (f"CREATE {kind_kw} VIEW {d.name} WITH BASE '{d.base}' AS "
+               f"({d.inner_sql.strip()})")
+        return eng.spark.createDataFrame([(ddl,)], "ddl string")
+    cm = re.match(r"show create table (\w+)", low)
+    if cm:
+        name = cm.group(1)
+        t = _tbl(eng, name)
+        df = eng.ddl_read(name, dedup=False)
+        skip = {PARTITION_COL, t.seq_col}
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields if f.name not in skip
+        )
+        tail = f" TIMESTAMP({t.ts_col}) PARTITION BY {t.partition_by.upper()}"
+        if t.dedup_keys:
+            tail += f" DEDUP UPSERT KEYS({', '.join(t.dedup_keys)})"
+        ttl = t.ttl_hours_or_months
+        if ttl > 0:
+            tail += f" TTL {ttl} HOURS"
+        elif ttl < 0:
+            tail += f" TTL {-ttl} MONTHS"
+        return eng.spark.createDataFrame(
+            [(f"CREATE TABLE {name} ({cols}){tail}",)], "ddl string"
+        )
     m = re.match(r"show (columns|partitions) from (\w+)", low)
     if not m:
         raise ValueError(f"unsupported SHOW: {s!r}")

@@ -294,3 +294,22 @@ def test_checkpoint_snapshot_isolation(eng):
     # legacy aliases parse
     eng.sql("SNAPSHOT PREPARE")
     eng.sql("SNAPSHOT COMPLETE")
+
+
+def test_explain_and_show_create(eng):
+    eng.sql("CREATE TABLE sc (ts TIMESTAMP, sym SYMBOL, v DOUBLE) TIMESTAMP(ts) "
+            "PARTITION BY DAY DEDUP UPSERT KEYS(sym) TTL 3 DAYS")
+    ddl = eng.sql("SHOW CREATE TABLE sc").collect()[0]["ddl"]
+    assert "CREATE TABLE sc" in ddl and "TIMESTAMP(ts)" in ddl
+    assert "PARTITION BY DAY" in ddl and "DEDUP UPSERT KEYS(sym)" in ddl
+    assert "TTL 72 HOURS" in ddl
+
+    eng.sql("INSERT INTO sc VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)")
+    eng.register("sc", eng.ddl_read("sc"), designated_ts="ts")
+    plan = eng.sql("EXPLAIN SELECT ts, sum(v) AS sv FROM sc SAMPLE BY 1h").collect()
+    assert any("HashAggregate" in r["plan"] or "Aggregate" in r["plan"] for r in plan)
+
+    eng.sql("CREATE MATERIALIZED VIEW scv AS (SELECT ts, sum(v) AS sv FROM sc SAMPLE BY 1h)")
+    vd = eng.sql("SHOW CREATE MATERIALIZED VIEW scv").collect()[0]["ddl"]
+    assert vd.startswith("CREATE MATERIALIZED VIEW scv WITH BASE 'sc' AS")
+    assert "SAMPLE BY 1h" in vd
