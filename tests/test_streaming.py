@@ -315,3 +315,66 @@ def test_sample_by_matview_tz_aligned(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_streaming_ema_stateful_across_batches(spark):
+    """applyInPandasWithState EMA: state (ema, last_ts) carries across
+    micro-batches AND across query restarts (checkpoint), producing the
+    exact batch recurrence over the concatenated history."""
+    import shutil
+
+    from questdb_spark.functions.finance import ema as batch_ema
+    from questdb_spark.streaming.stateful import streaming_ema
+
+    tmp = tempfile.mkdtemp(prefix="sema_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def rows(lo, hi):
+        return [
+            (f"u{i % 3}", F.lit(None), i * 1.0)  # placeholder, replaced below
+            for i in range(lo, hi)
+        ]
+
+    def write_batch(lo, hi, name):
+        data = [
+            (f"u{i % 3}", f"2024-01-01 00:{i:02d}:00", float(i * i % 97))
+            for i in range(lo, hi)
+        ]
+        df = spark.createDataFrame(data, "k string, ts_s string, v double") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    def run_available():
+        stream = spark.readStream.schema("k string, ts timestamp, v double") \
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        q = streaming_ema(stream, "ts", "v", alpha=0.3, keys=["k"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    write_batch(0, 20, "b0")
+    run_available()
+    write_batch(20, 40, "b1")  # strictly later timestamps
+    run_available()
+
+    got = {
+        (r["k"], str(r["ts"])): r["ema"]
+        for r in spark.read.parquet(out).collect()
+    }
+    full = spark.createDataFrame(
+        [
+            (f"u{i % 3}", f"2024-01-01 00:{i:02d}:00", float(i * i % 97))
+            for i in range(40)
+        ],
+        "k string, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    expected = {
+        (r["k"], str(r["ts"])): r["ema"]
+        for r in batch_ema(full, "ts", "v", alpha=0.3, keys=["k"]).collect()
+    }
+    assert len(got) == 40
+    for key, e in expected.items():
+        assert abs(got[key] - e) < 1e-9, key
+    shutil.rmtree(tmp, ignore_errors=True)
