@@ -53,6 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # engine models QuestDB's single UTC-micros TIMESTAMP, so read as LTZ
     # (exact under the pinned-UTC session) — see tsutil.py
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # the engine's plans assume AQE (runtime coalescing + skew handling,
+    # session.py); a caller-provided bare session gets the same behavior
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     df = normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
     ts = DESIGNATED_TS.get(name)
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
