@@ -905,6 +905,221 @@ LIMIT 20
 """
 
 
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of PROMO-part revenue among ASIA
+    customers, per order year (adapted to the reduced testdata schema —
+    no partsupp). Numerator and denominator stay exact decimals; the share
+    divides the rounded doubles so both engines do the identical IEEE op."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    part = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    asia_nations = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), cust.c_nationkey == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("snk"))
+    )
+    agg = base.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(F.lit(0).cast(D2))).alias("__n"),
+        F.sum(rev).alias("__d"),
+    )
+    return agg.select(
+        "o_year",
+        to_dbl(F.col("__n")).alias("nation_rev"),
+        to_dbl(F.col("__d")).alias("total_rev"),
+        (to_dbl(F.col("__n")) / to_dbl(F.col("__d"))).alias("mkt_share"),
+    )
+
+
+Q8_SQL = f"""
+WITH base AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         n2.n_name AS supp_nation,
+         {_DISC_PRICE} AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+  {_sql_dbl("SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END)")} AS nation_rev,
+  {_sql_dbl("SUM(rev)")} AS total_rev,
+  {_sql_dbl("SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END)")}
+    / {_sql_dbl("SUM(rev)")} AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: revenue by supplier nation × order year for parts
+    whose name matches a token (no partsupp in the testdata, so profit =
+    discounted revenue; the join/group shape is Q9's)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%bolt%"))
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev).alias("__p"), F.count(F.lit(1)).alias("n_items"))
+        .select("nation", "o_year", to_dbl(F.col("__p")).alias("profit"), "n_items")
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+  {_sql_dbl(f"SUM({_DISC_PRICE})")} AS profit, COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO-type share of revenue in one ship month."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
+    )
+    part = load_table(spark, sf, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(D2))).alias("__p"),
+            F.sum(rev).alias("__t"),
+        )
+    )
+    return agg.select(
+        to_dbl(F.col("__p")).alias("promo_rev"),
+        to_dbl(F.col("__t")).alias("total_rev"),
+        (F.lit(100.0) * to_dbl(F.col("__p")) / to_dbl(F.col("__t"))).alias("promo_pct"),
+    )
+
+
+Q14_SQL = f"""
+WITH base AS (
+  SELECT p_type, {_DISC_PRICE} AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+)
+SELECT
+  {_sql_dbl("SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END)")} AS promo_rev,
+  {_sql_dbl("SUM(rev)")} AS total_rev,
+  100.0 * {_sql_dbl("SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END)")}
+    / {_sql_dbl("SUM(rev)")} AS promo_pct
+FROM base
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (sum qty above threshold) with
+    their customers, top 20 by total price."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(150).cast("decimal(12,2)"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            to_dbl(F.col("o_totalprice")).alias("total_price"),
+            to_dbl(F.col("__q")).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  {_sql_dbl("o_totalprice")} AS total_price,
+  {_sql_dbl("sq")} AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across brand / size / quantity
+    bands — the disjunctive-pushdown stress query."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 45))
+        )
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).alias("__r"), F.count(F.lit(1)).alias("n_items"))
+    )
+    return agg.select(to_dbl(F.col("__r")).alias("revenue"), "n_items")
+
+
+Q19_SQL = f"""
+SELECT {_sql_dbl(f"SUM({_DISC_PRICE})")} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
 def mode_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
     """mode (deterministic: ties → smallest value) + skewness/kurtosis via
     exact decimal moment sums (QuestDB Mode*/Skewness*/Kurtosis* groupby

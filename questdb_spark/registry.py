@@ -48,6 +48,12 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "cast_matrix": (fn.cast_matrix, fn.CAST_MATRIX_SQL),
     # --- new this round: ILP parse → table → aggregate, oracle-checked ---
     "ilp_roundtrip": (fn.ilp_roundtrip, fn.ILP_ROUNDTRIP_SQL),
+    # --- new this round: TPC-H breadth (q8/q9/q14/q18/q19 shapes) ---
+    "q8_market_share": (core.q8_market_share, core.Q8_SQL),
+    "q9_product_profit": (core.q9_product_profit, core.Q9_SQL),
+    "q14_promo_revenue": (core.q14_promo_revenue, core.Q14_SQL),
+    "q18_large_orders": (core.q18_large_orders, core.Q18_SQL),
+    "q19_discounted_revenue": (core.q19_discounted_revenue, core.Q19_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,
