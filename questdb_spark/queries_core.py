@@ -1120,6 +1120,112 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly revenue
+    — the revenue view + scalar-subquery-on-max pattern."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf, "supplier")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__r"))
+    top = revenue.agg(F.max("__r").alias("__m"))
+    return (
+        revenue.join(F.broadcast(top), revenue.__r == top.__m)
+        .join(F.broadcast(supp), revenue.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", to_dbl(F.col("__r")).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, SUM({_DISC_PRICE}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, {_sql_dbl("r")} AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_parts_supplier_count(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute group,
+    excluding a supplier set via NOT IN (anti-join lowering)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_type") != "PROMO")
+    excl = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 30
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no orders (scalar subquery + anti-join), grouped by nation."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    # threshold as exact-decimal sum → rounded double ÷ count: engines
+    # diverge on AVG(decimal) result types, identical on this formulation
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (to_dbl(F.sum(dec2("c_acctbal"))) / F.count(F.lit(1))).alias("__a")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__a")
+    )
+    no_orders = rich.join(
+        orders.select("o_custkey"), rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec2("c_acctbal")).alias("__b"),
+        )
+        .select("c_nationkey", "numcust", to_dbl(F.col("__b")).alias("totacctbal"))
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+  {_sql_dbl("SUM(CAST(c_acctbal AS DECIMAL(12,2)))")} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT {_sql_dbl("SUM(CAST(c_acctbal AS DECIMAL(12,2)))")} / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
 def mode_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
     """mode (deterministic: ties → smallest value) + skewness/kurtosis via
     exact decimal moment sums (QuestDB Mode*/Skewness*/Kurtosis* groupby

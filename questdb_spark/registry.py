@@ -54,6 +54,9 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (core.q14_promo_revenue, core.Q14_SQL),
     "q18_large_orders": (core.q18_large_orders, core.Q18_SQL),
     "q19_discounted_revenue": (core.q19_discounted_revenue, core.Q19_SQL),
+    "q15_top_supplier": (core.q15_top_supplier, core.Q15_SQL),
+    "q16_parts_supplier_count": (core.q16_parts_supplier_count, core.Q16_SQL),
+    "q22_global_sales": (core.q22_global_sales_opportunity, core.Q22_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,
