@@ -1200,8 +1200,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("__a")
     )
+    # testdata has no order-less customers at all — anti-join against the
+    # URGENT subset so the shape actually produces rows at every SF
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     no_orders = rich.join(
-        orders.select("o_custkey"), rich.c_custkey == orders.o_custkey, "left_anti"
+        urgent.select("o_custkey"), rich.c_custkey == urgent.o_custkey, "left_anti"
     )
     return (
         no_orders.groupBy("c_nationkey")
@@ -1221,7 +1224,7 @@ WHERE c_acctbal > (
         SELECT {_sql_dbl("SUM(CAST(c_acctbal AS DECIMAL(12,2)))")} / COUNT(*)
         FROM customer WHERE c_acctbal > 0
       )
-  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
 
