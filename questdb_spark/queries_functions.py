@@ -137,7 +137,10 @@ rec(event_id, user_id, ts, value, ema, rn) AS (
   SELECT event_id, user_id, ts, value, value AS ema, rn FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.event_id, o.user_id, o.ts, o.value,
-         0.2 * o.value + 0.8 * r.ema, o.rn
+         -- pandas ewm skips the update when cur == weighted ("avoid
+         -- numerical errors on constant series") — mirror the guard
+         CASE WHEN o.value = r.ema THEN r.ema
+              ELSE 0.2 * o.value + 0.8 * r.ema END, o.rn
   FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
 )
 SELECT event_id, user_id, ts, value, ema FROM rec
@@ -742,6 +745,43 @@ def uuid_long256_bin(spark: SparkSession, sf: str) -> DataFrame:
         F.length(payload).alias("bin_len"),
         u.bin_to_hex(payload).alias("bin_hex"),
     )
+
+
+def vwema_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-weighted EMA per user (VwemaDoubleWindowFunctionFactory:
+    ema(value·weight)/ema(weight)). Oracle: one recursive CTE advancing
+    BOTH recurrences with the identical float expressions, so the ratio
+    matches bit-for-bit like ema_events."""
+    from .functions.window_extras import vwema
+
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_id", "user_id", "ts", "value",
+            ((F.col("event_id") % 7 + 1).cast("double")).alias("w"),
+        )
+    )
+    return vwema(ev, "ts", "value", "w", alpha=0.2, keys=["user_id"])
+
+
+VWEMA_EVENTS_SQL = """
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, ts, value, CAST(event_id % 7 + 1 AS DOUBLE) AS w,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+rec(event_id, user_id, ts, value, w, ev, ew, rn) AS (
+  SELECT event_id, user_id, ts, value, w, value * w, w, rn FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.ts, o.value, o.w,
+         CASE WHEN o.value * o.w = r.ev THEN r.ev
+              ELSE 0.2 * (o.value * o.w) + 0.8 * r.ev END,
+         CASE WHEN o.w = r.ew THEN r.ew
+              ELSE 0.2 * o.w + 0.8 * r.ew END, o.rn
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, ts, value, w, ev / ew AS vwema FROM rec
+"""
 
 
 def ilp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:

@@ -65,6 +65,7 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     # --- formerly rows-only; oracles added this round ---
     "dedup_cluster_canonical": (pl.dedup_cluster_canonical, pl.DEDUP_CLUSTER_SQL),
     "ema_events": (fn.ema_events, fn.EMA_EVENTS_SQL),
+    "vwema_events": (fn.vwema_events, fn.VWEMA_EVENTS_SQL),
     "approx_aggs": (fn.approx_aggs, fn.APPROX_AGGS_SQL),
 }
 
