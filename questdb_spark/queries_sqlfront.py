@@ -354,6 +354,50 @@ GROUP BY 1
 """
 
 
+def sql_ddl_dml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The DDL/DML statement lifecycle under the driver oracle
+    (SqlCompilerImpl.java:3281 dispatch): CREATE TABLE AS over events,
+    INSERT SELECT appends, UPDATE rewrites touched partitions, ALTER ADD
+    COLUMN overlays metadata — then a SAMPLE BY readback. The oracle
+    recomputes the post-mutation state relationally, so any statement
+    corrupting storage breaks the hash."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.sql(
+        "CREATE TABLE tx AS (SELECT event_id, ts, user_id, value FROM events "
+        "WHERE event_type = 'click') TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    eng.sql(
+        "INSERT INTO tx SELECT event_id + 1000000 AS event_id, ts, user_id, "
+        "value * 2 AS value FROM events WHERE event_type = 'purchase'"
+    )
+    eng.sql("UPDATE tx SET value = value + 100 WHERE value < 10")
+    eng.sql("ALTER TABLE tx ADD COLUMN note STRING")
+    return eng.sql(
+        "SELECT ts, count(*) AS n, "
+        "cast(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_value, "
+        "count(note) AS n_notes "
+        "FROM tx SAMPLE BY 1d"
+    )
+
+
+SQL_DDL_DML_SQL = """
+WITH tx AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id + 1000000, ts, user_id, value * 2 FROM events WHERE event_type = 'purchase'
+),
+upd AS (
+  SELECT ts, CASE WHEN value < 10 THEN value + 100 ELSE value END AS value,
+         CAST(NULL AS VARCHAR) AS note
+  FROM tx
+)
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, COUNT(*) AS n,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
+  COUNT(note) AS n_notes
+FROM upd GROUP BY 1
+"""
+
+
 def sql_subquery_dialect(spark: SparkSession, sf: str) -> DataFrame:
     """Dialect clause INSIDE a FROM subquery: LATEST ON per user, outer
     plain aggregation over the latest rows."""

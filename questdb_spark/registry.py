@@ -57,6 +57,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_supplier": (core.q15_top_supplier, core.Q15_SQL),
     "q16_parts_supplier_count": (core.q16_parts_supplier_count, core.Q16_SQL),
     "q22_global_sales": (core.q22_global_sales_opportunity, core.Q22_SQL),
+    # --- new this round: DDL/DML lifecycle under the oracle ---
+    "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,
