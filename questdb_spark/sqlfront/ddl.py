@@ -353,7 +353,8 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
 # -- UPDATE -----------------------------------------------------------------
 
 _UPDATE_RE = re.compile(
-    r"^update\s+(\w+)\s+set\s+(.*?)(?:\s+where\s+(.*))?$",
+    r"^update\s+(\w+)\s+set\s+(.*?)(?:\s+from\s+(\w+)(?:\s+(\w+))?)?"
+    r"(?:\s+where\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -362,12 +363,35 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
     m = _UPDATE_RE.match(s)
     if not m:
         raise ValueError(f"cannot parse UPDATE: {s!r}")
-    name, sets, where = m.group(1), m.group(2), m.group(3)
+    name, sets, from_tbl, from_alias, where = m.groups()
     t = _tbl(eng, name)
     assignments = {}
     for item in split_top_level(sets, ","):
         lhs, rhs = item.split("=", 1)
         assignments[lhs.strip()] = F.expr(rhs.strip())
+    if from_tbl:
+        # UPDATE ... FROM join form (SqlParser.java:3938 fromModel;
+        # UpdateOperatorImpl joins the update data selection): rows with a
+        # FROM match take the assignment, others keep their value; only
+        # touched partitions rewrite (same economics as plain UPDATE)
+        other = eng._table(from_tbl, None)
+        alias = from_alias or from_tbl
+        # qualify: strip the update-target alias, keep FROM columns bare
+        other = other.select(
+            *[F.col(c).alias(f"__f_{c}") for c in other.columns]
+        )
+        rewritten_where = re.sub(rf"\b{re.escape(alias)}\.(\w+)", r"__f_\1", where or "")
+        rewritten_where = re.sub(rf"\b{re.escape(name)}\.(\w+)", r"\1", rewritten_where)
+        join_pred = F.expr(rewritten_where) if rewritten_where else F.lit(True)
+        rewritten_assign = {}
+        for item in split_top_level(sets, ","):
+            lhs, rhs = item.split("=", 1)
+            rhs = re.sub(rf"\b{re.escape(alias)}\.(\w+)", r"__f_\1", rhs.strip())
+            rhs = re.sub(rf"\b{re.escape(name)}\.(\w+)", r"\1", rhs)
+            rewritten_assign[lhs.strip()] = F.expr(rhs)
+        t.update_from(other, join_pred, rewritten_assign)
+        _refresh_view(eng, name)
+        return _status(eng, "update", name, f"from {from_tbl}")
     pred = F.expr(where.strip()) if where else F.lit(True)
     t.update_where(pred, assignments)
     _refresh_view(eng, name)

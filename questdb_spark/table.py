@@ -307,6 +307,39 @@ class TimeTable:
             sub = sub.withColumn(name, F.when(predicate, expr).otherwise(F.col(name)))
         self._rewrite_partitions(self._to_physical(sub), parts)
 
+    def update_from(
+        self,
+        other: DataFrame,
+        join_pred: Column,
+        assignments: dict[str, Column],
+    ) -> None:
+        """UPDATE ... FROM: rows with a join match take the assignments
+        (``UpdateOperatorImpl`` with a fromModel); non-matching rows and
+        untouched partitions are left as-is. ``other``'s columns must be
+        pre-renamed to avoid collisions (ddl.py prefixes ``__f_``). With
+        multiple FROM matches per row one arbitrary match applies (the
+        reference updates the row once per join match in storage order; a
+        batch rewrite keeps exactly one row)."""
+        df = self._logical(
+            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        ).withColumn("__rid", F.monotonically_increasing_id())
+        other = other.withColumn("__match", F.lit(1))
+        joined = df.join(other, join_pred, "left")
+        touched = (
+            joined.filter(F.col("__match").isNotNull())
+            .select(PARTITION_COL).distinct().collect()
+        )
+        parts = [r[PARTITION_COL] for r in touched]
+        if not parts:
+            return
+        sub = joined.filter(F.col(PARTITION_COL).isin(parts))
+        for name, expr in assignments.items():
+            sub = sub.withColumn(
+                name, F.when(F.col("__match").isNotNull(), expr).otherwise(F.col(name))
+            )
+        sub = sub.drop(*other.columns).dropDuplicates(["__rid"]).drop("__rid")
+        self._rewrite_partitions(self._to_physical(sub), parts)
+
     def delete_where(self, predicate: Column) -> None:
         df = self._logical(
             self.spark.read.option("mergeSchema", "true").parquet(self.path)

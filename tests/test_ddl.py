@@ -313,3 +313,23 @@ def test_explain_and_show_create(eng):
     vd = eng.sql("SHOW CREATE MATERIALIZED VIEW scv").collect()[0]["ddl"]
     assert vd.startswith("CREATE MATERIALIZED VIEW scv WITH BASE 'sc' AS")
     assert "SAMPLE BY 1h" in vd
+
+
+def test_update_from_join(eng):
+    """UPDATE ... FROM (SqlParser.java:3938 fromModel): assignments pull
+    values from a joined table; unmatched rows and partitions untouched."""
+    eng.sql("CREATE TABLE pos (ts TIMESTAMP, sym SYMBOL, px DOUBLE) TIMESTAMP(ts) "
+            "PARTITION BY DAY")
+    eng.sql(
+        "INSERT INTO pos VALUES "
+        "(TIMESTAMP '2024-01-01 00:00:00', 'AAPL', 1.0), "
+        "(TIMESTAMP '2024-01-01 01:00:00', 'MSFT', 2.0), "
+        "(TIMESTAMP '2024-01-02 00:00:00', 'GOOG', 3.0)"
+    )
+    marks = eng.spark.createDataFrame(
+        [("AAPL", 190.0), ("MSFT", 410.0)], "sym string, mark double"
+    )
+    eng.register("marks", marks)
+    eng.sql("UPDATE pos SET px = m.mark FROM marks m WHERE pos.sym = m.sym")
+    got = {r["sym"]: r["px"] for r in eng.ddl_read("pos").collect()}
+    assert got == {"AAPL": 190.0, "MSFT": 410.0, "GOOG": 3.0}
