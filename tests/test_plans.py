@@ -198,3 +198,33 @@ def test_matview_incremental_overwrites_only_touched_partitions(spark, tmp_path)
     assert mtime_after == mtime_before  # Jan-1 partition untouched
     got = {str(r["ts"]): r["sv"] for r in eng.sql("SELECT * FROM mv").collect()}
     assert got["2024-01-06 01:00:00"] == 6.0 and got["2024-01-01 01:00:00"] == 1.0
+
+
+def test_window_join_prevailing_keyless(spark):
+    """Keyless INCLUDE PREVAILING: the asof probe takes the chunked-carry
+    path (no single-partition window) and matches brute force."""
+    from datetime import datetime, timedelta
+
+    from questdb_spark.operators.window_join import window_join
+
+    base = datetime(2024, 1, 1)
+    master = spark.createDataFrame(
+        [(i, base + timedelta(minutes=31 * i)) for i in range(30)], ["mid", "ts"]
+    )
+    slave = spark.createDataFrame(
+        [(j, base + timedelta(minutes=4 * j), float(j)) for j in range(200)],
+        ["sid", "ts", "v"],
+    )
+    out = window_join(
+        master, slave, "ts", [], "-8 minutes", "8 minutes",
+        {"n": F.count(F.col("s.v")), "sv": F.sum(F.col("s.v"))}, "mid",
+        include_prevailing=True,
+    )
+    got = {r["mid"]: (r["n"], r["sv"]) for r in out.collect()}
+    for i in range(30):
+        mt = 31 * i
+        js = [j for j in range(200) if mt - 8 <= 4 * j <= mt + 8]
+        prev = [j for j in range(200) if 4 * j < mt - 8]
+        if prev:
+            js = js + [max(prev)]
+        assert got[i] == (len(js), float(sum(js)) if js else None), i
