@@ -69,6 +69,19 @@ def test_scan_no_python_udfs_in_core_queries(spark):
         assert "BatchEvalPython" not in txt, f"{name} uses row-at-a-time Python"
 
 
+def test_no_cartesian_products_anywhere(spark):
+    """Global plan-hygiene sweep: no registry query may compile to a
+    CartesianProduct or non-broadcast nested loop — the two shapes that
+    explode at 100 TB. Exceptions are intentional: the theta-join query
+    demonstrates broadcast NL, and the tiny broadcast spines/carry frames
+    (1-row aggregates) legitimately cross-join under broadcast."""
+    from questdb_spark.registry import REGISTRY
+
+    for name, (fn, _) in REGISTRY.items():
+        txt = plan_text(fn(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in txt, f"{name} compiles to CartesianProduct"
+
+
 def test_events_scan_prunes_partitions_with_interval(spark):
     ev = load_table(spark, SF_DIR, "events")
     df = ev.filter(
