@@ -227,7 +227,11 @@ def _ema_pandas(df: DataFrame, ts_col: str, value_col: str, alpha: float,
         return pdf
 
     if keys:
-        return df.groupBy(*keys).applyInPandas(apply, schema=schema)
+        # explicit key-partition width: AQE's size-based coalescing sees a
+        # few MB of shuffle data and folds a PYTHON-bound stage onto 2
+        # tasks — partition count must follow worker count, not bytes
+        n = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(n, *keys).groupBy(*keys).applyInPandas(apply, schema=schema)
     return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
         lambda pdf: apply(pdf.drop(columns="__g")), schema=schema
     )
