@@ -25,6 +25,51 @@ D2 = "decimal(12,2)"
 # SAMPLE BY
 # --------------------------------------------------------------------------
 
+def sample_by_3M_2y(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-month and multi-year SAMPLE BY buckets over lineitem
+    (TimestampSamplerFactory month/year arms) — the n≠1 calendar
+    arithmetic paths (months-since-epoch floor, year-multiple floor) that
+    date_trunc cannot express. The oracle mirrors the epoch-anchored floor
+    explicitly (time_bucket's origin differs)."""
+    li = load_table(spark, sf, "lineitem")
+    q = sample_by(
+        li, "l_shipdate", "3M",
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast(D2)).cast("decimal(20,2)").cast("double"),
+            "n": F.count(F.lit(1)),
+        },
+        bucket_name="bucket_3m",
+    )
+    y = sample_by(
+        li, "l_shipdate", "2y",
+        {"n2": F.count(F.lit(1))},
+        bucket_name="bucket_2y",
+    )
+    return q.crossJoin(F.broadcast(y.agg(F.count(F.lit(1)).alias("n_year_buckets"))))
+
+
+SAMPLE_BY_3M_2Y_SQL = """
+WITH m AS (
+  SELECT make_timestamp(
+           1970 + ((EXTRACT(year FROM l_shipdate) - 1970) * 12
+                   + EXTRACT(month FROM l_shipdate) - 1) // 3 * 3 // 12,
+           ((EXTRACT(year FROM l_shipdate) - 1970) * 12
+                   + EXTRACT(month FROM l_shipdate) - 1) // 3 * 3 % 12 + 1,
+           1, 0, 0, 0) AS bucket_3m,
+         l_quantity
+  FROM lineitem
+),
+ybuckets AS (
+  SELECT DISTINCT (EXTRACT(year FROM l_shipdate) - 1970) // 2 AS yb FROM lineitem
+)
+SELECT bucket_3m,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n,
+  (SELECT COUNT(*) FROM ybuckets) AS n_year_buckets
+FROM m GROUP BY bucket_3m
+"""
+
+
 def sample_by_1h(spark: SparkSession, sf: str) -> DataFrame:
     """SAMPLE BY 1h, keyed, FILL(none) — plain bucketed aggregation."""
     ev = load_table(spark, sf, "events")

@@ -59,6 +59,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "q22_global_sales": (core.q22_global_sales_opportunity, core.Q22_SQL),
     # --- new this round: DDL/DML lifecycle under the oracle ---
     "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
+    # --- new this round: n≠1 calendar month/year bucket arithmetic ---
+    "sample_by_3M_2y": (ts.sample_by_3M_2y, ts.SAMPLE_BY_3M_2Y_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,
