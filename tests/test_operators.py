@@ -441,3 +441,34 @@ def test_decimal256_subtract_multiply(spark):
     big = spark.range(1).select(D.from_string(F.lit("9" * 40)).alias("w"))
     with _pytest.raises(Exception, match="(?i)overflow|assert"):
         big.select(D.to_string(D.multiply(F.col("w"), F.col("w")))).collect()
+
+
+def test_sample_by_tz_dst_transition(spark):
+    """ALIGN TO CALENDAR TIME ZONE across a DST change
+    (TimezoneFloorTimestampSampler): New-York day buckets start at 05:00
+    UTC before 2024-03-10 and 04:00 UTC after — a constant-shift
+    implementation fails this; per-row convert_timezone does not."""
+    from questdb_spark.operators.sample_by import sample_by
+    from questdb_spark.sources.generators import rnd_frame, rnd_double, rnd_timestamp
+
+    t = rnd_frame(
+        spark, 2000, seed=11,
+        ts=lambda x: rnd_timestamp(x, "2024-03-07", "2024-03-14"),
+        v=lambda x: rnd_double(x),
+    )
+    out = sample_by(
+        t, "ts", "1d", {"n": F.count(F.lit(1))}, tz="America/New_York"
+    ).collect()
+    starts = sorted(str(r["ts_bucket"]) for r in out)
+    # DST starts 02:00 local on Mar 10: that day's local midnight is still
+    # EST (05:00 UTC); from Mar 11 local midnight is EDT (04:00 UTC)
+    for s in starts:
+        day = s[:10]
+        if day <= "2024-03-10":
+            assert s.endswith("05:00:00"), s
+        else:
+            assert s.endswith("04:00:00"), s
+    assert sum(r["n"] for r in out) == 2000
+    # the DST-day bucket is 23 hours long; every row must land in exactly
+    # one bucket (no gaps/overlaps at the transition)
+    assert len(starts) == len(set(starts))
