@@ -165,14 +165,20 @@ def _drop(eng: QdbEngine, s: str) -> DataFrame:
 
 
 def _bucket_floor(dt: datetime, interval: str) -> datetime | None:
-    """Python-side bucket floor for fixed-width units; None → caller must
-    FULL-refresh (calendar month/year buckets)."""
+    """Python-side bucket floor mirroring operators/sample_by.bucket_col:
+    fixed-width units floor on the epoch-micros grid, calendar months /
+    years floor on multiples since 1970."""
     n, unit = parse_interval(interval)
-    if unit in ("M", "y"):
-        return None
-    width = n * _UNIT_MICROS[unit]
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
+    if unit == "M":
+        months = (dt.year - 1970) * 12 + dt.month - 1
+        fl = months // n * n
+        return datetime(1970 + fl // 12, fl % 12 + 1, 1, tzinfo=timezone.utc)
+    if unit == "y":
+        yr = (dt.year - 1970) // n * n + 1970
+        return datetime(yr, 1, 1, tzinfo=timezone.utc)
+    width = n * _UNIT_MICROS[unit]
     us = int(dt.timestamp() * 1_000_000)
     return datetime.fromtimestamp((us - us % width) / 1_000_000, tz=timezone.utc)
 

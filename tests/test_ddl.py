@@ -333,3 +333,27 @@ def test_update_from_join(eng):
     eng.sql("UPDATE pos SET px = m.mark FROM marks m WHERE pos.sym = m.sym")
     got = {r["sym"]: r["px"] for r in eng.ddl_read("pos").collect()}
     assert got == {"AAPL": 190.0, "MSFT": 410.0, "GOOG": 3.0}
+
+
+def test_matview_monthly_incremental(eng):
+    """Month-bucket mat views refresh incrementally too (calendar floor on
+    month multiples since 1970 — no silent FULL fallback)."""
+    eng.sql("CREATE TABLE evm (ts TIMESTAMP, v DOUBLE) TIMESTAMP(ts) PARTITION BY MONTH")
+    eng.sql(
+        "INSERT INTO evm VALUES "
+        "(TIMESTAMP '2024-01-15 00:00:00', 1.0), (TIMESTAMP '2024-02-10 00:00:00', 2.0)"
+    )
+    eng.register("evm", eng.ddl_read("evm"), designated_ts="ts")
+    eng.sql("CREATE MATERIALIZED VIEW mvm AS (SELECT ts, sum(v) AS sv FROM evm SAMPLE BY 1M)")
+    eng.sql(
+        "INSERT INTO evm VALUES "
+        "(TIMESTAMP '2024-02-20 00:00:00', 5.0), (TIMESTAMP '2024-03-05 00:00:00', 7.0)"
+    )
+    eng.register("evm", eng.ddl_read("evm"), designated_ts="ts")
+    eng.sql("REFRESH MATERIALIZED VIEW mvm INCREMENTAL")
+    got = {str(r["ts"]): r["sv"] for r in eng.sql("SELECT * FROM mvm").collect()}
+    assert got == {
+        "2024-01-01 00:00:00": 1.0,
+        "2024-02-01 00:00:00": 7.0,  # hwm bucket recomputed with the new row
+        "2024-03-01 00:00:00": 7.0,
+    }
