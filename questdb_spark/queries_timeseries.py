@@ -374,6 +374,38 @@ FROM m
 """
 
 
+def asof_join_keyless(spark: SparkSession, sf: str) -> DataFrame:
+    """KEYLESS ASOF JOIN through the chunked-carry path (the two-pass
+    parallel lowering — without it a keyless ASOF is one global window
+    task). Driver-verifies the chunk-boundary carry logic: a prevailing
+    slave row must flow across chunk edges exactly."""
+    ev = load_table(spark, sf, "events")
+    master = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", F.col("value").alias("click_value")
+    )
+    slave = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    return asof_join(master, slave, "ts", keys=[], slave_ts_out="purchase_ts",
+                     chunk="1 day")
+
+
+ASOF_KEYLESS_SQL = """
+WITH m AS (
+  SELECT event_id, ts, value AS click_value FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT ts, FIRST(value ORDER BY event_id DESC) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY ts
+)
+SELECT m.event_id, m.ts, m.click_value,
+  (SELECT s.ts FROM s WHERE s.ts <= m.ts ORDER BY s.ts DESC LIMIT 1) AS purchase_ts,
+  (SELECT s.purchase_value FROM s WHERE s.ts <= m.ts ORDER BY s.ts DESC LIMIT 1) AS purchase_value
+FROM m
+"""
+
+
 def asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     """ASOF JOIN ... TOLERANCE 2h (SqlParser.java:5069): stale matches null."""
     master, slave = _master_slave(spark, sf)

@@ -61,6 +61,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
     # --- new this round: n≠1 calendar month/year bucket arithmetic ---
     "sample_by_3M_2y": (ts.sample_by_3M_2y, ts.SAMPLE_BY_3M_2Y_SQL),
+    # --- new this round: keyless ASOF through the chunked-carry path ---
+    "asof_join_keyless": (ts.asof_join_keyless, ts.ASOF_KEYLESS_SQL),
     # --- new this round: WINDOW JOIN INCLUDE PREVAILING ---
     "sql_window_join_prevailing": (
         sq.sql_window_join_prevailing,

@@ -222,6 +222,29 @@ def rnd_symbol_weighted(x: Column, weighted: dict[str, float], seed: int = 0) ->
     return expr
 
 
+def rnd_str_pool(
+    x: Column, count: int, lo: int, hi: int, seed: int = 0, null_rate: int = 0
+) -> Column:
+    """``rnd_str(count, lo, hi, nullRate)`` — the POOL form
+    (RndStrFunctionFactory with a count argument): values draw from a
+    fixed pool of ``count`` distinct strings whose lengths are uniform in
+    [lo, hi]. The pool member for a row is itself a deterministic function
+    of the pool index, so the pool is plan-time-stable without being
+    materialized anywhere."""
+    idx = _mix(x, seed, 14) % count  # which pool member
+    ln = (_mix(idx, seed, 15) % (hi - lo + 1) + lo).cast("int")
+    s = F.substring(F.md5(F.concat(F.lit("pool:"), idx.cast("string"))), F.lit(1), ln)
+    if null_rate > 0:
+        return F.when(_mix(x, seed, 16) % null_rate == 0, F.lit(None)).otherwise(s)
+    return s
+
+
+def rnd_symbol_pool(x: Column, count: int, lo: int, hi: int, seed: int = 0) -> Column:
+    """``rnd_symbol(count, lo, hi)`` pool form (RndSymbolFunctionFactory):
+    SYMBOL column drawing from ``count`` generated distinct names."""
+    return rnd_str_pool(x, count, lo, hi, seed=seed + 23)
+
+
 def rnd_decimal(x: Column, precision: int, scale: int, seed: int = 0) -> Column:
     """DECIMAL(p,s) uniform over the full p-digit range
     (RndDecimalFunctionFactory ``rnd_decimal(iii)``). Digits come from

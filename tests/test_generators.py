@@ -192,3 +192,24 @@ def test_rnd_log_decimal_interval_array(spark):
         assert len(r["arr"]) == 5 and all(0.0 <= v < 1.0 for v in r["arr"])
     # deterministic across invocations
     assert rows == df.collect()
+
+
+def test_rnd_pool_forms(spark):
+    """rnd_str/rnd_symbol pool forms: exactly `count` distinct values with
+    lengths inside [lo, hi], deterministic."""
+    df = G.rnd_frame(
+        spark, 1000, seed=2,
+        s=lambda x: G.rnd_str_pool(x, 5, 3, 8),
+        sym=lambda x: G.rnd_symbol_pool(x, 7, 4, 4),
+        sn=lambda x: G.rnd_str_pool(x, 5, 3, 8, null_rate=10),
+    )
+    agg = df.agg(
+        F.countDistinct("s"), F.countDistinct("sym"),
+        F.min(F.length("s")), F.max(F.length("s")),
+        F.min(F.length("sym")), F.max(F.length("sym")),
+        F.sum(F.col("sn").isNull().cast("int")),
+    ).collect()[0]
+    assert agg[0] == 5 and agg[1] == 7
+    assert 3 <= agg[2] and agg[3] <= 8
+    assert agg[4] == agg[5] == 4
+    assert 50 <= agg[6] <= 200
