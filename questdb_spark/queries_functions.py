@@ -454,13 +454,17 @@ def approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     (accuracy 1000 → well inside the exact p45..p55 band); the oracle's
     TRUE literals then hash-match iff every bound holds."""
     ev = load_table(spark, sf, "events")
-    agg = ev.groupBy("event_type").agg(
+    # distinct and non-distinct aggregates in ONE agg force Catalyst's
+    # expand/multi-pass plan (3× slower); two single-pass aggregations
+    # joined on the tiny key set keep each at full map-side speed
+    plain = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("__au"),
-        F.countDistinct("user_id").alias("__eu"),
         F.percentile_approx("value", 0.5, 1000).alias("__ap50"),
         F.expr("percentile(value, 0.45)").alias("__p45"),
         F.expr("percentile(value, 0.55)").alias("__p55"),
     )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("__eu"))
+    agg = plain.join(F.broadcast(exact), "event_type")
     return agg.select(
         "event_type",
         (F.abs(F.col("__au") - F.col("__eu")) <= F.col("__eu") * 0.15).alias("users_within_rsd"),
