@@ -751,6 +751,56 @@ def uuid_long256_bin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def cb_topk_users(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shape (reference ClickBenchTest.java:42 compiles all 43):
+    multi-aggregate top-K on a high-cardinality key with a LIKE filter —
+    the hits-table workhorse pattern."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.col("props").like("%k%"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(20,2)").cast("double").alias("sv"),
+            F.countDistinct("event_type").alias("types"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+CB_TOPK_USERS_SQL = """
+SELECT user_id, COUNT(*) AS n,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sv,
+  COUNT(DISTINCT event_type) AS types
+FROM events WHERE props LIKE '%k%'
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+def cb_regex_extract_group(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shape: regexp extraction feeding a group-by (the
+    URL-domain pattern), over documents.text."""
+    docs = load_table(spark, sf, "documents")
+    word = F.regexp_extract(F.col("text"), r"^(\w+)", 1)
+    return (
+        docs.select(word.alias("first_word"))
+        .filter(F.col("first_word") != "")
+        .groupBy("first_word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("first_word"))
+        .limit(15)
+    )
+
+
+CB_REGEX_GROUP_SQL = r"""
+SELECT regexp_extract(text, '^(\w+)', 1) AS first_word, COUNT(*) AS n
+FROM documents
+WHERE regexp_extract(text, '^(\w+)', 1) <> ''
+GROUP BY 1 ORDER BY n DESC, first_word LIMIT 15
+"""
+
+
 def vwema_events(spark: SparkSession, sf: str) -> DataFrame:
     """Volume-weighted EMA per user (VwemaDoubleWindowFunctionFactory:
     ema(value·weight)/ema(weight)). Oracle: one recursive CTE advancing
