@@ -378,3 +378,62 @@ def test_streaming_ema_stateful_across_batches(spark):
     for key, e in expected.items():
         assert abs(got[key] - e) < 1e-9, key
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_asof_join_across_batches(spark):
+    """Stateful stream-stream ASOF: master rows enrich with the prevailing
+    slave payload, carried across micro-batches; equals the batch
+    asof_join over the concatenated history."""
+    import shutil
+
+    from questdb_spark.operators.asof import asof_join
+    from questdb_spark.streaming.stateful import streaming_asof_join
+
+    tmp = tempfile.mkdtemp(prefix="sasof_")
+    msrc, ssrc, out, ckpt = (os.path.join(tmp, d) for d in ("m", "s", "out", "ckpt"))
+    os.makedirs(msrc); os.makedirs(ssrc)
+
+    def mrows(lo, hi):
+        return [(f"k{i % 2}", f"2024-01-01 00:{i:02d}:30", float(i)) for i in range(lo, hi)]
+
+    def srows(lo, hi):
+        return [(f"k{i % 2}", f"2024-01-01 00:{i:02d}:00", i * 10.0) for i in range(lo, hi)]
+
+    def write(rows, path, name, cols):
+        spark.createDataFrame(rows, f"k string, ts_s string, {cols}") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"),
+                    *[c.split()[0] for c in cols.split(",")]) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+    def run():
+        m = spark.readStream.schema("k string, ts timestamp, mval double") \
+            .parquet(msrc + "/*")
+        s = spark.readStream.schema("k string, ts timestamp, quote double") \
+            .parquet(ssrc + "/*")
+        q = streaming_asof_join(m, s, "ts", ["k"], ["quote"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    write(mrows(0, 10), msrc, "b0", "mval double")
+    write(srows(0, 10), ssrc, "b0", "quote double")
+    run()
+    write(mrows(10, 20), msrc, "b1", "mval double")
+    write(srows(10, 20), ssrc, "b1", "quote double")
+    run()
+
+    got = {
+        (r["k"], str(r["ts"])): r["quote"]
+        for r in spark.read.parquet(out).collect()
+    }
+    mfull = spark.createDataFrame(mrows(0, 20), "k string, ts_s string, mval double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "mval")
+    sfull = spark.createDataFrame(srows(0, 20), "k string, ts_s string, quote double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "quote")
+    expected = {
+        (r["k"], str(r["ts"])): r["quote"]
+        for r in asof_join(mfull, sfull, "ts", keys=["k"]).collect()
+    }
+    assert len(got) == 20
+    assert got == expected
+    shutil.rmtree(tmp, ignore_errors=True)
