@@ -213,8 +213,13 @@ class QdbEngine:
             # item's output alias (`HAVING count(*) > 10` works whether or
             # not the item was aliased)
             having = q.having
-            for i in q.select_items:
-                if i.alias and i.expr.strip() in having:
+            # longest expression first: replacing `sum(v)` before `sum(v2)`
+            # would corrupt the longer match
+            for i in sorted(
+                (i for i in q.select_items if i.alias),
+                key=lambda i: -len(i.expr.strip()),
+            ):
+                if i.expr.strip() in having:
                     having = having.replace(i.expr.strip(), i.alias)
             df = df.filter(F.expr(having))
 

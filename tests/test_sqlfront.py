@@ -460,3 +460,21 @@ def test_interval_repetition_in_sql(eng, spark):
         " OR (ts >= TIMESTAMP '2024-01-12 09:00:00' AND ts < TIMESTAMP '2024-01-12 14:00:00')"
     ).count()
     assert out.collect()[0]["n"] == expected
+
+
+def test_having_overlapping_aggregate_exprs(eng, spark):
+    """HAVING rewrite must replace longer aggregate expressions first:
+    sum(value) inside sum(value * 2) must not be corrupted."""
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    eng.register("events_h2", ev, designated_ts="ts")
+    out = eng.sql(
+        "SELECT ts, sum(value) AS a, sum(value * 2) AS b "
+        "FROM events_h2 SAMPLE BY 6h HAVING sum(value * 2) > 1000 AND sum(value) > 400"
+    )
+    rows_ = out.collect()
+    assert len(rows_) > 0
+    for r in rows_:
+        assert r["b"] > 1000 and r["a"] > 400
