@@ -353,17 +353,35 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
 # -- UPDATE -----------------------------------------------------------------
 
 _UPDATE_RE = re.compile(
-    r"^update\s+(\w+)\s+set\s+(.*?)(?:\s+from\s+(\w+)(?:\s+(\w+))?)?"
-    r"(?:\s+where\s+(.*))?$",
-    re.IGNORECASE | re.DOTALL,
+    r"^update\s+(\w+)\s+set\s+(.*)$", re.IGNORECASE | re.DOTALL
 )
 
 
 def _update(eng: QdbEngine, s: str) -> DataFrame:
+    from .parser import _clause_splits
+
     m = _UPDATE_RE.match(s)
     if not m:
         raise ValueError(f"cannot parse UPDATE: {s!r}")
-    name, sets, from_tbl, from_alias, where = m.groups()
+    name, rest = m.group(1), m.group(2)
+    # clause boundaries at paren depth 0 only — `substring(x FROM 1)` or a
+    # WHERE inside a subquery must not split the statement
+    sets, from_clause, where = rest, None, None
+    splits = [sp for sp in _clause_splits(rest) if sp[2] in ("FROM", "WHERE")]
+    if splits:
+        sets = rest[: splits[0][0]].strip()
+        for n, (st, en, kw) in enumerate(splits):
+            nxt = splits[n + 1][0] if n + 1 < len(splits) else len(rest)
+            if kw == "FROM":
+                from_clause = rest[en:nxt].strip()
+            else:
+                where = rest[en:nxt].strip()
+    from_tbl = from_alias = None
+    if from_clause:
+        parts = from_clause.split()
+        from_tbl = parts[0]
+        if len(parts) > 1:
+            from_alias = parts[1]
     t = _tbl(eng, name)
     assignments = {}
     for item in split_top_level(sets, ","):
