@@ -113,6 +113,34 @@ class QdbEngine:
                 read_with_live_refresh(self, nm)
         if not self._needs_dialect(rewritten):
             return self.spark.sql(rewritten)
+        parts, ops = self._split_setops(rewritten)
+        if ops:
+            # set operations over dialect queries: lower each side, fold
+            # left-to-right (each operand may itself be a dialect query —
+            # before this split the clause parser silently swallowed the
+            # UNION tail)
+            def run(part: str) -> DataFrame:
+                p = part.strip()
+                if p.startswith("(") and p.endswith(")"):
+                    p = p[1:-1]
+                return self.sql(p)
+
+            df = run(parts[0])
+            for op, part in zip(ops, parts[1:]):
+                rhs = run(part)
+                if op == "UNION ALL":
+                    df = df.union(rhs)
+                elif op == "UNION":
+                    df = df.union(rhs).distinct()
+                elif op == "INTERSECT":
+                    df = df.intersect(rhs)
+                elif op == "INTERSECT ALL":
+                    df = df.intersectAll(rhs)
+                elif op == "EXCEPT":
+                    df = df.subtract(rhs)
+                else:  # EXCEPT ALL
+                    df = df.exceptAll(rhs)
+            return df
         q = parse(rewritten)
         return self._lower(q)
 
@@ -133,6 +161,26 @@ class QdbEngine:
                 re.IGNORECASE,
             )
         )
+
+    _SETOP_RE = re.compile(
+        r"\b(UNION\s+ALL|UNION|INTERSECT\s+ALL|INTERSECT|EXCEPT\s+ALL|EXCEPT)\b"
+        r"(?=\s*\(?\s*SELECT\b)",
+        re.IGNORECASE,
+    )
+
+    def _split_setops(self, s: str) -> tuple[list[str], list[str]]:
+        """Split a statement at paren-depth-0 set-operation keywords (each
+        followed by a SELECT); returns (operand texts, operators)."""
+        from .parser import depth0_spans
+
+        parts, ops, last = [], [], 0
+        for lo, hi in depth0_spans(s):
+            for m in self._SETOP_RE.finditer(s, lo, hi):
+                parts.append(s[last:m.start()].strip())
+                ops.append(re.sub(r"\s+", " ", m.group(1).upper()))
+                last = m.end()
+        parts.append(s[last:].strip())
+        return parts, ops
 
     def _rewrite_intervals(self, s: str) -> str:
         """`ts IN '2024-01'` → half-open range (WhereClauseParser

@@ -478,3 +478,37 @@ def test_having_overlapping_aggregate_exprs(eng, spark):
     assert len(rows_) > 0
     for r in rows_:
         assert r["b"] > 1000 and r["a"] > 400
+
+
+def test_setops_over_dialect_queries(eng, spark):
+    """UNION/INTERSECT/EXCEPT between SAMPLE BY queries: before the
+    depth-0 set-op split the clause parser silently swallowed the tail."""
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    eng.register("events_u", ev, designated_ts="ts")
+    single = eng.sql("SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d")
+    n1 = single.count()
+    u_all = eng.sql(
+        "SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d "
+        "UNION ALL SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d"
+    )
+    assert u_all.count() == 2 * n1
+    u = eng.sql(
+        "SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d "
+        "UNION SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d"
+    )
+    assert u.count() == n1
+    ex = eng.sql(
+        "SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d "
+        "EXCEPT SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d"
+    )
+    assert ex.count() == 0
+    # mixed: dialect LHS, plain ANSI RHS
+    mixed = eng.sql(
+        "SELECT ts, count(*) AS n FROM events_u SAMPLE BY 1d "
+        "UNION ALL SELECT date_trunc('day', ts) AS ts, count(*) AS n "
+        "FROM events_u GROUP BY 1"
+    )
+    assert mixed.count() == 2 * n1
