@@ -398,6 +398,29 @@ FROM upd GROUP BY 1
 """
 
 
+def sql_setop_sample_by(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL between two SAMPLE BY queries through the dialect
+    front-end (depth-0 set-op split; each operand lowers independently)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT ts, count(*) AS n FROM events SAMPLE BY 1d "
+        "UNION ALL "
+        "SELECT ts, count(*) AS n FROM events SAMPLE BY 1w"
+    )
+
+
+# week buckets floor on the epoch-micros grid (1970-01-01 anchor) like the
+# engine; DuckDB's time_bucket(INTERVAL 1 WEEK) anchors on Mondays instead
+SQL_SETOP_SQL = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, COUNT(*) AS n
+FROM events GROUP BY 1
+UNION ALL
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 604800000000) AS ts,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def sql_subquery_dialect(spark: SparkSession, sf: str) -> DataFrame:
     """Dialect clause INSIDE a FROM subquery: LATEST ON per user, outer
     plain aggregation over the latest rows."""
