@@ -124,27 +124,38 @@ def streaming_asof_join(
         f"{c} {slave.schema[c].dataType.simpleString()}" for c in payload_cols
     )
 
+    out_names = [f.split()[0] for f in out_fields]
+    mpass = [c for c in mcols if c not in keys and c != ts_col]
+
     def advance(key, pdf_iter, state):
+        # vectorized within each micro-batch: pandas merge_asof (C loop)
+        # against the batch's slave rows with the carried payload prepended
+        # as a sentinel at -inf — no per-row Python
         carried = list(state.get) if state.exists else [None] * len(payload_cols)
-        out_parts = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["__side"] == 0:
-                    carried = [r[f"__s_{c}"] for c in payload_cols]
-                else:
-                    rows.append(
-                        list(key)
-                        + [r["__ts"]]
-                        + [r[f"__m_{c}"] for c in mcols if c not in keys and c != ts_col]
-                        + list(carried)
-                    )
-            if rows:
-                out_parts.append(pd.DataFrame(rows, columns=[f.split()[0] for f in out_fields]))
+            slaves = pdf[pdf["__side"] == 0].sort_values("__ts", kind="mergesort")
+            masters = pdf[pdf["__side"] == 1].sort_values("__ts", kind="mergesort")
+            scols = {f"__s_{c}": [v] for c, v in zip(payload_cols, carried)}
+            sentinel = pd.DataFrame({"__ts": [pd.Timestamp.min], **scols})
+            stable = pd.concat(
+                [sentinel, slaves[["__ts"] + [f"__s_{c}" for c in payload_cols]]],
+                ignore_index=True,
+            )
+            if len(slaves):
+                carried = [slaves.iloc[-1][f"__s_{c}"] for c in payload_cols]
+            if len(masters):
+                merged = pd.merge_asof(
+                    masters[["__ts"] + [f"__m_{c}" for c in mpass]],
+                    stable, on="__ts", allow_exact_matches=True,
+                )
+                out = pd.DataFrame({
+                    **{k: v for k, v in zip(keys, key)},
+                    ts_col: merged["__ts"],
+                    **{c: merged[f"__m_{c}"] for c in mpass},
+                    **{c: merged[f"__s_{c}"] for c in payload_cols},
+                })
+                yield out[out_names]
         state.update(tuple(carried))
-        if out_parts:
-            yield from out_parts
 
     return unioned.groupBy(*keys).applyInPandasWithState(
         advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
