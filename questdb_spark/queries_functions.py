@@ -460,9 +460,9 @@ def approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     plain = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("__au"),
         F.percentile_approx("value", 0.5, 1000).alias("__ap50"),
-        F.expr("percentile(value, 0.45)").alias("__p45"),
-        F.expr("percentile(value, 0.55)").alias("__p55"),
-    )
+        # one sort, both exact band edges
+        F.expr("percentile(value, array(0.45, 0.55))").alias("__pb"),
+    ).withColumns({"__p45": F.col("__pb")[0], "__p55": F.col("__pb")[1]})
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("__eu"))
     agg = plain.join(F.broadcast(exact), "event_type")
     return agg.select(
