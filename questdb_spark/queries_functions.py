@@ -751,6 +751,52 @@ def uuid_long256_bin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def catalog_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Catalogue table functions (§2.8 catalogue/: tables(),
+    table_columns(), table_partitions() — QuestDB meta functions): column
+    metadata for the events table plus the partition listing of a
+    day-partitioned TimeTable built over a fixed 5-day slice, so the
+    output is SF-independent and literal-oracle-checkable."""
+    import tempfile
+
+    from .sources import catalog
+    from .table import TimeTable
+
+    ev = load_table(spark, sf, "events")
+    ev.createOrReplaceTempView("events_cat")
+    cols = catalog.table_columns(spark, "events_cat").select(
+        F.lit("column").alias("kind"),
+        F.col("column_name").alias("name"),
+        F.lower(F.col("data_type")).alias("detail"),
+    )
+    path = tempfile.mkdtemp(prefix="qdb_cat_")
+    t = TimeTable(spark, path, "ts", "day")
+    t.write(ev.filter(in_interval(F.col("ts"), "2024-01-10;4d")))
+    parts = catalog.table_partitions(spark, path).select(
+        F.lit("partition").alias("kind"),
+        F.col("partition").cast("string").alias("name"),
+        F.lit("day").alias("detail"),
+    )
+    return cols.unionByName(parts)
+
+
+CATALOG_FUNCTIONS_SQL = """
+SELECT * FROM (VALUES
+  ('column', 'event_id', 'bigint'),
+  ('column', 'ts', 'timestamp'),
+  ('column', 'user_id', 'bigint'),
+  ('column', 'event_type', 'string'),
+  ('column', 'value', 'double'),
+  ('column', 'props', 'string'),
+  ('partition', '2024-01-10', 'day'),
+  ('partition', '2024-01-11', 'day'),
+  ('partition', '2024-01-12', 'day'),
+  ('partition', '2024-01-13', 'day'),
+  ('partition', '2024-01-14', 'day')
+) AS t(kind, name, detail)
+"""
+
+
 def cb_topk_users(spark: SparkSession, sf: str) -> DataFrame:
     """ClickBench shape (reference ClickBenchTest.java:42 compiles all 43):
     multi-aggregate top-K on a high-cardinality key with a LIKE filter —

@@ -63,6 +63,8 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "sample_by_3M_2y": (ts.sample_by_3M_2y, ts.SAMPLE_BY_3M_2Y_SQL),
     # --- new this round: keyless ASOF through the chunked-carry path ---
     "asof_join_keyless": (ts.asof_join_keyless, ts.ASOF_KEYLESS_SQL),
+    # --- new this round: catalogue table functions ---
+    "catalog_functions": (fn.catalog_functions, fn.CATALOG_FUNCTIONS_SQL),
     # --- new this round: set ops over dialect queries ---
     "sql_setop_sample_by": (sq.sql_setop_sample_by, sq.SQL_SETOP_SQL),
     # --- new this round: ClickBench shapes (ClickBenchTest.java:42) ---
