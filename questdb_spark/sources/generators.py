@@ -245,6 +245,29 @@ def rnd_symbol_pool(x: Column, count: int, lo: int, hi: int, seed: int = 0) -> C
     return rnd_str_pool(x, count, lo, hi, seed=seed + 23)
 
 
+def rnd_symbol_zipf_n(x: Column, count: int, lo: int, hi: int, seed: int = 0) -> Column:
+    """``rnd_symbol_zipf(count, lo, hi)`` pool form
+    (RndSymbolZipfNFunctionFactory): Zipf-skewed draw over ``count``
+    generated distinct symbols — pool member k has P ∝ 1/(k+1), the hot-key
+    generator for skew testing."""
+    u = (_mix(x, seed, 17) % 1_000_000) / 1_000_000.0
+    weights = [1.0 / (k + 1) for k in range(count)]
+    total = sum(weights)
+    acc, cum = 0.0, []
+    for w in weights:
+        acc += w / total
+        cum.append(acc)
+
+    def member(k: int) -> Column:
+        ln = (_mix(F.lit(k), seed, 15) % (hi - lo + 1) + lo).cast("int")
+        return F.substring(F.md5(F.lit(f"zpool:{k}")), F.lit(1), ln)
+
+    expr = member(count - 1)
+    for k in range(count - 2, -1, -1):
+        expr = F.when(u < cum[k], member(k)).otherwise(expr)
+    return expr
+
+
 def rnd_decimal(x: Column, precision: int, scale: int, seed: int = 0) -> Column:
     """DECIMAL(p,s) uniform over the full p-digit range
     (RndDecimalFunctionFactory ``rnd_decimal(iii)``). Digits come from

@@ -213,3 +213,17 @@ def test_rnd_pool_forms(spark):
     assert 3 <= agg[2] and agg[3] <= 8
     assert agg[4] == agg[5] == 4
     assert 50 <= agg[6] <= 200
+
+
+def test_rnd_symbol_zipf_pool(spark):
+    """Zipf pool: `count` distinct symbols with a hot head (member 0 drawn
+    ~2x member 1, etc.) — the skew generator."""
+    df = G.rnd_frame(spark, 4000, seed=4, z=lambda x: G.rnd_symbol_zipf_n(x, 6, 3, 6))
+    counts = sorted(
+        (r["n"] for r in df.groupBy("z").agg(F.count(F.lit(1)).alias("n")).collect()),
+        reverse=True,
+    )
+    assert len(counts) == 6
+    # head member ~ 1/H6 ≈ 0.41 of draws; tail ~ 0.068 — assert the skew shape
+    assert counts[0] > 2.5 * counts[-1]
+    assert counts[0] / 4000 > 0.3
