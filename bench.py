@@ -60,12 +60,19 @@ def main() -> None:
     slowest_first = dict(
         sorted(timings.items(), key=lambda kv: -(kv[1] if kv[1] is not None else 1e9))
     )
+    # BENCH_r03's driver artifact kept only ~1.8 KB of TAIL, so the
+    # slowest-first head was the part that got cut (VERDICT r3 task 9).
+    # Duplicate the slowest 20 in a compact "top20" object placed at the END
+    # of the line (just before the headline fields): whatever truncation the
+    # driver applies, the tail — top20 + metric/value — always survives.
+    top20 = dict(list(slowest_first.items())[:20])
     print(
         json.dumps(
             {
                 "queries": slowest_first,
                 "n_queries": len(timings),
                 "n_failed": len(errors),
+                "top20": top20,
                 "metric": "total_query_seconds",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -22,14 +22,52 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (fn, oracle_sql | None)
 #
 # ORDER MATTERS: the driver's correctness harness checks at most ~50 queries
-# per round, in registry order.  Priority groups, first-50 window rotation
-# (VERDICT r2 finding 3 — r1-green queries silently regressed because they
-# sat past position 50 for a whole round):
-#   _PRIORITY — fixed-this-round (r2 crashes) + brand-new queries + formerly
-#               no-oracle entries that now have oracles;
-#   _RECHECK  — r1-green families the driver has NOT re-verified since r1
-#               (ASOF / window / SAMPLE BY / core TPC-H) — rotate through;
-#   _RECENT   — r2-green queries (just verified) go LAST.
+# per round, in registry order.  Round-4 rotation (VERDICT r3 task 1):
+#   _RECHECK_R4 — the 28 registry entries not oracle-verified since round 1
+#                 (positions 51-78 in the r3 ordering: q5_region_revenue ..
+#                 dedup_jaccard).  Verifying these completes a full-registry
+#                 oracle pass across rounds 3+4.
+#   _NEW_R4     — queries added or materially changed this round (need their
+#                 first / re- verification).
+#   _VERIFIED   — r3-green (CORRECTNESS_r03: 50/50 hash-green) and r2-green
+#                 entries, demoted past the window.
+_RECHECK_R4: dict[str, tuple[QueryFn, str | None]] = {
+    # core TPC-H / scan family (r1-green, unverified since)
+    "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
+    "q6_forecast_revenue": (core.q6_forecast_revenue, core.Q6_SQL),
+    "q4_priority_exists": (core.q4_priority_exists, core.Q4_SQL),
+    "q7_nation_trade": (core.q7_nation_trade, core.Q7_SQL),
+    "q10_returned_items": (core.q10_returned_items, core.Q10_SQL),
+    "time_filter_scan": (core.time_filter_scan, core.TIME_FILTER_SQL),
+    "topk_orders": (core.topk_orders, core.TOPK_SQL),
+    "tail_limit_events": (core.tail_limit_events, core.TAIL_LIMIT_SQL),
+    "distinct_users": (core.distinct_users, core.DISTINCT_USERS_SQL),
+    "setops_nations": (core.setops_nations, core.SETOPS_SQL),
+    "semi_anti_join": (core.semi_anti_join, core.SEMI_ANTI_SQL),
+    "theta_join_nested_loop": (core.theta_join_nested_loop, core.THETA_JOIN_SQL),
+    # aggregate long tail
+    "agg_stats": (core.agg_stats, core.AGG_STATS_SQL),
+    "vwap_lineitem": (core.vwap_lineitem, core.VWAP_SQL),
+    "arg_min_max": (core.arg_min_max, core.ARG_MIN_MAX_SQL),
+    "string_agg_names": (core.string_agg_names, core.STRING_AGG_SQL),
+    "geomean_bool_aggs": (core.geomean_bool_aggs, core.GEOMEAN_SQL),
+    "first_last_not_null": (core.first_last_not_null, core.FIRST_LAST_SQL),
+    "mode_skew_kurtosis": (core.mode_skew_kurtosis, core.MODE_SKEW_SQL),
+    "wide_aggregation": (core.wide_aggregation, core.WIDE_AGG_SQL),
+    # scalar functions
+    "datetime_functions": (core.datetime_functions, core.DATETIME_SQL),
+    "string_functions": (core.string_functions, core.STRING_FN_SQL),
+    "json_functions": (core.json_functions, core.JSON_FN_SQL),
+    "conditional_cast": (core.conditional_cast, core.CONDITIONAL_CAST_SQL),
+    # pipeline text/dedup family
+    "text_quality": (pl.text_quality, pl.TEXT_QUALITY_SQL),
+    "language_detect": (pl.language_detect, pl.LANGUAGE_DETECT_SQL),
+    "token_counts": (pl.token_counts, pl.TOKEN_COUNTS_SQL),
+    "doc_fingerprints": (pl.doc_fingerprints, pl.DOC_FINGERPRINT_SQL),
+    "dedup_exact": (pl.dedup_exact, pl.DEDUP_EXACT_SQL),
+    "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
+}
+
 _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     # --- r2 crashes, fixed this round (NTZ loader normalization) ---
     "sql_window_join": (sq.sql_window_join, sq.SQL_WINDOW_JOIN_SQL),
@@ -82,11 +120,14 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_aggs": (fn.approx_aggs, fn.APPROX_AGGS_SQL),
 }
 
+# New or materially-changed this round — need first verification.
+# Filled in as round-4 work lands; kept ahead of already-verified entries.
+_NEW_R4: dict[str, tuple[QueryFn, str | None]] = {}
+
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
-    # r2-crashed members of r1-green families (re-green first)
+    # r3-green (CORRECTNESS_r03 positions 31-50)
     "window_lead_lag": (core.window_lead_lag, core.WINDOW_LEAD_LAG_SQL),
     "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
-    # ASOF / time-join family (r1-green, skipped by r2's window)
     "asof_join_events": (ts.asof_join_events, ts.ASOF_JOIN_SQL),
     "asof_join_tolerance": (ts.asof_join_tolerance, ts.ASOF_TOLERANCE_SQL),
     "lt_join_events": (ts.lt_join_events, ts.LT_JOIN_SQL),
@@ -105,42 +146,8 @@ _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
     "window_moving_avg": (core.window_moving_avg, core.WINDOW_MOVING_AVG_SQL),
     "window_first_last_nth": (core.window_first_last_nth, core.WINDOW_FIRST_LAST_SQL),
     "window_distribution": (core.window_distribution, core.WINDOW_DISTRIBUTION_SQL),
-    # core TPC-H / scan family
     "q1_pricing_summary": (core.q1_pricing_summary, core.Q1_SQL),
     "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
-    "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
-    "q6_forecast_revenue": (core.q6_forecast_revenue, core.Q6_SQL),
-    "q4_priority_exists": (core.q4_priority_exists, core.Q4_SQL),
-    "q7_nation_trade": (core.q7_nation_trade, core.Q7_SQL),
-    "q10_returned_items": (core.q10_returned_items, core.Q10_SQL),
-    "time_filter_scan": (core.time_filter_scan, core.TIME_FILTER_SQL),
-    "topk_orders": (core.topk_orders, core.TOPK_SQL),
-    "tail_limit_events": (core.tail_limit_events, core.TAIL_LIMIT_SQL),
-    "distinct_users": (core.distinct_users, core.DISTINCT_USERS_SQL),
-    "setops_nations": (core.setops_nations, core.SETOPS_SQL),
-    "semi_anti_join": (core.semi_anti_join, core.SEMI_ANTI_SQL),
-    "theta_join_nested_loop": (core.theta_join_nested_loop, core.THETA_JOIN_SQL),
-    # aggregate long tail (r1-green, not re-checked since)
-    "agg_stats": (core.agg_stats, core.AGG_STATS_SQL),
-    "vwap_lineitem": (core.vwap_lineitem, core.VWAP_SQL),
-    "arg_min_max": (core.arg_min_max, core.ARG_MIN_MAX_SQL),
-    "string_agg_names": (core.string_agg_names, core.STRING_AGG_SQL),
-    "geomean_bool_aggs": (core.geomean_bool_aggs, core.GEOMEAN_SQL),
-    "first_last_not_null": (core.first_last_not_null, core.FIRST_LAST_SQL),
-    "mode_skew_kurtosis": (core.mode_skew_kurtosis, core.MODE_SKEW_SQL),
-    "wide_aggregation": (core.wide_aggregation, core.WIDE_AGG_SQL),
-    # scalar functions
-    "datetime_functions": (core.datetime_functions, core.DATETIME_SQL),
-    "string_functions": (core.string_functions, core.STRING_FN_SQL),
-    "json_functions": (core.json_functions, core.JSON_FN_SQL),
-    "conditional_cast": (core.conditional_cast, core.CONDITIONAL_CAST_SQL),
-    # pipeline text/dedup family (r1-green)
-    "text_quality": (pl.text_quality, pl.TEXT_QUALITY_SQL),
-    "language_detect": (pl.language_detect, pl.LANGUAGE_DETECT_SQL),
-    "token_counts": (pl.token_counts, pl.TOKEN_COUNTS_SQL),
-    "doc_fingerprints": (pl.doc_fingerprints, pl.DOC_FINGERPRINT_SQL),
-    "dedup_exact": (pl.dedup_exact, pl.DEDUP_EXACT_SQL),
-    "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
 }
 
 _RECENT: dict[str, tuple[QueryFn, str | None]] = {
@@ -188,7 +195,13 @@ _RECENT: dict[str, tuple[QueryFn, str | None]] = {
     "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
 }
 
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {**_PRIORITY, **_RECHECK, **_RECENT}
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **_RECHECK_R4,
+    **_NEW_R4,
+    **_PRIORITY,
+    **_RECHECK,
+    **_RECENT,
+}
 
 
 def queries() -> dict[str, QueryFn]:
