@@ -352,9 +352,14 @@ def dedup_clusters(
     appears in a pair.
 
     Scale notes: label propagation is O(diameter) iterative joins; dedup
-    graphs are overwhelmingly star-shaped (diameter ≤ ~3), so this
-    converges in 2-3 rounds. Each round is one shuffle on doc id;
-    convergence is checked with a cheap count of changed labels.
+    graphs are overwhelmingly star-shaped (diameter ≤ ~3), so the common
+    case converges within two rounds.  The fast path therefore fuses TWO
+    propagation rounds into ONE Spark job (no persist barrier or driver
+    action between them) and pays a single convergence check at the end;
+    only a graph still changing after that falls back to the
+    check-per-round loop.  Each round is one shuffle on doc id; the edge
+    set is persisted so re-evaluation inside the fused plan re-reads the
+    cache, not the candidate-pair lineage.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -362,32 +367,40 @@ def dedup_clusters(
         .distinct()
         .persist()  # iterated over — never recompute the candidate-pair lineage
     )
-    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label")).persist()
-    for _ in range(max_iterations):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        """One min-label round; keeps the incoming label as __prev so
+        convergence detection is a filter, not another join."""
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            edges.join(lbl.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        # carry the previous label through the propagate join so convergence
-        # detection is a filter on the cached frame, not another join
-        new_labels = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-                F.col("label").alias("__prev"),
+        return lbl.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
+            F.col("label").alias("__prev"),
+        )
+
+    labels0 = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label"))
+    # --- star-graph fast path: rounds 1+2 fused, one action ---
+    fused = _propagate(_propagate(labels0).select("u", "label")).persist()
+    changed = fused.filter(F.col("label") != F.col("__prev")).limit(1).count()
+    labels = fused.select("u", "label")
+    if changed:
+        # --- general path: long-diameter graph; check each further round ---
+        prev_cached = fused
+        for _ in range(max_iterations - 2):
+            new_labels = _propagate(labels).persist()
+            changed = (
+                new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
             )
-        )
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
-        )
-        labels.unpersist()
-        labels = new_labels.select("u", "label")
-        if changed == 0:
-            break
+            prev_cached.unpersist()
+            prev_cached = new_labels
+            labels = new_labels.select("u", "label")
+            if changed == 0:
+                break
     edges.unpersist()
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))
