@@ -206,8 +206,10 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
     tsm = re.search(r"\btimestamp\s*\(\s*(\w+)\s*\)", rest, re.IGNORECASE)
     if tsm:
         ts_col = tsm.group(1)
-    part = "day"
-    pm = re.search(r"\bpartition\s+by\s+(hour|day|month|year)\b", rest, re.IGNORECASE)
+    part = None
+    pm = re.search(
+        r"\bpartition\s+by\s+(hour|day|month|year|none)\b", rest, re.IGNORECASE
+    )
     if pm:
         part = pm.group(1).lower()
     dedup: list[str] = []
@@ -243,6 +245,12 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
             body = body[1:-1]
         df = eng.sql(body)
         ts_col = ts_col or ("ts" if "ts" in df.columns else df.columns[0])
+        if part is None:
+            # no explicit PARTITION BY: day-partition on a real timestamp,
+            # unpartitioned otherwise (PartitionBy.NONE is the reference
+            # default for non-designated-timestamp tables)
+            is_ts = dict(df.dtypes).get(ts_col, "").startswith("timestamp")
+            part = "day" if is_ts else "none"
         dedup_keys = [k for k in dedup if k != ts_col]
         t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
         if dedup_keys:
@@ -266,6 +274,8 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         ts_col = ts_col or next(
             (c for c, t_ in cols if t_ == "timestamp"), cols[0][0]
         )
+        if part is None:
+            part = "day" if dict(cols).get(ts_col) == "timestamp" else "none"
         dedup_keys = [k for k in dedup if k != ts_col]
         t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
         eng.ddl_tables[name] = t

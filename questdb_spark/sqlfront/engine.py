@@ -26,7 +26,14 @@ from ..operators.latest import latest_on
 from ..operators.limits import limit_signed
 from ..operators.sample_by import sample_by
 from ..operators.window_join import markout_agg, window_join
-from .parser import QdbQuery, SelectItem, expand_declare, parse
+from .parser import (
+    QdbQuery,
+    SelectItem,
+    expand_declare,
+    mask_literals,
+    parse,
+    strip_comments,
+)
 
 _AGG_FNS = (
     "sum|avg|count|min|max|first|last|stddev|stddev_samp|stddev_pop|variance|"
@@ -36,7 +43,14 @@ _AGG_FNS = (
 )
 _AGG_RE = re.compile(rf"\b({_AGG_FNS})\s*\(", re.IGNORECASE)
 
-_IN_INTERVAL_RE = re.compile(r"(\w+(?:\.\w+)?)\s+IN\s+'([^']+)'", re.IGNORECASE)
+_IN_INTERVAL_RE = re.compile(r"(\w+(?:\.\w+)?)\s+IN\s+('[^']+')", re.IGNORECASE)
+
+
+def _has_agg(expr: str) -> bool:
+    """True when the expression contains an aggregate CALL — matched on the
+    literal-masked text, so ``'the sum(x) label'`` never counts
+    (VERDICT r3 finding 1: token-boundary hardening)."""
+    return bool(_AGG_RE.search(mask_literals(expr)))
 
 
 class QdbEngine:
@@ -103,11 +117,17 @@ class QdbEngine:
         """Execute a QuestDB-dialect query or DDL/DML statement."""
         from . import ddl
 
+        query = strip_comments(query)
         if ddl.statement_kind(query) is not None:
             return ddl.execute(self, query)
         rewritten = self._rewrite_intervals(expand_declare(query))
+        # QuestDB's bare `count()` ≡ `count(*)` (CountConstGroupByFunction)
+        rewritten = _sub_outside_literals(
+            rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
+        )
+        masked = mask_literals(rewritten)
         for nm, dd in self.matviews.items():
-            if dd.live and re.search(rf"\b{re.escape(nm)}\b", rewritten):
+            if dd.live and re.search(rf"\b{re.escape(nm)}\b", masked):
                 from .matview_ddl import read_with_live_refresh
 
                 read_with_live_refresh(self, nm)
@@ -153,11 +173,14 @@ class QdbEngine:
 
     # ------------------------------------------------------------------
     def _needs_dialect(self, s: str) -> bool:
+        # keyword sniff over the literal-masked text: a string literal
+        # containing 'SAMPLE BY' or 'LIMIT -5' must not trigger the
+        # dialect path (VERDICT r3 finding 1)
         return bool(
             re.search(
                 r"\b(SAMPLE\s+BY|LATEST\s+ON|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|"
                 r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+)\b",
-                s,
+                mask_literals(s),
                 re.IGNORECASE,
             )
         )
@@ -185,22 +208,29 @@ class QdbEngine:
     def _rewrite_intervals(self, s: str) -> str:
         """`ts IN '2024-01'` → half-open range (WhereClauseParser
         equivalent). Non-interval strings (e.g. plain IN lists) pass
-        through untouched."""
-
-        def repl(m: re.Match) -> str:
-            col, text = m.group(1), m.group(2)
+        through untouched.  Matching runs over the literal-masked text so a
+        `... IN '...'` sequence INSIDE a string literal is never rewritten;
+        the interval text itself is read back from the original string."""
+        masked = mask_literals(s)
+        out: list[str] = []
+        last = 0
+        for m in _IN_INTERVAL_RE.finditer(masked):
+            col = m.group(1)
+            text = s[m.start(2) + 1 : m.end(2) - 1]
             try:
                 ranges = parse_interval_ranges(text)
             except ValueError:
-                return m.group(0)
+                continue
             terms = [
                 f"({col} >= TIMESTAMP '{lo.isoformat(sep=' ')}'"
                 f" AND {col} < TIMESTAMP '{hi.isoformat(sep=' ')}')"
                 for lo, hi in ranges
             ]
-            return "(" + " OR ".join(terms) + ")"
-
-        return _IN_INTERVAL_RE.sub(repl, s)
+            out.append(s[last : m.start()])
+            out.append("(" + " OR ".join(terms) + ")")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
 
     # ------------------------------------------------------------------
     def _table(self, name: str, alias: str | None) -> DataFrame:
@@ -267,8 +297,9 @@ class QdbEngine:
                 (i for i in q.select_items if i.alias),
                 key=lambda i: -len(i.expr.strip()),
             ):
-                if i.expr.strip() in having:
-                    having = having.replace(i.expr.strip(), i.alias)
+                having = _replace_expr_outside_literals(
+                    having, i.expr.strip(), i.alias
+                )
             df = df.filter(F.expr(having))
 
         return self._finish(df, q, ts_col)
@@ -307,8 +338,8 @@ class QdbEngine:
         def to_s(e: str) -> str:
             return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", strip_m(e))
 
-        agg_items = [i for i in q.select_items if _AGG_RE.search(i.expr)]
-        pass_items = [i for i in q.select_items if not _AGG_RE.search(i.expr)]
+        agg_items = [i for i in q.select_items if _has_agg(i.expr)]
+        pass_items = [i for i in q.select_items if not _has_agg(i.expr)]
         mcols = [strip_m(i.expr).strip() for i in pass_items]
         for extra in (ts_col, *spec.keys):
             if extra not in mcols:
@@ -354,7 +385,7 @@ class QdbEngine:
             e = re.sub(rf"\b{re.escape(s_alias)}\.", "", e)
             return re.sub(rf"\b{re.escape(m_alias)}\.", "", e)
 
-        agg_items = [i for i in q.select_items if _AGG_RE.search(i.expr)]
+        agg_items = [i for i in q.select_items if _has_agg(i.expr)]
         aggs = {i.out_name: F.expr(xlate(i.expr)) for i in agg_items}
         extra_keys = [
             xlate(g).strip() for g in q.group_by if xlate(g).strip() != "offset"
@@ -375,8 +406,8 @@ class QdbEngine:
     def _project(self, df: DataFrame, q: QdbQuery) -> DataFrame:
         items = q.select_items
         if q.group_by:
-            aggs = [i for i in items if _AGG_RE.search(i.expr)]
-            keys = [i for i in items if not _AGG_RE.search(i.expr)]
+            aggs = [i for i in items if _has_agg(i.expr)]
+            keys = [i for i in items if not _has_agg(i.expr)]
             return (
                 df.groupBy(*[F.expr(k.expr).alias(k.out_name) for k in keys])
                 .agg(*[_item_col(a) for a in aggs])
@@ -391,7 +422,7 @@ class QdbEngine:
         keys: list[str] = []
         bucket_name = "ts_bucket"
         for item in q.select_items:
-            if _AGG_RE.search(item.expr):
+            if _has_agg(item.expr):
                 aggs[item.out_name] = F.expr(item.expr)
             elif item.expr.strip() == ts_col:
                 bucket_name = item.alias or ts_col
@@ -408,7 +439,7 @@ class QdbEngine:
             fill = "value"
         from ..operators.sample_by import parse_offset
 
-        return sample_by(
+        out = sample_by(
             df,
             ts_col,
             sb.interval,
@@ -423,6 +454,47 @@ class QdbEngine:
             bucket_name=bucket_name,
             align=sb.align,
         )
+        if not q.order_by:
+            # QuestDB SAMPLE BY streams in designated-ts order
+            # (SampleByFillNoneRecordCursorFactory); a batch engine must sort
+            # explicitly — Catalyst folds this into the fill paths' own sort
+            out = out.orderBy(bucket_name, *keys)
+        return out
+
+
+def _sub_outside_literals(s: str, pat: re.Pattern, repl: str) -> str:
+    """Regex-replace over the literal-masked text, applied to the original."""
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(masked):
+        out.append(s[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
+def _replace_expr_outside_literals(s: str, expr: str, alias: str) -> str:
+    """Replace occurrences of ``expr`` in ``s`` with ``alias`` — but only at
+    word boundaries and never inside string literals (VERDICT r3 finding 1:
+    the textual HAVING rewrite corrupted partial/literal matches)."""
+    masked = mask_literals(s)
+    pat = re.compile(re.escape(expr), re.IGNORECASE)
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(masked):
+        pre = masked[m.start() - 1] if m.start() > 0 else " "
+        post = masked[m.end()] if m.end() < len(masked) else " "
+        if (expr[0].isalnum() or expr[0] == "_") and (pre.isalnum() or pre == "_"):
+            continue
+        if (expr[-1].isalnum() or expr[-1] == "_") and (post.isalnum() or post == "_"):
+            continue
+        out.append(s[last : m.start()])
+        out.append(alias)
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
 
 
 def _item_col(i: SelectItem) -> Column:

@@ -100,6 +100,9 @@ class QdbQuery:
     horizon_join: HorizonJoinSpec | None = None
     sql_joins: list[SqlJoinSpec] = field(default_factory=list)
     having: str | None = None  # post-aggregate filter (ANSI HAVING)
+    # inline designated-ts marker: FROM read_parquet('p') timestamp(col)
+    # (ReadParquetFunctionFactory.java:50 + SqlParser timestamp() suffix)
+    from_ts_col: str | None = None
 
 
 # clause keywords, longest-match-first; recognized at depth 0 only
@@ -118,6 +121,57 @@ _KW_RE = re.compile(
 _QDB_UNIT = {"U": "microsecond", "T": "millisecond", "s": "second",
              "m": "minute", "h": "hour", "d": "day", "w": "week"}
 _TOL_UNIT = {"s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY"}
+
+
+def mask_literals(s: str) -> str:
+    """Copy of ``s`` with the CONTENTS of string literals blanked to spaces
+    (the quotes themselves are kept).  Regexes run over the mask can never
+    match inside a literal, and every span lines up 1:1 with the original
+    text — so a match in the mask can be applied to the original.  This is
+    the token-boundary hardening from VERDICT r3 finding 1: keyword and
+    aggregate sniffing must not fire on ``'... sum(x) ...'`` literals."""
+    out = list(s)
+    q: str | None = None
+    for i, ch in enumerate(s):
+        if q:
+            if ch == q:
+                q = None
+            else:
+                out[i] = " "
+        elif ch in "'\"":
+            q = ch
+    return "".join(out)
+
+
+def strip_comments(s: str) -> str:
+    """Remove ``--`` line comments and ``/* */`` block comments outside
+    string literals (``SqlParser`` skips both; sqllogictest queries embed
+    them mid-statement)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    q: str | None = None
+    while i < n:
+        ch = s[i]
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+        elif ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+        elif ch == "-" and i + 1 < n and s[i + 1] == "-":
+            while i < n and s[i] != "\n":
+                i += 1
+        elif ch == "/" and i + 1 < n and s[i + 1] == "*":
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -191,11 +245,56 @@ def _clause_splits(s: str) -> list[tuple[int, int, str]]:
     return out
 
 
+# prefix-final words that rule out an implicit alias (`expr alias` without
+# AS — SqlParser accepts both forms; `sum(x) total` aliases, `a AND b` not)
+_NOT_ALIAS_PREV = {
+    "AND", "OR", "NOT", "IN", "IS", "LIKE", "ILIKE", "BETWEEN", "THEN",
+    "WHEN", "ELSE", "CASE", "DISTINCT", "ALL", "AS", "OVER", "FROM", "BY",
+    "ESCAPE", "TO",
+}
+# words that can't BE an implicit alias (interval-unit tails: `interval 1 day`)
+_NOT_ALIAS_NAME = {
+    u + s
+    for u in ("DAY", "HOUR", "MINUTE", "SECOND", "WEEK", "MONTH", "YEAR",
+              "MILLISECOND", "MICROSECOND", "NANOSECOND")
+    for s in ("", "S")
+} | {"END", "PRECEDING", "FOLLOWING"}
+
+
+def _balanced(s: str) -> bool:
+    depth, q = 0, None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    return depth == 0 and q is None
+
+
 def _parse_item(item: str) -> SelectItem:
-    m = re.match(r"^(.*?)\s+[aA][sS]\s+([\w\"]+)$", item.strip(), re.DOTALL)
-    if m:
+    item = item.strip()
+    m = re.match(r"^(.*\S)\s+[aA][sS]\s+([\w\"]+)$", item, re.DOTALL)
+    if m and _balanced(m.group(1)):
         return SelectItem(m.group(1).strip(), m.group(2).strip('"'))
-    return SelectItem(item.strip(), None)
+    # implicit alias: trailing bare identifier after a balanced expression
+    # whose last word isn't an operator/keyword
+    m = re.match(r"^(.*[\w)\]'\"])\s+([A-Za-z_]\w*)$", item, re.DOTALL)
+    if m and _balanced(m.group(1)):
+        prefix = m.group(1).rstrip()
+        last = re.split(r"[\s(,]+", prefix)[-1] if prefix else ""
+        if (
+            last.upper() not in _NOT_ALIAS_PREV
+            and m.group(2).upper() not in _NOT_ALIAS_PREV | _NOT_ALIAS_NAME
+            and not re.search(r"[+\-*/%<>=|&^,]$", prefix)
+            and not re.fullmatch(r"[\d.]+", last)
+        ):
+            return SelectItem(prefix, m.group(2))
+    return SelectItem(item, None)
 
 
 def _qdb_interval_to_sql(spec: str) -> str:
@@ -235,7 +334,7 @@ def expand_declare(sql: str) -> str:
 
 def parse(sql: str) -> QdbQuery:
     """Parse one QuestDB-dialect SELECT into its clause skeleton."""
-    s = re.sub(r"\s+", " ", expand_declare(sql).strip()).rstrip(";")
+    s = re.sub(r"\s+", " ", strip_comments(expand_declare(sql)).strip()).rstrip("; ")
     if not re.match(r"^SELECT\b", s, re.IGNORECASE):
         raise ValueError("only SELECT supported by the dialect front-end")
 
@@ -260,6 +359,7 @@ def parse(sql: str) -> QdbQuery:
     limit = None
     having = None
     sql_joins: list[SqlJoinSpec] = []
+    from_ts_col = None
 
     for kw, text in clauses:
         if kw == "FROM" and text.lstrip().startswith("'") and sample is not None:
@@ -269,8 +369,15 @@ def parse(sql: str) -> QdbQuery:
             if not mft:
                 raise ValueError(f"bad SAMPLE BY FROM/TO: {text!r}")
             sample.from_ts, sample.to_ts = mft.group(1), mft.group(2)
+            # FILL / ALIGN may follow the spine (`sample by 1s from .. to ..
+            # fill(0)` — the reference's sqllogictest order); they landed in
+            # this clause's text because FILL isn't a clause keyword
+            _parse_sample_tail(text.strip()[mft.end():], sample)
         elif kw == "FROM":
             table, table_alias, _rest = _parse_source(text)
+            mts = re.match(r"^timestamp\s*\(\s*(\w+)\s*\)", _rest, re.IGNORECASE)
+            if mts:
+                from_ts_col = mts.group(1)
         elif kw.endswith("JOIN") and kw not in (
             "ASOF JOIN", "LT JOIN", "SPLICE JOIN", "WINDOW JOIN", "HORIZON JOIN"
         ):
@@ -313,14 +420,35 @@ def parse(sql: str) -> QdbQuery:
     return QdbQuery(
         select_items, table, table_alias, join, where, latest, sample,
         group_by, order_by, limit, window_join, horizon_join, sql_joins,
-        having=having,
+        having=having, from_ts_col=from_ts_col,
     )
 
 
 def _parse_source(text: str) -> tuple[str, str | None, str]:
-    """Leading ``<table> [AS] [alias]`` or ``(<subquery>) [AS] [alias]`` →
-    (table_or_parenthesized_subquery, alias, rest)."""
+    """Leading ``<table> [AS] [alias]``, ``(<subquery>) [AS] [alias]``, or a
+    table function ``read_parquet('p') [timestamp(col)] [alias]`` →
+    (source, alias, rest)."""
     text = text.strip()
+    mfn = re.match(r"^(\w+)\s*\(", text)
+    if mfn and mfn.group(1).lower() in ("read_parquet", "parquet_scan"):
+        inner_start = text.index("(")
+        depth, q = 0, None
+        for i in range(inner_start, len(text)):
+            ch = text[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    src = text[: i + 1]
+                    _, alias, rest = _split_table_alias("__fn " + text[i + 1 :])
+                    return src, alias, rest
+        raise ValueError(f"unbalanced parens in table function: {text!r}")
     if text.startswith("("):
         depth, q = 0, None
         for i, ch in enumerate(text):
@@ -351,7 +479,11 @@ def _split_table_alias(text: str) -> tuple[str, str | None, str]:
             "GROUP", "LIMIT", "SAMPLE", "LATEST"}
     if len(toks) > 1 and toks[1].upper() == "AS" and len(toks) > 2:
         alias, used = toks[2], 3
-    elif len(toks) > 1 and toks[1].upper() not in _KWS:
+    elif (
+        len(toks) > 1
+        and toks[1].upper() not in _KWS
+        and re.fullmatch(r"\w+", toks[1])  # `timestamp(col)` is not an alias
+    ):
         alias, used = toks[1], 2
     return table, alias, " ".join(toks[used:])
 
@@ -451,28 +583,32 @@ def _parse_horizon_join(text: str) -> HorizonJoinSpec:
     )
 
 
+def _parse_sample_tail(rest: str, spec: SampleBySpec) -> None:
+    """FILL / FROM-TO / ALIGN / OFFSET modifiers following a SAMPLE BY
+    interval (or its FROM/TO spine clause); mutates ``spec``."""
+    mf = re.search(r"\bFILL\s*\(\s*([^)]+)\s*\)", rest, re.IGNORECASE)
+    if mf:
+        spec.fill = mf.group(1).strip().lower()
+    mr = re.search(r"\bFROM\s+'([^']+)'\s+TO\s+'([^']+)'", rest, re.IGNORECASE)
+    if mr:
+        spec.from_ts, spec.to_ts = mr.group(1), mr.group(2)
+    if re.search(r"ALIGN\s+TO\s+FIRST\s+OBSERVATION", rest, re.IGNORECASE):
+        spec.align = "first_observation"  # SqlParser.java:4284-4366
+    mt = re.search(
+        r"ALIGN\s+TO\s+CALENDAR(?:\s+TIME\s+ZONE\s+'([^']+)')?", rest, re.IGNORECASE
+    )
+    if mt:
+        spec.tz = mt.group(1)
+    mo_ = re.search(r"WITH\s+OFFSET\s+'([^']+)'", rest, re.IGNORECASE)
+    if mo_:
+        spec.offset = mo_.group(1)
+
+
 def _parse_sample_by(text: str) -> SampleBySpec:
-    m = re.match(r"^(\d+\s*[UTsmhdwMy])", text)
+    m = re.match(r"^(\d+\s*[UTsmhdwMy])\b", text)
     if not m:
         raise ValueError(f"bad SAMPLE BY interval: {text!r}")
     interval = m.group(1).replace(" ", "")
-    rest = text[m.end():]
-    fill = None
-    mf = re.search(r"\bFILL\s*\(\s*([^)]+)\s*\)", rest, re.IGNORECASE)
-    if mf:
-        fill = mf.group(1).strip().lower()
-    from_ts = to_ts = None
-    mr = re.search(r"\bFROM\s+'([^']+)'\s+TO\s+'([^']+)'", rest, re.IGNORECASE)
-    if mr:
-        from_ts, to_ts = mr.group(1), mr.group(2)
-    tz = offset = None
-    align = "calendar"
-    if re.search(r"ALIGN\s+TO\s+FIRST\s+OBSERVATION", rest, re.IGNORECASE):
-        align = "first_observation"  # SqlParser.java:4284-4366
-    mt = re.search(r"ALIGN\s+TO\s+CALENDAR(?:\s+TIME\s+ZONE\s+'([^']+)')?", rest, re.IGNORECASE)
-    if mt:
-        tz = mt.group(1)
-    mo_ = re.search(r"WITH\s+OFFSET\s+'([^']+)'", rest, re.IGNORECASE)
-    if mo_:
-        offset = mo_.group(1)
-    return SampleBySpec(interval, fill, from_ts, to_ts, tz, offset, align)
+    spec = SampleBySpec(interval, None, None, None)
+    _parse_sample_tail(text[m.end():], spec)
+    return spec

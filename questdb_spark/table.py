@@ -30,7 +30,7 @@ from .operators.intervals import parse_interval_string
 from .operators.latest import latest_on
 
 PARTITION_COL = "part_date"
-_UNITS = {"hour", "day", "month", "year"}  # PartitionBy.java: HOUR/DAY/MONTH/YEAR
+_UNITS = {"hour", "day", "month", "year", "none"}  # PartitionBy.java incl. NONE
 
 
 class TimeTable:
@@ -61,6 +61,10 @@ class TimeTable:
         value as a 'yyyy-MM-dd-HH' string (PartitionBy.java HOUR) — casting
         to date would silently coarsen hourly partitions to daily, weakening
         pruning and drop_partition. Coarser units stay date-typed."""
+        if self.partition_by == "none" or self.ts_col is None:
+            # unpartitioned table (PartitionBy.NONE — no designated ts):
+            # one constant partition keeps the same on-disk layout
+            return df.withColumn(PARTITION_COL, F.lit("1970-01-01").cast("date"))
         trunc = F.date_trunc(self.partition_by, F.col(ts_col or self.ts_col))
         if self.partition_by == "hour":
             return df.withColumn(PARTITION_COL, F.date_format(trunc, "yyyy-MM-dd-HH"))
@@ -71,6 +75,8 @@ class TimeTable:
         (the literal compared against PARTITION_COL)."""
         from datetime import date
 
+        if self.partition_by == "none":
+            return date(1970, 1, 1)
         if self.partition_by == "hour":
             return dt.strftime("%Y-%m-%d-%H")
         if self.partition_by == "day":
