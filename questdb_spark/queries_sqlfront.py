@@ -475,3 +475,55 @@ SELECT user_id,
   COUNT(*) FILTER (event_type = 'view') AS n_view
 FROM events GROUP BY user_id
 """
+
+
+def sql_read_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """``read_parquet('path')`` table function in the dialect
+    (``griffin/engine/functions/table/ReadParquetFunctionFactory.java:50``):
+    lowered onto Spark's native ``parquet.`path``` source — scan, pushdown
+    and pruning are the engine's own parquet path."""
+    eng = QdbEngine(spark)
+    return eng.sql(
+        f"SELECT o_orderpriority, count() AS n, "
+        f"cast(cast(sum(cast(o_totalprice AS decimal(12,2))) AS decimal(20,2)) AS double) AS total "
+        f"FROM read_parquet('{sf}/orders.parquet') "
+        f"GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+SQL_READ_PARQUET_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def sql_plain_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Plain (non-materialized) ``CREATE VIEW`` DDL over a dialect query
+    (``griffin/model/CompileViewModel.java``; VERDICT r3 gap 4): the view
+    body — a keyed SAMPLE BY — is re-lowered on every read, then aggregated
+    through the view by a second query."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.sql(
+        "CREATE VIEW daily_ev AS "
+        "select ts, event_type, count() cnt, "
+        "cast(cast(sum(cast(value as decimal(12,2))) as decimal(20,2)) as double) total "
+        "from events sample by 1d"
+    )
+    return eng.sql(
+        "SELECT event_type, max(cnt) AS max_cnt, "
+        "cast(cast(sum(cast(total AS decimal(14,2))) AS decimal(22,2)) AS double) AS sum_total "
+        "FROM daily_ev GROUP BY event_type ORDER BY event_type"
+    )
+
+
+SQL_PLAIN_VIEW_SQL = """
+WITH daily_ev AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, event_type, COUNT(*) AS cnt,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, MAX(cnt) AS max_cnt,
+  CAST(CAST(SUM(CAST(total AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS DOUBLE) AS sum_total
+FROM daily_ev GROUP BY event_type ORDER BY event_type
+"""

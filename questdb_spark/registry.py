@@ -122,7 +122,12 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
 
 # New or materially-changed this round — need first verification.
 # Filled in as round-4 work lands; kept ahead of already-verified entries.
-_NEW_R4: dict[str, tuple[QueryFn, str | None]] = {}
+_NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
+    # read_parquet()/parquet_scan() table function (r4)
+    "sql_read_parquet": (sq.sql_read_parquet, sq.SQL_READ_PARQUET_SQL),
+    # plain CREATE VIEW over a dialect query (r4)
+    "sql_plain_view": (sq.sql_plain_view, sq.SQL_PLAIN_VIEW_SQL),
+}
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
     # r3-green (CORRECTNESS_r03 positions 31-50)

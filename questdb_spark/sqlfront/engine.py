@@ -73,6 +73,9 @@ class QdbEngine:
         self.ddl_seq: dict[str, int] = {}
         # materialized / live views (sqlfront/matview_ddl.py): name → def
         self.matviews: dict = {}
+        # plain (non-materialized) views: name → definition SQL, re-lowered
+        # on every read (CompileViewModel.java)
+        self.views: dict[str, str] = {}
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,
@@ -125,6 +128,7 @@ class QdbEngine:
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
+        rewritten = self._rewrite_read_parquet(rewritten)
         masked = mask_literals(rewritten)
         for nm, dd in self.matviews.items():
             if dd.live and re.search(rf"\b{re.escape(nm)}\b", masked):
@@ -132,6 +136,14 @@ class QdbEngine:
 
                 read_with_live_refresh(self, nm)
         if not self._needs_dialect(rewritten):
+            # a designated-ts marker after a parquet source is dialect
+            # decoration with no ANSI meaning — drop it for Spark's parser
+            rewritten = re.sub(
+                r"(parquet\.`[^`]+`)\s+timestamp\s*\(\s*\w+\s*\)",
+                r"\1",
+                rewritten,
+                flags=re.IGNORECASE,
+            )
             return self.spark.sql(rewritten)
         parts, ops = self._split_setops(rewritten)
         if ops:
@@ -216,7 +228,7 @@ class QdbEngine:
         last = 0
         for m in _IN_INTERVAL_RE.finditer(masked):
             col = m.group(1)
-            text = s[m.start(2) + 1 : m.end(2) - 1]
+            text = s[m.start(2) + 1 : m.end(2) - 1]  # literal body, unmasked
             try:
                 ranges = parse_interval_ranges(text)
             except ValueError:
@@ -232,13 +244,40 @@ class QdbEngine:
         out.append(s[last:])
         return "".join(out)
 
+    _READ_PARQUET_RE = re.compile(
+        r"\b(?:read_parquet|parquet_scan)\s*\(\s*('[^']+')\s*\)", re.IGNORECASE
+    )
+
+    def _rewrite_read_parquet(self, s: str) -> str:
+        """``read_parquet('p')`` / ``parquet_scan('p')`` table functions
+        (``ReadParquetFunctionFactory.java:50``) → Spark's native
+        ``parquet.`p``` source, which both the ANSI path (spark.sql) and the
+        dialect path (spark.table) resolve.  Matched over the literal-masked
+        text; the path is read back from the original."""
+        masked = mask_literals(s)
+        out: list[str] = []
+        last = 0
+        for m in self._READ_PARQUET_RE.finditer(masked):
+            path = s[m.start(1) + 1 : m.end(1) - 1]
+            # files may carry nanosecond timestamps (events.parquet):
+            # mirror sources/parquet.load_table's session setting
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            out.append(s[last : m.start()])
+            out.append(f"parquet.`{path}`")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
     # ------------------------------------------------------------------
     def _table(self, name: str, alias: str | None) -> DataFrame:
-        """Resolve a FROM/JOIN source: a registered table, a temp view, or a
-        parenthesized subquery (recursively lowered — dialect clauses inside
-        subqueries work, ``SqlParser.java`` parseSubQuery equivalent)."""
+        """Resolve a FROM/JOIN source: a registered table, a plain view, a
+        temp view, or a parenthesized subquery (recursively lowered —
+        dialect clauses inside subqueries work, ``SqlParser.java``
+        parseSubQuery equivalent)."""
         if name.startswith("("):
             df = self.sql(name[1:-1])
+        elif name in self.views:
+            df = self.sql(self.views[name])
         elif name in self.tables:
             if name in self.matviews:  # LIVE views refresh on read
                 from .matview_ddl import read_with_live_refresh
@@ -251,7 +290,7 @@ class QdbEngine:
 
     def _lower(self, q: QdbQuery) -> DataFrame:
         df = self._table(q.table, q.table_alias)
-        ts_col = self.designated_ts.get(q.table, "ts")
+        ts_col = q.from_ts_col or self.designated_ts.get(q.table, "ts")
 
         for j in q.sql_joins:  # plain ANSI joins, in textual order
             other = self._table(j.table, j.alias)

@@ -357,3 +357,49 @@ def test_matview_monthly_incremental(eng):
         "2024-02-01 00:00:00": 7.0,  # hwm bucket recomputed with the new row
         "2024-03-01 00:00:00": 7.0,
     }
+
+
+def test_plain_view_roundtrip(eng):
+    """CREATE VIEW (CompileViewModel.java): non-materialized, re-lowered on
+    every read — sees rows inserted after creation; DROP VIEW unregisters."""
+    eng.sql("CREATE TABLE vsrc (ts TIMESTAMP, v DOUBLE) TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql("INSERT INTO vsrc VALUES (TIMESTAMP '2024-01-01 00:00:00', 2.0)")
+    eng.sql("CREATE VIEW vdouble AS SELECT ts, v * 2 AS v2 FROM vsrc")
+    assert [r["v2"] for r in eng.sql("SELECT v2 FROM vdouble").collect()] == [4.0]
+    # view reflects post-creation inserts (not a snapshot)
+    eng.sql("INSERT INTO vsrc VALUES (TIMESTAMP '2024-01-02 00:00:00', 5.0)")
+    got = sorted(r["v2"] for r in eng.sql("SELECT v2 FROM vdouble").collect())
+    assert got == [4.0, 10.0]
+    # dialect clauses resolve through the view on the dialect path
+    got = eng.sql("SELECT ts, sum(v2) AS s FROM vdouble SAMPLE BY 1d").collect()
+    assert [r["s"] for r in got] == [4.0, 10.0]
+    # name collision with a table is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.sql("CREATE VIEW vsrc AS SELECT 1")
+    eng.sql("DROP VIEW vdouble")
+    with _pytest.raises(Exception):
+        eng.sql("SELECT * FROM vdouble").collect()
+    # IF EXISTS tolerates the absent view
+    eng.sql("DROP VIEW IF EXISTS vdouble")
+
+
+def test_read_parquet_table_function(eng, spark, tmp_path):
+    """read_parquet('path') / parquet_scan('path')
+    (ReadParquetFunctionFactory.java:50) with inline timestamp() designation
+    feeding a dialect SAMPLE BY."""
+    p = str(tmp_path / "ext.parquet")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:30", 1.0), ("2024-01-01 01:00:30", 5.0)],
+        "at string, v double",
+    ).selectExpr("CAST(at AS TIMESTAMP) AS at", "v").write.parquet(p)
+    got = eng.sql(f"SELECT count(*) AS n FROM read_parquet('{p}')").collect()
+    assert got[0]["n"] == 2
+    got = eng.sql(
+        f"select at, sum(v) s from parquet_scan('{p}') timestamp(at) sample by 1h"
+    ).collect()
+    assert [(str(r["at"]), r["s"]) for r in got] == [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 01:00:00", 5.0),
+    ]
