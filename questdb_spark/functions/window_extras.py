@@ -21,6 +21,34 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
+_AGG_FNS = {"sum": F.sum, "avg": F.avg, "count": F.count, "min": F.min, "max": F.max}
+
+
+def groups_frame_agg(
+    df: DataFrame,
+    value: str,
+    order_by: str,
+    keys: Sequence[str] = (),
+    groups_preceding: int = 0,
+    groups_following: int = 0,
+    agg: str = "sum",
+    out_col: str = "groups_agg",
+) -> DataFrame:
+    """``<agg> OVER (GROUPS BETWEEN n PRECEDING AND m FOLLOWING)`` for
+    sum/avg/count/min/max (WindowExpression.java:47-55): peer groups
+    collapse to consecutive dense_rank integers, making the GROUPS frame a
+    numeric RANGE frame."""
+    keys = list(keys)
+    wrank = Window.partitionBy(*keys).orderBy(order_by)
+    ranked = df.withColumn("__grp", F.dense_rank().over(wrank))
+    wg = (
+        Window.partitionBy(*keys)
+        .orderBy("__grp")
+        .rangeBetween(-groups_preceding, groups_following)
+    )
+    return ranked.withColumn(out_col, _AGG_FNS[agg](value).over(wg)).drop("__grp")
+
+
 def groups_frame_sum(
     df: DataFrame,
     value: str,
@@ -31,15 +59,10 @@ def groups_frame_sum(
     out_col: str = "groups_sum",
 ) -> DataFrame:
     """SUM over ``GROUPS BETWEEN n PRECEDING AND m FOLLOWING``."""
-    keys = list(keys)
-    wrank = Window.partitionBy(*keys).orderBy(order_by)
-    ranked = df.withColumn("__grp", F.dense_rank().over(wrank))
-    wg = (
-        Window.partitionBy(*keys)
-        .orderBy("__grp")
-        .rangeBetween(-groups_preceding, groups_following)
+    return groups_frame_agg(
+        df, value, order_by, keys, groups_preceding, groups_following,
+        agg="sum", out_col=out_col,
     )
-    return ranked.withColumn(out_col, F.sum(value).over(wg)).drop("__grp")
 
 
 def _frame(keys: Sequence[str], order_by: str) -> WindowSpec:
@@ -90,6 +113,86 @@ def sum_exclude(
     else:
         raise ValueError(f"unknown EXCLUDE clause: {exclude!r}")
     return df.withColumn(out_col, out)
+
+
+def agg_exclude(
+    df: DataFrame,
+    value: str,
+    order_by: str,
+    keys: Sequence[str] = (),
+    exclude: str = "current row",
+    agg: str = "sum",
+    out_col: str = "agg_excl",
+) -> DataFrame:
+    """``<agg> OVER (... RANGE UNBOUNDED EXCLUDE <clause>)`` for
+    sum/avg/count/min/max (WindowExpression.java:47-55).
+
+    Lowering: the excluded slice is expressed as the UNION of two frames the
+    engine CAN compute —
+    - EXCLUDE CURRENT ROW: positional ROWS frames strictly before / after
+      the current row (ties don't matter: any single occurrence of the
+      row's value is removed, which is the clause's semantics for every
+      supported aggregate);
+    - EXCLUDE GROUP: RANGE frames strictly before / after the peer group
+      on the dense_rank of the ordering;
+    - EXCLUDE TIES: the GROUP frames plus the current row itself.
+    min/max combine with least/greatest (null-skipping), sum/avg/count by
+    addition — exact, no subtraction identities, so min/max work too.
+    Empty-frame results are SQL-standard NULL (COUNT: 0)."""
+    keys = list(keys)
+    fn = _AGG_FNS[agg]
+    v = F.col(value)
+
+    if exclude == "no others":
+        return df.withColumn(out_col, fn(value).over(_frame(keys, order_by)))
+
+    if exclude == "current row":
+        lo = Window.partitionBy(*keys).orderBy(order_by).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        hi = Window.partitionBy(*keys).orderBy(order_by).rowsBetween(
+            1, Window.unboundedFollowing
+        )
+        ranked = df
+        add_self = False
+    elif exclude in ("group", "ties"):
+        wrank = Window.partitionBy(*keys).orderBy(order_by)
+        ranked = df.withColumn("__xgrp", F.dense_rank().over(wrank))
+        lo = Window.partitionBy(*keys).orderBy("__xgrp").rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        hi = Window.partitionBy(*keys).orderBy("__xgrp").rangeBetween(
+            1, Window.unboundedFollowing
+        )
+        add_self = exclude == "ties"
+    else:
+        raise ValueError(f"unknown EXCLUDE clause: {exclude!r}")
+
+    if agg in ("min", "max"):
+        combine = F.least if agg == "min" else F.greatest
+        parts = [fn(value).over(lo), fn(value).over(hi)]
+        if add_self:
+            parts.append(v)
+        out = combine(*parts)  # least/greatest skip NULLs; all-NULL → NULL
+    else:
+        cnt = F.coalesce(F.count(value).over(lo), F.lit(0)) + F.coalesce(
+            F.count(value).over(hi), F.lit(0)
+        )
+        s = F.coalesce(F.sum(value).over(lo), F.lit(0)) + F.coalesce(
+            F.sum(value).over(hi), F.lit(0)
+        )
+        if add_self:
+            cnt = cnt + v.isNotNull().cast("long")
+            s = s + F.coalesce(v, F.lit(0))
+        if agg == "count":
+            out = cnt
+        elif agg == "sum":
+            out = F.when(cnt > 0, s)
+        else:  # avg
+            out = F.when(cnt > 0, s / cnt)
+
+    res = ranked.withColumn(out_col, out)
+    return res.drop("__xgrp") if "__xgrp" in res.columns else res
 
 
 def vwema(

@@ -1246,7 +1246,7 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
     is lowered to dense_rank+RANGE (its SQL definition); EXCLUDE variants
     are frame-subtraction identities with SQL-standard empty-frame NULLs —
     checked against DuckDB's NATIVE ``EXCLUDE`` window clause."""
-    from .functions.window_extras import groups_frame_sum, sum_exclude
+    from .functions.window_extras import agg_exclude, groups_frame_agg, groups_frame_sum, sum_exclude
 
     ev = load_table(spark, sf, "events").select(
         "event_id",
@@ -1258,6 +1258,19 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
     out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="current row", out_col="__ec")
     out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="group", out_col="__eg")
     out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="ties", out_col="__et")
+    # generalized forms (r4): min/max/count under GROUPS frames and EXCLUDE
+    out = groups_frame_agg(
+        out, "v", "m", keys=["user_id"], groups_preceding=1, agg="min", out_col="__gmin"
+    )
+    out = agg_exclude(
+        out, "v", "m", keys=["user_id"], exclude="current row", agg="min", out_col="__mc"
+    )
+    out = agg_exclude(
+        out, "v", "m", keys=["user_id"], exclude="ties", agg="max", out_col="__mt"
+    )
+    out = agg_exclude(
+        out, "v", "m", keys=["user_id"], exclude="group", agg="count", out_col="__cg"
+    )
     dd = lambda c, n: F.col(c).cast("decimal(20,2)").cast("double").alias(n)  # noqa: E731
     return out.select(
         "event_id",
@@ -1267,6 +1280,10 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
         dd("__ec", "sum_excl_cur"),
         dd("__eg", "sum_excl_grp"),
         dd("__et", "sum_excl_ties"),
+        dd("__gmin", "min_groups"),
+        dd("__mc", "min_excl_cur"),
+        dd("__mt", "max_excl_ties"),
+        F.col("__cg").cast("long").alias("cnt_excl_grp"),
     )
 
 
@@ -1290,7 +1307,19 @@ SELECT event_id, user_id, m,
        EXCLUDE GROUP) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_grp,
   CAST(CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY m
        RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-       EXCLUDE TIES) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_ties
+       EXCLUDE TIES) AS DECIMAL(20,2)) AS DOUBLE) AS sum_excl_ties,
+  CAST(CAST(MIN(v) OVER (PARTITION BY user_id ORDER BY grp
+       RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS DOUBLE)
+       AS min_groups,
+  CAST(CAST(MIN(v) OVER (PARTITION BY user_id ORDER BY m
+       RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       EXCLUDE CURRENT ROW) AS DECIMAL(20,2)) AS DOUBLE) AS min_excl_cur,
+  CAST(CAST(MAX(v) OVER (PARTITION BY user_id ORDER BY m
+       RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       EXCLUDE TIES) AS DECIMAL(20,2)) AS DOUBLE) AS max_excl_ties,
+  COUNT(v) OVER (PARTITION BY user_id ORDER BY m
+       RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       EXCLUDE GROUP) AS cnt_excl_grp
 FROM ranked
 """
 

@@ -127,6 +127,8 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "sql_read_parquet": (sq.sql_read_parquet, sq.SQL_READ_PARQUET_SQL),
     # plain CREATE VIEW over a dialect query (r4)
     "sql_plain_view": (sq.sql_plain_view, sq.SQL_PLAIN_VIEW_SQL),
+    # GROUPS/EXCLUDE generalized to min/max/count (r4) — vs DuckDB native
+    "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
@@ -159,7 +161,6 @@ _RECENT: dict[str, tuple[QueryFn, str | None]] = {
     # --- r2-green (CORRECTNESS_r02), just verified — checked last ---
     "sample_by_tz_day": (ts.sample_by_tz_day, ts.SAMPLE_BY_TZ_SQL),
     "decimal256_sum": (fn.decimal256_sum, fn.DECIMAL256_SUM_SQL),
-    "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
     "regr_bit_aggs": (fn.regr_bit_aggs, fn.REGR_BIT_AGGS_SQL),
     "count_star_fast": (fn.count_star_fast, fn.COUNT_STAR_SQL),
     "bind_variables": (fn.bind_variables, fn.BIND_VARIABLES_SQL),

@@ -76,3 +76,44 @@ def test_vwema_runs(spark):
     assert out["vwema"].notna().all()
     # vwema of a rising series stays within the observed price range
     assert (out["vwema"] >= 10.0).all() and (out["vwema"] <= 60.0).all()
+
+
+@pytest.mark.parametrize("agg", ["min", "max", "count", "avg", "sum"])
+@pytest.mark.parametrize("exclude", ["current row", "group", "ties"])
+def test_agg_exclude_vs_duckdb(spark, pdf, agg, exclude):
+    """Generalized EXCLUDE (r4): every agg × clause vs DuckDB's native
+    EXCLUDE window clause."""
+    from questdb_spark.functions.window_extras import agg_exclude
+
+    df = spark.createDataFrame(ROWS, ["id", "k", "o", "v"])
+    got = {
+        r["id"]: r["x"]
+        for r in agg_exclude(df, "v", "o", ["k"], exclude, agg, out_col="x").collect()
+    }
+    want = _duck(
+        pdf,
+        f"SELECT id, {agg}(v) OVER (PARTITION BY k ORDER BY o "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+        f"EXCLUDE {exclude.upper()}) FROM t",
+    )
+    for i in want:
+        g, w = got[i], want[i]
+        assert (g is None and w is None) or abs(g - w) < 1e-9, (agg, exclude, i, g, w)
+
+
+def test_groups_frame_agg_min_avg(spark):
+    """GROUPS frames for min/avg — hand-computed oracle (DuckDB lacks
+    GROUPS). peer groups (k=a): o=1 {10,20}, o=2 {30}, o=3 {40,50}, o=5 {60}."""
+    from questdb_spark.functions.window_extras import groups_frame_agg
+
+    df = spark.createDataFrame(ROWS, ["id", "k", "o", "v"])
+    got = {
+        r["id"]: r["x"]
+        for r in groups_frame_agg(df, "v", "o", ["k"], 1, 0, "min", "x").collect()
+    }
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 30.0, 5: 30.0, 6: 40.0, 7: 1.0, 8: 1.0}
+    got = {
+        r["id"]: r["x"]
+        for r in groups_frame_agg(df, "v", "o", ["k"], 1, 0, "avg", "x").collect()
+    }
+    assert got == {1: 15.0, 2: 15.0, 3: 20.0, 4: 40.0, 5: 40.0, 6: 50.0, 7: 1.0, 8: 1.5}
