@@ -372,6 +372,12 @@ def sql_ddl_dml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     eng.sql("UPDATE tx SET value = value + 100 WHERE value < 10")
     eng.sql("ALTER TABLE tx ADD COLUMN note STRING")
+    # detach/attach round-trip (AlterOperation DETACH/ATTACH_PARTITION):
+    # Jan-05 must come back bit-identical; Jan-06 stays archived and must
+    # be invisible to the readback (the oracle filters it out relationally)
+    eng.sql("ALTER TABLE tx DETACH PARTITION LIST '2024-01-05'")
+    eng.sql("ALTER TABLE tx ATTACH PARTITION LIST '2024-01-05'")
+    eng.sql("ALTER TABLE tx DETACH PARTITION LIST '2024-01-06'")
     return eng.sql(
         "SELECT ts, count(*) AS n, "
         "cast(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_value, "
@@ -394,7 +400,9 @@ upd AS (
 SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, COUNT(*) AS n,
   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value,
   COUNT(note) AS n_notes
-FROM upd GROUP BY 1
+FROM upd
+WHERE time_bucket(INTERVAL 1 DAY, ts) != TIMESTAMP '2024-01-06'
+GROUP BY 1
 """
 
 

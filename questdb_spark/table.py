@@ -33,6 +33,15 @@ PARTITION_COL = "part_date"
 _UNITS = {"hour", "day", "month", "year", "none"}  # PartitionBy.java incl. NONE
 
 
+def _any_parquet(path: str) -> bool:
+    """True when live (non-detached, non-hidden) parquet files exist."""
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 class TimeTable:
     def __init__(
         self,
@@ -357,9 +366,9 @@ class TimeTable:
         sub = df.filter(F.col(PARTITION_COL).isin(parts)).filter(~predicate)
         self._rewrite_partitions(self._to_physical(sub), parts)
 
-    def drop_partition(self, interval: str) -> None:
-        """ALTER TABLE DROP PARTITION equivalents: remove partition dirs in
-        a time range (no data rewrite)."""
+    def _partitions_in(self, interval: str) -> list:
+        """Partition values whose start falls in the interval string's
+        range (metadata-scale collect: one value per partition dir)."""
         from datetime import datetime
 
         lo, hi = parse_interval_string(interval)
@@ -370,13 +379,86 @@ class TimeTable:
                 return datetime.strptime(p, "%Y-%m-%d-%H")
             return datetime(p.year, p.month, p.day)
 
-        parts = [
+        return [
             r[PARTITION_COL]
             for r in df.select(PARTITION_COL).distinct().collect()
             if lo <= start_of(r[PARTITION_COL]) < hi
         ]
-        for p in parts:
+
+    def drop_partition(self, interval: str) -> None:
+        """ALTER TABLE DROP PARTITION equivalents: remove partition dirs in
+        a time range (no data rewrite)."""
+        for p in self._partitions_in(interval):
             shutil.rmtree(os.path.join(self.path, f"{PARTITION_COL}={p}"), ignore_errors=True)
+
+    @property
+    def _detached_root(self) -> str:
+        # underscore prefix: invisible to Spark's parquet discovery, so a
+        # detached partition is out of every query until re-attached
+        return os.path.join(self.path, "_detached")
+
+    def detach_partition(self, interval: str) -> list[str]:
+        """``ALTER TABLE ... DETACH PARTITION LIST`` (AlterOperation.java
+        DETACH: the reference renames the partition dir to ``<p>.detached``
+        — archive-without-delete).  Partition dirs move under
+        ``_detached/``: O(1) renames, no data rewrite, any partition count.
+        Returns the detached partition names."""
+        moved = []
+        for p in self._partitions_in(interval):
+            src = os.path.join(self.path, f"{PARTITION_COL}={p}")
+            dst = os.path.join(self._detached_root, f"{PARTITION_COL}={p}")
+            os.makedirs(self._detached_root, exist_ok=True)
+            if os.path.exists(dst):
+                raise ValueError(f"partition already detached: {p}")
+            os.rename(src, dst)
+            moved.append(str(p))
+        if not moved:
+            raise ValueError(f"no partitions in range: {interval!r}")
+        return moved
+
+    def attach_partition(self, interval: str) -> list[str]:
+        """``ALTER TABLE ... ATTACH PARTITION LIST`` — inverse of detach,
+        with a schema check against the live table (the reference validates
+        metadata compatibility before attaching)."""
+        from datetime import datetime
+
+        lo, hi = parse_interval_string(interval)
+
+        def start_of(name: str) -> datetime:
+            v = name.split("=", 1)[1]
+            try:
+                return datetime.strptime(v, "%Y-%m-%d-%H")
+            except ValueError:
+                return datetime.strptime(v, "%Y-%m-%d")
+
+        moved = []
+        if not os.path.isdir(self._detached_root):
+            raise ValueError(f"no detached partitions at {self._detached_root}")
+        live_schema = (
+            self.spark.read.parquet(self.path).drop(PARTITION_COL).schema
+            if _any_parquet(self.path)
+            else None
+        )
+        for d in sorted(os.listdir(self._detached_root)):
+            if not d.startswith(f"{PARTITION_COL}=") or not (
+                lo <= start_of(d) < hi
+            ):
+                continue
+            src = os.path.join(self._detached_root, d)
+            if live_schema is not None:
+                incoming = self.spark.read.parquet(src).schema
+                if {(f.name, f.dataType) for f in incoming} != {
+                    (f.name, f.dataType) for f in live_schema
+                }:
+                    raise ValueError(
+                        f"schema mismatch attaching {d}: {incoming.simpleString()}"
+                        f" vs {live_schema.simpleString()}"
+                    )
+            os.rename(src, os.path.join(self.path, d))
+            moved.append(d.split("=", 1)[1])
+        if not moved:
+            raise ValueError(f"no detached partitions in range: {interval!r}")
+        return moved
 
     def compact(self) -> None:
         """Materialize dedup (ApplyWal2TableJob merge)."""

@@ -403,3 +403,35 @@ def test_read_parquet_table_function(eng, spark, tmp_path):
         ("2024-01-01 00:00:00", 1.0),
         ("2024-01-01 01:00:00", 5.0),
     ]
+
+
+def test_detach_attach_partition(eng):
+    """DETACH/ATTACH PARTITION (AlterOperation.java): detach hides the
+    partition from every read, attach restores it bit-identically; schema
+    mismatch and unknown ranges are rejected."""
+    eng.sql("CREATE TABLE dp (ts TIMESTAMP, v DOUBLE) TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql(
+        "INSERT INTO dp VALUES (TIMESTAMP '2024-01-01 10:00:00', 1.0), "
+        "(TIMESTAMP '2024-01-02 10:00:00', 2.0), (TIMESTAMP '2024-01-03 10:00:00', 3.0)"
+    )
+    eng.sql("ALTER TABLE dp DETACH PARTITION LIST '2024-01-02'")
+    got = sorted(r["v"] for r in eng.sql("SELECT v FROM dp").collect())
+    assert got == [1.0, 3.0]
+    # double-detach of the same range fails (no partitions left in range)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.sql("ALTER TABLE dp DETACH PARTITION LIST '2024-01-02'")
+    eng.sql("ALTER TABLE dp ATTACH PARTITION LIST '2024-01-02'")
+    got = sorted(r["v"] for r in eng.sql("SELECT v FROM dp").collect())
+    assert got == [1.0, 2.0, 3.0]
+    # attach with nothing detached in range
+    with _pytest.raises(Exception):
+        eng.sql("ALTER TABLE dp ATTACH PARTITION LIST '2024-01-02'")
+    # interval range detach (two days at once: [Jan1 00:00, Jan2 01:00))
+    eng.sql("ALTER TABLE dp DETACH PARTITION LIST '2024-01-01T00;24h'")
+    got = sorted(r["v"] for r in eng.sql("SELECT v FROM dp").collect())
+    assert got == [3.0]
+    eng.sql("ALTER TABLE dp ATTACH PARTITION LIST '2024-01'")
+    got = sorted(r["v"] for r in eng.sql("SELECT v FROM dp").collect())
+    assert got == [1.0, 2.0, 3.0]
