@@ -535,3 +535,25 @@ SELECT event_type, MAX(cnt) AS max_cnt,
   CAST(CAST(SUM(CAST(total AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS DOUBLE) AS sum_total
 FROM daily_ev GROUP BY event_type ORDER BY event_type
 """
+
+
+def sql_bind_positional(spark: SparkSession, sf: str) -> DataFrame:
+    """PG-style positional bind variables ``$1 $2``
+    (``griffin/engine/functions/bind/IndexedParameterLinkFunction``) bound
+    through the dialect path: the markers are rewritten to literals before
+    lowering, here feeding a keyed SAMPLE BY filter."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "select ts, count() as n, "
+        "cast(cast(sum(cast(value as decimal(12,2))) as decimal(20,2)) as double) as total "
+        "from events where event_type = $1 and value >= $2 sample by 1d",
+        ["click", 1.5],
+    )
+
+
+SQL_BIND_POSITIONAL_SQL = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, COUNT(*) AS n,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS total
+FROM events WHERE event_type = 'click' AND value >= 1.5
+GROUP BY 1 ORDER BY 1
+"""

@@ -129,6 +129,8 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
     # DETACH/ATTACH PARTITION legs added (r4)
     "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
+    # PG-style positional bind variables $1 (r4)
+    "sql_bind_positional": (sq.sql_bind_positional, sq.SQL_BIND_POSITIONAL_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {

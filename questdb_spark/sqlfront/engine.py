@@ -116,11 +116,21 @@ class QdbEngine:
         df.createOrReplaceTempView(name)
 
     # ------------------------------------------------------------------
-    def sql(self, query: str) -> DataFrame:
-        """Execute a QuestDB-dialect query or DDL/DML statement."""
+    def sql(self, query: str, args: dict | list | tuple | None = None) -> DataFrame:
+        """Execute a QuestDB-dialect query or DDL/DML statement.
+
+        ``args``: bind variables (``griffin/engine/functions/bind/``) —
+        a dict binds named ``:name`` markers, a list/tuple binds PG-style
+        positional ``$1 $2 ...`` markers (``IndexedParameterLinkFunction``).
+        Values are rendered to SQL literals outside string literals; the
+        resulting plan is what server-side binding would constant-fold to,
+        on the ANSI and dialect paths alike."""
         from . import ddl
 
         query = strip_comments(query)
+        if args is not None:
+            query, named = _positional_to_named(query, args)
+            query = _bind_named_literals(query, named)
         if ddl.statement_kind(query) is not None:
             return ddl.execute(self, query)
         rewritten = self._rewrite_intervals(expand_declare(query))
@@ -499,6 +509,57 @@ class QdbEngine:
             # explicitly — Catalyst folds this into the fill paths' own sort
             out = out.orderBy(bucket_name, *keys)
         return out
+
+
+def _positional_to_named(s: str, args: dict | list | tuple) -> tuple[str, dict]:
+    """``$1 $2 ...`` markers (PG extended protocol,
+    ``griffin/engine/functions/bind/IndexedParameterLinkFunction``) →
+    named ``:__pN`` markers + the matching args dict.  Dict args pass
+    through unchanged.  Matched outside string literals."""
+    if isinstance(args, dict):
+        return s, dict(args)
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r"\$(\d+)", masked):
+        n = int(m.group(1))
+        if not 1 <= n <= len(args):
+            raise ValueError(f"positional bind ${n} out of range (have {len(args)})")
+        out.append(s[last : m.start()])
+        out.append(f":__p{n}")
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out), {f"__p{i + 1}": v for i, v in enumerate(args)}
+
+
+def _bind_named_literals(s: str, named: dict) -> str:
+    """Render ``:name`` markers as SQL literals (dialect-path binding)."""
+
+    def lit(v) -> str:
+        import datetime as _dt
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r":(\w+)", masked):
+        name = m.group(1)
+        if name not in named:
+            raise ValueError(f"unbound variable :{name}")
+        out.append(s[last : m.start()])
+        out.append(lit(named[name]))
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
 
 
 def _sub_outside_literals(s: str, pat: re.Pattern, repl: str) -> str:

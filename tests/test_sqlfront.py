@@ -512,3 +512,34 @@ def test_setops_over_dialect_queries(eng, spark):
         "FROM events_u GROUP BY 1"
     )
     assert mixed.count() == 2 * n1
+
+
+def test_positional_binds_ansi_and_dialect(spark):
+    """$1/$2 positional + :name named binds on both engine paths, with a
+    literal '$1' untouched (IndexedParameterLinkFunction semantics)."""
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:10", "a", 1.0), ("2024-01-01 00:01:10", "b", 5.0)],
+        "at string, k string, v double",
+    ).selectExpr("CAST(at AS TIMESTAMP) AS at", "k", "v")
+    eng.register("tb", df, designated_ts="at")
+    # ANSI path
+    got = eng.sql("SELECT k FROM tb WHERE v > $1 AND k != $2", [0.5, "zzz"]).collect()
+    assert sorted(r["k"] for r in got) == ["a", "b"]
+    # dialect path (sample by)
+    got = eng.sql(
+        "select at, sum(v) s from tb where k = $1 sample by 1m", ["b"]
+    ).collect()
+    assert [r["s"] for r in got] == [5.0]
+    # named markers still work; a '$1' inside a literal is not a marker
+    got = eng.sql(
+        "SELECT k FROM tb WHERE v > :lo AND k != '$1'", {"lo": 2.0}
+    ).collect()
+    assert [r["k"] for r in got] == ["b"]
+    # out-of-range positional
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.sql("SELECT * FROM tb WHERE v > $3", [1.0])
