@@ -555,6 +555,20 @@ def rnd_generators(spark: SparkSession, sf: str) -> DataFrame:
         # DECIMAL as Decimal, DuckDB's as float; the 12-digit value is
         # double-exact so the cast loses nothing)
         generators.rnd_decimal(x, 12, 2).cast("double").alias("dec"),
+        # r4 breadth: range (*CC), null-rate, subnet, pool and nano forms
+        generators.rnd_byte_cc(x, 10, 50).alias("by2"),
+        generators.rnd_short_cc(x, -100, 100).alias("sh2"),
+        # nullable numerics surface as DOUBLE: pandas' NaN carrier turns a
+        # nullable int into float64 anyway, so pin the type on BOTH sides
+        generators.rnd_int_cc(x, -20, 20, null_rate=7).cast("double").alias("in2"),
+        generators.rnd_long_cc(x, 0, 999_999_999, null_rate=9).cast("double").alias("lg2"),
+        generators.rnd_double_cc(x, null_rate=5).alias("dbl"),
+        generators.rnd_float_c(x, null_rate=6).alias("fl2"),
+        generators.rnd_ipv4_cc(x, "10.20.0.0/16", null_rate=8).alias("ipsub"),
+        generators.rnd_uuid_cc(x, null_rate=4).alias("u2"),
+        generators.rnd_long256_n(x, 5).alias("l256n"),
+        generators.rnd_timestamp_nano(x, "2024-01-01", "2024-01-02").alias("tn"),
+        generators.rnd_str_list(x, ["aaa", "bb", "c"]).alias("sl"),
     )
 
 
@@ -603,7 +617,34 @@ SELECT x,
     || '.' ||
     substr(lpad(CAST(({m(30)}) % 1000000000 AS VARCHAR), 9, '0')
            || lpad(CAST(({m(39)}) % 1000 AS VARCHAR), 3, '0'), 11, 2)
-    AS DOUBLE) AS dec
+    AS DOUBLE) AS dec,
+  CAST(({m(60)}) % 41 + 10 AS TINYINT) AS by2,
+  CAST(({m(61)}) % 201 - 100 AS SMALLINT) AS sh2,
+  CASE WHEN ({m(63)}) % 7 = 0 THEN NULL
+       ELSE CAST(({m(62)}) % 41 - 20 AS DOUBLE) END AS in2,
+  CASE WHEN ({m(65)}) % 9 = 0 THEN NULL
+       ELSE CAST(({m(64)}) % 1000000000 AS DOUBLE) END AS lg2,
+  CASE WHEN ({m(67)}) % 5 = 0 THEN NULL
+       ELSE ({m(66)}) % 1000000 / 1000000.0 END AS dbl,
+  CASE WHEN ({m(69)}) % 6 = 0 THEN NULL
+       ELSE CAST(({m(68)}) % 1000000 / 1000000.0 AS FLOAT4) END AS fl2,
+  CASE WHEN ({m(71)}) % 8 = 0 THEN NULL
+       ELSE CAST((169082880 + ({m(70)}) % 65536) // 16777216 AS VARCHAR) || '.' ||
+            CAST((169082880 + ({m(70)}) % 65536) // 65536 % 256 AS VARCHAR) || '.' ||
+            CAST((169082880 + ({m(70)}) % 65536) // 256 % 256 AS VARCHAR) || '.' ||
+            CAST((169082880 + ({m(70)}) % 65536) % 256 AS VARCHAR) END AS ipsub,
+  CASE WHEN ({m(72)}) % 4 = 0 THEN NULL
+       ELSE concat_ws('-',
+         substr(md5(CAST(x + 11 AS VARCHAR)), 1, 8),
+         substr(md5(CAST(x + 11 AS VARCHAR)), 9, 4),
+         '4' || substr(md5(CAST(x + 11 AS VARCHAR)), 14, 3),
+         '8' || substr(md5(CAST(x + 11 AS VARCHAR)), 18, 3),
+         substr(md5(CAST(x + 11 AS VARCHAR)), 21, 12)) END AS u2,
+  '0x' || md5('l256a:' || CAST(({m(73)}) % 5 AS VARCHAR))
+       || md5('l256b:' || CAST(({m(73)}) % 5 AS VARCHAR)) AS l256n,
+  CAST((1704067200 + ({m(74)}) % 86400) AS BIGINT) * 1000000000
+       + ({m(75)}) % 1000000000 AS tn,
+  list_extract(['aaa','bb','c'], CAST((x * 2654435761) % 3 + 1 AS INTEGER)) AS sl
 FROM s
 """
 

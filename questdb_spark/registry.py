@@ -80,8 +80,6 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "sql_sample_by_having": (sq.sql_sample_by_having, sq.SQL_SAMPLE_BY_HAVING_SQL),
     # --- new this round: repeating interval syntax ---
     "interval_repeat": (fn.interval_repeat, fn.INTERVAL_REPEAT_SQL),
-    # --- new this round: rnd_* factory breadth ---
-    "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
     # --- new this round: cast-matrix edges (long256 arith, str→geohash) ---
     "cast_matrix": (fn.cast_matrix, fn.CAST_MATRIX_SQL),
     # --- new this round: ILP parse → table → aggregate, oracle-checked ---
@@ -131,6 +129,9 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
     # PG-style positional bind variables $1 (r4)
     "sql_bind_positional": (sq.sql_bind_positional, sq.SQL_BIND_POSITIONAL_SQL),
+    # rnd_* breadth extended: *CC range/null-rate, subnet ipv4, long256
+    # pool, timestamp_nano, str-list forms (r4)
+    "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {

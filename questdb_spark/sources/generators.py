@@ -320,6 +320,101 @@ def rnd_double_array(x: Column, length: int, seed: int = 0) -> Column:
     ])
 
 
+def _nullify(c: Column, x: Column, seed: int, null_rate: int, tag: int) -> Column:
+    """Every ~null_rate-th value NULL (the reference's nullRate argument in
+    the *CC factory forms)."""
+    if null_rate > 0:
+        return F.when(_mix(x, seed, tag) % null_rate == 0, F.lit(None)).otherwise(c)
+    return c
+
+
+def rnd_byte_cc(x: Column, lo: int, hi: int, seed: int = 0) -> Column:
+    """``rnd_byte(lo, hi)`` range form (RndByteCCFunctionFactory)."""
+    return (_mix(x, seed, 60) % (hi - lo + 1) + lo).cast("tinyint")
+
+
+def rnd_short_cc(x: Column, lo: int, hi: int, seed: int = 0) -> Column:
+    """``rnd_short(lo, hi)`` range form (RndShortCCFunctionFactory)."""
+    return (_mix(x, seed, 61) % (hi - lo + 1) + lo).cast("smallint")
+
+
+def rnd_int_cc(x: Column, lo: int, hi: int, null_rate: int = 0, seed: int = 0) -> Column:
+    """``rnd_int(lo, hi, nullRate)`` (RndIntCCFunctionFactory)."""
+    v = (_mix(x, seed, 62) % (hi - lo + 1) + lo).cast("int")
+    return _nullify(v, x, seed, null_rate, 63)
+
+
+def rnd_long_cc(x: Column, lo: int, hi: int, null_rate: int = 0, seed: int = 0) -> Column:
+    """``rnd_long(lo, hi, nullRate)`` (RndLongCCFunctionFactory)."""
+    v = (_mix(x, seed, 64) % (hi - lo + 1) + lo).cast("long")
+    return _nullify(v, x, seed, null_rate, 65)
+
+
+def rnd_double_cc(x: Column, null_rate: int = 0, seed: int = 0) -> Column:
+    """``rnd_double(nullRate)`` (RndDoubleCCFunctionFactory)."""
+    v = _mix(x, seed, 66) % 1_000_000 / 1_000_000.0
+    return _nullify(v, x, seed, null_rate, 67)
+
+
+def rnd_float_c(x: Column, null_rate: int = 0, seed: int = 0) -> Column:
+    """``rnd_float(nullRate)`` (RndFloatCFunctionFactory)."""
+    v = (_mix(x, seed, 68) % 1_000_000 / 1_000_000.0).cast("float")
+    return _nullify(v, x, seed, null_rate, 69)
+
+
+def rnd_ipv4_cc(x: Column, subnet: str, null_rate: int = 0, seed: int = 0) -> Column:
+    """``rnd_ipv4('b.b.b.b/mask', nullRate)`` (RndIPv4CCFunctionFactory):
+    host part randomized inside the given subnet."""
+    base, mask = subnet.split("/")
+    mask = int(mask)
+    parts = [int(p) for p in base.split(".")]
+    base_int = (
+        parts[0] * 16777216 + parts[1] * 65536 + parts[2] * 256 + parts[3]
+    ) & (~((1 << (32 - mask)) - 1) & 0xFFFFFFFF)
+    host = _mix(x, seed, 70) % (1 << (32 - mask))
+    ip = F.lit(base_int) + host
+    v = F.concat_ws(
+        ".",
+        F.floor(ip / 16777216).cast("int").cast("string"),
+        (F.floor(ip / 65536) % 256).cast("int").cast("string"),
+        (F.floor(ip / 256) % 256).cast("int").cast("string"),
+        (ip % 256).cast("int").cast("string"),
+    )
+    return _nullify(v, x, seed, null_rate, 71)
+
+
+def rnd_uuid_cc(x: Column, null_rate: int = 0, seed: int = 0) -> Column:
+    """``rnd_uuid4(nullRate)`` (RndUuidCCFunctionFactory)."""
+    return _nullify(rnd_uuid4(x, seed=seed), x, seed, null_rate, 72)
+
+
+def rnd_long256_n(x: Column, count: int, seed: int = 0) -> Column:
+    """``rnd_long256(count)`` pool form (RndLong256NFunctionFactory):
+    draws from ``count`` distinct LONG256 values."""
+    idx = _mix(x, seed, 73) % count
+    a = F.md5(F.concat(F.lit("l256a:"), idx.cast("string")))
+    b = F.md5(F.concat(F.lit("l256b:"), idx.cast("string")))
+    return F.concat(F.lit("0x"), a, b)
+
+
+def rnd_timestamp_nano(x: Column, lo: str, hi: str, seed: int = 0) -> Column:
+    """TIMESTAMP_NS uniform in [lo, hi) as epoch-NANOS BIGINT
+    (RndTimestampNanoFunctionFactory; long carrier — the engine's
+    TIMESTAMP_NANO representation, see functions/nanos.py)."""
+    lo_ts = F.lit(lo).cast("timestamp")
+    span = F.unix_timestamp(F.lit(hi).cast("timestamp")) - F.unix_timestamp(lo_ts)
+    secs = F.unix_timestamp(lo_ts) + _mix(x, seed, 74) % span
+    nanos = _mix(x, seed, 75) % 1_000_000_000
+    return secs * F.lit(1_000_000_000) + nanos
+
+
+def rnd_str_list(x: Column, values: list[str], seed: int = 0) -> Column:
+    """``rnd_str('a','b',...)`` explicit-list form (RndStringListFunction
+    Factory; RndSymbolList/RndVarcharList are the same draw over other
+    carrier types)."""
+    return rnd_symbol(x, values, seed=seed)
+
+
 def rnd_frame(spark: SparkSession, n: int, seed: int = 0, **cols) -> DataFrame:
     """Seedable fixture-frame generator (the AbstractCairoTest pattern —
     the reference populates golden-test tables entirely from rnd_*
