@@ -1353,3 +1353,167 @@ SELECT user_id, COUNT(*) AS n,
   COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
 FROM events GROUP BY user_id
 """
+
+
+def q12_priority_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to the schema: priority-class conditional
+    counts per line status over a one-year window; the reference schema's
+    shipmode/commit/receipt columns aren't in the testdata)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram via LEFT OUTER join
+    (customers with zero orders land in the c_count=0 bucket; the comment
+    anti-filter is stood in by an order-priority exclusion)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg-quantity subquery — revenue from
+    small-quantity lines of one brand, as a fraction of yearly average.
+    l_quantity is integer-valued so the double AVG threshold is exact in
+    both engines (order-independent)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
+    limits = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(limits, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            to_dbl(_d("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            (F.col("total_price") / F.lit(7.0)).alias("avg_yearly"),
+            "n_lines",
+        )
+    )
+
+
+Q17_SQL = """
+WITH limits AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(20,2)) AS DOUBLE)
+    / 7.0 AS avg_yearly,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+JOIN limits USING (l_partkey)
+WHERE l_quantity < qty_limit
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS / NOT-EXISTS pair over the same relation —
+    suppliers who were the ONLY late supplier on a multi-supplier finished
+    order ("late" stood in by ship-lag > 60 days; the schema has no
+    commit/receipt dates). Lowered as semi + anti joins."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    lag = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(lag)
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    cand = l1.join(
+        others,
+        (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.o_supp),
+        "left_semi",
+    ).join(
+        late_others,
+        (l1.l_orderkey == late_others.o_key) & (l1.l_suppkey != late_others.o_supp),
+        "left_anti",
+    )
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+) AND NOT EXISTS (
+  SELECT 1 FROM l1 l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+)
+GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""

@@ -132,6 +132,11 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     # rnd_* breadth extended: *CC range/null-rate, subnet ipv4, long256
     # pool, timestamp_nano, str-list forms (r4)
     "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
+    # TPC-H completion (r4): all shapes expressible without partsupp
+    "q12_priority_lines": (core.q12_priority_lines, core.Q12_SQL),
+    "q13_customer_distribution": (core.q13_customer_distribution, core.Q13_SQL),
+    "q17_small_quantity_revenue": (core.q17_small_quantity_revenue, core.Q17_SQL),
+    "q21_waiting_suppliers": (core.q21_waiting_suppliers, core.Q21_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
