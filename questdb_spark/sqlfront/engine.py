@@ -139,6 +139,9 @@ class QdbEngine:
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
         rewritten = self._rewrite_read_parquet(rewritten)
+        top_pivot = self._rewrite_top_pivot(rewritten)
+        if top_pivot is not None:
+            rewritten = top_pivot
         masked = mask_literals(rewritten)
         for nm, dd in self.matviews.items():
             if dd.live and re.search(rf"\b{re.escape(nm)}\b", masked):
@@ -277,6 +280,72 @@ class QdbEngine:
             last = m.end()
         out.append(s[last:])
         return "".join(out)
+
+    _TOP_PIVOT_RE = re.compile(r"^(\w+)\s+PIVOT\s*\(", re.IGNORECASE)
+    _PIVOT_BODY_RE = re.compile(
+        r"^(.+?)\s+FOR\s+(\w+)\s+IN\s*\(([^)]*)\)\s*(?:GROUP\s+BY\s+(.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _rewrite_top_pivot(self, s: str) -> str | None:
+        """Top-level ``<table> PIVOT (agg FOR col IN (v, ...) [GROUP BY
+        cols]) [ORDER BY ...]`` (SqlParser.java:4260 top-level pivot form,
+        sqllogictest pivot/*.test) → Spark's SELECT-PIVOT equivalent.
+
+        Spark groups implicitly by every non-pivot projected column, so the
+        inner projection is exactly: GROUP BY columns + a copy of the pivot
+        column + the aggregate's column operands."""
+        s = s.strip().rstrip(";")
+        m = self._TOP_PIVOT_RE.match(s)
+        if not m:
+            return None
+        table = m.group(1)
+        # balanced paren group after PIVOT
+        start = s.index("(", m.end() - 1)
+        depth, q = 0, None
+        end = -1
+        for i in range(start, len(s)):
+            ch = s[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError(f"unbalanced PIVOT parens: {s!r}")
+        body, tail = s[start + 1 : end], s[end + 1 :].strip()
+        mb = self._PIVOT_BODY_RE.match(body.strip())
+        if not mb:
+            raise ValueError(f"cannot parse PIVOT body: {body!r}")
+        agg, pivcol, vals, group = (
+            mb.group(1).strip(),
+            mb.group(2),
+            mb.group(3).strip(),
+            (mb.group(4) or "").strip(),
+        )
+        gcols = [c.strip() for c in group.split(",") if c.strip()] if group else []
+        # aggregate operand columns: bare identifiers inside the call that
+        # aren't the pivot/group columns (SUM(1) has none)
+        inner = agg[agg.index("(") + 1 : agg.rindex(")")]
+        operands = [
+            w
+            for w in dict.fromkeys(re.findall(r"[A-Za-z_]\w*", mask_literals(inner)))
+            if w.lower() not in (pivcol.lower(), *[g.lower() for g in gcols])
+        ]
+        proj = [*gcols, f"{pivcol} AS __pivot", *operands]
+        agg_rw = re.sub(rf"\b{re.escape(pivcol)}\b", "__pivot", agg, flags=re.IGNORECASE) \
+            if pivcol.lower() in (o.lower() for o in re.findall(r"[A-Za-z_]\w*", inner)) else agg
+        return (
+            f"SELECT * FROM (SELECT {', '.join(proj)} FROM {table}) "
+            f"PIVOT ({agg_rw} FOR __pivot IN ({vals})) {tail}"
+        )
 
     # ------------------------------------------------------------------
     def _table(self, name: str, alias: str | None) -> DataFrame:
