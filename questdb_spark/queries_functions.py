@@ -1464,3 +1464,84 @@ SELECT l_returnflag, n,
   band_part, bor_part, bxor_part, distinct_status, is_ordered_shipdate
 FROM g
 """
+
+
+def cb_referer_domains(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shape (ClickBenchTest.java q28): regexp_replace-derived
+    key, multi-agg, then a HAVING-style filter applied by an outer query
+    over the derived relation."""
+    docs = load_table(spark, sf, "documents")
+    key = F.regexp_replace(F.col("text"), r"^(\w+)[\s\S]*$", "$1")
+    inner = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(key.alias("k"))
+        .agg(
+            (F.sum(F.length("text")) / F.count(F.lit(1))).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("source").alias("m"),
+        )
+    )
+    return inner.filter(F.col("c") > 20).orderBy(
+        F.desc("l"), F.asc("k")
+    ).limit(25)
+
+
+CB_REFERER_DOMAINS_SQL = r"""
+SELECT * FROM (
+  SELECT regexp_replace(text, '^(\w+)[\s\S]*$', '\1') AS k,
+         SUM(length(text)) / COUNT(*) AS l, COUNT(*) AS c, MIN(source) AS m
+  FROM documents WHERE text IS NOT NULL GROUP BY k
+) WHERE c > 20 ORDER BY l DESC, k ASC LIMIT 25
+"""
+
+
+def cb_minute_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shape (q17): time-part extraction inside a multi-key
+    group-by with a top-K tail."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.minute("ts").alias("m"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("user_id"), F.asc("m"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+CB_MINUTE_GROUPS_SQL = """
+SELECT user_id, EXTRACT(minute FROM ts) AS m, event_type, COUNT(*) AS c
+FROM events GROUP BY 1, 2, 3
+ORDER BY c DESC, user_id ASC, m ASC, event_type ASC LIMIT 10
+"""
+
+
+def cb_wide_sums(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shape (q29): many shifted SUM expressions in one
+    aggregate — whole-stage-codegen expression breadth; exact decimals so
+    every column hash-matches."""
+    ev = load_table(spark, sf, "events")
+    base = F.col("value").cast("decimal(12,2)")
+    return ev.agg(
+        *[
+            F.sum(base + F.lit(i))
+            .cast("decimal(24,2)")
+            .cast("double")
+            .alias(f"s{i}")
+            for i in range(10)
+        ]
+    )
+
+
+CB_WIDE_SUMS_SQL = " ".join(
+    ["SELECT"]
+    + [
+        ", ".join(
+            f"CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)) + {i}) AS DECIMAL(24,2)) AS DOUBLE) AS s{i}"
+            for i in range(10)
+        )
+    ]
+    + ["FROM events"]
+)

@@ -137,6 +137,11 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "q13_customer_distribution": (core.q13_customer_distribution, core.Q13_SQL),
     "q17_small_quantity_revenue": (core.q17_small_quantity_revenue, core.Q17_SQL),
     "q21_waiting_suppliers": (core.q21_waiting_suppliers, core.Q21_SQL),
+    # ClickBench breadth (r4): regex-key + derived filter, time-part
+    # group-by, wide shifted-sum expression list
+    "cb_referer_domains": (fn.cb_referer_domains, fn.CB_REFERER_DOMAINS_SQL),
+    "cb_minute_groups": (fn.cb_minute_groups, fn.CB_MINUTE_GROUPS_SQL),
+    "cb_wide_sums": (fn.cb_wide_sums, fn.CB_WIDE_SUMS_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
