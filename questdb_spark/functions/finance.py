@@ -104,7 +104,14 @@ def ema(df: DataFrame, ts_col: str, value_col: str, alpha: float,
     import math
 
     # smallest L with (1-a)^L < 1e-18 (below double resolution of the sum)
-    lookback = min(int(math.ceil(math.log(1e-18) / math.log(1.0 - alpha))), 10_000)
+    lookback = int(math.ceil(math.log(1e-18) / math.log(1.0 - alpha)))
+    if lookback > 10_000:
+        # a 10k-element collect_list per ROW is a scale trap (VERDICT r3
+        # finding 3) — refuse instead of silently truncating accuracy
+        raise ValueError(
+            f"alpha={alpha} needs a {lookback}-row lookback; closed_form is "
+            "capped at 10000 — use method='pandas' (keyed) or 'chunked'"
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts_col)
@@ -232,6 +239,8 @@ def _ema_pandas(df: DataFrame, ts_col: str, value_col: str, alpha: float,
         # tasks — partition count must follow worker count, not bytes
         n = df.sparkSession.sparkContext.defaultParallelism
         return df.repartition(n, *keys).groupBy(*keys).applyInPandas(apply, schema=schema)
-    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
-        lambda pdf: apply(pdf.drop(columns="__g")), schema=schema
-    )
+    # keyless: a single grouped Python task would serialize the whole
+    # stream — route to the parallel affine-chunk decomposition
+    # (VERDICT r3 finding 2; ema() already routes there, this makes the
+    # direct call safe too)
+    return _ema_keyless_chunked(df, ts_col, value_col, alpha, out_col)
