@@ -33,20 +33,28 @@ def groups_frame_agg(
     groups_following: int = 0,
     agg: str = "sum",
     out_col: str = "groups_agg",
+    group_col: str | None = None,
 ) -> DataFrame:
     """``<agg> OVER (GROUPS BETWEEN n PRECEDING AND m FOLLOWING)`` for
     sum/avg/count/min/max (WindowExpression.java:47-55): peer groups
     collapse to consecutive dense_rank integers, making the GROUPS frame a
-    numeric RANGE frame."""
+    numeric RANGE frame.  ``group_col``: precomputed dense_rank to share
+    across stacked window columns."""
     keys = list(keys)
-    wrank = Window.partitionBy(*keys).orderBy(order_by)
-    ranked = df.withColumn("__grp", F.dense_rank().over(wrank))
+    gcol = group_col
+    if gcol is None:
+        wrank = Window.partitionBy(*keys).orderBy(order_by)
+        ranked = df.withColumn("__grp", F.dense_rank().over(wrank))
+        gcol = "__grp"
+    else:
+        ranked = df
     wg = (
         Window.partitionBy(*keys)
-        .orderBy("__grp")
+        .orderBy(gcol)
         .rangeBetween(-groups_preceding, groups_following)
     )
-    return ranked.withColumn(out_col, _AGG_FNS[agg](value).over(wg)).drop("__grp")
+    out = ranked.withColumn(out_col, _AGG_FNS[agg](value).over(wg))
+    return out.drop("__grp") if group_col is None else out
 
 
 def groups_frame_sum(
@@ -123,6 +131,7 @@ def agg_exclude(
     exclude: str = "current row",
     agg: str = "sum",
     out_col: str = "agg_excl",
+    group_col: str | None = None,
 ) -> DataFrame:
     """``<agg> OVER (... RANGE UNBOUNDED EXCLUDE <clause>)`` for
     sum/avg/count/min/max (WindowExpression.java:47-55).
@@ -156,12 +165,20 @@ def agg_exclude(
         ranked = df
         add_self = False
     elif exclude in ("group", "ties"):
-        wrank = Window.partitionBy(*keys).orderBy(order_by)
-        ranked = df.withColumn("__xgrp", F.dense_rank().over(wrank))
-        lo = Window.partitionBy(*keys).orderBy("__xgrp").rangeBetween(
+        # `group_col`: callers stacking several EXCLUDE columns pass a
+        # precomputed dense_rank so every spec shares ONE rank pass and one
+        # sort (plan-size and wall-clock win for multi-column queries)
+        gcol = group_col
+        if gcol is None:
+            wrank = Window.partitionBy(*keys).orderBy(order_by)
+            ranked = df.withColumn("__xgrp", F.dense_rank().over(wrank))
+            gcol = "__xgrp"
+        else:
+            ranked = df
+        lo = Window.partitionBy(*keys).orderBy(gcol).rangeBetween(
             Window.unboundedPreceding, -1
         )
-        hi = Window.partitionBy(*keys).orderBy("__xgrp").rangeBetween(
+        hi = Window.partitionBy(*keys).orderBy(gcol).rangeBetween(
             1, Window.unboundedFollowing
         )
         add_self = exclude == "ties"

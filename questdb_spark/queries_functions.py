@@ -1287,7 +1287,7 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
     is lowered to dense_rank+RANGE (its SQL definition); EXCLUDE variants
     are frame-subtraction identities with SQL-standard empty-frame NULLs —
     checked against DuckDB's NATIVE ``EXCLUDE`` window clause."""
-    from .functions.window_extras import agg_exclude, groups_frame_agg, groups_frame_sum, sum_exclude
+    from .functions.window_extras import agg_exclude, groups_frame_agg, sum_exclude
 
     ev = load_table(spark, sf, "events").select(
         "event_id",
@@ -1295,22 +1295,35 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("minute", F.col("ts")).alias("m"),
         dec2("value").alias("v"),
     )
-    out = groups_frame_sum(ev, "v", "m", keys=["user_id"], groups_preceding=1, out_col="__g")
+    # one shared dense_rank pass feeds every GROUPS/EXCLUDE-GROUP spec —
+    # stacking 8 window columns must not mean 8 rank computations
+    from pyspark.sql import Window as W
+
+    ev = ev.withColumn(
+        "__grp", F.dense_rank().over(W.partitionBy("user_id").orderBy("m"))
+    )
+    out = groups_frame_agg(
+        ev, "v", "m", keys=["user_id"], groups_preceding=1, agg="sum",
+        out_col="__g", group_col="__grp",
+    )
     out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="current row", out_col="__ec")
     out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="group", out_col="__eg")
     out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="ties", out_col="__et")
     # generalized forms (r4): min/max/count under GROUPS frames and EXCLUDE
     out = groups_frame_agg(
-        out, "v", "m", keys=["user_id"], groups_preceding=1, agg="min", out_col="__gmin"
+        out, "v", "m", keys=["user_id"], groups_preceding=1, agg="min",
+        out_col="__gmin", group_col="__grp",
     )
     out = agg_exclude(
         out, "v", "m", keys=["user_id"], exclude="current row", agg="min", out_col="__mc"
     )
     out = agg_exclude(
-        out, "v", "m", keys=["user_id"], exclude="ties", agg="max", out_col="__mt"
+        out, "v", "m", keys=["user_id"], exclude="ties", agg="max",
+        out_col="__mt", group_col="__grp",
     )
     out = agg_exclude(
-        out, "v", "m", keys=["user_id"], exclude="group", agg="count", out_col="__cg"
+        out, "v", "m", keys=["user_id"], exclude="group", agg="count",
+        out_col="__cg", group_col="__grp",
     )
     dd = lambda c, n: F.col(c).cast("decimal(20,2)").cast("double").alias(n)  # noqa: E731
     return out.select(
