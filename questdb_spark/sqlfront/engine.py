@@ -32,6 +32,7 @@ from .parser import (
     expand_declare,
     mask_literals,
     parse,
+    split_top_level,
     strip_comments,
 )
 
@@ -138,6 +139,7 @@ class QdbEngine:
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
+        rewritten = _expand_fn_macros(rewritten)
         rewritten = self._rewrite_read_parquet(rewritten)
         top_pivot = self._rewrite_top_pivot(rewritten)
         if top_pivot is not None:
@@ -629,6 +631,92 @@ def _bind_named_literals(s: str, named: dict) -> str:
         last = m.end()
     out.append(s[last:])
     return "".join(out)
+
+
+# -- QuestDB function macros ------------------------------------------------
+# Aggregates/scalars the reference ships that Spark SQL lacks by name,
+# expanded textually into equivalent Spark expressions so a QuestDB user's
+# SQL runs verbatim (griffin FunctionFactory parity at the SQL surface):
+#   ksum/nsum        KahanSum/NeumaierSum — exact decimal sum (stronger)
+#   geomean          GeometricMeanGroupByFunction: exp(avg(ln x))
+#   weighted_stddev_rel/freq   AbstractWeightedStdDevGroupByFunction:
+#       reliability (Σw − Σw²/Σw) vs frequency (Σw − 1) denominators,
+#       null x rows excluded from every moment
+#   string_distinct_agg        StringDistinctAggGroupByFunction
+#   haversine_dist_deg         HaversineDistDegree (scalar pair form)
+# Division guards use nullif: Spark 4 runs ANSI mode, where a bare /0 is
+# an error, while the reference returns NULL.
+
+
+def _wstd(v: str, w: str, denom: str) -> str:
+    sw = f"sum(CASE WHEN ({v}) IS NOT NULL THEN CAST(({w}) AS DOUBLE) END)"
+    swx = f"sum(CASE WHEN ({v}) IS NOT NULL THEN CAST(({w}) AS DOUBLE) * ({v}) END)"
+    swxx = (
+        f"sum(CASE WHEN ({v}) IS NOT NULL THEN CAST(({w}) AS DOUBLE) * ({v}) * ({v}) END)"
+    )
+    sw2 = (
+        f"sum(CASE WHEN ({v}) IS NOT NULL THEN CAST(({w}) AS DOUBLE) * ({w}) END)"
+    )
+    d = {"rel": f"({sw} - {sw2} / {sw})", "freq": f"({sw} - 1)"}[denom]
+    return f"sqrt(({swxx} - {swx} * {swx} / {sw}) / nullif({d}, 0.0))"
+
+
+_FN_MACROS: dict = {
+    "ksum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
+    "nsum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
+    "geomean": lambda a: f"exp(avg(ln({a[0]})))",
+    "weighted_stddev_rel": lambda a: _wstd(a[0], a[1], "rel"),
+    "weighted_stddev_freq": lambda a: _wstd(a[0], a[1], "freq"),
+    "string_distinct_agg": lambda a: (
+        f"array_join(array_sort(collect_set({a[0]})), {a[1] if len(a) > 1 else chr(39) + ',' + chr(39)})"
+    ),
+    "haversine_dist_deg": lambda a: (
+        f"2 * 6371.0 * asin(sqrt(pow(sin(radians(({a[2]}) - ({a[0]})) / 2), 2)"
+        f" + cos(radians({a[0]})) * cos(radians({a[2]}))"
+        f" * pow(sin(radians(({a[3]}) - ({a[1]})) / 2), 2)))"
+    ),
+}
+
+_FN_MACRO_RE = re.compile(
+    r"\b(" + "|".join(_FN_MACROS) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _expand_fn_macros(s: str) -> str:
+    """Expand QuestDB-only function calls into Spark SQL expressions.
+    Matching runs over the literal-masked text (paren scanning is safe
+    there — literal contents are blanked); args come from the original.
+    Iterates to a fixpoint so nested macro calls expand too."""
+    for _ in range(5):
+        masked = mask_literals(s)
+        out: list[str] = []
+        last = 0
+        changed = False
+        for m in _FN_MACRO_RE.finditer(masked):
+            if m.start() < last:
+                continue  # inside an already-expanded span
+            depth = 0
+            close = -1
+            for k in range(m.end() - 1, len(masked)):
+                if masked[k] == "(":
+                    depth += 1
+                elif masked[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+            if close < 0:
+                raise ValueError(f"unbalanced call to {m.group(1)} in {s!r}")
+            args = split_top_level(s[m.end() : close], ",")
+            out.append(s[last : m.start()])
+            out.append("(" + _FN_MACROS[m.group(1).lower()](args) + ")")
+            last = close + 1
+            changed = True
+        out.append(s[last:])
+        s = "".join(out)
+        if not changed:
+            break
+    return s
 
 
 def _sub_outside_literals(s: str, pat: re.Pattern, repl: str) -> str:
