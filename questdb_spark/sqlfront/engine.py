@@ -661,7 +661,77 @@ def _wstd(v: str, w: str, denom: str) -> str:
     return f"sqrt(({swxx} - {swx} * {swx} / {sw}) / nullif({d}, 0.0))"
 
 
+# QuestDB single-char period units (Micros.getPeriodBetween:764)
+_TS_UNITS = {
+    "u": "MICROSECOND", "T": "MILLISECOND", "s": "SECOND", "m": "MINUTE",
+    "h": "HOUR", "d": "DAY", "w": "WEEK", "M": "MONTH", "y": "YEAR",
+}
+_UNIT_US = {
+    "u": 1, "T": 1_000, "s": 1_000_000, "m": 60_000_000,
+    "h": 3_600_000_000, "d": 86_400_000_000, "w": 604_800_000_000,
+}
+
+
+def _unit_arg(a: str) -> str:
+    u = a.strip().strip("'\"")
+    if u not in _TS_UNITS:
+        raise ValueError(f"unknown period unit: {u!r}")
+    return u
+
+
+def _dateadd(a: list[str]) -> str:
+    """dateadd('d', n, ts) (TimestampAddFunctionFactory)."""
+    return f"timestampadd({_TS_UNITS[_unit_arg(a[0])]}, {a[1]}, {a[2]})"
+
+
+def _datediff(a: list[str]) -> str:
+    """datediff('d', a, b) — ABSOLUTE full-period count
+    (TimestampDiffFunctionFactory → Micros.getPeriodBetween: Math.abs)."""
+    return f"abs(timestampdiff({_TS_UNITS[_unit_arg(a[0])]}, {a[1]}, {a[2]}))"
+
+
+def _ts_floor_expr(spec: str, ts: str) -> str:
+    m = re.match(r"^(\d*)\s*([uTsmhdwMy])$", spec)
+    if not m:
+        raise ValueError(f"bad timestamp_floor unit: {spec!r}")
+    n, u = int(m.group(1) or 1), m.group(2)
+    if u in ("M", "y"):
+        if n != 1:
+            raise ValueError("stride calendar floor: use SAMPLE BY")
+        return f"date_trunc('{_TS_UNITS[u]}', {ts})"
+    period = n * _UNIT_US[u]
+    if n == 1 and u in ("s", "m", "h", "d"):
+        return f"date_trunc('{_TS_UNITS[u]}', {ts})"
+    # epoch-grid floor (weeks anchor on the epoch Thursday, like SAMPLE BY)
+    return f"timestamp_micros(unix_micros({ts}) - unix_micros({ts}) % {period})"
+
+
+def _ts_floor(a: list[str]) -> str:
+    """timestamp_floor('5m', ts) (TimestampFloorFunctionFactory — stride
+    forms floor on the epoch grid, like SAMPLE BY buckets)."""
+    return _ts_floor_expr(a[0].strip().strip("'\""), a[1])
+
+
+def _ts_ceil(a: list[str]) -> str:
+    """timestamp_ceil: floor, then +1 period unless already on the grid."""
+    spec = a[0].strip().strip("'\"")
+    ts = a[1]
+    fl = _ts_floor_expr(spec, ts)
+    m = re.match(r"^(\d*)\s*([uTsmhdwMy])$", spec)
+    n, u = int(m.group(1) or 1), m.group(2)
+    bumped = f"timestampadd({_TS_UNITS[u]}, {n}, {fl})"
+    return f"CASE WHEN {fl} = ({ts}) THEN ({ts}) ELSE {bumped} END"
+
+
 _FN_MACROS: dict = {
+    "dateadd": _dateadd,
+    "datediff": _datediff,
+    "timestamp_floor": _ts_floor,
+    "timestamp_ceil": _ts_ceil,
+    "to_timezone": lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    "to_utc": lambda a: f"to_utc_timestamp({a[0]}, {a[1]})",
+    "systimestamp": lambda a: "current_timestamp()",
+    "sysdate": lambda a: "current_timestamp()",
     "ksum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
     "nsum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
     "geomean": lambda a: f"exp(avg(ln({a[0]})))",
@@ -708,8 +778,14 @@ def _expand_fn_macros(s: str) -> str:
             if close < 0:
                 raise ValueError(f"unbalanced call to {m.group(1)} in {s!r}")
             args = split_top_level(s[m.end() : close], ",")
+            try:
+                expanded = _FN_MACROS[m.group(1).lower()](args)
+            except (ValueError, IndexError, KeyError):
+                # not the QuestDB form (e.g. Spark's own 2-arg datediff):
+                # leave the call text untouched for Spark to resolve
+                continue
             out.append(s[last : m.start()])
-            out.append("(" + _FN_MACROS[m.group(1).lower()](args) + ")")
+            out.append("(" + expanded + ")")
             last = close + 1
             changed = True
         out.append(s[last:])

@@ -94,7 +94,12 @@ def _rows_equal(got: list[list[str]], exp: list[str]) -> bool:
     if len(got) != len(exp):
         return False
     for grow, erow in zip(got, exp):
-        etoks = erow.split("\t") if "\t" in erow else erow.split()
+        if "\t" in erow:
+            etoks = erow.split("\t")
+        elif len(grow) == 1:
+            etoks = [erow]  # single column may contain spaces (timestamps)
+        else:
+            etoks = erow.split()
         if len(grow) != len(etoks):
             return False
         if not all(_tokens_equal(g, e) for g, e in zip(grow, etoks)):
