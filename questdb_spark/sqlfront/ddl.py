@@ -332,9 +332,20 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
         if body.startswith("("):
             body = body[1:-1]
         df = eng.sql(body)
+        # INSERT SELECT maps POSITIONALLY (InsertOperationImpl column
+        # order): without a column list the select items land in target
+        # column order — an expression item's generated name must not
+        # null out its target column
         cols = (
-            [c.strip() for c in collist.split(",")] if collist else list(df.columns)
+            [c.strip() for c in collist.split(",")]
+            if collist
+            else list(tcols)[: len(df.columns)]
         )
+        if len(df.columns) != len(cols):
+            raise ValueError(
+                f"INSERT SELECT arity mismatch: {len(df.columns)} select "
+                f"items vs {len(cols)} target columns"
+            )
         df = df.toDF(*cols)
 
     # align to target schema: missing columns null, order fixed, types cast
