@@ -140,6 +140,7 @@ class QdbEngine:
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
         rewritten = _expand_fn_macros(rewritten)
+        rewritten = self._rewrite_catalog_fns(rewritten)
         rewritten = self._rewrite_read_parquet(rewritten)
         top_pivot = self._rewrite_top_pivot(rewritten)
         if top_pivot is not None:
@@ -279,6 +280,74 @@ class QdbEngine:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             out.append(s[last : m.start()])
             out.append(f"parquet.`{path}`")
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
+    _CATALOG_FN_RE = re.compile(
+        # matched over the literal-MASKED text: quoted content is blanked,
+        # so the table-name group matches the quotes and is read back from
+        # the original via its span
+        r"\b(tables|all_tables|wal_tables)\s*\(\s*\)"
+        r"|\b(table_columns|table_partitions|wait_wal_table)\s*\(\s*('[^']*')\s*\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_catalog_fns(self, s: str) -> str:
+        """Catalogue table functions in FROM position (``tables()``,
+        ``table_columns('t')``, ``table_partitions('t')`` —
+        griffin/engine/functions/catalogue/): materialize the metadata as a
+        temp view at statement time and substitute its name.  Metadata is
+        engine-dict-scale, so building the tiny DataFrame per statement is
+        free and always current."""
+        masked = mask_literals(s)
+        out: list[str] = []
+        last = 0
+        for m in self._CATALOG_FN_RE.finditer(masked):
+            if m.group(1):  # tables()/all_tables()/wal_tables()
+                rows = [
+                    (n, t.ts_col, t.partition_by, ",".join(t.dedup_keys), True)
+                    for n, t in sorted(self.ddl_tables.items())
+                ] + [
+                    (n, self.designated_ts.get(n, ""), "", "", False)
+                    for n in sorted(self.tables)
+                ]
+                schema = (
+                    "table_name string, designated_ts string, "
+                    "partition_by string, dedup_keys string, wal_enabled boolean"
+                )
+                view = "__qdb_tables"
+                df = (
+                    self.spark.createDataFrame(rows, schema)
+                    if rows
+                    else self.spark.createDataFrame([], schema)
+                )
+                df.createOrReplaceTempView(view)
+            else:  # table_columns / table_partitions
+                fn_name = m.group(2).lower()
+                # table name read from the ORIGINAL text (mask blanks it)
+                tname = s[m.start(3) + 1 : m.end(3) - 1]
+                from ..sources import catalog
+
+                view = f"__qdb_{fn_name}_{tname}"
+                if fn_name == "wait_wal_table":
+                    # WAL application is synchronous in this engine; the
+                    # wait degenerates to an existence check
+                    if tname not in self.ddl_tables and tname not in self.tables:
+                        raise ValueError(f"no such table: {tname}")
+                    view = "'ok'"
+                elif fn_name == "table_columns":
+                    if tname in self.ddl_tables:
+                        self.ddl_read(tname).createOrReplaceTempView(tname)
+                    catalog.table_columns(self.spark, tname).createOrReplaceTempView(view)
+                else:
+                    if tname not in self.ddl_tables:
+                        raise ValueError(f"no such table: {tname}")
+                    catalog.table_partitions(
+                        self.spark, self.ddl_tables[tname].path
+                    ).createOrReplaceTempView(view)
+            out.append(s[last : m.start()])
+            out.append(view)
             last = m.end()
         out.append(s[last:])
         return "".join(out)
