@@ -494,15 +494,39 @@ class QdbEngine:
         return self._finish(df, q, ts_col)
 
     def _finish(self, df: DataFrame, q: QdbQuery, ts_col: str) -> DataFrame:
-        if q.order_by:
-            df = df.orderBy(*[_order_col(o) for o in q.order_by.split(",")])
+        order_items = (
+            [_order_spec(o) for o in split_top_level(q.order_by)]
+            if q.order_by
+            else []
+        )
+        if order_items:
+            df = df.orderBy(
+                *[F.expr(e).desc() if d else F.expr(e).asc() for e, d in order_items]
+            )
         if q.limit is not None:
             lo, hi = q.limit
             if hi is not None:
                 df = df.offset(lo).limit(hi - lo)
             elif lo < 0:
-                order = [ts_col] if ts_col in df.columns else [df.columns[0]]
-                df = limit_signed(df, lo, order)
+                if order_items:
+                    # LIMIT -n tails the EXPLICIT order: flip each direction
+                    # for the top-k pass, then restore (both sorts stay
+                    # TakeOrderedAndProject — nothing materializes fully)
+                    tail = df.orderBy(
+                        *[
+                            F.expr(e).asc() if d else F.expr(e).desc()
+                            for e, d in order_items
+                        ]
+                    ).limit(-lo)
+                    df = tail.orderBy(
+                        *[
+                            F.expr(e).desc() if d else F.expr(e).asc()
+                            for e, d in order_items
+                        ]
+                    )
+                else:
+                    order = [ts_col] if ts_col in df.columns else [df.columns[0]]
+                    df = limit_signed(df, lo, order)
             else:
                 df = df.limit(lo)
         return df
@@ -904,8 +928,9 @@ def _item_col(i: SelectItem) -> Column:
     return c.alias(i.alias) if i.alias else c
 
 
-def _order_col(spec: str) -> Column:
+def _order_spec(spec: str) -> tuple[str, bool]:
+    """ORDER BY item → (expression text, is_desc)."""
     spec = spec.strip()
     if re.search(r"\bDESC$", spec, re.IGNORECASE):
-        return F.expr(re.sub(r"\s+DESC$", "", spec, flags=re.IGNORECASE)).desc()
-    return F.expr(re.sub(r"\s+ASC$", "", spec, flags=re.IGNORECASE)).asc()
+        return re.sub(r"\s+DESC$", "", spec, flags=re.IGNORECASE), True
+    return re.sub(r"\s+ASC$", "", spec, flags=re.IGNORECASE), False
