@@ -54,6 +54,16 @@ def _has_agg(expr: str) -> bool:
     return bool(_AGG_RE.search(mask_literals(expr)))
 
 
+def _is_agg_item(expr: str) -> bool:
+    """Aggregate select item for grouping purposes: contains an aggregate
+    call and is NOT a window expression (``sum(x) OVER (...)`` projects
+    per-row, it doesn't group)."""
+    masked = mask_literals(expr)
+    return bool(_AGG_RE.search(masked)) and not re.search(
+        r"\bover\s*\(", masked, re.IGNORECASE
+    )
+
+
 class QdbEngine:
     def __init__(self, spark: SparkSession, warehouse: str | None = None):
         """``warehouse``: directory where DDL-created tables live as
@@ -462,6 +472,13 @@ class QdbEngine:
 
         if q.latest_on is not None:
             lts, keys = q.latest_on
+            # PARTITION BY may name a select ALIAS of an expression
+            # (LatestByTest.testLatestByAllFilteredReentrant: `select
+            # a+b*c x ... latest on ts partition by x`) — materialize it
+            alias_map = {i.alias: i.expr for i in q.select_items if i.alias}
+            for k in keys:
+                if k not in df.columns and k in alias_map:
+                    df = df.withColumn(k, F.expr(alias_map[k]))
             df = latest_on(df, lts, keys, tiebreak=self.tiebreak.get(q.table))
 
         if q.window_join is not None:
@@ -618,9 +635,12 @@ class QdbEngine:
 
     def _project(self, df: DataFrame, q: QdbQuery) -> DataFrame:
         items = q.select_items
-        if q.group_by:
-            aggs = [i for i in items if _has_agg(i.expr)]
-            keys = [i for i in items if not _has_agg(i.expr)]
+        # QuestDB groups IMPLICITLY: `SELECT a, sum(b) FROM t` aggregates
+        # with a as the key, no GROUP BY clause required
+        # (SqlOptimiser implicit group-by model)
+        if q.group_by or any(_is_agg_item(i.expr) for i in items):
+            aggs = [i for i in items if _is_agg_item(i.expr)]
+            keys = [i for i in items if not _is_agg_item(i.expr)]
             return (
                 df.groupBy(*[F.expr(k.expr).alias(k.out_name) for k in keys])
                 .agg(*[_item_col(a) for a in aggs])
