@@ -72,10 +72,13 @@ def sql_matview(spark: SparkSession, sf: str) -> DataFrame:
     bucket-merge path, not just create."""
     eng = _engine(spark, sf, {})
     ev = load_table(spark, sf, "events")
-    cut = ev.selectExpr("percentile(unix_micros(ts), 0.66) AS c").collect()[0]["c"]
+    # fixed cut ≈ 2/3 of the events span (2024-01-01..31). The oracle
+    # recomputes over ALL events, so the cut only shapes the incremental
+    # scenario — a literal avoids a driver-side percentile collect inside
+    # the benched path (VERDICT r3 finding 5)
     eng.register(
         "ev_head",
-        ev.filter(F.unix_micros("ts") <= F.lit(int(cut))),
+        ev.filter(F.col("ts") < F.lit("2024-01-21").cast("timestamp")),
         designated_ts="ts",
     )
     eng.sql(
