@@ -74,8 +74,6 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "twap_vwap_events": (fn.twap_vwap_events, fn.TWAP_VWAP_SQL),
     "nanos_sample_by": (fn.nanos_sample_by, fn.NANOS_SAMPLE_BY_SQL),
     "sparkline_daily": (fn.sparkline_daily, fn.SPARKLINE_SQL),
-    # --- new this round: materialized view DDL + incremental refresh ---
-    "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
     # --- new this round: HAVING in the dialect parser ---
     "sql_sample_by_having": (sq.sql_sample_by_having, sq.SQL_SAMPLE_BY_HAVING_SQL),
     # --- new this round: repeating interval syntax ---
@@ -142,6 +140,8 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "cb_referer_domains": (fn.cb_referer_domains, fn.CB_REFERER_DOMAINS_SQL),
     "cb_minute_groups": (fn.cb_minute_groups, fn.CB_MINUTE_GROUPS_SQL),
     "cb_wide_sums": (fn.cb_wide_sums, fn.CB_WIDE_SUMS_SQL),
+    # matview scenario setup changed (fixed cut, r4) — re-verify
+    "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
 }
 
 _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
