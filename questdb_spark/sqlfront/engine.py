@@ -39,8 +39,11 @@ from .parser import (
 _AGG_FNS = (
     "sum|avg|count|min|max|first|last|stddev|stddev_samp|stddev_pop|variance|"
     "var_samp|var_pop|corr|covar_pop|covar_samp|count_distinct|approx_count_distinct|"
-    "collect_list|collect_set|max_by|min_by|percentile|median|mode|any_value|"
-    "bool_and|bool_or|skewness|kurtosis"
+    "collect_list|collect_set|max_by|min_by|percentile|percentile_approx|median|"
+    "mode|any_value|bool_and|bool_or|every|some|skewness|kurtosis|"
+    "regr_slope|regr_intercept|regr_r2|regr_avgx|regr_avgy|regr_count|"
+    "regr_sxx|regr_syy|regr_sxy|bit_and|bit_or|bit_xor|listagg|string_agg|"
+    "sum_distinct|count_if|histogram_numeric|approx_percentile"
 )
 _AGG_RE = re.compile(rf"\b({_AGG_FNS})\s*\(", re.IGNORECASE)
 
