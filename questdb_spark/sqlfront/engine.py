@@ -153,6 +153,16 @@ class QdbEngine:
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
         rewritten = _expand_fn_macros(rewritten)
+        # long_sequence(n) table function (LongSequenceFunctionFactory):
+        # Spark's native range() — distributed index generation, no driver
+        # materialization. Only the integer-literal form; QuestDB itself
+        # rejects non-integer arguments.
+        rewritten = _sub_outside_literals(
+            rewritten,
+            re.compile(r"\blong_sequence\s*\(\s*(\d+)\s*\)", re.IGNORECASE),
+            None,
+            lambda m: f"(SELECT id AS x FROM range(1, {int(m.group(1)) + 1}))",
+        )
         rewritten = self._rewrite_catalog_fns(rewritten)
         rewritten = self._rewrite_read_parquet(rewritten)
         top_pivot = self._rewrite_top_pivot(rewritten)
@@ -848,6 +858,13 @@ _FN_MACROS: dict = {
     "to_utc": lambda a: f"to_utc_timestamp({a[0]}, {a[1]})",
     "systimestamp": lambda a: "current_timestamp()",
     "sysdate": lambda a: "current_timestamp()",
+    # row-indexed timestamp generator (TimestampSequenceFunctionFactory):
+    # deterministic over long_sequence's x column — row i gets
+    # start + (i-1)*step_us, the reference's fixture idiom
+    "timestamp_sequence": lambda a: (
+        f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP))"
+        f" + (x - 1) * CAST({a[1]} AS BIGINT))"
+    ),
     "ksum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
     "nsum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
     "geomean": lambda a: f"exp(avg(ln({a[0]})))",
@@ -911,14 +928,17 @@ def _expand_fn_macros(s: str) -> str:
     return s
 
 
-def _sub_outside_literals(s: str, pat: re.Pattern, repl: str) -> str:
-    """Regex-replace over the literal-masked text, applied to the original."""
+def _sub_outside_literals(
+    s: str, pat: re.Pattern, repl: str | None, repl_fn=None
+) -> str:
+    """Regex-replace over the literal-masked text, applied to the original.
+    ``repl_fn(match)`` takes precedence over the static ``repl``."""
     masked = mask_literals(s)
     out: list[str] = []
     last = 0
     for m in pat.finditer(masked):
         out.append(s[last : m.start()])
-        out.append(repl)
+        out.append(repl_fn(m) if repl_fn is not None else repl)
         last = m.end()
     out.append(s[last:])
     return "".join(out)
