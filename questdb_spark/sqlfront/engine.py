@@ -880,8 +880,55 @@ _FN_MACROS: dict = {
     ),
 }
 
+# rnd_* generators callable from SQL over long_sequence's x column
+# (functions/rnd/): deterministic mixes of the row index — the documented
+# divergence from the reference's RNG (sources/generators.py), which makes
+# fixture SQL reproducible AND oracle-checkable. Each call site gets its
+# own tag so two rnd_double() in one statement draw independently.
+
+
+def _rnd_sql(tag: int) -> str:
+    from ..sources.generators import mix_sql
+
+    # stride x by a distinct odd constant per call site: a purely additive
+    # tag keeps two draws linearly related (their difference is constant,
+    # so small-modulus projections correlate); a per-site multiplier walks
+    # the hash space at a different stride
+    return mix_sql(f"(x * {2 * tag + 1})", 0, tag)
+
+
+def _rnd_nullify(expr: str, rate: str, tag: int) -> str:
+    r = int(rate)
+    if r <= 0:
+        return expr
+    return f"CASE WHEN ({_rnd_sql(tag + 1)}) % {r} = 0 THEN NULL ELSE {expr} END"
+
+
+_RND_MACROS: dict = {
+    "rnd_double": lambda a, t: (
+        f"({_rnd_sql(t)}) % 1000000 / 1000000.0"
+        if not a or not a[0].strip()
+        else _rnd_nullify(f"({_rnd_sql(t)}) % 1000000 / 1000000.0", a[0], t)
+    ),
+    "rnd_boolean": lambda a, t: f"({_rnd_sql(t)}) % 2 = 0",
+    "rnd_int": lambda a, t: _rnd_nullify(
+        f"CAST(({_rnd_sql(t)}) % ({int(a[1]) - int(a[0]) + 1}) + ({int(a[0])}) AS INT)",
+        a[2] if len(a) > 2 else "0",
+        t,
+    ),
+    "rnd_long": lambda a, t: _rnd_nullify(
+        f"CAST(({_rnd_sql(t)}) % ({int(a[1]) - int(a[0]) + 1}) + ({int(a[0])}) AS BIGINT)",
+        a[2] if len(a) > 2 else "0",
+        t,
+    ),
+    "rnd_symbol": lambda a, t: (
+        f"element_at(array({', '.join(a)}), "
+        f"CAST(({_rnd_sql(t)}) % {len(a)} + 1 AS INT))"
+    ),
+}
+
 _FN_MACRO_RE = re.compile(
-    r"\b(" + "|".join(_FN_MACROS) + r")\s*\(", re.IGNORECASE
+    r"\b(" + "|".join([*_FN_MACROS, *_RND_MACROS]) + r")\s*\(", re.IGNORECASE
 )
 
 
@@ -890,6 +937,7 @@ def _expand_fn_macros(s: str) -> str:
     Matching runs over the literal-masked text (paren scanning is safe
     there — literal contents are blanked); args come from the original.
     Iterates to a fixpoint so nested macro calls expand too."""
+    rnd_tag = 100  # per-call-site tag for rnd_* draws, unique per statement
     for _ in range(5):
         masked = mask_literals(s)
         out: list[str] = []
@@ -911,8 +959,13 @@ def _expand_fn_macros(s: str) -> str:
             if close < 0:
                 raise ValueError(f"unbalanced call to {m.group(1)} in {s!r}")
             args = split_top_level(s[m.end() : close], ",")
+            name = m.group(1).lower()
             try:
-                expanded = _FN_MACROS[m.group(1).lower()](args)
+                if name in _RND_MACROS:
+                    expanded = _RND_MACROS[name](args, rnd_tag)
+                    rnd_tag += 2
+                else:
+                    expanded = _FN_MACROS[name](args)
             except (ValueError, IndexError, KeyError):
                 # not the QuestDB form (e.g. Spark's own 2-arg datediff):
                 # leave the call text untouched for Spark to resolve
