@@ -377,9 +377,10 @@ class QdbEngine:
 
     _TOP_PIVOT_RE = re.compile(r"^(\w+)\s+PIVOT\s*\(", re.IGNORECASE)
     _PIVOT_BODY_RE = re.compile(
-        r"^(.+?)\s+FOR\s+(\w+)\s+IN\s*\(([^)]*)\)\s*(?:GROUP\s+BY\s+(.+))?$",
+        r"^(.+?)\s+FOR\s+((?:\w+\s+IN\s*\([^)]*\)\s*)+)(?:GROUP\s+BY\s+(.+))?$",
         re.IGNORECASE | re.DOTALL,
     )
+    _PIVOT_AXIS_RE = re.compile(r"(\w+)\s+IN\s*\(([^)]*)\)", re.IGNORECASE)
 
     def _rewrite_top_pivot(self, s: str) -> str | None:
         """Top-level ``<table> PIVOT (agg FOR col IN (v, ...) [GROUP BY
@@ -418,27 +419,48 @@ class QdbEngine:
         mb = self._PIVOT_BODY_RE.match(body.strip())
         if not mb:
             raise ValueError(f"cannot parse PIVOT body: {body!r}")
-        agg, pivcol, vals, group = (
+        agg, axes_text, group = (
             mb.group(1).strip(),
             mb.group(2),
-            mb.group(3).strip(),
-            (mb.group(4) or "").strip(),
+            (mb.group(3) or "").strip(),
         )
+        axes = [
+            (m2.group(1), split_top_level(m2.group(2), ","))
+            for m2 in self._PIVOT_AXIS_RE.finditer(axes_text)
+        ]
         gcols = [c.strip() for c in group.split(",") if c.strip()] if group else []
+        axis_names = [a[0].lower() for a in axes]
         # aggregate operand columns: bare identifiers inside the call that
         # aren't the pivot/group columns (SUM(1) has none)
         inner = agg[agg.index("(") + 1 : agg.rindex(")")]
         operands = [
             w
             for w in dict.fromkeys(re.findall(r"[A-Za-z_]\w*", mask_literals(inner)))
-            if w.lower() not in (pivcol.lower(), *[g.lower() for g in gcols])
+            if w.lower() not in (*axis_names, *[g.lower() for g in gcols])
         ]
-        proj = [*gcols, f"{pivcol} AS __pivot", *operands]
-        agg_rw = re.sub(rf"\b{re.escape(pivcol)}\b", "__pivot", agg, flags=re.IGNORECASE) \
-            if pivcol.lower() in (o.lower() for o in re.findall(r"[A-Za-z_]\w*", inner)) else agg
+        if len(axes) == 1:
+            pivcol, vals = axes[0]
+            proj = [*gcols, f"{pivcol} AS __pivot", *operands]
+            in_list = ", ".join(vals)
+        else:
+            # multi-axis pivot (test_multi_pivot.test): one composite key,
+            # IN cells = first-axis-major cross product — matches the
+            # reference's output column order
+            key = " , '_', ".join(f"CAST({a[0]} AS STRING)" for a in axes)
+            proj = [*gcols, f"concat({key}) AS __pivot", *operands]
+            from itertools import product
+
+            cells = [
+                "'" + "_".join(v.strip().strip("'\"") for v in combo) + "'"
+                for combo in product(*[a[1] for a in axes])
+            ]
+            in_list = ", ".join(cells)
+        agg_rw = agg
+        for a, _ in axes:
+            agg_rw = re.sub(rf"\b{re.escape(a)}\b", "__pivot", agg_rw, flags=re.IGNORECASE)
         return (
             f"SELECT * FROM (SELECT {', '.join(proj)} FROM {table}) "
-            f"PIVOT ({agg_rw} FOR __pivot IN ({vals})) {tail}"
+            f"PIVOT ({agg_rw} FOR __pivot IN ({in_list})) {tail}"
         )
 
     # ------------------------------------------------------------------
