@@ -433,11 +433,20 @@ class QdbEngine:
         # aggregate operand columns: bare identifiers inside the call that
         # aren't the pivot/group columns (SUM(1) has none)
         inner = agg[agg.index("(") + 1 : agg.rindex(")")]
+        # qualified refs (`t.col`) contribute only the column part
         operands = [
             w
-            for w in dict.fromkeys(re.findall(r"[A-Za-z_]\w*", mask_literals(inner)))
+            for w in dict.fromkeys(
+                re.findall(
+                    r"(?:\b[A-Za-z_]\w*\s*\.\s*)?\b([A-Za-z_]\w*)\b",
+                    mask_literals(inner),
+                )
+            )
             if w.lower() not in (*axis_names, *[g.lower() for g in gcols])
         ]
+        # the qualifier is gone from the projection, so strip it in the
+        # aggregate text too
+        agg = re.sub(r"\b[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)\b", r"\1", agg)
         if len(axes) == 1:
             pivcol, vals = axes[0]
             proj = [*gcols, f"{pivcol} AS __pivot", *operands]
