@@ -366,24 +366,29 @@ class TimeTable:
         sub = df.filter(F.col(PARTITION_COL).isin(parts)).filter(~predicate)
         self._rewrite_partitions(self._to_physical(sub), parts)
 
-    def _partitions_in(self, interval: str) -> list:
-        """Partition values whose start falls in the interval string's
-        range (metadata-scale collect: one value per partition dir)."""
+    def _partitions_in(self, interval: str) -> list[str]:
+        """Partition dir values whose start falls in the interval string's
+        range.  Pure directory listing — partitions ARE directories, so no
+        Spark job and no data scan, O(partition count) like the
+        reference's partition table walk."""
         from datetime import datetime
 
         lo, hi = parse_interval_string(interval)
-        df = self.spark.read.parquet(self.path)
-
-        def start_of(p) -> datetime:
-            if isinstance(p, str):  # hour partitions: 'yyyy-MM-dd-HH'
-                return datetime.strptime(p, "%Y-%m-%d-%H")
-            return datetime(p.year, p.month, p.day)
-
-        return [
-            r[PARTITION_COL]
-            for r in df.select(PARTITION_COL).distinct().collect()
-            if lo <= start_of(r[PARTITION_COL]) < hi
-        ]
+        out: list[str] = []
+        for d in sorted(os.listdir(self.path)):
+            if not d.startswith(f"{PARTITION_COL}="):
+                continue
+            v = d.split("=", 1)[1]
+            try:
+                start = datetime.strptime(v, "%Y-%m-%d-%H")
+            except ValueError:
+                try:
+                    start = datetime.strptime(v, "%Y-%m-%d")
+                except ValueError:
+                    continue
+            if lo <= start < hi:
+                out.append(v)
+        return out
 
     def drop_partition(self, interval: str) -> None:
         """ALTER TABLE DROP PARTITION equivalents: remove partition dirs in
