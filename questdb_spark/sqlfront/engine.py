@@ -383,39 +383,62 @@ class QdbEngine:
     _PIVOT_AXIS_RE = re.compile(r"(\w+)\s+IN\s*\(([^)]*)\)", re.IGNORECASE)
 
     def _rewrite_top_pivot(self, s: str) -> str | None:
-        """Top-level ``<table> PIVOT (agg FOR col IN (v, ...) [GROUP BY
-        cols]) [ORDER BY ...]`` (SqlParser.java:4260 top-level pivot form,
-        sqllogictest pivot/*.test) → Spark's SELECT-PIVOT equivalent.
+        """Pivot forms Spark's parser lacks (SqlParser.java:4260,
+        sqllogictest pivot/*.test), lowered onto Spark's SELECT-PIVOT:
+
+        - top-level ``<table> PIVOT (agg FOR col IN (...) [GROUP BY cols])
+          [ORDER BY ...]`` — the whole statement;
+        - FROM-position ``... FROM <table> PIVOT (... GROUP BY ...) ...``
+          when the body carries a GROUP BY (without one, Spark's native
+          pivot already handles the text).
 
         Spark groups implicitly by every non-pivot projected column, so the
         inner projection is exactly: GROUP BY columns + a copy of the pivot
         column + the aggregate's column operands."""
         s = s.strip().rstrip(";")
+        masked = mask_literals(s)
         m = self._TOP_PIVOT_RE.match(s)
-        if not m:
+        if m is not None:
+            start = s.index("(", m.end() - 1)
+            end = self._pivot_close(masked, start, s)
+            body, tail = s[start + 1 : end], s[end + 1 :].strip()
+            return self._lower_pivot_body(m.group(1), body, tail)
+        # FROM-position form with an in-body GROUP BY
+        out: list[str] = []
+        last = 0
+        changed = False
+        for mf in re.finditer(
+            r"\bFROM\s+(\w+)\s+PIVOT\s*\(", masked, re.IGNORECASE
+        ):
+            if mf.start() < last:
+                continue
+            start = s.index("(", mf.end() - 1)
+            end = self._pivot_close(masked, start, s)
+            body = s[start + 1 : end]
+            if not re.search(r"\bGROUP\s+BY\b", mask_literals(body), re.IGNORECASE):
+                continue  # Spark-native pivot form
+            out.append(s[last : mf.start()])
+            out.append(f"FROM ({self._lower_pivot_body(mf.group(1), body, '')})")
+            last = end + 1
+            changed = True
+        if not changed:
             return None
-        table = m.group(1)
-        # balanced paren group after PIVOT
-        start = s.index("(", m.end() - 1)
-        depth, q = 0, None
-        end = -1
-        for i in range(start, len(s)):
-            ch = s[i]
-            if q:
-                if ch == q:
-                    q = None
-            elif ch in "'\"":
-                q = ch
-            elif ch == "(":
+        out.append(s[last:])
+        return "".join(out)
+
+    @staticmethod
+    def _pivot_close(masked: str, start: int, s: str) -> int:
+        depth = 0
+        for i in range(start, len(masked)):
+            if masked[i] == "(":
                 depth += 1
-            elif ch == ")":
+            elif masked[i] == ")":
                 depth -= 1
                 if depth == 0:
-                    end = i
-                    break
-        if end < 0:
-            raise ValueError(f"unbalanced PIVOT parens: {s!r}")
-        body, tail = s[start + 1 : end], s[end + 1 :].strip()
+                    return i
+        raise ValueError(f"unbalanced PIVOT parens: {s!r}")
+
+    def _lower_pivot_body(self, table: str, body: str, tail: str) -> str:
         mb = self._PIVOT_BODY_RE.match(body.strip())
         if not mb:
             raise ValueError(f"cannot parse PIVOT body: {body!r}")
