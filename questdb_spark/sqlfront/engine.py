@@ -415,8 +415,11 @@ class QdbEngine:
             start = s.index("(", mf.end() - 1)
             end = self._pivot_close(masked, start, s)
             body = s[start + 1 : end]
-            if not re.search(r"\bGROUP\s+BY\b", mask_literals(body), re.IGNORECASE):
-                continue  # Spark-native pivot form
+            mb_body = mask_literals(body)
+            if not re.search(r"\bGROUP\s+BY\b", mb_body, re.IGNORECASE) and not re.search(
+                r"\bIN\s*\(\s*SELECT\b", mb_body, re.IGNORECASE
+            ):
+                continue  # Spark-native pivot form handles the text
             out.append(s[last : mf.start()])
             out.append(f"FROM ({self._lower_pivot_body(mf.group(1), body, '')})")
             last = end + 1
@@ -425,6 +428,27 @@ class QdbEngine:
             return None
         out.append(s[last:])
         return "".join(out)
+
+    def _pivot_axis_vals(self, vals: list[str]) -> list[str]:
+        """Dynamic pivot cells: ``FOR c IN (SELECT DISTINCT ...)``
+        (pivot_subquery.test) — the cell set must be known at plan time, so
+        the subquery is evaluated eagerly.  This is a justified
+        metadata-scale collect: one row per output COLUMN (dozens), the
+        same economics as IVF centroids."""
+        if len(vals) == 1 and re.match(r"^\s*SELECT\b", vals[0], re.IGNORECASE):
+            rows = self.sql(vals[0]).collect()
+            out = []
+            for r in rows:
+                v = r[0]
+                out.append(
+                    "'" + str(v).replace("'", "''") + "'"
+                    if isinstance(v, str)
+                    else str(v)
+                )
+            if not out:
+                raise ValueError("dynamic PIVOT IN subquery produced no values")
+            return out
+        return vals
 
     @staticmethod
     def _pivot_close(masked: str, start: int, s: str) -> int:
@@ -448,7 +472,7 @@ class QdbEngine:
             (mb.group(3) or "").strip(),
         )
         axes = [
-            (m2.group(1), split_top_level(m2.group(2), ","))
+            (m2.group(1), self._pivot_axis_vals(split_top_level(m2.group(2), ",")))
             for m2 in self._PIVOT_AXIS_RE.finditer(axes_text)
         ]
         gcols = [c.strip() for c in group.split(",") if c.strip()] if group else []
