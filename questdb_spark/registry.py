@@ -22,15 +22,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (fn, oracle_sql | None)
 #
 # ORDER MATTERS: the driver's correctness harness checks at most ~50 queries
-# per round, in registry order.  Round-4 rotation (VERDICT r3 task 1):
-#   _RECHECK_R4 — the 28 registry entries not oracle-verified since round 1
-#                 (positions 51-78 in the r3 ordering: q5_region_revenue ..
-#                 dedup_jaccard).  Verifying these completes a full-registry
-#                 oracle pass across rounds 3+4.
-#   _NEW_R4     — queries added or materially changed this round (need their
-#                 first / re- verification).
-#   _VERIFIED   — r3-green (CORRECTNESS_r03: 50/50 hash-green) and r2-green
-#                 entries, demoted past the window.
+# per round, in registry order.  Round-5 rotation (VERDICT r4 task 1):
+#   _RECHECK_R5 — the 40 entries last oracle-verified in round 2 (the r4
+#                 `_RECENT` block).  Two rounds of macro-layer and parser
+#                 churn have landed since; re-verifying them makes every
+#                 registry entry green within rounds 3-5.
+#   _NEW_R5     — queries added or materially changed in round 5 (first
+#                 verification), filling the remaining window slots.
+#   Everything below those two blocks is r3/r4-green and demoted past the
+#   window.
 _RECHECK_R4: dict[str, tuple[QueryFn, str | None]] = {
     # core TPC-H / scan family (r1-green, unverified since)
     "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
@@ -170,8 +170,8 @@ _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
     "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
 }
 
-_RECENT: dict[str, tuple[QueryFn, str | None]] = {
-    # --- r2-green (CORRECTNESS_r02), just verified — checked last ---
+# The 40 entries last verified in round 2 — first in the r5 window.
+_RECHECK_R5: dict[str, tuple[QueryFn, str | None]] = {
     "sample_by_tz_day": (ts.sample_by_tz_day, ts.SAMPLE_BY_TZ_SQL),
     "decimal256_sum": (fn.decimal256_sum, fn.DECIMAL256_SUM_SQL),
     "regr_bit_aggs": (fn.regr_bit_aggs, fn.REGR_BIT_AGGS_SQL),
@@ -214,12 +214,17 @@ _RECENT: dict[str, tuple[QueryFn, str | None]] = {
     "union_harmonize_types": (fn.union_harmonize_types, fn.UNION_CAST_SQL),
 }
 
+# Round-5 additions — first verification; kept right after the recheck block
+# so they land inside the driver's ~50-query window.
+_NEW_R5: dict[str, tuple[QueryFn, str | None]] = {}
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **_RECHECK_R5,
+    **_NEW_R5,
     **_RECHECK_R4,
     **_NEW_R4,
     **_PRIORITY,
     **_RECHECK,
-    **_RECENT,
 }
 
 

@@ -49,6 +49,34 @@ _AGG_RE = re.compile(rf"\b({_AGG_FNS})\s*\(", re.IGNORECASE)
 
 _IN_INTERVAL_RE = re.compile(r"(\w+(?:\.\w+)?)\s+IN\s+('[^']+')", re.IGNORECASE)
 
+# Words inside a PIVOT aggregate's text that can never be column operands:
+# expression keywords and cast-target type names (``SUM(Pop)::varchar``,
+# ``CAST(x AS DOUBLE)``, ``CASE WHEN .. END`` — pivot_expressions.test).
+_PIVOT_NON_COLUMN_WORDS = frozenset(
+    """case when then else end and or not null is in between like as
+    distinct true false cast try_cast interval filter where over
+    int integer bigint smallint tinyint float double real decimal numeric
+    string varchar char boolean bool date timestamp binary long short byte
+    """.split()
+)
+
+
+def _top_level_over(masked_expr: str) -> bool:
+    """True when an ``OVER`` token sits at paren depth 0 of the (literal-
+    masked) expression — i.e. the outermost construct is a window function
+    (``sum(41) over()``), as opposed to one nested inside an aggregate
+    (``sum(sum(41) over())``, which the reference accepts)."""
+    depth = 0
+    for m in re.finditer(r"\(|\)|\bover\b", masked_expr, re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
 
 def _has_agg(expr: str) -> bool:
     """True when the expression contains an aggregate CALL — matched on the
@@ -151,6 +179,12 @@ class QdbEngine:
         # QuestDB's bare `count()` ≡ `count(*)` (CountConstGroupByFunction)
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
+        )
+        # QuestDB VARCHAR is unsized UTF-8 (ColumnType.java:57); Spark's
+        # parser demands VARCHAR(n) in cast position — lower to STRING
+        # (``x::varchar``, ``CAST(x AS VARCHAR)``; pivot_expressions.test)
+        rewritten = _sub_outside_literals(
+            rewritten, re.compile(r"\bvarchar\b(?!\s*\()", re.IGNORECASE), "string"
         )
         rewritten = _expand_fn_macros(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
@@ -403,6 +437,15 @@ class QdbEngine:
             end = self._pivot_close(masked, start, s)
             body, tail = s[start + 1 : end], s[end + 1 :].strip()
             return self._lower_pivot_body(m.group(1), body, tail)
+        # subquery source: ``(SELECT ...) PIVOT (...)`` (test_optional_pivots)
+        if masked.startswith("("):
+            sub_end = self._pivot_close(masked, 0, s)
+            mp = re.match(r"\s*PIVOT\s*\(", masked[sub_end + 1 :], re.IGNORECASE)
+            if mp is not None:
+                start = sub_end + 1 + mp.end() - 1
+                end = self._pivot_close(masked, start, s)
+                body, tail = s[start + 1 : end], s[end + 1 :].strip()
+                return self._lower_pivot_body(s[: sub_end + 1], body, tail)
         # FROM-position form with an in-body GROUP BY
         out: list[str] = []
         last = 0
@@ -475,22 +518,40 @@ class QdbEngine:
             (m2.group(1), self._pivot_axis_vals(split_top_level(m2.group(2), ",")))
             for m2 in self._PIVOT_AXIS_RE.finditer(axes_text)
         ]
+        # reference error surface (pivot_errors.test): a bare window
+        # function or a non-aggregate expression cannot be pivoted
+        magg = mask_literals(agg)
+        if _top_level_over(magg):
+            raise ValueError(
+                "Window function is not allowed in context of aggregation. "
+                "Use sub-query."
+            )
+        if not _AGG_RE.search(magg):
+            raise ValueError(f"expected aggregate function [col={agg}]")
         gcols = [c.strip() for c in group.split(",") if c.strip()] if group else []
         axis_names = [a[0].lower() for a in axes]
         # aggregate operand columns: bare identifiers inside the call that
-        # aren't the pivot/group columns (SUM(1) has none)
+        # aren't the pivot/group columns (SUM(1) has none).  Expression
+        # aggregates (pivot_expressions.test: COALESCE(SUM(x),0),
+        # SUM(x)+COUNT(1), SUM(x)::varchar) mean the text contains function
+        # names and cast-target types too — an identifier followed by ``(``
+        # is a call, not a column, and SQL keywords/type names never are.
         inner = agg[agg.index("(") + 1 : agg.rindex(")")]
-        # qualified refs (`t.col`) contribute only the column part
-        operands = [
-            w
-            for w in dict.fromkeys(
-                re.findall(
-                    r"(?:\b[A-Za-z_]\w*\s*\.\s*)?\b([A-Za-z_]\w*)\b",
-                    mask_literals(inner),
-                )
-            )
-            if w.lower() not in (*axis_names, *[g.lower() for g in gcols])
-        ]
+        masked_inner = mask_literals(inner)
+        operands: list[str] = []
+        for m2 in re.finditer(
+            r"(?:\b[A-Za-z_]\w*\s*\.\s*)?\b([A-Za-z_]\w*)\b\s*(\()?", masked_inner
+        ):
+            if m2.group(2):  # function call, e.g. abs( / coalesce(
+                continue
+            w = m2.group(1)
+            lw = w.lower()
+            if lw in _PIVOT_NON_COLUMN_WORDS:
+                continue
+            if lw in axis_names or lw in (g.lower() for g in gcols):
+                continue
+            if w not in operands:
+                operands.append(w)
         # the qualifier is gone from the projection, so strip it in the
         # aggregate text too
         agg = re.sub(r"\b[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)\b", r"\1", agg)
