@@ -132,10 +132,47 @@ def ngram_jaccard_pairs(
     LSH (pairs missed by every band are not scored).
     """
     sh = _shingle_table(df, id_col, text_col, n)
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    if not lsh_prefilter and max_shingle_df is not None:
+        # Guarded exact path, fused: the guard bounds every shingle's doc
+        # list to ≤ max_shingle_df entries, so candidate pairs can be
+        # enumerated IN-ROW from one groupBy(shingle) — tokenization runs
+        # ONCE (the self-join form recomputes the explode for each join
+        # side and again for sizes) and the shingle equi-join disappears.
+        # Three bounded shuffles total: lists, pair counts, sizes.
+        lists = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list("doc").alias("ds"))
+            .filter(F.size("ds") <= max_shingle_df)  # occurrence guard
+            .select(F.array_sort("ds").alias("ds"))
+        )
+        pair_structs = F.expr(
+            "filter(flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)"
+        )
+        expl = lists.select(F.explode(pair_structs).alias("p"))
+        common = (
+            expl.groupBy(
+                F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+            ).agg(F.count(F.lit(1)).alias("common"))
+        )
+        sizes = (
+            lists.select(F.explode("ds").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+        return (
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     if lsh_prefilter:
         # one row per colliding band comes back — dedup BEFORE the shingle
         # expansion or duplicated pairs multiply the common counts

@@ -409,6 +409,57 @@ GROUP BY 1
 """
 
 
+def sql_dedup_upsert_sample_by(spark: SparkSession, sf: str) -> DataFrame:
+    """DEDUP UPSERT KEYS end-to-end under the driver oracle
+    (``SqlParser.java:3081``, ``dedup.cpp``; scenario family
+    ``sqllogictest/test/dedup/``): CREATE with dedup keys, a second
+    commit that overlaps half the key space (those rows must take the
+    NEW values in place — last-write-wins) and extends it (appended),
+    then a SAMPLE BY readback over the merged state.  Sources are
+    pre-aggregated per key so the winning value is deterministic for
+    the oracle."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.sql(
+        "CREATE TABLE ddup AS (SELECT ts, user_id, max(value) AS value "
+        "FROM events WHERE event_type = 'click' GROUP BY ts, user_id) "
+        "TIMESTAMP(ts) PARTITION BY DAY WAL DEDUP UPSERT KEYS(ts, user_id)"
+    )
+    eng.sql(
+        "INSERT INTO ddup SELECT ts, user_id, max(value) * 2 AS value "
+        "FROM events WHERE event_type IN ('click', 'view') AND value < 50 "
+        "GROUP BY ts, user_id"
+    )
+    return eng.sql(
+        "SELECT ts, count(*) AS n, "
+        "cast(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_value "
+        "FROM ddup SAMPLE BY 1d"
+    )
+
+
+SQL_DEDUP_UPSERT_SQL = """
+WITH base AS (
+  SELECT ts, user_id, max(value) AS value FROM events
+  WHERE event_type = 'click' GROUP BY ts, user_id
+),
+inc AS (
+  SELECT ts, user_id, max(value) * 2 AS value FROM events
+  WHERE event_type IN ('click', 'view') AND value < 50 GROUP BY ts, user_id
+),
+merged AS (
+  SELECT b.ts, b.user_id, COALESCE(i.value, b.value) AS value
+  FROM base b LEFT JOIN inc i ON b.ts = i.ts AND b.user_id = i.user_id
+  UNION ALL
+  SELECT i.ts, i.user_id, i.value FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM base b WHERE b.ts = i.ts AND b.user_id = i.user_id
+  )
+)
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, COUNT(*) AS n,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_value
+FROM merged GROUP BY 1
+"""
+
+
 def sql_setop_sample_by(spark: SparkSession, sf: str) -> DataFrame:
     """UNION ALL between two SAMPLE BY queries through the dialect
     front-end (depth-0 set-op split; each operand lowers independently)."""

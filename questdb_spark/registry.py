@@ -216,7 +216,14 @@ _RECHECK_R5: dict[str, tuple[QueryFn, str | None]] = {
 
 # Round-5 additions — first verification; kept right after the recheck block
 # so they land inside the driver's ~50-query window.
-_NEW_R5: dict[str, tuple[QueryFn, str | None]] = {}
+_NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
+    # DEDUP UPSERT KEYS merge-on-append (r5): overlapping second commit,
+    # SAMPLE BY over the merged state
+    "sql_dedup_upsert_sample_by": (
+        sq.sql_dedup_upsert_sample_by,
+        sq.SQL_DEDUP_UPSERT_SQL,
+    ),
+}
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **_RECHECK_R5,

@@ -44,7 +44,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _STMT_RE = re.compile(
     r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh"
-    r"|vacuum|checkpoint|snapshot|explain)\b",
+    r"|vacuum|checkpoint|snapshot|explain|copy)\b",
     re.IGNORECASE,
 )
 
@@ -129,6 +129,8 @@ def execute(eng: QdbEngine, sql: str) -> DataFrame:
         return _checkpoint(eng, s)
     if kind == "explain":
         return _explain(eng, s)
+    if kind == "copy":
+        return _copy(eng, s)
     raise ValueError(f"unsupported statement: {sql!r}")
 
 
@@ -255,9 +257,13 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
             part = "day" if is_ts else "none"
         dedup_keys = [k for k in dedup if k != ts_col]
         t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
-        if dedup_keys:
-            df = df.withColumn(t.seq_col, F.lit(0))
-        t.write(df)
+        t.dedup_enabled = bool(dedup)  # KEYS(ts) alone still enables dedup
+        if t.dedup_enabled:
+            # the initial data gets the in-batch last-write-wins pass too
+            shutil.rmtree(path, ignore_errors=True)
+            t.append(df, seq=0)
+        else:
+            t.write(df)
         eng.ddl_tables[name] = t
         eng.ddl_schemas[name] = None
     else:
@@ -280,6 +286,7 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
             part = "day" if dict(cols).get(ts_col) == "timestamp" else "none"
         dedup_keys = [k for k in dedup if k != ts_col]
         t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
+        t.dedup_enabled = bool(dedup)  # KEYS(ts) alone still enables dedup
         eng.ddl_tables[name] = t
         eng.ddl_schemas[name] = ", ".join(f"{c} {t_}" for c, t_ in cols)
     eng.ddl_tables[name].ttl_hours_or_months = ttl
@@ -359,12 +366,12 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
     aligned = df.select(*sel)
 
     n = aligned.count()
-    if _has_files(t):
+    if _has_files(t) or t.dedup_enabled:
+        # dedup tables always go through append: the first commit needs
+        # the in-batch last-write-wins pass too (string_dedup.test)
         eng.ddl_seq[name] = eng.ddl_seq.get(name, 0) + 1
         t.append(aligned, seq=eng.ddl_seq[name])
     else:
-        if t.dedup_keys:
-            aligned = aligned.withColumn(t.seq_col, F.lit(0))
         t.write(aligned)
     # TTL runs inside the ingest commit (TableWriter.enforceTtl:2684)
     evicted = t.enforce_ttl()
@@ -513,9 +520,11 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
             c.strip() for c in dm.group(1).split(",")
             if c.strip() and c.strip() != t.ts_col
         ]
+        t.dedup_enabled = True
         detail = f"dedup keys {t.dedup_keys}"
     elif low.startswith("dedup disable"):
         t.dedup_keys = []
+        t.dedup_enabled = False
         detail = "dedup disabled"
     elif low.startswith("set ttl"):
         tm = _TTL_RE.search("ttl " + rest[len("set ttl"):].strip())
@@ -771,3 +780,92 @@ def read_checkpoint(eng: QdbEngine, name: str) -> DataFrame:
         "basePath", t.path
     ).parquet(*files)
     return df.drop(*[c for c in (PARTITION_COL, t.seq_col) if c in df.columns])
+
+
+# -- COPY -------------------------------------------------------------------
+
+_COPY_TO_RE = re.compile(
+    r"^copy\s+(\(.*\)|\w+)\s+to\s+'([^']+)'\s*(?:with\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_FROM_RE = re.compile(
+    r"^copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:with\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _copy(eng: QdbEngine, s: str) -> DataFrame:
+    """``COPY`` import/export (``SqlParser.java:1059`` parseCopy,
+    ``griffin/engine/ops/CopyImportFactory.java`` / ``CopyExportFactory``):
+
+        COPY <table | (query)> TO 'path' [WITH FORMAT PARQUET|CSV]
+        COPY <table> FROM 'path' [WITH HEADER true|false]
+            [DELIMITER 'c'] [TIMESTAMP col] [PARTITION BY unit]
+
+    Export runs the source through the engine (dialect queries work) and
+    writes with Spark's distributed writer; import is Spark's parallel
+    schema-inferring CSV reader (ParallelCsvFileImporter equivalent)
+    landing in a TimeTable — appends when the table exists, auto-creates
+    it otherwise (the reference's import behavior)."""
+    m = _COPY_TO_RE.match(s)
+    if m:
+        src, path, opts = m.group(1), m.group(2), (m.group(3) or "")
+        fmt = "parquet"
+        fm = re.search(r"\bformat\s+(\w+)", opts, re.IGNORECASE)
+        if fm:
+            fmt = fm.group(1).lower()
+        if src.startswith("("):
+            df = eng.sql(src[1:-1])
+        elif src in eng.ddl_tables:
+            df = eng.ddl_read(src)
+        else:
+            df = eng.sql(f"SELECT * FROM {src}")
+        from ..sources.catalog import copy_to
+
+        copy_to(df, path, fmt=fmt)
+        return _status(eng, "copy_to", path, fmt)
+    m = _COPY_FROM_RE.match(s)
+    if m:
+        name, path, opts = m.group(1), m.group(2), (m.group(3) or "")
+        header = True
+        hm = re.search(r"\bheader\s+(true|false)", opts, re.IGNORECASE)
+        if hm:
+            header = hm.group(1).lower() == "true"
+        delim = None
+        dm = re.search(r"\bdelimiter\s+'(.)'", opts, re.IGNORECASE)
+        if dm:
+            delim = dm.group(1)
+        if path.endswith(".parquet") or re.search(r"\bformat\s+parquet", opts, re.IGNORECASE):
+            df = eng.spark.read.parquet(path)
+        else:
+            reader = eng.spark.read.option("header", header).option(
+                "inferSchema", True
+            )
+            if delim:
+                reader = reader.option("sep", delim)
+            df = reader.csv(path)
+        if name in eng.ddl_tables:
+            t = _tbl(eng, name)
+            eng.ddl_seq[name] = eng.ddl_seq.get(name, 0) + 1
+            t.append(df, seq=eng.ddl_seq[name])
+        else:
+            tm = re.search(r"\btimestamp\s+'?(\w+)'?", opts, re.IGNORECASE)
+            pm = re.search(
+                r"\bpartition\s+by\s+(hour|day|month|year|none)\b",
+                opts, re.IGNORECASE,
+            )
+            ts_col = tm.group(1) if tm else next(
+                (c for c, ty in df.dtypes if ty.startswith("timestamp")), None
+            )
+            part = pm.group(1).lower() if pm else ("day" if ts_col else "none")
+            t = TimeTable(
+                eng.spark, os.path.join(eng.warehouse, name),
+                ts_col or df.columns[0], part,
+            )
+            t.write(df)
+            eng.ddl_tables[name] = t
+            eng.designated_ts[name] = ts_col or df.columns[0]
+            eng.ddl_seq[name] = 0
+        _refresh_view(eng, name)
+        return _status(eng, "copy_from", name, f"{df.count()} rows")
+    raise ValueError(f"cannot parse COPY: {s!r}")

@@ -988,6 +988,16 @@ def _ts_ceil(a: list[str]) -> str:
     return f"CASE WHEN {fl} = ({ts}) THEN ({ts}) ELSE {bumped} END"
 
 
+def _compensated_sum(a: list[str]) -> str:
+    x = a[0]
+    exact = f"CAST(try_sum(try_cast(({x}) AS DECIMAL(38,12))) AS DOUBLE)"
+    plain = f"CAST(sum({x}) AS DOUBLE)"
+    return (
+        f"COALESCE(CASE WHEN max(abs(CAST(({x}) AS DOUBLE))) < 1e25 "
+        f"THEN {exact} ELSE {plain} END, {plain})"
+    )
+
+
 _FN_MACROS: dict = {
     "dateadd": _dateadd,
     "datediff": _datediff,
@@ -1004,8 +1014,15 @@ _FN_MACROS: dict = {
         f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP))"
         f" + (x - 1) * CAST({a[1]} AS BIGINT))"
     ),
-    "ksum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
-    "nsum": lambda a: f"CAST(sum(CAST(({a[0]}) AS DECIMAL(30,6))) AS DOUBLE)",
+    # Kahan/Neumaier compensated sums (KSumDoubleGroupByFunction /
+    # NSumDoubleGroupByFunction): lowered to exact fixed-point summation —
+    # DECIMAL(38,12) holds 1e-12 increments drift-free up to ±1e25, which
+    # covers the compensation's purpose (tiny-increment fidelity) without a
+    # custom UDAF. Outside that domain (an element ≥1e25, or the total
+    # overflowing 38 digits → try_sum null) the expression falls back to
+    # plain double summation.
+    "ksum": _compensated_sum,
+    "nsum": _compensated_sum,
     "geomean": lambda a: f"exp(avg(ln({a[0]})))",
     "weighted_stddev_rel": lambda a: _wstd(a[0], a[1], "rel"),
     "weighted_stddev_freq": lambda a: _wstd(a[0], a[1], "freq"),

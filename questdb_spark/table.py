@@ -59,6 +59,10 @@ class TimeTable:
         self.ts_col = ts_col
         self.partition_by = partition_by
         self.dedup_keys = list(dedup_keys) if dedup_keys else []
+        # DEDUP UPSERT KEYS(ts) alone is a valid key set (the designated ts
+        # is always part of the grain) — the DDL layer sets this True even
+        # when the stripped extra-key list is empty
+        self.dedup_enabled = bool(self.dedup_keys)
         self.seq_col = seq_col
         # TTL, reference encoding (SqlParser.parseTtlHoursOrMonths): positive
         # = hours, negative = months; 0 = disabled
@@ -114,15 +118,41 @@ class TimeTable:
     def append(self, df: DataFrame, seq: int = 0) -> None:
         """WAL-style append; `seq` orders writes for dedup resolution.
         Incoming frames use the LOGICAL schema; renamed columns are mapped
-        back to their on-disk names so every partition stays mergeable."""
+        back to their on-disk names so every partition stays mergeable.
+
+        With DEDUP UPSERT KEYS this applies the reference's WAL-merge
+        semantics EAGERLY (``ApplyWal2TableJob.java:87`` + ``dedup.cpp``,
+        pinned by ``sqllogictest/test/dedup/``):
+
+        - in-batch last-write-wins on (keys, ts) in row order (the WAL
+          segment order);
+        - every matching EXISTING row takes the incoming row's values in
+          place — null-safe key equality (NULL and '' are distinct key
+          values, ``string_dedup_null_empty.test``), and multiplicity is
+          preserved (rows that predate DEDUP ENABLE are not retro-merged,
+          ``change_dedup_cols.test``);
+        - non-matching incoming rows are appended.
+
+        Only partitions containing incoming keys are rewritten (ts is part
+        of the dedup grain, so a key match can never live in another
+        partition) — partition-granular like the O3 merge, so a 100 TB
+        table pays for touched partitions only and reads stay merge-free
+        (no per-read window shuffle)."""
         base = df
-        if self.dedup_keys:
-            base = base.withColumn(self.seq_col, F.lit(seq))
-            base = latest_on(base, self.seq_col, [*self.dedup_keys, self.ts_col])
+        if self.dedup_enabled:
+            base = base.withColumn(self.seq_col, F.lit(seq)).withColumn(
+                "__ord", F.monotonically_increasing_id()
+            )
+            base = latest_on(
+                base, self.seq_col, [*self.dedup_keys, self.ts_col], tiebreak="__ord"
+            ).drop("__ord")
             # latest_on emits keys-first — restore the incoming column order
             # so every partition file keeps ONE schema order (mergeSchema
             # reads, and positional INSERTs, depend on it)
             base = base.select(*df.columns, self.seq_col)
+            if _any_parquet(self.path):
+                self._merge_upsert(base)
+                return
         base = self._to_physical(base)  # dedup first: keys are logical names
         phys_ts = self._physical_name(self.ts_col)
         (
@@ -133,6 +163,47 @@ class TimeTable:
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
+
+    def _merge_upsert(self, inc: DataFrame) -> None:
+        """Merge an (in-batch-deduped, seq-stamped, logical-schema) frame
+        into existing storage under the current dedup keys."""
+        from functools import reduce
+
+        phys_ts = self._physical_name(self.ts_col)
+        inc = self._with_partition(self._to_physical(inc), phys_ts)
+        # touched partitions: one value per incoming partition (metadata-
+        # scale collect, same economics as update_where)
+        parts = [r[0] for r in inc.select(PARTITION_COL).distinct().collect()]
+        ex = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        ex = ex.filter(F.col(PARTITION_COL).isin(parts))
+        # align schemas both ways (column tops: partitions written before an
+        # ADD COLUMN lack it; incoming always carries the logical schema)
+        for c in inc.columns:
+            if c not in ex.columns:
+                ex = ex.withColumn(c, F.lit(None).cast(inc.schema[c].dataType))
+        for c in ex.columns:
+            if c not in inc.columns:
+                inc = inc.withColumn(c, F.lit(None).cast(ex.schema[c].dataType))
+        out_cols = ex.columns
+        keys = [self._physical_name(k) for k in self.dedup_keys] + [phys_ts]
+        payload = [c for c in out_cols if c not in keys and c != PARTITION_COL]
+        e, i = ex.alias("e"), inc.withColumn("__m", F.lit(1)).alias("i")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"e.{k}").eqNullSafe(F.col(f"i.{k}")) for k in keys],
+        )
+        matched = F.col("i.__m").isNotNull()
+        overwritten = e.join(i, cond, "left").select(
+            *[F.col(f"e.{k}").alias(k) for k in keys],
+            F.col(f"e.{PARTITION_COL}").alias(PARTITION_COL),
+            *[
+                F.when(matched, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+                for c in payload
+            ],
+        )
+        added = inc.alias("i").join(ex.alias("e"), cond, "left_anti")
+        merged = overwritten.select(*out_cols).unionByName(added.select(*out_cols))
+        self._rewrite_partitions(merged, parts)
 
     # -- ALTER TABLE column surface (AlterOperation.java) --------------------
     # add/drop/rename are METADATA-ONLY: an ops journal (`_qdb_meta.json`,
@@ -265,11 +336,12 @@ class TimeTable:
 
     # -- read path ---------------------------------------------------------
     def read(self, dedup: bool = True) -> DataFrame:
+        """Storage is already dedup-resolved (append merges eagerly), so a
+        read is a plain scan; ``dedup=True`` only hides the internal seq
+        column."""
         df = self._logical(self.spark.read.option("mergeSchema", "true").parquet(self.path))
-        if self.dedup_keys and dedup and self.seq_col in df.columns:
-            df = latest_on(df, self.seq_col, [*self.dedup_keys, self.ts_col]).drop(
-                self.seq_col
-            )
+        if dedup and self.seq_col in df.columns:
+            df = df.drop(self.seq_col)
         return df
 
     def scan_interval(self, interval: str, dedup: bool = True) -> DataFrame:
@@ -298,10 +370,8 @@ class TimeTable:
             & (ts >= F.lit(lo.isoformat(sep=" ")).cast("timestamp"))
             & (ts < F.lit(hi.isoformat(sep=" ")).cast("timestamp"))
         )
-        if self.dedup_keys and dedup and self.seq_col in df.columns:
-            df = latest_on(df, self.seq_col, [*self.dedup_keys, self.ts_col]).drop(
-                self.seq_col
-            )
+        if dedup and self.seq_col in df.columns:
+            df = df.drop(self.seq_col)
         return df
 
     # -- maintenance (UPDATE / DELETE / compaction) ------------------------
@@ -466,8 +536,10 @@ class TimeTable:
         return moved
 
     def compact(self) -> None:
-        """Materialize dedup (ApplyWal2TableJob merge)."""
-        if not self.dedup_keys:
+        """Defragment a dedup table: merge the per-commit append files into
+        one sorted file per partition (dedup itself is already materialized
+        at append time)."""
+        if not self.dedup_enabled:
             return
         out = self.read(dedup=True).withColumn(self.seq_col, F.lit(-1))
         tmp = self.path.rstrip("/") + ".compact"

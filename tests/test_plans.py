@@ -241,3 +241,21 @@ def test_window_join_prevailing_keyless(spark):
         if prev:
             js = js + [max(prev)]
         assert got[i] == (len(js), float(sum(js)) if js else None), i
+
+
+def test_read_parquet_fn_filter_pushdown(spark, tmp_path):
+    """Filters written against a read_parquet() table function must reach
+    the row-group level of the underlying scan (ParquetRowGroupFilter
+    equivalence) — the table function is plan-transparent, not a
+    materialization boundary."""
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    p = str(tmp_path / "rp")
+    spark.range(1, 1001).selectExpr(
+        "id", "cast(id as double) * 1.5 as v"
+    ).write.parquet(p)
+    eng = QdbEngine(spark)
+    df = eng.sql(f"select id, v from read_parquet('{p}') where id > 900")
+    assert has_pushed_filter(df, "id")
+    cols = read_schema_columns(df)
+    assert cols == {"id", "v"} or "id" in cols
