@@ -652,6 +652,93 @@ FROM s
 RND_GENERATORS_SQL = _rnd_generators_sql()
 
 
+_SQL_RND_MACROS_QUERY = """select x,
+  rnd_char() ch,
+  rnd_byte(10, 20) byr,
+  rnd_short() sh2,
+  rnd_float() fl,
+  rnd_str(3, 8) s1,
+  rnd_str(3, 8, 4) s2,
+  rnd_uuid4() u,
+  rnd_ipv4() ip,
+  rnd_geohash(30) gh,
+  hex(rnd_bin(4, 8)) bh,
+  rnd_long256() l256,
+  round(rnd_log(2.0), 6) lg,
+  rnd_date('2020-01-01', '2020-12-30') d,
+  rnd_timestamp('2020-01-01', '2020-06-01') t
+from long_sequence(500)"""
+
+
+def sql_rnd_macros(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL-callable rnd_* macro surface (r5: 47-factory completion —
+    char/byte-range/short/float/str/uuid4/ipv4/geohash/bin/long256/log/
+    date/timestamp now callable from SQL text, ``functions/rnd/``).
+    Every draw is a deterministic mix of the row index with a per-call-site
+    tag, so the DuckDB oracle replays the identical formulas."""
+    from .sqlfront.engine import QdbEngine
+
+    return QdbEngine(spark).sql(_SQL_RND_MACROS_QUERY)
+
+
+def _sql_rnd_macros_sql() -> str:
+    from .sources.generators import mix_sql
+
+    def m(tag: int) -> str:
+        # twin of engine._rnd_sql: per-site stride multiplier on x
+        return mix_sql(f"(x * {2 * tag + 1})", 0, tag)
+
+    # call sites get tags 100, 116, 132, ... in textual order
+    # (engine._expand_fn_macros stride 16)
+    t = {
+        name: 100 + 16 * i
+        for i, name in enumerate(
+            ["ch", "byr", "sh2", "fl", "s1", "s2", "u", "ip",
+             "gh", "bh", "l256", "lg", "d", "ts"]
+        )
+    }
+    geo = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(({m(t['gh'] + i)}) % 32 + 1 AS INTEGER), 1)"
+        for i in range(6)
+    )
+    uh = f"md5(CAST(({m(t['u'])}) AS VARCHAR))"
+    span_s = 152 * 86400  # 2020-01-01 .. 2020-06-01 in seconds
+    return f"""
+WITH s AS (SELECT UNNEST(range(1, 501)) AS x)
+SELECT x,
+  chr(CAST(({m(t['ch'])}) % 26 + 65 AS INTEGER)) AS ch,
+  CAST(({m(t['byr'])}) % 11 + 10 AS TINYINT) AS byr,
+  CAST(({m(t['sh2'])}) % 32768 AS SMALLINT) AS sh2,
+  CAST(({m(t['fl'])}) % 1000000 / 1000000.0 AS FLOAT4) AS fl,
+  substr(md5(CAST(({m(t['s1'] + 1)}) AS VARCHAR)), 1,
+         CAST(({m(t['s1'])}) % 6 + 3 AS INTEGER)) AS s1,
+  CASE WHEN ({m(t['s2'] + 2)}) % 4 = 0 THEN NULL
+       ELSE substr(md5(CAST(({m(t['s2'] + 1)}) AS VARCHAR)), 1,
+                   CAST(({m(t['s2'])}) % 6 + 3 AS INTEGER)) END AS s2,
+  concat_ws('-', substr({uh}, 1, 8), substr({uh}, 9, 4),
+    '4' || substr({uh}, 14, 3), '8' || substr({uh}, 18, 3),
+    substr({uh}, 21, 12)) AS u,
+  CAST(({m(t['ip'])}) % 256 AS VARCHAR) || '.' ||
+    CAST(({m(t['ip'])}) // 256 % 256 AS VARCHAR) || '.' ||
+    CAST(({m(t['ip'])}) // 65536 % 256 AS VARCHAR) || '.' ||
+    CAST(({m(t['ip'])}) // 16777216 % 128 + 1 AS VARCHAR) AS ip,
+  {geo} AS gh,
+  upper(substr(repeat(md5(CAST(({m(t['bh'] + 1)}) AS VARCHAR)), 2), 1,
+               CAST(({m(t['bh'])}) % 5 + 4 AS INTEGER) * 2)) AS bh,
+  '0x' || md5(CAST(({m(t['l256'])}) AS VARCHAR))
+       || md5(CAST(({m(t['l256'] + 1)}) AS VARCHAR)) AS l256,
+  round(-2.0 * ln((({m(t['lg'])}) % 1000000 + 1) / 1000000.0), 6) AS lg,
+  DATE '2020-01-01' + CAST(({m(t['d'])}) % 365 AS INTEGER) AS d,
+  make_timestamp(epoch_us(TIMESTAMP '2020-01-01')
+                 + (({m(t['ts'])}) % {span_s}) * 1000000) AS t
+FROM s
+"""
+
+
+SQL_RND_MACROS_SQL = _sql_rnd_macros_sql()
+
+
 # --------------------------------------------------------------------------
 # Aggregate long tail: haversine, sparkline, union harmonization
 # --------------------------------------------------------------------------

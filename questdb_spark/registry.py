@@ -223,6 +223,9 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_dedup_upsert_sample_by,
         sq.SQL_DEDUP_UPSERT_SQL,
     ),
+    # rnd_* SQL-macro completion (r5): char/byte-range/short/float/str/
+    # uuid4/ipv4/geohash/bin/long256/log/date/timestamp from SQL text
+    "sql_rnd_macros": (fn.sql_rnd_macros, fn.SQL_RND_MACROS_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

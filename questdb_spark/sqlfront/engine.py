@@ -1081,7 +1081,91 @@ _RND_MACROS: dict = {
         f"element_at(array({', '.join(a)}), "
         f"CAST(({_rnd_sql(t)}) % {len(a)} + 1 AS INT))"
     ),
+    # --- SQL-callable completion of the rnd_* factory inventory
+    # (functions/rnd/, 47 factories): the same deterministic-mix formulas
+    # as sources/generators.py, so fixture SQL stays oracle-checkable ---
+    "rnd_char": lambda a, t: f"char(({_rnd_sql(t)}) % 26 + 65)",
+    "rnd_byte": lambda a, t: (
+        f"CAST(({_rnd_sql(t)}) % 128 AS TINYINT)"
+        if not a or not a[0].strip()
+        else f"CAST(({_rnd_sql(t)}) % ({int(a[1]) - int(a[0]) + 1}) + ({int(a[0])}) AS TINYINT)"
+    ),
+    "rnd_short": lambda a, t: (
+        f"CAST(({_rnd_sql(t)}) % 32768 AS SMALLINT)"
+        if not a or not a[0].strip()
+        else f"CAST(({_rnd_sql(t)}) % ({int(a[1]) - int(a[0]) + 1}) + ({int(a[0])}) AS SMALLINT)"
+    ),
+    "rnd_float": lambda a, t: f"CAST(({_rnd_sql(t)}) % 1000000 / 1000000.0 AS FLOAT)",
+    "rnd_str": lambda a, t: _rnd_str_sql(a, t),
+    "rnd_varchar": lambda a, t: _rnd_str_sql(a, t + 17),
+    "rnd_uuid4": lambda a, t: (
+        "concat_ws('-', substring(__h,1,8), substring(__h,9,4), "
+        "concat('4', substring(__h,14,3)), concat('8', substring(__h,18,3)), "
+        "substring(__h,21,12))".replace(
+            "__h", f"md5(CAST(({_rnd_sql(t)}) AS STRING))"
+        )
+    ),
+    "rnd_ipv4": lambda a, t: (
+        f"concat_ws('.', CAST(({_rnd_sql(t)}) % 256 AS STRING), "
+        f"CAST(CAST(floor(({_rnd_sql(t)}) / 256) AS BIGINT) % 256 AS STRING), "
+        f"CAST(CAST(floor(({_rnd_sql(t)}) / 65536) AS BIGINT) % 256 AS STRING), "
+        f"CAST(CAST(floor(({_rnd_sql(t)}) / 16777216) AS BIGINT) % 128 + 1 AS STRING))"
+    ),
+    "rnd_geohash": lambda a, t: _rnd_geohash_sql(a, t),
+    "rnd_bin": lambda a, t: _rnd_bin_sql(a, t),
+    "rnd_long256": lambda a, t: (
+        f"concat('0x', md5(CAST(({_rnd_sql(t)}) AS STRING)), "
+        f"md5(CAST(({_rnd_sql(t + 1)}) AS STRING)))"
+    ),
+    "rnd_log": lambda a, t: (
+        f"-({float(a[0]) if a and a[0].strip() else 1.0}) * "
+        f"ln((({_rnd_sql(t)}) % 1000000 + 1) / 1000000.0)"
+    ),
+    "rnd_date": lambda a, t: (
+        f"date_add(CAST({a[0]} AS DATE), CAST(({_rnd_sql(t)}) % "
+        f"(datediff(CAST({a[1]} AS DATE), CAST({a[0]} AS DATE)) + 1) AS INT))"
+    ),
+    "rnd_timestamp": lambda a, t: (
+        f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP)) + "
+        f"(({_rnd_sql(t)}) % CAST((unix_micros(CAST({a[1]} AS TIMESTAMP)) - "
+        f"unix_micros(CAST({a[0]} AS TIMESTAMP))) / 1000000 AS BIGINT)) * 1000000)"
+    ),
 }
+
+
+def _rnd_str_sql(a: list[str], t: int) -> str:
+    lo = int(a[0]) if a and a[0].strip() else 4
+    hi = int(a[1]) if len(a) > 1 else lo + 4
+    ln = f"CAST(({_rnd_sql(t)}) % ({hi - lo + 1}) + {lo} AS INT)"
+    s = f"substring(md5(CAST(({_rnd_sql(t + 1)}) AS STRING)), 1, {ln})"
+    rate = int(a[2]) if len(a) > 2 and a[2].strip() else 0
+    if rate > 0:
+        return f"CASE WHEN ({_rnd_sql(t + 2)}) % {rate} = 0 THEN NULL ELSE {s} END"
+    return s
+
+
+def _rnd_geohash_sql(a: list[str], t: int) -> str:
+    bits = int(a[0]) if a and a[0].strip() else 30
+    if not 1 <= bits <= 60:
+        raise ValueError("rnd_geohash bits must be 1..60 (GEOLONG max)")
+    chars = max(1, bits // 5)
+    parts = [
+        f"substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(({_rnd_sql(t + i)}) % 32 + 1 AS INT), 1)"
+        for i in range(chars)
+    ]
+    return f"concat({', '.join(parts)})"
+
+
+def _rnd_bin_sql(a: list[str], t: int) -> str:
+    lo = int(a[0]) if a and a[0].strip() else 16
+    hi = int(a[1]) if len(a) > 1 else lo
+    ln = f"CAST(({_rnd_sql(t)}) % ({hi - lo + 1}) + {lo} AS INT)"
+    reps = (hi * 2 + 31) // 32 + 1
+    return (
+        f"unhex(substring(repeat(md5(CAST(({_rnd_sql(t + 1)}) AS STRING)), "
+        f"{reps}), 1, ({ln}) * 2))"
+    )
 
 _FN_MACRO_RE = re.compile(
     r"\b(" + "|".join([*_FN_MACROS, *_RND_MACROS]) + r")\s*\(", re.IGNORECASE
@@ -1119,7 +1203,10 @@ def _expand_fn_macros(s: str) -> str:
             try:
                 if name in _RND_MACROS:
                     expanded = _RND_MACROS[name](args, rnd_tag)
-                    rnd_tag += 2
+                    # stride 16: multi-draw macros (rnd_geohash uses up to
+                    # 12 tags, rnd_str 3) must never collide with the next
+                    # call site's draws
+                    rnd_tag += 16
                 else:
                     expanded = _FN_MACROS[name](args)
             except (ValueError, IndexError, KeyError):
