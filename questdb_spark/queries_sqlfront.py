@@ -460,6 +460,47 @@ FROM merged GROUP BY 1
 """
 
 
+def sql_live_view_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """General live view (``cairo/lv/``, r5): a LATEST ON query as a
+    checkpointed LIVE VIEW — created, then the base receives a second
+    commit that advances a third of the keys; reading the view triggers
+    the incremental per-key state merge (refresh-on-read,
+    REFRESH_TYPE_IMMEDIATE's batch analogue). The oracle recomputes the
+    final latest-per-key state relationally."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.sql(
+        "CREATE TABLE lvbase AS (SELECT ts, user_id, value FROM events "
+        "WHERE event_type = 'click') TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    eng.sql(
+        "CREATE LIVE VIEW lvq AS (SELECT ts, user_id, value FROM lvbase "
+        "LATEST ON ts PARTITION BY user_id)"
+    )
+    eng.sql(
+        "INSERT INTO lvbase SELECT dateadd('h', 1, ts) AS ts, user_id, "
+        "value * 3 AS value FROM events "
+        "WHERE event_type = 'click' AND user_id % 3 = 0"
+    )
+    return eng.sql("SELECT user_id, ts, value FROM lvq")
+
+
+SQL_LIVE_VIEW_SQL = """
+WITH base0 AS (
+  SELECT ts, user_id, value FROM events WHERE event_type = 'click'
+),
+inc AS (
+  SELECT ts + INTERVAL 1 HOUR AS ts, user_id, value * 3 AS value
+  FROM events WHERE event_type = 'click' AND user_id % 3 = 0
+),
+allr AS (SELECT * FROM base0 UNION ALL SELECT * FROM inc)
+SELECT user_id, ts, value FROM (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM allr
+) WHERE rn = 1
+"""
+
+
 def sql_setop_sample_by(spark: SparkSession, sf: str) -> DataFrame:
     """UNION ALL between two SAMPLE BY queries through the dialect
     front-end (depth-0 set-op split; each operand lowers independently)."""

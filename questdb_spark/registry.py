@@ -226,6 +226,9 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
     # rnd_* SQL-macro completion (r5): char/byte-range/short/float/str/
     # uuid4/ipv4/geohash/bin/long256/log/date/timestamp from SQL text
     "sql_rnd_macros": (fn.sql_rnd_macros, fn.SQL_RND_MACROS_SQL),
+    # general live view (cairo/lv/, r5): LATEST ON body, checkpointed
+    # per-key state, incremental refresh-on-read after a second commit
+    "sql_live_view_latest": (sq.sql_live_view_latest, sq.SQL_LIVE_VIEW_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -62,13 +62,18 @@ _DROP_RE = re.compile(
 class MatViewDef:
     name: str
     base: str  # base table name (WITH BASE or the query's FROM table)
-    inner_sql: str  # the stored SAMPLE BY query text
+    inner_sql: str  # the stored view query text
     base_ts: str  # base table's designated timestamp column
     ts_out: str  # output column carrying the bucket timestamp
-    interval: str  # SAMPLE BY interval spec ('1h', '30m', ...)
+    interval: str  # SAMPLE BY interval spec ('1h', '30m', ...); '' non-sampled
     live: bool = False  # LIVE VIEW: incremental refresh on every read
     hwm: datetime | None = None  # base high-water mark at last refresh
     path: str = field(default="")
+    # general live views (cairo/lv/): the stored query may be any dialect
+    # query, with shape-specific incremental strategies
+    shape: str = "sample_by"  # sample_by | latest_on | generic
+    frozen_count: int = -1  # base rows below the incremental cutoff
+    base_count: int = -1  # total base rows at last refresh
 
 
 def is_matview_stmt(kind: str, s: str) -> bool:
@@ -111,9 +116,6 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
     # storage is always date-partitioned parquet (PartitionBy is a native
     # storage detail the parquet layout subsumes)
     q = parse(eng._rewrite_intervals(inner))
-    if q.sample_by is None:
-        raise ValueError("materialized views must be SAMPLE BY queries "
-                         "(MatViewDefinition: matViewSql is a sampled query)")
     base = with_base or q.table
     base_ts = eng.designated_ts.get(base, "ts")
     # output column holding the bucket: the select item that is the bare
@@ -123,12 +125,29 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
          if (i.alias or i.expr.strip()) and i.expr.strip() == base_ts),
         base_ts,
     )
+    # general live views (cairo/lv/ — arbitrary checkpointed queries):
+    # SAMPLE BY gets bucket-window incremental refresh, LATEST ON a
+    # per-key state merge, anything else change-gated recompute
+    if q.sample_by is not None:
+        shape, interval = "sample_by", q.sample_by.interval
+    elif q.latest_on is not None:
+        shape, interval = "latest_on", ""
+    else:
+        if not live:
+            raise ValueError(
+                "materialized views must be SAMPLE BY queries "
+                "(MatViewDefinition: matViewSql is a sampled query); "
+                "use CREATE LIVE VIEW for arbitrary queries (cairo/lv/)"
+            )
+        shape, interval = "generic", ""
     d = MatViewDef(
         name=name, base=base, inner_sql=inner, base_ts=base_ts, ts_out=ts_out,
-        interval=q.sample_by.interval, live=live,
+        interval=interval, live=live, shape=shape,
         path=os.path.join(eng.warehouse, f"__mv_{name}"),
     )
     eng.matviews[name] = d
+    if _restore_state(eng, d):
+        return _status(eng, "create", name, "restored from checkpoint")
     _refresh(eng, d, full=True)
     return _status(eng, "create", name, "live" if live else "materialized")
 
@@ -200,32 +219,176 @@ def _compute(eng: QdbEngine, d: MatViewDef, since: datetime | None) -> DataFrame
 def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
     spark = eng.spark
     base_df = eng.tables.get(d.base) or spark.table(d.base)
-    new_hwm_row = base_df.agg(F.max(d.base_ts).alias("m")).collect()[0]
-    new_hwm = new_hwm_row["m"]
+    if d.base_ts in base_df.columns:
+        stats = base_df.agg(
+            F.max(d.base_ts).alias("m"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        new_hwm, n_now = stats["m"], stats["n"]
+    else:  # generic view over a base without the designated ts column
+        new_hwm, n_now = None, base_df.count()
 
-    cutoff = None if full or d.hwm is None else _bucket_floor(d.hwm, d.interval)
-    if cutoff is None:
-        out = _compute(eng, d, None).withColumn(_PART, F.col(d.ts_out).cast("date"))
-        out.write.partitionBy(_PART).mode("overwrite").parquet(d.path)
-    else:
-        if new_hwm is not None and d.hwm is not None and new_hwm <= d.hwm.replace(tzinfo=None):
+    if d.shape == "generic":
+        # no incremental form: change-gated recompute (max-ts + row count
+        # catch appends AND out-of-order writes); the checkpoint makes the
+        # common no-change read free
+        if (
+            not full
+            and d.base_count >= 0
+            and n_now == d.base_count
+            and _same_hwm(new_hwm, d.hwm)
+        ):
             _register(eng, d)
             return 0
+        _swap_write(d, _compute(eng, d, None))
+        if new_hwm is not None:
+            d.hwm = new_hwm if new_hwm.tzinfo else new_hwm.replace(tzinfo=timezone.utc)
+        d.base_count = d.frozen_count = n_now
+        _save_state(d)
+        _register(eng, d)
+        return 1
+
+    cutoff = None if full or d.hwm is None else _incr_cutoff(d)
+    if cutoff is not None and d.frozen_count >= 0:
+        # O3 guard (WalTxnRangeLoader stand-in): rows landed BELOW the
+        # incremental cutoff since the last refresh are invisible to a
+        # tail recompute — detect via the frozen-region row count (one
+        # pushdown-friendly filtered count) and auto-escalate to FULL
+        frozen_now = base_df.filter(
+            F.col(d.base_ts) < _ts_lit(cutoff)
+        ).count()
+        if frozen_now != d.frozen_count:
+            cutoff = None
+
+    changed = 1
+    if cutoff is None:
+        out = _compute(eng, d, None)
+        if d.shape == "sample_by":
+            out = out.withColumn(_PART, F.col(d.ts_out).cast("date"))
+            out.write.partitionBy(_PART).mode("overwrite").parquet(d.path)
+        else:
+            _swap_write(d, out)
+    elif new_hwm is not None and d.hwm is not None and _same_hwm(new_hwm, d.hwm) \
+            and n_now == d.base_count:
+        changed = 0
+    elif d.shape == "latest_on":
+        # per-key state merge: latest over (stored state ∪ new tail)
+        from ..operators.latest import latest_on as _latest
+
+        from .parser import parse as _parse
+
+        q = _parse(eng._rewrite_intervals(d.inner_sql))
+        ts_col, keys = q.latest_on
+        tail = _compute(eng, d, cutoff)
+        state = spark.read.parquet(d.path).select(*tail.columns)
+        merged = _latest(state.unionByName(tail), ts_col, keys)
+        _swap_write(d, merged.select(*tail.columns))
+    else:  # sample_by bucket-window incremental
         tail = _compute(eng, d, cutoff).withColumn(_PART, F.col(d.ts_out).cast("date"))
-        cutoff_lit = F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
         existing = spark.read.parquet(d.path)
         # rows of the touched date partitions that precede the recomputed
         # window must ride along in the overwrite (same merge the streaming
         # sink does); untouched date partitions are never rewritten
-        carry = existing.filter(F.col(d.ts_out) < cutoff_lit).join(
+        carry = existing.filter(F.col(d.ts_out) < _ts_lit(cutoff)).join(
             tail.select(_PART).distinct(), _PART, "left_semi"
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         carry.unionByName(tail).write.partitionBy(_PART).mode("overwrite").parquet(d.path)
     if new_hwm is not None:
         d.hwm = new_hwm if new_hwm.tzinfo else new_hwm.replace(tzinfo=timezone.utc)
+    d.base_count = n_now
+    if changed or d.frozen_count < 0:
+        nxt = _incr_cutoff(d)
+        d.frozen_count = (
+            base_df.filter(F.col(d.base_ts) < _ts_lit(nxt)).count()
+            if nxt is not None
+            else n_now
+        )
+    _save_state(d)
     _register(eng, d)
-    return 1
+    return changed
+
+
+def _incr_cutoff(d: MatViewDef) -> datetime | None:
+    """Timestamp below which the view's stored state is frozen: the bucket
+    floor of the high-water mark for SAMPLE BY shapes, the mark itself
+    otherwise."""
+    if d.hwm is None:
+        return None
+    if d.shape == "sample_by":
+        return _bucket_floor(d.hwm, d.interval)
+    return d.hwm
+
+
+def _ts_lit(dt: datetime):
+    return F.lit(dt.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp")
+
+
+def _same_hwm(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    a = a.replace(tzinfo=timezone.utc) if a.tzinfo is None else a
+    b = b.replace(tzinfo=timezone.utc) if b.tzinfo is None else b
+    return a == b
+
+
+def _swap_write(d: MatViewDef, out: DataFrame) -> None:
+    """Overwrite unpartitioned view state via tmp-dir swap (the state may
+    be derived from the current files — never read+overwrite in place)."""
+    tmp = d.path.rstrip("/") + ".swap"
+    out.write.mode("overwrite").parquet(tmp)
+    state = os.path.join(d.path, _STATE_FILE)
+    saved = None
+    if os.path.exists(state):
+        with open(state) as fh:
+            saved = fh.read()
+    shutil.rmtree(d.path, ignore_errors=True)
+    os.rename(tmp, d.path)
+    if saved is not None:
+        with open(os.path.join(d.path, _STATE_FILE), "w") as fh:
+            fh.write(saved)
+
+
+_STATE_FILE = "_lv_state.json"  # underscore: invisible to parquet discovery
+
+
+def _save_state(d: MatViewDef) -> None:
+    """Checkpoint (LiveViewCheckpointDataStore equivalent): enough state to
+    resume incremental refresh in a NEW session over the same warehouse."""
+    import json
+
+    os.makedirs(d.path, exist_ok=True)
+    with open(os.path.join(d.path, _STATE_FILE), "w") as fh:
+        json.dump(
+            {
+                "inner_sql": d.inner_sql,
+                "shape": d.shape,
+                "hwm": d.hwm.isoformat() if d.hwm else None,
+                "frozen_count": d.frozen_count,
+                "base_count": d.base_count,
+            },
+            fh,
+        )
+
+
+def _restore_state(eng: QdbEngine, d: MatViewDef) -> bool:
+    """Adopt a previous session's checkpoint when the stored query text
+    matches — the restart path: no recompute, incremental refresh resumes
+    from the persisted high-water mark."""
+    import json
+
+    f = os.path.join(d.path, _STATE_FILE)
+    try:
+        with open(f) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError):
+        return False
+    if st.get("inner_sql") != d.inner_sql or st.get("shape") != d.shape:
+        return False
+    d.hwm = datetime.fromisoformat(st["hwm"]) if st.get("hwm") else None
+    d.frozen_count = st.get("frozen_count", -1)
+    d.base_count = st.get("base_count", -1)
+    _register(eng, d)
+    return True
 
 
 def _register(eng: QdbEngine, d: MatViewDef) -> None:

@@ -435,3 +435,110 @@ def test_detach_attach_partition(eng):
     eng.sql("ALTER TABLE dp ATTACH PARTITION LIST '2024-01'")
     got = sorted(r["v"] for r in eng.sql("SELECT v FROM dp").collect())
     assert got == [1.0, 2.0, 3.0]
+
+
+# -- general live views (cairo/lv/: arbitrary checkpointed queries) ----------
+
+
+def test_live_view_latest_on_incremental_and_o3(eng):
+    """LATEST ON live view: per-key state merge on append; an out-of-order
+    write below the high-water mark is auto-detected by the frozen-region
+    count and escalates to a full recompute (WalTxnRangeLoader analogue)."""
+    _seed_events(eng, "ev4")
+    eng.sql(
+        "CREATE LIVE VIEW lvl AS (SELECT ts, sym, v FROM ev4 "
+        "LATEST ON ts PARTITION BY sym)"
+    )
+
+    def snap():
+        return {
+            r["sym"]: (str(r["ts"]), r["v"])
+            for r in eng.sql("SELECT * FROM lvl").collect()
+        }
+
+    got = snap()
+    assert got["a"] == ("2024-01-01 02:20:00", 4.0)
+    assert got["b"] == ("2024-01-01 01:10:00", 3.0)
+
+    # in-order append: newer row for a, brand-new key c
+    eng.sql(
+        "INSERT INTO ev4 VALUES "
+        "(TIMESTAMP '2024-01-01 03:00:00', 'a', 9.0), "
+        "(TIMESTAMP '2024-01-01 03:30:00', 'c', 5.0)"
+    )
+    eng.register("ev4", eng.ddl_read("ev4"), designated_ts="ts")
+    got = snap()
+    assert got["a"] == ("2024-01-01 03:00:00", 9.0)
+    assert got["c"] == ("2024-01-01 03:30:00", 5.0)
+    assert got["b"] == ("2024-01-01 01:10:00", 3.0)
+
+    # O3 append BELOW the hwm that still changes b's latest row
+    eng.sql("INSERT INTO ev4 VALUES (TIMESTAMP '2024-01-01 01:40:00', 'b', 8.0)")
+    eng.register("ev4", eng.ddl_read("ev4"), designated_ts="ts")
+    got = snap()
+    assert got["b"] == ("2024-01-01 01:40:00", 8.0)
+    # batch-twin equality after the whole feed
+    twin = {
+        r["sym"]: (str(r["ts"]), r["v"])
+        for r in eng.sql(
+            "SELECT ts, sym, v FROM ev4 LATEST ON ts PARTITION BY sym"
+        ).collect()
+    }
+    assert got == twin
+
+
+def test_live_view_generic_query_and_gating(eng):
+    """Arbitrary (non-SAMPLE-BY, non-LATEST-ON) query as a LIVE view:
+    change-gated recompute keeps it equal to the batch twin across
+    in-order and out-of-order feeds; MATERIALIZED stays SAMPLE-BY-only."""
+    _seed_events(eng, "ev5")
+    eng.sql(
+        "CREATE LIVE VIEW lvg AS (SELECT sym, count(*) AS n, sum(v) AS sv "
+        "FROM ev5 GROUP BY sym)"
+    )
+
+    def snap():
+        return {
+            r["sym"]: (r["n"], r["sv"])
+            for r in eng.sql("SELECT * FROM lvg").collect()
+        }
+
+    assert snap() == {"a": (3, 7.0), "b": (1, 3.0)}
+    # O3 write (older than every existing row)
+    eng.sql("INSERT INTO ev5 VALUES (TIMESTAMP '2023-12-31 23:00:00', 'b', 2.0)")
+    eng.register("ev5", eng.ddl_read("ev5"), designated_ts="ts")
+    assert snap() == {"a": (3, 7.0), "b": (2, 5.0)}
+
+    with pytest.raises(Exception):
+        eng.sql("CREATE MATERIALIZED VIEW badmv AS (SELECT sym FROM ev5 GROUP BY sym)")
+
+
+def test_live_view_restart_resumes_checkpoint(eng, spark):
+    """A new session over the same warehouse adopts the persisted
+    checkpoint (LiveViewCheckpointDataStore): no initial recompute, and
+    incremental refresh resumes from the stored high-water mark."""
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    _seed_events(eng, "ev6")
+    body = "SELECT ts, sym, v FROM ev6 LATEST ON ts PARTITION BY sym"
+    eng.sql(f"CREATE LIVE VIEW lvr AS ({body})")
+    eng.sql("SELECT * FROM lvr").collect()
+
+    eng2 = QdbEngine(spark, warehouse=eng.warehouse)
+    eng2.register("ev6", eng.ddl_read("ev6"), designated_ts="ts")
+    st = eng2.sql(f"CREATE LIVE VIEW lvr AS ({body})").collect()
+    assert st[0]["detail"] == "restored from checkpoint"
+
+    # incremental refresh continues in the new session
+    eng.sql("INSERT INTO ev6 VALUES (TIMESTAMP '2024-01-01 04:00:00', 'a', 42.0)")
+    eng2.register("ev6", eng.ddl_read("ev6"), designated_ts="ts")
+    got = {
+        r["sym"]: (str(r["ts"]), r["v"])
+        for r in eng2.sql("SELECT * FROM lvr").collect()
+    }
+    assert got["a"] == ("2024-01-01 04:00:00", 42.0)
+    twin = {
+        r["sym"]: (str(r["ts"]), r["v"])
+        for r in eng2.sql(body).collect()
+    }
+    assert got == twin
