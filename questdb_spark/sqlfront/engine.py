@@ -199,6 +199,19 @@ class QdbEngine:
         )
         rewritten = self._rewrite_catalog_fns(rewritten)
         rewritten = self._rewrite_read_parquet(rewritten)
+        # QuestDB statement form `(subquery) [where ...] [order by ...]`
+        # (AsOfJoinTest: `(select ...) where lo != null`) — wrap as a
+        # SELECT so both parser paths accept it; set operations keep the
+        # parenthesized operand untouched
+        st = rewritten.strip()
+        if st.startswith("("):
+            masked_st = mask_literals(st)
+            end = self._pivot_close(masked_st, 0, st)
+            tail = st[end + 1 :].strip()
+            if tail and not re.match(
+                r"^(union|intersect|except|pivot)\b", tail, re.IGNORECASE
+            ):
+                rewritten = f"SELECT * FROM {st[: end + 1]} {tail}"
         top_pivot = self._rewrite_top_pivot(rewritten)
         if top_pivot is not None:
             rewritten = top_pivot
@@ -581,6 +594,58 @@ class QdbEngine:
         )
 
     # ------------------------------------------------------------------
+    def _rewrite_join_qualifiers(self, q: QdbQuery, mcols: list, ts_col: str) -> None:
+        """After an ASOF/LT/SPLICE join is flattened, translate
+        ``<master_alias>.<col>`` / ``<slave_alias>.<col>`` references in the
+        query's remaining clauses onto the join's output names: master
+        columns keep their names, the slave timestamp becomes ``slave_ts``
+        (``master_ts``/``slave_ts`` for SPLICE), shared keys stay bare, and
+        colliding slave payload columns carry the ``_slave`` suffix
+        (operators/asof.py naming)."""
+        ma = (q.table_alias or q.table).lower()
+        sa = (q.join.alias or q.join.table).lower()
+        if ma == sa:
+            return  # no distinct qualifiers to translate
+        keys = {k.lower() for k in q.join.keys}
+        taken = {c.lower() for c in mcols}
+        splice = q.join.kind == "splice"
+
+        def mapped(qual: str, col: str) -> str | None:
+            lq, lc = qual.lower(), col.lower()
+            if lq == ma:
+                return "master_ts" if splice and lc == ts_col.lower() else col
+            if lq == sa:
+                if lc == ts_col.lower():
+                    return "slave_ts"
+                if lc in keys:
+                    return col
+                return f"{col}_slave" if lc in taken else col
+            return None
+
+        def sub(text: str | None) -> str | None:
+            if not text:
+                return text
+            masked = mask_literals(text)
+            out: list[str] = []
+            last = 0
+            for m in re.finditer(r"\b(\w+)\s*\.\s*(\w+)\b", masked):
+                new = mapped(m.group(1), m.group(2))
+                if new is None:
+                    continue
+                out.append(text[last : m.start()])
+                out.append(new)
+                last = m.end()
+            out.append(text[last:])
+            return "".join(out)
+
+        q.where = sub(q.where)
+        q.having = sub(q.having)
+        for i in q.select_items:
+            i.expr = sub(i.expr)
+        q.group_by = [sub(g) for g in q.group_by or []]
+        q.order_by = sub(q.order_by)
+
+    # ------------------------------------------------------------------
     def _table(self, name: str, alias: str | None) -> DataFrame:
         """Resolve a FROM/JOIN source: a registered table, a plain view, a
         temp view, or a parenthesized subquery (recursively lowered —
@@ -614,10 +679,15 @@ class QdbEngine:
         if q.join is not None:
             other = self._table(q.join.table, q.join.alias)
             fn = {"asof": asof_join, "lt": lt_join, "splice": splice_join}[q.join.kind]
+            mcols = list(df.columns)
             if q.join.kind == "splice":
                 df = fn(df, other, ts_col, keys=q.join.keys)
             else:
                 df = fn(df, other, ts_col, keys=q.join.keys, tolerance=q.join.tolerance)
+            # `tab a asof join tab b on (tag)` projections say `a.seq` /
+            # `b.seq` (AsOfJoinTest fixtures); the flattened join output
+            # names them `seq` / `seq_slave` — rewrite the qualifiers
+            self._rewrite_join_qualifiers(q, mcols, ts_col)
 
         if q.where:
             df = df.filter(F.expr(q.where))
