@@ -219,11 +219,24 @@ def _compute(eng: QdbEngine, d: MatViewDef, since: datetime | None) -> DataFrame
 def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
     spark = eng.spark
     base_df = eng.tables.get(d.base) or spark.table(d.base)
+    frozen_now = None
     if d.base_ts in base_df.columns:
-        stats = base_df.agg(
-            F.max(d.base_ts).alias("m"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
+        # one pass: high-water mark, total rows, AND the frozen-region
+        # count for the O3 guard (cutoff is derived from the PREVIOUS
+        # hwm, so it is known before the scan)
+        aggs = [F.max(d.base_ts).alias("m"), F.count(F.lit(1)).alias("n")]
+        prev_cut = _incr_cutoff(d)
+        if prev_cut is not None:
+            pred = (
+                F.col(d.base_ts) < _ts_lit(prev_cut)
+                if d.shape == "sample_by"
+                else F.col(d.base_ts) <= _ts_lit(prev_cut)
+            )
+            aggs.append(F.count_if(pred).alias("f"))
+        stats = base_df.agg(*aggs).collect()[0]
         new_hwm, n_now = stats["m"], stats["n"]
+        if prev_cut is not None:
+            frozen_now = stats["f"]
     else:  # generic view over a base without the designated ts column
         new_hwm, n_now = None, base_df.count()
 
@@ -248,14 +261,10 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
         return 1
 
     cutoff = None if full or d.hwm is None else _incr_cutoff(d)
-    if cutoff is not None and d.frozen_count >= 0:
+    if cutoff is not None and d.frozen_count >= 0 and frozen_now is not None:
         # O3 guard (WalTxnRangeLoader stand-in): rows landed BELOW the
         # incremental cutoff since the last refresh are invisible to a
-        # tail recompute — detect via the frozen-region row count (one
-        # pushdown-friendly filtered count) and auto-escalate to FULL
-        frozen_now = base_df.filter(
-            F.col(d.base_ts) < _ts_lit(cutoff)
-        ).count()
+        # tail recompute — a changed frozen-region count escalates to FULL
         if frozen_now != d.frozen_count:
             cutoff = None
 
@@ -297,12 +306,17 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
         d.hwm = new_hwm if new_hwm.tzinfo else new_hwm.replace(tzinfo=timezone.utc)
     d.base_count = n_now
     if changed or d.frozen_count < 0:
-        nxt = _incr_cutoff(d)
-        d.frozen_count = (
-            base_df.filter(F.col(d.base_ts) < _ts_lit(nxt)).count()
-            if nxt is not None
-            else n_now
-        )
+        if d.shape == "sample_by":
+            # frozen region = rows below the NEXT bucket-floor cutoff
+            nxt = _incr_cutoff(d)
+            d.frozen_count = (
+                base_df.filter(F.col(d.base_ts) < _ts_lit(nxt)).count()
+                if nxt is not None
+                else n_now
+            )
+        else:
+            # frozen region = rows <= hwm, which is every row: free
+            d.frozen_count = n_now
     _save_state(d)
     _register(eng, d)
     return changed
