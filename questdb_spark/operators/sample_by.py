@@ -149,6 +149,17 @@ def sample_by(
     keys = list(keys)
     if align not in ("calendar", "first_observation"):
         raise ValueError(f"unknown align mode: {align!r}")
+    if from_ts is not None and to_ts is not None:
+        from datetime import datetime
+
+        try:
+            lo_dt, hi_dt = datetime.fromisoformat(from_ts), datetime.fromisoformat(to_ts)
+        except ValueError:
+            lo_dt = hi_dt = None
+        if lo_dt is not None and lo_dt > hi_dt:
+            # SampleByFillTest.testFillFromGreaterThanToRejected (FROM == TO
+            # is a valid zero-length range: TO is exclusive → empty result)
+            raise ValueError("TO timestamp must not be earlier than FROM timestamp")
     if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
         # unix_micros needs TIMESTAMP; session tz is UTC so the cast is exact
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -206,33 +217,43 @@ def sample_by(
         bounds = out.agg(
             F.min(bucket_name).alias("lo"), F.max(bucket_name).alias("hi")
         )
+    # FROM == TO (exclusive upper bound) flips hi below lo: a zero-length
+    # range is valid and yields an EMPTY spine, not an error
+    # (SampleByFillTest.testFillFromEqualsToAccepted)
     spine = bounds.select(
-        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias(bucket_name)
+        F.explode(
+            F.when(F.col("lo") <= F.col("hi"), F.expr(f"sequence(lo, hi, {step})"))
+            .otherwise(F.expr("CAST(array() AS array<timestamp>)"))
+        ).alias(bucket_name)
     )
     if keys:
         spine = spine.crossJoin(F.broadcast(df.select(*keys).distinct()))
 
     filled = spine.join(out, [bucket_name, *keys], "left")
 
+    # per-column fill modes: a plain string broadcasts to every aggregate;
+    # a mapping assigns modes positionally-resolved by the caller
+    # (``FILL(PREV, 0, NULL)`` — SampleByFillTest multi-value lists)
     names = list(aggs.keys())
-    if fill == "null":
-        return filled
-    if fill == "value":
-        fv = fill_values or {}
-        for name in names:
-            if name in fv:
-                filled = filled.withColumn(name, F.coalesce(F.col(name), F.lit(fv[name])))
-        return filled
-    if fill == "prev":
+    modes = dict(fill) if isinstance(fill, Mapping) else {n: fill for n in names}
+    bad = set(modes.values()) - {"null", "value", "prev", "linear"}
+    if bad:
+        raise ValueError(f"unknown fill mode: {sorted(bad)!r}")
+    fv = fill_values or {}
+    for name in names:
+        if modes.get(name) == "value" and name in fv:
+            filled = filled.withColumn(name, F.coalesce(F.col(name), F.lit(fv[name])))
+    prev_cols = [n for n in names if modes.get(n) == "prev"]
+    lin_cols = [n for n in names if modes.get(n) == "linear"]
+    if prev_cols:
         w = (
             Window.partitionBy(*keys)
             .orderBy(bucket_name)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        for name in names:
+        for name in prev_cols:
             filled = filled.withColumn(name, F.last(name, ignorenulls=True).over(w))
-        return filled
-    if fill == "linear":
+    if lin_cols:
         wp = (
             Window.partitionBy(*keys)
             .orderBy(bucket_name)
@@ -244,7 +265,7 @@ def sample_by(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         bus = to_micros(F.col(bucket_name))
-        for name in names:
+        for name in lin_cols:
             c = F.col(name)
             marked_ts = F.when(c.isNotNull(), bus)
             pv = F.last(c, ignorenulls=True).over(wp)
@@ -258,5 +279,4 @@ def sample_by(
                     pt.isNotNull() & nt.isNotNull(), interp
                 ),  # QuestDB linear fill leaves leading/trailing gaps null
             )
-        return filled
-    raise ValueError(f"unknown fill mode: {fill!r}")
+    return filled

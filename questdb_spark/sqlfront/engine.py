@@ -884,8 +884,31 @@ class QdbEngine:
             else:
                 keys.append(item.expr.strip())
         fill = sb.fill
-        fill_values = None
-        if fill is not None and fill not in ("none", "null", "prev", "linear"):
+        fill_values: dict | None = None
+        if fill is not None and "," in fill:
+            # per-column fill list, positional over the aggregate columns
+            # (SampleByFillTest: FILL(PREV, 0, NULL); count mismatch is an
+            # error, never silent null-padding)
+            parts = [p.strip().lower() for p in fill.split(",")]
+            if len(parts) != len(aggs):
+                raise ValueError(
+                    f"not enough fill values: {len(parts)} for {len(aggs)} aggregates"
+                )
+            fill_values = {}
+            fill_modes: dict[str, str] = {}
+            for name, p in zip(aggs, parts):
+                if p in ("null", "prev", "linear"):
+                    fill_modes[name] = p
+                elif p == "none":
+                    raise ValueError("FILL(NONE) cannot appear in a fill list")
+                else:
+                    try:
+                        fill_values[name] = float(p)
+                    except ValueError:
+                        raise ValueError(f"unsupported FILL: {p!r}") from None
+                    fill_modes[name] = "value"
+            fill = fill_modes
+        elif fill is not None and fill not in ("none", "null", "prev", "linear"):
             try:
                 const = float(fill)
             except ValueError:
