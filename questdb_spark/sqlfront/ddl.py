@@ -88,6 +88,12 @@ _TYPES = {
     "binary": "binary",
     "ipv4": "string",
     "geohash": "string",
+    # ANSI aliases accepted for convenience (the reference's canonical
+    # names are the QuestDB types above)
+    "bigint": "bigint",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "text": "string",
 }
 
 

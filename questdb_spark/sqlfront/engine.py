@@ -1081,6 +1081,36 @@ def _ts_ceil(a: list[str]) -> str:
     return f"CASE WHEN {fl} = ({ts}) THEN ({ts}) ELSE {bumped} END"
 
 
+def _size_pretty_sql(x: str) -> str:
+    """size_pretty(bytes) → '1.5 GiB' (SizePrettyFunctionFactory: scale =
+    1024^(msb/10), one decimal, B has no 'iB' suffix)."""
+    z = f"CAST(floor(log2(greatest(CAST(({x}) AS BIGINT), 1)) / 10) AS INT)"
+    val = f"round(CAST(({x}) AS DOUBLE) / power(2, ({z}) * 10), 1)"
+    unit = (
+        f"element_at(array('B','KiB','MiB','GiB','TiB','PiB','EiB','ZiB'), ({z}) + 1)"
+    )
+    return f"concat(CAST({val} AS STRING), ' ', {unit})"
+
+
+def _bar_sql(a: list[str]) -> str:
+    """bar(value, min, max, width) → '███▋' (BarFunctionFactory: full
+    blocks + one fractional eighth-block; NULL on NaN/invalid bounds)."""
+    v, mn, mx, w = (a + ["10"])[:4]
+    filled = (
+        f"((greatest(({mn}), least(({mx}), ({v}))) - ({mn})) / (({mx}) - ({mn}))"
+        f" * ({w}))"
+    )
+    whole = f"CAST(floor({filled}) AS INT)"
+    frac8 = f"CAST(floor(({filled} - floor({filled})) * 8) AS INT)"
+    return (
+        f"CASE WHEN ({v}) IS NULL OR isnan(CAST(({v}) AS DOUBLE)) "
+        f"OR ({mn}) IS NULL OR ({mx}) IS NULL OR ({w}) <= 0 OR ({mn}) >= ({mx}) "
+        f"THEN NULL ELSE concat(repeat('█', {whole}), "
+        f"CASE WHEN {whole} < ({w}) AND {frac8} > 0 "
+        f"THEN substring('▏▎▍▌▋▊▉█', {frac8}, 1) ELSE '' END) END"
+    )
+
+
 def _compensated_sum(a: list[str]) -> str:
     x = a[0]
     exact = f"CAST(try_sum(try_cast(({x}) AS DECIMAL(38,12))) AS DOUBLE)"
@@ -1122,6 +1152,16 @@ _FN_MACROS: dict = {
     "string_distinct_agg": lambda a: (
         f"array_join(array_sort(collect_set({a[0]})), {a[1] if len(a) > 1 else chr(39) + ',' + chr(39)})"
     ),
+    # str/ long tail (SizePrettyFunctionFactory, QuoteIdentFunctionFactory,
+    # BarFunctionFactory, ToLowercase/ToUppercase aliases)
+    "size_pretty": lambda a: _size_pretty_sql(a[0]),
+    "quote_ident": lambda a: (
+        f"CASE WHEN ({a[0]}) RLIKE '^[a-zA-Z_][a-zA-Z0-9_$]*$' THEN ({a[0]}) "
+        f"ELSE concat('\"', replace(({a[0]}), '\"', '\"\"'), '\"') END"
+    ),
+    "bar": lambda a: _bar_sql(a),
+    "to_lowercase": lambda a: f"lower({a[0]})",
+    "to_uppercase": lambda a: f"upper({a[0]})",
     "haversine_dist_deg": lambda a: (
         f"2 * 6371.0 * asin(sqrt(pow(sin(radians(({a[2]}) - ({a[0]})) / 2), 2)"
         f" + cos(radians({a[0]})) * cos(radians({a[2]}))"
