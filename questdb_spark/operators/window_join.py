@@ -106,6 +106,11 @@ def window_join(
     unbounded join range here.
     """
     keys = list(keys)
+    if lo.startswith("dyn:") or hi.startswith("dyn:"):
+        return _window_join_dynamic(
+            master, slave, ts_col, keys, lo, hi, aggs, master_id,
+            include_prevailing,
+        )
     lo_us, hi_us = interval_micros(lo), interval_micros(hi)
     if hi_us < lo_us:
         raise ValueError(f"window hi {hi!r} precedes lo {lo!r}")
@@ -116,9 +121,12 @@ def window_join(
         f" AND s.{ts_col} <= m.{ts_col} + INTERVAL {hi}"
     )
     if include_prevailing:
-        # prevailing ts per master: LT (strict-<) asof probe at window start
+        # prevailing ts per master: LT (strict-<) asof probe at window start.
+        # master_id rides under an internal name — it may BE the ts column
+        # (keyless masters whose first select item is ts), and the probe
+        # must not carry two same-named columns
         probe = master.select(
-            F.col(master_id),
+            F.col(master_id).alias("__mid"),
             *[F.col(k) for k in keys],
             F.expr(f"{ts_col} + INTERVAL {lo}").alias(ts_col),
         )
@@ -130,7 +138,7 @@ def window_join(
             strict=True,
             slave_ts_out="__prev_ts",
             chunk=None if keys else "7 days",
-        ).select(F.col(master_id), F.col("__prev_ts"))
+        ).select(F.col("__mid").alias(master_id), F.col("__prev_ts"))
         master2 = master.join(prev, master_id, "left")
         start_bucket = F.floor((to_micros(ts_col) + F.lit(lo_us)) / F.lit(width))
         prev_bucket = F.floor(to_micros("__prev_ts") / F.lit(width))
@@ -157,6 +165,94 @@ def window_join(
         " AND ".join(
             [f"m.{k} <=> s.{k}" for k in keys]
             + ["m.__bucket = s.__bucket", match_cond]
+        )
+    )
+    joined = m.join(s, cond, "left")
+    mcols = [f"m.{c}" for c in master.columns]
+    return joined.groupBy(*[F.col(c) for c in mcols]).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+
+
+def _window_join_dynamic(
+    master: DataFrame,
+    slave: DataFrame,
+    ts_col: str,
+    keys: list,
+    lo: str,
+    hi: str,
+    aggs: Mapping[str, Column],
+    master_id: str,
+    include_prevailing: bool,
+) -> DataFrame:
+    """WINDOW JOIN with DYNAMIC per-master-row bounds
+    (``WindowJoinTest.testDynamicWindow*``; plan shows ``window lo:
+    dynamic``): ``lo``/``hi`` are ``dyn:``-prefixed SQL expressions over
+    master columns yielding signed MICROSECOND offsets (or plain interval
+    strings on one side).
+
+    The bucketed scale shape survives: bucket width W is the MAXIMUM
+    window width over the master (one scalar plan-time aggregate — the
+    IVF-centroid economics). Every per-row window is ≤ W wide, so it
+    still overlaps at most two W-buckets: each master row explodes to its
+    own start/end buckets and the join stays an equi-join on
+    (keys…, bucket) with the exact per-row range check as a post-filter.
+    A NULL bound yields an empty window (the master row survives the
+    left join with NULL aggregates)."""
+
+    def bound_col(b: str) -> Column:
+        if b.startswith("dyn:"):
+            return F.expr(b[4:])
+        return F.lit(interval_micros(b)).cast("long")
+
+    m0 = master.withColumn("__lo_us", bound_col(lo)).withColumn(
+        "__hi_us", bound_col(hi)
+    )
+    wrow = m0.agg(
+        F.max(F.col("__hi_us") - F.col("__lo_us")).alias("w")
+    ).collect()[0]
+    width = max(int(wrow["w"] or 0), 1)
+
+    range_cond = (
+        f"s.{ts_col} >= timestampadd(MICROSECOND, m.__lo_us, m.{ts_col})"
+        f" AND s.{ts_col} <= timestampadd(MICROSECOND, m.__hi_us, m.{ts_col})"
+    )
+    start_b = F.floor((to_micros(ts_col) + F.col("__lo_us")) / F.lit(width))
+    end_b = F.floor((to_micros(ts_col) + F.col("__hi_us")) / F.lit(width))
+    bucket_arr = [start_b, end_b]
+    if include_prevailing:
+        probe_src = m0.filter(F.col("__lo_us").isNotNull()).select(
+            F.col(master_id).alias("__mid"),
+            *[F.col(k) for k in keys],
+            F.timestamp_micros(
+                (to_micros(ts_col) + F.col("__lo_us")).cast("long")
+            ).alias(ts_col),
+        )
+        prev = asof_join(
+            probe_src,
+            slave.select(*[F.col(k) for k in keys], F.col(ts_col)),
+            ts_col,
+            keys,
+            strict=True,
+            slave_ts_out="__prev_ts",
+            chunk=None if keys else "7 days",
+        ).select(F.col("__mid").alias(master_id), F.col("__prev_ts"))
+        m0 = m0.join(prev, master_id, "left")
+        bucket_arr.append(F.floor(to_micros("__prev_ts") / F.lit(width)))
+        range_cond = f"(({range_cond}) OR s.{ts_col} = m.__prev_ts)"
+    buckets = F.array_distinct(
+        F.filter(F.array(*bucket_arr), lambda b: b.isNotNull())
+    )
+    # explode_outer: a master row whose bounds are NULL keeps one row with
+    # a NULL bucket (no slave match) instead of disappearing
+    m = m0.withColumn("__bucket", F.explode_outer(buckets)).alias("m")
+    s = slave.withColumn(
+        "__bucket", F.floor(to_micros(ts_col) / F.lit(width))
+    ).alias("s")
+    cond = F.expr(
+        " AND ".join(
+            [f"m.{k} <=> s.{k}" for k in keys]
+            + ["m.__bucket = s.__bucket", f"({range_cond})"]
         )
     )
     joined = m.join(s, cond, "left")

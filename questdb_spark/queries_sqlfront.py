@@ -254,6 +254,37 @@ GROUP BY m.event_id, m.user_id, m.ts, m.click_value
 """
 
 
+def sql_window_join_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """WINDOW JOIN with DYNAMIC per-row bounds (r5;
+    ``WindowJoinTest.testDynamicWindow*`` — the plan's ``window lo:
+    dynamic`` path): the look-back stretches per master row with
+    ``user_id % 3 + 1`` minutes while the look-ahead stays constant. The
+    bucketed lowering keeps its scale shape by sizing buckets to the
+    MAXIMUM window width (one scalar plan-time aggregate)."""
+    eng = _engine(spark, sf, {})
+    _register_streams(eng, spark, sf)
+    return eng.sql(
+        "SELECT event_id, user_id, ts, click_value, "
+        "count(p.purchase_value) AS n_purchases, "
+        "cast(cast(sum(cast(p.purchase_value AS decimal(12,2))) AS decimal(20,2)) AS double) AS sum_purchases "
+        "FROM clicks WINDOW JOIN purchases p ON (user_id) "
+        "RANGE BETWEEN (user_id % 3 + 1) * 20 minutes PRECEDING "
+        "AND 10 minutes FOLLOWING EXCLUDE PREVAILING"
+    )
+
+
+SQL_WINDOW_JOIN_DYNAMIC_SQL = f"""
+WITH m AS ({_MASTER_SQL}), s AS ({_SLAVE_SQL})
+SELECT m.event_id, m.user_id, m.ts, m.click_value,
+  COUNT(s.purchase_value) AS n_purchases,
+  CAST(CAST(SUM(CAST(s.purchase_value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS sum_purchases
+FROM m LEFT JOIN s ON s.user_id = m.user_id
+  AND s.ts >= m.ts - (m.user_id % 3 + 1) * 20 * INTERVAL 1 MINUTE
+  AND s.ts <= m.ts + INTERVAL 10 MINUTE
+GROUP BY m.event_id, m.user_id, m.ts, m.click_value
+"""
+
+
 def sql_window_join_prevailing(spark: SparkSession, sf: str) -> DataFrame:
     """``WINDOW JOIN ... INCLUDE PREVAILING`` (SqlParser.java:4967,
     WindowJoinContext.java:39 — the reference DEFAULT): besides the slave

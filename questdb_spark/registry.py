@@ -229,6 +229,12 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
     # general live view (cairo/lv/, r5): LATEST ON body, checkpointed
     # per-key state, incremental refresh-on-read after a second commit
     "sql_live_view_latest": (sq.sql_live_view_latest, sq.SQL_LIVE_VIEW_SQL),
+    # WINDOW JOIN dynamic per-row bounds (r5, WindowJoinTest
+    # testDynamicWindow*): bucketed by the max window width
+    "sql_window_join_dynamic": (
+        sq.sql_window_join_dynamic,
+        sq.SQL_WINDOW_JOIN_DYNAMIC_SQL,
+    ),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

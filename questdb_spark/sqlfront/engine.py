@@ -796,6 +796,18 @@ class QdbEngine:
         for extra in (ts_col, *spec.keys):
             if extra not in mcols:
                 mcols.append(extra)
+        # dynamic bounds (testDynamicWindowBoundColumnNotInSelect): master
+        # columns referenced only inside a bound expression still ride the
+        # master projection; slave-side references stay unresolved and fail
+        # analysis like the reference's "slave column in bound" error
+        lo_b, hi_b = spec.lo, spec.hi
+        for b in (lo_b, hi_b):
+            if b.startswith("dyn:"):
+                for ident in re.findall(r"\b[A-Za-z_]\w*\b", strip_m(b[4:])):
+                    if ident in df.columns and ident not in mcols:
+                        mcols.append(ident)
+        lo_b = "dyn:" + strip_m(lo_b[4:]) if lo_b.startswith("dyn:") else lo_b
+        hi_b = "dyn:" + strip_m(hi_b[4:]) if hi_b.startswith("dyn:") else hi_b
         for c in mcols:
             if not re.fullmatch(r"\w+", c):
                 raise ValueError(
@@ -804,7 +816,7 @@ class QdbEngine:
         master = df.select(*mcols)
         aggs = {i.out_name: F.expr(to_s(i.expr)) for i in agg_items}
         out = window_join(
-            master, slave, ts_col, spec.keys, spec.lo, spec.hi, aggs,
+            master, slave, ts_col, spec.keys, lo_b, hi_b, aggs,
             master_id=mcols[0],
             include_prevailing=spec.include_prevailing,
         )

@@ -530,15 +530,44 @@ _BOUND_RE = re.compile(
 )
 
 
+_BOUND_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
 def _parse_bound(expr: str, direction: str) -> str:
-    """'30 seconds' / '1 minute' + PRECEDING|FOLLOWING → signed interval."""
-    m = re.match(r"^(\d+)\s*(\w+?)s?$", expr.strip(), re.IGNORECASE)
-    if not m:
-        raise ValueError(f"unsupported WINDOW JOIN bound: {expr!r} "
-                         "(only static numeric bounds)")
-    n, unit = int(m.group(1)), m.group(2).lower()
+    """WINDOW JOIN bound → signed interval string, or a ``dyn:``-prefixed
+    microseconds expression for DYNAMIC bounds (WindowJoinTest
+    testDynamicWindow*): the bound may be any master-side expression,
+    optionally followed by a time unit (``lo_bound minutes PRECEDING``,
+    ``t.price::long PRECEDING``); without a unit the value is raw
+    microseconds (``60_000_000 FOLLOWING``)."""
+    e = expr.strip()
     sign = -1 if direction.upper() == "PRECEDING" else 1
-    return f"{sign * n} {unit}"
+    m = re.match(r"^(\d[\d_]*)\s*([A-Za-z]+)?$", e)
+    if m:  # constant bound (unitless = microseconds)
+        n = int(m.group(1).replace("_", ""))
+        unit = (m.group(2) or "microsecond").lower().rstrip("s") or "microsecond"
+        if unit not in _BOUND_UNIT_US:
+            raise ValueError(f"unsupported WINDOW JOIN bound unit: {expr!r}")
+        return f"{sign * n} {unit}"
+    if re.match(r"^\d+\.\d+", e):
+        raise ValueError(f"WINDOW JOIN bound must be an integer amount: {expr!r}")
+    m2 = re.match(
+        r"^(.+?)\s+(microseconds?|milliseconds?|seconds?|minutes?|hours?|days?|weeks?)$",
+        e, re.IGNORECASE,
+    )
+    if m2:
+        raw, unit = m2.group(1), m2.group(2).lower().rstrip("s")
+    else:
+        raw, unit = e, "microsecond"
+    return f"dyn:({sign}) * CAST(({raw}) AS BIGINT) * {_BOUND_UNIT_US[unit]}"
 
 
 def _parse_window_join(text: str) -> WindowJoinSpec:
