@@ -371,7 +371,6 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
             sel.append(F.lit(None).cast(tgt_fields[c]).alias(c))
     aligned = df.select(*sel)
 
-    n = aligned.count()
     if _has_files(t) or t.dedup_enabled:
         # dedup tables always go through append: the first commit needs
         # the in-batch last-write-wins pass too (string_dedup.test)
@@ -382,7 +381,9 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
     # TTL runs inside the ingest commit (TableWriter.enforceTtl:2684)
     evicted = t.enforce_ttl()
     _refresh_view(eng, name)
-    detail = f"{n} rows" + (f"; ttl evicted {evicted}" if evicted else "")
+    # no count() for the status row: that would re-evaluate the whole
+    # SELECT — the write job already materialized the rows
+    detail = "appended" + (f"; ttl evicted {evicted}" if evicted else "")
     return _status(eng, "insert", name, detail)
 
 

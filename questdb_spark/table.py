@@ -171,6 +171,11 @@ class TimeTable:
 
         phys_ts = self._physical_name(self.ts_col)
         inc = self._with_partition(self._to_physical(inc), phys_ts)
+        # the incoming frame's lineage (often an INSERT SELECT over a real
+        # query) is consumed three times below — partition listing, the
+        # overwrite join, the anti join — persist it for the merge
+        inc_cached = inc.persist()
+        inc = inc_cached
         # touched partitions: one value per incoming partition (metadata-
         # scale collect, same economics as update_where)
         parts = [r[0] for r in inc.select(PARTITION_COL).distinct().collect()]
@@ -204,6 +209,7 @@ class TimeTable:
         added = inc.alias("i").join(ex.alias("e"), cond, "left_anti")
         merged = overwritten.select(*out_cols).unionByName(added.select(*out_cols))
         self._rewrite_partitions(merged, parts)
+        inc_cached.unpersist()
 
     # -- ALTER TABLE column surface (AlterOperation.java) --------------------
     # add/drop/rename are METADATA-ONLY: an ops journal (`_qdb_meta.json`,
