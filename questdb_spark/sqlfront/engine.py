@@ -790,6 +790,18 @@ class QdbEngine:
         def to_s(e: str) -> str:
             return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", strip_m(e))
 
+        if spec.jfilter:
+            # slave-side join filter (``ON (keys) AND p.price < 300``,
+            # WindowJoinTest testFastJoinWithJoinFilter): pre-filters the
+            # slave, so both the window aggregate AND the prevailing probe
+            # see only matching rows — the reference's "join filter"
+            # semantics. Master-column references fail analysis here, like
+            # the reference's error contract (master predicates are WHERE).
+            bare = re.sub(
+                rf"\b{re.escape(s_alias)}\.", "", strip_m(spec.jfilter)
+            )
+            slave = slave.filter(F.expr(bare))
+
         agg_items = [i for i in q.select_items if _has_agg(i.expr)]
         pass_items = [i for i in q.select_items if not _has_agg(i.expr)]
         mcols = [strip_m(i.expr).strip() for i in pass_items]

@@ -48,9 +48,10 @@ class WindowJoinSpec:
     table: str
     alias: str | None
     keys: list[str]
-    lo: str  # SQL interval string, e.g. '-30 seconds'
+    lo: str  # SQL interval string, or 'dyn:<micros expr>' (dynamic bounds)
     hi: str
     include_prevailing: bool
+    jfilter: str | None = None  # slave-side join filter (ON (...) AND cond)
 
 
 @dataclass
@@ -575,6 +576,14 @@ def _parse_window_join(text: str) -> WindowJoinSpec:
     y FOLLOWING [INCLUDE|EXCLUDE PREVAILING]`` (SqlParser.java:4754)."""
     table, alias, rest = _split_table_alias(text.strip())
     keys, rest = _parse_on_keys(rest)
+    # slave-side join filter: ``ON (keys) AND p.price < 300``
+    # (WindowJoinTest testFastJoinWithJoinFilter — the plan's
+    # ``join filter:`` line; master conditions belong in WHERE)
+    jfilter = None
+    fm = re.match(r"^AND\s+(.+?)\s*(?=\bRANGE\b)", rest, re.IGNORECASE | re.DOTALL)
+    if fm:
+        jfilter = fm.group(1).strip()
+        rest = rest[fm.end():]
     m = _BOUND_RE.search(rest)
     if not m:
         # CURRENT ROW forms
@@ -588,7 +597,7 @@ def _parse_window_join(text: str) -> WindowJoinSpec:
     # reference default is INCLUDE PREVAILING (WindowJoinContext.java:39
     # `includePrevailing = true`); EXCLUDE PREVAILING is the explicit opt-out
     prevailing = not re.search(r"\bEXCLUDE\s+PREVAILING\b", rest, re.IGNORECASE)
-    return WindowJoinSpec(table, alias, keys, lo, hi, prevailing)
+    return WindowJoinSpec(table, alias, keys, lo, hi, prevailing, jfilter)
 
 
 def _parse_horizon_join(text: str) -> HorizonJoinSpec:
