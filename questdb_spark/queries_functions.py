@@ -1645,3 +1645,69 @@ CB_WIDE_SUMS_SQL = " ".join(
     ]
     + ["FROM events"]
 )
+
+
+def cb_expr_group_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shapes q36 + q41 (ClickBenchTest.java:662,711):
+    expression GROUP BY keys (``ClientIP, ClientIP - 1, ...``) combined
+    with deep ``LIMIT offset, count`` pagination after an ORDER BY — the
+    TakeOrderedAndProject path must carry the offset."""
+    from .sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    eng.register("events", load_table(spark, sf, "events"), designated_ts="ts")
+    return eng.sql(
+        "SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, "
+        "count(*) AS c "
+        "FROM events GROUP BY user_id, user_id - 1, user_id - 2 "
+        "ORDER BY c DESC, user_id ASC LIMIT 10, 25"
+    )
+
+
+CB_EXPR_GROUP_SQL = """
+SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, COUNT(*) AS c
+FROM events GROUP BY user_id, user_id - 1, user_id - 2
+ORDER BY c DESC, user_id ASC LIMIT 15 OFFSET 10
+"""
+
+
+def cb_case_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """ClickBench shapes q38 + q43 (ClickBenchTest.java:727,778): a CASE
+    expression as a GROUP BY key, then the SAMPLE BY 1h ALIGN TO CALENDAR
+    + ORDER + offset-LIMIT time-series form."""
+    from .sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    eng.register("events", load_table(spark, sf, "events"), designated_ts="ts")
+    part1 = eng.sql(
+        "SELECT CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid' "
+        "ELSE 'high' END AS src, event_type, count(*) AS n "
+        "FROM events GROUP BY src, event_type ORDER BY n DESC, src, event_type"
+    )
+    part2 = eng.sql(
+        "SELECT ts AS m, count(*) AS pv FROM events "
+        "WHERE event_type = 'view' SAMPLE BY 1h ALIGN TO CALENDAR "
+        "ORDER BY m LIMIT 5, 29"
+    )
+    return part1.selectExpr(
+        "src AS k1", "event_type AS k2", "n", "CAST(NULL AS TIMESTAMP) AS m"
+    ).unionByName(
+        part2.selectExpr("'__ts' AS k1", "'bucket' AS k2", "pv AS n", "m")
+    )
+
+
+CB_CASE_GROUP_SQL = """
+WITH part1 AS (
+  SELECT CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid'
+         ELSE 'high' END AS src, event_type, COUNT(*) AS n
+  FROM events GROUP BY src, event_type
+),
+part2 AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS m, COUNT(*) AS pv
+  FROM events WHERE event_type = 'view' GROUP BY 1
+  ORDER BY m LIMIT 24 OFFSET 5
+)
+SELECT src AS k1, event_type AS k2, n, CAST(NULL AS TIMESTAMP) AS m FROM part1
+UNION ALL
+SELECT '__ts' AS k1, 'bucket' AS k2, pv AS n, m FROM part2
+"""

@@ -235,6 +235,13 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_window_join_dynamic,
         sq.SQL_WINDOW_JOIN_DYNAMIC_SQL,
     ),
+    # ClickBench completion shapes (r5): expression group keys + deep
+    # offset pagination (q36/q41), CASE group key + SAMPLE BY tail (q38/q43)
+    "cb_expr_group_pagination": (
+        fn.cb_expr_group_pagination,
+        fn.CB_EXPR_GROUP_SQL,
+    ),
+    "cb_case_group_sample": (fn.cb_case_group_sample, fn.CB_CASE_GROUP_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -277,7 +277,7 @@ class QdbEngine:
         return bool(
             re.search(
                 r"\b(SAMPLE\s+BY|LATEST\s+ON|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|"
-                r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+)\b",
+                r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+|LIMIT\s+\d+\s*,\s*\d+)\b",
                 mask_literals(s),
                 re.IGNORECASE,
             )
