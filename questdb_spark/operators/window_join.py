@@ -273,6 +273,7 @@ def markout_agg(
     aggs: Mapping[str, Column],
     extra_keys: Sequence[str] = (),
     offset_col: str = "offset",
+    offsets_sql: Sequence[str] | None = None,
 ) -> DataFrame:
     """Markout AGGREGATE form of HORIZON JOIN: ``HORIZON JOIN slave ON keys
     RANGE FROM frm TO to STEP step AS h`` + ``GROUP BY h.offset`` —
@@ -282,16 +283,23 @@ def markout_agg(
     and the matches are aggregated PER OFFSET (plus ``extra_keys``),
     yielding one markout row per horizon.
 
+    ``offsets_sql``: explicit offsets (the ``LIST (0s, 1s, 2s) AS h`` form,
+    HorizonJoinTest.java:163) as SQL interval strings — overrides the
+    FROM/TO/STEP range.
+
     ``offset_col`` is emitted in microseconds (h.offset semantics). Offsets
     are generated plan-side; the data-side cost is |offsets| × one ASOF
     join — explode + one shuffle, same scale shape as ``horizon_join``.
     """
-    f_us, t_us, s_us = interval_micros(frm), interval_micros(to), interval_micros(step)
-    if s_us <= 0:
-        raise ValueError(f"STEP must be positive, got {step!r}")
-    if t_us < f_us:
-        raise ValueError(f"RANGE TO {to!r} precedes FROM {frm!r}")
-    offsets = list(range(f_us, t_us + 1, s_us))
+    if offsets_sql is not None:
+        offsets = [interval_micros(o) for o in offsets_sql]
+    else:
+        f_us, t_us, s_us = interval_micros(frm), interval_micros(to), interval_micros(step)
+        if s_us <= 0:
+            raise ValueError(f"STEP must be positive, got {step!r}")
+        if t_us < f_us:
+            raise ValueError(f"RANGE TO {to!r} precedes FROM {frm!r}")
+        offsets = list(range(f_us, t_us + 1, s_us))
     exploded = master.withColumn(
         offset_col, F.explode(F.array(*[F.lit(o).cast("long") for o in offsets]))
     )

@@ -869,6 +869,7 @@ class QdbEngine:
         out = markout_agg(
             df, slave, ts_col, spec.keys, spec.frm, spec.to, spec.step, aggs,
             extra_keys=extra_keys, offset_col="offset",
+            offsets_sql=spec.offsets,
         )
         sel = []
         for i in q.select_items:

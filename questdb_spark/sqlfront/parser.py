@@ -63,6 +63,7 @@ class HorizonJoinSpec:
     to: str
     step: str
     range_alias: str  # the `AS h` name exposing h.offset
+    offsets: list[str] | None = None  # explicit LIST (0s, 1s, ...) form
 
 
 @dataclass
@@ -600,11 +601,41 @@ def _parse_window_join(text: str) -> WindowJoinSpec:
     return WindowJoinSpec(table, alias, keys, lo, hi, prevailing, jfilter)
 
 
+_QDB_UNIT_US = {"U": 1, "T": 1_000, "s": 1_000_000, "m": 60_000_000,
+                "h": 3_600_000_000, "d": 86_400_000_000, "w": 604_800_000_000}
+
+
+def _horizon_offset(spec: str) -> tuple[str, int]:
+    """LIST offset → (SQL interval string, micros). A bare integer is raw
+    microseconds (HorizonJoinTest `LIST (0) AS h`)."""
+    t = spec.strip()
+    m = re.match(r"^(-?\d+)\s*([UTsmhdw])$", t)
+    if m:
+        n, u = int(m.group(1)), m.group(2)
+        return f"{n} {_QDB_UNIT[u]}", n * _QDB_UNIT_US[u]
+    if re.fullmatch(r"-?\d+", t):
+        return f"{int(t)} microsecond", int(t)
+    raise ValueError(f"bad HORIZON JOIN LIST offset: {spec!r}")
+
+
 def _parse_horizon_join(text: str) -> HorizonJoinSpec:
     """``HORIZON JOIN slave [alias] [ON (keys)] RANGE FROM 0s TO 2s STEP 1s
-    AS h`` (SqlParser.java:4895, HorizonJoinTest.java:123)."""
+    AS h`` or ``... LIST (0s, 1s, 2s) AS h`` (SqlParser.java:4895,
+    HorizonJoinTest.java:123,163)."""
     table, alias, rest = _split_table_alias(text.strip())
     keys, rest = _parse_on_keys(rest)
+    lm = re.search(r"LIST\s*\(([^)]*)\)\s+AS\s+(\w+)", rest, re.IGNORECASE)
+    if lm:
+        parts = [p for p in (x.strip() for x in lm.group(1).split(",")) if p]
+        if not parts:
+            raise ValueError("HORIZON JOIN LIST must name at least one offset")
+        pairs = [_horizon_offset(p) for p in parts]
+        if any(b[1] <= a[1] for a, b in zip(pairs, pairs[1:])):
+            raise ValueError("LIST offsets must be monotonically increasing")
+        return HorizonJoinSpec(
+            table, alias, keys, "", "", "", lm.group(2),
+            offsets=[p[0] for p in pairs],
+        )
     m = re.search(
         r"RANGE\s+FROM\s+(-?\d+\s*[UTsmhdw])\s+TO\s+(-?\d+\s*[UTsmhdw])\s+"
         r"STEP\s+(\d+\s*[UTsmhdw])\s+AS\s+(\w+)",
