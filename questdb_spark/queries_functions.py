@@ -665,7 +665,7 @@ _SQL_RND_MACROS_QUERY = """select x,
   hex(rnd_bin(4, 8)) bh,
   rnd_long256() l256,
   round(rnd_log(2.0), 6) lg,
-  rnd_date('2020-01-01', '2020-12-30') d,
+  cast(rnd_date('2020-01-01', '2020-12-30') as timestamp) d,
   rnd_timestamp('2020-01-01', '2020-06-01') t
 from long_sequence(500)"""
 
@@ -729,7 +729,7 @@ SELECT x,
   '0x' || md5(CAST(({m(t['l256'])}) AS VARCHAR))
        || md5(CAST(({m(t['l256'] + 1)}) AS VARCHAR)) AS l256,
   round(-2.0 * ln((({m(t['lg'])}) % 1000000 + 1) / 1000000.0), 6) AS lg,
-  DATE '2020-01-01' + CAST(({m(t['d'])}) % 365 AS INTEGER) AS d,
+  CAST(DATE '2020-01-01' + CAST(({m(t['d'])}) % 365 AS INTEGER) AS TIMESTAMP) AS d,
   make_timestamp(epoch_us(TIMESTAMP '2020-01-01')
                  + (({m(t['ts'])}) % {span_s}) * 1000000) AS t
 FROM s
