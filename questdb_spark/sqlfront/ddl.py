@@ -272,6 +272,27 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
             t.write(df)
         eng.ddl_tables[name] = t
         eng.ddl_schemas[name] = None
+    elif re.match(r"^\(\s*like\s+\w+\s*\)", rest, re.IGNORECASE):
+        # CREATE TABLE x (LIKE y): clone schema + designated ts + partition
+        # unit + dedup keys of an existing table, no data
+        # (SqlParser parseCreateTableLikeTable)
+        src_name = re.match(r"^\(\s*like\s+(\w+)\s*\)", rest, re.IGNORECASE).group(1)
+        src = eng.ddl_tables.get(src_name)
+        if src is None:
+            raise ValueError(f"no such table: {src_name}")
+        t = TimeTable(
+            eng.spark, path, src.ts_col, src.partition_by, list(src.dedup_keys)
+        )
+        t.dedup_enabled = src.dedup_enabled
+        ts_col = src.ts_col
+        eng.ddl_tables[name] = t
+        eng.ddl_schemas[name] = eng.ddl_schemas.get(src_name)
+        if eng.ddl_schemas[name] is None:
+            # AS-SELECT-created source: derive the column list from data
+            eng.ddl_schemas[name] = ", ".join(
+                f"{c} {ty}" for c, ty in eng.ddl_read(src_name).dtypes
+                if c not in (PARTITION_COL, src.seq_col)
+            )
     else:
         cm = re.match(r"^\((.*)\)\s*(.*)$", rest, re.DOTALL)
         if not cm:

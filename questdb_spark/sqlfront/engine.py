@@ -47,7 +47,13 @@ _AGG_FNS = (
 )
 _AGG_RE = re.compile(rf"\b({_AGG_FNS})\s*\(", re.IGNORECASE)
 
-_IN_INTERVAL_RE = re.compile(r"(\w+(?:\.\w+)?)\s+IN\s+('[^']+')", re.IGNORECASE)
+_IN_INTERVAL_RE = re.compile(
+    r"(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s+('[^']+')", re.IGNORECASE
+)
+_IN_INTERVAL_LIST_RE = re.compile(
+    r"(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s*(\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*\))",
+    re.IGNORECASE,
+)
 
 # Words inside a PIVOT aggregate's text that can never be column operands:
 # expression keywords and cast-target type names (``SUM(Pop)::varchar``,
@@ -304,28 +310,43 @@ class QdbEngine:
         return parts, ops
 
     def _rewrite_intervals(self, s: str) -> str:
-        """`ts IN '2024-01'` → half-open range (WhereClauseParser
-        equivalent). Non-interval strings (e.g. plain IN lists) pass
-        through untouched.  Matching runs over the literal-masked text so a
-        `... IN '...'` sequence INSIDE a string literal is never rewritten;
-        the interval text itself is read back from the original string."""
+        """`ts IN '2024-01'` / `ts IN ('2024-01', '2024-03')` /
+        `ts NOT IN '...'` → half-open ranges (WhereClauseParser equivalent;
+        the LIST form is the union of the intervals, InTest.java). Strings
+        that do not ALL parse as intervals (plain IN lists over string
+        columns) pass through untouched.  Matching runs over the
+        literal-masked text so a `... IN '...'` sequence INSIDE a string
+        literal is never rewritten; interval text is read back from the
+        original string."""
         masked = mask_literals(s)
         out: list[str] = []
         last = 0
-        for m in _IN_INTERVAL_RE.finditer(masked):
-            col = m.group(1)
-            text = s[m.start(2) + 1 : m.end(2) - 1]  # literal body, unmasked
-            try:
-                ranges = parse_interval_ranges(text)
-            except ValueError:
+        matches = sorted(
+            [*_IN_INTERVAL_RE.finditer(masked), *_IN_INTERVAL_LIST_RE.finditer(masked)],
+            key=lambda m: m.start(),
+        )
+        for m in matches:
+            if m.start() < last:
                 continue
+            col, neg = m.group(1), bool(m.group(2))
+            if col.upper() in ("NOT", "AND", "OR"):
+                continue
+            span = s[m.start(3) : m.end(3)]  # literal(s), unmasked
+            bodies = re.findall(r"'([^']*)'", span)
+            try:
+                ranges = [
+                    r for body in bodies for r in parse_interval_ranges(body)
+                ]
+            except ValueError:
+                continue  # not interval strings: leave for plain IN
             terms = [
                 f"({col} >= TIMESTAMP '{lo.isoformat(sep=' ')}'"
                 f" AND {col} < TIMESTAMP '{hi.isoformat(sep=' ')}')"
                 for lo, hi in ranges
             ]
+            body = "(" + " OR ".join(terms) + ")"
             out.append(s[last : m.start()])
-            out.append("(" + " OR ".join(terms) + ")")
+            out.append(f"(NOT {body})" if neg else body)
             last = m.end()
         out.append(s[last:])
         return "".join(out)
