@@ -540,6 +540,27 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         for p in parts:
             done += t.detach_partition(p) if op == "detach" else t.attach_partition(p)
         detail = f"{op} partitions {done}"
+    elif low.startswith("convert partition"):
+        # ALTER TABLE ... CONVERT PARTITION TO PARQUET|NATIVE LIST '...'
+        # (AlterOperation CONVERT, cutlass/parquet/): this engine's storage
+        # IS parquet — TO PARQUET is a validated no-op, TO NATIVE has no
+        # native tier to convert to
+        cm = re.match(
+            r"convert\s+partition\s+to\s+(parquet|native)\s+list\s+(.+)$",
+            rest, re.IGNORECASE,
+        )
+        if not cm:
+            raise ValueError(f"cannot parse CONVERT PARTITION: {rest!r}")
+        fmt = cm.group(1).lower()
+        parts = [p.strip().strip("'") for p in cm.group(2).split(",")]
+        missing = [p for p in parts if not t._partitions_in(p)]
+        if missing:
+            raise ValueError(f"no partitions in range: {missing}")
+        detail = (
+            f"{len(parts)} partitions already parquet"
+            if fmt == "parquet"
+            else f"{len(parts)} partitions stay parquet (no native tier)"
+        )
     elif low.startswith("dedup enable"):
         dm = re.search(r"upsert\s+keys\s*\(([^)]*)\)", rest, re.IGNORECASE)
         if not dm:
