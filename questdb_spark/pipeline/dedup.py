@@ -221,6 +221,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination check: for each corpus document, the
+    fraction of its DISTINCT word n-grams that appear anywhere in the
+    benchmark corpus — the standard n-gram-overlap test-set-contamination
+    screen for training data.
+
+    Output: (doc, n_grams, n_hit, contamination) for every corpus doc
+    with at least one n-gram.
+
+    Scale: the benchmark's distinct n-gram set is one aggregation; the
+    overlap is a single equi-join on the shingle (broadcast when the
+    benchmark is small, shuffle otherwise — never all-pairs), and the
+    per-doc ratio is one more groupBy. Everything is JVM-side."""
+    c_sh = _shingle_table(corpus, id_col, text_col, n)
+    b_sh = (
+        _shingle_table(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = c_sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return sizes.join(hits, "doc", "left").select(
+        "doc",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams")
+        ).alias("contamination"),
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,

@@ -539,3 +539,33 @@ reach(doc, r) AS (
 )
 SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc
 """
+
+
+def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram decontamination (r5, LLM-pipeline first-class op): docs with
+    doc_id % 10 == 0 stand in as the benchmark set; every other document
+    reports the fraction of its distinct 5-gram shingles that appear in
+    the benchmark — the standard test-set-contamination screen run before
+    training. One shingle equi-join, no all-pairs."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.ngram_contamination(corpus, bench, "doc_id", n=5).select(
+        F.col("doc").alias("doc_id"), "n_grams", "n_hit", "contamination"
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH d AS (SELECT doc_id, {_sql_shingles(5, _TOKS)} AS sh FROM documents),
+e AS (SELECT doc_id, UNNEST(sh) AS shingle FROM d),
+bench AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 10 = 0),
+corpus AS (SELECT * FROM e WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+       COALESCE(h.n_hit, 0) / s.n_grams AS contamination
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+"""

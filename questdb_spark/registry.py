@@ -242,6 +242,8 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
         fn.CB_EXPR_GROUP_SQL,
     ),
     "cb_case_group_sample": (fn.cb_case_group_sample, fn.CB_CASE_GROUP_SQL),
+    # n-gram decontamination screen (r5, LLM-pipeline first-class op)
+    "contamination_check": (pl.contamination_check, pl.CONTAMINATION_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -184,3 +184,29 @@ def test_arrow_kernels_equal_hof_reference(spark):
         | (F.col("n2_ref") != F.col("pd_k"))
     ).count()
     assert bad == 0
+
+
+def test_ngram_contamination_hand_built(spark):
+    """Exact overlap fractions on a hand-built corpus/benchmark pair."""
+    from questdb_spark.pipeline.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams(2): 'a b','b c','c d' — 2 of 3 in bench
+            (2, "x y z w"),      # no overlap
+            (3, "a b"),          # single gram, fully contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c"), (101, "q r")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc"]: (r["n_grams"], r["n_hit"], round(r["contamination"], 6))
+        for r in ngram_contamination(corpus, bench, "doc_id", n=2).collect()
+    }
+    assert got == {
+        1: (3, 2, round(2 / 3, 6)),
+        2: (3, 0, 0.0),
+        3: (1, 1, 1.0),
+    }
