@@ -569,3 +569,98 @@ SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
        COALESCE(h.n_hit, 0) / s.n_grams AS contamination
 FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
 """
+
+
+def training_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus materialization (r5): the composed
+    filter a real pre-training pipeline runs — quality thresholds (token
+    count, stopword ratio, repetition), exact-duplicate removal (keep the
+    canonical minimum doc_id), and benchmark decontamination (5-gram
+    overlap < 30% against the doc_id%10==0 benchmark slice) — emitting
+    the surviving documents with a per-stage keep/drop audit.
+
+    Every stage is one of the engine's existing operators; the
+    composition is pure DataFrame plumbing (two joins + filters), so the
+    whole filter is a single Spark job with no driver-side loops."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    stats = text.text_stats(docs)
+    quality_ok = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("stopword_ratio_en") >= 0.05)
+        & (F.col("distinct_token_ratio") >= 0.3)
+    )
+    dups = dedup.exact_dedup_groups(docs, "doc_id")
+    dup_losers = (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(dups, "text_hash")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", F.lit(True).alias("is_dup_loser"))
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cont = dedup.ngram_contamination(corpus, bench, "doc_id", n=5).select(
+        F.col("doc").alias("doc_id"), "contamination"
+    )
+    out = (
+        stats.filter(F.col("doc_id") % 10 != 0)
+        .join(dup_losers, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            quality_ok.alias("quality_ok"),
+            F.coalesce(F.col("is_dup_loser"), F.lit(False)).alias("is_dup_loser"),
+            F.coalesce(F.col("contamination"), F.lit(0.0)).alias("contamination"),
+        )
+        .withColumn(
+            "kept",
+            F.col("quality_ok")
+            & ~F.col("is_dup_loser")
+            & (F.col("contamination") < 0.3),
+        )
+    )
+    return out
+
+
+TRAINING_FILTER_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+stats AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    {_sql_stopword_hits(text.STOPWORDS["en"], "toks")} / len(toks) AS stopword_ratio_en,
+    len(list_distinct(toks)) / len(toks) AS distinct_token_ratio
+  FROM t
+),
+dups AS (
+  SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id
+  FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+),
+losers AS (
+  SELECT d.doc_id FROM documents d
+  JOIN dups ON md5(d.text) = dups.text_hash
+  WHERE d.doc_id <> dups.canonical_id
+),
+sh AS (SELECT doc_id, UNNEST({_sql_shingles(5, _TOKS)}) AS shingle FROM documents),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle GROUP BY c.doc_id
+),
+cont AS (
+  SELECT s.doc_id, COALESCE(h.n_hit, 0) / s.n_grams AS contamination
+  FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+)
+SELECT st.doc_id, st.n_tokens,
+  (st.n_tokens >= 5 AND st.stopword_ratio_en >= 0.05
+   AND st.distinct_token_ratio >= 0.3) AS quality_ok,
+  (st.doc_id IN (SELECT doc_id FROM losers)) AS is_dup_loser,
+  COALESCE(c.contamination, 0.0) AS contamination,
+  ((st.n_tokens >= 5 AND st.stopword_ratio_en >= 0.05
+    AND st.distinct_token_ratio >= 0.3)
+   AND NOT (st.doc_id IN (SELECT doc_id FROM losers))
+   AND COALESCE(c.contamination, 0.0) < 0.3) AS kept
+FROM stats st LEFT JOIN cont c ON c.doc_id = st.doc_id
+WHERE st.doc_id % 10 <> 0
+"""

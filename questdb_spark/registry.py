@@ -244,6 +244,9 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
     "cb_case_group_sample": (fn.cb_case_group_sample, fn.CB_CASE_GROUP_SQL),
     # n-gram decontamination screen (r5, LLM-pipeline first-class op)
     "contamination_check": (pl.contamination_check, pl.CONTAMINATION_SQL),
+    # composed training-corpus filter: quality + exact-dedup +
+    # decontamination with a per-stage audit (r5)
+    "training_corpus_filter": (pl.training_corpus_filter, pl.TRAINING_FILTER_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
