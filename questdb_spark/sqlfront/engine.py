@@ -552,43 +552,70 @@ class QdbEngine:
             (m2.group(1), self._pivot_axis_vals(split_top_level(m2.group(2), ",")))
             for m2 in self._PIVOT_AXIS_RE.finditer(axes_text)
         ]
-        # reference error surface (pivot_errors.test): a bare window
-        # function or a non-aggregate expression cannot be pivoted
-        magg = mask_literals(agg)
-        if _top_level_over(magg):
-            raise ValueError(
-                "Window function is not allowed in context of aggregation. "
-                "Use sub-query."
-            )
-        if not _AGG_RE.search(magg):
-            raise ValueError(f"expected aggregate function [col={agg}]")
         gcols = [c.strip() for c in group.split(",") if c.strip()] if group else []
         axis_names = [a[0].lower() for a in axes]
+        # multiple aggregates with optional aliases (pivot_bigquery.test:
+        # ``SUM(sales) total_sales, COUNT(*) num_records FOR ...``) — split
+        # at top level, peel each item's alias (bare or AS form, only after
+        # a closing paren so ``SUM(a) + b`` stays an expression)
+        agg_parts: list[tuple[str, str | None]] = []
+        for item in split_top_level(agg, ","):
+            ma = re.match(r"^(.+)\s+AS\s+([A-Za-z_]\w*)$", item, re.IGNORECASE) or \
+                re.match(r"^(.+\))\s+([A-Za-z_]\w*)$", item, re.DOTALL)
+            if ma and ma.group(2).lower() not in _PIVOT_NON_COLUMN_WORDS:
+                agg_parts.append((ma.group(1).strip(), ma.group(2)))
+            else:
+                agg_parts.append((item.strip(), None))
+        # reference error surface (pivot_errors.test): a bare window
+        # function or a non-aggregate expression cannot be pivoted
+        for expr0, _ in agg_parts:
+            magg = mask_literals(expr0)
+            if _top_level_over(magg):
+                raise ValueError(
+                    "Window function is not allowed in context of aggregation. "
+                    "Use sub-query."
+                )
+            if not _AGG_RE.search(magg):
+                raise ValueError(f"expected aggregate function [col={expr0}]")
         # aggregate operand columns: bare identifiers inside the call that
         # aren't the pivot/group columns (SUM(1) has none).  Expression
         # aggregates (pivot_expressions.test: COALESCE(SUM(x),0),
         # SUM(x)+COUNT(1), SUM(x)::varchar) mean the text contains function
         # names and cast-target types too — an identifier followed by ``(``
         # is a call, not a column, and SQL keywords/type names never are.
-        inner = agg[agg.index("(") + 1 : agg.rindex(")")]
-        masked_inner = mask_literals(inner)
         operands: list[str] = []
-        for m2 in re.finditer(
-            r"(?:\b[A-Za-z_]\w*\s*\.\s*)?\b([A-Za-z_]\w*)\b\s*(\()?", masked_inner
-        ):
-            if m2.group(2):  # function call, e.g. abs( / coalesce(
+        for expr0, _ in agg_parts:
+            if "(" not in expr0:
                 continue
-            w = m2.group(1)
-            lw = w.lower()
-            if lw in _PIVOT_NON_COLUMN_WORDS:
-                continue
-            if lw in axis_names or lw in (g.lower() for g in gcols):
-                continue
-            if w not in operands:
-                operands.append(w)
+            inner = expr0[expr0.index("(") + 1 : expr0.rindex(")")]
+            masked_inner = mask_literals(inner)
+            for m2 in re.finditer(
+                r"(?:\b[A-Za-z_]\w*\s*\.\s*)?\b([A-Za-z_]\w*)\b\s*(\()?", masked_inner
+            ):
+                if m2.group(2):  # function call, e.g. abs( / coalesce(
+                    continue
+                w = m2.group(1)
+                lw = w.lower()
+                if lw in _PIVOT_NON_COLUMN_WORDS:
+                    continue
+                if lw in axis_names or lw in (g.lower() for g in gcols):
+                    continue
+                if w not in operands:
+                    operands.append(w)
+        agg = ", ".join(
+            f"{e} AS {a}" if a else e for e, a in agg_parts
+        )
         # the qualifier is gone from the projection, so strip it in the
         # aggregate text too
         agg = re.sub(r"\b[A-Za-z_]\w*\s*\.\s*([A-Za-z_]\w*)\b", r"\1", agg)
+        for _, vals in axes:
+            seen_vals: set[str] = set()
+            for v in vals:
+                # cell aliases don't affect the VALUE identity
+                base = re.split(r"\s+AS\s+", v, flags=re.IGNORECASE)[0].strip()
+                if base.lower() in seen_vals:
+                    raise ValueError(f"duplicate value in PIVOT IN list: {base}")
+                seen_vals.add(base.lower())
         if len(axes) == 1:
             pivcol, vals = axes[0]
             proj = [*gcols, f"{pivcol} AS __pivot", *operands]
