@@ -22,14 +22,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (fn, oracle_sql | None)
 #
 # ORDER MATTERS: the driver's correctness harness checks at most ~50 queries
-# per round, in registry order.  Round-5 rotation (VERDICT r4 task 1):
-#   _RECHECK_R5 — the 40 entries last oracle-verified in round 2 (the r4
-#                 `_RECENT` block).  Two rounds of macro-layer and parser
-#                 churn have landed since; re-verifying them makes every
-#                 registry entry green within rounds 3-5.
-#   _NEW_R5     — queries added or materially changed in round 5 (first
-#                 verification), filling the remaining window slots.
-#   Everything below those two blocks is r3/r4-green and demoted past the
+# per round, in registry order.  Round-6 rotation (VERDICT r5 task 1):
+#   _PRIORITY + _RECHECK — the ~47 entries last driver-verified in round 3,
+#                 with two rounds of parser/macro churn since.  Re-verifying
+#                 them makes every registry entry driver-green within
+#                 rounds 4-6.
+#   _NEW_R6     — queries added or materially changed in round 6 (first
+#                 verification), interleaved at the front of the window.
+#   Everything below those blocks is r4/r5-green and demoted past the
 #   window.
 _RECHECK_R4: dict[str, tuple[QueryFn, str | None]] = {
     # core TPC-H / scan family (r1-green, unverified since)
@@ -249,13 +249,17 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
     "training_corpus_filter": (pl.training_corpus_filter, pl.TRAINING_FILTER_SQL),
 }
 
+# Round-6 additions — first verification; kept at the head of the window.
+_NEW_R6: dict[str, tuple[QueryFn, str | None]] = {}
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **_NEW_R6,
+    **_PRIORITY,
+    **_RECHECK,
     **_RECHECK_R5,
     **_NEW_R5,
     **_RECHECK_R4,
     **_NEW_R4,
-    **_PRIORITY,
-    **_RECHECK,
 }
 
 
