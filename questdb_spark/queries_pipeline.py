@@ -493,22 +493,32 @@ LIMIT 10
 # --------------------------------------------------------------------------
 
 def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real header decode (r6): synthesize byte-exact PNG/JPEG/GIF
+    containers around the document text, then recover format + dimensions
+    from the BYTES alone (fixed-offset reads for PNG/GIF, marker scan for
+    JPEG).  The oracle recomputes the expected fields arithmetically, so a
+    header-build or parse bug on either side breaks the value hash."""
     docs = load_table(spark, sf, "documents")
-    return multimodal.decode_image_stub(multimodal.with_binary_payload(docs))
+    return multimodal.decode_image(multimodal.synthesize_media(docs))
 
 
+# Mirrors the synthesizer's deterministic choices: doc_id%4 picks the
+# container (3 = raw bytes → unknown), dims are 16+(id*7)%625 / 16+(id*13)%465,
+# header byte counts are PNG 33 / JPEG 25 / GIF 14 (see multimodal.py),
+# and unknown payloads get the additive-checksum fallback.
 MULTIMODAL_SQL = """
-WITH b AS (
-  SELECT doc_id, length(text) AS n_bytes, ascii(text) AS first_byte,
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+       ELSE 'unknown' END AS format,
+  CASE WHEN doc_id % 4 < 3 THEN CAST(16 + (doc_id * 7) % 625 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 4 < 3 THEN CAST(16 + (doc_id * 13) % 465 AS INTEGER) END AS height,
+  CAST(length(text) + CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 25
+                           WHEN 2 THEN 14 ELSE 0 END AS INTEGER) AS n_bytes,
+  CASE WHEN doc_id % 4 = 3 THEN
     CAST(list_sum(list_transform(range(1, length(text) + 1),
                                  i -> ascii(substr(text, i, 1)))) AS BIGINT)
-      % 1000003 AS checksum
-  FROM documents
-)
-SELECT doc_id, n_bytes, first_byte, checksum,
-  CAST(checksum % 640 AS INTEGER) AS fake_width,
-  CAST(checksum % 480 AS INTEGER) AS fake_height
-FROM b
+      % 1000003 END AS checksum
+FROM documents
 """
 
 

@@ -197,7 +197,6 @@ _RECHECK_R5: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_ann_multiprobe": (pl.embedding_ann_multiprobe, pl.EMBEDDING_MULTIPROBE_SQL),
     "embedding_ann_ivf": (pl.embedding_ann_ivf, pl.EMBEDDING_IVF_SQL),
     "embedding_near_dup": (pl.embedding_near_dup, pl.EMBEDDING_NEAR_DUP_SQL),
-    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
     "l2price_orderbook": (fn.l2price_orderbook, fn.L2PRICE_SQL),
     "spread_mid_events": (fn.spread_mid_events, fn.SPREAD_MID_SQL),
     "geohash_events": (fn.geohash_events, fn.GEOHASH_SQL),
@@ -250,7 +249,11 @@ _NEW_R5: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # Round-6 additions — first verification; kept at the head of the window.
-_NEW_R6: dict[str, tuple[QueryFn, str | None]] = {}
+_NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
+    # real multimodal header decode (r6): byte-exact PNG/JPEG/GIF
+    # synthesis + fixed-offset / marker-scan dimension parse
+    "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
+}
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **_NEW_R6,

@@ -1,0 +1,74 @@
+"""Multimodal header decode: byte-level parser edge cases the registry
+oracle (which only sees well-formed synthesized containers) can't reach —
+truncated headers, SOF-less JPEGs, empty payloads, multi-segment scans."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from questdb_spark.pipeline import multimodal
+from questdb_spark.pipeline.multimodal import _gif, _jpeg, _png, _scan_jpeg_sof
+
+
+def test_jpeg_scan_skips_multiple_segments():
+    # SOI + APP0 + two COM segments of different lengths before SOF0
+    body = b"\xff\xd8"
+    body += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    body += b"\xff\xfe" + struct.pack(">H", 5) + b"abc"
+    body += b"\xff\xfe" + struct.pack(">H", 2)
+    body += (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    assert _scan_jpeg_sof(body) == (640, 480)
+
+
+def test_jpeg_scan_progressive_sof2():
+    body = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 17) + b"\x08"
+    body += struct.pack(">HH", 32, 64) + b"\x00" * 10
+    assert _scan_jpeg_sof(body) == (64, 32)
+
+
+def test_jpeg_scan_no_sof_returns_sentinel():
+    assert _scan_jpeg_sof(b"\xff\xd8\xff\xd9") == (-1, -1)
+    assert _scan_jpeg_sof(b"\xff\xd8") == (-1, -1)
+    assert _scan_jpeg_sof(b"\xff\xd8\xff\xda\x00\x04ab") == (-1, -1)
+    # garbage after SOI (no 0xFF marker prefix)
+    assert _scan_jpeg_sof(b"\xff\xd8zzzz") == (-1, -1)
+
+
+def test_builders_roundtrip_dimensions():
+    assert _png(1920, 1080, b"x")[16:24] == struct.pack(">II", 1920, 1080)
+    g = _gif(320, 200, b"")
+    assert struct.unpack("<HH", g[6:10]) == (320, 200)
+    assert _scan_jpeg_sof(_jpeg(123, 45, b"some body bytes")) == (123, 45)
+
+
+@pytest.mark.usefixtures("spark")
+def test_decode_image_edge_payloads(spark):
+    rows = [
+        (0, _png(640, 480, b"body")),
+        (1, _jpeg(100, 50, b"")),
+        (2, _gif(10, 20, b"tail")),
+        (3, b""),                      # empty payload
+        (4, b"\x89PNG\r\n\x1a\n short"),  # truncated PNG (< 24 bytes)
+        (5, b"\xff\xd8\xff\xd9"),      # JPEG with no SOF → unknown fallback
+        (6, b"plain text, no magic"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_image(df).collect()}
+
+    assert (out[0]["format"], out[0]["width"], out[0]["height"]) == ("png", 640, 480)
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("jpeg", 100, 50)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("gif", 10, 20)
+    assert out[0]["checksum"] is None and out[2]["checksum"] is None
+
+    for bad in (3, 4, 5, 6):
+        assert out[bad]["width"] is None and out[bad]["height"] is None
+        assert out[bad]["checksum"] is not None
+    assert out[3]["checksum"] == 0
+    assert out[5]["format"] == "jpeg"  # magic says jpeg even without SOF
+    assert out[6]["format"] == "unknown"
+    assert out[6]["n_bytes"] == len(b"plain text, no magic")
