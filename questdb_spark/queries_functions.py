@@ -1374,8 +1374,6 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
     is lowered to dense_rank+RANGE (its SQL definition); EXCLUDE variants
     are frame-subtraction identities with SQL-standard empty-frame NULLs —
     checked against DuckDB's NATIVE ``EXCLUDE`` window clause."""
-    from .functions.window_extras import agg_exclude, groups_frame_agg, sum_exclude
-
     ev = load_table(spark, sf, "events").select(
         "event_id",
         "user_id",
@@ -1386,31 +1384,51 @@ def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
     # stacking 8 window columns must not mean 8 rank computations
     from pyspark.sql import Window as W
 
-    ev = ev.withColumn(
-        "__grp", F.dense_rank().over(W.partitionBy("user_id").orderBy("m"))
+    # r6 single-pass rewrite (VERDICT r5 task 5).  Two fused passes instead
+    # of the old 4+:
+    #   pass 1 — ONE (user_id, __mm)-ordered WindowExec computing
+    #     dense_rank AND every EXCLUDE building block.  Ordering by the
+    #     microsecond value of m keeps m's peer groups (RANGE [0,0] ==
+    #     the minute bucket) while allowing integer range offsets, and the
+    #     ROWS frames' before/after SETS are tie-order-independent for
+    #     every derived column, so one order spec serves all frames.
+    #   pass 2 — the two GROUPS-frame columns that genuinely need the
+    #     dense_rank ordering (RANGE -1..0 over __grp).
+    v = F.col("v")
+    ev = ev.withColumn("__mm", F.unix_micros("m"))
+    w = W.partitionBy("user_id").orderBy("__mm")
+    rows_lo = w.rowsBetween(W.unboundedPreceding, -1)
+    rows_hi = w.rowsBetween(1, W.unboundedFollowing)
+    rng_lo = w.rangeBetween(W.unboundedPreceding, -1)  # strictly-earlier groups
+    rng_hi = w.rangeBetween(1, W.unboundedFollowing)   # strictly-later groups
+
+    dsum, dcnt, dmin = F.sum(v).over(rows_lo), F.count(v).over(rows_lo), F.min(v).over(rows_lo)
+    esum, ecnt, emin = F.sum(v).over(rows_hi), F.count(v).over(rows_hi), F.min(v).over(rows_hi)
+    fsum, fcnt, fmax = F.sum(v).over(rng_lo), F.count(v).over(rng_lo), F.max(v).over(rng_lo)
+    gsum, gcnt, gmax = F.sum(v).over(rng_hi), F.count(v).over(rng_hi), F.max(v).over(rng_hi)
+    zero = F.lit(0)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "m",
+        "v",
+        F.dense_rank().over(w).alias("__grp"),
+        # EXCLUDE CURRENT ROW: before + after (SQL-standard NULL when empty)
+        F.when(dcnt + ecnt > 0, F.coalesce(dsum, zero) + F.coalesce(esum, zero)).alias("__ec"),
+        F.least(dmin, emin).alias("__mc"),
+        # EXCLUDE GROUP: groups strictly before + strictly after
+        F.when(fcnt + gcnt > 0, F.coalesce(fsum, zero) + F.coalesce(gsum, zero)).alias("__eg"),
+        (fcnt + gcnt).alias("__cg"),
+        # EXCLUDE TIES: other groups + the current row itself
+        F.when(
+            fcnt + gcnt + v.isNotNull().cast("long") > 0,
+            F.coalesce(fsum, zero) + F.coalesce(gsum, zero) + F.coalesce(v, zero),
+        ).alias("__et"),
+        F.greatest(fmax, gmax, v).alias("__mt"),
     )
-    out = groups_frame_agg(
-        ev, "v", "m", keys=["user_id"], groups_preceding=1, agg="sum",
-        out_col="__g", group_col="__grp",
-    )
-    out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="current row", out_col="__ec")
-    out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="group", out_col="__eg")
-    out = sum_exclude(out, "v", "m", keys=["user_id"], exclude="ties", out_col="__et")
-    # generalized forms (r4): min/max/count under GROUPS frames and EXCLUDE
-    out = groups_frame_agg(
-        out, "v", "m", keys=["user_id"], groups_preceding=1, agg="min",
-        out_col="__gmin", group_col="__grp",
-    )
-    out = agg_exclude(
-        out, "v", "m", keys=["user_id"], exclude="current row", agg="min", out_col="__mc"
-    )
-    out = agg_exclude(
-        out, "v", "m", keys=["user_id"], exclude="ties", agg="max",
-        out_col="__mt", group_col="__grp",
-    )
-    out = agg_exclude(
-        out, "v", "m", keys=["user_id"], exclude="group", agg="count",
-        out_col="__cg", group_col="__grp",
+    grp1 = W.partitionBy("user_id").orderBy("__grp").rangeBetween(-1, 0)
+    out = out.withColumn("__g", F.sum(v).over(grp1)).withColumn(
+        "__gmin", F.min(v).over(grp1)
     )
     dd = lambda c, n: F.col(c).cast("decimal(20,2)").cast("double").alias(n)  # noqa: E731
     return out.select(
