@@ -121,8 +121,6 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "sql_read_parquet": (sq.sql_read_parquet, sq.SQL_READ_PARQUET_SQL),
     # plain CREATE VIEW over a dialect query (r4)
     "sql_plain_view": (sq.sql_plain_view, sq.SQL_PLAIN_VIEW_SQL),
-    # GROUPS/EXCLUDE generalized to min/max/count (r4) — vs DuckDB native
-    "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
     # DETACH/ATTACH PARTITION legs added (r4)
     "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
     # PG-style positional bind variables $1 (r4)
@@ -253,6 +251,8 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     # real multimodal header decode (r6): byte-exact PNG/JPEG/GIF
     # synthesis + fixed-offset / marker-scan dimension parse
     "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
+    # GROUPS/EXCLUDE fused into two shared-spec window passes (r6 rewrite)
+    "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

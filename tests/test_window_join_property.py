@@ -114,3 +114,36 @@ def test_window_join_constant_matches_oracle(spark):
     got = sorted((r["mid"], r["sv_sum"], r["n"]) for r in got_df.collect())
     want = _oracle(mpd, spd, lambda m_: 30, lambda m_: 30, False)
     assert got == want
+
+
+def test_window_join_dynamic_constant_bounds_fold_without_master_scan(
+    spark, monkeypatch
+):
+    """VERDICT r5 task 7: constant-foldable dyn bounds must derive the
+    bucket width at plan time — no scalar aggregate over the master.
+    Guard: any .collect() during plan build trips the sentinel."""
+    from pyspark.sql import DataFrame as _DF
+
+    rng = random.Random(7)
+    mpd, spd = _tables(rng, n_master=10, n_slave=15)
+    m = spark.createDataFrame(mpd)
+    s = spark.createDataFrame(spd)
+
+    def boom(self):
+        raise AssertionError("plan-time collect over the master")
+
+    monkeypatch.setattr(_DF, "collect", boom)
+    got_df = window_join(
+        m, s, "ts", ["k"],
+        "dyn:(-30) * 1000000",
+        "dyn:30 * 1000000",
+        aggs={"sv_sum": F.expr("sum(s.sv)"), "n": F.expr("count(s.sv)")},
+        master_id="mid",
+    )
+    monkeypatch.undo()
+    got = sorted(
+        ((r["mid"], r["sv_sum"], r["n"]) for r in got_df.collect()),
+        key=lambda t: t[0],
+    )
+    want = _oracle(mpd, spd, lambda m_: 30, lambda m_: 30, False)
+    assert got == want
