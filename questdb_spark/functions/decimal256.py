@@ -25,8 +25,13 @@ Scope: non-negative magnitudes with exact add / subtract (borrow ripple,
 ``a >= b`` required — signed values would wrap a sign flag around the
 magnitude struct) / multiply (limb convolution; partial products up to
 10³⁶ stay exact inside ``decimal(38,0)``) / carry-normalized SUM /
-compare / string round-trip. Division is left out until a query needs it
-— documented here so the limitation is explicit rather than silent.
+compare / string round-trip / divide-by-long (schoolbook limb long
+division, most-significant limb first) / decimal rescale (divide by 10^k
+with HALF_UP rounding — the reference's decimal rescale semantics,
+``griffin/engine/functions/math/`` decimal families). Wide ÷ wide is
+deliberately out: the reference's decimal division is scalar-divisor in
+practice, and a general multiword quotient needs trial-digit loops that
+have no clean columnar form — documented limitation, not silent.
 """
 
 from __future__ import annotations
@@ -148,6 +153,68 @@ def sum_agg(col: Column) -> list[Column]:
 def normalized(prefix: str = "sum_") -> Column:
     """Carry-ripple the widened per-limb sums back into a wide struct."""
     return _ripple([F.col(prefix + f) for f in FIELDS])
+
+
+def _divmod_steps(a: Column, d: Column) -> tuple[list[Column], Column]:
+    """Schoolbook base-10¹⁸ long division by a single-limb divisor:
+    most-significant limb first, ``acc = rem·10¹⁸ + limb`` (< 10³⁶, exact
+    in decimal(38,0)), quotient digit ``(acc − acc % d)/d`` — the
+    subtract-remainder-first form keeps the decimal division exactly
+    integral so Spark's round-on-cast can never perturb it. Returns
+    (little-endian quotient limbs, remainder)."""
+    qs: list[Column] = []
+    rem = F.lit(0).cast("decimal(38,0)")
+    for f in reversed(FIELDS):
+        acc = rem * F.lit(LIMB) + a[f].cast("decimal(38,0)")
+        r = acc % d
+        qs.append(((acc - r) / d).cast("long"))
+        rem = r
+    qs.reverse()
+    return qs, rem
+
+
+def _as_divisor(d: Column | int) -> Column:
+    return (F.lit(d) if isinstance(d, int) else d).cast("decimal(38,0)")
+
+
+def divide_long(a: Column, d: Column | int) -> Column:
+    """Exact floor quotient ``a // d`` for a positive divisor < 10¹⁸."""
+    qs, _ = _divmod_steps(a, _as_divisor(d))
+    return F.struct(*[q.alias(f) for q, f in zip(qs, FIELDS)])
+
+
+def mod_long(a: Column, d: Column | int) -> Column:
+    """``a mod d`` (LONG) for a positive divisor < 10¹⁸."""
+    _, rem = _divmod_steps(a, _as_divisor(d))
+    return rem.cast("long")
+
+
+def rescale(a: Column, k: int) -> Column:
+    """Divide by 10^k with HALF_UP rounding (decimal rescale semantics).
+
+    Floor-shift: whole-limb moves for k//18, then one divide_long by
+    10^(k%18). HALF_UP needs only digit k-1 of ``a`` (≥5 rounds up,
+    regardless of lower digits), read without any division as
+    ``limb % 10^(pos+1) >= 5·10^pos``."""
+    if k == 0:
+        return a
+    if not 0 < k < 18 * N_LIMBS:
+        raise ValueError(f"rescale exponent out of range: {k}")
+    m, r = divmod(k, 18)
+    shifted = F.struct(
+        *[
+            (a[FIELDS[i + m]] if i + m < N_LIMBS else F.lit(0).cast("long")).alias(
+                FIELDS[i]
+            )
+            for i in range(N_LIMBS)
+        ]
+    )
+    floored = divide_long(shifted, 10**r) if r else shifted
+    # digit k-1 of a: limb (k-1)//18, in-limb position (k-1)%18
+    dl, dp = divmod(k - 1, 18)
+    round_up = (a[FIELDS[dl]] % F.lit(10 ** (dp + 1))) >= F.lit(5 * 10**dp)
+    bump = F.when(round_up, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return add(floored, wide(bump))
 
 
 def compare(a: Column, b: Column) -> Column:

@@ -1368,6 +1368,46 @@ FROM r3 ORDER BY l_returnflag
 """
 
 
+def decimal256_div(spark: SparkSession, sf: str) -> DataFrame:
+    """DECIMAL256 divide/rescale (r6; griffin/engine/functions/math/
+    decimal div families, ColumnType.java:104-135): schoolbook limb long
+    division by a per-row divisor, exact remainder, and HALF_UP rescale by
+    10^20. Values are built 2-limb (< 10^36) so DuckDB can verify with
+    NATIVE HUGEINT division — an independent oracle, not a mirrored limb
+    algorithm (the >36-digit range is covered by the Python-bigint pytest)."""
+    from .functions import decimal256 as D
+
+    li = load_table(spark, sf, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    w = D.wide(F.col("l_orderkey").cast("long"), cents)
+    d = (F.col("l_partkey") % 97 + 3).cast("long")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        d.alias("d"),
+        D.to_string(D.divide_long(w, d)).alias("q_str"),
+        D.mod_long(w, d).alias("r"),
+        D.to_string(D.rescale(w, 20)).alias("rs_str"),
+    )
+
+
+DECIMAL256_DIV_SQL = """
+WITH b AS (
+  SELECT l_orderkey AS okey, l_linenumber AS lineno,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+      * 1000000000000000000::HUGEINT + l_orderkey AS x,
+    l_partkey % 97 + 3 AS d
+  FROM lineitem
+)
+SELECT okey, lineno, d,
+  CAST(x // d AS VARCHAR) AS q_str,
+  CAST(x % d AS BIGINT) AS r,
+  CAST((x + 50000000000000000000::HUGEINT)
+       // 100000000000000000000::HUGEINT AS VARCHAR) AS rs_str
+FROM b
+"""
+
+
 def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
     """GROUPS frames + EXCLUDE clauses (WindowExpression.java:47-55) over
     events: minute-truncated ts creates real peer groups per user. GROUPS

@@ -253,6 +253,8 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_decode": (pl.multimodal_decode, pl.MULTIMODAL_SQL),
     # GROUPS/EXCLUDE fused into two shared-spec window passes (r6 rewrite)
     "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
+    # DECIMAL256 divide/rescale (r6): limb long division vs native HUGEINT
+    "decimal256_div": (fn.decimal256_div, fn.DECIMAL256_DIV_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -472,3 +472,45 @@ def test_sample_by_tz_dst_transition(spark):
     # the DST-day bucket is 23 hours long; every row must land in exactly
     # one bucket (no gaps/overlaps at the transition)
     assert len(starts) == len(set(starts))
+
+
+def test_decimal256_divide_rescale(spark):
+    """DECIMAL256 divide-by-long (schoolbook limb long division) and
+    HALF_UP rescale vs Python bigints on values spanning limb boundaries
+    and divisors from 1 digit to the full 18-digit limb."""
+    import random
+
+    from questdb_spark.functions import decimal256 as D
+
+    rng = random.Random(13)
+    vals = [0, 1, D.LIMB - 1, D.LIMB, D.LIMB**2 - 1, 10**72 - 1] + [
+        rng.randrange(0, 10**72) for _ in range(9)
+    ]
+    divs = [1, 2, 3, 7, 10, 999983, D.LIMB - 1] + [
+        rng.randrange(1, D.LIMB) for _ in range(8)
+    ]
+    rows = [
+        (str(v), d) for v in vals for d in rng.sample(divs, 2)
+    ]
+    df = spark.createDataFrame(rows, ["s", "d"])
+    w = D.from_string(F.col("s"))
+    out = df.select(
+        "s", "d",
+        D.to_string(D.divide_long(w, F.col("d"))).alias("q"),
+        D.mod_long(w, F.col("d")).alias("r"),
+    ).collect()
+    for row in out:
+        x, d = int(row["s"]), int(row["d"])
+        assert row["q"] == str(x // d), (x, d)
+        assert row["r"] == x % d, (x, d)
+    # rescale: HALF_UP at exponents crossing limb boundaries — one plan
+    ks = [1, 18, 19, 71]  # in-limb, pure shift, shift+divide, top digit
+    got = df.select(
+        "s", *[D.to_string(D.rescale(w, k)).alias(f"q{k}") for k in ks]
+    ).collect()
+    for row in got:
+        x = int(row["s"])
+        for k in ks:
+            want = (x + 5 * 10 ** (k - 1)) // 10**k  # HALF_UP
+            assert row[f"q{k}"] == str(want), (x, k)
+
