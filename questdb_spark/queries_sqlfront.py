@@ -683,3 +683,33 @@ SELECT time_bucket(INTERVAL 1 DAY, ts) AS ts, COUNT(*) AS n,
 FROM events WHERE event_type = 'click' AND value >= 1.5
 GROUP BY 1 ORDER BY 1
 """
+
+
+def sql_query_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Query registry + CANCEL QUERY (griffin/QueryRegistry.java,
+    functions/activity/QueryActivityFunctionFactory): a 4-statement
+    session — plain query, second query (completes the first), CANCEL of
+    the still-active second, then a query_activity() read. States are
+    deterministic because the registry is driven purely by the statement
+    sequence (timestamps are deliberately not exposed)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.sql("SELECT count(*) AS n FROM events")
+    eng.sql("SELECT user_id, max(value) AS mx FROM events GROUP BY user_id")
+    eng.sql("CANCEL QUERY 2")
+    return eng.sql(
+        "SELECT query_id, query, state FROM query_activity() ORDER BY query_id"
+    )
+
+
+SQL_QUERY_ACTIVITY_SQL = """
+SELECT * FROM (VALUES
+  (1::BIGINT, 'SELECT count(*) AS n FROM events', 'completed'),
+  (2::BIGINT, 'SELECT user_id, max(value) AS mx FROM events GROUP BY user_id',
+   'cancelled'),
+  (3::BIGINT, 'CANCEL QUERY 2', 'active'),
+  (4::BIGINT,
+   'SELECT query_id, query, state FROM query_activity() ORDER BY query_id',
+   'active')
+) AS t(query_id, query, state)
+ORDER BY query_id
+"""

@@ -255,6 +255,8 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "window_groups_exclude": (fn.window_groups_exclude, fn.WINDOW_GROUPS_EXCLUDE_SQL),
     # DECIMAL256 divide/rescale (r6): limb long division vs native HUGEINT
     "decimal256_div": (fn.decimal256_div, fn.DECIMAL256_DIV_SQL),
+    # query registry: query_activity() + CANCEL QUERY (r6)
+    "sql_query_activity": (sq.sql_query_activity, sq.SQL_QUERY_ACTIVITY_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -44,7 +44,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _STMT_RE = re.compile(
     r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh"
-    r"|vacuum|checkpoint|snapshot|explain|copy)\b",
+    r"|vacuum|checkpoint|snapshot|explain|copy|cancel)\b",
     re.IGNORECASE,
 )
 
@@ -137,7 +137,29 @@ def execute(eng: QdbEngine, sql: str) -> DataFrame:
         return _explain(eng, s)
     if kind == "copy":
         return _copy(eng, s)
+    if kind == "cancel":
+        return _cancel(eng, s)
     raise ValueError(f"unsupported statement: {sql!r}")
+
+
+def _cancel(eng: QdbEngine, s: str) -> DataFrame:
+    """``CANCEL QUERY <id>`` (griffin/QueryRegistry.java,
+    SqlCompilerImpl ``compileCancel``): mark the registry entry cancelled
+    and cancel its Spark job group — best-effort, mirroring the
+    reference's cooperative circuit-breaker semantics. Unknown or
+    already-finished ids error, as the reference does."""
+    m = re.match(r"^cancel\s+query\s+(\d+)$", s, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"cannot parse CANCEL: {s!r}")
+    qid = int(m.group(1))
+    entry = next((e for e in eng.query_log if e["query_id"] == qid), None)
+    if entry is None:
+        raise ValueError(f"query to cancel cannot be found [id={qid}]")
+    if entry["state"] not in ("active",):
+        raise ValueError(f"query is not active [id={qid}, state={entry['state']}]")
+    eng.spark.sparkContext.cancelJobGroup(f"qdb-query-{qid}")
+    entry["state"] = "cancelled"
+    return _status(eng, "cancel", f"query:{qid}")
 
 
 def _explain(eng: QdbEngine, s: str) -> DataFrame:

@@ -124,6 +124,14 @@ class QdbEngine:
         # plain (non-materialized) views: name → definition SQL, re-lowered
         # on every read (CompileViewModel.java)
         self.views: dict[str, str] = {}
+        # session query registry (griffin/QueryRegistry.java): one entry
+        # per top-level sql() call, drives query_activity() and
+        # CANCEL QUERY.  Spark jobs of query N run under job group
+        # "qdb-query-N", so cancel maps to cancelJobGroup — best-effort,
+        # like the reference's cooperative circuit breaker.
+        self.query_log: list[dict] = []
+        self._query_seq = 0
+        self._sql_depth = 0
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,
@@ -179,6 +187,37 @@ class QdbEngine:
         if args is not None:
             query, named = _positional_to_named(query, args)
             query = _bind_named_literals(query, named)
+        if self._sql_depth == 0:
+            # register top-level statements only — internal re-entry (view
+            # bodies, set-op operands) is the same user query.  Plans are
+            # lazy, so "active" means "jobs may still run under this
+            # query's job group"; a query completes when the session moves
+            # on to the next statement.  Introspection statements (CANCEL,
+            # query_activity reads) must NOT advance the session — their
+            # whole point is to observe/kill the in-flight query.
+            introspective = bool(
+                re.match(r"^\s*cancel\b", query, re.IGNORECASE)
+            ) or bool(re.search(r"\bquery_activity\s*\(", query, re.IGNORECASE))
+            if not introspective:
+                for e in self.query_log:
+                    if e["state"] == "active":
+                        e["state"] = "completed"
+            self._query_seq += 1
+            self.query_log.append(
+                {"query_id": self._query_seq, "query": query.strip(), "state": "active"}
+            )
+            self.spark.sparkContext.setJobGroup(
+                f"qdb-query-{self._query_seq}", query.strip()[:200], True
+            )
+        self._sql_depth += 1
+        try:
+            return self._sql_inner(query)
+        finally:
+            self._sql_depth -= 1
+
+    def _sql_inner(self, query: str) -> DataFrame:
+        from . import ddl
+
         if ddl.statement_kind(query) is not None:
             return ddl.execute(self, query)
         rewritten = self._rewrite_intervals(expand_declare(query))
@@ -379,8 +418,9 @@ class QdbEngine:
         # matched over the literal-MASKED text: quoted content is blanked,
         # so the table-name group matches the quotes and is read back from
         # the original via its span
-        r"\b(tables|all_tables|wal_tables)\s*\(\s*\)"
-        r"|\b(table_columns|table_partitions|wait_wal_table)\s*\(\s*('[^']*')\s*\)",
+        r"\b(tables|all_tables|wal_tables|query_activity)\s*\(\s*\)"
+        r"|\b(table_columns|table_partitions|wait_wal_table|touch"
+        r"|hydrate_table_metadata)\s*\(\s*('[^']*')\s*\)",
         re.IGNORECASE,
     )
 
@@ -395,7 +435,23 @@ class QdbEngine:
         out: list[str] = []
         last = 0
         for m in self._CATALOG_FN_RE.finditer(masked):
-            if m.group(1):  # tables()/all_tables()/wal_tables()
+            if m.group(1) and m.group(1).lower() == "query_activity":
+                # griffin/QueryRegistry.java + functions/activity/: the
+                # session's query log (timestamps omitted — the reference
+                # emits wall-clock columns; a deterministic registry is
+                # what makes this oracle-checkable)
+                schema = "query_id long, query string, state string"
+                rows = [
+                    (e["query_id"], e["query"], e["state"]) for e in self.query_log
+                ]
+                view = "__qdb_query_activity"
+                df = (
+                    self.spark.createDataFrame(rows, schema)
+                    if rows
+                    else self.spark.createDataFrame([], schema)
+                )
+                df.createOrReplaceTempView(view)
+            elif m.group(1):  # tables()/all_tables()/wal_tables()
                 rows = [
                     (n, t.ts_col, t.partition_by, ",".join(t.dedup_keys), True)
                     for n, t in sorted(self.ddl_tables.items())
@@ -427,6 +483,35 @@ class QdbEngine:
                     if tname not in self.ddl_tables and tname not in self.tables:
                         raise ValueError(f"no such table: {tname}")
                     view = "'ok'"
+                elif fn_name == "touch":
+                    # functions/table/TouchTableFunctionFactory: pre-fault
+                    # table pages into cache.  Spark analogue: one count
+                    # job warms parquet footers, the file-status cache and
+                    # the OS page cache; report what was touched.
+                    if tname in self.ddl_tables:
+                        src = self.ddl_read(tname)
+                    elif tname in self.tables:
+                        src = self.tables[tname]
+                    else:
+                        raise ValueError(f"no such table: {tname}")
+                    n_files = len(src.inputFiles())
+                    n_rows = src.count()
+                    view = (
+                        f"(SELECT {n_files} AS touched_files, "
+                        f"CAST({n_rows} AS BIGINT) AS touched_rows)"
+                    )
+                elif fn_name == "hydrate_table_metadata":
+                    # functions/table/HydrateTableMetadataFunctionFactory:
+                    # force a metadata re-read — Spark's refreshTable drops
+                    # the cached file listing / schema for the view
+                    if tname in self.ddl_tables or tname in self.tables:
+                        try:
+                            self.spark.catalog.refreshTable(tname)
+                        except Exception:
+                            pass  # not a catalog-registered view yet
+                        view = "'ok'"
+                    else:
+                        raise ValueError(f"no such table: {tname}")
                 elif fn_name == "table_columns":
                     if tname in self.ddl_tables:
                         self.ddl_read(tname).createOrReplaceTempView(tname)

@@ -543,3 +543,33 @@ def test_positional_binds_ansi_and_dialect(spark):
 
     with _pytest.raises(ValueError):
         eng.sql("SELECT * FROM tb WHERE v > $3", [1.0])
+
+
+def test_query_activity_and_cancel_errors(spark):
+    """QueryRegistry error surface: CANCEL of an unknown id and of an
+    already-finished query both error (QueryRegistryTest), touch() reports
+    files+rows, hydrate_table_metadata() acks."""
+    eng = QdbEngine(spark)  # fresh registry: ids must start at 1
+    eng.sql("SELECT 1 AS one")
+    eng.sql("SELECT 2 AS two")  # completes query 1
+    with pytest.raises(ValueError, match="cannot be found"):
+        eng.sql("CANCEL QUERY 99")
+    with pytest.raises(ValueError, match="not active"):
+        eng.sql("CANCEL QUERY 1")
+    # cancel the active one, then verify state transitions in activity()
+    eng.sql("CANCEL QUERY 2")
+    rows = {
+        r["query_id"]: r["state"]
+        for r in eng.sql(
+            "SELECT query_id, state FROM query_activity()"
+        ).collect()
+    }
+    assert rows[1] == "completed" and rows[2] == "cancelled"
+
+
+def test_touch_and_hydrate(eng, spark):
+    n = load_table(spark, SF_DIR, "events").count()
+    row = eng.sql("SELECT * FROM touch('events')").collect()[0]
+    assert row["touched_rows"] == n and row["touched_files"] >= 1
+    ok = eng.sql("SELECT hydrate_table_metadata('events') AS s").collect()[0]["s"]
+    assert ok == "ok"
