@@ -526,6 +526,12 @@ class TimeTable:
             ):
                 continue
             src = os.path.join(self._detached_root, d)
+            if os.path.exists(os.path.join(self.path, d)):
+                # new writes recreated this partition after the detach —
+                # the reference refuses the attach ("partition already
+                # attached", AlterTableAttachPartitionTest) rather than
+                # merging two generations of data
+                raise ValueError(f"partition already attached: {d}")
             if live_schema is not None:
                 incoming = self.spark.read.parquet(src).schema
                 if {(f.name, f.dataType) for f in incoming} != {
