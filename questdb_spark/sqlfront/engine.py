@@ -394,6 +394,39 @@ class QdbEngine:
         r"\b(?:read_parquet|parquet_scan)\s*\(\s*('[^']+')\s*\)", re.IGNORECASE
     )
 
+    @staticmethod
+    def _validate_parquet_magic(path: str, cap: int = 1000) -> None:
+        """Front/tail PAR1 magic check (broken_parquet.test: the reference
+        rejects missing front magic, bare markers, and empty files; Spark's
+        reader validates only the footer, so a head-corrupted file would
+        silently serve metadata-only queries).  8-byte read per file,
+        driver-side, capped at ``cap`` files — read_parquet is a file
+        table function, not the partitioned-table scan path."""
+        import os as _os
+
+        if not _os.path.exists(path):
+            return  # remote / nonexistent: Spark's own resolution errors
+        files = (
+            [path]
+            if _os.path.isfile(path)
+            else [
+                _os.path.join(r, f)
+                for r, ds, fs in _os.walk(path)
+                for f in fs
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ][:cap]
+        )
+        for f in files:
+            size = _os.path.getsize(f)
+            if size < 12:
+                raise ValueError(f"invalid parquet file (too small): {f}")
+            with open(f, "rb") as fh:
+                head = fh.read(4)
+                fh.seek(-4, 2)
+                tail = fh.read(4)
+            if head != b"PAR1" or tail != b"PAR1":
+                raise ValueError(f"not a parquet file (magic mismatch): {f}")
+
     def _rewrite_read_parquet(self, s: str) -> str:
         """``read_parquet('p')`` / ``parquet_scan('p')`` table functions
         (``ReadParquetFunctionFactory.java:50``) → Spark's native
@@ -405,6 +438,7 @@ class QdbEngine:
         last = 0
         for m in self._READ_PARQUET_RE.finditer(masked):
             path = s[m.start(1) + 1 : m.end(1) - 1]
+            self._validate_parquet_magic(path)
             # files may carry nanosecond timestamps (events.parquet):
             # mirror sources/parquet.load_table's session setting
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -800,7 +834,20 @@ class QdbEngine:
 
     def _lower(self, q: QdbQuery) -> DataFrame:
         df = self._table(q.table, q.table_alias)
-        ts_col = q.from_ts_col or self.designated_ts.get(q.table, "ts")
+        ts_col = q.from_ts_col or self.designated_ts.get(q.table)
+        if ts_col is None and q.table.startswith("parquet."):
+            # designated-ts detection for third-party parquet files
+            # (sqllogictest parquet/designated_ts_detection.test): prefer a
+            # column literally named "ts", else the first timestamp-typed
+            # column in schema order — so SAMPLE BY works on a bare
+            # read_parquet() source without a timestamp() decoration
+            tscands = [
+                f.name for f in df.schema.fields
+                if f.dataType.typeName().startswith("timestamp")
+            ]
+            ts_col = "ts" if "ts" in tscands else (tscands[0] if tscands else None)
+        if ts_col is None:
+            ts_col = "ts"
 
         for j in q.sql_joins:  # plain ANSI joins, in textual order
             other = self._table(j.table, j.alias)
