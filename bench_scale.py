@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Scale-curve check (VERDICT r5 task 10): run the heaviest registry
+queries at sf0.1 and at a derived 10x scale-up, and flag superlinear
+growth.
+
+No sf1.0 testdata exists (and /root/testdata is read-only), so the 10x
+dataset is DERIVED from sf0.1: each table is unioned R=10 times with a
+per-replica offset added to every entity key (FK consistency preserved —
+the same offset shifts both sides of every join key), while region/nation
+stay single-copy (their keys are unshifted FK targets).  Timestamps are
+NOT shifted: the time range stays fixed and densifies, which is the right
+stress for SAMPLE BY / window / ASOF paths (more rows per bucket, not
+more buckets).
+
+Emits ONE JSON line {query: {t_sf01, t_sf1, ratio}, ...} and writes
+BENCH_SF1_r06.json.  Ideal linear scaling is ratio ~10 for scan-bound
+queries; <10 indicates fixed overhead amortizing (fine); >>10 flags a
+superlinear plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from questdb_spark.registry import REGISTRY  # noqa: E402
+from questdb_spark.session import get_session  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/qdb_sf1")
+REPLICAS = 10
+OFFSET = 10**9
+
+# key columns shifted per replica (FK pairs share the same offset)
+KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE = ["region", "nation"]
+
+# the heaviest registry queries by BENCH_r05 (lifecycle DDL queries are
+# fixed-cost and excluded; this is the scan/join/window scale surface)
+HEAVY = [
+    "dedup_cluster_canonical",
+    "window_groups_exclude",
+    "dedup_jaccard",
+    "dedup_jaccard_guarded",
+    "minhash_lsh",
+    "minhash_signatures",
+    "embedding_near_dup",
+    "contamination_check",
+    "training_corpus_filter",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "sql_window_join_dynamic",
+    "sql_asof_join",
+    "sample_by_1h",
+    "latest_on_user",
+    "twap_vwap_events",
+    "decimal256_div",
+]
+
+
+def build(spark) -> None:
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    for t in SINGLE:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+    for t, keys in KEYS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(r * OFFSET))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    open(os.path.join(DST, "_DONE"), "w").write("ok")
+
+
+def run(spark, name: str, sf_dir: str, reps: int = 2) -> float:
+    fn, _ = REGISTRY[name]
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
+def main() -> None:
+    spark = get_session("questdb-spark-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    out = {}
+    for name in HEAVY:
+        try:
+            t_small = run(spark, name, SRC)
+            t_big = run(spark, name, DST)
+            out[name] = {
+                "t_sf01": t_small,
+                "t_sf1": t_big,
+                "ratio": round(t_big / max(t_small, 1e-9), 2),
+            }
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"}
+        print(name, out[name], file=sys.stderr)
+    doc = {
+        "scale_factor_ratio": REPLICAS,
+        "note": "derived 10x of sf0.1 (key-shifted replicas, fixed time range)",
+        "queries": out,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r06.json"),
+        "w",
+    ) as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
