@@ -440,7 +440,21 @@ class TimeTable:
         if not parts:
             return
         sub = df.filter(F.col(PARTITION_COL).isin(parts)).filter(~predicate)
-        self._rewrite_partitions(self._to_physical(sub), parts)
+        # dynamic partition overwrite only rewrites partitions PRESENT in
+        # the output — a partition whose every row matches the predicate
+        # yields no output rows and would silently survive (found by the
+        # r6 op-sequence fuzz).  Remove fully-deleted partitions directly.
+        survived = {
+            r[PARTITION_COL]
+            for r in sub.select(PARTITION_COL).distinct().collect()
+        }
+        emptied = [p for p in parts if p not in survived]
+        if len(emptied) < len(parts):
+            self._rewrite_partitions(self._to_physical(sub), parts)
+        for p in emptied:
+            shutil.rmtree(
+                os.path.join(self.path, f"{PARTITION_COL}={p}"), ignore_errors=True
+            )
 
     def _partitions_in(self, interval: str) -> list[str]:
         """Partition dir values whose start falls in the interval string's

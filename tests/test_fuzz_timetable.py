@@ -146,9 +146,14 @@ def _norm(v, typ):
     return v
 
 
+def _sortkey(tup):
+    return [repr(x) for x in tup]  # None-safe, type-stable total order
+
+
 def _snapshot_shadow(sh: Shadow):
     return sorted(
-        tuple(_norm(r.get(c), sh.types[c]) for c in sh.cols) for r in sh.rows
+        (tuple(_norm(r.get(c), sh.types[c]) for c in sh.cols) for r in sh.rows),
+        key=_sortkey,
     )
 
 
@@ -156,7 +161,8 @@ def _snapshot_table(t: TimeTable, sh: Shadow):
     df = t.read(dedup=True)
     rows = df.select(*sh.cols).collect()
     return sorted(
-        tuple(_norm(r[c], sh.types[c]) for c in sh.cols) for r in rows
+        (tuple(_norm(r[c], sh.types[c]) for c in sh.cols) for r in rows),
+        key=_sortkey,
     )
 
 
