@@ -123,3 +123,77 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
         F.array_max(F.col("__h")).alias("fp_max"),
         F.size(F.col("__h")).alias("n_shingles"),
     )
+
+
+# -- PII redaction (training-pipeline stage; not a QuestDB feature) --------
+
+# Patterns kept RE2-compatible (no lookaround) so the DuckDB oracle can
+# apply the exact same regexes. Order matters: more-specific first, so a
+# later pattern can't eat an earlier one's digits.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d ()-]{7,}\d"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / SSNs / IPv4s / phone-shaped runs, emitting the
+    scrubbed text plus a per-category hit count. Pure regexp column
+    expressions — JVM-side, codegen, no UDFs; at 100 TB this is one
+    narrow projection per document."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals per document: top-word fraction
+    (count of the most frequent word / total words) and duplicate-2-gram
+    fraction (1 − distinct/total).  Explode + two keyed aggregations —
+    shuffle-partitioned by document, linear at 100 TB (no per-doc Python,
+    no cross-doc state)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    word_stats = (
+        toks.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c") / F.sum("c")).alias("top_word_frac"),
+            F.sum("c").alias("n_words"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            _all_ngrams(tokens_col(F.col(text_col)), 2)
+        ).alias("g"),
+    )
+    gram_stats = (
+        grams.groupBy(id_col)
+        .agg(
+            (1 - F.countDistinct("g") / F.count(F.lit(1))).alias("dup_2gram_frac"),
+            F.count(F.lit(1)).alias("n_2grams"),
+        )
+    )
+    return word_stats.join(gram_stats, id_col, "left")
+
+
+def _all_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates (shingles_col dedups — repetition
+    metrics need the multiset)."""
+    m = F.greatest(F.size(tokens) - n + 1, F.lit(0))
+    acc = F.slice(tokens, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(tokens, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return F.when(F.size(tokens) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -674,3 +674,112 @@ SELECT st.doc_id, st.n_tokens,
 FROM stats st LEFT JOIN cont c ON c.doc_id = st.doc_id
 WHERE st.doc_id % 10 <> 0
 """
+
+
+# --------------------------------------------------------------------------
+# PII redaction + repetition-quality signals (r6)
+# --------------------------------------------------------------------------
+
+def pii_scrub_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction stage (r6 training-pipeline op): deterministic PII is
+    synthesized around each document's text (the corpus itself is clean),
+    then emails/SSNs/IPv4s/phone-runs are redacted in a fixed pattern
+    order; the oracle applies the SAME RE2-compatible regexes stage by
+    stage, so the per-category counts AND the md5 of the scrubbed text are
+    independently verified."""
+    docs = load_table(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 0100 now"),
+        ).alias("text"),
+    )
+    out = text.pii_scrub(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+        F.md5(F.col("scrubbed")).alias("scrub_md5"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com ssn 123-45-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ip 10.0.' || (doc_id % 256) || '.7 call +1 555 0100 now' AS t
+  FROM documents
+),
+s1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug),
+s2 AS (SELECT doc_id, n_email,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+  regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ssn,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t
+  FROM s2),
+s4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+  CAST(len(regexp_extract_all(t, '\+?\d[\d ()-]{7,}\d')) AS INT) AS n_phone,
+  regexp_replace(t, '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS t
+  FROM s3)
+SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, md5(t) AS scrub_md5 FROM s4
+"""
+
+
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4 repetition-quality signals (r6): top-word fraction and
+    duplicate-2-gram fraction per document — explode + two keyed
+    aggregations, linear and shuffle-partitioned by doc at 100 TB."""
+    docs = load_table(spark, sf, "documents")
+    st = text.repetition_stats(docs)
+    d6 = lambda c: F.col(c).cast("decimal(18,6)").cast("double").alias(c)  # noqa: E731
+    return st.select(
+        "doc_id", d6("top_word_frac"), "n_words", d6("dup_2gram_frac"), "n_2grams"
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+word_stats AS (
+  SELECT doc_id,
+    CAST(CAST(MAX(c) * 1.0 / SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS top_word_frac,
+    CAST(SUM(c) AS BIGINT) AS n_words
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+      unnest(list_transform(
+        range(1, greatest(len(l) - 1, 0) + 1), i -> l[i] || ' ' || l[i + 1]
+      )) AS g
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS l
+      FROM documents
+    )
+  )
+),
+gram_stats AS (
+  SELECT doc_id,
+    CAST(CAST(1 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE)
+      AS dup_2gram_frac,
+    COUNT(*) AS n_2grams
+  FROM grams GROUP BY doc_id
+)
+SELECT w.doc_id, w.top_word_frac, w.n_words, g.dup_2gram_frac, g.n_2grams
+FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
+"""

@@ -257,6 +257,10 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "decimal256_div": (fn.decimal256_div, fn.DECIMAL256_DIV_SQL),
     # query registry: query_activity() + CANCEL QUERY (r6)
     "sql_query_activity": (sq.sql_query_activity, sq.SQL_QUERY_ACTIVITY_SQL),
+    # PII redaction stage: staged regex scrub, counts + scrubbed-text md5 (r6)
+    "pii_scrub": (pl.pii_scrub_docs, pl.PII_SCRUB_SQL),
+    # Gopher/C4 repetition-quality signals (r6)
+    "text_repetition": (pl.text_repetition, pl.TEXT_REPETITION_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
