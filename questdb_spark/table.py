@@ -281,8 +281,7 @@ class TimeTable:
             .partitionBy(PARTITION_COL)
             .parquet(tmp)
         )
-        shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        self._swap_in(tmp)
 
     def _logical_columns(self) -> list[str]:
         return [
@@ -506,6 +505,13 @@ class TimeTable:
             if os.path.exists(dst):
                 raise ValueError(f"partition already detached: {p}")
             os.rename(src, dst)
+            # snapshot the DDL-journal position: the reference stores the
+            # partition's _meta alongside detached data and refuses an
+            # attach whose metadata no longer matches the table
+            # (AlterTableAttachPartitionTest "metadata does not match") —
+            # record enough state to enforce the same check
+            with open(os.path.join(dst, ".qdb_detach_meta.json"), "w") as f:
+                json.dump({"ops_len": len(self._ops())}, f)
             moved.append(str(p))
         if not moved:
             raise ValueError(f"no partitions in range: {interval!r}")
@@ -540,6 +546,17 @@ class TimeTable:
             ):
                 continue
             src = os.path.join(self._detached_root, d)
+            meta = os.path.join(src, ".qdb_detach_meta.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    ops_at_detach = json.load(f).get("ops_len", 0)
+                if ops_at_detach != len(self._ops()):
+                    # column DDL landed between detach and attach: the
+                    # detached files' schema predates the table's current
+                    # metadata — the reference refuses this attach
+                    raise ValueError(
+                        f"table metadata changed since detach: {d}"
+                    )
             if os.path.exists(os.path.join(self.path, d)):
                 # new writes recreated this partition after the detach —
                 # the reference refuses the attach ("partition already
@@ -556,6 +573,10 @@ class TimeTable:
                         f" vs {live_schema.simpleString()}"
                     )
             os.rename(src, os.path.join(self.path, d))
+            try:
+                os.remove(os.path.join(self.path, d, ".qdb_detach_meta.json"))
+            except OSError:
+                pass
             moved.append(d.split("=", 1)[1])
         if not moved:
             raise ValueError(f"no detached partitions in range: {interval!r}")
@@ -577,8 +598,22 @@ class TimeTable:
             .partitionBy(PARTITION_COL)
             .parquet(tmp)
         )
+        self._swap_in(tmp)
+
+    def _swap_in(self, tmp: str) -> None:
+        """Replace the table directory with a rewritten copy, carrying the
+        detached partitions across (they are sibling data, not part of the
+        rewrite — r6 fuzz adjacent find: a full-table rewrite must not
+        destroy ``_detached/``)."""
+        det = self._detached_root
+        saved = None
+        if os.path.isdir(det):
+            saved = tmp.rstrip("/") + ".detached_keep"
+            os.rename(det, saved)
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)
+        if saved is not None:
+            os.rename(saved, self._detached_root)
 
     def enforce_ttl(self) -> list:
         """Evict partitions whose CEILING (start of the next logical
