@@ -246,3 +246,37 @@ def test_alter_column_type_rewrites(spark, tmppath):
     assert dict(df.dtypes)["px"] == "string"
     got = {r["id"]: r["px"] for r in df.collect()}
     assert got[1] == "1.0" and len(got) == 5
+
+
+def test_attach_refused_after_ddl(spark, tmppath):
+    """r6: column DDL between DETACH and ATTACH invalidates the detached
+    partition's metadata — the reference refuses the attach
+    (AlterTableAttachPartitionTest 'metadata does not match')."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t.detach_partition("2024-01-01")
+    t.add_column("extra", "double")
+    with pytest.raises(ValueError, match="metadata changed"):
+        t.attach_partition("2024-01-01")
+    # without intervening DDL the roundtrip still works
+    t.detach_partition("2024-01-02")
+    assert t.attach_partition("2024-01-02") == ["2024-01-02"]
+
+
+def test_compact_preserves_detached(spark, tmppath):
+    """r6 fuzz-adjacent find: a full-table rewrite (compact) must carry
+    the _detached partitions across, not destroy them."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="day", dedup_keys=["sym"])
+    df = spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"])
+    t.append(df, seq=0)
+    t.detach_partition("2024-01-01")
+    t.append(
+        spark.createDataFrame(
+            [(9, "c", datetime(2024, 1, 2, 10), 9.0)], ["id", "sym", "ts", "price"]
+        ),
+        seq=1,
+    )
+    t.compact()
+    assert t.attach_partition("2024-01-01") == ["2024-01-01"]
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [1, 2, 3, 4, 5, 9]
