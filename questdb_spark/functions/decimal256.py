@@ -85,8 +85,16 @@ def _ripple(limbs: list[Column]) -> Column:
 
 
 def add(a: Column, b: Column) -> Column:
-    """Exact a + b (non-negative wides)."""
-    return _ripple([a[f] + b[f] for f in FIELDS])
+    """Exact a + b (non-negative NORMALIZED wides — limbs < 10¹⁸).
+
+    Boolean 0/1 carry chain rather than the generic decimal ripple: with
+    normalized operands each limb sum is < 2·10¹⁸ (fits LONG, carry ∈
+    {0,1}), so every carry embeds its predecessor ONCE and the expression
+    tree grows linearly in limb count.  The generic ``_ripple`` (needed
+    for the widened SUM partials, where carries are large) re-embeds its
+    accumulator multiplicatively.  Overflow out of the top limb raises
+    (assert) instead of truncating."""
+    return _struct(_add_limbs([a[f] for f in FIELDS], [b[f] for f in FIELDS]))
 
 
 def subtract(a: Column, b: Column) -> Column:
@@ -155,7 +163,20 @@ def normalized(prefix: str = "sum_") -> Column:
     return _ripple([F.col(prefix + f) for f in FIELDS])
 
 
-def _divmod_steps(a: Column, d: Column) -> tuple[list[Column], Column]:
+# Internal limb-list plumbing.  Every GetStructField over a freshly-built
+# CreateNamedStruct embeds ALL four limb subtrees at the access site, so a
+# composition like to_string(add(divide_long(...))) multiplied the divide
+# tree 4x at every boundary — second-scale Catalyst/codegen time per plan
+# (measured before r6: decimal256_div was a scale-invariant ~30s/query).
+# Composite ops therefore thread plain Python lists of limb expressions
+# and wrap in a struct only at the public boundary.
+
+
+def _fields(a: Column) -> list[Column]:
+    return [a[f] for f in FIELDS]
+
+
+def _divmod_limbs(limbs: list[Column], d: Column) -> tuple[list[Column], Column]:
     """Schoolbook base-10¹⁸ long division by a single-limb divisor:
     most-significant limb first, ``acc = rem·10¹⁸ + limb`` (< 10³⁶, exact
     in decimal(38,0)), quotient digit ``(acc − acc % d)/d`` — the
@@ -164,8 +185,8 @@ def _divmod_steps(a: Column, d: Column) -> tuple[list[Column], Column]:
     (little-endian quotient limbs, remainder)."""
     qs: list[Column] = []
     rem = F.lit(0).cast("decimal(38,0)")
-    for f in reversed(FIELDS):
-        acc = rem * F.lit(LIMB) + a[f].cast("decimal(38,0)")
+    for l in reversed(limbs):
+        acc = rem * F.lit(LIMB) + l.cast("decimal(38,0)")
         r = acc % d
         qs.append(((acc - r) / d).cast("long"))
         rem = r
@@ -173,26 +194,49 @@ def _divmod_steps(a: Column, d: Column) -> tuple[list[Column], Column]:
     return qs, rem
 
 
+def _add_limbs(a: list[Column], b: list[Column]) -> list[Column]:
+    """Boolean-carry add over normalized limb lists (see :func:`add`)."""
+    out: list[Column] = []
+    carry: Column = F.lit(0).cast("long")
+    for i, (la, lb) in enumerate(zip(a, b)):
+        s = la + lb + carry
+        is_c = s >= F.lit(LIMB)
+        if i == N_LIMBS - 1:
+            out.append(
+                F.when(~is_c, s).otherwise(
+                    F.assert_true(~is_c, F.lit("decimal256 add overflow")).cast("long")
+                )
+            )
+        else:
+            out.append(F.when(is_c, s - F.lit(LIMB)).otherwise(s))
+        carry = F.when(is_c, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
 def _as_divisor(d: Column | int) -> Column:
     return (F.lit(d) if isinstance(d, int) else d).cast("decimal(38,0)")
 
 
+def _struct(limbs: list[Column]) -> Column:
+    return F.struct(*[l.alias(f) for l, f in zip(limbs, FIELDS)])
+
+
 def divide_long(a: Column, d: Column | int) -> Column:
     """Exact floor quotient ``a // d`` for a positive divisor < 10¹⁸."""
-    qs, _ = _divmod_steps(a, _as_divisor(d))
-    return F.struct(*[q.alias(f) for q, f in zip(qs, FIELDS)])
+    qs, _ = _divmod_limbs(_fields(a), _as_divisor(d))
+    return _struct(qs)
 
 
 def mod_long(a: Column, d: Column | int) -> Column:
     """``a mod d`` (LONG) for a positive divisor < 10¹⁸."""
-    _, rem = _divmod_steps(a, _as_divisor(d))
+    _, rem = _divmod_limbs(_fields(a), _as_divisor(d))
     return rem.cast("long")
 
 
 def rescale(a: Column, k: int) -> Column:
     """Divide by 10^k with HALF_UP rounding (decimal rescale semantics).
 
-    Floor-shift: whole-limb moves for k//18, then one divide_long by
+    Floor-shift: whole-limb moves for k//18, then one limb division by
     10^(k%18). HALF_UP needs only digit k-1 of ``a`` (≥5 rounds up,
     regardless of lower digits), read without any division as
     ``limb % 10^(pos+1) >= 5·10^pos``."""
@@ -201,20 +245,18 @@ def rescale(a: Column, k: int) -> Column:
     if not 0 < k < 18 * N_LIMBS:
         raise ValueError(f"rescale exponent out of range: {k}")
     m, r = divmod(k, 18)
-    shifted = F.struct(
-        *[
-            (a[FIELDS[i + m]] if i + m < N_LIMBS else F.lit(0).cast("long")).alias(
-                FIELDS[i]
-            )
-            for i in range(N_LIMBS)
-        ]
-    )
-    floored = divide_long(shifted, 10**r) if r else shifted
+    limbs = _fields(a)
+    shifted = [
+        limbs[i + m] if i + m < N_LIMBS else F.lit(0).cast("long")
+        for i in range(N_LIMBS)
+    ]
+    floored = _divmod_limbs(shifted, _as_divisor(10**r))[0] if r else shifted
     # digit k-1 of a: limb (k-1)//18, in-limb position (k-1)%18
     dl, dp = divmod(k - 1, 18)
-    round_up = (a[FIELDS[dl]] % F.lit(10 ** (dp + 1))) >= F.lit(5 * 10**dp)
+    round_up = (limbs[dl] % F.lit(10 ** (dp + 1))) >= F.lit(5 * 10**dp)
     bump = F.when(round_up, F.lit(1)).otherwise(F.lit(0)).cast("long")
-    return add(floored, wide(bump))
+    zero = F.lit(0).cast("long")
+    return _struct(_add_limbs(floored, [bump, zero, zero, zero]))
 
 
 def compare(a: Column, b: Column) -> Column:
@@ -225,13 +267,47 @@ def compare(a: Column, b: Column) -> Column:
     return out
 
 
+def _to_string_limbs(limbs: list[Column]) -> Column:
+    s = F.concat(*[F.lpad(l.cast("string"), 18, "0") for l in reversed(limbs)])
+    return F.regexp_replace(s, r"^0+(?=\d)", "")
+
+
 def to_string(w: Column) -> Column:
-    """Canonical digit string (no leading zeros; '0' for zero)."""
-    s = F.concat(
-        *[F.lpad(w[f].cast("string"), 18, "0") for f in reversed(FIELDS)]
-    )
-    trimmed = F.regexp_replace(s, "^0+", "")
-    return F.when(trimmed == "", "0").otherwise(trimmed)
+    """Canonical digit string (no leading zeros; '0' for zero).
+
+    The lookahead trim strips leading zeros only while another digit
+    follows, so the all-zeros value keeps one '0' — ONE reference per
+    limb (a when/otherwise form would re-embed the concat tree, which
+    matters when ``w`` is a freshly-built composite like ``rescale``)."""
+    return _to_string_limbs(_fields(w))
+
+
+def divide_long_str(a: Column, d: Column | int) -> Column:
+    """``to_string(divide_long(a, d))`` without the struct boundary — the
+    field re-extraction over a fresh CreateNamedStruct would embed every
+    quotient subtree 4x (Catalyst compile cost, not row cost)."""
+    qs, _ = _divmod_limbs(_fields(a), _as_divisor(d))
+    return _to_string_limbs(qs)
+
+
+def rescale_str(a: Column, k: int) -> Column:
+    """``to_string(rescale(a, k))`` without the struct boundary."""
+    if k == 0:
+        return to_string(a)
+    if not 0 < k < 18 * N_LIMBS:
+        raise ValueError(f"rescale exponent out of range: {k}")
+    m, r = divmod(k, 18)
+    limbs = _fields(a)
+    shifted = [
+        limbs[i + m] if i + m < N_LIMBS else F.lit(0).cast("long")
+        for i in range(N_LIMBS)
+    ]
+    floored = _divmod_limbs(shifted, _as_divisor(10**r))[0] if r else shifted
+    dl, dp = divmod(k - 1, 18)
+    round_up = (limbs[dl] % F.lit(10 ** (dp + 1))) >= F.lit(5 * 10**dp)
+    bump = F.when(round_up, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    zero = F.lit(0).cast("long")
+    return _to_string_limbs(_add_limbs(floored, [bump, zero, zero, zero]))
 
 
 def from_string(s: Column) -> Column:

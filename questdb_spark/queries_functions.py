@@ -1385,9 +1385,9 @@ def decimal256_div(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lineno"),
         d.alias("d"),
-        D.to_string(D.divide_long(w, d)).alias("q_str"),
+        D.divide_long_str(w, d).alias("q_str"),
         D.mod_long(w, d).alias("r"),
-        D.to_string(D.rescale(w, 20)).alias("rs_str"),
+        D.rescale_str(w, 20).alias("rs_str"),
     )
 
 
