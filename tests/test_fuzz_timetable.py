@@ -99,6 +99,15 @@ class Shadow:
         for r in self.rows:
             r[new] = r.pop(old, None)
 
+    def convert_column(self, name: str, new_typ: str) -> None:
+        """ALTER COLUMN TYPE mirror: numeric casts (values in the fuzz are
+        whole numbers, so double<->long round-trips exactly)."""
+        self.types[name] = new_typ
+        cast = float if new_typ == "double" else int
+        for r in self.rows:
+            if r.get(name) is not None:
+                r[name] = cast(r[name])
+
     def part_of(self, ts: datetime):
         return ts.date()
 
@@ -212,8 +221,8 @@ def test_fuzz_op_sequence(spark, seed, dedup):
         for step in range(OPS):
             op = rng.choices(
                 ["append", "update", "delete", "addcol", "dropcol", "rename",
-                 "detach", "attach", "droppart", "ttl", "vacuum"],
-                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9],
+                 "detach", "attach", "droppart", "ttl", "vacuum", "convert"],
+                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3],
             )[0]
             if op == "append":
                 b = _batch(rng, sh, rng.randrange(1, 7))
@@ -295,6 +304,19 @@ def test_fuzz_op_sequence(spark, seed, dedup):
                 else:
                     t.vacuum()
                 # no semantic change — state compare below is the check
+            elif op == "convert":
+                # ALTER COLUMN TYPE (ConvertOperatorImpl): numeric x-cols
+                # toggle double<->long — a physical full rewrite
+                cands = [
+                    c for c in sh.cols
+                    if c.startswith("x") and sh.types[c] in ("double", "long")
+                ]
+                if not cands:
+                    continue
+                name = rng.choice(cands)
+                new_typ = "long" if sh.types[name] == "double" else "double"
+                t.alter_column_type(name, new_typ)
+                sh.convert_column(name, new_typ)
             if not sh.rows:
                 # drop/TTL can empty the table: parquet dir has no live
                 # files; re-seed so reads stay well-defined
