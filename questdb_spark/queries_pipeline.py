@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import dedup, multimodal, similarity, text
+from .pipeline import dedup, multimodal, sampling, similarity, text
 from .sources.parquet import load_table
 
 # shared SQL fragments -------------------------------------------------------
@@ -782,4 +782,155 @@ gram_stats AS (
 )
 SELECT w.doc_id, w.top_word_frac, w.n_words, g.dup_2gram_frac, g.n_2grams
 FROM word_stats w LEFT JOIN gram_stats g ON w.doc_id = g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus construction: stratified sampling, sequence packing, mixture
+# weighting, int8-quantized similarity (r6)
+# --------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.25}
+_SAMPLE_DEFAULT = 0.125
+
+
+def stratified_sample_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-stratified sampling over documents (r6): keep a
+    doc iff md5-hash(doc_id) mod P < floor(rate[lang]·P). The audit
+    aggregate (per-stratum totals and realized take) is what a corpus
+    builder reviews before materializing; the keep decision itself is a
+    shuffle-free per-row expression (pipeline/sampling.py)."""
+    docs = load_table(spark, sf, "documents")
+    s = sampling.stratified_sample(
+        docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+    return s.groupBy("lang", "source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.min(F.when(F.col("kept"), F.col("doc_id"))).alias("first_kept"),
+    )
+
+
+def _sql_rate_threshold() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {sampling.rate_threshold(v)}"
+        for k, v in _SAMPLE_RATES.items()
+    )
+    return f"(CASE {cases} ELSE {sampling.rate_threshold(_SAMPLE_DEFAULT)} END)"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT lang, source, doc_id,
+    ({_sql_hex8_mod_p("md5(CAST(doc_id AS VARCHAR))")}) < {_sql_rate_threshold()} AS kept
+  FROM documents
+)
+SELECT lang, source,
+  COUNT(*) AS n_total,
+  CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS n_kept,
+  MIN(CASE WHEN kept THEN doc_id END) AS first_kept
+FROM s GROUP BY lang, source
+"""
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+
+def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (r6): documents streamed in id
+    order within (lang, shard) are laid into fixed token-budget context
+    windows; a doc belongs to the window where its first token lands.
+    One window pass + one aggregation, both partitioned on (lang, shard)
+    — the shard hash bounds each sorted stream so the pass parallelizes
+    at 100 TB (pipeline/sampling.py)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH base AS (
+  SELECT lang AS stratum,
+    ({_sql_hex8_mod_p("md5(CAST(doc_id AS VARCHAR))")}) % {_PACK_SHARDS} AS shard,
+    doc_id AS doc,
+    len({_TOKS}) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT stratum, shard, doc, n_tok,
+    CAST(FLOOR((SUM(n_tok) OVER (
+        PARTITION BY stratum, shard ORDER BY doc
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM base
+)
+SELECT stratum, shard, bin_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  MIN(doc) AS first_doc
+FROM binned GROUP BY stratum, shard, bin_id
+"""
+
+
+def mixture_weights_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture weighting (r6): per-source token counts →
+    sqrt-temperature sampling weights + up/down-sampling boost
+    (pipeline/sampling.py)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.mixture_weights(docs, alpha=0.5, group_col="source")
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source AS domain, COUNT(*) AS n_docs,
+    CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT domain, n_docs, n_tokens,
+  CAST(CAST(SQRT(CAST(n_tokens AS DOUBLE)) / SUM(SQRT(CAST(n_tokens AS DOUBLE))) OVER ()
+    AS DECIMAL(18,6)) AS DOUBLE) AS weight,
+  CAST(CAST((SQRT(CAST(n_tokens AS DOUBLE)) / SUM(SQRT(CAST(n_tokens AS DOUBLE))) OVER ())
+    / (n_tokens / SUM(n_tokens) OVER ()) AS DECIMAL(18,6)) AS DOUBLE) AS boost
+FROM per
+"""
+
+
+def embedding_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """int8-quantized cosine top-k (r6): symmetric per-vector int8 codes
+    (8x storage compression), integer-dot scorer, scale-free quantized
+    cosine — the quantized-vector-store read path
+    (pipeline/similarity.py int8_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.int8_topk(emb, query, k=10)
+
+
+_INT8_SQL = (
+    "list_transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / "
+    "(CASE WHEN list_max(list_transform({v}, y -> abs(CAST(y AS DOUBLE)))) = 0 "
+    "THEN 1.0 ELSE list_max(list_transform({v}, y -> abs(CAST(y AS DOUBLE)))) END) "
+    "+ 0.5) AS BIGINT))"
+)
+
+EMBEDDING_INT8_TOPK_SQL = f"""
+WITH q AS (SELECT {_INT8_SQL.format(v='embedding')} AS qv FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT vec_id, {_INT8_SQL.format(v='embedding')} AS v, q.qv AS qv
+  FROM embeddings, q
+),
+scored AS (
+  SELECT vec_id,
+    CAST({_DOT_SQL.format(a='v', b='qv')} AS BIGINT) AS dot_q8,
+    {_DOT_SQL.format(a='v', b='v')} AS n2a,
+    {_DOT_SQL.format(a='qv', b='qv')} AS n2b
+  FROM base
+)
+SELECT vec_id, dot_q8,
+  CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+       ELSE dot_q8 / (SQRT(CAST(n2a AS DOUBLE)) * SQRT(CAST(n2b AS DOUBLE)))
+  END AS cosine_q8
+FROM scored
+ORDER BY cosine_q8 DESC, vec_id ASC
+LIMIT 10
 """

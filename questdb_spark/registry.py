@@ -261,6 +261,14 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "pii_scrub": (pl.pii_scrub_docs, pl.PII_SCRUB_SQL),
     # Gopher/C4 repetition-quality signals (r6)
     "text_repetition": (pl.text_repetition, pl.TEXT_REPETITION_SQL),
+    # deterministic hash-stratified sampling audit (r6)
+    "stratified_sample": (pl.stratified_sample_audit, pl.STRATIFIED_SAMPLE_SQL),
+    # concat-then-chunk context-window packing (r6)
+    "sequence_packing": (pl.sequence_packing, pl.SEQUENCE_PACKING_SQL),
+    # sqrt-temperature domain-mixture weights (r6)
+    "mixture_weights": (pl.mixture_weights_by_source, pl.MIXTURE_WEIGHTS_SQL),
+    # int8-quantized cosine top-k (r6)
+    "embedding_int8_topk": (pl.embedding_int8_topk, pl.EMBEDDING_INT8_TOPK_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -210,3 +210,76 @@ def test_ngram_contamination_hand_built(spark):
         2: (3, 0, 0.0),
         3: (1, 1, 1.0),
     }
+
+
+def test_int8_kernel_equals_hof_reference(spark):
+    """int8 codes: Arrow kernel self-dot must equal the HOF reference
+    (int8_vec + dot_q) on every real vector, and codes stay in [-127, 127]."""
+    from questdb_spark.pipeline import similarity as sim
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q8 = sim.int8_vec(F.col("embedding"))
+    ref = emb.select(
+        "vec_id",
+        sim.dot_q(q8, q8).alias("n2_ref"),
+        F.array_max(F.transform(q8, F.abs)).alias("amax"),
+    )
+    ker = emb.select(
+        "vec_id",
+        sim._norm28_udf()(F.col("embedding")).alias("n2_k"),
+        sim._pair_dot8_udf()(F.col("embedding"), F.col("embedding")).alias("pd_k"),
+    )
+    j = ref.join(ker, "vec_id")
+    assert j.count() > 0
+    assert j.filter(F.col("amax") > 127).count() == 0
+    assert j.filter(
+        (F.col("n2_ref") != F.col("n2_k")) | (F.col("n2_ref") != F.col("pd_k"))
+    ).count() == 0
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing layout invariants per (stratum, shard): bin ids contiguous
+    from 0, token totals conserved, first_doc strictly increasing in
+    bin_id (docs are laid out in id order)."""
+    from questdb_spark.pipeline import sampling, text
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budget = 256
+    out = sampling.pack_sequences(docs, budget=budget, n_shards=4).collect()
+    total = docs.select(
+        F.sum(F.size(text.tokens_col(F.col("text"))))
+    ).collect()[0][0]
+    assert sum(r["n_tokens"] for r in out) == total
+    by_stream: dict = {}
+    for r in out:
+        by_stream.setdefault((r["stratum"], r["shard"]), []).append(r)
+    for rows in by_stream.values():
+        rows.sort(key=lambda r: r["bin_id"])
+        assert [r["bin_id"] for r in rows] == list(range(len(rows)))
+        firsts = [r["first_doc"] for r in rows]
+        assert firsts == sorted(firsts)
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    """The same ids are kept on every run (hash-deterministic), and the
+    realized per-stratum rate is within a loose binomial band of the
+    configured rate."""
+    from questdb_spark.pipeline import sampling
+    from questdb_spark.sources.parquet import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = {"en": 0.5}
+    a = sampling.stratified_sample(docs, rates, default_rate=0.125)
+    kept1 = {r["doc_id"] for r in a.filter("kept").select("doc_id").collect()}
+    kept2 = {r["doc_id"] for r in a.filter("kept").select("doc_id").collect()}
+    assert kept1 == kept2
+    en = a.filter(F.col("lang") == "en")
+    n = en.count()
+    k = en.filter("kept").count()
+    if n >= 50:
+        assert abs(k / n - 0.5) < 0.25
