@@ -438,6 +438,13 @@ class QdbEngine:
         last = 0
         for m in self._READ_PARQUET_RE.finditer(masked):
             path = s[m.start(1) + 1 : m.end(1) - 1]
+            # file_location.test: relative paths are refused — on a cluster
+            # they resolve against whatever cwd each executor happens to
+            # have, so they are both a correctness and a sandbox hazard
+            if not path.startswith("/"):
+                raise ValueError(
+                    f"failed to read parquet file: {path}: relative path is not allowed"
+                )
             self._validate_parquet_magic(path)
             # files may carry nanosecond timestamps (events.parquet):
             # mirror sources/parquet.load_table's session setting
@@ -446,7 +453,20 @@ class QdbEngine:
             out.append(f"parquet.`{path}`")
             last = m.end()
         out.append(s[last:])
-        return "".join(out)
+        rewritten = "".join(out)
+        # anything left looking like read_parquet(...) had a non-literal
+        # argument (NULL, a number, an expression) — reject it here with
+        # the reference's error shape instead of a confusing Spark
+        # resolution failure (file_location.test: parquet_scan(null))
+        leftover = re.search(
+            r"\b(?:read_parquet|parquet_scan)\s*\(", mask_literals(rewritten), re.IGNORECASE
+        )
+        if leftover:
+            raise ValueError(
+                "failed to read parquet file: read_parquet() requires a "
+                "single path string literal"
+            )
+        return rewritten
 
     _CATALOG_FN_RE = re.compile(
         # matched over the literal-MASKED text: quoted content is blanked,
