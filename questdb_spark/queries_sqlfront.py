@@ -713,3 +713,76 @@ SELECT * FROM (VALUES
 ) AS t(query_id, query, state)
 ORDER BY query_id
 """
+
+
+def sql_wal_suspend_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """WAL suspend/resume lifecycle (alterTableSuspend/alterTableResume,
+    TableSequencerAPI; AlterOperation SUSPEND/RESUME): CREATE + base
+    data; SUSPEND WAL; two INSERT commits that park in the pending queue
+    (reads must keep serving the pre-suspend state — the mid-suspend
+    count/sum/flag are captured live and embedded, so a leak breaks the
+    hash); RESUME WAL FROM TXN 2 discards the first parked txn (the
+    poisoned commit) and applies the second; the final row reads the
+    merged table back through SQL. The oracle recomputes every number
+    from `events` directly."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.sql(
+        "CREATE TABLE walt AS (SELECT ts, user_id, value FROM events "
+        "WHERE event_type = 'click' AND user_id % 4 = 0) "
+        "TIMESTAMP(ts) PARTITION BY DAY WAL"
+    )
+    eng.sql("ALTER TABLE walt SUSPEND WAL")
+    # txn 1: parked, later skipped (values shifted +1000 would poison sums)
+    eng.sql(
+        "INSERT INTO walt SELECT ts, user_id, value + 1000 AS value FROM events "
+        "WHERE event_type = 'view' AND user_id % 4 = 1"
+    )
+    # txn 2: parked, later applied
+    eng.sql(
+        "INSERT INTO walt SELECT ts, user_id, value FROM events "
+        "WHERE event_type = 'click' AND user_id % 4 = 2"
+    )
+    mid = eng.sql(
+        "SELECT count(*) AS n, "
+        "cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS s FROM walt"
+    ).collect()[0]
+    susp_mid = eng.sql(
+        "SELECT suspended FROM tables() WHERE table_name = 'walt'"
+    ).collect()[0][0]
+    eng.sql("ALTER TABLE walt RESUME WAL FROM TXN 2")
+    susp_fin = eng.sql(
+        "SELECT suspended FROM tables() WHERE table_name = 'walt'"
+    ).collect()[0][0]
+    return eng.sql(
+        f"SELECT 'mid_suspend' AS stage, CAST({mid['n']} AS BIGINT) AS n_visible, "
+        f"CAST(CAST('{mid['s']}' AS DECIMAL(20,2)) AS DOUBLE) AS sum_value, "
+        f"{str(bool(susp_mid)).lower()} AS suspended "
+        "UNION ALL "
+        "SELECT 'final' AS stage, count(*) AS n_visible, "
+        "CAST(cast(sum(cast(value AS decimal(12,2))) AS decimal(20,2)) AS DOUBLE) "
+        f"AS sum_value, {str(bool(susp_fin)).lower()} AS suspended FROM walt "
+        "ORDER BY stage"
+    )
+
+
+SQL_WAL_SUSPEND_RESUME_SQL = """
+WITH base AS (
+  SELECT value FROM events WHERE event_type = 'click' AND user_id % 4 = 0
+),
+t2 AS (
+  SELECT value FROM events WHERE event_type = 'click' AND user_id % 4 = 2
+)
+SELECT * FROM (
+  SELECT 'mid_suspend' AS stage,
+    (SELECT count(*) FROM base) AS n_visible,
+    CAST((SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) FROM base)
+      AS DOUBLE) AS sum_value,
+    true AS suspended
+  UNION ALL
+  SELECT 'final',
+    (SELECT count(*) FROM base) + (SELECT count(*) FROM t2),
+    CAST((SELECT CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2))
+          FROM (SELECT value FROM base UNION ALL SELECT value FROM t2)) AS DOUBLE),
+    false
+) ORDER BY stage
+"""

@@ -269,6 +269,11 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "mixture_weights": (pl.mixture_weights_by_source, pl.MIXTURE_WEIGHTS_SQL),
     # int8-quantized cosine top-k (r6)
     "embedding_int8_topk": (pl.embedding_int8_topk, pl.EMBEDDING_INT8_TOPK_SQL),
+    # WAL suspend/resume lifecycle with FROM TXN skip (r6)
+    "sql_wal_suspend_resume": (
+        sq.sql_wal_suspend_resume,
+        sq.SQL_WAL_SUSPEND_RESUME_SQL,
+    ),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

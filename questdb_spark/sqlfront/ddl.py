@@ -499,6 +499,39 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
 # -- ALTER ------------------------------------------------------------------
 
 
+def _alter_column_hint(t: TimeTable, rest: str) -> str:
+    """ALTER COLUMN storage hints (alterTableColumnAddIndex/
+    ColumnDropIndex/ColumnCacheFlag/ChangeSymbolCapacity): validated and
+    recorded in table params, physically no-ops — parquet dictionary
+    encoding substitutes for the symbol table (capacity/cache) and
+    row-group min/max + dictionary pushdown for the bitmap index
+    (SURVEY §2.2's declared mapping)."""
+    hm = re.match(
+        r"alter\s+column\s+(\w+)\s+"
+        r"(add\s+index(?:\s+capacity\s+(\d+))?|drop\s+index"
+        r"|cache|nocache|symbol\s+capacity\s+(\d+))$",
+        rest,
+        re.IGNORECASE,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse ALTER COLUMN: {rest!r}")
+    col, action = hm.group(1), re.sub(r"\s+", " ", hm.group(2).lower())
+    if col not in t._logical_columns():
+        raise ValueError(f"no such column: {col}")
+    if action.startswith("add index"):
+        t.params[f"index:{col}"] = hm.group(3) or "default"
+        return f"index on {col} recorded (parquet min/max + dictionary pushdown)"
+    if action == "drop index":
+        if t.params.pop(f"index:{col}", None) is None:
+            raise ValueError(f"no index on column: {col}")
+        return f"index on {col} dropped"
+    if action in ("cache", "nocache"):
+        t.params[f"cache:{col}"] = action
+        return f"{col} symbol cache {action}"
+    t.params[f"capacity:{col}"] = hm.group(4)
+    return f"{col} symbol capacity {hm.group(4)} recorded"
+
+
 def _alter(eng: QdbEngine, s: str) -> DataFrame:
     m = re.match(r"^alter\s+table\s+(\w+)\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
     if not m:
@@ -529,10 +562,11 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         am = re.match(
             r"alter\s+column\s+(\w+)\s+(?:set\s+)?type\s+(.+)$", rest, re.IGNORECASE
         )
-        if not am:
-            raise ValueError(f"cannot parse ALTER COLUMN: {rest!r}")
-        t.alter_column_type(am.group(1), _qdb_type(am.group(2)))
-        detail = f"convert {am.group(1)} -> {am.group(2).strip()}"
+        if am:
+            t.alter_column_type(am.group(1), _qdb_type(am.group(2)))
+            detail = f"convert {am.group(1)} -> {am.group(2).strip()}"
+        else:
+            detail = _alter_column_hint(t, rest)
     elif low.startswith("drop partition"):
         pm = re.match(
             r"drop\s+partition\s+list\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
@@ -597,6 +631,57 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         t.dedup_keys = []
         t.dedup_enabled = False
         detail = "dedup disabled"
+    elif low.startswith("suspend wal"):
+        # alterTableSuspend (optional WITH <code>, '<message>' accepted):
+        # commits park in the pending queue until RESUME
+        if not re.match(
+            r"suspend\s+wal(\s+with\s+\w+\s*,\s*'[^']*')?$", rest, re.IGNORECASE
+        ):
+            raise ValueError(f"cannot parse SUSPEND WAL: {rest!r}")
+        t.suspend_wal()
+        detail = "wal suspended"
+    elif low.startswith("resume wal"):
+        # alterTableResume: replay pending txns, optionally skipping the
+        # poisoned ones before FROM TXN n
+        rm = re.match(
+            r"resume\s+wal(?:\s+from\s+(?:txn|transaction)\s+(\d+))?$",
+            rest,
+            re.IGNORECASE,
+        )
+        if not rm:
+            raise ValueError(f"cannot parse RESUME WAL: {rest!r}")
+        applied, skipped = t.resume_wal(
+            from_txn=int(rm.group(1)) if rm.group(1) else None
+        )
+        detail = f"wal resumed; applied txns {applied}" + (
+            f"; skipped txns {skipped}" if skipped else ""
+        )
+    elif low.startswith("set param"):
+        # alterTableSetParam: the two reference knobs; values recorded and
+        # surfaced through tables() — this engine has no uncommitted-row
+        # buffer or O3 lag window to tune (commits apply eagerly)
+        pm = re.match(r"set\s+param\s+(\w+)\s*=\s*(.+)$", rest, re.IGNORECASE)
+        if not pm:
+            raise ValueError(f"cannot parse SET PARAM: {rest!r}")
+        key = {"maxuncommittedrows": "maxUncommittedRows", "o3maxlag": "o3MaxLag"}.get(
+            pm.group(1).lower()
+        )
+        if key is None:
+            raise ValueError(f"unknown table parameter: {pm.group(1)}")
+        t.params[key] = pm.group(2).strip().strip("'")
+        detail = f"param {key} = {t.params[key]}"
+    elif low.startswith("set type"):
+        # alterTableSetType: WAL <-> non-WAL conversion. All tables here
+        # are WAL-model (eager apply); the chosen mode is recorded and
+        # BYPASS WAL additionally voids any pending suspension queue
+        tm = re.match(r"set\s+type\s+(bypass\s+wal|wal)$", rest, re.IGNORECASE)
+        if not tm:
+            raise ValueError(f"cannot parse SET TYPE: {rest!r}")
+        mode = "non-wal" if "bypass" in tm.group(1).lower() else "wal"
+        t.params["walMode"] = mode
+        if mode == "non-wal":
+            t.resume_wal()
+        detail = f"type {mode}"
     elif low.startswith("set ttl"):
         tm = _TTL_RE.search("ttl " + rest[len("set ttl"):].strip())
         if not tm:

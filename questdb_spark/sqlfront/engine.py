@@ -506,16 +506,26 @@ class QdbEngine:
                 )
                 df.createOrReplaceTempView(view)
             elif m.group(1):  # tables()/all_tables()/wal_tables()
+                # param columns mirror TablesFunctionFactory (reference
+                # defaults: maxUncommittedRows 500k, o3MaxLag 10 min);
+                # `suspended` reflects the WAL suspend/resume lifecycle
                 rows = [
-                    (n, t.ts_col, t.partition_by, ",".join(t.dedup_keys), True)
+                    (
+                        n, t.ts_col, t.partition_by, ",".join(t.dedup_keys), True,
+                        bool(t._wal_state()["suspended"]),
+                        int(t.params.get("maxUncommittedRows", 500_000)),
+                        str(t.params.get("o3MaxLag", "600000000")),
+                    )
                     for n, t in sorted(self.ddl_tables.items())
                 ] + [
-                    (n, self.designated_ts.get(n, ""), "", "", False)
+                    (n, self.designated_ts.get(n, ""), "", "", False, False,
+                     500_000, "600000000")
                     for n in sorted(self.tables)
                 ]
                 schema = (
                     "table_name string, designated_ts string, "
-                    "partition_by string, dedup_keys string, wal_enabled boolean"
+                    "partition_by string, dedup_keys string, wal_enabled boolean, "
+                    "suspended boolean, max_uncommitted_rows long, o3_max_lag string"
                 )
                 view = "__qdb_tables"
                 df = (

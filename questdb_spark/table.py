@@ -67,6 +67,12 @@ class TimeTable:
         # TTL, reference encoding (SqlParser.parseTtlHoursOrMonths): positive
         # = hours, negative = months; 0 = disabled
         self.ttl_hours_or_months = 0
+        # table params (alterTableSetParam: maxUncommittedRows, o3MaxLag)
+        # and column storage hints (symbol capacity / index / cache) — all
+        # recorded, none change this engine's physical plan: parquet
+        # dictionary encoding + row-group min/max pruning substitute for
+        # symbol tables and bitmap indexes (SURVEY §2.2)
+        self.params: dict[str, str] = {}
 
     # -- write path --------------------------------------------------------
     def _with_partition(self, df: DataFrame, ts_col: str | None = None) -> DataFrame:
@@ -138,6 +144,11 @@ class TimeTable:
         partition) — partition-granular like the O3 merge, so a 100 TB
         table pays for touched partitions only and reads stay merge-free
         (no per-read window shuffle)."""
+        if self._wal_state()["suspended"]:
+            # suspended WAL (alterTableSuspend): commits park in the
+            # pending queue — durable, invisible to reads — until RESUME
+            self._buffer_wal_txn(df, seq)
+            return
         base = df
         if self.dedup_enabled:
             base = base.withColumn(self.seq_col, F.lit(seq)).withColumn(
@@ -210,6 +221,69 @@ class TimeTable:
         merged = overwritten.select(*out_cols).unionByName(added.select(*out_cols))
         self._rewrite_partitions(merged, parts)
         inc_cached.unpersist()
+
+    # -- WAL lifecycle: SUSPEND / RESUME ------------------------------------
+    # Reference model (alterTableSuspend/alterTableResume,
+    # TableSequencerAPI): a suspended table keeps ACCEPTING commits into
+    # the WAL but stops APPLYING them — reads serve the last applied txn —
+    # and RESUME WAL [FROM TXN n] restarts apply, optionally skipping the
+    # poisoned transactions before n. This engine applies WAL commits
+    # eagerly, so suspension parks incoming batches in a hidden pending
+    # queue (parquet under `.qdb_wal_pending/`, invisible to the table
+    # scan) and resume replays them in txn order through the normal
+    # merge path. Durable across engine restarts; per-txn parquet keeps
+    # the queue append-only (no rewrite while suspended).
+
+    @property
+    def _wal_state_path(self) -> str:
+        return os.path.join(self.path, ".qdb_wal.json")
+
+    def _wal_state(self) -> dict:
+        try:
+            with open(self._wal_state_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"suspended": False, "pending": []}
+
+    def _save_wal_state(self, st: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._wal_state_path, "w") as f:
+            json.dump(st, f)
+
+    def _buffer_wal_txn(self, df: DataFrame, seq: int) -> None:
+        d = os.path.join(self.path, ".qdb_wal_pending", f"txn-{seq:09d}")
+        df.write.mode("overwrite").parquet(d)
+        st = self._wal_state()
+        if seq not in st["pending"]:
+            st["pending"].append(seq)
+        self._save_wal_state(st)
+
+    def suspend_wal(self) -> None:
+        st = self._wal_state()
+        st["suspended"] = True
+        self._save_wal_state(st)
+
+    def resume_wal(self, from_txn: int | None = None) -> tuple[list[int], list[int]]:
+        """RESUME WAL [FROM TXN n]: re-enable apply and replay pending
+        txns ≥ n in order; txns before n are the poisoned commits the
+        operator chose to skip — discarded, like the reference. Returns
+        (applied, skipped)."""
+        st = self._wal_state()
+        st["suspended"] = False
+        pending = sorted(st["pending"])
+        st["pending"] = []
+        self._save_wal_state(st)
+        applied: list[int] = []
+        skipped: list[int] = []
+        for txn in pending:
+            d = os.path.join(self.path, ".qdb_wal_pending", f"txn-{txn:09d}")
+            if from_txn is not None and txn < from_txn:
+                skipped.append(txn)
+            else:
+                self.append(self.spark.read.parquet(d), seq=txn)
+                applied.append(txn)
+            shutil.rmtree(d, ignore_errors=True)
+        return applied, skipped
 
     # -- ALTER TABLE column surface (AlterOperation.java) --------------------
     # add/drop/rename are METADATA-ONLY: an ops journal (`_qdb_meta.json`,

@@ -542,3 +542,75 @@ def test_live_view_restart_resumes_checkpoint(eng, spark):
         for r in eng2.sql(body).collect()
     }
     assert got == twin
+
+
+# -- WAL suspend/resume + ALTER params/hints (r6) ---------------------------
+
+def _mk_walt(eng):
+    eng.sql(
+        "CREATE TABLE walt (ts TIMESTAMP, x LONG) TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-01 00:00:00', 1)")
+
+
+def test_suspend_parks_commits_resume_applies(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt SUSPEND WAL")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-02 00:00:00', 2)")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-03 00:00:00', 3)")
+    assert eng.sql("SELECT count(*) n FROM walt").collect()[0][0] == 1
+    assert eng.sql(
+        "SELECT suspended FROM tables() WHERE table_name = 'walt'"
+    ).collect()[0][0] is True
+    eng.sql("ALTER TABLE walt RESUME WAL")
+    assert eng.sql("SELECT count(*) n FROM walt").collect()[0][0] == 3
+    assert eng.sql(
+        "SELECT suspended FROM tables() WHERE table_name = 'walt'"
+    ).collect()[0][0] is False
+
+
+def test_resume_from_txn_skips_poisoned(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt SUSPEND WAL")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-02 00:00:00', 666)")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-03 00:00:00', 3)")
+    # parked txns are seq 1 (x=666) and 2 (x=3): the pre-suspend INSERT
+    # created the table via write(), so the WAL seq starts at the first
+    # parked commit
+    eng.sql("ALTER TABLE walt RESUME WAL FROM TXN 2")
+    got = sorted(r["x"] for r in eng.sql("SELECT x FROM walt").collect())
+    assert got == [1, 3]  # txn 1 (x=666) discarded
+
+
+def test_suspend_with_error_tag_and_reaccepts(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt SUSPEND WAL WITH 24, 'disk full'")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-02 00:00:00', 2)")
+    # SET TYPE BYPASS WAL voids suspension and applies pending
+    eng.sql("ALTER TABLE walt SET TYPE BYPASS WAL")
+    assert eng.sql("SELECT count(*) n FROM walt").collect()[0][0] == 2
+
+
+def test_set_param_reflected_in_tables(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt SET PARAM maxUncommittedRows = 123456")
+    eng.sql("ALTER TABLE walt SET PARAM o3MaxLag = '30s'")
+    r = eng.sql(
+        "SELECT max_uncommitted_rows, o3_max_lag FROM tables() "
+        "WHERE table_name = 'walt'"
+    ).collect()[0]
+    assert (r[0], r[1]) == (123456, "30s")
+    with pytest.raises(Exception, match="unknown table parameter"):
+        eng.sql("ALTER TABLE walt SET PARAM bogusKnob = 1")
+
+
+def test_alter_column_hints(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt ALTER COLUMN x ADD INDEX CAPACITY 512")
+    eng.sql("ALTER TABLE walt ALTER COLUMN x DROP INDEX")
+    with pytest.raises(Exception, match="no index"):
+        eng.sql("ALTER TABLE walt ALTER COLUMN x DROP INDEX")
+    eng.sql("ALTER TABLE walt ALTER COLUMN x CACHE")
+    eng.sql("ALTER TABLE walt ALTER COLUMN x SYMBOL CAPACITY 4096")
+    with pytest.raises(Exception, match="no such column"):
+        eng.sql("ALTER TABLE walt ALTER COLUMN nope ADD INDEX")
