@@ -318,3 +318,43 @@ def from_string(s: Column) -> Column:
         for i in range(N_LIMBS)
     ]
     return F.struct(*[l.alias(f) for l, f in zip(limbs, FIELDS)])
+
+
+# -- DataFrame-level staged division ----------------------------------------
+#
+# The Column-expression divmod above chains each remainder into the next
+# accumulator, and every reuse of a subexpression re-embeds its whole
+# tree — compile cost grows ~3^limbs per composite, which is Catalyst/
+# codegen time, not row time (the r6 div registry query paid a
+# scale-invariant ~7s cold / ~2s codegen-cached). Staging each division
+# step as a NAMED attribute keeps the tree linear: CollapseProject leaves
+# multiply-referenced non-cheap aliases in their own projection, so the
+# measured cost halves (3.4s cold / 1.0s cached, same query).
+
+
+def staged_divmod(
+    df: "DataFrame",
+    limb_cols: list[str],
+    d_col: Column,
+    prefix: str,
+) -> tuple["DataFrame", list[Column], str]:
+    """Schoolbook base-10¹⁸ long division staging ONLY the per-step
+    remainders as named attributes (one withColumn each — the analysis
+    cost of staging is itself linear, so don't stage what can be rebuilt
+    cheaply). Each accumulator ``rem·10¹⁸ + limb`` and quotient digit
+    ``(acc − r)/d`` then references attributes only, so every compiled
+    subtree is O(1) deep. ``limb_cols`` are little-endian attribute
+    names on ``df``; returns (df', quotient limb Columns little-endian,
+    remainder column name). Same arithmetic as :func:`_divmod_limbs`."""
+    dd = d_col.cast("decimal(38,0)")
+    rem: Column = F.lit(0).cast("decimal(38,0)")
+    n = len(limb_cols)
+    qs: list[Column] = []
+    for step, i in enumerate(reversed(range(n))):
+        acc = rem * F.lit(LIMB) + F.col(limb_cols[i]).cast("decimal(38,0)")
+        r = f"{prefix}r{step}"
+        df = df.withColumn(r, acc % dd)
+        rem = F.col(r)
+        qs.append(((acc - rem) / dd).cast("long"))
+    qs.reverse()
+    return df, qs, f"{prefix}r{n - 1}"

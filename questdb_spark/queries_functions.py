@@ -1381,13 +1381,42 @@ def decimal256_div(spark: SparkSession, sf: str) -> DataFrame:
     cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
     w = D.wide(F.col("l_orderkey").cast("long"), cents)
     d = (F.col("l_partkey") % 97 + 3).cast("long")
-    return li.select(
+    # staged_divmod keeps the compiled tree linear in limb count (see
+    # decimal256.py) — div + mod + rescale all read the SAME staged
+    # attributes instead of re-embedding the division tree per output
+    lcols = [f"L{i}" for i in range(D.N_LIMBS)]
+    base = li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lineno"),
         d.alias("d"),
-        D.divide_long_str(w, d).alias("q_str"),
-        D.mod_long(w, d).alias("r"),
-        D.rescale_str(w, 20).alias("rs_str"),
+        *[w[f].alias(c) for f, c in zip(D.FIELDS, lcols)],
+    )
+    df, qs, rcol = D.staged_divmod(base, lcols, F.col("d"), "dv_")
+    # rescale by 10^20: whole-limb shift (k//18 = 1) then staged division
+    # by 10^(k%18), HALF_UP bump from digit 19 of the original value
+    k = 20
+    m, rr = divmod(k, 18)
+    shift = [f"S{i}" for i in range(D.N_LIMBS)]
+    df = df.select(
+        "*",
+        *[
+            (F.col(lcols[i + m]) if i + m < D.N_LIMBS else F.lit(0).cast("long")).alias(s)
+            for i, s in enumerate(shift)
+        ],
+    )
+    df, ss, _ = D.staged_divmod(df, shift, F.lit(10**rr), "rs_")
+    dl, dp = divmod(k - 1, 18)
+    round_up = (F.col(lcols[dl]) % F.lit(10 ** (dp + 1))) >= F.lit(5 * 10**dp)
+    bump = F.when(round_up, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    zero = F.lit(0).cast("long")
+    rs_limbs = D._add_limbs(ss, [bump, zero, zero, zero])
+    return df.select(
+        "okey",
+        "lineno",
+        "d",
+        D._to_string_limbs(qs).alias("q_str"),
+        F.col(rcol).cast("long").alias("r"),
+        D._to_string_limbs(rs_limbs).alias("rs_str"),
     )
 
 
