@@ -71,6 +71,13 @@ HEAVY = [
     "latest_on_user",
     "twap_vwap_events",
     "decimal256_div",
+    # r6 corpus-construction additions
+    "stratified_sample",
+    "sequence_packing",
+    "mixture_weights",
+    "embedding_int8_topk",
+    "pii_scrub",
+    "text_repetition",
 ]
 
 

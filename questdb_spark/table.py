@@ -263,6 +263,15 @@ class TimeTable:
         st["suspended"] = True
         self._save_wal_state(st)
 
+    def _require_not_suspended(self) -> None:
+        """Schema DDL and in-place DML are refused while suspended: this
+        engine applies WAL commits eagerly, so an eager ALTER/UPDATE could
+        not be ordered against the parked (not-yet-applied) txns — the
+        reference queues those operations IN the WAL, which a
+        parked-queue model cannot reproduce. RESUME first."""
+        if self._wal_state()["suspended"]:
+            raise ValueError("table WAL is suspended; RESUME WAL first")
+
     def resume_wal(self, from_txn: int | None = None) -> tuple[list[int], list[int]]:
         """RESUME WAL [FROM TXN n]: re-enable apply and replay pending
         txns ≥ n in order; txns before n are the poisoned commits the
@@ -314,12 +323,14 @@ class TimeTable:
 
     def add_column(self, name: str, dtype: str) -> None:
         """ALTER TABLE ADD COLUMN — null for existing rows, no backfill."""
+        self._require_not_suspended()
         if name in self._logical_columns() or name in self._retired_names():
             raise ValueError(f"column exists: {name}")
         self._append_op({"op": "add", "name": name, "type": dtype})
 
     def drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN — metadata-only."""
+        self._require_not_suspended()
         if name == self.ts_col or name in self.dedup_keys:
             raise ValueError(f"cannot drop designated/dedup column: {name}")
         if name not in self._logical_columns():
@@ -328,6 +339,7 @@ class TimeTable:
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — metadata-only."""
+        self._require_not_suspended()
         cols = self._logical_columns()
         if old not in cols:
             raise ValueError(f"no such column: {old}")
@@ -341,6 +353,7 @@ class TimeTable:
     def alter_column_type(self, name: str, new_type: str) -> None:
         """ALTER TABLE ALTER COLUMN TYPE (ConvertOperatorImpl.java): casts
         and physically rewrites; pending metadata ops are materialized."""
+        self._require_not_suspended()
         if name not in self._logical_columns():
             raise ValueError(f"no such column: {name}")
         df = self._logical(self.spark.read.option("mergeSchema", "true").parquet(self.path))
@@ -457,6 +470,7 @@ class TimeTable:
     def update_where(self, predicate: Column, assignments: dict[str, Column]) -> None:
         """UPDATE ... SET ... WHERE ...: rewrite ONLY partitions containing
         matching rows (UpdateOperatorImpl; partition-granular like O3)."""
+        self._require_not_suspended()
         df = self._logical(
             self.spark.read.option("mergeSchema", "true").parquet(self.path)
         )
@@ -505,6 +519,7 @@ class TimeTable:
         self._rewrite_partitions(self._to_physical(sub), parts)
 
     def delete_where(self, predicate: Column) -> None:
+        self._require_not_suspended()
         df = self._logical(
             self.spark.read.option("mergeSchema", "true").parquet(self.path)
         )
@@ -556,6 +571,7 @@ class TimeTable:
     def drop_partition(self, interval: str) -> None:
         """ALTER TABLE DROP PARTITION equivalents: remove partition dirs in
         a time range (no data rewrite)."""
+        self._require_not_suspended()
         for p in self._partitions_in(interval):
             shutil.rmtree(os.path.join(self.path, f"{PARTITION_COL}={p}"), ignore_errors=True)
 
@@ -571,6 +587,7 @@ class TimeTable:
         — archive-without-delete).  Partition dirs move under
         ``_detached/``: O(1) renames, no data rewrite, any partition count.
         Returns the detached partition names."""
+        self._require_not_suspended()
         moved = []
         for p in self._partitions_in(interval):
             src = os.path.join(self.path, f"{PARTITION_COL}={p}")
@@ -595,6 +612,7 @@ class TimeTable:
         """``ALTER TABLE ... ATTACH PARTITION LIST`` — inverse of detach,
         with a schema check against the live table (the reference validates
         metadata compatibility before attaching)."""
+        self._require_not_suspended()
         from datetime import datetime
 
         lo, hi = parse_interval_string(interval)
@@ -675,19 +693,28 @@ class TimeTable:
         self._swap_in(tmp)
 
     def _swap_in(self, tmp: str) -> None:
-        """Replace the table directory with a rewritten copy, carrying the
-        detached partitions across (they are sibling data, not part of the
-        rewrite — r6 fuzz adjacent find: a full-table rewrite must not
-        destroy ``_detached/``)."""
-        det = self._detached_root
-        saved = None
-        if os.path.isdir(det):
-            saved = tmp.rstrip("/") + ".detached_keep"
-            os.rename(det, saved)
+        """Replace the table directory with a rewritten copy, carrying
+        sibling state across — detached partitions (r6 fuzz find) and the
+        WAL suspend state + parked txns (r6 fuzz find #2: compact while
+        suspended silently un-suspended the table and dropped its pending
+        queue). The DDL ops journal is deliberately NOT carried: both
+        callers (compact, alter_column_type) materialize the logical
+        schema into the rewrite."""
+        keep = [
+            (self._detached_root, os.path.basename(self._detached_root)),
+            (self._wal_state_path, os.path.basename(self._wal_state_path)),
+            (os.path.join(self.path, ".qdb_wal_pending"), ".qdb_wal_pending"),
+        ]
+        saved: list[tuple[str, str]] = []
+        for src, base in keep:
+            if os.path.exists(src):
+                hold = tmp.rstrip("/") + f".keep_{base}"
+                os.rename(src, hold)
+                saved.append((hold, base))
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)
-        if saved is not None:
-            os.rename(saved, self._detached_root)
+        for hold, base in saved:
+            os.rename(hold, os.path.join(self.path, base))
 
     def enforce_ttl(self) -> list:
         """Evict partitions whose CEILING (start of the next logical

@@ -45,6 +45,8 @@ class Shadow:
         self.dedup = dedup
         self.detached: dict = {}  # partition date -> rows
         self.ttl_hours = 0
+        self.suspended = False
+        self.pending: list[tuple[int, list[dict]]] = []  # (seq, batch)
 
     def append(self, batch: list[dict]) -> None:
         if not self.dedup:
@@ -221,16 +223,48 @@ def test_fuzz_op_sequence(spark, seed, dedup):
         for step in range(OPS):
             op = rng.choices(
                 ["append", "update", "delete", "addcol", "dropcol", "rename",
-                 "detach", "attach", "droppart", "ttl", "vacuum", "convert"],
-                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3],
+                 "detach", "attach", "droppart", "ttl", "vacuum", "convert",
+                 "suspend", "resume"],
+                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3, 4, 4],
             )[0]
-            if op == "append":
+            # schema DDL and in-place DML are refused while the WAL is
+            # suspended (the engine cannot order an eager rewrite against
+            # parked txns) — assert the guard fires, state untouched
+            guarded = {"update", "delete", "addcol", "dropcol", "rename",
+                       "detach", "attach", "droppart", "ttl", "convert"}
+            if sh.suspended and op in guarded:
+                with pytest.raises(ValueError, match="suspended"):
+                    t.add_column("__nope", "long")
+                continue
+            if op == "suspend":
+                if sh.suspended:
+                    continue
+                t.suspend_wal()
+                sh.suspended = True
+            elif op == "resume":
+                if not sh.suspended:
+                    continue
+                # skip a random prefix of parked txns (RESUME WAL FROM TXN)
+                n_skip = rng.randrange(0, len(sh.pending) + 1)
+                from_txn = (
+                    sh.pending[n_skip][0] if n_skip < len(sh.pending) else seq
+                ) if n_skip else None
+                t.resume_wal(from_txn=from_txn)
+                for s, b in sh.pending:
+                    if from_txn is None or s >= from_txn:
+                        sh.append(b)
+                sh.pending = []
+                sh.suspended = False
+            elif op == "append":
                 b = _batch(rng, sh, rng.randrange(1, 7))
                 if dedup and b and rng.random() < 0.5:
                     # force exact (k, ts) dupes: in-batch + vs-storage
                     b.append({**b[0], "v": float(rng.randrange(0, 1000))})
                 t.append(_spark_batch(spark, sh, b), seq=seq)
-                sh.append(b)
+                if sh.suspended:
+                    sh.pending.append((seq, b))
+                else:
+                    sh.append(b)
                 seq += 1
             elif op == "update":
                 key = rng.choice(KEYS)
@@ -319,7 +353,15 @@ def test_fuzz_op_sequence(spark, seed, dedup):
                 sh.convert_column(name, new_typ)
             if not sh.rows:
                 # drop/TTL can empty the table: parquet dir has no live
-                # files; re-seed so reads stay well-defined
+                # files; re-seed so reads stay well-defined (mutations are
+                # guarded while suspended, so rows can only empty here with
+                # the WAL live — resume defensively regardless)
+                if sh.suspended:
+                    t.resume_wal()
+                    for _s, b in sh.pending:
+                        sh.append(b)
+                    sh.pending = []
+                    sh.suspended = False
                 b = _batch(rng, sh, 4)
                 t.append(_spark_batch(spark, sh, b), seq=seq)
                 sh.append(b)
