@@ -786,3 +786,66 @@ SELECT * FROM (
     false
 ) ORDER BY stage
 """
+
+
+def sql_geo_date_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """geo/ + date/ + encoding scalar families through the dialect parser
+    (GeoDistanceMetersFunctionFactory equirectangular 111320 m/deg with
+    midpoint-latitude cos; WithinBox/WithinRadius/GeoWithinRadiusLatLon
+    inclusive predicates; IsLeapYear/DaysPerMonth; Base64/Sha1/Sha256 over
+    binary). Lat/lon are derived deterministically from events columns;
+    distances round through DECIMAL(18,4) so a last-ulp libm divergence
+    between engines cannot flip the hash."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, "
+        "cast(cast(geo_distance_meters(lat, lon, 48.2, 16.37) AS DECIMAL(18,4)) AS DOUBLE) AS dist_m, "
+        "within_box(lon, lat, 10.0, 40.0, 20.0, 50.0) AS in_box, "
+        "within_radius(lon, lat, 16.0, 48.0, 5.0) AS in_radius, "
+        "geo_within_radius_latlon(lat, lon, 48.2, 16.37, 500000.0) AS in_geo_radius, "
+        "is_leap_year(ts) AS leap, "
+        "days_in_month(ts) AS dim, "
+        "base64(sha256(event_type), 8) AS b64_8, "
+        "cast(base64_decode(base64(event_type)) AS STRING) AS roundtrip, "
+        "sha1(event_type) AS h1 "
+        "FROM (SELECT event_id, ts, event_type, "
+        "  cast(user_id % 90 AS DOUBLE) AS lat, "
+        "  cast(event_id % 180 AS DOUBLE) - 90.0 AS lon FROM events)"
+    )
+
+
+def _sha1_case_sql(values: list[str]) -> str:
+    """DuckDB ships no sha1 — hash the (fixed) event_type domain with
+    Python hashlib instead, which keeps the oracle INDEPENDENT of the
+    JVM's sha1 rather than skipping the column."""
+    import hashlib
+
+    arms = " ".join(
+        f"WHEN event_type = '{v}' THEN '{hashlib.sha1(v.encode()).hexdigest()}'"
+        for v in values
+    )
+    return f"(CASE {arms} END)"
+
+
+SQL_GEO_DATE_ENCODING_SQL = """
+WITH b AS (
+  SELECT event_id, ts, event_type,
+    CAST(user_id % 90 AS DOUBLE) AS lat,
+    CAST(event_id % 180 AS DOUBLE) - 90.0 AS lon
+  FROM events
+)
+SELECT event_id,
+  CAST(CAST(SQRT(POW((16.37 - lon) * 111320.0 * COS(RADIANS((lat + 48.2) * 0.5)), 2)
+       + POW((48.2 - lat) * 111320.0, 2)) AS DECIMAL(18,4)) AS DOUBLE) AS dist_m,
+  (10.0 <= 20.0 AND 40.0 <= 50.0
+   AND lon BETWEEN 10.0 AND 20.0 AND lat BETWEEN 40.0 AND 50.0) AS in_box,
+  (POW(lon - 16.0, 2) + POW(lat - 48.0, 2) <= POW(5.0, 2)) AS in_radius,
+  (POW((lon - 16.37) * 111320.0 * COS(RADIANS(48.2)), 2)
+   + POW((lat - 48.2) * 111320.0, 2) <= POW(500000.0, 2)) AS in_geo_radius,
+  (year(ts) % 4 = 0 AND (year(ts) % 100 != 0 OR year(ts) % 400 = 0)) AS leap,
+  CAST(day(last_day(ts)) AS INT) AS dim,
+  to_base64(ENCODE(substring(sha256(event_type), 1, 8))) AS b64_8,
+  event_type AS roundtrip,
+  __SHA1_CASE__ AS h1
+FROM b
+""".replace("__SHA1_CASE__", _sha1_case_sql(["click", "error", "purchase", "signup", "view"]))

@@ -274,6 +274,11 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_wal_suspend_resume,
         sq.SQL_WAL_SUSPEND_RESUME_SQL,
     ),
+    # geo/date/encoding scalar families (r6)
+    "sql_geo_date_encoding": (
+        sq.sql_geo_date_encoding,
+        sq.SQL_GEO_DATE_ENCODING_SQL,
+    ),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

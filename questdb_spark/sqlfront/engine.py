@@ -1402,7 +1402,55 @@ _FN_MACROS: dict = {
         f" + cos(radians({a[0]})) * cos(radians({a[2]}))"
         f" * pow(sin(radians(({a[3]}) - ({a[1]})) / 2), 2)))"
     ),
+    # geo/ predicates + distance (GeoDistanceMetersFunctionFactory:
+    # equirectangular, 111320 m/deg, midpoint-latitude cos;
+    # WithinBox/WithinRadius/GeoWithinRadiusLatLon: inclusive bounds,
+    # NaN/inverted-box → false)
+    "geo_distance_meters": lambda a: (
+        f"sqrt(pow((({a[3]}) - ({a[1]})) * 111320.0"
+        f" * cos(radians((({a[0]}) + ({a[2]})) * 0.5)), 2)"
+        f" + pow((({a[2]}) - ({a[0]})) * 111320.0, 2))"
+    ),
+    "within_box": lambda a: (
+        f"(({a[2]}) <= ({a[4]}) AND ({a[3]}) <= ({a[5]})"
+        f" AND ({a[0]}) BETWEEN ({a[2]}) AND ({a[4]})"
+        f" AND ({a[1]}) BETWEEN ({a[3]}) AND ({a[5]}))"
+    ),
+    "within_radius": lambda a: (
+        f"(pow(({a[0]}) - ({a[2]}), 2) + pow(({a[1]}) - ({a[3]}), 2)"
+        f" <= pow({a[4]}, 2))"
+    ),
+    "geo_within_radius_latlon": lambda a: (
+        f"(pow((({a[1]}) - ({a[3]})) * 111320.0 * cos(radians({a[2]})), 2)"
+        f" + pow((({a[0]}) - ({a[2]})) * 111320.0, 2) <= pow({a[4]}, 2))"
+    ),
+    # date/ helpers (IsLeapYearFunctionFactory, DaysPerMonthFunctionFactory)
+    "is_leap_year": lambda a: (
+        f"(year({a[0]}) % 4 = 0 AND (year({a[0]}) % 100 != 0"
+        f" OR year({a[0]}) % 400 = 0))"
+    ),
+    "days_in_month": lambda a: f"day(last_day({a[0]}))",
+    # encoding/hash (Base64FunctionFactory base64(Ui) — second arg caps the
+    # encoded byte count; Sha1/Sha256/Md5 bin families).  These expand to
+    # calls of the SAME Spark built-in name, so the expansion raises (=
+    # leave untouched) once the arg is already the canonical CAST form —
+    # otherwise the fixpoint loop would re-wrap the cast each pass.
+    "base64": lambda a: (
+        f"base64({_bin_arg(a[0])})"
+        if len(a) < 2
+        else f"base64(substring({_bin_arg(a[0])}, 1, {a[1]}))"
+    ),
+    "base64_decode": lambda a: f"unbase64({a[0]})",
+    "sha1": lambda a: f"sha1({_bin_arg(a[0])})",
+    "sha256": lambda a: f"sha2({_bin_arg(a[0])}, 256)",
 }
+
+
+def _bin_arg(arg: str) -> str:
+    s = arg.strip()
+    if s.upper().startswith("CAST(") and s.upper().rstrip(")").endswith("AS BINARY"):
+        raise ValueError("already expanded")
+    return f"CAST({arg} AS BINARY)"
 
 # rnd_* generators callable from SQL over long_sequence's x column
 # (functions/rnd/): deterministic mixes of the row index — the documented
