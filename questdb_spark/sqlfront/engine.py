@@ -220,7 +220,9 @@ class QdbEngine:
 
         if ddl.statement_kind(query) is not None:
             return ddl.execute(self, query)
-        rewritten = self._rewrite_intervals(expand_declare(query))
+        rewritten = self._rewrite_day_functions(expand_declare(query))
+        rewritten = self._rewrite_in_interval_fn(rewritten)
+        rewritten = self._rewrite_intervals(rewritten)
         # QuestDB's bare `count()` ≡ `count(*)` (CountConstGroupByFunction)
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
@@ -347,6 +349,70 @@ class QdbEngine:
                 last = m.end()
         parts.append(s[last:].strip())
         return parts, ops
+
+    _DAY_FN_RE = re.compile(
+        r"\b(today|yesterday|tomorrow)\s*\(\s*('[^']*')?\s*\)", re.IGNORECASE
+    )
+    _IN_INTERVAL_FN_RE = re.compile(
+        r"(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s+interval\s*\(", re.IGNORECASE
+    )
+
+    def _rewrite_day_functions(self, s: str) -> str:
+        """``today()`` / ``yesterday()`` / ``tomorrow()`` (+ timezone arg;
+        Today/Tomorrow/YesterdayFunctionFactory return the day's interval)
+        → the day's interval STRING literal, evaluated at statement time —
+        ``ts IN today()`` then flows through the ordinary interval-string
+        rewrite into a pruned range scan."""
+        from datetime import datetime, timedelta, timezone
+
+        def repl(m) -> str:
+            # matches run over the literal-MASKED text: the tz literal is
+            # blanked, so read it back from the original via its span
+            tz = s[m.start(2) + 1 : m.end(2) - 1] if m.group(2) else None
+            if tz and tz.upper() not in ("UTC", "GMT", "Z"):
+                from zoneinfo import ZoneInfo
+
+                now = datetime.now(ZoneInfo(tz))
+            else:
+                now = datetime.now(timezone.utc)
+            shift = {"today": 0, "yesterday": -1, "tomorrow": 1}[m.group(1).lower()]
+            return f"'{(now + timedelta(days=shift)).date().isoformat()}'"
+
+        return _sub_outside_literals(s, self._DAY_FN_RE, None, repl_fn=repl)
+
+    def _rewrite_in_interval_fn(self, s: str) -> str:
+        """``ts IN interval(lo, hi)`` (IntervalFunctionFactory + the IN(Δ)
+        overload: INCLUSIVE micro bounds) → a BETWEEN range predicate."""
+        masked = mask_literals(s)
+        out: list[str] = []
+        last = 0
+        for m in self._IN_INTERVAL_FN_RE.finditer(masked):
+            if m.start() < last:
+                continue
+            depth, close = 0, -1
+            for k in range(m.end() - 1, len(masked)):
+                if masked[k] == "(":
+                    depth += 1
+                elif masked[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+            if close < 0:
+                raise ValueError(f"unbalanced interval() in {s!r}")
+            args = split_top_level(s[m.end() : close], ",")
+            if len(args) != 2:
+                raise ValueError("interval() takes (lo, hi)")
+            col, neg = m.group(1), bool(m.group(2))
+            body = (
+                f"({col} BETWEEN CAST({args[0]} AS TIMESTAMP)"
+                f" AND CAST({args[1]} AS TIMESTAMP))"
+            )
+            out.append(s[last : m.start()])
+            out.append(f"(NOT {body})" if neg else body)
+            last = close + 1
+        out.append(s[last:])
+        return "".join(out)
 
     def _rewrite_intervals(self, s: str) -> str:
         """`ts IN '2024-01'` / `ts IN ('2024-01', '2024-03')` /
@@ -1443,7 +1509,39 @@ _FN_MACROS: dict = {
     "base64_decode": lambda a: f"unbase64({a[0]})",
     "sha1": lambda a: f"sha1({_bin_arg(a[0])})",
     "sha256": lambda a: f"sha2({_bin_arg(a[0])}, 256)",
+    # interval type surface (IntervalFunctionFactory interval(NN),
+    # IntervalStart/IntervalEnd Δ accessors): lowered to a 2-field struct;
+    # the (lo, hi) bounds are INCLUSIVE micros, and the string-literal form
+    # accepts the same interval grammar as `ts IN '...'`
+    "interval": lambda a: _interval_struct(a),
+    "interval_start": lambda a: _interval_bound(a[0], "lo"),
+    "interval_end": lambda a: _interval_bound(a[0], "hi"),
 }
+
+
+def _interval_struct(a: list[str]) -> str:
+    if len(a) != 2:
+        raise ValueError("interval() takes (lo, hi)")  # leave INTERVAL literals alone
+    return (
+        f"named_struct('lo', CAST({a[0]} AS TIMESTAMP), "
+        f"'hi', CAST({a[1]} AS TIMESTAMP))"
+    )
+
+
+def _interval_bound(arg: str, field: str) -> str:
+    from datetime import timedelta
+
+    from ..operators.intervals import parse_interval_ranges
+
+    s = arg.strip()
+    if s.startswith("'") and s.endswith("'"):
+        ranges = parse_interval_ranges(s[1:-1])
+        lo, hi = ranges[0][0], ranges[-1][1]
+        # parse yields half-open [lo, hi); the reference's interval end is
+        # the last included microsecond
+        val = lo if field == "lo" else hi - timedelta(microseconds=1)
+        return f"TIMESTAMP '{val.isoformat(sep=' ')}'"
+    return f"({arg}).{field}"
 
 
 def _bin_arg(arg: str) -> str:

@@ -573,3 +573,57 @@ def test_touch_and_hydrate(eng, spark):
     assert row["touched_rows"] == n and row["touched_files"] >= 1
     ok = eng.sql("SELECT hydrate_table_metadata('events') AS s").collect()[0]["s"]
     assert ok == "ok"
+
+
+# -- today()/tomorrow()/yesterday(), interval() surface (r6) ----------------
+
+def test_day_interval_functions(spark):
+    from datetime import datetime, timedelta, timezone
+
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    today = datetime.now(timezone.utc).date()
+    ev = spark.createDataFrame(
+        [(1, datetime.combine(today, datetime.min.time()) + timedelta(hours=3)),
+         (2, datetime.combine(today - timedelta(days=1), datetime.min.time())),
+         (3, datetime.combine(today + timedelta(days=1), datetime.min.time()))],
+        "id long, ts timestamp",
+    )
+    eng.register("ev", ev, designated_ts="ts")
+    got = {r["id"] for r in eng.sql("SELECT id FROM ev WHERE ts IN today()").collect()}
+    assert got == {1}
+    got = {r["id"] for r in eng.sql("SELECT id FROM ev WHERE ts IN yesterday()").collect()}
+    assert got == {2}
+    got = {r["id"] for r in eng.sql("SELECT id FROM ev WHERE ts IN tomorrow()").collect()}
+    assert got == {3}
+    # NOT IN + timezone-arg form parse and run
+    n = eng.sql("SELECT count(*) c FROM ev WHERE ts NOT IN today()").collect()[0][0]
+    assert n == 2
+    assert eng.sql(
+        "SELECT count(*) c FROM ev WHERE ts IN today('UTC')"
+    ).collect()[0][0] == 1
+
+
+def test_interval_constructor_and_accessors(spark):
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    r = eng.sql(
+        "SELECT interval_start(interval('2024-01-01', '2024-01-02')) AS lo, "
+        "interval_end(interval('2024-01-01', '2024-01-02')) AS hi, "
+        "interval_start('2024-03') AS mlo, interval_end('2024-03') AS mhi"
+    ).collect()[0]
+    assert str(r["lo"]) == "2024-01-01 00:00:00"
+    assert str(r["hi"]) == "2024-01-02 00:00:00"
+    assert str(r["mlo"]) == "2024-03-01 00:00:00"
+    assert str(r["mhi"]) == "2024-03-31 23:59:59.999999"
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-02-01 00:00:00")],
+        "id long, tss string",
+    ).selectExpr("id", "cast(tss as timestamp) as ts")
+    eng.register("ev2", ev, designated_ts="ts")
+    got = {r["id"] for r in eng.sql(
+        "SELECT id FROM ev2 WHERE ts IN interval('2024-01-01', '2024-01-15')"
+    ).collect()}
+    assert got == {1}
