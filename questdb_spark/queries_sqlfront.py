@@ -849,3 +849,69 @@ SELECT event_id,
   __SHA1_CASE__ AS h1
 FROM b
 """.replace("__SHA1_CASE__", _sha1_case_sql(["click", "error", "purchase", "signup", "view"]))
+
+
+def sql_scalar_batch2(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar long-tail batch 2 through the dialect parser: finance trio
+    (FinanceUtils mid/spread, WeightedMidPriceFunctionFactory wmid),
+    day_of_week Mon=1 / day_of_week_sunday_first Sun=1, is_end_of_month,
+    millis/micros components (MillisOfSecond/MicrosOfMills), position
+    (1-based, 0-absent), and to_uuid/to_long256 canonical lowercase-hex
+    builders (LongsToUuid/LongsToLong256FunctionFactory)."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, "
+        "mid(bid, ask) AS mid_px, "
+        "spread(bid, ask) AS spr, "
+        "wmid(bsz, bid, ask, asz) AS wmid_px, "
+        "day_of_week(ts2) AS dow, "
+        "day_of_week_sunday_first(ts2) AS dow_sun, "
+        "is_end_of_month(ts2) AS eom, "
+        "millis(ts2) AS ms, "
+        "micros(ts2) AS us, "
+        "position(event_type, 'ic') AS pos, "
+        "to_uuid(event_id, user_id) AS uid, "
+        "to_long256(event_id, user_id, 7, 0) AS l256 "
+        "FROM (SELECT event_id, user_id, event_type, "
+        "  timestamp_micros(unix_micros(ts) + event_id % 1000000) AS ts2, "
+        "  value AS bid, value + 1.5 AS ask, "
+        "  cast(user_id % 50 + 1 AS DOUBLE) AS bsz, "
+        "  cast(event_id % 30 + 1 AS DOUBLE) AS asz FROM events)"
+    )
+
+
+SQL_SCALAR_BATCH2_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+    ts + to_microseconds(event_id % 1000000) AS ts2,
+    value AS bid, value + 1.5 AS ask,
+    CAST(user_id % 50 + 1 AS DOUBLE) AS bsz,
+    CAST(event_id % 30 + 1 AS DOUBLE) AS asz
+  FROM events
+)
+SELECT event_id,
+  (bid + ask) / 2.0 AS mid_px,
+  ask - bid AS spr,
+  ask * (bsz / (bsz + asz)) + bid * (1 - bsz / (bsz + asz)) AS wmid_px,
+  CAST(isodow(ts2) AS INT) AS dow,
+  CAST(dayofweek(ts2) + 1 AS INT) AS dow_sun,
+  (day(ts2) = day(last_day(ts2))) AS eom,
+  CAST((epoch_us(ts2) % 1000000) // 1000 AS INT) AS ms,
+  CAST(epoch_us(ts2) % 1000 AS INT) AS us,
+  CAST(strpos(event_type, 'ic') AS INT) AS pos,
+  concat_ws('-',
+    substring(concat(lpad(lower(to_hex(user_id)), 16, '0'),
+                     lpad(lower(to_hex(event_id)), 16, '0')), 1, 8),
+    substring(concat(lpad(lower(to_hex(user_id)), 16, '0'),
+                     lpad(lower(to_hex(event_id)), 16, '0')), 9, 4),
+    substring(concat(lpad(lower(to_hex(user_id)), 16, '0'),
+                     lpad(lower(to_hex(event_id)), 16, '0')), 13, 4),
+    substring(concat(lpad(lower(to_hex(user_id)), 16, '0'),
+                     lpad(lower(to_hex(event_id)), 16, '0')), 17, 4),
+    substring(concat(lpad(lower(to_hex(user_id)), 16, '0'),
+                     lpad(lower(to_hex(event_id)), 16, '0')), 21, 12)) AS uid,
+  concat(lpad(lower(to_hex(0)), 16, '0'), lpad(lower(to_hex(7)), 16, '0'),
+         lpad(lower(to_hex(user_id)), 16, '0'),
+         lpad(lower(to_hex(event_id)), 16, '0')) AS l256
+FROM b
+"""

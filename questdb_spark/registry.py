@@ -279,6 +279,8 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_geo_date_encoding,
         sq.SQL_GEO_DATE_ENCODING_SQL,
     ),
+    # finance trio / date batch-2 / position / to_uuid / to_long256 (r6)
+    "sql_scalar_batch2": (sq.sql_scalar_batch2, sq.SQL_SCALAR_BATCH2_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

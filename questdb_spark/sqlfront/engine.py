@@ -1516,7 +1516,49 @@ _FN_MACROS: dict = {
     "interval": lambda a: _interval_struct(a),
     "interval_start": lambda a: _interval_bound(a[0], "lo"),
     "interval_end": lambda a: _interval_bound(a[0], "hi"),
+    # finance scalar trio (FinanceUtils.mid/spread,
+    # WeightedMidPriceFunctionFactory wmid(bidSize, bid, ask, askSize))
+    "mid": lambda a: f"((({a[0]}) + ({a[1]})) / 2.0)",
+    "spread": lambda a: f"(({a[1]}) - ({a[0]}))",
+    "wmid": lambda a: (
+        f"(({a[2]}) * (({a[0]}) / (({a[0]}) + ({a[3]})))"
+        f" + ({a[1]}) * (1 - (({a[0]}) / (({a[0]}) + ({a[3]})))))"
+    ),
+    # date/ helpers batch 2 (DayOfWeek Mon=1 / SundayFirst Sun=1,
+    # IsEndOfMonth, MillisOfSecond millis(N), MicrosOfMills micros(N))
+    "day_of_week": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+    "day_of_week_sunday_first": lambda a: f"dayofweek({a[0]})",
+    "is_end_of_month": lambda a: f"(day({a[0]}) = day(last_day({a[0]})))",
+    "millis": lambda a: f"CAST((unix_micros({a[0]}) % 1000000) DIV 1000 AS INT)",
+    "micros": lambda a: f"CAST(unix_micros({a[0]}) % 1000 AS INT)",
+    # position(str, substr) (PositionFunctionFactory — 1-based, 0 = absent;
+    # Spark's locate takes (substr, str))
+    "position": lambda a: f"locate({a[1]}, {a[0]})",
+    # to_uuid(lo, hi) / to_long256(l0..l3): canonical lowercase-hex forms
+    # (LongsToUuid/LongsToLong256FunctionFactory; uuid256.py conventions)
+    "to_uuid": lambda a: _to_uuid_sql(a),
+    "to_long256": lambda a: _to_long256_sql(a),
 }
+
+
+def _hex16(x: str) -> str:
+    return f"lpad(lower(hex({x})), 16, '0')"
+
+
+def _to_uuid_sql(a: list[str]) -> str:
+    if len(a) != 2:
+        raise ValueError("to_uuid(lo, hi)")
+    h = f"concat({_hex16(a[1])}, {_hex16(a[0])})"
+    return (
+        f"concat_ws('-', substring({h}, 1, 8), substring({h}, 9, 4), "
+        f"substring({h}, 13, 4), substring({h}, 17, 4), substring({h}, 21, 12))"
+    )
+
+
+def _to_long256_sql(a: list[str]) -> str:
+    if len(a) != 4:
+        raise ValueError("to_long256(l0, l1, l2, l3)")
+    return "concat(" + ", ".join(_hex16(x) for x in reversed(a)) + ")"
 
 
 def _interval_struct(a: list[str]) -> str:
@@ -1643,6 +1685,13 @@ _RND_MACROS: dict = {
         f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP)) + "
         f"(({_rnd_sql(t)}) % CAST((unix_micros(CAST({a[1]} AS TIMESTAMP)) - "
         f"unix_micros(CAST({a[0]} AS TIMESTAMP))) / 1000000 AS BIGINT)) * 1000000)"
+    ),
+    # timestamp_shuffle(lo, hi) (TimestampShuffleFunctionFactory): uniform
+    # micro draw in [lo, hi) — same deterministic row-index mix as rnd_*
+    "timestamp_shuffle": lambda a, t: (
+        f"timestamp_micros(unix_micros(CAST({a[0]} AS TIMESTAMP)) + "
+        f"({_rnd_sql(t)}) % (unix_micros(CAST({a[1]} AS TIMESTAMP)) - "
+        f"unix_micros(CAST({a[0]} AS TIMESTAMP))))"
     ),
 }
 

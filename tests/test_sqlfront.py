@@ -627,3 +627,22 @@ def test_interval_constructor_and_accessors(spark):
         "SELECT id FROM ev2 WHERE ts IN interval('2024-01-01', '2024-01-15')"
     ).collect()}
     assert got == {1}
+
+
+def test_timestamp_shuffle_bounds(spark):
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    rows = eng.sql(
+        "SELECT timestamp_shuffle('2024-01-01', '2024-01-02') AS t "
+        "FROM long_sequence(200)"
+    ).collect()
+    ts = [r["t"] for r in rows]
+    assert all(str(t) >= "2024-01-01 00:00:00" and str(t) < "2024-01-02" for t in ts)
+    assert len(set(ts)) > 150  # draws actually vary
+    # deterministic: same statement, same draws
+    again = [r["t"] for r in eng.sql(
+        "SELECT timestamp_shuffle('2024-01-01', '2024-01-02') AS t "
+        "FROM long_sequence(200)"
+    ).collect()]
+    assert ts == again
