@@ -538,9 +538,9 @@ class QdbEngine:
         # matched over the literal-MASKED text: quoted content is blanked,
         # so the table-name group matches the quotes and is read back from
         # the original via its span
-        r"\b(tables|all_tables|wal_tables|query_activity)\s*\(\s*\)"
+        r"\b(tables|all_tables|wal_tables|query_activity|functions|keywords)\s*\(\s*\)"
         r"|\b(table_columns|table_partitions|wait_wal_table|touch"
-        r"|hydrate_table_metadata)\s*\(\s*('[^']*')\s*\)",
+        r"|hydrate_table_metadata|wal_transactions)\s*\(\s*('[^']*')\s*\)",
         re.IGNORECASE,
     )
 
@@ -570,6 +570,27 @@ class QdbEngine:
                     if rows
                     else self.spark.createDataFrame([], schema)
                 )
+                df.createOrReplaceTempView(view)
+            elif m.group(1) and m.group(1).lower() in ("functions", "keywords"):
+                # FunctionListFunctionFactory / PgGetKeywordsFunctionFactory
+                # analogues: the dialect's OWN callable surface — macro
+                # names plus the rnd_* family (Spark built-ins pass through
+                # and are not enumerated here)
+                kind = m.group(1).lower()
+                if kind == "functions":
+                    rows = sorted(
+                        [(n, "macro") for n in _FN_MACROS]
+                        + [(n, "generator") for n in _RND_MACROS]
+                    )
+                    schema = "name string, kind string"
+                else:
+                    kws = ("sample latest asof splice window horizon pivot "
+                           "declare dedup upsert wal suspend resume detach "
+                           "attach convert ttl vacuum checkpoint").split()
+                    rows = [(k,) for k in sorted(kws)]
+                    schema = "keyword string"
+                view = f"__qdb_{kind}"
+                df = self.spark.createDataFrame(rows, schema)
                 df.createOrReplaceTempView(view)
             elif m.group(1):  # tables()/all_tables()/wal_tables()
                 # param columns mirror TablesFunctionFactory (reference
@@ -607,7 +628,27 @@ class QdbEngine:
                 from ..sources import catalog
 
                 view = f"__qdb_{fn_name}_{tname}"
-                if fn_name == "wait_wal_table":
+                if fn_name == "wal_transactions":
+                    # WalTransactionsFunctionFactory analogue: txn log from
+                    # the eager-apply model — every seq issued so far is
+                    # 'applied' unless parked by SUSPEND WAL ('pending')
+                    if tname not in self.ddl_tables:
+                        raise ValueError(f"no such table: {tname}")
+                    t = self.ddl_tables[tname]
+                    pend = set(t._wal_state()["pending"])
+                    top = self.ddl_seq.get(tname, 0)
+                    rows = [
+                        (txn, "pending" if txn in pend else "applied")
+                        for txn in range(1, top + 1)
+                    ]
+                    schema = "txn long, state string"
+                    df = (
+                        self.spark.createDataFrame(rows, schema)
+                        if rows
+                        else self.spark.createDataFrame([], schema)
+                    )
+                    df.createOrReplaceTempView(view)
+                elif fn_name == "wait_wal_table":
                     # WAL application is synchronous in this engine; the
                     # wait degenerates to an existence check
                     if tname not in self.ddl_tables and tname not in self.tables:

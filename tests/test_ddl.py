@@ -614,3 +614,25 @@ def test_alter_column_hints(eng):
     eng.sql("ALTER TABLE walt ALTER COLUMN x SYMBOL CAPACITY 4096")
     with pytest.raises(Exception, match="no such column"):
         eng.sql("ALTER TABLE walt ALTER COLUMN nope ADD INDEX")
+
+
+def test_wal_transactions_and_functions_listing(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt SUSPEND WAL")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-02 00:00:00', 2)")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-03 00:00:00', 3)")
+    rows = {(r["txn"], r["state"]) for r in eng.sql(
+        "SELECT txn, state FROM wal_transactions('walt')"
+    ).collect()}
+    assert rows == {(1, "pending"), (2, "pending")}
+    eng.sql("ALTER TABLE walt RESUME WAL")
+    rows = {(r["txn"], r["state"]) for r in eng.sql(
+        "SELECT txn, state FROM wal_transactions('walt')"
+    ).collect()}
+    assert rows == {(1, "applied"), (2, "applied")}
+    n = eng.sql(
+        "SELECT count(*) c FROM functions() WHERE kind = 'macro'"
+    ).collect()[0][0]
+    assert n > 30
+    kw = {r["keyword"] for r in eng.sql("SELECT * FROM keywords()").collect()}
+    assert {"sample", "asof", "wal"} <= kw
