@@ -934,3 +934,49 @@ FROM scored
 ORDER BY cosine_q8 DESC, vec_id ASC
 LIMIT 10
 """
+
+
+def embedding_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (r6): banded-LSH
+    near-dup pairs (cosine >= 0.35 on candidates only) → connected
+    components via min-label propagation → one canonical vector per
+    cluster, with a keep/drop flag for EVERY corpus vector (singletons
+    keep themselves). Pure composition of two existing operators — no new
+    shuffle shapes; the pair stage is bucket-bounded and the propagation
+    is O(component diameter) iterative joins."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
+    clusters = dedup.dedup_clusters(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(clusters.withColumnRenamed("doc", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.col("vec_id")).alias("cluster"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster"))
+    )
+
+
+EMBEDDING_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({EMBEDDING_NEAR_DUP_SQL.replace(chr(10), ' ')}) q
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc)
+SELECT e.vec_id,
+  COALESCE(c.cluster, e.vec_id) AS cluster,
+  (e.vec_id = COALESCE(c.cluster, e.vec_id)) AS keep
+FROM embeddings e LEFT JOIN clusters c ON c.doc = e.vec_id
+"""

@@ -281,6 +281,11 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # finance trio / date batch-2 / position / to_uuid / to_long256 (r6)
     "sql_scalar_batch2": (sq.sql_scalar_batch2, sq.SQL_SCALAR_BATCH2_SQL),
+    # SemDeDup-style embedding-space dedup composition (r6)
+    "embedding_dedup_canonical": (
+        pl.embedding_dedup_canonical,
+        pl.EMBEDDING_DEDUP_CANONICAL_SQL,
+    ),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
