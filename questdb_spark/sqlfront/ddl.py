@@ -44,8 +44,18 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _STMT_RE = re.compile(
     r"^\s*(create|insert|update|alter|truncate|drop|rename|show|refresh"
-    r"|vacuum|checkpoint|snapshot|explain|copy|cancel)\b",
+    r"|vacuum|checkpoint|snapshot|explain|copy|cancel|reindex|backup"
+    r"|begin|commit|rollback|discard|close|unlisten|reset|deallocate|set)\b",
     re.IGNORECASE,
+)
+
+# PGwire session statements the reference accepts as no-ops
+# (SqlCompilerImpl keywordBasedExecutors: compileBegin/Commit/Rollback are
+# implicit-transaction stubs, discard/close/unlisten/reset/deallocate/set
+# are compileNoOp / session-level) — accepted for drop-in compatibility
+_SESSION_NOOPS = frozenset(
+    ["begin", "commit", "rollback", "discard", "close", "unlisten",
+     "reset", "deallocate", "set"]
 )
 
 # TTL value+unit → reference encoding: positive hours / negative months
@@ -139,7 +149,68 @@ def execute(eng: QdbEngine, sql: str) -> DataFrame:
         return _copy(eng, s)
     if kind == "cancel":
         return _cancel(eng, s)
+    if kind == "reindex":
+        return _reindex(eng, s)
+    if kind == "backup":
+        return _backup(eng, s)
+    if kind in _SESSION_NOOPS:
+        # `SET key = value` and transaction/session statements: accepted,
+        # no engine effect (commits are durable at statement level here)
+        return _status(eng, kind, "", "session no-op")
     raise ValueError(f"unsupported statement: {sql!r}")
+
+
+def _reindex(eng: QdbEngine, s: str) -> DataFrame:
+    """``REINDEX TABLE t [COLUMN c] [LOCK EXCLUSIVE]``
+    (SqlCompilerImpl.compileReindex + IndexBuilder): the reference rebuilds
+    a symbol column's bitmap index files. This engine's "index" is parquet
+    row-group statistics + dictionary pages, so the honest rebuild is a
+    partition compaction pass — fragmented partitions are rewritten as one
+    sorted file, refreshing exactly the structures pruning reads."""
+    m = re.match(
+        r"^reindex\s+table\s+(\w+)(?:\s+column\s+(\w+))?"
+        r"(?:\s+partition\s+'[^']*')?(?:\s+lock\s+exclusive)?$",
+        s,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse REINDEX: {s!r}")
+    t = _tbl(eng, m.group(1))
+    if m.group(2) and m.group(2) not in t._logical_columns():
+        raise ValueError(f"no such column: {m.group(2)}")
+    n = t.vacuum(max_files_per_partition=1) if _has_files(t) else 0
+    _refresh_view(eng, m.group(1))
+    return _status(eng, "reindex", m.group(1), f"compacted {n} partitions")
+
+
+def _backup(eng: QdbEngine, s: str) -> DataFrame:
+    """``BACKUP TABLE t1 [, t2 ...]`` / ``BACKUP DATABASE``
+    (SqlCompilerImpl.compileBackup): copy table directories into a
+    date-stamped backup root under the warehouse (the reference's
+    cairo.sql.backup.root + dir-date-format layout). Data files only —
+    a restore is ATTACH/CREATE over the copied dirs."""
+    m = re.match(r"^backup\s+(database|table\s+(.+))$", s, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse BACKUP: {s!r}")
+    if m.group(1).lower() == "database":
+        names = sorted(eng.ddl_tables)
+    else:
+        names = [n.strip().strip('"') for n in m.group(2).split(",")]
+    from datetime import date
+
+    root = os.path.join(eng.warehouse, ".backups", date.today().isoformat())
+    done = []
+    for n in names:
+        t = _tbl(eng, n)
+        dst = os.path.join(root, n)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(t.path):
+            shutil.copytree(t.path, dst)
+            done.append(n)
+        else:
+            raise ValueError(f"table has no data to back up: {n}")
+    return _status(eng, "backup", ",".join(done), f"-> {root}")
 
 
 def _cancel(eng: QdbEngine, s: str) -> DataFrame:

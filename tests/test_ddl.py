@@ -636,3 +636,30 @@ def test_wal_transactions_and_functions_listing(eng):
     assert n > 30
     kw = {r["keyword"] for r in eng.sql("SELECT * FROM keywords()").collect()}
     assert {"sample", "asof", "wal"} <= kw
+
+
+def test_reindex_backup_session_noops(eng, tmp_path):
+    import os
+
+    _mk_walt(eng)
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-01 02:00:00', 2)")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-01 03:00:00', 3)")
+    st = eng.sql("REINDEX TABLE walt COLUMN x LOCK EXCLUSIVE").collect()[0]
+    assert "compacted" in st["detail"]
+    # fragmented partition (3 commits) now one file; data intact
+    assert eng.sql("SELECT count(*) n FROM walt").collect()[0][0] == 3
+    with pytest.raises(Exception, match="no such column"):
+        eng.sql("REINDEX TABLE walt COLUMN nope")
+
+    st = eng.sql("BACKUP TABLE walt").collect()[0]
+    root = st["detail"].split("-> ")[1]
+    assert os.path.isdir(os.path.join(root, "walt"))
+    # backup is a usable parquet copy
+    n = eng.spark.read.parquet(os.path.join(root, "walt")).count()
+    assert n == 3
+    eng.sql("BACKUP DATABASE")
+
+    for stmt in ("BEGIN", "COMMIT", "ROLLBACK", "DISCARD ALL",
+                 "SET statement_timeout = 100", "RESET all", "CLOSE c1",
+                 "UNLISTEN *", "DEALLOCATE p1"):
+        assert eng.sql(stmt).collect()[0]["detail"] == "session no-op"
