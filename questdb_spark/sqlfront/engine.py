@@ -1531,6 +1531,17 @@ _FN_MACROS: dict = {
         f"(pow((({a[1]}) - ({a[3]})) * 111320.0 * cos(radians({a[2]})), 2)"
         f" + pow((({a[0]}) - ({a[2]})) * 111320.0, 2) <= pow({a[4]}, 2))"
     ),
+    # within(geohash, prefix...) (bool/WithinGeohashFunctionFactory):
+    # geohashes here are base32 strings (functions/geohash.py), so the
+    # prefix-containment test is startswith over any of the prefixes
+    "within": lambda a: (
+        "(" + " OR ".join(f"startswith({a[0]}, {p})" for p in a[1:]) + ")"
+        if len(a) >= 2
+        else (_ for _ in ()).throw(ValueError("within(geohash, prefix...)"))
+    ),
+    # make_geohash(lon, lat, bits) (geohash/GeoHashFromCoordinates):
+    # bits must be a multiple of 5 here (string geohash granularity)
+    "make_geohash": lambda a: _make_geohash_sql(a),
     # date/ helpers (IsLeapYearFunctionFactory, DaysPerMonthFunctionFactory)
     "is_leap_year": lambda a: (
         f"(year({a[0]}) % 4 = 0 AND (year({a[0]}) % 100 != 0"
@@ -1600,6 +1611,35 @@ def _to_long256_sql(a: list[str]) -> str:
     if len(a) != 4:
         raise ValueError("to_long256(l0, l1, l2, l3)")
     return "concat(" + ", ".join(_hex16(x) for x in reversed(a)) + ")"
+
+
+def _make_geohash_sql(a: list[str]) -> str:
+    """SQL-text twin of functions/geohash.geohash_encode (same classic
+    bit-interleave, unrolled at expansion time)."""
+    from ..functions.geohash import _B32
+
+    if len(a) != 3:
+        raise ValueError("make_geohash(lon, lat, bits)")
+    bits = int(a[2])
+    if bits % 5 or not 0 < bits <= 60:
+        raise ValueError("bits must be a multiple of 5 in 5..60")
+    lonn = f"((({a[0]}) + 180.0) / 360.0)"
+    latn = f"((({a[1]}) + 90.0) / 180.0)"
+    bit_exprs: list[str] = []
+    lon_k = lat_k = 0
+    for i in range(bits):
+        if i % 2 == 0:
+            lon_k += 1
+            bit_exprs.append(f"(CAST(floor({lonn} * {2 ** lon_k}) AS BIGINT) % 2)")
+        else:
+            lat_k += 1
+            bit_exprs.append(f"(CAST(floor({latn} * {2 ** lat_k}) AS BIGINT) % 2)")
+    chars = []
+    for c in range(bits // 5):
+        group = bit_exprs[c * 5 : (c + 1) * 5]
+        val = " + ".join(f"{b} * {2 ** (4 - j)}" for j, b in enumerate(group))
+        chars.append(f"substring('{_B32}', CAST({val} AS INT) + 1, 1)")
+    return "concat(" + ", ".join(chars) + ")"
 
 
 def _interval_struct(a: list[str]) -> str:

@@ -646,3 +646,34 @@ def test_timestamp_shuffle_bounds(spark):
         "FROM long_sequence(200)"
     ).collect()]
     assert ts == again
+
+
+def test_make_geohash_and_within(spark):
+    """make_geohash SQL macro equals the column-API encoder; within()
+    is the geohash prefix predicate."""
+    from pyspark.sql import functions as F
+
+    from questdb_spark.functions.geohash import geohash_encode
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    pts = spark.createDataFrame(
+        [(1, 48.20, 16.37), (2, -33.86, 151.21), (3, 40.71, -74.00)],
+        "id long, lat double, lon double",
+    )
+    eng.register("pts", pts)
+    got = eng.sql(
+        "SELECT id, make_geohash(lon, lat, 40) AS gh FROM pts"
+    ).collect()
+    ref = {
+        r["id"]: r["gh"]
+        for r in pts.select(
+            "id", geohash_encode(F.col("lat"), F.col("lon"), 8).alias("gh")
+        ).collect()
+    }
+    assert {r["id"]: r["gh"] for r in got} == ref
+    # vienna is in 'u2'; sydney in 'r3'; new york in 'dr'
+    ids = {r["id"] for r in eng.sql(
+        "SELECT id FROM pts WHERE within(make_geohash(lon, lat, 40), 'u2', 'dr')"
+    ).collect()}
+    assert ids == {1, 3}
