@@ -1489,6 +1489,10 @@ _FN_MACROS: dict = {
     "ksum": _compensated_sum,
     "nsum": _compensated_sum,
     "geomean": lambda a: f"exp(avg(ln({a[0]})))",
+    # ApproxMedianDouble/LongGroupByFunctionFactory: t-digest median =
+    # approx_percentile at q=0.5 (optional precision arg accepted/ignored —
+    # Spark's accuracy knob has different units)
+    "approx_median": lambda a: f"approx_percentile({a[0]}, 0.5)",
     "weighted_stddev_rel": lambda a: _wstd(a[0], a[1], "rel"),
     "weighted_stddev_freq": lambda a: _wstd(a[0], a[1], "freq"),
     "string_distinct_agg": lambda a: (
