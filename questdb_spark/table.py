@@ -150,10 +150,18 @@ class TimeTable:
             self._buffer_wal_txn(df, seq)
             return
         base = df
+        replayed = "__wal_ord" in base.columns  # parked txn being resumed
+        if replayed:
+            df = df.drop("__wal_ord")
         if self.dedup_enabled:
-            base = base.withColumn(self.seq_col, F.lit(seq)).withColumn(
-                "__ord", F.monotonically_increasing_id()
-            )
+            base = base.withColumn(self.seq_col, F.lit(seq))
+            if replayed:
+                # replayed parked txn: the stamped WAL order IS the row
+                # order (a fresh monotonically_increasing_id here would
+                # follow scan order, which the parquet roundtrip scrambled)
+                base = base.withColumnRenamed("__wal_ord", "__ord")
+            else:
+                base = base.withColumn("__ord", F.monotonically_increasing_id())
             base = latest_on(
                 base, self.seq_col, [*self.dedup_keys, self.ts_col], tiebreak="__ord"
             ).drop("__ord")
@@ -164,6 +172,8 @@ class TimeTable:
             if _any_parquet(self.path):
                 self._merge_upsert(base)
                 return
+        elif replayed:
+            base = base.drop("__wal_ord")
         base = self._to_physical(base)  # dedup first: keys are logical names
         phys_ts = self._physical_name(self.ts_col)
         (
@@ -252,7 +262,13 @@ class TimeTable:
 
     def _buffer_wal_txn(self, df: DataFrame, seq: int) -> None:
         d = os.path.join(self.path, ".qdb_wal_pending", f"txn-{seq:09d}")
-        df.write.mode("overwrite").parquet(d)
+        # stamp the WAL row order BEFORE parking: a parquet roundtrip does
+        # NOT preserve row order (the scan bin-packs files by size), and
+        # dedup's in-batch last-write-wins is defined over row order —
+        # r6 fuzz find #3 (seed 8, 200-op dedup sequences)
+        df.withColumn("__wal_ord", F.monotonically_increasing_id()).write.mode(
+            "overwrite"
+        ).parquet(d)
         st = self._wal_state()
         if seq not in st["pending"]:
             st["pending"].append(seq)

@@ -227,6 +227,8 @@ def test_fuzz_op_sequence(spark, seed, dedup):
                  "suspend", "resume"],
                 weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3, 4, 4],
             )[0]
+            if os.environ.get("SPARK_GRAFT_FUZZ_TRACE"):
+                print(f"fuzz step={step} op={op} suspended={sh.suspended}", flush=True)
             # schema DDL and in-place DML are refused while the WAL is
             # suspended (the engine cannot order an eager rewrite against
             # parked txns) — assert the guard fires, state untouched
@@ -368,9 +370,14 @@ def test_fuzz_op_sequence(spark, seed, dedup):
                 seq += 1
             got = _snapshot_table(t, sh)
             want = _snapshot_shadow(sh)
-            assert got == want, (
-                f"seed={seed} dedup={dedup} step={step} op={op}:\n"
-                f"engine={got[:8]}...\nshadow={want[:8]}..."
-            )
+            if got != want:
+                from collections import Counter
+
+                cg, cw = Counter(got), Counter(want)
+                raise AssertionError(
+                    f"seed={seed} dedup={dedup} step={step} op={op}:\n"
+                    f"engine-only={list((cg - cw).elements())[:6]}\n"
+                    f"shadow-only={list((cw - cg).elements())[:6]}"
+                )
     finally:
         shutil.rmtree(path, ignore_errors=True)
