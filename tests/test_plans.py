@@ -259,3 +259,31 @@ def test_read_parquet_fn_filter_pushdown(spark, tmp_path):
     assert has_pushed_filter(df, "id")
     cols = read_schema_columns(df)
     assert cols == {"id", "v"} or "id" in cols
+
+
+def test_corpus_construction_plan_shapes(spark):
+    """r6 corpus-construction ops keep the 100 TB shapes: sampling/mixture
+    are one-shuffle JVM-only aggregations; sequence packing's final
+    aggregation REUSES the window's (stratum, shard) hash partitioning
+    (grouping keys are a superset), so the whole pack is ONE shuffle;
+    int8 top-k is a shuffle-free TakeOrderedAndProject over a broadcast
+    1-row query (its Python is the documented Arrow matmul kernel)."""
+    from questdb_spark import queries_pipeline as pl
+
+    for fn, max_sh, allow_py in [
+        (pl.stratified_sample_audit, 1, False),
+        (pl.sequence_packing, 1, False),
+        (pl.mixture_weights_by_source, 1, False),
+    ]:
+        df = fn(spark, SF_DIR)
+        txt = plan_text(df)
+        assert shuffle_count(df) <= max_sh, fn.__name__
+        if not allow_py:
+            assert "BatchEvalPython" not in txt, fn.__name__
+        assert "CartesianProduct" not in txt, fn.__name__
+
+    topk = pl.embedding_int8_topk(spark, SF_DIR)
+    txt = plan_text(topk)
+    assert shuffle_count(topk) == 0
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
