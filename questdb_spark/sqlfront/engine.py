@@ -1587,6 +1587,10 @@ _FN_MACROS: dict = {
     "is_end_of_month": lambda a: f"(day({a[0]}) = day(last_day({a[0]})))",
     "millis": lambda a: f"CAST((unix_micros({a[0]}) % 1000000) DIV 1000 AS INT)",
     "micros": lambda a: f"CAST(unix_micros({a[0]}) % 1000 AS INT)",
+    # nanos(N) is defined over TIMESTAMP_NANO values — here the int64
+    # nano shadow column (functions/nanos.py); a micro TIMESTAMP arg
+    # fails type-checking rather than silently returning 0
+    "nanos": lambda a: f"CAST(({a[0]}) % 1000 AS INT)",
     # position(str, substr) (PositionFunctionFactory — 1-based, 0 = absent;
     # Spark's locate takes (substr, str))
     "position": lambda a: f"locate({a[1]}, {a[0]})",
