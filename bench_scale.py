@@ -78,6 +78,7 @@ HEAVY = [
     "embedding_int8_topk",
     "pii_scrub",
     "text_repetition",
+    "embedding_dedup_canonical",
 ]
 
 

@@ -468,17 +468,21 @@ def dedup_clusters(
     changed = fused.filter(F.col("label") != F.col("__prev")).limit(1).count()
     labels = fused.select("u", "label")
     if changed:
-        # --- general path: long-diameter graph; check each further round ---
-        prev_cached = fused
+        # --- general path: long-diameter graph; check each further round.
+        # localCheckpoint (not persist): persist caches DATA but the
+        # logical plan still nests one join deeper per round — at the 10x
+        # scale check the accumulated tree alone OOM'd the driver while
+        # merely RENDERING the explain string. Truncating lineage per
+        # round keeps the plan O(1) regardless of graph diameter, which
+        # is also what a 1000-executor run needs. ---
         for _ in range(max_iterations - 2):
-            new_labels = _propagate(labels).persist()
+            new_labels = _propagate(labels).localCheckpoint(eager=True)
             changed = (
                 new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
             )
-            prev_cached.unpersist()
-            prev_cached = new_labels
             labels = new_labels.select("u", "label")
             if changed == 0:
                 break
+        fused.unpersist()
     edges.unpersist()
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))
