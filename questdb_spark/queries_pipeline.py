@@ -980,3 +980,59 @@ SELECT e.vec_id,
   (e.vec_id = COALESCE(c.cluster, e.vec_id)) AS keep
 FROM embeddings e LEFT JOIN clusters c ON c.doc = e.vec_id
 """
+
+
+def corpus_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-rebalanced corpus sampling (r6 composition): the
+    sqrt-temperature mixture weights set each domain's KEEP RATE
+    (rate = min(1, boost x base_rate), so under-represented domains are
+    upsampled toward the target mix), and the per-document decision is
+    the deterministic md5 draw — the materialization step a training
+    loader runs after `mixture_weights`. Emits the per-domain audit.
+
+    One scan computes the per-domain aggregate (tiny), which joins back
+    as a broadcast; the keep decision stays a per-row expression — no
+    extra shuffle over the corpus beyond the final audit groupBy."""
+    base_rate = 0.5
+    docs = load_table(spark, sf, "documents")
+    mix = sampling.mixture_weights(docs, alpha=0.5, group_col="source")
+    rates = mix.select(
+        F.col("domain").alias("source"),
+        F.least(F.lit(1.0), F.col("boost") * base_rate).alias("rate"),
+    )
+    u = sampling.hash_unit(F.col("doc_id"))
+    s = docs.join(F.broadcast(rates), "source").withColumn(
+        "kept", u < F.col("rate") * sampling.MERSENNE_P
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.min(F.when(F.col("kept"), F.col("doc_id"))).alias("first_kept"),
+        F.max("rate").alias("rate"),
+    )
+
+
+CORPUS_MIX_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source,
+    LEAST(1.0, CAST(CAST(
+      (SQRT(CAST(n_tokens AS DOUBLE)) / SUM(SQRT(CAST(n_tokens AS DOUBLE))) OVER ())
+      / (n_tokens / SUM(n_tokens) OVER ()) AS DECIMAL(18,6)) AS DOUBLE) * 0.5) AS rate
+  FROM per
+),
+s AS (
+  SELECT d.source, d.doc_id, r.rate,
+    ({_sql_hex8_mod_p("md5(CAST(doc_id AS VARCHAR))")}) < r.rate * {dedup.MERSENNE_P} AS kept
+  FROM documents d JOIN rates r ON r.source = d.source
+)
+SELECT source, COUNT(*) AS n_total,
+  CAST(SUM(CAST(kept AS INT)) AS BIGINT) AS n_kept,
+  MIN(CASE WHEN kept THEN doc_id END) AS first_kept,
+  MAX(rate) AS rate
+FROM s GROUP BY source
+"""

@@ -286,6 +286,8 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
         pl.embedding_dedup_canonical,
         pl.EMBEDDING_DEDUP_CANONICAL_SQL,
     ),
+    # temperature-rebalanced corpus sampling (mixture weights -> rates, r6)
+    "corpus_mix_sample": (pl.corpus_mix_sample, pl.CORPUS_MIX_SAMPLE_SQL),
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
