@@ -475,6 +475,9 @@ def dedup_clusters(
         # merely RENDERING the explain string. Truncating lineage per
         # round keeps the plan O(1) regardless of graph diameter, which
         # is also what a 1000-executor run needs. ---
+        # one round per checkpoint: fusing two rounds per job was measured
+        # SLOWER (the unmaterialized inner round is referenced twice by
+        # _propagate, so it executes twice per job)
         for _ in range(max_iterations - 2):
             new_labels = _propagate(labels).localCheckpoint(eager=True)
             changed = (
