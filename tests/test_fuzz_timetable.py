@@ -38,11 +38,12 @@ class Shadow:
     """Pure-Python shadow table mirroring TimeTable's logical semantics —
     an independent reimplementation, not a call into the engine."""
 
-    def __init__(self, dedup: bool):
+    def __init__(self, dedup: bool, unit: str = "day"):
         self.rows: list[dict] = []  # logical rows
         self.cols: list[str] = ["ts", "k", "v"]
         self.types: dict[str, str] = {"ts": "ts", "k": "str", "v": "double"}
         self.dedup = dedup
+        self.unit = unit
         self.detached: dict = {}  # partition date -> rows
         self.ttl_hours = 0
         self.suspended = False
@@ -111,6 +112,8 @@ class Shadow:
                 r[name] = cast(r[name])
 
     def part_of(self, ts: datetime):
+        if self.unit == "hour":
+            return ts.replace(minute=0, second=0, microsecond=0)
         return ts.date()
 
     def detach(self, day) -> bool:
@@ -139,7 +142,10 @@ class Shadow:
         boundary = max_ts - timedelta(hours=self.ttl_hours)
         evict = set()
         for p in parts[:-1]:
-            ceiling = datetime(p.year, p.month, p.day) + timedelta(days=1)
+            if self.unit == "hour":
+                ceiling = p + timedelta(hours=1)
+            else:
+                ceiling = datetime(p.year, p.month, p.day) + timedelta(days=1)
             if ceiling <= boundary:
                 evict.add(p)
             else:
@@ -206,13 +212,19 @@ def _spark_batch(spark, sh: Shadow, batch: list[dict]):
     )
 
 
+def _part_str(sh, p) -> str:
+    """Engine interval string selecting exactly shadow-partition p."""
+    return f"{p:%Y-%m-%dT%H}" if sh.unit == "hour" else p.isoformat()
+
+
 @pytest.mark.parametrize("seed", range(SEEDS))
 @pytest.mark.parametrize("dedup", [False, True], ids=["plain", "dedup"])
-def test_fuzz_op_sequence(spark, seed, dedup):
+@pytest.mark.parametrize("unit", ["day", "hour"])
+def test_fuzz_op_sequence(spark, seed, dedup, unit):
     rng = random.Random(8800 + seed)
-    path = tempfile.mkdtemp(prefix=f"fuzz_{int(dedup)}_{seed}_")
-    t = TimeTable(spark, path, "ts", "day", dedup_keys=["k"] if dedup else None)
-    sh = Shadow(dedup)
+    path = tempfile.mkdtemp(prefix=f"fuzz_{unit}_{int(dedup)}_{seed}_")
+    t = TimeTable(spark, path, "ts", unit, dedup_keys=["k"] if dedup else None)
+    sh = Shadow(dedup, unit)
     first = _batch(rng, sh, 8)
     t.append(_spark_batch(spark, sh, first), seq=0)
     sh.append(first)
@@ -308,14 +320,14 @@ def test_fuzz_op_sequence(spark, seed, dedup):
                 day = rng.choice(live_days[:-1])
                 if day in sh.detached:
                     continue
-                t.detach_partition(day.isoformat())
+                t.detach_partition(_part_str(sh, day))
                 assert sh.detach(day)
             elif op == "attach":
                 if not sh.detached:
                     continue
                 day = rng.choice(sorted(sh.detached))
                 try:
-                    t.attach_partition(day.isoformat())
+                    t.attach_partition(_part_str(sh, day))
                 except ValueError:
                     # schema evolved since detach — the reference refuses
                     # the attach too; shadow keeps it detached
@@ -326,7 +338,7 @@ def test_fuzz_op_sequence(spark, seed, dedup):
                 if len(live_days) < 2:
                     continue
                 day = rng.choice(live_days[:-1])
-                t.drop_partition(day.isoformat())
+                t.drop_partition(_part_str(sh, day))
                 sh.drop_partition(day)
             elif op == "ttl":
                 hours = rng.choice([0, 48, 72, 24 * 10])
@@ -375,7 +387,7 @@ def test_fuzz_op_sequence(spark, seed, dedup):
 
                 cg, cw = Counter(got), Counter(want)
                 raise AssertionError(
-                    f"seed={seed} dedup={dedup} step={step} op={op}:\n"
+                    f"seed={seed} dedup={dedup} unit={unit} step={step} op={op}:\n"
                     f"engine-only={list((cg - cw).elements())[:6]}\n"
                     f"shadow-only={list((cw - cg).elements())[:6]}"
                 )
