@@ -22,14 +22,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (fn, oracle_sql | None)
 #
 # ORDER MATTERS: the driver's correctness harness checks at most ~50 queries
-# per round, in registry order.  Round-6 rotation (VERDICT r5 task 1):
-#   _PRIORITY + _RECHECK — the ~47 entries last driver-verified in round 3,
-#                 with two rounds of parser/macro churn since.  Re-verifying
-#                 them makes every registry entry driver-green within
-#                 rounds 4-6.
-#   _NEW_R6     — queries added or materially changed in round 6 (first
-#                 verification), interleaved at the front of the window.
-#   Everything below those blocks is r4/r5-green and demoted past the
+# per round, in registry order.  Round-7 rotation (VERDICT r6 task 1):
+#   _NEW_R7     — queries added or materially changed in round 7 (first
+#                 verification), at the head of the window.
+#   _RECHECK_R7 — the 12 entries whose latest driver check was round 3
+#                 (r6's 50-slot window only reached 8 of the 20 recheck
+#                 entries); verifying these makes every registry entry
+#                 driver-green within rounds 5-7.
+#   Everything below those blocks is r4/r5/r6-green and demoted past the
 #   window.
 _RECHECK_R4: dict[str, tuple[QueryFn, str | None]] = {
     # core TPC-H / scan family (r1-green, unverified since)
@@ -142,23 +142,19 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
 }
 
-_RECHECK: dict[str, tuple[QueryFn, str | None]] = {
-    # r3-green (CORRECTNESS_r03 positions 31-50)
-    "window_lead_lag": (core.window_lead_lag, core.WINDOW_LEAD_LAG_SQL),
-    "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
-    "asof_join_events": (ts.asof_join_events, ts.ASOF_JOIN_SQL),
-    "asof_join_tolerance": (ts.asof_join_tolerance, ts.ASOF_TOLERANCE_SQL),
-    "lt_join_events": (ts.lt_join_events, ts.LT_JOIN_SQL),
-    "splice_join_events": (ts.splice_join_events, ts.SPLICE_JOIN_SQL),
-    "horizon_join_events": (ts.horizon_join_events, ts.HORIZON_JOIN_SQL),
-    # SAMPLE BY family
-    "sample_by_1h": (ts.sample_by_1h, ts.SAMPLE_BY_1H_SQL),
+# Round-7 additions — first verification; kept at the head of the window.
+_NEW_R7: dict[str, tuple[QueryFn, str | None]] = {}
+
+# The 12 entries whose last *driver* verification was round 3 (r6 window
+# covered only the first 8 of the 20-entry recheck block).  VERDICT r6
+# task 1: rotate these first so every registry entry is driver-verified
+# within rounds 5-7.
+_RECHECK_R7: dict[str, tuple[QueryFn, str | None]] = {
     "sample_by_fill_null": (ts.sample_by_fill_null, ts.SAMPLE_BY_FILL_NULL_SQL),
     "sample_by_fill_prev": (ts.sample_by_fill_prev, ts.SAMPLE_BY_FILL_PREV_SQL),
     "sample_by_fill_value": (ts.sample_by_fill_value, ts.SAMPLE_BY_FILL_VALUE_SQL),
     "sample_by_fill_linear": (ts.sample_by_fill_linear, ts.SAMPLE_BY_FILL_LINEAR_SQL),
     "latest_on_user": (ts.latest_on_user, ts.LATEST_ON_SQL),
-    # window-function family
     "window_rank": (core.window_rank, core.WINDOW_RANK_SQL),
     "window_running": (core.window_running, core.WINDOW_RUNNING_SQL),
     "window_moving_avg": (core.window_moving_avg, core.WINDOW_MOVING_AVG_SQL),
@@ -166,6 +162,18 @@ _RECHECK: dict[str, tuple[QueryFn, str | None]] = {
     "window_distribution": (core.window_distribution, core.WINDOW_DISTRIBUTION_SQL),
     "q1_pricing_summary": (core.q1_pricing_summary, core.Q1_SQL),
     "q3_top_revenue": (core.q3_top_revenue, core.Q3_SQL),
+}
+
+_RECHECK: dict[str, tuple[QueryFn, str | None]] = {
+    # r3-green, re-driver-verified r6 (first 8 of the old recheck block)
+    "window_lead_lag": (core.window_lead_lag, core.WINDOW_LEAD_LAG_SQL),
+    "window_join_events": (ts.window_join_events, ts.WINDOW_JOIN_SQL),
+    "asof_join_events": (ts.asof_join_events, ts.ASOF_JOIN_SQL),
+    "asof_join_tolerance": (ts.asof_join_tolerance, ts.ASOF_TOLERANCE_SQL),
+    "lt_join_events": (ts.lt_join_events, ts.LT_JOIN_SQL),
+    "splice_join_events": (ts.splice_join_events, ts.SPLICE_JOIN_SQL),
+    "horizon_join_events": (ts.horizon_join_events, ts.HORIZON_JOIN_SQL),
+    "sample_by_1h": (ts.sample_by_1h, ts.SAMPLE_BY_1H_SQL),
 }
 
 # The 40 entries last verified in round 2 — first in the r5 window.
@@ -291,6 +299,8 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **_NEW_R7,
+    **_RECHECK_R7,
     **_NEW_R6,
     **_PRIORITY,
     **_RECHECK,
