@@ -915,3 +915,35 @@ SELECT event_id,
          lpad(lower(to_hex(event_id)), 16, '0')) AS l256
 FROM b
 """
+
+
+def sql_regex_match(spark: SparkSession, sf: str) -> DataFrame:
+    """QuestDB string-match operators through the dialect parser:
+    ``~`` (MatchStrFunctionFactory.java — Matcher.find substring
+    semantics), ``!~`` (NotMatchStrFunctionFactory.java), and SQLite-style
+    ``GLOB`` (GlobStrFunctionFactory: anchored case-sensitive match with
+    ``*``/``?``/``[...]``).  The predicates run in WHERE position and in
+    SELECT position (boolean projection), over documents text/source."""
+    eng = _engine(spark, sf, {})
+    eng.register("documents", load_table(spark, sf, "documents"))
+    return eng.sql(
+        "SELECT doc_id, source, "
+        "text ~ 'agg.*join' AS has_agg_join, "
+        "text !~ 'window' AS no_window, "
+        "source GLOB 'src[0-4]?' AS src_lo "
+        "FROM documents "
+        "WHERE text ~ 'hash (join|value)' AND source !~ '^src9' "
+        "AND source GLOB 'src*'"
+    )
+
+
+SQL_REGEX_MATCH_SQL = """
+SELECT doc_id, source,
+  regexp_matches(text, 'agg.*join') AS has_agg_join,
+  NOT regexp_matches(text, 'window') AS no_window,
+  source GLOB 'src[0-4]?' AS src_lo
+FROM documents
+WHERE regexp_matches(text, 'hash (join|value)')
+  AND NOT regexp_matches(source, '^src9')
+  AND source GLOB 'src*'
+"""

@@ -143,7 +143,10 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # Round-7 additions — first verification; kept at the head of the window.
-_NEW_R7: dict[str, tuple[QueryFn, str | None]] = {}
+_NEW_R7: dict[str, tuple[QueryFn, str | None]] = {
+    # dialect ~ / !~ / GLOB match operators (r7)
+    "sql_regex_match": (sq.sql_regex_match, sq.SQL_REGEX_MATCH_SQL),
+}
 
 # The 12 entries whose last *driver* verification was round 3 (r6 window
 # covered only the first 8 of the 20-entry recheck block).  VERDICT r6

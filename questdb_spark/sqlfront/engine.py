@@ -233,6 +233,8 @@ class QdbEngine:
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bvarchar\b(?!\s*\()", re.IGNORECASE), "string"
         )
+        # QuestDB regex-match operators ~ / !~ / GLOB → RLIKE forms
+        rewritten = _rewrite_match_operators(rewritten)
         rewritten = _expand_fn_macros(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
         # Spark's native range() — distributed index generation, no driver
@@ -1874,6 +1876,77 @@ def _expand_fn_macros(s: str) -> str:
         if not changed:
             break
     return s
+
+
+def _glob_to_regex(pat: str) -> str:
+    """SQLite-style GLOB pattern → anchored Java regex
+    (``griffin/engine/functions/regex/GlobStrFunctionFactory`` semantics:
+    case-sensitive full-string match; ``*`` any run, ``?`` one char,
+    ``[...]`` / ``[!...]`` character classes)."""
+    out: list[str] = ["^"]
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = i + 1
+            neg = ""
+            if j < n and pat[j] in "!^":
+                neg = "^"
+                j += 1
+            # a ']' first in the class is a literal member (SQLite rule)
+            k = pat.find("]", j + 1 if j < n and pat[j] == "]" else j)
+            if k == -1:
+                out.append(re.escape(c))
+            else:
+                out.append("[" + neg + pat[j:k].replace("\\", "\\\\") + "]")
+                i = k
+        else:
+            out.append(re.escape(c))
+        i += 1
+    out.append("$")
+    return "".join(out)
+
+
+def _rewrite_match_operators(s: str) -> str:
+    """QuestDB string-match operators → Spark predicates:
+    ``expr ~ 'pat'`` → ``expr RLIKE 'pat'`` (MatchStrFunctionFactory —
+    Java ``Matcher.find`` substring semantics, identical to RLIKE),
+    ``expr !~ 'pat'`` → ``expr NOT RLIKE 'pat'`` (NotMatchStrFunctionFactory),
+    ``expr GLOB 'pat'`` → anchored RLIKE with glob→regex translation.
+    All matching runs over the literal-masked text; the GLOB pattern body
+    is read from the original text and re-emitted with SQL-literal
+    backslash doubling (Spark string literals process escapes)."""
+    # GLOB first: it synthesizes a new regex literal that the ~ pass must
+    # not touch (it won't — ~ matching is mask-based), and requires the
+    # original literal span.
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r"\bglob\s*'", masked, re.IGNORECASE):
+        qstart = m.end() - 1
+        qend = masked.find("'", qstart + 1)
+        if qend == -1:
+            continue
+        regex = _glob_to_regex(s[qstart + 1 : qend])
+        lit = regex.replace("\\", "\\\\").replace("'", "''")
+        out.append(s[last : m.start()])
+        out.append(f"RLIKE '{lit}'")
+        last = qend + 1
+    out.append(s[last:])
+    s = "".join(out)
+    # ~ / !~ with a string-literal RHS (the pattern must be constant in
+    # QuestDB too); the '(?=\') lookahead keeps prefix bitwise-NOT forms
+    # like ~x untouched.
+    return _sub_outside_literals(
+        s,
+        re.compile(r"(!~|~)\s*(?=')"),
+        None,
+        lambda m: " NOT RLIKE " if m.group(1) == "!~" else " RLIKE ",
+    )
 
 
 def _sub_outside_literals(
