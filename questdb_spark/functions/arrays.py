@@ -82,3 +82,140 @@ def matmul_udf(a: pd.Series, b: pd.Series) -> pd.Series:
             (np.asarray(list(ma), dtype=float) @ np.asarray(list(mb), dtype=float)).tolist()
         )
     return pd.Series(out)
+
+
+def _finite(a: Column) -> Column:
+    """Elements that are non-null and non-NaN (QuestDB DOUBLE arrays use
+    NaN as the null representation; every array/ aggregation skips it)."""
+    return F.filter(a, lambda x: x.isNotNull() & ~F.isnan(x))
+
+
+def _nonfinite(a: Column) -> Column:
+    return F.filter(a, lambda x: x.isNull() | F.isnan(x))
+
+
+def array_sort_(a: Column, desc: bool = False, nulls_first: bool = False) -> Column:
+    """array_sort (DoubleArraySortFunctionFactory / ...Desc / ...Full):
+    NaNs are pulled out, the finite run is sorted (optionally descending),
+    and NaNs are re-appended at the end (or front with nulls_first)."""
+    s = F.array_sort(_finite(a))
+    if desc:
+        s = F.reverse(s)
+    nans = _nonfinite(a)
+    return F.concat(nans, s) if nulls_first else F.concat(s, nans)
+
+
+def array_count(a: Column) -> Column:
+    """Count of finite elements (DoubleArrayCountFunctionFactory)."""
+    return F.size(_finite(a))
+
+
+def _var_terms(a: Column) -> tuple[Column, Column, Column]:
+    fa = _finite(a)
+    n = F.size(fa).cast("double")
+    s = F.aggregate(fa, F.lit(0.0), lambda acc, x: acc + x)
+    sq = F.aggregate(fa, F.lit(0.0), lambda acc, x: acc + x * x)
+    return n, s, sq
+
+
+def array_stddev_samp(a: Column) -> Column:
+    """array_stddev / array_stddev_samp (DoubleArrayStdDev[Samp]FunctionFactory):
+    sample stddev over finite elements; NULL (QuestDB NaN) when n < 2."""
+    n, s, sq = _var_terms(a)
+    return F.when(n >= 2, F.sqrt((sq - s * s / n) / (n - F.lit(1.0))))
+
+
+def array_stddev_pop(a: Column) -> Column:
+    """array_stddev_pop: population stddev over finite elements; NULL if empty."""
+    n, s, sq = _var_terms(a)
+    return F.when(n >= 1, F.sqrt((sq - s * s / n) / n))
+
+
+def array_avg_finite(a: Column) -> Column:
+    """array_avg (DoubleArrayAvgFunctionFactory:105 — Numbers.isFinite
+    guard): mean of finite elements only."""
+    n, s, _ = _var_terms(a)
+    return F.when(n >= 1, s / n)
+
+
+def array_round(a: Column, decimals: int | Column = 0) -> Column:
+    """round(D[]I) (DoubleArrayRoundFunctionFactory): per-element half-up."""
+    return F.transform(a, lambda x: F.round(x, decimals))
+
+
+def array_shift(a: Column, k: int, default: Column | float = float("nan")) -> Column:
+    """shift(arr, distance[, default]) (DoubleArrayShift[DefaultNaN]
+    FunctionFactory): positive distance shifts right (defaults fill the
+    head), negative shifts left (defaults fill the tail); |distance| >=
+    length yields all-default."""
+    d = F.lit(default) if not isinstance(default, Column) else default
+    n = F.size(a)
+    if k == 0:
+        return a
+    kk = F.lit(abs(k))
+    pad = F.array_repeat(d, abs(k))
+    if k > 0:
+        kept = F.slice(a, 1, F.greatest(n - kk, F.lit(0)))
+        return F.slice(F.concat(pad, kept), 1, n)
+    kept = F.slice(a, kk + 1, F.greatest(n - kk, F.lit(0)))
+    return F.slice(F.concat(kept, pad), 1, n)
+
+
+def array_position_(a: Column, v: Column | float) -> Column:
+    """array_position (DoubleArrayPositionFunctionFactory, 1-D only):
+    1-based index of the first exact match, NULL when absent."""
+    vv = F.lit(v) if not isinstance(v, Column) else v
+    return F.nullif(F.array_position(a, vv), F.lit(0))
+
+
+def array_reverse_(a: Column) -> Column:
+    """array_reverse (DoubleArrayReverseFunctionFactory)."""
+    return F.reverse(a)
+
+
+def array_neg(a: Column) -> Column:
+    """Unary minus over an array (DoubleNegArrayFunctionFactory)."""
+    return F.transform(a, lambda x: -x)
+
+
+def scalar_op_array(s: Column | float, a: Column, op: str) -> Column:
+    """scalar ∘ array forms (DoubleScalarDivArray / DoubleScalarSubtractArray)
+    and their array ∘ scalar twins (Add/Subtract/Multiply/DivScalar)."""
+    sv = F.lit(s) if not isinstance(s, Column) else s
+    fns = {
+        "s-a": lambda x: sv - x,
+        "s/a": lambda x: sv / x,
+        "a-s": lambda x: x - sv,
+        "a/s": lambda x: x / sv,
+        "a+s": lambda x: x + sv,
+        "a*s": lambda x: x * sv,
+    }
+    return F.transform(a, fns[op])
+
+
+def insertion_point_after(a: Column, v: Column) -> Column:
+    """insertion_point(arr, v, true) — after-equal variant
+    (DoubleArrayInsertionPointAfterEqualFunctionFactory): 1-based index
+    after the last element <= v in ascending-sorted a."""
+    return F.size(F.filter(a, lambda x: x <= v)) + 1
+
+
+def dim_length(a: Column, dim: int) -> Column:
+    """dim_length(arr, dim) (ArrayDimLengthFunctionFactory, 1-based dim):
+    nested-array representation — dim 1 is the outer size, each deeper dim
+    is the size of the first element at that depth (QuestDB arrays are
+    rectangular by construction, so the first element is representative)."""
+    c = a
+    for _ in range(dim - 1):
+        c = F.element_at(c, 1)
+    return F.size(c)
+
+
+def flatten_ndim(a: Column, depth: int = 1) -> Column:
+    """flatten(D[]) (DoubleArrayFlattenFunctionFactory): n-dim → 1-dim.
+    Spark's flatten removes one nesting level per call; ``depth`` = number
+    of levels to remove (ndims - 1)."""
+    c = a
+    for _ in range(depth):
+        c = F.flatten(c)
+    return c

@@ -1798,3 +1798,79 @@ SELECT src AS k1, event_type AS k2, n, CAST(NULL AS TIMESTAMP) AS m FROM part1
 UNION ALL
 SELECT '__ts' AS k1, 'bucket' AS k2, pv AS n, m FROM part2
 """
+
+
+def array_ops2(spark: SparkSession, sf: str) -> DataFrame:
+    """Array long-tail surface (griffin/engine/functions/array/):
+    array_sort asc/desc (DoubleArraySort[Desc]FunctionFactory),
+    array_stddev_samp/pop, shift ± with default (DoubleArrayShift*),
+    round(D[]I), array_reverse, array_position, array_count,
+    insertion_point after-equal, unary neg / scalar∘array forms, and the
+    2-D ops dim_length / flatten.  Values are quantized to integer-valued
+    doubles so moments and sums are order-independent and bit-equal to
+    the DuckDB oracle."""
+    from .functions import arrays as A
+
+    emb = load_table(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qv = F.transform(dv, lambda x: F.round(x * 1000).cast("long"))
+    qd = F.transform(qv, lambda x: x.cast("double"))
+    el1 = F.element_at(qd, 1)
+    m2 = F.array(F.slice(qd, 1, 3), F.slice(qd, 4, 3))
+    return emb.select(
+        "vec_id",
+        F.concat_ws(",", F.slice(A.array_sort_(qd), 1, 5).cast("array<long>")).alias("sort_asc5"),
+        F.concat_ws(",", F.slice(A.array_sort_(qd, desc=True), 1, 5).cast("array<long>")).alias("sort_desc5"),
+        A.array_stddev_samp(qd).alias("sd_samp"),
+        A.array_stddev_pop(qd).alias("sd_pop"),
+        A.array_count(qd).alias("cnt"),
+        F.concat_ws(",", F.slice(A.array_shift(qd, 2, -9999.0), 1, 5).cast("array<long>")).alias("shift2"),
+        F.concat_ws(",", F.slice(A.array_shift(qd, -2, -9999.0), 1, 5).cast("array<long>")).alias("shift_m2"),
+        F.concat_ws(",", F.slice(A.array_reverse_(qd), 1, 5).cast("array<long>")).alias("rev5"),
+        A.array_position_(qd, F.element_at(qd, 3)).alias("pos3"),
+        A.array_position_(qd, F.lit(10.0**9)).alias("pos_missing"),
+        A.insertion_point_after(A.array_sort_(qd), F.lit(0.0)).alias("ipa0"),
+        F.round(el1 / 8.0, 2).alias("rnd1"),
+        (-el1).alias("neg1"),
+        (F.lit(1000.0) - el1).alias("ssub1"),
+        (F.lit(100.0) / (el1 + 0.5)).alias("sdiv1"),
+        A.dim_length(m2, 1).alias("dim1"),
+        A.dim_length(m2, 2).alias("dim2"),
+        F.concat_ws(",", A.flatten_ndim(m2).cast("array<long>")).alias("flat6"),
+    )
+
+
+ARRAY_OPS2_SQL = """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), t AS (
+  SELECT vec_id, qv,
+    CAST(len(qv) AS DOUBLE) AS n,
+    CAST(list_sum(qv) AS DOUBLE) AS s,
+    CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS sq,
+    CAST(qv[1] AS DOUBLE) AS el1
+  FROM e
+)
+SELECT vec_id,
+  array_to_string(list_sort(qv)[1:5], ',') AS sort_asc5,
+  array_to_string(list_reverse_sort(qv)[1:5], ',') AS sort_desc5,
+  sqrt((sq - s * s / n) / (n - 1)) AS sd_samp,
+  sqrt((sq - s * s / n) / n) AS sd_pop,
+  CAST(n AS INT) AS cnt,
+  array_to_string((list_concat([CAST(-9999 AS BIGINT), CAST(-9999 AS BIGINT)], qv[1:len(qv)-2]))[1:5], ',') AS shift2,
+  array_to_string((list_concat(qv[3:len(qv)], [CAST(-9999 AS BIGINT), CAST(-9999 AS BIGINT)]))[1:5], ',') AS shift_m2,
+  array_to_string(list_reverse(qv)[1:5], ',') AS rev5,
+  CAST(list_position(qv, qv[3]) AS BIGINT) AS pos3,
+  CAST(NULLIF(list_position(qv, CAST(1000000000 AS BIGINT)), 0) AS BIGINT) AS pos_missing,
+  CAST(len(list_filter(qv, x -> x <= 0)) + 1 AS INT) AS ipa0,
+  round(el1 / 8.0, 2) AS rnd1,
+  -el1 AS neg1,
+  1000.0 - el1 AS ssub1,
+  100.0 / (el1 + 0.5) AS sdiv1,
+  2 AS dim1,
+  3 AS dim2,
+  array_to_string(qv[1:6], ',') AS flat6
+FROM t
+"""

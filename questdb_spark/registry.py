@@ -146,6 +146,9 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
 _NEW_R7: dict[str, tuple[QueryFn, str | None]] = {
     # dialect ~ / !~ / GLOB match operators (r7)
     "sql_regex_match": (sq.sql_regex_match, sq.SQL_REGEX_MATCH_SQL),
+    # array/ long tail: sort/stddev/shift/round/position/reverse/count,
+    # neg + scalar forms, dim_length/flatten (r7)
+    "array_ops2": (fn.array_ops2, fn.ARRAY_OPS2_SQL),
 }
 
 # The 12 entries whose last *driver* verification was round 3 (r6 window

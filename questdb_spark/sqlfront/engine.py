@@ -1425,6 +1425,83 @@ def _ts_ceil(a: list[str]) -> str:
     return f"CASE WHEN {fl} = ({ts}) THEN ({ts}) ELSE {bumped} END"
 
 
+def _arr_finite_sql(a: str) -> str:
+    """Finite-elements filter over an ARRAY<DOUBLE> expression (QuestDB
+    treats NaN as the array null; aggregations skip it)."""
+    return f"filter({a}, x -> x IS NOT NULL AND NOT isnan(x))"
+
+
+def _arr_agg_sql(a: str, kind: str) -> str:
+    fin = _arr_finite_sql(a)
+    total = f"aggregate({fin}, cast(0 as double), (acc, x) -> acc + x)"
+    if kind == "sum":
+        return total
+    if kind == "avg":
+        return f"CASE WHEN size({fin}) > 0 THEN {total} / size({fin}) END"
+    return f"array_{kind}({fin})"  # min / max over the finite run
+
+
+def _arr_stddev_sql(a: str, samp: bool) -> str:
+    """array_stddev[_samp|_pop] (DoubleArrayStdDev*FunctionFactory):
+    two-moment formula over finite elements, NULL below the min count."""
+    fin = _arr_finite_sql(a)
+    n = f"cast(size({fin}) as double)"
+    s = f"aggregate({fin}, cast(0 as double), (acc, x) -> acc + x)"
+    sq = f"aggregate({fin}, cast(0 as double), (acc, x) -> acc + x * x)"
+    if samp:
+        return (
+            f"CASE WHEN {n} >= 2 THEN "
+            f"sqrt(({sq} - {s} * {s} / {n}) / ({n} - 1)) END"
+        )
+    return f"CASE WHEN {n} >= 1 THEN sqrt(({sq} - {s} * {s} / {n}) / {n}) END"
+
+
+def _arr_sort_sql(a: list[str]) -> str:
+    """array_sort(arr[, desc[, nulls_first]]) (DoubleArraySort /
+    ...Desc / ...Full): finite run sorted, NaNs re-appended (or prepended
+    with nulls_first).  The flag arguments must be boolean literals
+    (signature D[]tt — constants in the reference too)."""
+    flags = [x.strip().lower() for x in a[1:]]
+    if not all(f in ("true", "false") for f in flags):
+        raise ValueError("array_sort flags must be boolean literals")
+    desc = len(flags) > 0 and flags[0] == "true"
+    nulls_first = len(flags) > 1 and flags[1] == "true"
+    s = f"array_sort({_arr_finite_sql(a[0])})"
+    if desc:
+        s = f"reverse({s})"
+    nans = f"filter({a[0]}, x -> x IS NULL OR isnan(x))"
+    return f"concat({nans}, {s})" if nulls_first else f"concat({s}, {nans})"
+
+
+def _arr_dim_length_sql(a: str, dim: str) -> str:
+    """dim_length(arr, dim) — 1-based literal dim over nested arrays."""
+    d = int(dim.strip())
+    if d < 1:
+        raise ValueError("dim_length dim must be >= 1")
+    expr = a
+    for _ in range(d - 1):
+        expr = f"element_at({expr}, 1)"
+    return f"size({expr})"
+
+
+def _arr_shift_sql(a: list[str]) -> str:
+    """shift(arr, distance[, default]) (DoubleArrayShift[DefaultNaN]):
+    literal integer distance; default fills the vacated run (NaN without
+    a third argument)."""
+    k = int(a[1].strip())
+    d = a[2] if len(a) > 2 else "cast('NaN' as double)"
+    arr = a[0]
+    if k == 0:
+        return arr
+    m = abs(k)
+    pad = f"array_repeat(cast({d} as double), {m})"
+    if k > 0:
+        kept = f"slice({arr}, 1, greatest(size({arr}) - {m}, 0))"
+        return f"slice(concat({pad}, {kept}), 1, size({arr}))"
+    kept = f"slice({arr}, {m} + 1, greatest(size({arr}) - {m}, 0))"
+    return f"slice(concat({kept}, {pad}), 1, size({arr}))"
+
+
 def _size_pretty_sql(x: str) -> str:
     """size_pretty(bytes) → '1.5 GiB' (SizePrettyFunctionFactory: scale =
     1024^(msb/10), one decimal, B has no 'iB' suffix)."""
@@ -1500,6 +1577,37 @@ _FN_MACROS: dict = {
     "string_distinct_agg": lambda a: (
         f"array_join(array_sort(collect_set({a[0]})), {a[1] if len(a) > 1 else chr(39) + ',' + chr(39)})"
     ),
+    # array/ family (griffin/engine/functions/array/, 49 factories) as SQL
+    # macros over Spark ARRAY<DOUBLE> higher-order functions. QuestDB DOUBLE
+    # arrays use NaN as null — every aggregation skips non-finite elements
+    # (AbstractDoubleArrayElemFunction), hence the filter() prelude.
+    "array_sum": lambda a: _arr_agg_sql(a[0], "sum"),
+    "array_avg": lambda a: _arr_agg_sql(a[0], "avg"),
+    "array_min": lambda a: _arr_agg_sql(a[0], "min"),
+    "array_max": lambda a: _arr_agg_sql(a[0], "max"),
+    "array_count": lambda a: f"size({_arr_finite_sql(a[0])})",
+    "array_stddev": lambda a: _arr_stddev_sql(a[0], samp=True),
+    "array_stddev_samp": lambda a: _arr_stddev_sql(a[0], samp=True),
+    "array_stddev_pop": lambda a: _arr_stddev_sql(a[0], samp=False),
+    "array_sort": lambda a: _arr_sort_sql(a),
+    "array_reverse": lambda a: f"reverse({a[0]})",
+    "array_position": lambda a: f"nullif(array_position({a[0]}, {a[1]}), 0)",
+    "array_cum_sum": lambda a: (
+        f"transform(sequence(1, size({a[0]})), i -> "
+        f"aggregate(slice({a[0]}, 1, i), cast(0 as double), (acc, x) -> acc + x))"
+    ),
+    "insertion_point": lambda a: (
+        f"(size(filter({a[0]}, x -> x "
+        + ("<=" if len(a) > 2 and a[2].strip().lower() == "true" else "<")
+        + f" {a[1]})) + 1)"
+    ),
+    "dot_product": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), "
+        "cast(0 as double), (acc, v) -> acc + v)"
+    ),
+    "flatten": lambda a: f"flatten({a[0]})",
+    "dim_length": lambda a: _arr_dim_length_sql(a[0], a[1]),
+    "shift": lambda a: _arr_shift_sql(a),
     # str/ long tail (SizePrettyFunctionFactory, QuoteIdentFunctionFactory,
     # BarFunctionFactory, ToLowercase/ToUppercase aliases)
     "size_pretty": lambda a: _size_pretty_sql(a[0]),
