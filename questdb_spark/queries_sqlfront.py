@@ -947,3 +947,51 @@ WHERE regexp_matches(text, 'hash (join|value)')
   AND NOT regexp_matches(source, '^src9')
   AND source GLOB 'src*'
 """
+
+
+def sql_json_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON UNNEST source + typed json_extract through the dialect
+    (griffin/engine/join/JsonUnnestSource.java, JsonUnnestTest;
+    JsonExtractTypedFunctionFactory ``json_extract(j,p)::type``).
+    The payload mixes scalar, object, and null elements in one JSON array
+    so the per-element scalar-vs-object detection is exercised; the WHERE
+    uses a typed extraction predicate."""
+    eng = _engine(spark, sf, {})
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    payload = F.concat(
+        F.lit("["),
+        k.cast("string"),
+        F.lit(', {"val": '),
+        (k * 2).cast("string"),
+        F.lit("}, null]"),
+    )
+    eng.register(
+        "ev_payload",
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "props", payload.alias("payload")
+        ),
+    )
+    return eng.sql(
+        "SELECT e.user_id, count(*) AS n_el, count(u.val) AS n_val, "
+        "sum(u.val) AS sv, min(json_extract(e.props, '$.k')::int) AS min_k "
+        "FROM ev_payload e, UNNEST(e.payload COLUMNS(val LONG)) u "
+        "WHERE json_extract(e.props, '$.k')::long % 2 = 1 "
+        "GROUP BY e.user_id"
+    )
+
+
+SQL_JSON_UNNEST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type = 'click'
+), u AS (
+  SELECT user_id, k, k AS val FROM e
+  UNION ALL SELECT user_id, k, 2 * k FROM e
+  UNION ALL SELECT user_id, k, NULL FROM e
+)
+SELECT user_id, count(*) AS n_el, count(val) AS n_val,
+  CAST(sum(val) AS BIGINT) AS sv, CAST(min(k) AS INT) AS min_k
+FROM u WHERE k % 2 = 1 GROUP BY user_id
+"""

@@ -149,6 +149,8 @@ _NEW_R7: dict[str, tuple[QueryFn, str | None]] = {
     # array/ long tail: sort/stddev/shift/round/position/reverse/count,
     # neg + scalar forms, dim_length/flatten (r7)
     "array_ops2": (fn.array_ops2, fn.ARRAY_OPS2_SQL),
+    # JSON UNNEST source + typed json_extract ::T (r7)
+    "sql_json_unnest": (sq.sql_json_unnest, sq.SQL_JSON_UNNEST_SQL),
 }
 
 # The 12 entries whose last *driver* verification was round 3 (r6 window

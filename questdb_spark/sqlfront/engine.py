@@ -235,6 +235,9 @@ class QdbEngine:
         )
         # QuestDB regex-match operators ~ / !~ / GLOB → RLIKE forms
         rewritten = _rewrite_match_operators(rewritten)
+        # typed json_extract(x, p)::T and the JSON UNNEST source
+        rewritten = _rewrite_json_extract_typed(rewritten)
+        rewritten = _rewrite_json_unnest(rewritten)
         rewritten = _expand_fn_macros(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
         # Spark's native range() — distributed index generation, no driver
@@ -1577,6 +1580,9 @@ _FN_MACROS: dict = {
     "string_distinct_agg": lambda a: (
         f"array_join(array_sort(collect_set({a[0]})), {a[1] if len(a) > 1 else chr(39) + ',' + chr(39)})"
     ),
+    # bare 2-arg json_extract (JsonExtractVarcharFunctionFactory) — the
+    # typed ::T form is rewritten earlier by _rewrite_json_extract_typed
+    "json_extract": lambda a: f"get_json_object({a[0]}, {a[1]})",
     # array/ family (griffin/engine/functions/array/, 49 factories) as SQL
     # macros over Spark ARRAY<DOUBLE> higher-order functions. QuestDB DOUBLE
     # arrays use NaN as null — every aggregation skips non-finite elements
@@ -1983,6 +1989,134 @@ def _expand_fn_macros(s: str) -> str:
         s = "".join(out)
         if not changed:
             break
+    return s
+
+
+# QuestDB column-type names → Spark cast targets (json_extract ::type and
+# UNNEST COLUMNS declarations; ColumnType.java tags)
+_QDB_TYPE_MAP = {
+    "int": "int", "long": "bigint", "short": "smallint", "byte": "tinyint",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "varchar": "string", "string": "string", "symbol": "string",
+    "timestamp": "timestamp", "date": "date", "ipv4": "string",
+}
+
+
+def _paren_close(masked: str, open_idx: int) -> int:
+    depth = 0
+    for k in range(open_idx, len(masked)):
+        if masked[k] == "(":
+            depth += 1
+        elif masked[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
+
+
+def _json_typed_cast(extracted: str, qdb_type: str) -> str:
+    """QuestDB typed JSON extraction cast semantics
+    (JsonExtractTypedFunctionFactory: unparseable → null; fractional JSON
+    numbers truncate into integer targets): direct parse first, fallback
+    through double for the integer family."""
+    t = _QDB_TYPE_MAP.get(qdb_type.lower(), qdb_type.lower())
+    if t in ("int", "bigint", "smallint", "tinyint"):
+        return (
+            f"coalesce(try_cast({extracted} AS {t}), "
+            f"try_cast(try_cast({extracted} AS double) AS {t}))"
+        )
+    return f"try_cast({extracted} AS {t})"
+
+
+def _rewrite_json_extract_typed(s: str) -> str:
+    """``json_extract(json, path)::type`` (SqlParser rewrite into
+    JsonExtractTypedFunctionFactory) → null-on-invalid Spark cast of
+    get_json_object.  The bare 2-arg form is handled by the
+    ``json_extract`` macro in ``_FN_MACROS``."""
+    for _ in range(32):
+        masked = mask_literals(s)
+        m = re.search(r"\bjson_extract\s*\(", masked, re.IGNORECASE)
+        if not m:
+            break
+        open_idx = m.end() - 1
+        close = _paren_close(masked, open_idx)
+        if close < 0:
+            break
+        suffix = re.match(r"\s*::\s*(\w+)", masked[close + 1 :])
+        args = split_top_level(s[open_idx + 1 : close], ",")
+        if len(args) != 2:
+            break
+        extracted = f"get_json_object({args[0].strip()}, {args[1].strip()})"
+        if suffix:
+            repl = _json_typed_cast(extracted, suffix.group(1))
+            end = close + 1 + suffix.end()
+        else:
+            repl = extracted
+            end = close + 1
+        s = s[: m.start()] + repl + s[end:]
+    return s
+
+
+_UNNEST_RE = re.compile(r",\s*UNNEST\s*\(", re.IGNORECASE)
+
+
+def _rewrite_json_unnest(s: str) -> str:
+    """JSON UNNEST source (griffin/engine/join/JsonUnnestSource.java,
+    JsonUnnestTest: ``FROM t, UNNEST(t.payload COLUMNS(a INT, b DOUBLE)) u``)
+    → LATERAL VIEW explode over ``from_json(payload, 'array<string>')``.
+
+    from_json with an array<string> schema yields exactly the per-element
+    views the reference's scan-forward parser produces: scalar elements as
+    their text, object elements as their JSON text, null elements as null,
+    invalid payload as null (→ explode drops the row, like the reference's
+    empty cursor).  Scalar-vs-object detection is per element (reference:
+    scan-forward over the data): with a single declared column, an element
+    that starts with '{' extracts the named field, anything else casts the
+    element itself; multiple declared columns always extract fields."""
+    for _ in range(8):
+        masked = mask_literals(s)
+        m = _UNNEST_RE.search(masked)
+        if not m:
+            break
+        open_idx = masked.index("(", m.start())
+        close = _paren_close(masked, open_idx)
+        if close < 0:
+            break
+        inner = s[open_idx + 1 : close]
+        am = re.match(r"\s*(?:AS\s+)?(\w+)", s[close + 1 :], re.IGNORECASE)
+        if not am:
+            break
+        alias = am.group(1)
+        tail_start = close + 1 + am.end()
+        im = re.search(r"\bCOLUMNS\s*\(", mask_literals(inner), re.IGNORECASE)
+        if not im:
+            break
+        expr = inner[: im.start()].strip()
+        cols_close = _paren_close(mask_literals(inner), im.end() - 1)
+        col_specs = []
+        for spec in split_top_level(inner[im.end() : cols_close], ","):
+            name, typ = spec.strip().rsplit(None, 1)
+            col_specs.append((name.strip(), typ.strip()))
+        elem = f"{alias}__elem"
+        lateral = (
+            f" LATERAL VIEW explode(from_json({expr}, 'array<string>')) "
+            f"{alias}__lv AS {elem} "
+        )
+        s2 = s[: m.start()] + lateral + s[tail_start:]
+        for name, typ in col_specs:
+            if len(col_specs) > 1:
+                src = f"get_json_object({elem}, '$.{name}')"
+            else:
+                src = (
+                    f"CASE WHEN ltrim({elem}) LIKE '{{%' "
+                    f"THEN get_json_object({elem}, '$.{name}') ELSE {elem} END"
+                )
+            s2 = _sub_outside_literals(
+                s2,
+                re.compile(rf"\b{re.escape(alias)}\.{re.escape(name)}\b", re.IGNORECASE),
+                _json_typed_cast(src, typ),
+            )
+        s = s2
     return s
 
 
