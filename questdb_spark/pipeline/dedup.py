@@ -118,6 +118,7 @@ def ngram_jaccard_pairs(
     lsh_prefilter: bool = False,
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
+    unsafe_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -130,7 +131,19 @@ def ngram_jaccard_pairs(
     computed ONLY for candidate pairs — the full shingle self-join never
     happens, so a hot shingle costs O(df), not O(df²). Recall is bounded by
     LSH (pairs missed by every band are not scored).
+
+    ``max_shingle_df=None`` (no stop-shingle guard at all) is O(df²) per
+    shingle — a deliberate oracle-parity baseline, NEVER a production
+    route (21.4× at the 10× scale check). It requires an explicit
+    ``unsafe_exact=True`` acknowledgement; without it this raises.
     """
+    if max_shingle_df is None and not lsh_prefilter and not unsafe_exact:
+        raise ValueError(
+            "ngram_jaccard_pairs with max_shingle_df=None is the ungated "
+            "O(df²) exact baseline; pass unsafe_exact=True to run it "
+            "anyway, or use the guarded default / lsh_prefilter=True "
+            "for the scale paths"
+        )
     sh = _shingle_table(df, id_col, text_col, n)
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     if not lsh_prefilter and max_shingle_df is not None:

@@ -261,6 +261,44 @@ def band_key(vec: Column, band: int, planes_per_band: int, dim: int = MAX_DIM) -
     return out
 
 
+# Per-(band, key) candidate-degree cap for cosine_near_dup_pairs: a bucket
+# of b vectors generates b²/2 candidate pairs, so a corpus with popular
+# near-identical vectors (all landing in one bucket) blows up quadratically
+# (16× at the 10× scale check on the replica-heavy derived set). 512 keeps
+# the worst bucket at ≤131k pairs while never binding at test scale.
+NEAR_DUP_MAX_BUCKET = 512
+
+
+def near_dup_bucket_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = MAX_DIM,
+    n_bands: int = 2,
+    planes_per_band: int = 4,
+    max_bucket_size: int = NEAR_DUP_MAX_BUCKET,
+) -> DataFrame:
+    """Audit of what the bucket-degree cap drops: one row per oversized
+    (band, key) bucket with its size and how many vectors the cap sheds.
+    Materialize alongside a capped `cosine_near_dup_pairs` run so the
+    recall loss is LOGGED, never silent."""
+    bku = _band_keys_udf(n_bands, planes_per_band, dim)
+    keyed = df.select(F.col(id_col), bku(F.col(vec_col)).alias("__keys")).select(
+        F.posexplode("__keys").alias("band", "key")
+    )
+    return (
+        keyed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .select(
+            "band",
+            "key",
+            "bucket_size",
+            (F.col("bucket_size") - max_bucket_size).alias("n_dropped"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -269,6 +307,7 @@ def cosine_near_dup_pairs(
     dim: int = MAX_DIM,
     n_bands: int = 2,
     planes_per_band: int = 4,
+    max_bucket_size: int | None = NEAR_DUP_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: banded random-hyperplane LSH
     for candidate generation (equi-join on (band, key) — NEVER all-pairs),
@@ -286,7 +325,15 @@ def cosine_near_dup_pairs(
     explode (not once per candidate). A pair colliding in several bands is
     kept only at its FIRST matching band (both sides carry the full key
     array, so 'no earlier band also collided' is a cheap post-join filter)
-    — exactly-once scoring with NO extra dedup shuffle."""
+    — exactly-once scoring with NO extra dedup shuffle.
+
+    ``max_bucket_size`` caps the candidate degree per (band, key) bucket:
+    oversized buckets are deterministically down-sampled (md5-ordered
+    row_number — an unbiased fixed sample) BEFORE the self-join, bounding
+    worst-case pair count at cap²/2 per bucket regardless of how many
+    replicas share a bucket. The cap trades recall inside pathological
+    buckets for a bounded plan; pair ``near_dup_bucket_audit`` with any
+    capped run to log exactly what was dropped. ``None`` disables."""
     bku, pair, n2 = (
         _band_keys_udf(n_bands, planes_per_band, dim),
         _pair_dot_udf(),
@@ -304,6 +351,17 @@ def cosine_near_dup_pairs(
             id_col, "__v", "__n", "__keys", F.posexplode("__keys").alias("__bi", "__bk")
         )
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__bi", "__bk").orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        keyed = (
+            keyed.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= max_bucket_size)
+            .drop("__r")
+        )
     left = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),

@@ -20,10 +20,21 @@ def test_guard_noop_on_cold_data(spark):
     data with no hot shingles — guarded path == exact path."""
     docs = load_table(spark, SF_DIR, "documents")
     exact = _pairs_set(
-        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=None)
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=None, unsafe_exact=True)
     )
     guarded = _pairs_set(dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12))
     assert guarded == exact
+
+
+def test_ungated_exact_requires_acknowledgement(spark):
+    """max_shingle_df=None without unsafe_exact=True must raise — the
+    ungated exact path is O(df^2) per shingle and must never be reachable
+    by accident (VERDICT r6 task 6)."""
+    import pytest as _pt
+
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with _pt.raises(ValueError, match="unsafe_exact"):
+        dedup.ngram_jaccard_pairs(docs, "doc_id", max_shingle_df=None)
 
 
 def test_guard_drops_hot_shingles(spark):
@@ -32,7 +43,7 @@ def test_guard_drops_hot_shingles(spark):
     boiler = "common header boilerplate"
     rows = [(i, f"{boiler} unique{i} text{i} body{i}") for i in range(20)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    unguarded = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01, max_shingle_df=None)
+    unguarded = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01, max_shingle_df=None, unsafe_exact=True)
     guarded = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01, max_shingle_df=5)
     assert unguarded.count() == 20 * 19 // 2  # boilerplate connects everything
     assert guarded.count() == 0
@@ -44,7 +55,7 @@ def test_lsh_prefilter_matches_exact_on_candidates(spark):
     bands it finds all high-similarity pairs."""
     docs = load_table(spark, SF_DIR, "documents")
     exact = _pairs_set(
-        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=None)
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=None, unsafe_exact=True)
     )
     lsh = _pairs_set(
         dedup.ngram_jaccard_pairs(
