@@ -1430,8 +1430,14 @@ def _ts_ceil(a: list[str]) -> str:
 
 def _arr_finite_sql(a: str) -> str:
     """Finite-elements filter over an ARRAY<DOUBLE> expression (QuestDB
-    treats NaN as the array null; aggregations skip it)."""
-    return f"filter({a}, x -> x IS NOT NULL AND NOT isnan(x))"
+    treats NaN as the array null; aggregations skip it).  The NaN probe
+    goes through try_cast so the same macro stays a no-op filter on
+    non-numeric arrays (e.g. array_sort over map_keys of a string map)
+    instead of raising CAST_INVALID_INPUT."""
+    return (
+        f"filter({a}, x -> x IS NOT NULL "
+        f"AND isnan(try_cast(x AS double)) IS NOT TRUE)"
+    )
 
 
 def _arr_agg_sql(a: str, kind: str) -> str:
@@ -1472,7 +1478,7 @@ def _arr_sort_sql(a: list[str]) -> str:
     s = f"array_sort({_arr_finite_sql(a[0])})"
     if desc:
         s = f"reverse({s})"
-    nans = f"filter({a[0]}, x -> x IS NULL OR isnan(x))"
+    nans = f"filter({a[0]}, x -> x IS NULL OR isnan(try_cast(x AS double)) IS TRUE)"
     return f"concat({nans}, {s})" if nulls_first else f"concat({s}, {nans})"
 
 
