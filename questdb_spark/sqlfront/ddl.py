@@ -650,6 +650,33 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         for p in parts:
             t.drop_partition(p)
         detail = f"drop partitions {parts}"
+    elif low.startswith("force"):
+        # ALTER TABLE ... FORCE DROP PARTITION LIST '...' (SqlCompilerImpl
+        # isForceKeyword path): recovery drop — bypasses the WAL-suspension
+        # guard, accepts exact partition dir names, ignores misses
+        fm = re.match(
+            r"force\s+drop\s+partition\s+list\s+(.+)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not fm:
+            raise ValueError("'drop partition list' expected after FORCE")
+        parts = [p.strip().strip("'") for p in split_top_level(fm.group(1), ",")]
+        done = []
+        for p in parts:
+            done += t.force_drop_partition(p)
+        detail = f"force drop partitions {done}"
+    elif low.startswith("squash"):
+        # ALTER TABLE ... SQUASH PARTITIONS (AlterOperation.java:66
+        # ofSquashPartitions / TableWriter.squashPartitions:3611): merge a
+        # partition's split parts back into one. The parquet analog of an
+        # O3 split part is the per-commit append file, so squash = rewrite
+        # fragmented partition dirs as one sorted file each — exactly the
+        # vacuum compaction pass, partition-granular.
+        if not re.match(r"squash\s+partitions$", rest, re.IGNORECASE):
+            raise ValueError("'partitions' expected")
+        n = t.vacuum(max_files_per_partition=1) if _has_files(t) else 0
+        detail = f"squashed {n} partitions"
     elif low.startswith("detach partition") or low.startswith("attach partition"):
         # AlterOperation.java DETACH/ATTACH_PARTITION (VERDICT r3 gap 3):
         # archive / restore partitions by directory rename — O(1) per
@@ -1019,6 +1046,36 @@ _COPY_FROM_RE = re.compile(
     r"^copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:with\s+(.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_COPY_CANCEL_RE = re.compile(r"^copy\s+'([^']*)'\s+cancel$", re.IGNORECASE)
+
+
+def _copy_log_entry(eng: QdbEngine, kind: str, target: str, status: str) -> str:
+    """Record a COPY run in the engine's import/export log (the reference's
+    sys.text_import_log / copy_export_log rows behind COPY CANCEL) and
+    return its hex id (the reference hands back a hex long)."""
+    eng._copy_seq += 1
+    cid = format(eng._copy_seq, "016x")
+    eng.copy_log.append(
+        {"id": cid, "kind": kind, "target": target, "status": status}
+    )
+    return cid
+
+
+def _copy_cancel(eng: QdbEngine, cid: str) -> DataFrame:
+    """``COPY '<id>' CANCEL`` (SqlCompilerImpl.compileCopyCancel +
+    CopyCancelFactory): parse the hex id, look it up in the import/export
+    logs, answer one (id, status) row.  A malformed id errors with the
+    reference's message; an id no log knows answers status 'unknown'.
+    COPY here runs synchronously inside the statement, so a known id is
+    always past cancellation — its terminal status is returned, matching
+    the reference's can-no-longer-cancel path."""
+    try:
+        int(cid, 16)
+    except ValueError:
+        raise ValueError(f"copy cancel ID format is invalid: '{cid}'")
+    entry = next((e for e in eng.copy_log if e["id"] == cid.lower().zfill(16)), None)
+    status = entry["status"] if entry is not None else "unknown"
+    return eng.spark.createDataFrame([(cid, status)], "id string, status string")
 
 
 def _copy(eng: QdbEngine, s: str) -> DataFrame:
@@ -1033,7 +1090,12 @@ def _copy(eng: QdbEngine, s: str) -> DataFrame:
     writes with Spark's distributed writer; import is Spark's parallel
     schema-inferring CSV reader (ParallelCsvFileImporter equivalent)
     landing in a TimeTable — appends when the table exists, auto-creates
-    it otherwise (the reference's import behavior)."""
+    it otherwise (the reference's import behavior).  Every run is logged
+    with a hex id (returned in the status detail); ``COPY '<id>' CANCEL``
+    reports against that log."""
+    m = _COPY_CANCEL_RE.match(s)
+    if m:
+        return _copy_cancel(eng, m.group(1))
     m = _COPY_TO_RE.match(s)
     if m:
         src, path, opts = m.group(1), m.group(2), (m.group(3) or "")
@@ -1050,7 +1112,8 @@ def _copy(eng: QdbEngine, s: str) -> DataFrame:
         from ..sources.catalog import copy_to
 
         copy_to(df, path, fmt=fmt)
-        return _status(eng, "copy_to", path, fmt)
+        cid = _copy_log_entry(eng, "export", path, "finished")
+        return _status(eng, "copy_to", path, f"{fmt}; id={cid}")
     m = _COPY_FROM_RE.match(s)
     if m:
         name, path, opts = m.group(1), m.group(2), (m.group(3) or "")
@@ -1094,5 +1157,6 @@ def _copy(eng: QdbEngine, s: str) -> DataFrame:
             eng.designated_ts[name] = ts_col or df.columns[0]
             eng.ddl_seq[name] = 0
         _refresh_view(eng, name)
-        return _status(eng, "copy_from", name, f"{df.count()} rows")
+        cid = _copy_log_entry(eng, "import", name, "finished")
+        return _status(eng, "copy_from", name, f"{df.count()} rows; id={cid}")
     raise ValueError(f"cannot parse COPY: {s!r}")

@@ -132,6 +132,11 @@ class QdbEngine:
         self.query_log: list[dict] = []
         self._query_seq = 0
         self._sql_depth = 0
+        # COPY import/export log (the reference's sys.text_import_log /
+        # copy_export_log backing COPY '<id>' CANCEL): one entry per COPY
+        # statement, keyed by the hex id the reference hands back.
+        self.copy_log: list[dict] = []
+        self._copy_seq = 0
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,

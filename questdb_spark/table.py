@@ -591,6 +591,30 @@ class TimeTable:
         for p in self._partitions_in(interval):
             shutil.rmtree(os.path.join(self.path, f"{PARTITION_COL}={p}"), ignore_errors=True)
 
+    def force_drop_partition(self, name: str) -> list[str]:
+        """``ALTER TABLE ... FORCE DROP PARTITION LIST`` (AlterOperation
+        FORCE_DROP, SqlCompilerImpl.java:2571): the recovery form of DROP —
+        it bypasses the WAL-suspension guard (the reference routes it
+        around the sequencer precisely so a poisoned table can be
+        repaired), accepts exact full-format partition names as well as
+        ranges, and ignores names that match nothing instead of erroring.
+        O(1) directory removals, no data rewrite."""
+        exact = os.path.join(self.path, f"{PARTITION_COL}={name}")
+        if os.path.isdir(exact):
+            shutil.rmtree(exact, ignore_errors=True)
+            return [name]
+        dropped = []
+        try:
+            parts = self._partitions_in(name)
+        except ValueError:
+            parts = []
+        for p in parts:
+            shutil.rmtree(
+                os.path.join(self.path, f"{PARTITION_COL}={p}"), ignore_errors=True
+            )
+            dropped.append(str(p))
+        return dropped
+
     @property
     def _detached_root(self) -> str:
         # underscore prefix: invisible to Spark's parquet discovery, so a

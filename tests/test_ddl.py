@@ -663,3 +663,61 @@ def test_reindex_backup_session_noops(eng, tmp_path):
                  "SET statement_timeout = 100", "RESET all", "CLOSE c1",
                  "UNLISTEN *", "DEALLOCATE p1"):
         assert eng.sql(stmt).collect()[0]["detail"] == "session no-op"
+
+
+def test_squash_partitions(eng):
+    import os
+
+    _mk_walt(eng)
+    # three commits into the same day = three parquet files in the
+    # partition dir; SQUASH PARTITIONS rewrites them as one
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-01 01:00:00', 2)")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-01 02:00:00', 3)")
+    t = eng.ddl_tables["walt"]
+    pdir = next(
+        os.path.join(t.path, d) for d in os.listdir(t.path) if "=" in d
+    )
+    assert len([f for f in os.listdir(pdir) if f.endswith(".parquet")]) == 3
+    st = eng.sql("ALTER TABLE walt SQUASH PARTITIONS").collect()[0]
+    assert "squashed 1 partitions" in st["detail"]
+    assert len([f for f in os.listdir(pdir) if f.endswith(".parquet")]) == 1
+    got = sorted(r["x"] for r in eng.sql("SELECT x FROM walt").collect())
+    assert got == [1, 2, 3]
+    with pytest.raises(Exception, match="'partitions' expected"):
+        eng.sql("ALTER TABLE walt SQUASH PARTITION")
+
+
+def test_force_drop_partition_bypasses_suspension(eng):
+    _mk_walt(eng)
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-02 00:00:00', 2)")
+    eng.sql("ALTER TABLE walt SUSPEND WAL")
+    # plain DROP PARTITION is refused while suspended
+    with pytest.raises(Exception, match="suspended"):
+        eng.sql("ALTER TABLE walt DROP PARTITION LIST '2024-01-01'")
+    # FORCE DROP bypasses the guard (exact partition-name form)
+    st = eng.sql(
+        "ALTER TABLE walt FORCE DROP PARTITION LIST '2024-01-01'"
+    ).collect()[0]
+    assert "2024-01-01" in st["detail"]
+    eng.sql("ALTER TABLE walt RESUME WAL")
+    got = sorted(r["x"] for r in eng.sql("SELECT x FROM walt").collect())
+    assert got == [2]
+    # a miss is ignored, not an error (recovery semantics)
+    st = eng.sql(
+        "ALTER TABLE walt FORCE DROP PARTITION LIST '1999-01-01'"
+    ).collect()[0]
+    assert "[]" in st["detail"]
+
+
+def test_copy_cancel_reports_log_status(eng, tmp_path):
+    _mk_walt(eng)
+    dst = str(tmp_path / "walt_out")
+    st = eng.sql(f"COPY walt TO '{dst}' WITH FORMAT PARQUET").collect()[0]
+    cid = st["detail"].split("id=")[1]
+    r = eng.sql(f"COPY '{cid}' CANCEL").collect()[0]
+    assert (r["id"], r["status"]) == (cid, "finished")
+    # unknown id -> 'unknown'; malformed id -> the reference's error
+    r = eng.sql("COPY 'deadbeef' CANCEL").collect()[0]
+    assert r["status"] == "unknown"
+    with pytest.raises(Exception, match="copy cancel ID format is invalid"):
+        eng.sql("COPY 'not-hex' CANCEL")

@@ -236,8 +236,8 @@ def test_fuzz_op_sequence(spark, seed, dedup, unit):
             op = rng.choices(
                 ["append", "update", "delete", "addcol", "dropcol", "rename",
                  "detach", "attach", "droppart", "ttl", "vacuum", "convert",
-                 "suspend", "resume"],
-                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3, 4, 4],
+                 "suspend", "resume", "squash", "forcedrop"],
+                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3, 4, 4, 3, 3],
             )[0]
             if os.environ.get("SPARK_GRAFT_FUZZ_TRACE"):
                 print(f"fuzz step={step} op={op} suspended={sh.suspended}", flush=True)
@@ -346,6 +346,19 @@ def test_fuzz_op_sequence(spark, seed, dedup, unit):
                 sh.ttl_hours = hours
                 t.enforce_ttl()
                 sh.enforce_ttl()
+            elif op == "squash":
+                # SQUASH PARTITIONS: compaction only, never a semantic
+                # change — and legal while suspended (parked txns live in
+                # the pending queue, not in partition dirs)
+                t.vacuum(max_files_per_partition=1)
+            elif op == "forcedrop":
+                # FORCE DROP PARTITION bypasses the suspension guard
+                live_days = sorted({sh.part_of(r["ts"]) for r in sh.rows})
+                if len(live_days) < 2:
+                    continue
+                day = rng.choice(live_days[:-1])
+                t.force_drop_partition(_part_str(sh, day))
+                sh.drop_partition(day)
             elif op == "vacuum":
                 if dedup and rng.random() < 0.5:
                     t.compact()
