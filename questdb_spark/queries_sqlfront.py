@@ -995,3 +995,192 @@ SELECT user_id, count(*) AS n_el, count(val) AS n_val,
   CAST(sum(val) AS BIGINT) AS sv, CAST(min(k) AS INT) AS min_k
 FROM u WHERE k % 2 = 1 GROUP BY user_id
 """
+
+
+def sql_fn_surface_scalars(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 scalar-surface completion through the dialect: scaled
+    rounding (math/RoundDown/RoundUp/Numbers.roundHalfEven), strpos/
+    starts_with/length_bytes (str/), week_of_year + to_str (date/),
+    netmask (math/IPv4StrNetmaskFunctionFactory), spread_bps (finance/),
+    to_long128 (long128/LongsToLong128FunctionFactory) and
+    current_setting (catalogue/). All formulas expand to engine-neutral
+    double/int arithmetic, so DuckDB evaluates the identical expressions."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, "
+        "round_down(value, 2) AS rd, round_up(value, 2) AS ru, "
+        "CAST(round_half_even(CAST(event_id % 100 AS DOUBLE) / 4, 1) AS DOUBLE) AS rhe, "
+        "strpos(event_type, 'ic') AS pos1, "
+        "starts_with(event_type, 'cl') AS sw, "
+        "length_bytes(event_type) AS lb, "
+        "week_of_year(ts) AS woy, "
+        "netmask(concat('10.0.0.1/', CAST(event_id % 33 AS STRING))) AS nm, "
+        "spread_bps(value, value + 0.5) AS sbps, "
+        "to_long128(user_id, event_id) AS l128, "
+        "to_str(ts, 'yyyy-MM-dd HH') AS tstr, "
+        "current_setting('server_version_num') AS csv "
+        "FROM events WHERE event_id % 7 = 0"
+    )
+
+
+SQL_FN_SURFACE_SCALARS_SQL = """
+SELECT event_id,
+  CASE WHEN value IS NOT NULL THEN
+    (CASE WHEN value < 0 THEN -1.0 ELSE 1.0 END)
+    * FLOOR((ABS(value) + 1e-15) * POW(10, 2)) / POW(10, 2) END AS rd,
+  CASE WHEN value IS NOT NULL THEN
+    (CASE WHEN value < 0 THEN -1.0 ELSE 1.0 END)
+    * FLOOR(ABS(value) * POW(10, 2) + 1 - 1e-15) / POW(10, 2) END AS ru,
+  CAST(ROUND_EVEN(CAST(event_id % 100 AS DOUBLE) / 4, 1) AS DOUBLE) AS rhe,
+  CAST(strpos(event_type, 'ic') AS INT) AS pos1,
+  starts_with(event_type, 'cl') AS sw,
+  CAST(octet_length(CAST(event_type AS BLOB)) AS INT) AS lb,
+  CAST(weekofyear(ts) AS INT) AS woy,
+  CASE WHEN (event_id % 33) BETWEEN 0 AND 32 THEN
+    concat_ws('.',
+      CAST((CASE WHEN event_id % 33 = 0 THEN 0
+            ELSE 4294967296 - CAST(POW(2, 32 - event_id % 33) AS BIGINT) END)
+           // 16777216 % 256 AS VARCHAR),
+      CAST((CASE WHEN event_id % 33 = 0 THEN 0
+            ELSE 4294967296 - CAST(POW(2, 32 - event_id % 33) AS BIGINT) END)
+           // 65536 % 256 AS VARCHAR),
+      CAST((CASE WHEN event_id % 33 = 0 THEN 0
+            ELSE 4294967296 - CAST(POW(2, 32 - event_id % 33) AS BIGINT) END)
+           // 256 % 256 AS VARCHAR),
+      CAST((CASE WHEN event_id % 33 = 0 THEN 0
+            ELSE 4294967296 - CAST(POW(2, 32 - event_id % 33) AS BIGINT) END)
+           % 256 AS VARCHAR)) END AS nm,
+  ((value + 0.5) - value) / ((value + (value + 0.5)) / 2.0) * 10000.0 AS sbps,
+  concat(lpad(lower(to_hex(event_id)), 16, '0'),
+         lpad(lower(to_hex(user_id)), 16, '0')) AS l128,
+  strftime(ts, '%Y-%m-%d %H') AS tstr,
+  '123000' AS csv
+FROM events WHERE event_id % 7 = 0
+"""
+
+
+def sql_fn_surface_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 aggregate-surface completion: arg_max/arg_min (max_by),
+    count_distinct, vwap/weighted_avg/weighted_stddev (pairwise-skip),
+    the skewness/kurtosis family (bare = SAMPLE, groupby/Kurtosis
+    GroupByFunctionFactory extends KurtosisSample...), and twap
+    (TwapGroupByFunction: duration-to-next weighting over ts order).
+    Inputs are integer-valued doubles so every power/weight sum is exact
+    in a double and the DuckDB oracle matches bit-for-bit."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT user_id % 8 AS g, "
+        "arg_max(event_type, event_id) AS last_type, "
+        "arg_min(event_type, event_id) AS first_type, "
+        "CAST(count_distinct(event_type) AS INT) AS n_types, "
+        "vwap(CAST(user_id % 50 AS DOUBLE), CAST(event_id % 20 + 1 AS DOUBLE)) AS vw, "
+        "weighted_avg(CAST(user_id % 50 AS DOUBLE), CAST(event_id % 20 + 1 AS DOUBLE)) AS wa, "
+        "weighted_stddev(CAST(user_id % 50 AS DOUBLE), CAST(event_id % 20 + 1 AS DOUBLE)) AS ws, "
+        "skewness(CAST(user_id % 50 AS DOUBLE)) AS sk, "
+        "skewness_pop(CAST(user_id % 50 AS DOUBLE)) AS skp, "
+        "kurtosis(CAST(user_id % 50 AS DOUBLE)) AS ku, "
+        "kurtosis_pop(CAST(user_id % 50 AS DOUBLE)) AS kup, "
+        "twap(CAST(user_id % 50 AS DOUBLE), ts) AS tw "
+        "FROM events GROUP BY user_id % 8"
+    )
+
+
+SQL_FN_SURFACE_AGGS_SQL = """
+WITH b AS (
+  SELECT user_id % 8 AS g, event_id, event_type, ts,
+    CAST(user_id % 50 AS DOUBLE) AS x,
+    CAST(event_id % 20 + 1 AS DOUBLE) AS w
+  FROM events
+),
+m AS (
+  SELECT g,
+    arg_max(event_type, event_id) AS last_type,
+    arg_min(event_type, event_id) AS first_type,
+    CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+    SUM(x * w) / SUM(w) AS vw,
+    SUM(x * w) / SUM(w) AS wa,
+    SQRT((SUM(w * x * x) - SUM(w * x) * SUM(w * x) / SUM(w))
+         / (SUM(w) - SUM(w * w) / SUM(w))) AS ws,
+    CAST(COUNT(x) AS DOUBLE) AS n,
+    SUM(x) AS s1, SUM(x * x) AS s2,
+    SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+  FROM b GROUP BY g
+),
+c AS (
+  SELECT *,
+    (s1 / n) AS mu,
+    (s2 - s1 * (s1 / n)) AS m2,
+    (s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) AS m3,
+    (s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+       - 3 * n * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) AS m4
+  FROM m
+),
+tw AS (
+  SELECT g, SUM(p * d) / SUM(d) AS tw FROM (
+    SELECT g, x AS p,
+      CAST(epoch_us(lead(ts) OVER (PARTITION BY g ORDER BY ts, x))
+           - epoch_us(ts) AS DOUBLE) AS d
+    FROM b
+  ) WHERE d IS NOT NULL GROUP BY g
+)
+SELECT c.g, last_type, first_type, n_types, vw, wa, ws,
+  CASE WHEN n >= 3 AND m2 > 0
+    THEN (n * SQRT(n - 1.0) / (n - 2.0)) * m3 / (m2 * SQRT(m2)) END AS sk,
+  CASE WHEN n >= 1 AND m2 > 0 THEN SQRT(n) * m3 / (m2 * SQRT(m2)) END AS skp,
+  CASE WHEN n >= 4 AND m2 > 0
+    THEN ((n - 1) / ((n - 2) * (n - 3)))
+         * ((n + 1) * (n * m4 / (m2 * m2) - 3.0) + 6) END AS ku,
+  CASE WHEN n >= 1 AND m2 > 0 THEN n * m4 / (m2 * m2) - 3.0 END AS kup,
+  tw.tw
+FROM c JOIN tw ON c.g = tw.g
+"""
+
+
+def sql_fn_surface_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 array-surface completion: ARRAY[...] literals (cairo/arr
+    constructor syntax), 1-based dereference (DoubleArrayAccess
+    FunctionFactory — index 1 = first element), the array_elem_* N-ary
+    element-wise family, matmul/transpose SQL forms, and the l2price
+    scalar pair form (finance/LevelTwoPriceFunctionFactory). Derived
+    columns are integer-valued so every dot product is exact."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, "
+        "array_elem_sum(ARRAY[v1, v2], ARRAY[v3, v4])[1] AS es1, "
+        "array_elem_sum(ARRAY[v1, v2], ARRAY[v3, v4])[2] AS es2, "
+        "array_elem_avg(ARRAY[v1, v2], ARRAY[v3, v4])[2] AS ea2, "
+        "array_elem_min(ARRAY[v1, v2], ARRAY[v3, v4])[1] AS emn, "
+        "array_elem_max(ARRAY[v1, v2], ARRAY[v3, v4])[2] AS emx, "
+        "matmul(ARRAY[ARRAY[v1, v2]], ARRAY[ARRAY[v3], ARRAY[v4]])[1][1] AS mm, "
+        "transpose(ARRAY[ARRAY[v1, v2], ARRAY[v3, v4]])[2][1] AS t21, "
+        "ARRAY[v1, v2, v3][2] AS sub2, "
+        "l2price(25.0, v1 + 1.0, v3, v2 + 30.0, v4) AS l2 "
+        "FROM (SELECT event_id, "
+        "CAST(event_id % 13 AS DOUBLE) AS v1, CAST(user_id % 17 AS DOUBLE) AS v2, "
+        "CAST(event_id % 7 + 1 AS DOUBLE) AS v3, CAST(user_id % 5 + 1 AS DOUBLE) AS v4 "
+        "FROM events WHERE event_id % 11 = 0)"
+    )
+
+
+SQL_FN_SURFACE_ARRAYS_SQL = """
+WITH b AS (
+  SELECT event_id,
+    CAST(event_id % 13 AS DOUBLE) AS v1, CAST(user_id % 17 AS DOUBLE) AS v2,
+    CAST(event_id % 7 + 1 AS DOUBLE) AS v3, CAST(user_id % 5 + 1 AS DOUBLE) AS v4
+  FROM events WHERE event_id % 11 = 0
+)
+SELECT event_id,
+  v1 + v3 AS es1,
+  v2 + v4 AS es2,
+  (v2 + v4) / 2.0 AS ea2,
+  LEAST(v1, v3) AS emn,
+  GREATEST(v2, v4) AS emx,
+  v1 * v3 + v2 * v4 AS mm,
+  v2 AS t21,
+  v2 AS sub2,
+  CASE WHEN (v1 + 1.0) + (v2 + 30.0) >= 25.0 THEN
+    (LEAST(25.0, v1 + 1.0) * v3
+     + LEAST(GREATEST(25.0 - LEAST(25.0, v1 + 1.0), 0.0), v2 + 30.0) * v4)
+    / 25.0 END AS l2
+FROM b
+"""

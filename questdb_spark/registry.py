@@ -142,6 +142,32 @@ _NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
     "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
 }
 
+# Round-8 additions — first verification; head of the window.  Round 7
+# ended without a driver correctness run (no CORRECTNESS_r07), so the
+# _NEW_R7 + _RECHECK_R7 blocks stay right behind these.
+_NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
+    # SQL function-surface completion (r8): scalar batch — rounding
+    # family, strpos/starts_with/length_bytes, week_of_year/to_str,
+    # netmask, spread_bps, to_long128, current_setting
+    "sql_fn_surface_scalars": (
+        sq.sql_fn_surface_scalars,
+        sq.SQL_FN_SURFACE_SCALARS_SQL,
+    ),
+    # aggregate batch — arg_max/arg_min, count_distinct, vwap/
+    # weighted_avg/weighted_stddev, skewness/kurtosis family
+    # (bare = sample), twap
+    "sql_fn_surface_aggs": (
+        sq.sql_fn_surface_aggs,
+        sq.SQL_FN_SURFACE_AGGS_SQL,
+    ),
+    # array batch — ARRAY[...] literals, 1-based dereference,
+    # array_elem_* dual forms, matmul/transpose SQL forms, l2price
+    "sql_fn_surface_arrays": (
+        sq.sql_fn_surface_arrays,
+        sq.SQL_FN_SURFACE_ARRAYS_SQL,
+    ),
+}
+
 # Round-7 additions — first verification; kept at the head of the window.
 _NEW_R7: dict[str, tuple[QueryFn, str | None]] = {
     # dialect ~ / !~ / GLOB match operators (r7)
@@ -307,6 +333,7 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **_NEW_R8,
     **_NEW_R7,
     **_RECHECK_R7,
     **_NEW_R6,

@@ -243,6 +243,11 @@ class QdbEngine:
         # typed json_extract(x, p)::T and the JSON UNNEST source
         rewritten = _rewrite_json_extract_typed(rewritten)
         rewritten = _rewrite_json_unnest(rewritten)
+        # QuestDB ARRAY[...] literals (cairo/arr ArrayTypeDriver; the
+        # reference's array constructor syntax) → Spark array(...)
+        rewritten = _rewrite_array_literals(rewritten)
+        # 1-based expr[i] dereference (reference array-access semantics)
+        rewritten = _rewrite_subscripts(rewritten)
         rewritten = _expand_fn_macros(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
         # Spark's native range() — distributed index generation, no driver
@@ -548,7 +553,8 @@ class QdbEngine:
         # matched over the literal-MASKED text: quoted content is blanked,
         # so the table-name group matches the quotes and is read back from
         # the original via its span
-        r"\b(tables|all_tables|wal_tables|query_activity|functions|keywords)\s*\(\s*\)"
+        r"\b(tables|all_tables|wal_tables|query_activity|functions|keywords"
+        r"|views|materialized_views|live_views)\s*\(\s*\)"
         r"|\b(table_columns|table_partitions|wait_wal_table|touch"
         r"|hydrate_table_metadata|wal_transactions)\s*\(\s*('[^']*')\s*\)",
         re.IGNORECASE,
@@ -575,6 +581,34 @@ class QdbEngine:
                     (e["query_id"], e["query"], e["state"]) for e in self.query_log
                 ]
                 view = "__qdb_query_activity"
+                df = (
+                    self.spark.createDataFrame(rows, schema)
+                    if rows
+                    else self.spark.createDataFrame([], schema)
+                )
+                df.createOrReplaceTempView(view)
+            elif m.group(1) and m.group(1).lower() in (
+                "views", "materialized_views", "live_views",
+            ):
+                # ViewsFunctionFactory / MaterializedViewsFunctionFactory /
+                # LiveViewsFunctionFactory (catalogue/, cairo/lv/): list the
+                # engine's plain / materialized / live view registries
+                kind = m.group(1).lower()
+                if kind == "views":
+                    rows = [(n, body) for n, body in sorted(self.views.items())]
+                else:
+                    want_live = kind == "live_views"
+                    rows = [
+                        (n, d.base, d.shape)
+                        for n, d in sorted(self.matviews.items())
+                        if d.live == want_live
+                    ]
+                schema = (
+                    "view_name string, definition string"
+                    if kind == "views"
+                    else "view_name string, base_table string, refresh_shape string"
+                )
+                view = f"__qdb_{kind}"
                 df = (
                     self.spark.createDataFrame(rows, schema)
                     if rows
@@ -1622,7 +1656,9 @@ _FN_MACROS: dict = {
         f"aggregate(zip_with({a[0]}, {a[1]}, (x, y) -> x * y), "
         "cast(0 as double), (acc, v) -> acc + v)"
     ),
-    "flatten": lambda a: f"flatten({a[0]})",
+    # flatten() deliberately NOT a macro: Spark's native flatten matches
+    # the reference's, and an identity expansion would re-consume its span
+    # every fixpoint pass, shadowing macro calls nested in its argument
     "dim_length": lambda a: _arr_dim_length_sql(a[0], a[1]),
     "shift": lambda a: _arr_shift_sql(a),
     # str/ long tail (SizePrettyFunctionFactory, QuoteIdentFunctionFactory,
@@ -1911,6 +1947,16 @@ _RND_MACROS: dict = {
     ),
 }
 
+# round-8 function-surface completion (see macros_ext module docstring):
+# every remaining SQL name the reference's FunctionFactory inventory
+# registers that had no dialect spelling yet
+from .macros_ext import EXT_FN_MACROS as _EXT_FN  # noqa: E402
+from .macros_ext import EXT_RND_MACROS as _EXT_RND  # noqa: E402
+
+_FN_MACROS.update(_EXT_FN)
+_FN_MACROS["weighted_stddev"] = lambda a: _wstd(a[0], a[1], "rel")
+_RND_MACROS.update(_EXT_RND)
+
 
 def _rnd_str_sql(a: list[str], t: int) -> str:
     lo = int(a[0]) if a and a[0].strip() else 4
@@ -1949,6 +1995,106 @@ def _rnd_bin_sql(a: list[str], t: int) -> str:
 _FN_MACRO_RE = re.compile(
     r"\b(" + "|".join([*_FN_MACROS, *_RND_MACROS]) + r")\s*\(", re.IGNORECASE
 )
+
+
+_ARRAY_LIT_RE = re.compile(r"\barray\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literals(s: str) -> str:
+    """``ARRAY[a, b, ...]`` constructor syntax (the reference's array
+    literal form, SqlParser/cairo/arr) → Spark ``array(a, b, ...)``.
+    Bracket matching runs on the literal-masked text; nested constructors
+    resolve across loop iterations (the inner ``ARRAY[`` is found again
+    on the rescan)."""
+    for _ in range(64):
+        masked = mask_literals(s)
+        m = _ARRAY_LIT_RE.search(masked)
+        if not m:
+            return s
+        depth = 0
+        close = -1
+        for k in range(m.end() - 1, len(masked)):
+            if masked[k] == "[":
+                depth += 1
+            elif masked[k] == "]":
+                depth -= 1
+                if depth == 0:
+                    close = k
+                    break
+        if close < 0:
+            raise ValueError(f"unbalanced ARRAY[ literal in {s!r}")
+        s = s[: m.start()] + "array(" + s[m.end() : close] + ")" + s[close + 1 :]
+    return s
+
+
+_SUBSCRIPT_RE = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*|\))\s*\[")
+_SUBSCRIPT_KEYWORD_SKIP = frozenset({"array"})
+
+
+def _rewrite_subscripts(s: str) -> str:
+    """QuestDB array/map dereference ``expr[i]`` is 1-BASED
+    (array/DoubleArrayAccessFunctionFactory.java:149 — index 1 selects the
+    first element); Spark's native subscript is 0-based, so lower to
+    ``element_at(expr, i)`` (1-based for arrays, key-based for maps —
+    both matching the reference).  Conservative: empty brackets (type
+    declarations like ``DOUBLE[]``) and ``lo:hi`` slice forms are left
+    untouched."""
+    for _ in range(64):
+        masked = mask_literals(s)
+        changed = False
+        for m in _SUBSCRIPT_RE.finditer(masked):
+            if m.group(1).lower() in _SUBSCRIPT_KEYWORD_SKIP:
+                continue
+            open_b = m.end() - 1
+            depth = 0
+            close = -1
+            for k in range(open_b, len(masked)):
+                if masked[k] in "([":
+                    depth += 1
+                elif masked[k] in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+            if close < 0 or masked[k] != "]":
+                continue
+            inner_masked = masked[open_b + 1 : close]
+            if not inner_masked.strip() or ":" in inner_masked:
+                continue  # type declaration / slice form
+            if m.group(1) == ")":
+                # walk back to the matching '(' to take the whole
+                # parenthesized expression as the dereference target
+                depth = 0
+                start = -1
+                for k in range(m.end(1) - 1, -1, -1):
+                    if masked[k] in ")]":
+                        depth += 1
+                    elif masked[k] in "([":
+                        depth -= 1
+                        if depth == 0:
+                            start = k
+                            break
+                if start < 0:
+                    continue
+                # a '(' preceded by an identifier is a function call —
+                # include the callee name in the dereference target
+                while start > 0 and (masked[start - 1].isalnum()
+                                     or masked[start - 1] in "_."):
+                    start -= 1
+            else:
+                start = m.start(1)
+            target = s[start : m.end(1)]
+            index = s[open_b + 1 : close]
+            s = (
+                s[:start]
+                + f"element_at({target}, {index})"
+                + s[close + 1 :]
+            )
+            changed = True
+            break  # re-mask and rescan
+        if not changed:
+            return s
+    return s
 
 
 def _expand_fn_macros(s: str) -> str:

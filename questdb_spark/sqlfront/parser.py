@@ -177,7 +177,8 @@ def strip_comments(s: str) -> str:
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on `sep` at paren/quote depth 0."""
+    """Split on `sep` at paren/bracket/quote depth 0 (brackets cover
+    ARRAY[...] literals and subscripting)."""
     parts, depth, cur, q = [], 0, [], None
     for ch in s:
         if q:
@@ -188,10 +189,10 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
         if ch in "'\"":
             q = ch
             cur.append(ch)
-        elif ch == "(":
+        elif ch in "([":
             depth += 1
             cur.append(ch)
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
             cur.append(ch)
         elif ch == sep and depth == 0:

@@ -721,3 +721,20 @@ def test_copy_cancel_reports_log_status(eng, tmp_path):
     assert r["status"] == "unknown"
     with pytest.raises(Exception, match="copy cancel ID format is invalid"):
         eng.sql("COPY 'not-hex' CANCEL")
+
+
+def test_view_listing_table_functions(eng):
+    _mk_walt(eng)
+    eng.sql("CREATE VIEW vplain AS SELECT x FROM walt")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW vmat AS "
+        "(SELECT ts, sum(x) AS sx FROM walt SAMPLE BY 1d)"
+    )
+    assert [tuple(r) for r in eng.sql("SELECT * FROM views()").collect()] == [
+        ("vplain", "SELECT x FROM walt")
+    ]
+    mats = eng.sql(
+        "SELECT view_name, base_table FROM materialized_views()"
+    ).collect()
+    assert [tuple(r) for r in mats] == [("vmat", "walt")]
+    assert eng.sql("SELECT count(*) n FROM live_views()").collect()[0][0] == 0
