@@ -104,6 +104,17 @@ class TimeTable:
             return date(dt.year, dt.month, 1)
         return date(dt.year, 1, 1)
 
+    def _write_width(self) -> int:
+        """Shuffle width for partitioned writes.  A bare
+        ``repartition(PARTITION_COL)`` uses spark.sql.shuffle.partitions
+        and AQE then coalesces the (small) shuffle to ~one task, which
+        writes every partition directory SERIALLY — 4x slower than a
+        parallel write even at sf0.1.  An explicit width disables the
+        coalesce and spreads partition values across the cluster; on a
+        real cluster defaultParallelism is the total core count, which is
+        exactly the width a 100 TB partitioned write wants."""
+        return max(int(self.spark.sparkContext.defaultParallelism), 8)
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""
         if mode == "overwrite":
@@ -114,7 +125,7 @@ class TimeTable:
                 pass
         (
             self._with_partition(df)
-            .repartition(PARTITION_COL)
+            .repartition(self._write_width(), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode(mode)
             .partitionBy(PARTITION_COL)
@@ -178,7 +189,7 @@ class TimeTable:
         phys_ts = self._physical_name(self.ts_col)
         (
             self._with_partition(base, phys_ts)
-            .repartition(PARTITION_COL)
+            .repartition(self._write_width(), PARTITION_COL)
             .sortWithinPartitions(phys_ts)
             .write.mode("append")
             .partitionBy(PARTITION_COL)
@@ -378,7 +389,7 @@ class TimeTable:
         (
             df.drop(PARTITION_COL)
             .transform(self._with_partition)
-            .repartition(PARTITION_COL)
+            .repartition(self._write_width(), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
@@ -724,7 +735,7 @@ class TimeTable:
         tmp = self.path.rstrip("/") + ".compact"
         (
             self._with_partition(out)
-            .repartition(PARTITION_COL)
+            .repartition(self._write_width(), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
@@ -851,7 +862,7 @@ class TimeTable:
     def _rewrite_partitions(self, sub: DataFrame, parts: list) -> None:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            sub.repartition(PARTITION_COL)
+            sub.repartition(self._write_width(), PARTITION_COL)
             .sortWithinPartitions(self._physical_name(self.ts_col))
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
