@@ -738,6 +738,21 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
             raise ValueError(f"cannot parse SUSPEND WAL: {rest!r}")
         t.suspend_wal()
         detail = "wal suspended"
+    elif low.startswith("rebase wal"):
+        # parseRebaseWal: recovery past a poison-pill txn — fresh WAL
+        # base, parked txns discarded, suspension lifted. INTO '<dir>'
+        # is the replication-replica variant: out of scope.
+        if re.match(r"rebase\s+wal\s+into\b", rest, re.IGNORECASE):
+            raise ValueError(
+                "REBASE WAL INTO is replication plumbing (out of scope); "
+                "use plain REBASE WAL"
+            )
+        if not re.match(r"rebase\s+wal$", rest, re.IGNORECASE):
+            raise ValueError(f"cannot parse REBASE WAL: {rest!r}")
+        discarded = t.rebase_wal()
+        detail = "wal rebased" + (
+            f"; discarded txns {discarded}" if discarded else ""
+        )
     elif low.startswith("resume wal"):
         # alterTableResume: replay pending txns, optionally skipping the
         # poisoned ones before FROM TXN n

@@ -629,8 +629,9 @@ class QdbEngine:
                     schema = "name string, kind string"
                 else:
                     kws = ("sample latest asof splice window horizon pivot "
-                           "declare dedup upsert wal suspend resume detach "
-                           "attach convert ttl vacuum checkpoint").split()
+                           "declare dedup upsert wal suspend resume rebase "
+                           "squash detach attach convert ttl vacuum "
+                           "checkpoint").split()
                     rows = [(k,) for k in sorted(kws)]
                     schema = "keyword string"
                 view = f"__qdb_{kind}"

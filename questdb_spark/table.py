@@ -321,6 +321,23 @@ class TimeTable:
             shutil.rmtree(d, ignore_errors=True)
         return applied, skipped
 
+    def rebase_wal(self) -> list[int]:
+        """REBASE WAL (SqlCompilerImpl.parseRebaseWal): recovery past a
+        poison-pill WAL transaction — the reference mints a fresh table
+        dir with a new sequencer base so replication can move on.  Here
+        the WAL base is the pending queue: rebasing accepts the current
+        on-disk state as the new base, DISCARDS every parked txn (they
+        are the poison), and lifts the suspension.  The replica-side
+        ``INTO '<dir>'`` variant is replication plumbing, out of scope
+        per SURVEY §2.1.  Returns the discarded txn ids."""
+        st = self._wal_state()
+        discarded = sorted(st["pending"])
+        st["suspended"] = False
+        st["pending"] = []
+        self._save_wal_state(st)
+        shutil.rmtree(os.path.join(self.path, ".qdb_wal_pending"), ignore_errors=True)
+        return discarded
+
     # -- ALTER TABLE column surface (AlterOperation.java) --------------------
     # add/drop/rename are METADATA-ONLY: an ops journal (`_qdb_meta.json`,
     # invisible to parquet discovery) is replayed onto every read. That

@@ -738,3 +738,21 @@ def test_view_listing_table_functions(eng):
     ).collect()
     assert [tuple(r) for r in mats] == [("vmat", "walt")]
     assert eng.sql("SELECT count(*) n FROM live_views()").collect()[0][0] == 0
+
+
+def test_rebase_wal_discards_poison(eng):
+    _mk_walt(eng)
+    eng.sql("ALTER TABLE walt SUSPEND WAL")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-02 00:00:00', 666)")
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-03 00:00:00', 667)")
+    st = eng.sql("ALTER TABLE walt REBASE WAL").collect()[0]
+    assert "discarded txns [1, 2]" in st["detail"]
+    # suspension lifted, parked txns gone, table accepts commits again
+    assert eng.sql(
+        "SELECT suspended FROM tables() WHERE table_name = 'walt'"
+    ).collect()[0][0] is False
+    assert sorted(r["x"] for r in eng.sql("SELECT x FROM walt").collect()) == [1]
+    eng.sql("INSERT INTO walt VALUES (TIMESTAMP '2024-01-04 00:00:00', 4)")
+    assert sorted(r["x"] for r in eng.sql("SELECT x FROM walt").collect()) == [1, 4]
+    with pytest.raises(Exception, match="out of scope"):
+        eng.sql("ALTER TABLE walt REBASE WAL INTO 'walt~12'")

@@ -236,8 +236,8 @@ def test_fuzz_op_sequence(spark, seed, dedup, unit):
             op = rng.choices(
                 ["append", "update", "delete", "addcol", "dropcol", "rename",
                  "detach", "attach", "droppart", "ttl", "vacuum", "convert",
-                 "suspend", "resume", "squash", "forcedrop"],
-                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3, 4, 4, 3, 3],
+                 "suspend", "resume", "squash", "forcedrop", "rebase"],
+                weights=[38, 10, 8, 6, 3, 4, 6, 6, 5, 5, 9, 3, 4, 4, 3, 3, 2],
             )[0]
             if os.environ.get("SPARK_GRAFT_FUZZ_TRACE"):
                 print(f"fuzz step={step} op={op} suspended={sh.suspended}", flush=True)
@@ -346,6 +346,12 @@ def test_fuzz_op_sequence(spark, seed, dedup, unit):
                 sh.ttl_hours = hours
                 t.enforce_ttl()
                 sh.enforce_ttl()
+            elif op == "rebase":
+                # REBASE WAL: discard every parked txn, lift suspension —
+                # the recovery path past a poison-pill commit
+                t.rebase_wal()
+                sh.pending = []
+                sh.suspended = False
             elif op == "squash":
                 # SQUASH PARTITIONS: compaction only, never a semantic
                 # change — and legal while suspended (parked txns live in
