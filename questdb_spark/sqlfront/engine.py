@@ -917,22 +917,49 @@ class QdbEngine:
                 if base.lower() in seen_vals:
                     raise ValueError(f"duplicate value in PIVOT IN list: {base}")
                 seen_vals.add(base.lower())
+        def split_alias(v: str) -> tuple[str, str | None]:
+            # IN-cell alias forms: ``1 AS q1`` and the quoted
+            # ``'US' AS 'false'`` (pivot_in_boolean.test) — Spark only
+            # accepts identifier aliases, so quoted/keyword aliases are
+            # re-emitted backticked
+            mv = re.match(
+                r"^(.+?)\s+AS\s+('([^']*)'|\"([^\"]*)\"|[A-Za-z_]\w*)\s*$",
+                v.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not mv:
+                return v.strip(), None
+            alias = mv.group(3) or mv.group(4) or mv.group(2)
+            return mv.group(1).strip(), alias
+
         if len(axes) == 1:
             pivcol, vals = axes[0]
             proj = [*gcols, f"{pivcol} AS __pivot", *operands]
-            in_list = ", ".join(vals)
+            parts = []
+            for v in vals:
+                base, alias = split_alias(v)
+                parts.append(f"{base} AS `{alias}`" if alias else base)
+            in_list = ", ".join(parts)
         else:
             # multi-axis pivot (test_multi_pivot.test): one composite key,
             # IN cells = first-axis-major cross product — matches the
-            # reference's output column order
+            # reference's output column order; per-value aliases
+            # (pivot_databricks.test ``1 as q1``) name the cell
             key = " , '_', ".join(f"CAST({a[0]} AS STRING)" for a in axes)
             proj = [*gcols, f"concat({key}) AS __pivot", *operands]
             from itertools import product
 
-            cells = [
-                "'" + "_".join(v.strip().strip("'\"") for v in combo) + "'"
-                for combo in product(*[a[1] for a in axes])
-            ]
+            cells = []
+            for combo in product(*[a[1] for a in axes]):
+                pairs = [split_alias(v) for v in combo]
+                val = "'" + "_".join(b.strip().strip("'\"") for b, _ in pairs) + "'"
+                if any(a for _, a in pairs):
+                    name = "_".join(
+                        (a if a else b.strip().strip("'\"")) for b, a in pairs
+                    )
+                    cells.append(f"{val} AS `{name}`")
+                else:
+                    cells.append(val)
             in_list = ", ".join(cells)
         agg_rw = agg
         for a, _ in axes:
