@@ -332,17 +332,22 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix_sample": (pl.corpus_mix_sample, pl.CORPUS_MIX_SAMPLE_SQL),
 }
 
+# Window order, round 8: first verification for the r8/r7 additions and
+# the r7 recheck block (round 7 produced no driver correctness run), then
+# the OLDEST-verified entries (r4-green _RECHECK_R4/_NEW_R4) so the ~50
+# driver slots refresh the stalest contracts; r5/r6-green blocks demote
+# past the window.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **_NEW_R8,
     **_NEW_R7,
     **_RECHECK_R7,
+    **_RECHECK_R4,
+    **_NEW_R4,
     **_NEW_R6,
     **_PRIORITY,
     **_RECHECK,
     **_RECHECK_R5,
     **_NEW_R5,
-    **_RECHECK_R4,
-    **_NEW_R4,
 }
 
 

@@ -954,6 +954,63 @@ def _show(eng: QdbEngine, s: str) -> DataFrame:
         return eng.spark.createDataFrame(
             [(f"CREATE TABLE {name} ({cols}){tail}",)], "ddl string"
         )
+    cm = re.match(r"show create view (\w+)", low)
+    if cm:
+        body = eng.views.get(cm.group(1))
+        if body is None:
+            raise ValueError(f"no such view: {cm.group(1)}")
+        return eng.spark.createDataFrame(
+            [(f"CREATE VIEW {cm.group(1)} AS ({body})",)], "ddl string"
+        )
+    # PG-session SHOW set (SqlOptimiser SHOW_* dispatch onto the
+    # catalogue/Show*CursorFactory constants — one-row presentation
+    # results with the reference's exact column names and values)
+    _SHOW_CONSTANTS = {
+        "show server_version": ("server_version", "12.3 (questdb)"),
+        "show server_version_num": ("server_version_num", "123000"),
+        "show time zone": ("TimeZone", "UTC"),
+        "show timezone": ("TimeZone", "UTC"),
+        "show datestyle": ("DateStyle", "ISO,YMD"),
+        "show date style": ("DateStyle", "ISO,YMD"),
+        "show search_path": ("search_path", '"$user", public'),
+        "show standard_conforming_strings": (
+            "standard_conforming_strings", "on",
+        ),
+        "show transaction isolation level": (
+            "transaction_isolation", "read committed",
+        ),
+        "show transaction_isolation": (
+            "transaction_isolation", "read committed",
+        ),
+        "show default_transaction_read_only": (
+            "default_transaction_read_only", "off",
+        ),
+    }
+    if low in _SHOW_CONSTANTS:
+        col, val = _SHOW_CONSTANTS[low]
+        return eng.spark.createDataFrame([(val,)], f"`{col}` string")
+    if low == "show max_identifier_length":
+        return eng.spark.createDataFrame(
+            [(63,)], "max_identifier_length int"
+        )
+    if low == "show parameters":
+        # ShowParametersCursorFactory shape; values are this engine's
+        # live knobs (dict-scale)
+        rows = [
+            ("cairo.root", "QDB_CAIRO_ROOT", eng.warehouse, "default",
+             False, False),
+            ("cairo.sql.backup.root", "QDB_CAIRO_SQL_BACKUP_ROOT",
+             os.path.join(eng.warehouse, ".backups"), "default",
+             False, False),
+            ("shared.worker.count", "QDB_SHARED_WORKER_COUNT",
+             str(eng.spark.sparkContext.defaultParallelism), "default",
+             False, True),
+        ]
+        return eng.spark.createDataFrame(
+            rows,
+            "property_path string, env_var_name string, value string, "
+            "value_source string, sensitive boolean, reloadable boolean",
+        )
     m = re.match(r"show (columns|partitions) from (\w+)", low)
     if not m:
         raise ValueError(f"unsupported SHOW: {s!r}")

@@ -756,3 +756,32 @@ def test_rebase_wal_discards_poison(eng):
     assert sorted(r["x"] for r in eng.sql("SELECT x FROM walt").collect()) == [1, 4]
     with pytest.raises(Exception, match="out of scope"):
         eng.sql("ALTER TABLE walt REBASE WAL INTO 'walt~12'")
+
+
+def test_show_session_constants(eng):
+    cases = {
+        "SHOW SERVER_VERSION": ("server_version", "12.3 (questdb)"),
+        "SHOW SERVER_VERSION_NUM": ("server_version_num", "123000"),
+        "SHOW TIME ZONE": ("TimeZone", "UTC"),
+        "SHOW DATESTYLE": ("DateStyle", "ISO,YMD"),
+        "SHOW SEARCH_PATH": ("search_path", '"$user", public'),
+        "SHOW STANDARD_CONFORMING_STRINGS": (
+            "standard_conforming_strings", "on"),
+        "SHOW TRANSACTION ISOLATION LEVEL": (
+            "transaction_isolation", "read committed"),
+        "SHOW DEFAULT_TRANSACTION_READ_ONLY": (
+            "default_transaction_read_only", "off"),
+    }
+    for stmt, (col, val) in cases.items():
+        df = eng.sql(stmt)
+        assert df.columns == [col], stmt
+        assert df.collect()[0][0] == val, stmt
+    df = eng.sql("SHOW MAX_IDENTIFIER_LENGTH")
+    assert df.collect()[0][0] == 63
+    params = eng.sql("SHOW PARAMETERS")
+    assert "property_path" in params.columns
+    assert params.count() >= 3
+    _mk_walt(eng)
+    eng.sql("CREATE VIEW wv AS SELECT x FROM walt")
+    ddl = eng.sql("SHOW CREATE VIEW wv").collect()[0][0]
+    assert ddl == "CREATE VIEW wv AS (SELECT x FROM walt)"
