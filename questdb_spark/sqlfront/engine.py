@@ -248,6 +248,8 @@ class QdbEngine:
         rewritten = _rewrite_array_literals(rewritten)
         # 1-based expr[i] dereference (reference array-access semantics)
         rewritten = _rewrite_subscripts(rewritten)
+        # ema/vwema/ksum/nsum in OVER position (window recurrences)
+        rewritten = _rewrite_window_ema(rewritten)
         rewritten = _expand_fn_macros(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
         # Spark's native range() — distributed index generation, no driver
@@ -2053,6 +2055,116 @@ def _rewrite_array_literals(s: str) -> str:
             raise ValueError(f"unbalanced ARRAY[ literal in {s!r}")
         s = s[: m.start()] + "array(" + s[m.end() : close] + ")" + s[close + 1 :]
     return s
+
+
+_WINDOW_EMA_RE = re.compile(r"\b(ema|vwema|ksum|nsum)\s*\(", re.IGNORECASE)
+
+
+def _ema_alpha(kind: str, param: str) -> str:
+    """Resolve the (kind, param) pair of the reference's window EMA
+    (EmaDoubleWindowFunctionFactory: MODE_ALPHA / MODE_PERIOD — alpha =
+    2/(period+1); MODE_TIME_WEIGHTED needs per-row timestamps and stays
+    on the column API)."""
+    k = kind.strip().strip("'\"").lower()
+    p = float(param)
+    if not p > 0:
+        raise ValueError("parameter value must be a positive number")
+    if k == "alpha":
+        if p > 1:
+            raise ValueError("alpha must be between 0 (exclusive) and 1 (inclusive)")
+        return repr(p)
+    if k == "period":
+        return repr(2.0 / (p + 1.0))
+    raise ValueError(
+        "time-weighted EMA ('s'/'m'/... kinds) is not expressible as a "
+        "prefix fold; use the column API (functions.finance.ema)"
+    )
+
+
+def _ema_fold(vals: str, alpha: str) -> str:
+    """Running EMA over a collected ordered prefix (y = a*x + (1-a)*y_prev,
+    first finite value seeds; NaN observations carry the previous value —
+    EmaDoubleWindowFunctionFactory.java:343)."""
+    return (
+        f"aggregate({vals}, CAST(NULL AS DOUBLE), (acc, v) -> "
+        f"CASE WHEN v IS NULL OR isnan(v) THEN acc "
+        f"WHEN acc IS NULL OR isnan(acc) THEN v "
+        f"ELSE {alpha} * v + (1 - {alpha}) * acc END)"
+    )
+
+
+def _rewrite_window_ema(s: str) -> str:
+    """QuestDB-only WINDOW functions in OVER position — ``ema``/``vwema``
+    (recurrences: prefix-fold over ``collect_list(...) OVER``; the
+    reference pins the default frame, so the emitted frame is
+    ROWS UNBOUNDED PRECEDING .. CURRENT ROW) and ``ksum``/``nsum``
+    (compensated running sums → exact DECIMAL(38,12) window sums, the
+    same lowering as their aggregate forms).  Runs BEFORE macro
+    expansion: the aggregate-context ksum macro text is not a window
+    function.  The fold is O(prefix) per row — bounded partitions; the
+    Arrow column API (functions/finance.ema) is the unbounded-scale
+    route."""
+    for _ in range(16):
+        masked = mask_literals(s)
+        changed = False
+        for m in _WINDOW_EMA_RE.finditer(masked):
+            close = _balanced_close(masked, m.end() - 1)
+            if close < 0:
+                continue
+            mo = re.match(r"\s+OVER\s*\(", masked[close + 1 :], re.IGNORECASE)
+            if mo is None:
+                continue
+            oopen = close + 1 + mo.end() - 1
+            oclose = _balanced_close(masked, oopen)
+            if oclose < 0:
+                continue
+            name = m.group(1).lower()
+            args = split_top_level(s[m.end() : close], ",")
+            over = s[oopen + 1 : oclose].strip()
+            if re.search(r"\bROWS\b|\bRANGE\b|\bGROUPS\b", over, re.IGNORECASE):
+                raise ValueError(
+                    f"{name}() does not support framing; remove ROWS/RANGE clause"
+                )
+            frame = f"{over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            if name in ("ksum", "nsum"):
+                expr = (
+                    f"CAST(sum(CAST({args[0]} AS DECIMAL(38,12))) "
+                    f"OVER ({over}) AS DOUBLE)"
+                )
+            elif name == "ema":
+                if len(args) == 2:
+                    alpha = _ema_alpha("'alpha'", args[1])
+                elif len(args) == 3:
+                    alpha = _ema_alpha(args[1], args[2])
+                else:
+                    raise ValueError("ema(value, kind, param) OVER (...)")
+                vals = f"collect_list(CAST({args[0]} AS DOUBLE)) OVER ({frame})"
+                expr = _ema_fold(vals, alpha)
+            else:  # vwema(value, kind, param, weight) — ema(v*w)/ema(w)
+                if len(args) != 4:
+                    raise ValueError("vwema(value, kind, param, weight) OVER (...)")
+                alpha = _ema_alpha(args[1], args[2])
+                num = f"collect_list(CAST(({args[0]}) * ({args[3]}) AS DOUBLE)) OVER ({frame})"
+                den = f"collect_list(CAST({args[3]} AS DOUBLE)) OVER ({frame})"
+                expr = f"({_ema_fold(num, alpha)} / {_ema_fold(den, alpha)})"
+            s = s[: m.start()] + "(" + expr + ")" + s[oclose + 1 :]
+            changed = True
+            break
+        if not changed:
+            return s
+    return s
+
+
+def _balanced_close(masked: str, open_pos: int) -> int:
+    depth = 0
+    for k in range(open_pos, len(masked)):
+        if masked[k] == "(":
+            depth += 1
+        elif masked[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    return -1
 
 
 _SUBSCRIPT_RE = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*|\))\s*\[")
