@@ -79,7 +79,19 @@ HEAVY = [
     "pii_scrub",
     "text_repetition",
     "embedding_dedup_canonical",
+    # r8 function-surface additions (sql_fn_surface_aggs exercises the
+    # collect-fold twap; arrays = HOF-heavy per-row path)
+    "sql_fn_surface_aggs",
+    "sql_fn_surface_arrays",
+    "sql_fn_surface_scalars",
+    "array_ops2",
 ]
+
+# optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
+_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+if _only:
+    _want = {w.strip() for w in _only.split(",") if w.strip()}
+    HEAVY = [h for h in HEAVY if h in _want]
 
 
 def build(spark) -> None:
@@ -139,7 +151,7 @@ def main() -> None:
         "queries": out,
     }
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1_r06.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.environ.get("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r08.json")),
         "w",
     ) as f:
         json.dump(doc, f, indent=1)

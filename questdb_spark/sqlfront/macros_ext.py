@@ -106,6 +106,11 @@ def _kurt_sql(x: str, samp: bool) -> str:
 
 
 def _twap_sql(a: list[str]) -> str:
+    """twap(price, ts): sorted-collect fold — observations of one GROUP
+    are gathered into an array (the reference buffers them per group
+    slot too, TwapGroupByFunction's native entry buffer). Memory is
+    O(group size); for groups beyond ~1e6 observations use the column
+    API (functions/finance.twap — lead()-based, no collect)."""
     if len(a) != 2:
         raise ValueError("twap(price, ts)")
     p, ts = a[0], a[1]
