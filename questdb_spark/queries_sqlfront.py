@@ -1184,3 +1184,40 @@ SELECT event_id,
     / 25.0 END AS l2
 FROM b
 """
+
+
+def sql_window_range_units(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-unit RANGE frame bounds in OVER position
+    (``ExpressionParser.parseTimeUnit``; ``WindowFunctionTest.java:7911,
+    7939,8100`` — ``'1' HOUR PRECEDING``, bounded two-PRECEDING frames,
+    ``150 MICROSECOND PRECEDING``; unitless QUOTED bounds are native
+    timestamp resolution = microseconds).  Lowered to Spark calendar-
+    interval range frames — stays one window exchange per PARTITION BY,
+    no self-join."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, user_id, ts, "
+        "max(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "  RANGE BETWEEN '30' MINUTE PRECEDING AND CURRENT ROW) AS max_30m, "
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "  RANGE BETWEEN '2' HOUR PRECEDING AND '1' HOUR PRECEDING) AS n_prev_hour, "
+        "cast(cast(sum(cast(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts "
+        "  RANGE BETWEEN '300000000' PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS DOUBLE) AS sum_5m, "
+        "min(value) OVER (PARTITION BY user_id ORDER BY ts "
+        "  RANGE 45 minutes PRECEDING) AS min_45m "
+        "FROM events"
+    )
+
+
+SQL_WINDOW_RANGE_UNITS_SQL = """
+SELECT event_id, user_id, ts,
+  MAX(value) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) AS max_30m,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND INTERVAL 1 HOUR PRECEDING) AS n_prev_hour,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS DOUBLE) AS sum_5m,
+  MIN(value) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 45 MINUTE PRECEDING AND CURRENT ROW) AS min_45m
+FROM events
+"""

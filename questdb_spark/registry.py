@@ -166,6 +166,12 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_fn_surface_arrays,
         sq.SQL_FN_SURFACE_ARRAYS_SQL,
     ),
+    # time-unit RANGE frame bounds in OVER ('1' HOUR PRECEDING,
+    # unitless-quoted = micros, shorthand RANGE x unit PRECEDING) (r8)
+    "sql_window_range_units": (
+        sq.sql_window_range_units,
+        sq.SQL_WINDOW_RANGE_UNITS_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.

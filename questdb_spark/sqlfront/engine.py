@@ -250,6 +250,8 @@ class QdbEngine:
         rewritten = _rewrite_subscripts(rewritten)
         # ema/vwema/ksum/nsum in OVER position (window recurrences)
         rewritten = _rewrite_window_ema(rewritten)
+        # time-unit RANGE frame bounds in OVER(...) → Spark INTERVAL bounds
+        rewritten = _rewrite_range_frame_units(rewritten)
         rewritten = _expand_fn_macros(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
         # Spark's native range() — distributed index generation, no driver
@@ -2153,6 +2155,92 @@ def _rewrite_window_ema(s: str) -> str:
         if not changed:
             return s
     return s
+
+
+_RANGE_UNIT_SPARK = {
+    "nanosecond": None,  # sub-micro: folded to MICROSECOND below
+    "microsecond": "MICROSECOND",
+    "millisecond": "MILLISECOND",
+    "second": "SECOND",
+    "minute": "MINUTE",
+    "hour": "HOUR",
+    "day": "DAY",
+}
+
+_RANGE_BOUND_RE = re.compile(
+    r"(?<![\w.'])(?:'(\d+)'|(\d+))"
+    r"(?:\s+(nanoseconds?|microseconds?|milliseconds?|seconds?|minutes?"
+    r"|hours?|days?))?"
+    r"\s+(PRECEDING|FOLLOWING)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_range_frame_units(s: str) -> str:
+    """QuestDB time-unit RANGE frame bounds in OVER clauses
+    (``SqlParser.parseTimeUnit``/``ExpressionParser`` accept
+    nanosecond..day after the bound expression; unitless QUOTED bounds
+    over the designated timestamp are in the timestamp's native
+    resolution, i.e. microseconds — ``WindowFunctionTest.java``
+    ``RANGE BETWEEN '7' PRECEDING``, ``150 MICROSECOND PRECEDING``,
+    ``'1' HOUR PRECEDING`` forms).  Spark wants calendar-interval
+    literals for range frames over a timestamp ordering, so
+    ``<v> <unit> PRECEDING`` → ``INTERVAL '<v>' <UNIT> PRECEDING``.
+    Nanoseconds fold to microseconds when divisible by 1000 (our
+    TIMESTAMP is micro-resolution like the reference's classic type);
+    otherwise they are rejected.  Bare unquoted numbers WITHOUT a unit
+    are left alone — that is Spark's numeric range frame over a numeric
+    ordering, which both engines share.  Only OVER(...) spans are
+    touched: WINDOW JOIN's RANGE clause has its own parser."""
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    changed = False
+    for m in re.finditer(r"\bOVER\s*\(", masked, re.IGNORECASE):
+        oopen = m.end() - 1
+        oclose = _balanced_close(masked, oopen)
+        if oclose < 0 or oopen < last:
+            continue
+        mbody = masked[oopen + 1 : oclose]
+        rm = re.search(r"\bRANGE\b", mbody, re.IGNORECASE)
+        if rm is None:
+            continue
+        body = s[oopen + 1 : oclose]
+        # frame region: RANGE .. (EXCLUDE | end); EXCLUDE options carry
+        # no numeric bounds, but don't touch them anyway
+        em = re.search(r"\bEXCLUDE\b", mbody[rm.end() :], re.IGNORECASE)
+        rend = rm.end() + (em.start() if em else len(mbody) - rm.end())
+
+        def _one(bm: re.Match) -> str:
+            qv, bv, unit, kind = bm.groups()
+            if unit is None:
+                if qv is None:
+                    return bm.group(0)  # bare numeric range — Spark native
+                n, u = int(qv), "MICROSECOND"
+            else:
+                u = _RANGE_UNIT_SPARK[unit.lower().rstrip("s")]
+                n = int(qv if qv is not None else bv)
+                if u is None:
+                    if n % 1000:
+                        raise ValueError(
+                            "nanosecond RANGE bounds must be whole "
+                            "microseconds on TIMESTAMP columns"
+                        )
+                    n, u = n // 1000, "MICROSECOND"
+            return f"INTERVAL '{n}' {u} {kind.upper()}"
+
+        frame = body[rm.end() : rend]
+        new_frame = _RANGE_BOUND_RE.sub(_one, frame)
+        if new_frame != frame:
+            changed = True
+            new_body = body[: rm.end()] + new_frame + body[rend:]
+            out.append(s[last : oopen + 1])
+            out.append(new_body)
+            last = oclose
+    if not changed:
+        return s
+    out.append(s[last:])
+    return "".join(out)
 
 
 def _balanced_close(masked: str, open_pos: int) -> int:

@@ -677,3 +677,37 @@ def test_make_geohash_and_within(spark):
         "SELECT id FROM pts WHERE within(make_geohash(lon, lat, 40), 'u2', 'dr')"
     ).collect()}
     assert ids == {1, 3}
+
+
+def test_range_frame_unit_rewrite():
+    from questdb_spark.sqlfront.engine import _rewrite_range_frame_units as rw
+
+    # unit keyword -> Spark calendar interval
+    assert (
+        rw("select avg(v) over (order by ts range between 5 minutes preceding and current row) from t")
+        == "select avg(v) over (order by ts range between INTERVAL '5' MINUTE PRECEDING and current row) from t"
+    )
+    # quoted value + unit; both bounds
+    out = rw("select max(ts) over (order by ts range between '2' hour preceding and '1' hour preceding) from t")
+    assert "INTERVAL '2' HOUR PRECEDING" in out and "INTERVAL '1' HOUR PRECEDING" in out
+    # quoted unitless = native micros
+    assert "INTERVAL '7' MICROSECOND PRECEDING" in rw(
+        "select max(v) over (order by ts range between '7' preceding and current row) from t"
+    )
+    # bare unitless number = numeric range frame, untouched
+    s = "select sum(v) over (order by x range between 5 preceding and current row) from t"
+    assert rw(s) == s
+    # WINDOW JOIN's RANGE clause is not an OVER span — untouched
+    s2 = "select a from t window join q on (s) range between 30 seconds preceding and 30 seconds following"
+    assert rw(s2) == s2
+    # nanoseconds fold to whole micros; reject sub-micro remainders
+    assert "INTERVAL '2' MICROSECOND" in rw(
+        "select max(v) over (order by ts range 2000 nanoseconds preceding) from t"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rw("select max(v) over (order by ts range 1500 nanoseconds preceding) from t")
+    # string literals elsewhere in the statement don't confuse the span
+    s3 = "select 'range between 5 minutes preceding and current row', max(v) over (order by x rows between 1 preceding and current row) from t"
+    assert rw(s3) == s3
