@@ -1221,3 +1221,49 @@ SELECT event_id, user_id, ts,
     RANGE BETWEEN INTERVAL 45 MINUTE PRECEDING AND CURRENT ROW) AS min_45m
 FROM events
 """
+
+
+def sql_window_exclude(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame EXCLUDE clauses in OVER / named-WINDOW position
+    (``WindowExpression.java:47-55``; ``WindowExcludeCurrentRowTest.java``
+    — the reference supports NO OTHERS + CURRENT ROW and lowers the
+    latter by shrinking the frame end: ROWS → ``1 PRECEDING``, RANGE →
+    one native-resolution microsecond tick, so timestamp PEERS leave the
+    frame too).  One window exchange per PARTITION BY — the lowering
+    only edits frame bounds, it adds no self-join or extra pass."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, user_id, ts, "
+        "cast(cast(sum(cast(value AS DECIMAL(12,2))) OVER "
+        "  (PARTITION BY user_id ORDER BY ts, event_id "
+        "   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) "
+        "  AS DECIMAL(20,2)) AS DOUBLE) AS sum_prev3, "
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "  RANGE BETWEEN '1' HOUR PRECEDING AND CURRENT ROW "
+        "  EXCLUDE CURRENT ROW) AS n_hour_excl, "
+        "count(*) OVER w_noop AS n_past, "
+        "min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS UNBOUNDED PRECEDING EXCLUDE NO OTHERS) AS min_run "
+        "FROM events "
+        "WINDOW w_noop AS (PARTITION BY user_id ORDER BY ts "
+        "  RANGE BETWEEN '2' HOUR PRECEDING AND '1' HOUR PRECEDING "
+        "  EXCLUDE CURRENT ROW)"
+    )
+
+
+SQL_WINDOW_EXCLUDE_SQL = """
+SELECT event_id, user_id, ts,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    AS DECIMAL(20,2)) AS DOUBLE) AS sum_prev3,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+              AND INTERVAL 1 MICROSECOND PRECEDING) AS n_hour_excl,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+              AND INTERVAL 1 HOUR PRECEDING) AS n_past,
+  MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS min_run
+FROM events
+"""

@@ -172,6 +172,12 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_window_range_units,
         sq.SQL_WINDOW_RANGE_UNITS_SQL,
     ),
+    # frame EXCLUDE clauses (CURRENT ROW frame-shrink lowering, NO
+    # OTHERS no-op, named WINDOW defs) (r8)
+    "sql_window_exclude": (
+        sq.sql_window_exclude,
+        sq.SQL_WINDOW_EXCLUDE_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.

@@ -250,6 +250,8 @@ class QdbEngine:
         rewritten = _rewrite_subscripts(rewritten)
         # ema/vwema/ksum/nsum in OVER position (window recurrences)
         rewritten = _rewrite_window_ema(rewritten)
+        # frame EXCLUDE clauses → the reference's frame-shrink lowering
+        rewritten = _rewrite_frame_exclude(rewritten)
         # time-unit RANGE frame bounds in OVER(...) → Spark INTERVAL bounds
         rewritten = _rewrite_range_frame_units(rewritten)
         rewritten = _expand_fn_macros(rewritten)
@@ -2176,8 +2178,78 @@ _RANGE_BOUND_RE = re.compile(
 )
 
 
+def _window_spans(masked: str) -> list[tuple[int, int]]:
+    """Parenthesized spans of every window specification: ``OVER (...)``
+    clauses plus named-window definitions of the SQL-standard WINDOW
+    clause (``WINDOW w AS (...), v AS (...)`` — the form
+    ``WindowExcludeCurrentRowTest.java`` drives EXCLUDE through).
+    WINDOW JOIN never matches: its keyword is followed by JOIN, not
+    ``<ident> AS (``."""
+    spans: set[tuple[int, int]] = set()
+    for m in re.finditer(r"\bOVER\s*\(", masked, re.IGNORECASE):
+        o = m.end() - 1
+        c = _balanced_close(masked, o)
+        if c > 0:
+            spans.add((o, c))
+    for m in re.finditer(r"\bWINDOW\s+\w+\s+AS\s*\(", masked, re.IGNORECASE):
+        pos = m.end() - 1
+        while True:
+            c = _balanced_close(masked, pos)
+            if c < 0:
+                break
+            spans.add((pos, c))
+            nxt = re.match(r"\s*,\s*\w+\s+AS\s*\(", masked[c + 1 :], re.IGNORECASE)
+            if not nxt:
+                break
+            pos = c + nxt.end()
+    return sorted(spans)
+
+
+def _edit_window_spans(s: str, edit) -> str:
+    """Apply ``edit(body, masked_body) -> str | None`` to the interior of
+    each window-spec span of ``s``; None or an identical body leaves the
+    span unchanged."""
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    changed = False
+    for o, c in _window_spans(masked):
+        if o < last:
+            continue
+        new_body = edit(s[o + 1 : c], masked[o + 1 : c])
+        if new_body is None or new_body == s[o + 1 : c]:
+            continue
+        changed = True
+        out.append(s[last : o + 1])
+        out.append(new_body)
+        last = c
+    if not changed:
+        return s
+    out.append(s[last:])
+    return "".join(out)
+
+
+def _unit_bound_to_interval(bm: re.Match) -> str:
+    qv, bv, unit, kind = bm.groups()
+    if unit is None:
+        if qv is None:
+            return bm.group(0)  # bare numeric range — Spark native
+        n, u = int(qv), "MICROSECOND"
+    else:
+        u = _RANGE_UNIT_SPARK[unit.lower().rstrip("s")]
+        n = int(qv if qv is not None else bv)
+        if u is None:
+            if n % 1000:
+                raise ValueError(
+                    "nanosecond RANGE bounds must be whole "
+                    "microseconds on TIMESTAMP columns"
+                )
+            n, u = n // 1000, "MICROSECOND"
+    return f"INTERVAL '{n}' {u} {kind.upper()}"
+
+
 def _rewrite_range_frame_units(s: str) -> str:
-    """QuestDB time-unit RANGE frame bounds in OVER clauses
+    """QuestDB time-unit RANGE frame bounds in window specifications
     (``SqlParser.parseTimeUnit``/``ExpressionParser`` accept
     nanosecond..day after the bound expression; unitless QUOTED bounds
     over the designated timestamp are in the timestamp's native
@@ -2190,57 +2262,198 @@ def _rewrite_range_frame_units(s: str) -> str:
     TIMESTAMP is micro-resolution like the reference's classic type);
     otherwise they are rejected.  Bare unquoted numbers WITHOUT a unit
     are left alone — that is Spark's numeric range frame over a numeric
-    ordering, which both engines share.  Only OVER(...) spans are
-    touched: WINDOW JOIN's RANGE clause has its own parser."""
-    masked = mask_literals(s)
-    out: list[str] = []
-    last = 0
-    changed = False
-    for m in re.finditer(r"\bOVER\s*\(", masked, re.IGNORECASE):
-        oopen = m.end() - 1
-        oclose = _balanced_close(masked, oopen)
-        if oclose < 0 or oopen < last:
-            continue
-        mbody = masked[oopen + 1 : oclose]
+    ordering, which both engines share.  Applies to OVER(...) spans and
+    named WINDOW definitions; WINDOW JOIN's RANGE clause has its own
+    parser."""
+
+    def edit(body: str, mbody: str) -> str | None:
         rm = re.search(r"\bRANGE\b", mbody, re.IGNORECASE)
         if rm is None:
-            continue
-        body = s[oopen + 1 : oclose]
+            return None
         # frame region: RANGE .. (EXCLUDE | end); EXCLUDE options carry
         # no numeric bounds, but don't touch them anyway
         em = re.search(r"\bEXCLUDE\b", mbody[rm.end() :], re.IGNORECASE)
         rend = rm.end() + (em.start() if em else len(mbody) - rm.end())
-
-        def _one(bm: re.Match) -> str:
-            qv, bv, unit, kind = bm.groups()
-            if unit is None:
-                if qv is None:
-                    return bm.group(0)  # bare numeric range — Spark native
-                n, u = int(qv), "MICROSECOND"
-            else:
-                u = _RANGE_UNIT_SPARK[unit.lower().rstrip("s")]
-                n = int(qv if qv is not None else bv)
-                if u is None:
-                    if n % 1000:
-                        raise ValueError(
-                            "nanosecond RANGE bounds must be whole "
-                            "microseconds on TIMESTAMP columns"
-                        )
-                    n, u = n // 1000, "MICROSECOND"
-            return f"INTERVAL '{n}' {u} {kind.upper()}"
-
         frame = body[rm.end() : rend]
-        new_frame = _RANGE_BOUND_RE.sub(_one, frame)
-        if new_frame != frame:
-            changed = True
-            new_body = body[: rm.end()] + new_frame + body[rend:]
-            out.append(s[last : oopen + 1])
-            out.append(new_body)
-            last = oclose
-    if not changed:
-        return s
-    out.append(s[last:])
-    return "".join(out)
+        new_frame = _RANGE_BOUND_RE.sub(_unit_bound_to_interval, frame)
+        new_frame = _unify_interval_bounds(new_frame)
+        if new_frame == frame:
+            return None
+        return body[: rm.end()] + new_frame + body[rend:]
+
+    return _edit_window_spans(s, edit)
+
+
+_INTERVAL_BOUND_RE = re.compile(
+    r"INTERVAL\s+'(\d+)'\s+(MICROSECOND|MILLISECOND|SECOND|MINUTE|HOUR|DAY)",
+    re.IGNORECASE,
+)
+_UNIT_MICROS = {
+    "MICROSECOND": 1,
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+}
+
+
+def _unify_interval_bounds(frame: str) -> str:
+    """Spark types each day-time interval literal by its unit field and
+    rejects RANGE frames whose two bounds differ
+    (DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_DIFF_TYPES: ``INTERVAL
+    HOUR <> INTERVAL SECOND``).  QuestDB has no such restriction —
+    ``'2' HOUR PRECEDING AND '30' MINUTE PRECEDING`` is legal, and the
+    EXCLUDE lowering mixes a user unit with the microsecond tick.  When
+    a frame carries two interval bounds of different units, express
+    both as fractional SECOND literals (exact integer arithmetic; no
+    precision loss below the day scale)."""
+    bounds = list(_INTERVAL_BOUND_RE.finditer(frame))
+    if len(bounds) < 2 or len({m.group(2).upper() for m in bounds}) == 1:
+        return frame
+
+    def to_seconds(m: re.Match) -> str:
+        micros = int(m.group(1)) * _UNIT_MICROS[m.group(2).upper()]
+        secs, rem = divmod(micros, 1_000_000)
+        text = f"{secs}.{rem:06d}" if rem else str(secs)
+        return f"INTERVAL '{text}' SECOND"
+
+    return _INTERVAL_BOUND_RE.sub(to_seconds, frame)
+
+
+_EXCLUDE_RE = re.compile(
+    r"\s+EXCLUDE\s+(CURRENT\s+ROW|NO\s+OTHERS|GROUP|TIES)\s*$",
+    re.IGNORECASE,
+)
+_FRAME_KIND_RE = re.compile(r"\b(ROWS|RANGE|GROUPS)\b", re.IGNORECASE)
+# frame-bound shapes that imply a TIME ordering (QuestDB RANGE frames are
+# only legal over the designated timestamp): UNBOUNDED, INTERVAL literals,
+# quoted numbers, number+unit
+_TIME_BOUND_RE = re.compile(
+    r"UNBOUNDED|INTERVAL|'\d|\d\s*(?:nano|micro|milli|second|minute|hour|day)",
+    re.IGNORECASE,
+)
+_SHORTHAND_BOUND_RE = re.compile(
+    r"\s*(UNBOUNDED|'[^']*'(?:\s+\w+)?|\d+(?:\s+\w+)?"
+    r"|INTERVAL\s+'[^']*'\s+\w+)\s+PRECEDING\s*$",
+    re.IGNORECASE,
+)
+
+
+def _exclude_tick(kind: str, start: str) -> str:
+    if kind != "RANGE":
+        return "1 PRECEDING"
+    # RANGE: one native-resolution tick (microsecond) on the designated-
+    # timestamp ordering — the only ordering the reference allows for
+    # RANGE frames; bare numeric bounds are the Spark numeric-range
+    # extension and tick by 1.
+    if _TIME_BOUND_RE.search(start):
+        return "1 microsecond PRECEDING"
+    return "1 PRECEDING"
+
+
+def _shrink_frame_end(body: str, mbody: str) -> str:
+    """Rewrite the frame of a window-spec body so the current row (and,
+    for RANGE, its timestamp peers) falls out — the reference's own
+    EXCLUDE CURRENT ROW lowering."""
+    fm = _FRAME_KIND_RE.search(mbody)
+    if fm is None:
+        raise ValueError("EXCLUDE requires an explicit window frame")
+    kind = fm.group(1).upper()
+    rest, mrest = body[fm.end() :], mbody[fm.end() :]
+    bm = re.match(r"\s*BETWEEN\b", mrest, re.IGNORECASE)
+    if bm:
+        am = re.search(r"\bAND\b", mrest, re.IGNORECASE)
+        if am is None:
+            raise ValueError("malformed window frame: BETWEEN without AND")
+        start, mstart = rest[bm.end() : am.start()], mrest[bm.end() : am.start()]
+        mend = mrest[am.end() :]
+        if re.search(r"\bCURRENT\s+ROW\b", mend, re.IGNORECASE):
+            if re.search(
+                r"\bCURRENT\s+ROW\b|\bFOLLOWING\b", mstart, re.IGNORECASE
+            ):
+                raise ValueError(
+                    "EXCLUDE CURRENT ROW leaves an empty frame "
+                    f"({kind} BETWEEN{start.rstrip()} AND CURRENT ROW)"
+                )
+            return (
+                body[: fm.end()]
+                + rest[: am.end()]
+                + " "
+                + _exclude_tick(kind, start)
+            )
+        if re.search(r"\bUNBOUNDED\s+FOLLOWING\b", mend, re.IGNORECASE):
+            raise ValueError(
+                "EXCLUDE CURRENT ROW not supported with UNBOUNDED "
+                "FOLLOWING frame boundary"
+            )
+        if re.search(r"\bFOLLOWING\b", mend, re.IGNORECASE):
+            raise ValueError(
+                "EXCLUDE CURRENT ROW not supported with FOLLOWING "
+                "frame boundary"
+            )
+        return body  # frame ends at .. PRECEDING — EXCLUDE is a no-op
+    if re.search(r"\bCURRENT\s+ROW\s*$", mrest, re.IGNORECASE):
+        raise ValueError(
+            f"EXCLUDE CURRENT ROW leaves an empty frame ({kind} CURRENT ROW)"
+        )
+    # shorthand: <kind> <start> PRECEDING  (end = CURRENT ROW implicitly)
+    sm = _SHORTHAND_BOUND_RE.match(rest)
+    if sm is None:
+        return body
+    start = sm.group(1)
+    return (
+        body[: fm.end()]
+        + " BETWEEN "
+        + rest[sm.start(1) :].rstrip()
+        + " AND "
+        + _exclude_tick(kind, start)
+    )
+
+
+def _rewrite_frame_exclude(s: str) -> str:
+    """Frame EXCLUDE clauses (``WindowExpression.java:47-55``; the
+    runtime supports only NO OTHERS and CURRENT ROW —
+    ``WindowFunctionTest.testFrameFunctionRejectsExclusionModesOtherThanDefault``).
+    Spark has no EXCLUDE, and the reference itself lowers EXCLUDE
+    CURRENT ROW by SHRINKING the frame end
+    (``WindowExcludeCurrentRowTest.java`` plan assertions:
+    ``ROWS .. AND CURRENT ROW`` → ``.. AND 1 PRECEDING``;
+    ``RANGE .. AND CURRENT ROW`` → ``.. AND 1 PRECEDING`` in native
+    timestamp resolution — so for RANGE the current row's PEERS leave
+    the frame too).  Mirror that lowering exactly:
+
+    - ``EXCLUDE NO OTHERS`` — the no-op default: stripped;
+    - ``EXCLUDE CURRENT ROW`` with a frame ending at CURRENT ROW
+      (BETWEEN or shorthand form) — the end becomes ``1 PRECEDING``
+      (ROWS/GROUPS) or one microsecond tick (time RANGE; lowered to an
+      INTERVAL bound by :func:`_rewrite_range_frame_units`, which runs
+      next in the pipeline);
+    - a frame already ending at ``.. PRECEDING`` — the current row is
+      not in it: stripped (``rows_plain == rows_excluded`` in the
+      reference test);
+    - ``EXCLUDE GROUP`` / ``TIES`` and FOLLOWING frame ends — rejected
+      with the reference's error messages; a frame that would become
+      empty (``CURRENT ROW AND CURRENT ROW``) is rejected too, since
+      Spark cannot represent an empty frame."""
+
+    def edit(body: str, mbody: str) -> str | None:
+        em = _EXCLUDE_RE.search(mbody)
+        if em is None:
+            return None
+        mode = " ".join(em.group(1).upper().split())
+        if mode in ("GROUP", "TIES"):
+            raise ValueError(
+                "only EXCLUDE NO OTHERS and EXCLUDE CURRENT ROW "
+                "exclusion modes are supported"
+            )
+        stripped = body[: em.start()] + body[em.end() :]
+        mstripped = mbody[: em.start()] + mbody[em.end() :]
+        if mode == "NO OTHERS":
+            return stripped
+        return _shrink_frame_end(stripped, mstripped)
+
+    return _edit_window_spans(s, edit)
 
 
 def _balanced_close(masked: str, open_pos: int) -> int:

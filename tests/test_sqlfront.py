@@ -711,3 +711,74 @@ def test_range_frame_unit_rewrite():
     # string literals elsewhere in the statement don't confuse the span
     s3 = "select 'range between 5 minutes preceding and current row', max(v) over (order by x rows between 1 preceding and current row) from t"
     assert rw(s3) == s3
+
+
+def test_frame_exclude_rewrite():
+    from questdb_spark.sqlfront.engine import (
+        _rewrite_frame_exclude as rw,
+        _rewrite_range_frame_units as ru,
+    )
+
+    # ROWS ending at CURRENT ROW: end shrinks to 1 PRECEDING
+    assert rw(
+        "select sum(x) over (order by ts rows between 2 preceding and current row exclude current row) from t"
+    ) == "select sum(x) over (order by ts rows between 2 preceding and 1 PRECEDING) from t"
+    # frame entirely in the past: EXCLUDE is a no-op (reference
+    # rows_plain == rows_excluded)
+    assert rw(
+        "select sum(x) over (order by ts rows between 2 preceding and 1 preceding exclude current row) from t"
+    ) == "select sum(x) over (order by ts rows between 2 preceding and 1 preceding) from t"
+    # RANGE: one microsecond tick — the current row's PEERS leave too.
+    # Mixed-unit bounds are unified to fractional SECOND (Spark rejects
+    # RANGE frames whose two interval bounds carry different unit types).
+    out = ru(rw(
+        "select sum(x) over (order by ts range between 2 second preceding and current row exclude current row) from t"
+    ))
+    assert "INTERVAL '2' SECOND PRECEDING" in out
+    assert "INTERVAL '0.000001' SECOND PRECEDING" in out
+    # UNBOUNDED PRECEDING start keeps the timestamp tick
+    assert "INTERVAL '1' MICROSECOND PRECEDING" in ru(rw(
+        "select sum(x) over (order by ts range between unbounded preceding and current row exclude current row) from t"
+    ))
+    # bare-numeric RANGE (Spark numeric-ordering extension): numeric tick
+    assert rw(
+        "select sum(v) over (order by x range between 5 preceding and current row exclude current row) from t"
+    ).endswith("range between 5 preceding and 1 PRECEDING) from t")
+    # shorthand frame gains an explicit BETWEEN
+    assert rw(
+        "select sum(x) over (order by ts rows 3 preceding exclude current row) from t"
+    ) == "select sum(x) over (order by ts rows BETWEEN 3 preceding AND 1 PRECEDING) from t"
+    # EXCLUDE NO OTHERS is the no-op default: stripped
+    assert rw(
+        "select sum(x) over (order by ts rows unbounded preceding exclude no others) from t"
+    ) == "select sum(x) over (order by ts rows unbounded preceding) from t"
+    # named WINDOW definitions are window specs too
+    assert rw(
+        "select v, sum(v) over w s from t window w as (order by ts rows between 2 preceding and current row exclude current row)"
+    ).endswith("window w as (order by ts rows between 2 preceding and 1 PRECEDING)")
+    # reference error surface
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="only EXCLUDE NO OTHERS"):
+        rw("select sum(x) over (order by ts rows between 2 preceding and current row exclude ties) from t")
+    with _pytest.raises(ValueError, match="only EXCLUDE NO OTHERS"):
+        rw("select sum(x) over (order by ts rows unbounded preceding exclude group) from t")
+    with _pytest.raises(ValueError, match="UNBOUNDED FOLLOWING"):
+        rw("select sum(x) over (order by ts rows between unbounded preceding and unbounded following exclude current row) from t")
+    with _pytest.raises(ValueError, match="empty frame"):
+        rw("select sum(x) over (order by ts rows between current row and current row exclude current row) from t")
+    # EXCLUDE inside a string literal is untouched
+    s = "select 'rows 1 preceding exclude current row', max(v) over (order by x) from t"
+    assert rw(s) == s
+
+
+def test_range_units_in_named_window_defs():
+    from questdb_spark.sqlfront.engine import _rewrite_range_frame_units as ru
+
+    out = ru(
+        "select sum(v) over w from t "
+        "window w as (order by ts range between 2 second preceding and current row), "
+        "v as (order by ts range '30' minute preceding)"
+    )
+    assert "INTERVAL '2' SECOND PRECEDING" in out
+    assert "INTERVAL '30' MINUTE PRECEDING" in out
