@@ -1267,3 +1267,30 @@ SELECT event_id, user_id, ts,
     ROWS UNBOUNDED PRECEDING) AS min_run
 FROM events
 """
+
+
+def sql_with_cte_bare(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-level WITH over dialect bodies plus the optional-SELECT
+    grammar (``SqlParser.java`` parseWith / parseDml: a statement may
+    start at the table expression — ``trades WHERE x > 0`` is a complete
+    query, and CTE names bind in every table position including the
+    bare-main shorthand).  The CTE body is a SAMPLE BY — a dialect
+    clause Spark's native CTE path can't see — and the main query is the
+    bare ``hourly WHERE ...`` form."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "WITH hourly AS ("
+        "  SELECT ts, user_id, count(*) AS n_ev, "
+        "         min(value) AS min_v, max(value) AS max_v "
+        "  FROM events SAMPLE BY 1h) "
+        "hourly WHERE n_ev > 2"
+    )
+
+
+SQL_WITH_CTE_BARE_SQL = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts, user_id,
+         count(*) AS n_ev, min(value) AS min_v, max(value) AS max_v
+  FROM events GROUP BY 1, 2)
+SELECT * FROM hourly WHERE n_ev > 2
+"""

@@ -178,6 +178,11 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_window_exclude,
         sq.SQL_WINDOW_EXCLUDE_SQL,
     ),
+    # WITH over dialect bodies + optional-SELECT bare-table grammar (r8)
+    "sql_with_cte_bare": (
+        sq.sql_with_cte_bare,
+        sq.SQL_WITH_CTE_BARE_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.

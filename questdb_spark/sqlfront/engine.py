@@ -29,6 +29,7 @@ from ..operators.window_join import markout_agg, window_join
 from .parser import (
     QdbQuery,
     SelectItem,
+    depth0_spans,
     expand_declare,
     mask_literals,
     parse,
@@ -225,7 +226,18 @@ class QdbEngine:
 
         if ddl.statement_kind(query) is not None:
             return ddl.execute(self, query)
-        rewritten = self._rewrite_day_functions(expand_declare(query))
+        declared = expand_declare(query)
+        # top-level WITH over dialect bodies: bind each CTE as a scoped
+        # table, then lower the main query (SqlParser.java parseWith).
+        # Pure-ANSI WITH (no dialect clause, SELECT main query) stays on
+        # Spark's native CTE path.
+        if re.match(r"\s*WITH\b", mask_literals(declared), re.IGNORECASE):
+            handled = self._maybe_lower_with_ctes(declared)
+            if handled is not None:
+                return handled
+        # QuestDB's optional-SELECT grammar: a statement (or subquery /
+        # set-op operand) may start at the table expression
+        rewritten = self._rewrite_day_functions(self._wrap_bare_query(declared))
         rewritten = self._rewrite_in_interval_fn(rewritten)
         rewritten = self._rewrite_intervals(rewritten)
         # QuestDB's bare `count()` ≡ `count(*)` (CountConstGroupByFunction)
@@ -370,6 +382,232 @@ class QdbEngine:
                 last = m.end()
         parts.append(s[last:].strip())
         return parts, ops
+
+    # ------------------------------------------------------------------
+    # QuestDB's optional-SELECT grammar (SqlParser.java parseDml: when the
+    # statement does not open with SELECT/'(' the parser drops straight
+    # into the table expression — `trades;`, `trades WHERE x > 0`,
+    # `trades LATEST ON ts PARTITION BY sym` are all complete queries,
+    # and the same shorthand is legal inside parenthesized subqueries and
+    # set-operation operands).
+    _BARE_SETOP_RE = re.compile(
+        r"\b(UNION\s+ALL|UNION|INTERSECT\s+ALL|INTERSECT|EXCEPT\s+ALL|EXCEPT)\b",
+        re.IGNORECASE,
+    )
+    # clause keywords that can legally follow the table name of a bare
+    # query — inside parens a lone identifier stays ambiguous with a
+    # column reference, so the shorthand is only recognized when one of
+    # these (or end-of-text in FROM/JOIN position) follows
+    _BARE_TAIL_RE = re.compile(
+        r"(?:WHERE|ORDER|LATEST|SAMPLE|LIMIT|TIMESTAMP|UNION|INTERSECT|"
+        r"EXCEPT|ASOF|LT|SPLICE|WINDOW|HORIZON|JOIN|LEFT|RIGHT|INNER|"
+        r"CROSS|FULL|GROUP)\b",
+        re.IGNORECASE,
+    )
+    # table functions valid in statement position (`long_sequence(10)` is
+    # a complete QuestDB query); names resolved by later rewrite passes
+    _BARE_TABLE_FN_RE = re.compile(
+        r"(?:read_parquet|long_sequence|generate_series|tables|"
+        r"table_columns|table_partitions|wal_transactions|query_activity|"
+        r"functions|keywords|views|materialized_views|live_views)\s*\(",
+        re.IGNORECASE,
+    )
+
+    def _known_table_names(self) -> set[str]:
+        names = set(self.tables) | set(self.ddl_tables) | set(self.views)
+        names |= set(self.matviews)
+        return {n.lower() for n in names}
+
+    def _bare_wrap_one(self, text: str, mtext: str, top: bool) -> str | None:
+        """``SELECT * FROM``-wrap one statement / subquery / set-op operand
+        if it starts at a table expression; None = not the shorthand."""
+        m = re.match(r'\s*("?[A-Za-z_][\w$]*"?)\s*', mtext)
+        if m is None:
+            return None
+        tok = m.group(1).strip('"')
+        rest = mtext[m.end() :].lstrip()
+        if rest[:1] == ".":
+            return None
+        if rest[:1] == "(":
+            if top and self._BARE_TABLE_FN_RE.match(mtext.lstrip()):
+                return "SELECT * FROM " + text.strip()
+            return None
+        if tok.lower() not in self._known_table_names():
+            return None
+        if re.match(r"PIVOT\b", rest, re.IGNORECASE):
+            # bare `table PIVOT (...)` has its own statement-position
+            # rewrite with the reference's full error surface
+            return None
+        if top or not rest or self._BARE_TAIL_RE.match(rest):
+            return "SELECT * FROM " + text.strip()
+        return None
+
+    def _wrap_bare_query(self, s: str) -> str:
+        masked = mask_literals(s)
+        inserts: list[int] = []  # positions where "SELECT * FROM " goes
+
+        def scan(lo: int, hi: int, top: bool) -> None:
+            # split this region at its depth-0 set-op keywords, try the
+            # shorthand on each operand, then recurse into paren groups
+            cuts = []
+            for slo, shi in depth0_spans(masked[lo:hi]):
+                for m in self._BARE_SETOP_RE.finditer(masked, lo + slo, lo + shi):
+                    cuts.append((m.start(), m.end()))
+            starts = [lo] + [en for _, en in cuts]
+            ends = [st for st, _ in cuts] + [hi]
+            for plo, phi in zip(starts, ends):
+                if self._bare_wrap_one(s[plo:phi], masked[plo:phi], top):
+                    inserts.append(plo + (len(s[plo:phi]) - len(s[plo:phi].lstrip())))
+            depth = 0
+            oopen = -1
+            for i in range(lo, hi):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                    if depth == 1:
+                        oopen = i
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and oopen >= 0:
+                        # FROM/JOIN position allows the lone-identifier and
+                        # alias forms, like the statement position does
+                        prev = re.search(r"(\w+)\s*$", masked[lo:oopen])
+                        ptop = bool(
+                            prev
+                            and prev.group(1).upper() in ("FROM", "JOIN")
+                        )
+                        scan(oopen + 1, i, ptop)
+                        oopen = -1
+
+        scan(0, len(s), True)
+        if not inserts:
+            return s
+        out: list[str] = []
+        last = 0
+        for pos in sorted(inserts):
+            out.append(s[last:pos])
+            out.append("SELECT * FROM ")
+            last = pos
+        out.append(s[last:])
+        return "".join(out)
+
+    # ------------------------------------------------------------------
+    def _infer_cte_ts(self, body: str, df: DataFrame) -> str | None:
+        """Designated-timestamp propagation through a WITH binding: if the
+        CTE body's first FROM source has a designated timestamp that
+        survives into the output schema, the binding keeps it (the
+        reference propagates timestamp metadata through WITH —
+        ``QueryModel`` carries it; SAMPLE BY / ORDER BY ts outputs stay
+        designated)."""
+        m = re.search(r"\bFROM\s+([A-Za-z_][\w$]*)", mask_literals(body), re.IGNORECASE)
+        if m is None:
+            return None
+        ts = self.designated_ts.get(m.group(1)) or self.designated_ts.get(
+            m.group(1).lower()
+        )
+        if ts and ts in df.columns:
+            return ts
+        return None
+
+    def _parse_with_prefix(self, stmt: str) -> tuple[list[tuple[str, str]], str]:
+        """Split ``WITH n AS (...) [, m AS (...)] <main>`` into bindings and
+        the main query text."""
+        masked = mask_literals(stmt)
+        pos = re.match(r"\s*WITH\s+", masked, re.IGNORECASE).end()
+        ctes: list[tuple[str, str]] = []
+        while True:
+            hm = re.match(
+                r'("?[A-Za-z_][\w$]*"?)\s+AS\s*\(', masked[pos:], re.IGNORECASE
+            )
+            if hm is None:
+                raise ValueError(
+                    f"malformed WITH clause near: {stmt[pos : pos + 40]!r}"
+                )
+            name = hm.group(1).strip('"')
+            oopen = pos + hm.end() - 1
+            oclose = _balanced_close(masked, oopen)
+            if oclose < 0:
+                raise ValueError("unbalanced parenthesis in WITH clause")
+            ctes.append((name, stmt[oopen + 1 : oclose]))
+            nxt = re.match(r"\s*,\s*", masked[oclose + 1 :])
+            if nxt:
+                pos = oclose + 1 + nxt.end()
+            else:
+                pos = oclose + 1
+                break
+        main = stmt[pos:].strip()
+        if not main:
+            raise ValueError("WITH clause without a query body")
+        return ctes, main
+
+    def _maybe_lower_with_ctes(self, stmt: str) -> DataFrame | None:
+        """Decide whether this WITH needs the dialect CTE path: yes when
+        the statement carries a dialect clause, or the main query uses the
+        optional-SELECT shorthand (``WITH q AS (...) q``).  Pure-ANSI WITH
+        returns None — Spark's native CTE handling is the fast path and
+        also covers forms this parser doesn't (column-alias CTE lists)."""
+        dialect = self._needs_dialect(stmt)
+        try:
+            ctes, main = self._parse_with_prefix(stmt)
+        except ValueError:
+            if dialect:
+                raise
+            return None
+        if not dialect and re.match(
+            r"SELECT\b|\(", main.lstrip(), re.IGNORECASE
+        ):
+            return None
+        return self._lower_with_ctes(ctes, main)
+
+    def _lower_with_ctes(
+        self, ctes: list[tuple[str, str]], main: str
+    ) -> DataFrame:
+        """Top-level WITH over dialect queries (SqlParser.java parseWith;
+        ``WITH x AS (...) [, y AS (...)] <query>``): evaluate each binding
+        in order (later bodies may reference earlier names), register it
+        as a statement-scoped table, lower the main query, then restore
+        whatever the names shadowed.  Bindings resolve in every table
+        position — FROM, ANSI joins, ASOF/LT/SPLICE/WINDOW JOIN slaves,
+        set-op operands, even the bare-table main-query shorthand."""
+        saved: dict[str, tuple] = {}
+        bound: list[str] = []
+        try:
+            for name, body in ctes:
+                df = self.sql(body)
+                if name not in saved:
+                    saved[name] = (
+                        self.tables.get(name),
+                        self.designated_ts.get(name),
+                        self.tiebreak.get(name),
+                        name in self.tables,
+                    )
+                    bound.append(name)
+                ts = self._infer_cte_ts(body, df)
+                self.tables[name] = df
+                if ts:
+                    self.designated_ts[name] = ts
+                else:
+                    self.designated_ts.pop(name, None)
+                self.tiebreak.pop(name, None)
+                df.createOrReplaceTempView(name)
+            return self.sql(main)
+        finally:
+            for name in bound:
+                old_df, old_ts, old_tb, existed = saved[name]
+                if existed:
+                    self.tables[name] = old_df
+                    old_df.createOrReplaceTempView(name)
+                else:
+                    self.tables.pop(name, None)
+                    self.spark.catalog.dropTempView(name)
+                if old_ts is not None:
+                    self.designated_ts[name] = old_ts
+                else:
+                    self.designated_ts.pop(name, None)
+                if old_tb is not None:
+                    self.tiebreak[name] = old_tb
+                else:
+                    self.tiebreak.pop(name, None)
 
     _DAY_FN_RE = re.compile(
         r"\b(today|yesterday|tomorrow)\s*\(\s*('[^']*')?\s*\)", re.IGNORECASE

@@ -782,3 +782,80 @@ def test_range_units_in_named_window_defs():
     )
     assert "INTERVAL '2' SECOND PRECEDING" in out
     assert "INTERVAL '30' MINUTE PRECEDING" in out
+
+
+def test_bare_table_queries(eng, spark):
+    # a statement may start at the table expression (SqlParser.java
+    # parseDml: optional SELECT)
+    assert eng.sql("events LIMIT 3").count() == 3
+    ev = load_table(spark, SF_DIR, "events")
+    n1 = ev.filter(F.col("user_id") == 1).count()
+    assert eng.sql("events WHERE user_id = 1").count() == n1
+    # bare LATEST ON: one row per key
+    lt = eng.sql("events LATEST ON ts PARTITION BY user_id")
+    assert lt.count() == ev.select("user_id").distinct().count()
+    # set-op operands may be bare too
+    n2 = ev.filter(F.col("user_id") == 2).count()
+    assert (
+        eng.sql(
+            "events WHERE user_id = 1 UNION ALL events WHERE user_id = 2"
+        ).count()
+        == n1 + n2
+    )
+    # parenthesized bare subquery in statement and FROM position
+    assert eng.sql("(events WHERE user_id = 1) LIMIT 2").count() == 2
+    assert (
+        eng.sql("SELECT count(*) AS n FROM (events WHERE user_id = 1)").first().n
+        == n1
+    )
+    # table functions are statements (`long_sequence(5)` is a query)
+    assert eng.sql("long_sequence(5)").count() == 5
+    assert eng.sql("tables()").count() >= 1
+    # alias form
+    assert eng.sql("events e WHERE e.user_id = 1").count() == n1
+    # a column wrapped in parens must NOT be mistaken for a subquery
+    assert eng.sql("SELECT (value) AS v FROM events LIMIT 1").count() == 1
+    # string literals never trigger the shorthand
+    assert (
+        eng.sql("SELECT 'events WHERE 1' AS s FROM events LIMIT 1").first().s
+        == "events WHERE 1"
+    )
+
+
+def test_with_cte_dialect(eng, spark):
+    ev = load_table(spark, SF_DIR, "events")
+    # dialect body (SAMPLE BY) + plain main
+    n_hours = (
+        ev.select(F.date_trunc("hour", "ts").alias("h")).distinct().count()
+    )
+    r = eng.sql(
+        "WITH s AS (SELECT ts, count(*) AS c FROM events SAMPLE BY 1h) "
+        "SELECT count(*) AS n FROM s"
+    ).first()
+    assert r.n == n_hours
+    # chained CTEs: later bodies see earlier names; main is dialect again
+    df = eng.sql(
+        "WITH s AS (SELECT ts, count(*) AS c FROM events SAMPLE BY 1h), "
+        "t AS (SELECT ts, c FROM s WHERE c > 0) "
+        "SELECT ts, max(c) AS m FROM t SAMPLE BY 1d"
+    )
+    assert df.count() == ev.select(F.to_date("ts")).distinct().count()
+    # bare-table main query (`WITH q AS (...) q`)
+    assert eng.sql("WITH q AS (SELECT user_id FROM events LIMIT 5) q").count() == 5
+    # CTE name shadows a registered table for the statement only
+    n1 = ev.filter(F.col("user_id") == 1).count()
+    r = eng.sql(
+        "WITH events AS (SELECT * FROM events WHERE user_id = 1) "
+        "SELECT count(*) AS n FROM events"
+    ).first()
+    assert r.n == n1
+    assert eng.sql("SELECT count(*) AS n FROM events").first().n == ev.count()
+    # CTE binds in ASOF JOIN slave position (designated ts propagated)
+    df = eng.sql(
+        "WITH px AS (SELECT ts, user_id, value FROM events WHERE value > 90) "
+        "SELECT count(*) AS n FROM events ASOF JOIN px ON user_id"
+    )
+    assert df.first().n == ev.count()
+    # malformed WITH over a dialect statement errors cleanly
+    with pytest.raises(ValueError, match="malformed WITH"):
+        eng.sql("WITH x(a) AS (SELECT 1) SELECT ts FROM events SAMPLE BY 1h")
