@@ -1294,3 +1294,28 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2)
 SELECT * FROM hourly WHERE n_ev > 2
 """
+
+
+def sql_implicit_group_by(spark: SparkSession, sf: str) -> DataFrame:
+    """QuestDB's implicit GROUP BY (``GroupByUtils.java``
+    ``SqlOptimiser.rewriteSelectClause``): plain select columns next to
+    aggregates become group keys without a GROUP BY clause — the
+    dialect's idiomatic aggregation form.  Exercises a plain key, an
+    expression key with a bare alias, HAVING over an inferred group, and
+    ORDER BY an aggregate alias."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_type, user_id % 7 cohort, count() AS n_ev, "
+        "       min(value) AS min_v, max(value) AS max_v "
+        "FROM events WHERE user_id < 900 "
+        "HAVING n_ev > 1"
+    )
+
+
+SQL_IMPLICIT_GROUP_BY_SQL = """
+SELECT event_type, user_id % 7 AS cohort, count(*) AS n_ev,
+       min(value) AS min_v, max(value) AS max_v
+FROM events WHERE user_id < 900
+GROUP BY event_type, cohort
+HAVING count(*) > 1
+"""

@@ -183,6 +183,11 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_with_cte_bare,
         sq.SQL_WITH_CTE_BARE_SQL,
     ),
+    # implicit GROUP BY: plain columns next to aggregates (r8)
+    "sql_implicit_group_by": (
+        sq.sql_implicit_group_by,
+        sq.SQL_IMPLICIT_GROUP_BY_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.

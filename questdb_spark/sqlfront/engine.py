@@ -267,6 +267,8 @@ class QdbEngine:
         # time-unit RANGE frame bounds in OVER(...) → Spark INTERVAL bounds
         rewritten = _rewrite_range_frame_units(rewritten)
         rewritten = _expand_fn_macros(rewritten)
+        # implicit GROUP BY: plain columns next to aggregates become keys
+        rewritten = self._implicit_group_by(rewritten)
         # long_sequence(n) table function (LongSequenceFunctionFactory):
         # Spark's native range() — distributed index generation, no driver
         # materialization. Only the integer-literal form; QuestDB itself
@@ -487,6 +489,135 @@ class QdbEngine:
         for pos in sorted(inserts):
             out.append(s[last:pos])
             out.append("SELECT * FROM ")
+            last = pos
+        out.append(s[last:])
+        return "".join(out)
+
+    # ------------------------------------------------------------------
+    # QuestDB's implicit GROUP BY (GroupByUtils.java assembleGroupByFunctions
+    # via SqlOptimiser.rewriteSelectClause: when a select list mixes
+    # aggregate and non-aggregate columns without a GROUP BY clause, every
+    # non-aggregate column becomes a group key — `SELECT sym, avg(price)
+    # FROM trades` is the dialect's idiomatic aggregation form).
+    # WINDOW/HORIZON/MARKOUT JOIN aggregate per master row, not per group
+    # — their mixed select lists are the operator's own semantics
+    _GB_SKIP_RE = re.compile(
+        r"\b(GROUP\s+BY|SAMPLE\s+BY|LATEST\s+ON|WINDOW\s+JOIN|"
+        r"HORIZON\s+JOIN|MARKOUT)\b",
+        re.IGNORECASE,
+    )
+    _GB_INSERT_BEFORE_RE = re.compile(
+        r"\b(HAVING|ORDER\s+BY|LIMIT)\b", re.IGNORECASE
+    )
+    _GB_ALIAS_STOP = frozenset(
+        "and or not in like ilike between is null true false case when then "
+        "else end escape from where over rows range groups preceding "
+        "following exclude".split()
+    )
+
+    @staticmethod
+    def _gb_key_expr(item: str) -> str:
+        """Group-key text for a non-aggregate select item: its alias when
+        one is present (Spark resolves GROUP BY aliases), else the
+        expression itself."""
+        it = item.strip()
+        m = re.search(r'\s+AS\s+("?[A-Za-z_]\w*"?)\s*$', it, re.IGNORECASE)
+        if m:
+            return m.group(1).strip('"')
+        m = re.match(r'^(.*\S)\s+("?[A-Za-z_]\w*"?)$', it, re.DOTALL)
+        if m:
+            alias = m.group(2).strip('"')
+            prev = re.search(r"([\w)\]'\"]+)\s*$", m.group(1))
+            if (
+                prev is not None
+                and alias.lower() not in QdbEngine._GB_ALIAS_STOP
+                and prev.group(1).lower() not in QdbEngine._GB_ALIAS_STOP
+                and not re.search(r"[-+*/%,<>=|&^~!]$", m.group(1))
+            ):
+                return alias
+        return it
+
+    def _implicit_group_by(self, s: str) -> str:
+        """Insert the inferred GROUP BY into every select block (at any
+        nesting depth) that mixes top-level aggregate and plain columns
+        without one.  Blocks with SAMPLE BY / LATEST ON keep their own
+        key-inference lowering; window expressions (OVER), DISTINCT, and
+        star projections disable inference for their block, exactly the
+        cases where the reference requires explicit grouping too.  A
+        mis-detected key can only surface as Spark's not-in-group-by
+        analysis error, never a silently regrouped result — the inserted
+        clause must still cover every plain select item."""
+        masked = mask_literals(s)
+        edits: list[tuple[int, str]] = []
+
+        def d0(lo: int, hi: int, regex: re.Pattern) -> re.Match | None:
+            for slo, shi in depth0_spans(masked[lo:hi]):
+                m = regex.search(masked, lo + slo, lo + shi)
+                if m:
+                    return m
+            return None
+
+        def block(lo: int, hi: int) -> None:
+            sm = d0(lo, hi, re.compile(r"\bSELECT\b", re.IGNORECASE))
+            if sm is None:
+                return
+            fm = d0(sm.end(), hi, re.compile(r"\bFROM\b", re.IGNORECASE))
+            if fm is None:
+                return
+            if d0(sm.end(), hi, self._GB_SKIP_RE) is not None:
+                return
+            items = split_top_level(s[sm.end() : fm.start()])
+            if not items or re.match(r"\s*DISTINCT\b", items[0], re.IGNORECASE):
+                return
+            keys: list[str] = []
+            n_agg = 0
+            for item in items:
+                st = item.strip()
+                if st == "*" or st.endswith(".*") or not st:
+                    return
+                mitem = mask_literals(item)
+                if re.search(r"\bOVER\b", mitem, re.IGNORECASE):
+                    return
+                if _AGG_RE.search(mitem):
+                    n_agg += 1
+                else:
+                    keys.append(self._gb_key_expr(item))
+            if n_agg == 0 or not keys:
+                return
+            im = d0(fm.end(), hi, self._GB_INSERT_BEFORE_RE)
+            pos = im.start() if im else hi
+            edits.append((pos, f" GROUP BY {', '.join(keys)} "))
+
+        def scan(lo: int, hi: int) -> None:
+            cutpts = [lo]
+            for slo, shi in depth0_spans(masked[lo:hi]):
+                for m in self._BARE_SETOP_RE.finditer(masked, lo + slo, lo + shi):
+                    cutpts.extend((m.start(), m.end()))
+            cutpts.append(hi)
+            for blo, bhi in zip(cutpts[0::2], cutpts[1::2]):
+                block(blo, bhi)
+            depth = 0
+            oopen = -1
+            for i in range(lo, hi):
+                ch = masked[i]
+                if ch == "(":
+                    depth += 1
+                    if depth == 1:
+                        oopen = i
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and oopen >= 0:
+                        scan(oopen + 1, i)
+                        oopen = -1
+
+        scan(0, len(s))
+        if not edits:
+            return s
+        out: list[str] = []
+        last = 0
+        for pos, text in sorted(edits):
+            out.append(s[last:pos])
+            out.append(text)
             last = pos
         out.append(s[last:])
         return "".join(out)

@@ -859,3 +859,44 @@ def test_with_cte_dialect(eng, spark):
     # malformed WITH over a dialect statement errors cleanly
     with pytest.raises(ValueError, match="malformed WITH"):
         eng.sql("WITH x(a) AS (SELECT 1) SELECT ts FROM events SAMPLE BY 1h")
+
+
+def test_implicit_group_by(eng, spark):
+    ev = load_table(spark, SF_DIR, "events")
+    # plain column + aggregate, no GROUP BY: key inferred
+    got = eng.sql("SELECT event_type, count() AS n FROM events")
+    exp = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert rows(got) == rows(exp)
+    # expression key with bare alias; HAVING and ORDER BY still attach
+    got = eng.sql(
+        "SELECT user_id % 10 bucket, max(value) mx FROM events "
+        "HAVING mx > 0 ORDER BY bucket"
+    )
+    exp = (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(F.max("value").alias("mx"))
+        .filter(F.col("mx") > 0)
+    )
+    assert rows(got.select("bucket", "mx")) == rows(exp)
+    # inference reaches subqueries and set-op operands
+    assert (
+        eng.sql(
+            "SELECT max(n) AS m FROM (SELECT user_id, count() n FROM events)"
+        ).first().m
+        == ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    )
+    # scalar aggregates stay scalar
+    assert eng.sql("SELECT count() n, max(value) m FROM events").count() == 1
+    # window expressions don't trigger inference
+    assert (
+        eng.sql(
+            "SELECT user_id, sum(value) OVER (PARTITION BY user_id ORDER BY ts) s "
+            "FROM events"
+        ).count()
+        == ev.count()
+    )
+    # explicit GROUP BY and SAMPLE BY blocks are untouched
+    assert (
+        eng.sql("SELECT event_type, count() n FROM events GROUP BY event_type").count()
+        == 5
+    )
