@@ -1319,3 +1319,25 @@ FROM events WHERE user_id < 900
 GROUP BY event_type, cohort
 HAVING count(*) > 1
 """
+
+
+def sql_limit_neg_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative LIMIT ranges (``LimitRecordCursorFactory.java:43``:
+    negative bounds count from the END of the result set) — ``LIMIT
+    -40, -15`` returns rows [n-40, n-15) in order, through a reversed
+    top-k pass with no full materialization or row count."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_id, user_id, ts FROM events "
+        "ORDER BY ts, event_id LIMIT -40, -15"
+    )
+
+
+SQL_LIMIT_NEG_RANGE_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events)
+SELECT event_id, user_id, ts FROM o WHERE rn > n - 40 AND rn <= n - 15
+"""

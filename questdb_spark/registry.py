@@ -188,6 +188,11 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_implicit_group_by,
         sq.SQL_IMPLICIT_GROUP_BY_SQL,
     ),
+    # negative LIMIT ranges counting from the end (r8)
+    "sql_limit_neg_range": (
+        sq.sql_limit_neg_range,
+        sq.SQL_LIMIT_NEG_RANGE_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join, lt_join, splice_join
 from ..operators.intervals import parse_interval_ranges
 from ..operators.latest import latest_on
-from ..operators.limits import limit_signed
 from ..operators.sample_by import sample_by
 from ..operators.window_join import markout_agg, window_join
 from .parser import (
@@ -359,7 +358,8 @@ class QdbEngine:
         return bool(
             re.search(
                 r"\b(SAMPLE\s+BY|LATEST\s+ON|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|"
-                r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+|LIMIT\s+\d+\s*,\s*\d+)\b",
+                r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+|"
+                r"LIMIT\s+-?\d+\s*,\s*-?\d+)\b",
                 mask_literals(s),
                 re.IGNORECASE,
             )
@@ -1508,28 +1508,50 @@ class QdbEngine:
             )
         if q.limit is not None:
             lo, hi = q.limit
-            if hi is not None:
-                df = df.offset(lo).limit(hi - lo)
-            elif lo < 0:
+
+            def flip_tail(take_n: int, skip_n: int = 0) -> DataFrame:
+                # tail rows via a REVERSED top-k pass, then restore the
+                # order (both sorts stay TakeOrderedAndProject — nothing
+                # materializes fully)
                 if order_items:
-                    # LIMIT -n tails the EXPLICIT order: flip each direction
-                    # for the top-k pass, then restore (both sorts stay
-                    # TakeOrderedAndProject — nothing materializes fully)
-                    tail = df.orderBy(
-                        *[
-                            F.expr(e).asc() if d else F.expr(e).desc()
-                            for e, d in order_items
-                        ]
-                    ).limit(-lo)
-                    df = tail.orderBy(
-                        *[
-                            F.expr(e).desc() if d else F.expr(e).asc()
-                            for e, d in order_items
-                        ]
-                    )
+                    rev = [
+                        F.expr(e).asc() if d else F.expr(e).desc()
+                        for e, d in order_items
+                    ]
+                    fwd = [
+                        F.expr(e).desc() if d else F.expr(e).asc()
+                        for e, d in order_items
+                    ]
                 else:
-                    order = [ts_col] if ts_col in df.columns else [df.columns[0]]
-                    df = limit_signed(df, lo, order)
+                    oc = ts_col if ts_col in df.columns else df.columns[0]
+                    rev, fwd = [F.col(oc).desc()], [F.col(oc).asc()]
+                t = df.orderBy(*rev)
+                if skip_n:
+                    t = t.offset(skip_n)
+                return t.limit(take_n).orderBy(*fwd)
+
+            if hi is not None:
+                # LIMIT lo, hi row range; negative bounds count from the
+                # END of the result set (LimitRecordCursorFactory.java:43)
+                if lo >= 0 and hi >= 0:
+                    df = df.limit(0) if hi <= lo else df.offset(lo).limit(hi - lo)
+                elif lo < 0 and hi < 0:
+                    # both from the end: rows [n+lo, n+hi) = positions
+                    # [-hi, -lo) of the reversed order — no count needed
+                    df = df.limit(0) if hi <= lo else flip_tail(hi - lo, -hi)
+                else:
+                    # mixed signs resolve against the total row count,
+                    # like the reference's materialized cursor size
+                    n = df.count()
+                    rlo = max(0, lo if lo >= 0 else n + lo)
+                    rhi = max(0, hi if hi >= 0 else n + hi)
+                    df = (
+                        df.limit(0)
+                        if rhi <= rlo
+                        else df.offset(rlo).limit(rhi - rlo)
+                    )
+            elif lo < 0:
+                df = flip_tail(-lo)
             else:
                 df = df.limit(lo)
         return df

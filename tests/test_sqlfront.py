@@ -900,3 +900,23 @@ def test_implicit_group_by(eng, spark):
         eng.sql("SELECT event_type, count() n FROM events GROUP BY event_type").count()
         == 5
     )
+
+
+def test_limit_negative_ranges(eng):
+    # LIMIT lo, hi with negative bounds counts from the END of the result
+    # set (LimitRecordCursorFactory.java:43)
+    all_ids = [
+        r.event_id
+        for r in eng.sql("SELECT event_id FROM events ORDER BY ts, event_id").collect()
+    ]
+    n = len(all_ids)
+
+    def got(q):
+        return [r.event_id for r in eng.sql(q).collect()]
+
+    base = "SELECT event_id FROM events ORDER BY ts, event_id LIMIT "
+    assert got(base + "5, 12") == all_ids[5:12]
+    assert got(base + "-10, -5") == all_ids[n - 10 : n - 5]
+    assert got(base + "4, -4") == all_ids[4 : n - 4]
+    assert got(base + f"-10, {n - 2}") == all_ids[n - 10 : n - 2]
+    assert got(base + "-5, -10") == []
