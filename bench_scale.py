@@ -85,6 +85,12 @@ HEAVY = [
     "sql_fn_surface_arrays",
     "sql_fn_surface_scalars",
     "array_ops2",
+    # r8 grammar additions (windows + reversed top-k + inferred group agg)
+    "sql_window_range_units",
+    "sql_window_exclude",
+    "sql_with_cte_bare",
+    "sql_implicit_group_by",
+    "sql_limit_neg_range",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

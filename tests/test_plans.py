@@ -287,3 +287,38 @@ def test_corpus_construction_plan_shapes(spark):
     assert shuffle_count(topk) == 0
     assert "TakeOrderedAndProject" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_limit_neg_range_is_top_k(spark):
+    """Negative LIMIT ranges: a reversed TakeOrderedAndProject with an
+    offset directly over the scan — no global sort materializes, no
+    count job runs for the both-negative form."""
+    from questdb_spark.queries_sqlfront import sql_limit_neg_range
+
+    df = sql_limit_neg_range(spark, SF_DIR)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert shuffle_count(df) == 0
+
+
+def test_implicit_group_by_single_shuffle(spark):
+    """Inferred GROUP BY lowers to the same partial→final hash aggregate
+    as an explicit clause: exactly one exchange."""
+    from questdb_spark.queries_sqlfront import sql_implicit_group_by
+
+    df = sql_implicit_group_by(spark, SF_DIR)
+    txt = plan_text(df)
+    assert "HashAggregate" in txt
+    assert shuffle_count(df) == 1
+
+
+def test_with_cte_no_extra_shuffle(spark):
+    """WITH binding + bare-main: exactly the SAMPLE BY's two exchanges
+    (partial→final hash agg, then the range partition for its ts-ordered
+    output — QuestDB returns SAMPLE BY in timestamp order); the outer
+    filter composes onto the binding without another pass."""
+    from questdb_spark.queries_sqlfront import sql_with_cte_bare
+
+    df = sql_with_cte_bare(spark, SF_DIR)
+    assert shuffle_count(df) == 2
+    assert "BatchEvalPython" not in plan_text(df)
