@@ -575,7 +575,11 @@ class QdbEngine:
                 st = item.strip()
                 if st == "*" or st.endswith(".*") or not st:
                     return
-                mitem = mask_literals(item)
+                # classify with scalar subqueries blanked: an aggregate
+                # inside `(SELECT count(*) ...)` runs per row and does not
+                # make the ITEM an aggregate, but one nested in a scalar
+                # call (`coalesce(sum(x), 0)`) does
+                mitem = _mask_subqueries(mask_literals(item))
                 if re.search(r"\bOVER\b", mitem, re.IGNORECASE):
                     return
                 if _AGG_RE.search(mitem):
@@ -2857,6 +2861,19 @@ def _balanced_close(masked: str, open_pos: int) -> int:
             if depth == 0:
                 return k
     return -1
+
+
+def _mask_subqueries(masked: str) -> str:
+    """Blank every parenthesized ``(SELECT ...)`` span (keyword sniffing
+    over a subquery's body must not see its internals)."""
+    while True:
+        m = re.search(r"\(\s*SELECT\b", masked, re.IGNORECASE)
+        if m is None:
+            return masked
+        c = _balanced_close(masked, m.start())
+        if c < 0:
+            return masked
+        masked = masked[: m.start()] + " " * (c + 1 - m.start()) + masked[c + 1 :]
 
 
 _SUBSCRIPT_RE = re.compile(r"((?:[A-Za-z_]\w*\.)*[A-Za-z_]\w*|\))\s*\[")

@@ -920,3 +920,18 @@ def test_limit_negative_ranges(eng):
     assert got(base + "4, -4") == all_ids[4 : n - 4]
     assert got(base + f"-10, {n - 2}") == all_ids[n - 10 : n - 2]
     assert got(base + "-5, -10") == []
+
+
+def test_implicit_group_by_subquery_items(eng):
+    # an aggregate inside a scalar subquery runs per row — the item is
+    # NOT an aggregate and must not trigger inference
+    df = eng.sql(
+        "SELECT o_custkey, (SELECT count(*) FROM orders) t, o_totalprice "
+        "FROM orders LIMIT 3"
+    )
+    assert df.count() == 3
+    # ...but one nested in a scalar call is (coalesce(sum(x), 0))
+    df = eng.sql(
+        "SELECT o_orderstatus, coalesce(sum(o_totalprice), 0.0) s FROM orders"
+    )
+    assert df.count() == df.select("o_orderstatus").distinct().count()
