@@ -249,6 +249,17 @@ def _explain(eng: QdbEngine, s: str) -> DataFrame:
 
 def _qdb_type(t: str) -> str:
     t = t.strip().lower()
+    # SYMBOL storage options (SqlParser parseCreateTable: CAPACITY n,
+    # CACHE/NOCACHE, INDEX [CAPACITY n]) are honest no-ops here — parquet
+    # dictionary encoding IS this engine's symbol table, and min/max +
+    # dictionary pruning substitute for the bitmap index
+    sym = re.fullmatch(
+        r"symbol(\s+capacity\s+\d+)?(\s+(?:no)?cache)?"
+        r"(\s+index(\s+capacity\s+\d+)?)?",
+        t,
+    )
+    if sym:
+        return _TYPES["symbol"]
     if re.fullmatch(r"decimal\s*\(\s*\d+\s*,\s*\d+\s*\)", t):
         return t
     if t.endswith("[]"):  # DOUBLE[] n-dim arrays (cairo/arr/)
