@@ -443,8 +443,12 @@ def _balanced_group(s: str) -> tuple[str, str]:
 
 # -- INSERT -----------------------------------------------------------------
 
+# INSERT [ATOMIC | BATCH n [o3MaxLag t]] INTO (SqlParser parseInsert:
+# batching/atomicity are commit-granularity knobs; every insert here is
+# one atomic parquet write, so the modifiers parse as no-ops)
 _INSERT_RE = re.compile(
-    r"^insert\s+into\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(values\b.*|select\b.*|\(.*)$",
+    r"^insert\s+(?:atomic\s+|batch\s+\d+\s+(?:o3maxlag\s+\S+\s+)?)?"
+    r"into\s+(\w+)\s*(?:\(([^)]*)\)\s*)?(values\b.*|select\b.*|\(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 

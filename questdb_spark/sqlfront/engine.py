@@ -249,6 +249,14 @@ class QdbEngine:
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bvarchar\b(?!\s*\()", re.IGNORECASE), "string"
         )
+        # SYMBOL in cast position (CastStrToSymbol/SymbolFunctionFactory):
+        # symbols are dictionary-encoded strings here
+        rewritten = _sub_outside_literals(
+            rewritten,
+            re.compile(r"\b(AS\s+)symbol\b|::\s*symbol\b", re.IGNORECASE),
+            None,
+            lambda m: (m.group(1) + "string") if m.group(1) else "::string",
+        )
         # QuestDB regex-match operators ~ / !~ / GLOB → RLIKE forms
         rewritten = _rewrite_match_operators(rewritten)
         # typed json_extract(x, p)::T and the JSON UNNEST source
@@ -357,7 +365,7 @@ class QdbEngine:
         # dialect path (VERDICT r3 finding 1)
         return bool(
             re.search(
-                r"\b(SAMPLE\s+BY|LATEST\s+ON|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|"
+                r"\b(SAMPLE\s+BY|LATEST\s+(?:ON|BY)|ASOF\s+JOIN|LT\s+JOIN|SPLICE\s+JOIN|"
                 r"WINDOW\s+JOIN|HORIZON\s+JOIN|LIMIT\s+-\d+|"
                 r"LIMIT\s+-?\d+\s*,\s*-?\d+)\b",
                 mask_literals(s),
@@ -1462,6 +1470,8 @@ class QdbEngine:
 
         if q.latest_on is not None:
             lts, keys = q.latest_on
+            if lts is None:  # legacy LATEST BY: the designated timestamp
+                lts = ts_col
             # PARTITION BY may name a select ALIAS of an expression
             # (LatestByTest.testLatestByAllFilteredReentrant: `select
             # a+b*c x ... latest on ts partition by x`) — materialize it

@@ -93,7 +93,7 @@ class QdbQuery:
     table_alias: str | None
     join: JoinSpec | None
     where: str | None
-    latest_on: tuple[str, list[str]] | None  # (ts_col, partition keys)
+    latest_on: tuple[str | None, list[str]] | None  # (ts | None=designated, keys)
     sample_by: SampleBySpec | None
     group_by: list[str] = field(default_factory=list)
     order_by: str | None = None
@@ -109,7 +109,7 @@ class QdbQuery:
 
 # clause keywords, longest-match-first; recognized at depth 0 only
 _CLAUSE_KEYWORDS = [
-    "LATEST ON", "SAMPLE BY", "GROUP BY", "ORDER BY", "HAVING",
+    "LATEST ON", "LATEST BY", "SAMPLE BY", "GROUP BY", "ORDER BY", "HAVING",
     "ASOF JOIN", "LT JOIN", "SPLICE JOIN", "WINDOW JOIN", "HORIZON JOIN",
     "LEFT OUTER JOIN", "RIGHT OUTER JOIN", "FULL OUTER JOIN",
     "INNER JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN", "CROSS JOIN",
@@ -406,6 +406,11 @@ def parse(sql: str) -> QdbQuery:
             if not m:
                 raise ValueError(f"bad LATEST ON clause: {text!r}")
             latest = (m.group(1), [c.strip() for c in m.group(2).split(",")])
+        elif kw == "LATEST BY":
+            # legacy v6 shorthand (SqlParser parseLatestBy; still accepted
+            # by the reference): partitions by the listed keys over the
+            # designated timestamp, which is resolved at lowering time
+            latest = (None, [c.strip() for c in split_top_level(text)])
         elif kw == "SAMPLE BY":
             sample = _parse_sample_by(text)
         elif kw == "GROUP BY":

@@ -935,3 +935,39 @@ def test_implicit_group_by_subquery_items(eng):
         "SELECT o_orderstatus, coalesce(sum(o_totalprice), 0.0) s FROM orders"
     )
     assert df.count() == df.select("o_orderstatus").distinct().count()
+
+
+def test_latest_by_legacy(eng, spark):
+    # v6 shorthand: LATEST BY keys == LATEST ON <designated ts> PARTITION
+    # BY keys (SqlParser parseLatestBy, still accepted by the reference)
+    new = eng.sql("SELECT * FROM events LATEST ON ts PARTITION BY user_id")
+    old = eng.sql("SELECT * FROM events LATEST BY user_id")
+    assert rows(old) == rows(new)
+    # bare-table + multi-key + WHERE-first filtering forms
+    ev = load_table(spark, SF_DIR, "events")
+    assert (
+        eng.sql("events LATEST BY user_id, event_type").count()
+        == ev.select("user_id", "event_type").distinct().count()
+    )
+    got = eng.sql("SELECT * FROM events LATEST BY user_id WHERE event_type = 'click'")
+    exp = eng.sql(
+        "SELECT * FROM events WHERE event_type = 'click' "
+        "LATEST ON ts PARTITION BY user_id"
+    )
+    assert rows(got) == rows(exp)
+
+
+def test_insert_modifiers_and_symbol_cast(eng, spark):
+    e2 = QdbEngine(spark)
+    e2.sql("CREATE TABLE m1 (x INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    e2.sql("INSERT ATOMIC INTO m1 VALUES (1, '2024-01-01T00:00:00Z')")
+    e2.sql("INSERT BATCH 1000 INTO m1 VALUES (2, '2024-01-02T00:00:00Z')")
+    e2.sql(
+        "INSERT BATCH 500 o3MaxLag 180s INTO m1 VALUES (3, '2024-01-03T00:00:00Z')"
+    )
+    assert e2.sql("SELECT count(*) AS n FROM m1").first().n == 3
+    r = eng.sql(
+        "SELECT cast(event_type AS symbol) a, event_type::symbol b "
+        "FROM events LIMIT 1"
+    ).first()
+    assert r.a == r.b
