@@ -243,6 +243,20 @@ class QdbEngine:
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
+        # QuestDB null comparisons: `x = null` / `x != null` ARE null tests
+        # (WhereClauseParser + EqDoubleFunctionFactory null branches; the
+        # reference's own tests filter with `where lo != null`) — ANSI
+        # three-valued logic would make both always-false
+        rewritten = _sub_outside_literals(
+            rewritten,
+            re.compile(r"(?:!=|<>)\s*null\b", re.IGNORECASE),
+            " IS NOT NULL",
+        )
+        rewritten = _sub_outside_literals(
+            rewritten,
+            re.compile(r"(?<![<>!=])=\s*null\b", re.IGNORECASE),
+            " IS NULL",
+        )
         # QuestDB VARCHAR is unsized UTF-8 (ColumnType.java:57); Spark's
         # parser demands VARCHAR(n) in cast position — lower to STRING
         # (``x::varchar``, ``CAST(x AS VARCHAR)``; pivot_expressions.test)
@@ -280,9 +294,15 @@ class QdbEngine:
         # Spark's native range() — distributed index generation, no driver
         # materialization. Only the integer-literal form; QuestDB itself
         # rejects non-integer arguments.
+        # (the seeded 3-arg form long_sequence(n, seed1, seed2) fixes the
+        # reference's rnd_* stream; rnd_* here is deterministic by row
+        # index already, so the seeds parse and drop)
         rewritten = _sub_outside_literals(
             rewritten,
-            re.compile(r"\blong_sequence\s*\(\s*(\d+)\s*\)", re.IGNORECASE),
+            re.compile(
+                r"\blong_sequence\s*\(\s*(\d+)\s*(?:,\s*-?\d+\s*,\s*-?\d+\s*)?\)",
+                re.IGNORECASE,
+            ),
             None,
             lambda m: f"(SELECT id AS x FROM range(1, {int(m.group(1)) + 1}))",
         )

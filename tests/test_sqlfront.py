@@ -971,3 +971,20 @@ def test_insert_modifiers_and_symbol_cast(eng, spark):
         "FROM events LIMIT 1"
     ).first()
     assert r.a == r.b
+
+
+def test_null_comparison_semantics(eng):
+    # QuestDB `x = null` / `x != null` ARE null tests (WhereClauseParser;
+    # the reference's tests filter with `where lo != null`)
+    base = (
+        "SELECT count(*) AS c FROM "
+        "(SELECT CASE WHEN x > 2 THEN NULL ELSE x END v FROM long_sequence(5)) "
+    )
+    assert eng.sql(base + "WHERE v = NULL").first().c == 3
+    assert eng.sql(base + "WHERE v != NULL").first().c == 2
+    assert eng.sql(base + "WHERE v <> NULL").first().c == 2
+    # literals and >=/<= comparisons stay untouched
+    assert eng.sql("SELECT 'v = null' AS s").first().s == "v = null"
+    # seeded long_sequence(n, s1, s2) parses (seeds drop: rnd_* streams
+    # here are deterministic by row index)
+    assert eng.sql("SELECT count(*) AS n FROM long_sequence(7, 33, 44)").first().n == 7
