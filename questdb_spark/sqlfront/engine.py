@@ -131,6 +131,7 @@ class QdbEngine:
         # like the reference's cooperative circuit breaker.
         self.query_log: list[dict] = []
         self._query_seq = 0
+        self._sub_seq = 0  # expression-position dialect subquery views
         self._sql_depth = 0
         # COPY import/export log (the reference's sys.text_import_log /
         # copy_export_log backing COPY '<id>' CANCEL): one entry per COPY
@@ -308,6 +309,9 @@ class QdbEngine:
         )
         rewritten = self._rewrite_catalog_fns(rewritten)
         rewritten = self._rewrite_read_parquet(rewritten)
+        # expression-position subqueries with dialect clauses (IN / EXISTS
+        # / scalar positions) can't ride through F.expr or spark.sql
+        rewritten = self._extract_dialect_subqueries(rewritten)
         # QuestDB statement form `(subquery) [where ...] [order by ...]`
         # (AsOfJoinTest: `(select ...) where lo != null`) — wrap as a
         # SELECT so both parser paths accept it; set operations keep the
@@ -393,21 +397,20 @@ class QdbEngine:
             )
         )
 
-    _SETOP_RE = re.compile(
-        r"\b(UNION\s+ALL|UNION|INTERSECT\s+ALL|INTERSECT|EXCEPT\s+ALL|EXCEPT)\b"
-        r"(?=\s*\(?\s*SELECT\b)",
-        re.IGNORECASE,
-    )
-
     def _split_setops(self, s: str) -> tuple[list[str], list[str]]:
         """Split a statement at paren-depth-0 set-operation keywords (each
-        followed by a SELECT); returns (operand texts, operators)."""
-        from .parser import depth0_spans
-
+        followed by a SELECT); returns (operand texts, operators).  The
+        SELECT-follows check runs against the FULL string — a keyword at
+        the edge of a depth-0 span (right before a parenthesized operand)
+        must still match."""
         parts, ops, last = [], [], 0
         for lo, hi in depth0_spans(s):
-            for m in self._SETOP_RE.finditer(s, lo, hi):
-                parts.append(s[last:m.start()].strip())
+            for m in self._BARE_SETOP_RE.finditer(s, lo, hi):
+                if not re.match(
+                    r"\s*\(?\s*SELECT\b", s[m.end() :], re.IGNORECASE
+                ):
+                    continue
+                parts.append(s[last : m.start()].strip())
                 ops.append(re.sub(r"\s+", " ", m.group(1).upper()))
                 last = m.end()
         parts.append(s[last:].strip())
@@ -651,6 +654,59 @@ class QdbEngine:
             out.append(s[last:pos])
             out.append(text)
             last = pos
+        out.append(s[last:])
+        return "".join(out)
+
+    # positions where a (SELECT ...) group is NOT an expression subquery:
+    # table sources (the dialect lowerer recurses into those natively) and
+    # set-op operands (split and recursed by _split_setops)
+    _NON_EXPR_SUBQ_WORDS = frozenset(
+        ["FROM", "JOIN", "UNION", "ALL", "INTERSECT", "EXCEPT"]
+    )
+
+    def _extract_dialect_subqueries(self, s: str) -> str:
+        """Lower each expression-position subquery that carries a dialect
+        clause (``WHERE id IN (SELECT ... LATEST ON ...)``) and swap in a
+        reference to its registered view — Spark's expression parser only
+        sees ANSI text.  Correlated dialect subqueries stay unsupported
+        (the recursive lowering has no outer scope), matching the
+        reference's own restriction that LATEST ON/SAMPLE BY subqueries
+        are self-contained."""
+        masked = mask_literals(s)
+        edits: list[tuple[int, int, str]] = []
+        pos = 0
+        while True:
+            m = re.search(r"\(\s*SELECT\b", masked[pos:], re.IGNORECASE)
+            if m is None:
+                break
+            o = pos + m.start()
+            c = _balanced_close(masked, o)
+            if c < 0:
+                break
+            before = masked[:o].strip()
+            prev = re.search(r"(\w+)\s*$", before)
+            posword = prev.group(1).upper() if prev else ""
+            content = s[o + 1 : c]
+            if (
+                before
+                and posword not in self._NON_EXPR_SUBQ_WORDS
+                and self._needs_dialect(content)
+            ):
+                self._sub_seq += 1
+                name = f"__qdb_sub_{self._sub_seq}"
+                self.sql(content).createOrReplaceTempView(name)
+                edits.append((o, c, f"(SELECT * FROM {name})"))
+                pos = c + 1
+            else:
+                pos = o + 1  # scan inside for nested expression subqueries
+        if not edits:
+            return s
+        out: list[str] = []
+        last = 0
+        for o, c, repl in edits:
+            out.append(s[last:o])
+            out.append(repl)
+            last = c + 1
         out.append(s[last:])
         return "".join(out)
 
@@ -1510,6 +1566,8 @@ class QdbEngine:
             df = self._lower_sample_by(df, q, ts_col)
         else:
             df = self._project(df, q)
+            if q.distinct:
+                df = df.distinct()
 
         if q.having:
             # HAVING runs over the aggregated frame; aggregate expressions
@@ -1728,6 +1786,12 @@ class QdbEngine:
                 bucket_name = item.alias or ts_col
             else:
                 keys.append(item.expr.strip())
+        if not aggs:
+            # SampleByTest: the reference rejects aggregate-free SAMPLE BY
+            raise ValueError(
+                "at least one aggregation function must be present in "
+                "'select' clause"
+            )
         fill = sb.fill
         fill_values: dict | None = None
         if fill is not None and "," in fill:

@@ -105,6 +105,7 @@ class QdbQuery:
     # inline designated-ts marker: FROM read_parquet('p') timestamp(col)
     # (ReadParquetFunctionFactory.java:50 + SqlParser timestamp() suffix)
     from_ts_col: str | None = None
+    distinct: bool = False  # SELECT DISTINCT
 
 
 # clause keywords, longest-match-first; recognized at depth 0 only
@@ -342,6 +343,11 @@ def parse(sql: str) -> QdbQuery:
         raise ValueError("only SELECT supported by the dialect front-end")
 
     body = s[len("SELECT "):]
+    distinct = False
+    md = re.match(r"\s*DISTINCT\b", body, re.IGNORECASE)
+    if md:
+        distinct = True
+        body = body[md.end():]
     splits = _clause_splits(body)
     first = splits[0][0] if splits else len(body)
     select_items = [_parse_item(i) for i in split_top_level(body[:first])]
@@ -428,7 +434,7 @@ def parse(sql: str) -> QdbQuery:
     return QdbQuery(
         select_items, table, table_alias, join, where, latest, sample,
         group_by, order_by, limit, window_join, horizon_join, sql_joins,
-        having=having, from_ts_col=from_ts_col,
+        having=having, from_ts_col=from_ts_col, distinct=distinct,
     )
 
 

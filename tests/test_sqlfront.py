@@ -988,3 +988,54 @@ def test_null_comparison_semantics(eng):
     # seeded long_sequence(n, s1, s2) parses (seeds drop: rnd_* streams
     # here are deterministic by row index)
     assert eng.sql("SELECT count(*) AS n FROM long_sequence(7, 33, 44)").first().n == 7
+
+
+def test_distinct_and_setops_in_dialect(eng, spark):
+    ev = load_table(spark, SF_DIR, "events")
+    # SELECT DISTINCT through the dialect parse path
+    assert (
+        eng.sql(
+            "SELECT DISTINCT event_type FROM (events LATEST ON ts PARTITION BY user_id)"
+        ).count()
+        == 5
+    )
+    # parenthesized dialect operands around a set op (the keyword sits at
+    # a depth-0 span edge)
+    n_users = ev.select("user_id").distinct().count()
+    assert (
+        eng.sql(
+            "(events LATEST ON ts PARTITION BY user_id) UNION ALL "
+            "(events LATEST ON ts PARTITION BY user_id)"
+        ).count()
+        == 2 * n_users
+    )
+    # aggregate-free SAMPLE BY gets the reference's error
+    with pytest.raises(ValueError, match="at least one aggregation"):
+        eng.sql("SELECT DISTINCT user_id FROM events SAMPLE BY 1d")
+
+
+def test_dialect_subqueries_in_expressions(eng, spark):
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    # IN (dialect subquery)
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM events WHERE event_id IN "
+            "(SELECT event_id FROM events LATEST ON ts PARTITION BY user_id)"
+        ).first().n
+        == n_users
+    )
+    # scalar dialect subquery in a comparison
+    r = eng.sql(
+        "SELECT count(*) AS n FROM events WHERE value > "
+        "(SELECT avg(c) FROM (SELECT ts, count(*) c FROM events SAMPLE BY 1h))"
+    ).first()
+    assert r.n > 0
+    # plain ANSI subqueries stay on Spark's native path
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM events WHERE user_id IN "
+            "(SELECT user_id FROM events WHERE value > 99)"
+        ).first().n
+        > 0
+    )
