@@ -1341,3 +1341,28 @@ WITH o AS (
   FROM events)
 SELECT event_id, user_id, ts FROM o WHERE rn > n - 40 AND rn <= n - 15
 """
+
+
+def sql_grammar_r8(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 grammar consolidation: legacy ``LATEST BY`` (SqlParser
+    parseLatestBy), DISTINCT through the dialect parse path, a dialect
+    subquery in expression (IN) position, and the ``!= null`` comparison
+    (WhereClauseParser null-test semantics) in one oracle-checked
+    query."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT DISTINCT user_id, event_type FROM events "
+        "WHERE event_type != null AND event_id IN "
+        "(SELECT event_id FROM events LATEST BY user_id)"
+    )
+
+
+SQL_GRAMMAR_R8_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+WHERE event_type IS NOT NULL AND event_id IN (
+  SELECT event_id FROM (
+    SELECT event_id, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1)
+"""

@@ -193,6 +193,12 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_limit_neg_range,
         sq.SQL_LIMIT_NEG_RANGE_SQL,
     ),
+    # LATEST BY legacy form + DISTINCT + IN-position dialect subquery +
+    # != null comparison semantics (r8)
+    "sql_grammar_r8": (
+        sq.sql_grammar_r8,
+        sq.SQL_GRAMMAR_R8_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.
