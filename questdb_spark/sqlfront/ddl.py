@@ -234,10 +234,19 @@ def _cancel(eng: QdbEngine, s: str) -> DataFrame:
 
 
 def _explain(eng: QdbEngine, s: str) -> DataFrame:
-    """``EXPLAIN <query>`` (ExecutionModel.EXPLAIN,
-    ``SqlCompilerImpl.java:4212``; the reference returns the plan as rows
-    of text — here the Spark physical plan)."""
-    inner = re.sub(r"^explain\s+", "", s, flags=re.IGNORECASE)
+    """``EXPLAIN [(FORMAT JSON|TEXT)] <query>`` (ExecutionModel.EXPLAIN,
+    ``SqlCompilerImpl.java:4212``, ``ExplainPlanFactory`` — the reference
+    returns the plan as rows of text, or one JSON document with
+    ``(FORMAT JSON)``; here the Spark physical plan / Catalyst plan
+    JSON)."""
+    m = re.match(
+        r"^explain\s*\(\s*format\s+(json|text)\s*\)\s*", s, re.IGNORECASE
+    )
+    if m and m.group(1).lower() == "json":
+        df = eng.sql(s[m.end() :])
+        doc = df._jdf.queryExecution().optimizedPlan().toJSON()
+        return eng.spark.createDataFrame([(doc,)], "plan string")
+    inner = s[m.end() :] if m else re.sub(r"^explain\s+", "", s, flags=re.IGNORECASE)
     text = eng.explain(inner)
     return eng.spark.createDataFrame(
         [(line,) for line in text.splitlines() if line.strip()], "plan string"

@@ -785,3 +785,14 @@ def test_show_session_constants(eng):
     eng.sql("CREATE VIEW wv AS SELECT x FROM walt")
     ddl = eng.sql("SHOW CREATE VIEW wv").collect()[0][0]
     assert ddl == "CREATE VIEW wv AS (SELECT x FROM walt)"
+
+
+def test_explain_formats(spark):
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    eng.sql("CREATE TABLE exf (x INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    rows = eng.sql("EXPLAIN (FORMAT JSON) SELECT count(*) FROM exf").collect()
+    assert len(rows) == 1 and rows[0].plan.startswith("[{")
+    assert eng.sql("EXPLAIN (FORMAT TEXT) SELECT count(*) FROM exf").count() > 1
+    assert eng.sql("EXPLAIN SELECT count(*) FROM exf").count() > 1
