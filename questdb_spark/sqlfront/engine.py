@@ -1958,10 +1958,11 @@ def _datediff(a: list[str]) -> str:
 
 
 def _ts_floor_expr(spec: str, ts: str) -> str:
-    m = re.match(r"^(\d*)\s*([uTsmhdwMy])$", spec)
+    # micros are 'U' in the reference's period grammar; 'u' accepted too
+    m = re.match(r"^(\d*)\s*([uUTsmhdwMy])$", spec)
     if not m:
         raise ValueError(f"bad timestamp_floor unit: {spec!r}")
-    n, u = int(m.group(1) or 1), m.group(2)
+    n, u = int(m.group(1) or 1), m.group(2).replace("U", "u")
     if u in ("M", "y"):
         if n != 1:
             raise ValueError("stride calendar floor: use SAMPLE BY")
@@ -1984,8 +1985,8 @@ def _ts_ceil(a: list[str]) -> str:
     spec = a[0].strip().strip("'\"")
     ts = a[1]
     fl = _ts_floor_expr(spec, ts)
-    m = re.match(r"^(\d*)\s*([uTsmhdwMy])$", spec)
-    n, u = int(m.group(1) or 1), m.group(2)
+    m = re.match(r"^(\d*)\s*([uUTsmhdwMy])$", spec)
+    n, u = int(m.group(1) or 1), m.group(2).replace("U", "u")
     bumped = f"timestampadd({_TS_UNITS[u]}, {n}, {fl})"
     return f"CASE WHEN {fl} = ({ts}) THEN ({ts}) ELSE {bumped} END"
 
