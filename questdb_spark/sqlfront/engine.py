@@ -244,6 +244,12 @@ class QdbEngine:
         rewritten = _sub_outside_literals(
             rewritten, re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE), "count(*)"
         )
+        # timestamp BETWEEN normalizes bound order
+        # (BetweenTimestampFunctionFactory: Math.min(from,to) <= v <=
+        # Math.max — '2024-01-16' AND '2024-01-14' is the same range);
+        # applied to ISO-literal bounds, where order is decidable at
+        # rewrite time (ISO prefixes compare lexicographically)
+        rewritten = _normalize_between_literals(rewritten)
         # QuestDB null comparisons: `x = null` / `x != null` ARE null tests
         # (WhereClauseParser + EqDoubleFunctionFactory null branches; the
         # reference's own tests filter with `where lo != null`) — ANSI
@@ -2956,6 +2962,35 @@ def _balanced_close(masked: str, open_pos: int) -> int:
             if depth == 0:
                 return k
     return -1
+
+
+_BETWEEN_LIT_RE = re.compile(
+    r"\bBETWEEN\s*('[^']*')\s*AND\s*('[^']*')", re.IGNORECASE
+)
+_ISO_TS_RE = re.compile(r"^'\d{4}-\d{2}(-\d{2}([T ][\d:.]+Z?)?)?'$")
+
+
+def _normalize_between_literals(s: str) -> str:
+    """``x BETWEEN '2024-01-16' AND '2024-01-14'`` → bounds swapped into
+    ascending order (timestamp BETWEEN is symmetric in the reference —
+    ``BetweenTimestampFunctionFactory`` takes min/max of the operands).
+    Only ISO date/timestamp literal bounds are normalized: those compare
+    lexicographically, and non-literal bounds can't be ordered at
+    rewrite time."""
+    masked = mask_literals(s)
+    out: list[str] = []
+    last = 0
+    for m in _BETWEEN_LIT_RE.finditer(masked):
+        lo, hi = s[m.start(1) : m.end(1)], s[m.start(2) : m.end(2)]
+        if not (_ISO_TS_RE.match(lo) and _ISO_TS_RE.match(hi)) or lo <= hi:
+            continue
+        out.append(s[last : m.start()])
+        out.append(f"BETWEEN {hi} AND {lo}")
+        last = m.end()
+    if not out:
+        return s
+    out.append(s[last:])
+    return "".join(out)
 
 
 def _mask_subqueries(masked: str) -> str:

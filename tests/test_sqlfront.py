@@ -1039,3 +1039,22 @@ def test_dialect_subqueries_in_expressions(eng, spark):
         ).first().n
         > 0
     )
+
+
+def test_between_timestamp_symmetry(eng):
+    # timestamp BETWEEN is symmetric in the reference
+    # (BetweenTimestampFunctionFactory: min/max of the operands)
+    fwd = eng.sql(
+        "SELECT count(*) AS n FROM events WHERE ts BETWEEN '2024-01-14' AND '2024-01-16'"
+    ).first().n
+    rev = eng.sql(
+        "SELECT count(*) AS n FROM events WHERE ts BETWEEN '2024-01-16' AND '2024-01-14'"
+    ).first().n
+    assert fwd == rev > 0
+    # plain string literals are not ISO bounds: untouched (ANSI order)
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM events WHERE event_type BETWEEN 'view' AND 'click'"
+        ).first().n
+        == 0
+    )
