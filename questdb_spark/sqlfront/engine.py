@@ -54,6 +54,9 @@ _IN_INTERVAL_LIST_RE = re.compile(
     r"(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s*(\(\s*'[^']*'(?:\s*,\s*'[^']*')*\s*\))",
     re.IGNORECASE,
 )
+_EQ_INTERVAL_RE = re.compile(
+    r"(\w+(?:\.\w+)?)\s*(!=|<>|=)\s*('[^']+')"
+)
 
 # Words inside a PIVOT aggregate's text that can never be column operands:
 # expression keywords and cast-target type names (``SUM(Pop)::varchar``,
@@ -910,14 +913,36 @@ class QdbEngine:
         masked = mask_literals(s)
         out: list[str] = []
         last = 0
-        matches = sorted(
-            [*_IN_INTERVAL_RE.finditer(masked), *_IN_INTERVAL_LIST_RE.finditer(masked)],
-            key=lambda m: m.start(),
+        # equality against an interval string is the same intrinsic
+        # (WhereClauseParser analyzeEquals → model.intersectTimestamp:
+        # `ts = '2024-01-15'` selects the whole day, != the complement) —
+        # applied only to designated-timestamp columns, like the
+        # reference's isTimestamp(a) guard
+        ts_names = set(self.designated_ts.values())
+        eq_matches = (
+            [
+                (m, m.group(2) in ("!=", "<>"))
+                for m in _EQ_INTERVAL_RE.finditer(masked)
+                if m.group(1).split(".")[-1] in ts_names
+            ]
+            if ts_names
+            else []
         )
-        for m in matches:
+        matches = sorted(
+            [
+                *((m, bool(m.group(2))) for m in _IN_INTERVAL_RE.finditer(masked)),
+                *(
+                    (m, bool(m.group(2)))
+                    for m in _IN_INTERVAL_LIST_RE.finditer(masked)
+                ),
+                *eq_matches,
+            ],
+            key=lambda t: t[0].start(),
+        )
+        for m, neg in matches:
             if m.start() < last:
                 continue
-            col, neg = m.group(1), bool(m.group(2))
+            col = m.group(1)
             if col.upper() in ("NOT", "AND", "OR"):
                 continue
             span = s[m.start(3) : m.end(3)]  # literal(s), unmasked

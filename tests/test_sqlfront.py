@@ -1058,3 +1058,29 @@ def test_between_timestamp_symmetry(eng):
         ).first().n
         == 0
     )
+
+
+def test_timestamp_equality_interval(eng, spark):
+    # `ts = '<interval string>'` is the IN intrinsic
+    # (WhereClauseParser analyzeEquals -> model.intersectTimestamp):
+    # partial precision selects the whole period, != the complement
+    n_in = eng.sql(
+        "SELECT count(*) AS n FROM events WHERE ts IN '2024-01-15'"
+    ).first().n
+    assert (
+        eng.sql("SELECT count(*) AS n FROM events WHERE ts = '2024-01-15'").first().n
+        == n_in
+    )
+    total = load_table(spark, SF_DIR, "events").count()
+    assert (
+        eng.sql("SELECT count(*) AS n FROM events WHERE ts != '2024-01-15'").first().n
+        == total - n_in
+    )
+    # string-column equality is untouched (the reference guards the
+    # intrinsic with isTimestamp on the column)
+    assert (
+        eng.sql(
+            "SELECT count(*) AS n FROM events WHERE event_type = 'view'"
+        ).first().n
+        > 0
+    )
