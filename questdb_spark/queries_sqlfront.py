@@ -1366,3 +1366,29 @@ WHERE event_type IS NOT NULL AND event_id IN (
     FROM events
   ) WHERE rn = 1)
 """
+
+
+def sql_interval_eq(spark: SparkSession, sf: str) -> DataFrame:
+    """Timestamp-predicate intrinsics (``WhereClauseParser``):
+    ``ts = '<partial literal>'`` selects the whole period
+    (analyzeEquals → intersectTimestamp), ``!=`` the complement, and
+    timestamp BETWEEN takes min/max of its operands
+    (``BetweenTimestampFunctionFactory``) so reversed bounds select the
+    same inclusive range."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    return eng.sql(
+        "SELECT event_type, count() AS n_day, "
+        "count(CASE WHEN ts BETWEEN '2024-01-20' AND '2024-01-18' "
+        "  THEN 1 END) AS n_rev_btw "
+        "FROM events WHERE ts != '2024-01-15'"
+    )
+
+
+SQL_INTERVAL_EQ_SQL = """
+SELECT event_type, count(*) AS n_day,
+       count(CASE WHEN ts >= '2024-01-18' AND ts <= '2024-01-20'
+         THEN 1 END) AS n_rev_btw
+FROM events
+WHERE NOT (ts >= '2024-01-15' AND ts < '2024-01-16')
+GROUP BY event_type
+"""

@@ -199,6 +199,11 @@ _NEW_R8: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_grammar_r8,
         sq.SQL_GRAMMAR_R8_SQL,
     ),
+    # ts = '<interval>' intrinsic + symmetric timestamp BETWEEN (r8)
+    "sql_interval_eq": (
+        sq.sql_interval_eq,
+        sq.SQL_INTERVAL_EQ_SQL,
+    ),
 }
 
 # Round-7 additions — first verification; kept at the head of the window.
