@@ -109,6 +109,9 @@ def _gen_case(rng: random.Random) -> tuple[str, str]:
         return q, q.replace("FROM wtab", "FROM wtab", 1)
 
     if kind == "rows":
+        # descending ordering flips which neighbors a frame sees; both
+        # engines share the semantics, so DESC cases ride the same oracle
+        direction = " DESC" if rng.random() < 0.25 else ""
         lo = rng.choice(
             ["UNBOUNDED PRECEDING", "5 PRECEDING", "2 PRECEDING", "1 PRECEDING",
              "CURRENT ROW"]
@@ -127,8 +130,8 @@ def _gen_case(rng: random.Random) -> tuple[str, str]:
             frame_d += " EXCLUDE CURRENT ROW"
         elif rng.random() < 0.2:
             frame_q += " EXCLUDE NO OTHERS"  # no-op, stripped
-        spec_q = f"{part}ORDER BY ts, x {frame_q}"
-        spec_d = f"{part}ORDER BY ts, x {frame_d}"
+        spec_q = f"{part}ORDER BY ts{direction}, x{direction} {frame_q}"
+        spec_d = f"{part}ORDER BY ts{direction}, x{direction} {frame_d}"
     else:  # range
         micros = {"microsecond": 1, "second": 1_000_000, "minute": 60_000_000}
         lo = (rng.choice([1, 2, 5, 45, 90]),
@@ -154,6 +157,7 @@ def _gen_case(rng: random.Random) -> tuple[str, str]:
             hi_q, hi_d = f"{hi_q} PRECEDING", f"{hi_d} PRECEDING"
         frame_q = f"RANGE BETWEEN {lo_q} AND {hi_q}"
         frame_d = f"RANGE BETWEEN {lo_d} AND {hi_d}"
+        direction = ""
         if exclude:
             frame_q += " EXCLUDE CURRENT ROW"
             # the reference's tick-shrink semantics: the end moves one
@@ -162,8 +166,11 @@ def _gen_case(rng: random.Random) -> tuple[str, str]:
             frame_d = (
                 f"RANGE BETWEEN {lo_d} AND INTERVAL 1 MICROSECOND PRECEDING"
             )
-        spec_q = f"{part}ORDER BY ts {frame_q}"
-        spec_d = f"{part}ORDER BY ts {frame_d}"
+        elif rng.random() < 0.25:
+            # DESC time ordering: PRECEDING walks toward LATER timestamps
+            direction = " DESC"
+        spec_q = f"{part}ORDER BY ts{direction} {frame_q}"
+        spec_d = f"{part}ORDER BY ts{direction} {frame_d}"
 
     if rng.random() < 0.25:
         # named WINDOW definition form
