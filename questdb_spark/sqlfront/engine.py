@@ -1583,10 +1583,20 @@ class QdbEngine:
             # (LatestByTest.testLatestByAllFilteredReentrant: `select
             # a+b*c x ... latest on ts partition by x`) — materialize it
             alias_map = {i.alias: i.expr for i in q.select_items if i.alias}
+            if q.table_alias:
+                # PARTITION BY may qualify keys with the table alias
+                keys = [
+                    k[len(q.table_alias) + 1 :]
+                    if k.startswith(q.table_alias + ".")
+                    else k
+                    for k in keys
+                ]
             for k in keys:
                 if k not in df.columns and k in alias_map:
                     df = df.withColumn(k, F.expr(alias_map[k]))
             df = latest_on(df, lts, keys, tiebreak=self.tiebreak.get(q.table))
+            if q.table_alias:
+                df = df.alias(q.table_alias)
 
         if q.window_join is not None:
             return self._finish(self._lower_window_join(df, q, ts_col), q, ts_col)
@@ -1816,7 +1826,13 @@ class QdbEngine:
             elif item.expr.strip() == ts_col:
                 bucket_name = item.alias or ts_col
             else:
-                keys.append(item.expr.strip())
+                kexpr = item.expr.strip()
+                kname = item.alias or kexpr
+                if kname != kexpr or not re.fullmatch(r"[A-Za-z_]\w*", kexpr):
+                    # expression key (`user_id % 3 grp`): materialize it so
+                    # the grouped spine carries a plain column
+                    df = df.withColumn(kname, F.expr(kexpr))
+                keys.append(kname)
         if not aggs:
             # SampleByTest: the reference rejects aggregate-free SAMPLE BY
             raise ValueError(

@@ -295,8 +295,10 @@ def _parse_item(item: str) -> SelectItem:
             last.upper() not in _NOT_ALIAS_PREV
             and m.group(2).upper() not in _NOT_ALIAS_PREV | _NOT_ALIAS_NAME
             and not re.search(r"[+\-*/%<>=|&^,]$", prefix)
-            and not re.fullmatch(r"[\d.]+", last)
         ):
+            # a numeric-ending expression can take a bare alias too
+            # (`user_id % 3 grp`, `1 one`); interval-unit tails are
+            # excluded by the name stop-list above
             return SelectItem(prefix, m.group(2))
     return SelectItem(item, None)
 

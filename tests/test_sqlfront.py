@@ -1084,3 +1084,26 @@ def test_timestamp_equality_interval(eng, spark):
         ).first().n
         > 0
     )
+
+
+def test_expression_keys_and_qualified_latest(eng, spark):
+    ev = load_table(spark, SF_DIR, "events")
+    # expression key with a bare alias in SAMPLE BY
+    df = eng.sql("SELECT ts, user_id % 3 grp, count() n FROM events SAMPLE BY 1d")
+    assert df.columns == ["ts", "grp", "n"]
+    exp = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("ts"),
+            (F.col("user_id") % 3).alias("grp"),
+        ).count()
+    )
+    assert df.count() == exp.count()
+    # numeric-ending expressions take bare aliases; interval-unit tails
+    # are still literals, not aliases
+    assert eng.sql("SELECT count(*) * 100.0 pct FROM events").columns == ["pct"]
+    assert eng.sql(
+        "SELECT ts + interval 1 day d1 FROM events LIMIT 1"
+    ).columns == ["d1"]
+    # alias-qualified select items + PARTITION BY keys after LATEST ON
+    df = eng.sql("SELECT e.value FROM events e LATEST ON ts PARTITION BY e.user_id")
+    assert df.count() == ev.select("user_id").distinct().count()
