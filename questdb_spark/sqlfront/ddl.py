@@ -636,9 +636,13 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
     low = rest.lower()
 
     if low.startswith("add column"):
-        col, typ = rest[len("add column") :].strip().split(None, 1)
-        t.add_column(col, _qdb_type(typ))
-        detail = f"add {col}"
+        # comma-separated list form (AlterOperation: ADD COLUMN a T, b T)
+        added = []
+        for spec in split_top_level(rest[len("add column") :].strip()):
+            col, typ = spec.strip().split(None, 1)
+            t.add_column(col, _qdb_type(typ))
+            added.append(col)
+        detail = f"add {', '.join(added)}"
     elif low.startswith("drop column"):
         col = rest[len("drop column") :].strip()
         t.drop_column(col)
