@@ -573,7 +573,10 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
         other = other.select(
             *[F.col(c).alias(f"__f_{c}") for c in other.columns]
         )
-        rewritten_where = re.sub(rf"\b{re.escape(alias)}\.(\w+)", r"__f_\1", where or "")
+        rewritten_where = re.sub(
+            rf"\b{re.escape(alias)}\.(\w+)", r"__f_\1",
+            eng.rewrite_predicate(where) if where else "",
+        )
         rewritten_where = re.sub(rf"\b{re.escape(name)}\.(\w+)", r"\1", rewritten_where)
         join_pred = F.expr(rewritten_where) if rewritten_where else F.lit(True)
         rewritten_assign = {}
@@ -585,7 +588,9 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
         t.update_from(other, join_pred, rewritten_assign)
         _refresh_view(eng, name)
         return _status(eng, "update", name, f"from {from_tbl}")
-    pred = F.expr(where.strip()) if where else F.lit(True)
+    pred = (
+        F.expr(eng.rewrite_predicate(where.strip())) if where else F.lit(True)
+    )
     t.update_where(pred, assignments)
     _refresh_view(eng, name)
     return _status(eng, "update", name, ", ".join(assignments))

@@ -57,6 +57,8 @@ _IN_INTERVAL_LIST_RE = re.compile(
 _EQ_INTERVAL_RE = re.compile(
     r"(\w+(?:\.\w+)?)\s*(!=|<>|=)\s*('[^']+')"
 )
+_NEQ_NULL_RE = re.compile(r"(?:!=|<>)\s*null\b", re.IGNORECASE)
+_EQ_NULL_RE = re.compile(r"(?<![<>!=])=\s*null\b", re.IGNORECASE)
 
 # Words inside a PIVOT aggregate's text that can never be column operands:
 # expression keywords and cast-target type names (``SUM(Pop)::varchar``,
@@ -257,16 +259,8 @@ class QdbEngine:
         # (WhereClauseParser + EqDoubleFunctionFactory null branches; the
         # reference's own tests filter with `where lo != null`) — ANSI
         # three-valued logic would make both always-false
-        rewritten = _sub_outside_literals(
-            rewritten,
-            re.compile(r"(?:!=|<>)\s*null\b", re.IGNORECASE),
-            " IS NOT NULL",
-        )
-        rewritten = _sub_outside_literals(
-            rewritten,
-            re.compile(r"(?<![<>!=])=\s*null\b", re.IGNORECASE),
-            " IS NULL",
-        )
+        rewritten = _sub_outside_literals(rewritten, _NEQ_NULL_RE, " IS NOT NULL")
+        rewritten = _sub_outside_literals(rewritten, _EQ_NULL_RE, " IS NULL")
         # QuestDB VARCHAR is unsized UTF-8 (ColumnType.java:57); Spark's
         # parser demands VARCHAR(n) in cast position — lower to STRING
         # (``x::varchar``, ``CAST(x AS VARCHAR)``; pivot_expressions.test)
@@ -718,6 +712,20 @@ class QdbEngine:
             last = c + 1
         out.append(s[last:])
         return "".join(out)
+
+    # ------------------------------------------------------------------
+    def rewrite_predicate(self, text: str) -> str:
+        """Dialect predicate rewrites for clause texts evaluated through
+        ``F.expr`` OUTSIDE the SELECT pipeline (UPDATE ... WHERE):
+        interval strings and equality intrinsics, day functions,
+        BETWEEN normalization, null comparisons, match operators."""
+        t = self._rewrite_day_functions(text)
+        t = self._rewrite_in_interval_fn(t)
+        t = self._rewrite_intervals(t)
+        t = _normalize_between_literals(t)
+        t = _sub_outside_literals(t, _NEQ_NULL_RE, " IS NOT NULL")
+        t = _sub_outside_literals(t, _EQ_NULL_RE, " IS NULL")
+        return _rewrite_match_operators(t)
 
     # ------------------------------------------------------------------
     def _infer_cte_ts(self, body: str, df: DataFrame) -> str | None:
