@@ -1107,3 +1107,16 @@ def test_expression_keys_and_qualified_latest(eng, spark):
     # alias-qualified select items + PARTITION BY keys after LATEST ON
     df = eng.sql("SELECT e.value FROM events e LATEST ON ts PARTITION BY e.user_id")
     assert df.count() == ev.select("user_id").distinct().count()
+
+
+def test_rewrite_predicate_text(eng):
+    rp = eng.rewrite_predicate
+    out = rp("ts IN '2024-01-15'")
+    assert "ts >= TIMESTAMP '2024-01-15" in out and "<" in out
+    out = rp("ts = '2024-01-15'")
+    assert ">=" in out and "<" in out
+    assert rp("x != null").strip().endswith("IS NOT NULL")
+    assert "IS NULL" in rp("x = null")
+    assert rp("s ~ '^ab'") != "s ~ '^ab'"  # match operator lowered
+    # non-timestamp predicates pass through
+    assert rp("x > 5 AND s = 'abc'") == "x > 5 AND s = 'abc'"
