@@ -835,7 +835,12 @@ class QdbEngine:
                     old_df.createOrReplaceTempView(name)
                 else:
                     self.tables.pop(name, None)
-                    self.spark.catalog.dropTempView(name)
+                    if name in self.ddl_tables:
+                        # DDL tables keep their temp view in sync through
+                        # _refresh_view, not self.tables — restore it
+                        self.ddl_read(name).createOrReplaceTempView(name)
+                    else:
+                        self.spark.catalog.dropTempView(name)
                 if old_ts is not None:
                     self.designated_ts[name] = old_ts
                 else:

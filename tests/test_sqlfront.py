@@ -1120,3 +1120,20 @@ def test_rewrite_predicate_text(eng):
     assert rp("s ~ '^ab'") != "s ~ '^ab'"  # match operator lowered
     # non-timestamp predicates pass through
     assert rp("x > 5 AND s = 'abc'") == "x > 5 AND s = 'abc'"
+
+
+def test_with_cte_shadowing_ddl_table(spark):
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    eng.sql("CREATE TABLE sdw (x INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    eng.sql(
+        "INSERT INTO sdw VALUES (1, '2024-01-01T00:00:00Z'), (2, '2024-01-02T00:00:00Z')"
+    )
+    n = eng.sql(
+        "WITH sdw AS (SELECT ts, count() c FROM sdw SAMPLE BY 1d) "
+        "SELECT count() AS n FROM sdw"
+    ).first().n
+    assert n == 2
+    # the DDL table's temp view is restored after the statement
+    assert eng.sql("SELECT count(*) AS n FROM sdw").first().n == 2
