@@ -278,6 +278,7 @@ class QdbEngine:
         # QuestDB regex-match operators ~ / !~ / GLOB → RLIKE forms
         rewritten = _rewrite_match_operators(rewritten)
         # typed json_extract(x, p)::T and the JSON UNNEST source
+        rewritten = _rewrite_geohash_casts(rewritten)
         rewritten = _rewrite_json_extract_typed(rewritten)
         rewritten = _rewrite_json_unnest(rewritten)
         # QuestDB ARRAY[...] literals (cairo/arr ArrayTypeDriver; the
@@ -3016,6 +3017,116 @@ def _balanced_close(masked: str, open_pos: int) -> int:
             if depth == 0:
                 return k
     return -1
+
+
+_GEOHASH_B32 = "0123456789b-hjkmnp-z"  # regex class form of the alphabet
+_CAST_GEOHASH_RE = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+_GEOHASH_TYPE_TAIL_RE = re.compile(
+    r"\bAS\s+GEOHASH\s*\(\s*(\d+)\s*([bc])\s*\)\s*$", re.IGNORECASE
+)
+_SUFFIX_GEOHASH_RE = re.compile(
+    r"::\s*geohash\s*\(\s*(\d+)\s*([bc])\s*\)", re.IGNORECASE
+)
+
+
+def _geohash_cast_sql(expr: str, n: int, unit: str) -> str:
+    """``cast(s AS geohash(Nc|Nb))`` (CastStrToGeoHashFunctionFactory):
+    truncate to the target precision, NULL for strings shorter than it or
+    with non-base32 characters.  Bit precisions that are multiples of 5
+    lower to their char equivalent; mid-character bit truncation needs
+    the GEOLONG bit value — use the column API
+    (functions.geohash.geohash_to_bits) for those."""
+    if unit.lower() == "b":
+        if n % 5:
+            raise ValueError(
+                "geohash bit precisions that are not multiples of 5 are "
+                "only available through the column API "
+                "(questdb_spark.functions.geohash.geohash_to_bits)"
+            )
+        n //= 5
+    if not 1 <= n <= 12:
+        raise ValueError(f"geohash precision out of range: {n}")
+    g = f"lower(substring({expr}, 1, {n}))"
+    return f"(CASE WHEN {g} RLIKE '^[{_GEOHASH_B32}]{{{n}}}$' THEN {g} END)"
+
+
+def _rewrite_geohash_casts(s: str) -> str:
+    """``CAST(x AS GEOHASH(Nc))`` and ``x::geohash(Nc)`` in expression
+    position — Spark has no GEOHASH type, so the cast lowers to the
+    validated-truncation expression over the string representation."""
+    masked = mask_literals(s)
+    edits: list[tuple[int, int, str]] = []
+    for m in _CAST_GEOHASH_RE.finditer(masked):
+        o = m.end() - 1
+        c = _balanced_close(masked, o)
+        if c < 0:
+            continue
+        inner, minner = s[o + 1 : c], masked[o + 1 : c]
+        tm = _GEOHASH_TYPE_TAIL_RE.search(minner)
+        # the AS keyword must sit at the cast's own paren depth (the
+        # GEOHASH(..) parens themselves open depth 1, so only check AS)
+        if tm is None or not any(
+            lo <= tm.start() < hi for lo, hi in depth0_spans(minner)
+        ):
+            continue
+        expr = inner[: tm.start()].strip()
+        edits.append(
+            (m.start(), c, _geohash_cast_sql(expr, int(tm.group(1)), tm.group(2)))
+        )
+    if not edits:
+        out_s = s
+    else:
+        parts: list[str] = []
+        last = 0
+        for o, c, repl in sorted(edits):
+            if o < last:
+                continue
+            parts.append(s[last:o])
+            parts.append(repl)
+            last = c + 1
+        parts.append(s[last:])
+        out_s = "".join(parts)
+    # suffix form: expr::geohash(Nc) — the suffix binds to the preceding
+    # primary (identifier / call / paren group / literal)
+    masked = mask_literals(out_s)
+    while True:
+        sm = _SUFFIX_GEOHASH_RE.search(masked)
+        if sm is None:
+            return out_s
+        end = sm.start()
+        i = end - 1
+        while i >= 0 and masked[i].isspace():
+            i -= 1
+        if i >= 0 and masked[i] in ")'\"":
+            close_ch = masked[i]
+            if close_ch == ")":
+                depth = 0
+                j = i
+                while j >= 0:
+                    if masked[j] == ")":
+                        depth += 1
+                    elif masked[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                # include a function name directly before the parens
+                k = j - 1
+                while k >= 0 and (masked[k].isalnum() or masked[k] in "_."):
+                    k -= 1
+                start = k + 1
+            else:
+                j = out_s.rfind(close_ch, 0, i)
+                start = j if j >= 0 else i
+        else:
+            k = i
+            while k >= 0 and (masked[k].isalnum() or masked[k] in "_."):
+                k -= 1
+            start = k + 1
+        expr = out_s[start : end].strip()
+        repl = _geohash_cast_sql(expr, int(sm.group(1)), sm.group(2))
+        out_s = out_s[:start] + repl + out_s[sm.end() :]
+        masked = mask_literals(out_s)
 
 
 _BETWEEN_LIT_RE = re.compile(
