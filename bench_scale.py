@@ -91,6 +91,8 @@ HEAVY = [
     "sql_with_cte_bare",
     "sql_implicit_group_by",
     "sql_limit_neg_range",
+    "sql_grammar_r8",
+    "sql_interval_eq",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
