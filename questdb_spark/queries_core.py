@@ -1468,31 +1468,33 @@ def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     lag = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    l1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(lag)
-        .select("l_orderkey", "l_suppkey")
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    )
-    late_others = l1.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    )
-    cand = l1.join(
-        others,
-        (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.o_supp),
-        "left_semi",
-    ).join(
-        late_others,
-        (l1.l_orderkey == late_others.o_key) & (l1.l_suppkey != late_others.o_supp),
-        "left_anti",
+    # single-pass per-order shape: the EXISTS / NOT-EXISTS pair collapses
+    # into one join + one aggregation that REUSES the join's l_orderkey
+    # partitioning (one lineitem shuffle instead of three — the semi and
+    # anti legs each re-shuffled the full relation at 10x)
+    per_order = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(
+                F.collect_set(F.when(lag, F.col("l_suppkey")))
+            ).alias("n_late_supp"),
+            F.first(F.when(lag, F.col("l_suppkey")), ignorenulls=True).alias(
+                "the_supp"
+            ),
+            F.sum(F.when(lag, 1).otherwise(0)).alias("n_late_items"),
+        )
+        # multi-supplier order whose ONLY late supplier is the_supp; the
+        # contribution is its late lineitem count (Q21 counts l1 rows)
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
-        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        per_order.join(F.broadcast(s), per_order.the_supp == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_items").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
