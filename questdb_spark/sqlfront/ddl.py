@@ -414,11 +414,13 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         # depth 0 over the full rest, taking the first balanced group
         inner, tail = _balanced_group(rest)
         cols = []
+        qdb_types: dict[str, str] = {}
         for item in split_top_level(inner, ","):
             cparts = item.strip().split(None, 1)
             if len(cparts) != 2:
                 raise ValueError(f"bad column def: {item!r}")
             cols.append((cparts[0], _qdb_type(cparts[1])))
+            qdb_types[cparts[0]] = re.sub(r"\s+", " ", cparts[1].strip()).upper()
         ts_col = ts_col or next(
             (c for c, t_ in cols if t_ == "timestamp"), cols[0][0]
         )
@@ -427,8 +429,10 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         dedup_keys = [k for k in dedup if k != ts_col]
         t = TimeTable(eng.spark, path, ts_col, part, dedup_keys)
         t.dedup_enabled = bool(dedup)  # KEYS(ts) alone still enables dedup
+        t.declared_cols = [c for c, _ in cols]  # empty-table journal base
         eng.ddl_tables[name] = t
         eng.ddl_schemas[name] = ", ".join(f"{c} {t_}" for c, t_ in cols)
+        eng.ddl_qdb_types[name] = qdb_types
     eng.ddl_tables[name].ttl_hours_or_months = ttl
     eng.designated_ts[name] = ts_col
     eng.ddl_seq[name] = 0
@@ -646,6 +650,9 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         for spec in split_top_level(rest[len("add column") :].strip()):
             col, typ = spec.strip().split(None, 1)
             t.add_column(col, _qdb_type(typ))
+            eng.ddl_qdb_types.setdefault(name, {})[col] = re.sub(
+                r"\s+", " ", typ.strip()
+            ).upper()
             added.append(col)
         detail = f"add {', '.join(added)}"
     elif low.startswith("drop column"):
@@ -944,6 +951,20 @@ def _rename(eng: QdbEngine, s: str) -> DataFrame:
     return _status(eng, "rename", new, f"from {old}")
 
 
+# Spark storage type → canonical QuestDB name for columns without a
+# declared type (CTAS outputs, pre-existing journals)
+_SPARK_TO_QDB = {
+    "bigint": "LONG", "int": "INT", "smallint": "SHORT", "tinyint": "BYTE",
+    "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+    "string": "STRING", "binary": "BINARY", "date": "DATE",
+}
+
+
+def _spark_to_qdb(t: str) -> str:
+    return _SPARK_TO_QDB.get(t, t.upper())
+
+
 def _show(eng: QdbEngine, s: str) -> DataFrame:
     low = re.sub(r"\s+", " ", s.strip().lower())
     if low == "show tables":
@@ -972,13 +993,16 @@ def _show(eng: QdbEngine, s: str) -> DataFrame:
         t = _tbl(eng, name)
         df = eng.ddl_read(name, dedup=False)
         skip = {PARTITION_COL, t.seq_col}
+        declared = eng.ddl_qdb_types.get(name, {})
         cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
+            f"{f.name} {declared.get(f.name, _spark_to_qdb(f.dataType.simpleString()))}"
             for f in df.schema.fields if f.name not in skip
         )
         tail = f" TIMESTAMP({t.ts_col}) PARTITION BY {t.partition_by.upper()}"
-        if t.dedup_keys:
-            tail += f" DEDUP UPSERT KEYS({', '.join(t.dedup_keys)})"
+        if t.dedup_enabled:
+            tail += (
+                f" DEDUP UPSERT KEYS({', '.join([t.ts_col, *t.dedup_keys])})"
+            )
         ttl = t.ttl_hours_or_months
         if ttl > 0:
             tail += f" TTL {ttl} HOURS"

@@ -123,6 +123,9 @@ class QdbEngine:
         # WAL sequence for dedup resolution.
         self.ddl_tables: dict = {}
         self.ddl_schemas: dict = {}
+        # declared QuestDB type text per column (SHOW CREATE TABLE prints
+        # the dialect's types, not the storage mapping)
+        self.ddl_qdb_types: dict[str, dict[str, str]] = {}
         self.ddl_seq: dict[str, int] = {}
         # materialized / live views (sqlfront/matview_ddl.py): name → def
         self.matviews: dict = {}
@@ -158,7 +161,8 @@ class QdbEngine:
             schema = self.ddl_schemas.get(name)
             if schema is None:
                 raise ValueError(f"table {name} is empty with unknown schema")
-            return self.spark.createDataFrame([], schema)
+            # replay the ops journal so empty-table ALTERs are visible
+            return t._logical(self.spark.createDataFrame([], schema))
         df = t.read(dedup=dedup)
         from ..table import PARTITION_COL
 

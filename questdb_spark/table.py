@@ -362,6 +362,7 @@ class TimeTable:
     def _append_op(self, op: dict) -> None:
         ops = self._ops()
         ops.append(op)
+        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
         with open(self._meta_path, "w") as f:
             json.dump({"ops": ops}, f)
 
@@ -415,6 +416,23 @@ class TimeTable:
         self._swap_in(tmp)
 
     def _logical_columns(self) -> list[str]:
+        import glob as _glob
+        import os as _os
+
+        if not _glob.glob(
+            _os.path.join(self.path, "**", "*.parquet"), recursive=True
+        ):
+            # empty table (CREATE but no writes yet): replay the journal
+            # over the declared column list (set by the DDL layer)
+            cols = list(getattr(self, "declared_cols", []) or [])
+            for op in self._ops():
+                if op["op"] == "add" and op["name"] not in cols:
+                    cols.append(op["name"])
+                elif op["op"] == "drop" and op["name"] in cols:
+                    cols.remove(op["name"])
+                elif op["op"] == "rename" and op["old"] in cols:
+                    cols[cols.index(op["old"])] = op["new"]
+            return cols
         return [
             c
             for c in self._logical(

@@ -301,7 +301,7 @@ def test_explain_and_show_create(eng):
             "PARTITION BY DAY DEDUP UPSERT KEYS(sym) TTL 3 DAYS")
     ddl = eng.sql("SHOW CREATE TABLE sc").collect()[0]["ddl"]
     assert "CREATE TABLE sc" in ddl and "TIMESTAMP(ts)" in ddl
-    assert "PARTITION BY DAY" in ddl and "DEDUP UPSERT KEYS(sym)" in ddl
+    assert "PARTITION BY DAY" in ddl and "DEDUP UPSERT KEYS(ts, sym)" in ddl
     assert "TTL 72 HOURS" in ddl
 
     eng.sql("INSERT INTO sc VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)")
@@ -796,3 +796,26 @@ def test_explain_formats(spark):
     assert len(rows) == 1 and rows[0].plan.startswith("[{")
     assert eng.sql("EXPLAIN (FORMAT TEXT) SELECT count(*) FROM exf").count() > 1
     assert eng.sql("EXPLAIN SELECT count(*) FROM exf").count() > 1
+
+
+def test_show_create_qdb_types_and_empty_alter(spark):
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    eng.sql(
+        "CREATE TABLE sct (s SYMBOL CAPACITY 256 CACHE, x INT, ts TIMESTAMP) "
+        "TIMESTAMP(ts) PARTITION BY DAY WAL DEDUP UPSERT KEYS(ts, s)"
+    )
+    # DDL on an EMPTY table works (journal replays over declared columns)
+    eng.sql("ALTER TABLE sct ADD COLUMN u UUID, g GEOHASH(5c)")
+    eng.sql("ALTER TABLE sct RENAME COLUMN u TO u2")
+    eng.sql("ALTER TABLE sct DROP COLUMN u2")
+    ddl = eng.sql("SHOW CREATE TABLE sct").first().ddl
+    # SHOW CREATE prints the DECLARED QuestDB types (symbol options kept)
+    assert "s SYMBOL CAPACITY 256 CACHE" in ddl
+    assert "g GEOHASH(5C)" in ddl
+    assert "DEDUP UPSERT KEYS(ts, s)" in ddl
+    assert "string" not in ddl
+    # data after the empty-table DDL round-trips
+    eng.sql("INSERT INTO sct VALUES ('a', 1, '2024-01-01T00:00:00Z', 'u33d8')")
+    assert eng.sql("SELECT count(*) AS n FROM sct").first().n == 1
