@@ -20,8 +20,20 @@ from questdb_spark.registry import REGISTRY  # noqa: E402
 from questdb_spark.session import get_session  # noqa: E402
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute load averages — emitted into the artifacts so an
+    environmentally-inflated run is self-identifying (r8's driver number
+    was 20% high purely from concurrent box load; the ambiguity cost an
+    adjudication round)."""
+    try:
+        return [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = _loadavg()
     spark = get_session("questdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,14 +86,26 @@ def main() -> None:
             errors.append(name)
             print(f"bench: {name} FAILED: {err}", file=sys.stderr)
 
+    # round/tag-stamped detail artifact (VERDICT r8 task 8: the bare
+    # BENCH_DETAIL.json name meant every rerun clobbered the previous
+    # run's record — driver vs builder vs judge artifacts collided)
+    load_end = _loadavg()
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    default_name = f"BENCH_DETAIL_{tag}.json" if tag else "BENCH_DETAIL.json"
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
     )
     try:
         with open(detail_path, "w") as fh:
             json.dump(
-                {"repeats": repeats, "sf_dir": sf_dir, "queries": detail},
+                {
+                    "repeats": repeats,
+                    "sf_dir": sf_dir,
+                    "loadavg_start": load_start,
+                    "loadavg_end": load_end,
+                    "queries": detail,
+                },
                 fh,
                 indent=1,
                 sort_keys=True,
@@ -112,6 +136,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": len(errors),
                 "top20": top20,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
                 "metric": "total_query_seconds",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

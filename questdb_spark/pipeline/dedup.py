@@ -39,6 +39,13 @@ N_HASHES = 128  # production default: 128 slots
 BAND_SIZE = 8  # → 16 bands
 SIMHASH_BITS = 64
 MAX_SHINGLE_DF = 100_000  # stop-shingle guard: boilerplate shared by >100k docs
+# Fused-path IN-ROW pair-enumeration bound (r8 verdict): a shingle with df
+# just under MAX_SHINGLE_DF would expand to ~df²/2 structs INSIDE ONE ROW
+# (5×10⁹ at the 100k cap — an executor OOM). The drop threshold and the
+# in-row expansion bound are different numbers: shingles with df above
+# this bound keep their pairs but enumerate them CHUNKED (one output row
+# per left element via posexplode, ≤df structs per row) instead of fused.
+FUSED_ENUM_BOUND = 1_024
 
 
 def hash_coeffs(i: int) -> tuple[int, int]:
@@ -144,6 +151,7 @@ def ngram_jaccard_pairs(
             "anyway, or use the guarded default / lsh_prefilter=True "
             "for the scale paths"
         )
+    fused_enum_bound = min(FUSED_ENUM_BOUND, max_shingle_df or FUSED_ENUM_BOUND)
     sh = _shingle_table(df, id_col, text_col, n)
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     if not lsh_prefilter and max_shingle_df is not None:

@@ -31,8 +31,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #                 driver-green within rounds 5-7.
 #   Everything below those blocks is r4/r5/r6-green and demoted past the
 #   window.
+# The 18 entries whose latest driver verification is still round 4
+# (VERDICT r8 task 1) — head of the r9 window right after _NEW_R9.
+# Three sit on code materially changed in r8 (q21 rewrite, SHOW CREATE
+# declared types behind sql_ddl_dml_roundtrip / sql_plain_view).
+_RECHECK_R9: dict[str, tuple[QueryFn, str | None]] = {
+    "q21_waiting_suppliers": (core.q21_waiting_suppliers, core.Q21_SQL),
+    "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
+    "sql_plain_view": (sq.sql_plain_view, sq.SQL_PLAIN_VIEW_SQL),
+    "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
+    "sql_read_parquet": (sq.sql_read_parquet, sq.SQL_READ_PARQUET_SQL),
+    "sql_bind_positional": (sq.sql_bind_positional, sq.SQL_BIND_POSITIONAL_SQL),
+    "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
+    "q12_priority_lines": (core.q12_priority_lines, core.Q12_SQL),
+    "q13_customer_distribution": (core.q13_customer_distribution, core.Q13_SQL),
+    "q17_small_quantity_revenue": (core.q17_small_quantity_revenue, core.Q17_SQL),
+    "cb_referer_domains": (fn.cb_referer_domains, fn.CB_REFERER_DOMAINS_SQL),
+    "cb_minute_groups": (fn.cb_minute_groups, fn.CB_MINUTE_GROUPS_SQL),
+    "cb_wide_sums": (fn.cb_wide_sums, fn.CB_WIDE_SUMS_SQL),
+    "language_detect": (pl.language_detect, pl.LANGUAGE_DETECT_SQL),
+    "token_counts": (pl.token_counts, pl.TOKEN_COUNTS_SQL),
+    "doc_fingerprints": (pl.doc_fingerprints, pl.DOC_FINGERPRINT_SQL),
+    "dedup_exact": (pl.dedup_exact, pl.DEDUP_EXACT_SQL),
+    "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
+}
+
 _RECHECK_R4: dict[str, tuple[QueryFn, str | None]] = {
-    # core TPC-H / scan family (r1-green, unverified since)
+    # core TPC-H / scan family (re-verified r8)
     "q5_region_revenue": (core.q5_region_revenue, core.Q5_SQL),
     "q6_forecast_revenue": (core.q6_forecast_revenue, core.Q6_SQL),
     "q4_priority_exists": (core.q4_priority_exists, core.Q4_SQL),
@@ -59,13 +84,8 @@ _RECHECK_R4: dict[str, tuple[QueryFn, str | None]] = {
     "string_functions": (core.string_functions, core.STRING_FN_SQL),
     "json_functions": (core.json_functions, core.JSON_FN_SQL),
     "conditional_cast": (core.conditional_cast, core.CONDITIONAL_CAST_SQL),
-    # pipeline text/dedup family
+    # pipeline text family
     "text_quality": (pl.text_quality, pl.TEXT_QUALITY_SQL),
-    "language_detect": (pl.language_detect, pl.LANGUAGE_DETECT_SQL),
-    "token_counts": (pl.token_counts, pl.TOKEN_COUNTS_SQL),
-    "doc_fingerprints": (pl.doc_fingerprints, pl.DOC_FINGERPRINT_SQL),
-    "dedup_exact": (pl.dedup_exact, pl.DEDUP_EXACT_SQL),
-    "dedup_jaccard": (pl.dedup_jaccard, pl.DEDUP_JACCARD_SQL),
 }
 
 _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
@@ -114,33 +134,9 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_aggs": (fn.approx_aggs, fn.APPROX_AGGS_SQL),
 }
 
-# New or materially-changed this round — need first verification.
-# Filled in as round-4 work lands; kept ahead of already-verified entries.
-_NEW_R4: dict[str, tuple[QueryFn, str | None]] = {
-    # read_parquet()/parquet_scan() table function (r4)
-    "sql_read_parquet": (sq.sql_read_parquet, sq.SQL_READ_PARQUET_SQL),
-    # plain CREATE VIEW over a dialect query (r4)
-    "sql_plain_view": (sq.sql_plain_view, sq.SQL_PLAIN_VIEW_SQL),
-    # DETACH/ATTACH PARTITION legs added (r4)
-    "sql_ddl_dml_roundtrip": (sq.sql_ddl_dml_roundtrip, sq.SQL_DDL_DML_SQL),
-    # PG-style positional bind variables $1 (r4)
-    "sql_bind_positional": (sq.sql_bind_positional, sq.SQL_BIND_POSITIONAL_SQL),
-    # rnd_* breadth extended: *CC range/null-rate, subnet ipv4, long256
-    # pool, timestamp_nano, str-list forms (r4)
-    "rnd_generators": (fn.rnd_generators, fn.RND_GENERATORS_SQL),
-    # TPC-H completion (r4): all shapes expressible without partsupp
-    "q12_priority_lines": (core.q12_priority_lines, core.Q12_SQL),
-    "q13_customer_distribution": (core.q13_customer_distribution, core.Q13_SQL),
-    "q17_small_quantity_revenue": (core.q17_small_quantity_revenue, core.Q17_SQL),
-    "q21_waiting_suppliers": (core.q21_waiting_suppliers, core.Q21_SQL),
-    # ClickBench breadth (r4): regex-key + derived filter, time-part
-    # group-by, wide shifted-sum expression list
-    "cb_referer_domains": (fn.cb_referer_domains, fn.CB_REFERER_DOMAINS_SQL),
-    "cb_minute_groups": (fn.cb_minute_groups, fn.CB_MINUTE_GROUPS_SQL),
-    "cb_wide_sums": (fn.cb_wide_sums, fn.CB_WIDE_SUMS_SQL),
-    # matview scenario setup changed (fixed cut, r4) — re-verify
-    "sql_matview": (sq.sql_matview, sq.SQL_MATVIEW_SQL),
-}
+# Round-9 additions — new or materially-changed this round; first
+# verification, head of the window.
+_NEW_R9: dict[str, tuple[QueryFn, str | None]] = {}
 
 # Round-8 additions — first verification; head of the window.  Round 7
 # ended without a driver correctness run (no CORRECTNESS_r07), so the
@@ -370,22 +366,23 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix_sample": (pl.corpus_mix_sample, pl.CORPUS_MIX_SAMPLE_SQL),
 }
 
-# Window order, round 8: first verification for the r8/r7 additions and
-# the r7 recheck block (round 7 produced no driver correctness run), then
-# the OLDEST-verified entries (r4-green _RECHECK_R4/_NEW_R4) so the ~50
-# driver slots refresh the stalest contracts; r5/r6-green blocks demote
-# past the window.
+# Window order, round 9 (VERDICT r8 task 1): first verification for the
+# r9 additions, then the 18 entries whose last driver check was round 4
+# — after this round every registry entry is driver-verified within
+# r5-r9.  The spare ~slots go to the next-stalest block (r5-verified);
+# r6/r7/r8-green blocks demote past the window.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    **_NEW_R8,
-    **_NEW_R7,
-    **_RECHECK_R7,
-    **_RECHECK_R4,
-    **_NEW_R4,
+    **_NEW_R9,
+    **_RECHECK_R9,
+    **_RECHECK_R5,
+    **_NEW_R5,
     **_NEW_R6,
     **_PRIORITY,
     **_RECHECK,
-    **_RECHECK_R5,
-    **_NEW_R5,
+    **_RECHECK_R4,
+    **_NEW_R7,
+    **_NEW_R8,
+    **_RECHECK_R7,
 }
 
 

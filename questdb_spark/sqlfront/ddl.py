@@ -579,7 +579,7 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
         )
         rewritten_where = re.sub(
             rf"\b{re.escape(alias)}\.(\w+)", r"__f_\1",
-            eng.rewrite_predicate(where) if where else "",
+            eng.rewrite_predicate(where, table=name) if where else "",
         )
         rewritten_where = re.sub(rf"\b{re.escape(name)}\.(\w+)", r"\1", rewritten_where)
         join_pred = F.expr(rewritten_where) if rewritten_where else F.lit(True)
@@ -593,7 +593,9 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
         _refresh_view(eng, name)
         return _status(eng, "update", name, f"from {from_tbl}")
     pred = (
-        F.expr(eng.rewrite_predicate(where.strip())) if where else F.lit(True)
+        F.expr(eng.rewrite_predicate(where.strip(), table=name))
+        if where
+        else F.lit(True)
     )
     t.update_where(pred, assignments)
     _refresh_view(eng, name)

@@ -140,6 +140,7 @@ class QdbEngine:
         self.query_log: list[dict] = []
         self._query_seq = 0
         self._sub_seq = 0  # expression-position dialect subquery views
+        self._sub_views: list[str] = []  # statement-scoped, dropped on exit
         self._sql_depth = 0
         # COPY import/export log (the reference's sys.text_import_log /
         # copy_export_log backing COPY '<id>' CANCEL): one entry per COPY
@@ -229,6 +230,18 @@ class QdbEngine:
             return self._sql_inner(query)
         finally:
             self._sql_depth -= 1
+            if self._sql_depth == 0 and self._sub_views:
+                # expression-position dialect subquery views are
+                # statement-scoped: the lowered plan is analyzed by the
+                # time _sql_inner returns, so the catalog entries can go
+                # (r8 advice: leaving them leaked one temp view per
+                # subquery occurrence in long-lived sessions)
+                for v in self._sub_views:
+                    try:
+                        self.spark.catalog.dropTempView(v)
+                    except Exception:
+                        pass
+                self._sub_views.clear()
 
     def _sql_inner(self, query: str) -> DataFrame:
         from . import ddl
@@ -459,9 +472,18 @@ class QdbEngine:
         names |= set(self.matviews)
         return {n.lower() for n in names}
 
-    def _bare_wrap_one(self, text: str, mtext: str, top: bool) -> str | None:
+    def _bare_wrap_one(
+        self, text: str, mtext: str, top: bool, lone_ok: bool = True
+    ) -> str | None:
         """``SELECT * FROM``-wrap one statement / subquery / set-op operand
-        if it starts at a table expression; None = not the shorthand."""
+        if it starts at a table expression; None = not the shorthand.
+
+        ``lone_ok``: whether a LONE identifier qualifies — only true in
+        table positions (statement/top, FROM/JOIN/IN operand, set-op
+        operand). The reference resolves identifiers to tables only in
+        table positions (SqlParser.java parseDml); a lone identifier in a
+        call argument list (``max(ts)`` with a table also named ``ts``)
+        is a column reference, never a bare query."""
         m = re.match(r'\s*("?[A-Za-z_][\w$]*"?)\s*', mtext)
         if m is None:
             return None
@@ -479,7 +501,7 @@ class QdbEngine:
             # bare `table PIVOT (...)` has its own statement-position
             # rewrite with the reference's full error surface
             return None
-        if top or not rest or self._BARE_TAIL_RE.match(rest):
+        if top or (not rest and lone_ok) or (rest and self._BARE_TAIL_RE.match(rest)):
             return "SELECT * FROM " + text.strip()
         return None
 
@@ -487,7 +509,7 @@ class QdbEngine:
         masked = mask_literals(s)
         inserts: list[int] = []  # positions where "SELECT * FROM " goes
 
-        def scan(lo: int, hi: int, top: bool) -> None:
+        def scan(lo: int, hi: int, top: bool, lone_ok: bool = True) -> None:
             # split this region at its depth-0 set-op keywords, try the
             # shorthand on each operand, then recurse into paren groups
             cuts = []
@@ -496,8 +518,10 @@ class QdbEngine:
                     cuts.append((m.start(), m.end()))
             starts = [lo] + [en for _, en in cuts]
             ends = [st for st, _ in cuts] + [hi]
-            for plo, phi in zip(starts, ends):
-                if self._bare_wrap_one(s[plo:phi], masked[plo:phi], top):
+            for idx, (plo, phi) in enumerate(zip(starts, ends)):
+                # a set-op operand (idx > 0) is always a table position
+                ok = lone_ok if idx == 0 else True
+                if self._bare_wrap_one(s[plo:phi], masked[plo:phi], top, ok):
                     inserts.append(plo + (len(s[plo:phi]) - len(s[plo:phi].lstrip())))
             depth = 0
             oopen = -1
@@ -511,13 +535,24 @@ class QdbEngine:
                     depth -= 1
                     if depth == 0 and oopen >= 0:
                         # FROM/JOIN position allows the lone-identifier and
-                        # alias forms, like the statement position does
+                        # alias forms, like the statement position does.
+                        # A group directly preceded by any OTHER plain
+                        # identifier is a call argument list — a lone
+                        # identifier there is a column, not a bare query
+                        # (`max(ts)` with a table named `ts`).
+                        # (IN is NOT lone-allowed: `x IN (c)` is a value
+                        # list even when c names a table)
                         prev = re.search(r"(\w+)\s*$", masked[lo:oopen])
-                        ptop = bool(
-                            prev
-                            and prev.group(1).upper() in ("FROM", "JOIN")
+                        pword = prev.group(1).upper() if prev else ""
+                        ptop = pword in ("FROM", "JOIN")
+                        plone = ptop or pword in (
+                            "",
+                            "UNION",
+                            "ALL",
+                            "INTERSECT",
+                            "EXCEPT",
                         )
-                        scan(oopen + 1, i, ptop)
+                        scan(oopen + 1, i, ptop, plone)
                         oopen = -1
 
         scan(0, len(s), True)
@@ -702,7 +737,22 @@ class QdbEngine:
             ):
                 self._sub_seq += 1
                 name = f"__qdb_sub_{self._sub_seq}"
-                self.sql(content).createOrReplaceTempView(name)
+                try:
+                    sub = self.sql(content)
+                except Exception as e:
+                    # an unresolved column inside the self-contained
+                    # lowering is an outer-scope reference — surface the
+                    # actual restriction instead of the inner resolver text
+                    if "UNRESOLVED_COLUMN" in str(e) or "cannot be resolved" in str(e):
+                        raise ValueError(
+                            "correlated dialect subquery unsupported: "
+                            "LATEST ON / SAMPLE BY subqueries are "
+                            "self-contained (reference restriction); "
+                            f"inner error: {e}"
+                        ) from e
+                    raise
+                sub.createOrReplaceTempView(name)
+                self._sub_views.append(name)
                 edits.append((o, c, f"(SELECT * FROM {name})"))
                 pos = c + 1
             else:
@@ -719,14 +769,27 @@ class QdbEngine:
         return "".join(out)
 
     # ------------------------------------------------------------------
-    def rewrite_predicate(self, text: str) -> str:
+    def rewrite_predicate(self, text: str, table: str | None = None) -> str:
         """Dialect predicate rewrites for clause texts evaluated through
         ``F.expr`` OUTSIDE the SELECT pipeline (UPDATE ... WHERE):
         interval strings and equality intrinsics, day functions,
-        BETWEEN normalization, null comparisons, match operators."""
+        BETWEEN normalization, null comparisons, match operators.
+        ``table``: the statement's target table — scopes the
+        ``ts = '<interval>'`` equality intrinsic to that table's
+        designated timestamp (there is no FROM text to resolve from)."""
+        if table is None:
+            # bare predicate text with no table context: the global
+            # designated-ts name set is the only resolvable guard
+            ts_cols = set(self.designated_ts.values())
+        else:
+            ts_cols = set()
+            for key in (table, table.lower()):
+                ts = self.designated_ts.get(key)
+                if ts:
+                    ts_cols.add(ts)
         t = self._rewrite_day_functions(text)
         t = self._rewrite_in_interval_fn(t)
-        t = self._rewrite_intervals(t)
+        t = self._rewrite_intervals(t, ts_cols=ts_cols)
         t = _normalize_between_literals(t)
         t = _sub_outside_literals(t, _NEQ_NULL_RE, " IS NOT NULL")
         t = _sub_outside_literals(t, _EQ_NULL_RE, " IS NULL")
@@ -919,7 +982,61 @@ class QdbEngine:
         out.append(s[last:])
         return "".join(out)
 
-    def _rewrite_intervals(self, s: str) -> str:
+    def _stmt_ts_columns(self, masked: str) -> set[str]:
+        """Designated-timestamp column names of the tables actually
+        referenced (FROM/JOIN positions) in this statement — NOT the
+        global designated-ts name set.  The reference guards the
+        ``ts = '<interval>'`` intrinsic with isTimestamp(column) on the
+        actual column (WhereClauseParser analyzeEquals); a string column
+        that merely shares a name with some OTHER table's designated ts
+        must not be rewritten.  A column that resolves to a
+        NON-timestamp dtype in every referenced registered table is
+        excluded even if it name-matches."""
+        refs: set[str] = set()
+        pending = [masked]
+        seen_bodies: set[str] = set()
+        while pending:
+            text = pending.pop()
+            for m in re.finditer(
+                r'\b(?:FROM|JOIN)\s+("?[A-Za-z_][\w$]*"?)', text, re.IGNORECASE
+            ):
+                t = m.group(1).strip('"')
+                if t in refs:
+                    continue
+                refs.add(t)
+                refs.add(t.lower())
+                # follow view/matview definitions one level: a view over a
+                # time table carries its base table's designated ts
+                body = self.views.get(t) or self.views.get(t.lower())
+                if body is None:
+                    mv = self.matviews.get(t) or self.matviews.get(t.lower())
+                    body = getattr(mv, "inner_sql", None) if mv is not None else None
+                if body and body not in seen_bodies:
+                    seen_bodies.add(body)
+                    pending.append(mask_literals(body))
+        names = {
+            ts for t, ts in self.designated_ts.items() if t in refs or t.lower() in refs
+        }
+        if not names:
+            return names
+        # dtype veto: if the name resolves in referenced registered tables
+        # and NONE of those columns is a timestamp, it's a plain column
+        kept: set[str] = set()
+        for name in names:
+            dtypes = []
+            for t in refs:
+                df = self.tables.get(t)
+                if df is None:
+                    continue
+                for c, dt in df.dtypes:
+                    if c == name:
+                        dtypes.append(dt)
+            if dtypes and not any(dt.startswith("timestamp") for dt in dtypes):
+                continue
+            kept.add(name)
+        return kept
+
+    def _rewrite_intervals(self, s: str, ts_cols: set[str] | None = None) -> str:
         """`ts IN '2024-01'` / `ts IN ('2024-01', '2024-03')` /
         `ts NOT IN '...'` → half-open ranges (WhereClauseParser equivalent;
         the LIST form is the union of the intervals, InTest.java). Strings
@@ -934,9 +1051,11 @@ class QdbEngine:
         # equality against an interval string is the same intrinsic
         # (WhereClauseParser analyzeEquals → model.intersectTimestamp:
         # `ts = '2024-01-15'` selects the whole day, != the complement) —
-        # applied only to designated-timestamp columns, like the
-        # reference's isTimestamp(a) guard
-        ts_names = set(self.designated_ts.values())
+        # applied only to designated-timestamp columns OF THE TABLES THIS
+        # STATEMENT REFERENCES, like the reference's isTimestamp(a) guard
+        # (r8 advice: a global name set mis-rewrote string columns that
+        # shared a name with some other table's designated ts)
+        ts_names = self._stmt_ts_columns(masked) if ts_cols is None else ts_cols
         eq_matches = (
             [
                 (m, m.group(2) in ("!=", "<>"))

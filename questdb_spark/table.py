@@ -73,6 +73,7 @@ class TimeTable:
         # dictionary encoding + row-group min/max pruning substitute for
         # symbol tables and bitmap indexes (SURVEY §2.2)
         self.params: dict[str, str] = {}
+        self._declared_cols: list[str] | None = None  # lazy, meta-backed
 
     # -- write path --------------------------------------------------------
     def _with_partition(self, df: DataFrame, ts_col: str | None = None) -> DataFrame:
@@ -117,8 +118,13 @@ class TimeTable:
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""
+        declared = None
         if mode == "overwrite":
             # fresh table definition — any pending DDL journal is void
+            # (declared_cols survives: it describes the CREATE, not the
+            # ops; re-persisted after the write since Spark's overwrite
+            # clears the directory)
+            declared = self._meta().get("declared_cols")
             try:
                 os.remove(self._meta_path)
             except OSError:
@@ -131,6 +137,8 @@ class TimeTable:
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
+        if declared:
+            self._write_meta(declared_cols=declared)
 
     def append(self, df: DataFrame, seq: int = 0) -> None:
         """WAL-style append; `seq` orders writes for dedup resolution.
@@ -352,19 +360,42 @@ class TimeTable:
     def _meta_path(self) -> str:
         return os.path.join(self.path, "_qdb_meta.json")
 
-    def _ops(self) -> list[dict]:
+    def _meta(self) -> dict:
         try:
             with open(self._meta_path) as f:
-                return json.load(f)["ops"]
-        except (OSError, ValueError, KeyError):
-            return []
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _write_meta(self, **updates) -> None:
+        meta = self._meta()
+        meta.update(updates)
+        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def _ops(self) -> list[dict]:
+        return self._meta().get("ops", [])
 
     def _append_op(self, op: dict) -> None:
         ops = self._ops()
         ops.append(op)
-        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
-        with open(self._meta_path, "w") as f:
-            json.dump({"ops": ops}, f)
+        self._write_meta(ops=ops)
+
+    # declared column list (CREATE TABLE order) — persisted alongside the
+    # ops journal so an EMPTY table's schema survives a new engine/process
+    # (r8 advice: an in-memory-only attribute lost SHOW COLUMNS / ALTER
+    # validation for CREATEd-but-unwritten tables across restarts)
+    @property
+    def declared_cols(self) -> list[str]:
+        if self._declared_cols is None:
+            self._declared_cols = self._meta().get("declared_cols", [])
+        return self._declared_cols
+
+    @declared_cols.setter
+    def declared_cols(self, cols: Sequence[str]) -> None:
+        self._declared_cols = list(cols)
+        self._write_meta(declared_cols=self._declared_cols)
 
     def add_column(self, name: str, dtype: str) -> None:
         """ALTER TABLE ADD COLUMN — null for existing rows, no backfill."""
@@ -419,12 +450,21 @@ class TimeTable:
         import glob as _glob
         import os as _os
 
-        if not _glob.glob(
-            _os.path.join(self.path, "**", "*.parquet"), recursive=True
+        # existence probe, not a full listing: iglob stops at the first
+        # hit, so populated tables don't pay a recursive directory walk
+        # on every ALTER/column check (r8 advice)
+        if (
+            next(
+                _glob.iglob(
+                    _os.path.join(self.path, "**", "*.parquet"), recursive=True
+                ),
+                None,
+            )
+            is None
         ):
             # empty table (CREATE but no writes yet): replay the journal
             # over the declared column list (set by the DDL layer)
-            cols = list(getattr(self, "declared_cols", []) or [])
+            cols = list(self.declared_cols)
             for op in self._ops():
                 if op["op"] == "add" and op["name"] not in cols:
                     cols.append(op["name"])

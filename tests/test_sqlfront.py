@@ -1137,3 +1137,91 @@ def test_with_cte_shadowing_ddl_table(spark):
     assert n == 2
     # the DDL table's temp view is restored after the statement
     assert eng.sql("SELECT count(*) AS n FROM sdw").first().n == 2
+
+
+def test_bare_shorthand_not_in_call_position(spark):
+    # r8 advice (high): a table sharing a name with a column must not
+    # turn `max(ts)` into `max(SELECT * FROM ts)` — identifiers resolve
+    # to tables only in table positions (SqlParser.java parseDml)
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    eng.register("trades", ev, designated_ts="ts")
+    # a table literally named after common column names
+    eng.register("ts", ev.limit(5))
+    eng.register("value", ev.limit(5))
+    r = eng.sql("SELECT max(ts) AS m, avg(value) AS a FROM trades").first()
+    assert r.m is not None and r.a is not None
+    # nested call positions too
+    assert (
+        eng.sql("SELECT count(*) AS n FROM trades WHERE abs(value) >= 0").first().n
+        == ev.count()
+    )
+    # ...while true table positions keep the shorthand
+    assert eng.sql("SELECT count(*) AS n FROM (ts)").first().n == 5
+    assert eng.sql("(value) LIMIT 3").count() == 3
+    # `x IN (c)` stays a value list even when c names a table
+    assert (
+        eng.sql("SELECT count(*) AS n FROM trades WHERE event_id IN (event_id)")
+        .first()
+        .n
+        == ev.count()
+    )
+    # set-op operands inside parens stay table positions
+    assert eng.sql("SELECT * FROM ((ts) UNION ALL (value))").count() == 10
+
+
+def test_interval_eq_scoped_to_referenced_tables(spark):
+    # r8 advice (medium): `col = '<date>'` must rewrite to a day range
+    # ONLY when col is a designated ts of a table this statement
+    # references — not when a string column shares the name with some
+    # OTHER table's designated ts
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    # sensors: designated ts named "time"
+    eng.register("sensors", ev.withColumnRenamed("ts", "time"), designated_ts="time")
+    # readings: a STRING column named "time" holding date-like values
+    readings = spark.createDataFrame(
+        [("2024-01-15", 1), ("2024-01-15 00:30:00", 2), ("2024-01-16", 3)],
+        "time string, v int",
+    )
+    eng.register("readings", readings)
+    # string equality must stay equality (1 exact match, not the whole day)
+    assert (
+        eng.sql("SELECT count(*) AS n FROM readings WHERE time = '2024-01-15'")
+        .first()
+        .n
+        == 1
+    )
+    # the intrinsic still fires on the actual designated ts
+    n_day = eng.sql(
+        "SELECT count(*) AS n FROM sensors WHERE time = '2024-01-15'"
+    ).first().n
+    n_in = eng.sql(
+        "SELECT count(*) AS n FROM sensors WHERE time IN '2024-01-15'"
+    ).first().n
+    assert n_day == n_in > 1
+
+
+def test_dialect_subquery_views_dropped(spark):
+    # r8 advice (low): `__qdb_sub_N` temp views are statement-scoped
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    ev = load_table(spark, SF_DIR, "events")
+    eng.register("ev9", ev, designated_ts="ts")
+    df = eng.sql(
+        "SELECT count(*) AS n FROM ev9 WHERE event_id IN "
+        "(SELECT event_id FROM ev9 LATEST ON ts PARTITION BY user_id)"
+    )
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__qdb_sub_")
+    ]
+    assert leftover == []
+    # the returned DataFrame stays executable after the views are gone
+    assert df.first().n > 0
