@@ -126,6 +126,7 @@ def ngram_jaccard_pairs(
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
     unsafe_exact: bool = False,
+    fused_enum_bound: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -143,6 +144,11 @@ def ngram_jaccard_pairs(
     shingle — a deliberate oracle-parity baseline, NEVER a production
     route (21.4× at the 10× scale check). It requires an explicit
     ``unsafe_exact=True`` acknowledgement; without it this raises.
+
+    ``fused_enum_bound`` (default ``FUSED_ENUM_BOUND``): per-shingle df
+    above which the guarded fused path switches from in-row pair
+    enumeration to chunked (posexplode) enumeration — identical results,
+    O(df) instead of O(df²) peak per-row memory.
     """
     if max_shingle_df is None and not lsh_prefilter and not unsafe_exact:
         raise ValueError(
@@ -151,7 +157,8 @@ def ngram_jaccard_pairs(
             "anyway, or use the guarded default / lsh_prefilter=True "
             "for the scale paths"
         )
-    fused_enum_bound = min(FUSED_ENUM_BOUND, max_shingle_df or FUSED_ENUM_BOUND)
+    if fused_enum_bound is None:
+        fused_enum_bound = min(FUSED_ENUM_BOUND, max_shingle_df or FUSED_ENUM_BOUND)
     sh = _shingle_table(df, id_col, text_col, n)
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     if not lsh_prefilter and max_shingle_df is not None:
@@ -167,16 +174,38 @@ def ngram_jaccard_pairs(
             .filter(F.size("ds") <= max_shingle_df)  # occurrence guard
             .select(F.array_sort("ds").alias("ds"))
         )
+        # In-row pair enumeration is bounded (r8 verdict): a shingle list
+        # of df elements expands to ~df²/2 structs in ONE row — fine at
+        # df ≤ fused_enum_bound (≤0.5M structs), an executor OOM near the
+        # 100k drop cap. Lists above the bound enumerate CHUNKED: one
+        # output row per left element (posexplode), each carrying ≤df
+        # structs, so per-row memory is O(df) while total pair count —
+        # and therefore the result — is unchanged.
         pair_structs = F.expr(
             "filter(flatten(transform(ds, (x, i) -> "
             "transform(slice(ds, i + 2, size(ds) - i - 1), "
             "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)"
         )
-        expl = lists.select(F.explode(pair_structs).alias("p"))
+        small = (
+            lists.filter(F.size("ds") <= fused_enum_bound)
+            .select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        )
+        big = (
+            lists.filter(F.size("ds") > fused_enum_bound)
+            .select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
+            .select(
+                F.col("a"),
+                F.explode(
+                    F.expr("slice(ds, i + 2, size(ds) - i - 1)")
+                ).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+        )
         common = (
-            expl.groupBy(
-                F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
-            ).agg(F.count(F.lit(1)).alias("common"))
+            small.unionByName(big)
+            .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
         )
         sizes = (
             lists.select(F.explode("ds").alias("doc"))
@@ -440,25 +469,34 @@ def simhash_hamming(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> C
 
 def dedup_clusters(
     pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 30,
 ) -> DataFrame:
-    """Resolve near-duplicate PAIRS into clusters: connected components via
-    min-label propagation (each doc converges to the smallest doc id in its
-    component — the canonical document).
+    """Resolve near-duplicate PAIRS into clusters: connected components —
+    each doc converges to the smallest doc id in its component (the
+    canonical document).
 
     Input: (doc_a, doc_b) candidate pairs (from `ngram_jaccard_pairs` or
     `minhash_lsh_candidates`). Output: (doc, cluster) for every doc that
     appears in a pair.
 
-    Scale notes: label propagation is O(diameter) iterative joins; dedup
-    graphs are overwhelmingly star-shaped (diameter ≤ ~3), so the common
-    case converges within two rounds.  The fast path therefore fuses TWO
-    propagation rounds into ONE Spark job (no persist barrier or driver
-    action between them) and pays a single convergence check at the end;
-    only a graph still changing after that falls back to the
-    check-per-round loop.  Each round is one shuffle on doc id; the edge
-    set is persisted so re-evaluation inside the fused plan re-reads the
-    cache, not the candidate-pair lineage.
+    Algorithm (r9 rewrite): min-label propagation INTERLEAVED WITH
+    POINTER JUMPING (path halving: ``label := min(label, label[label])``,
+    applied twice per round).  Plain propagation is O(diameter) rounds —
+    fine for the star-shaped common case but a chain-shaped component of
+    length L (replica ladders produce them) needs L rounds: at the sf0.1
+    check a diameter>25 component burned the full iteration budget and
+    EXITED UNCONVERGED.  Each jump composes the label mapping with
+    itself, so reach per round multiplies by ~4: convergence is
+    O(log diameter) rounds — 6 rounds cover diameter ~4096 — which is
+    also exactly what a 1000-executor run wants (rounds = shuffle
+    barriers).
+
+    localCheckpoint per step (not persist): persist caches data but the
+    logical plan still nests one join deeper per round — at the 10x scale
+    check the accumulated tree alone OOM'd the driver merely RENDERING
+    the explain string; truncating lineage keeps the plan O(1) in
+    diameter.  The checkpoint also makes the jump's self-join read
+    materialized rows instead of re-executing the round's plan twice.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -467,7 +505,7 @@ def dedup_clusters(
         .persist()  # iterated over — never recompute the candidate-pair lineage
     )
 
-    def _propagate(lbl: DataFrame) -> DataFrame:
+    def _neighbor_min(lbl: DataFrame) -> DataFrame:
         """One min-label round; keeps the incoming label as __prev so
         convergence detection is a filter, not another join."""
         neighbor_min = (
@@ -483,30 +521,28 @@ def dedup_clusters(
             F.col("label").alias("__prev"),
         )
 
-    labels0 = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label"))
-    # --- star-graph fast path: rounds 1+2 fused, one action ---
-    fused = _propagate(_propagate(labels0).select("u", "label")).persist()
-    changed = fused.filter(F.col("label") != F.col("__prev")).limit(1).count()
-    labels = fused.select("u", "label")
-    if changed:
-        # --- general path: long-diameter graph; check each further round.
-        # localCheckpoint (not persist): persist caches DATA but the
-        # logical plan still nests one join deeper per round — at the 10x
-        # scale check the accumulated tree alone OOM'd the driver while
-        # merely RENDERING the explain string. Truncating lineage per
-        # round keeps the plan O(1) regardless of graph diameter, which
-        # is also what a 1000-executor run needs. ---
-        # one round per checkpoint: fusing two rounds per job was measured
-        # SLOWER (the unmaterialized inner round is referenced twice by
-        # _propagate, so it executes twice per job)
-        for _ in range(max_iterations - 2):
-            new_labels = _propagate(labels).localCheckpoint(eager=True)
-            changed = (
-                new_labels.filter(F.col("label") != F.col("__prev")).limit(1).count()
-            )
-            labels = new_labels.select("u", "label")
-            if changed == 0:
-                break
-        fused.unpersist()
+    def _jump(lbl: DataFrame) -> DataFrame:
+        """Path halving: label := min(label, label[label]).  Every label
+        value is itself a node id present in lbl (labels start as ids and
+        only move via min over ids), so the lookup is a self-equi-join."""
+        lookup = lbl.select(F.col("u").alias("__ju"), F.col("label").alias("__jl"))
+        return lbl.join(lookup, lbl["label"] == lookup["__ju"], "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))).alias(
+                "label"
+            ),
+            "__prev",
+        )
+
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label"))
+    for _ in range(max_iterations):
+        stepped = _neighbor_min(labels).localCheckpoint(eager=True)
+        jumped = _jump(_jump(stepped).localCheckpoint(eager=True)).localCheckpoint(
+            eager=True
+        )
+        changed = jumped.filter(F.col("label") != F.col("__prev")).limit(1).count()
+        labels = jumped.select("u", "label")
+        if changed == 0:
+            break
     edges.unpersist()
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))

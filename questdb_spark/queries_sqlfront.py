@@ -1392,3 +1392,59 @@ FROM events
 WHERE NOT (ts >= '2024-01-15' AND ts < '2024-01-16')
 GROUP BY event_type
 """
+
+
+def sql_matview_timer(spark: SparkSession, sf: str) -> DataFrame:
+    """Mat-view TIMER + PERIOD refresh scheduling (r9,
+    SqlParser.java:2590-2717 REFRESH_TYPE_TIMER/PERIOD,
+    MatViewTimerJob): a REFRESH EVERY view whose next-due tick is in the
+    far future serves its STORED state after a base append (stale read —
+    the timer hasn't fired), a manual REFRESH brings it current, and a
+    PERIOD(LENGTH 1h) view over 2024 data sees every period complete.
+    The three stages are emitted as tagged rows so the oracle checks all
+    of stale/fresh/period states relationally."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.register(
+        "ev_head9",
+        load_table(spark, sf, "events").filter(
+            F.col("ts") < F.lit("2024-01-21").cast("timestamp")
+        ),
+        designated_ts="ts",
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_timer9 WITH BASE ev_head9 "
+        "REFRESH EVERY 1d START '2999-01-01' AS ("
+        "SELECT ts, event_type, count(*) AS n FROM ev_head9 SAMPLE BY 1h)"
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_period9 WITH BASE ev_head9 "
+        "REFRESH IMMEDIATE PERIOD (LENGTH 1h DELAY 5m) AS ("
+        "SELECT ts, event_type, count(*) AS n FROM ev_head9 SAMPLE BY 1h)"
+    )
+    # base append: the timer view must NOT see it (next due = year 2999)
+    eng.register("ev_head9", load_table(spark, sf, "events"), designated_ts="ts")
+    # materialize the stale snapshot: the manual refresh below rewrites
+    # the view's partitions, so the lazy scan would read deleted files
+    stale = eng.sql(
+        "SELECT 'stale' AS stage, ts, event_type, n FROM mv_timer9"
+    ).localCheckpoint(eager=True)
+    # manual refresh works regardless of the timer
+    eng.sql("REFRESH MATERIALIZED VIEW mv_timer9 INCREMENTAL")
+    fresh = eng.sql("SELECT 'fresh' AS stage, ts, event_type, n FROM mv_timer9")
+    period = eng.sql("SELECT 'period' AS stage, ts, event_type, n FROM mv_period9")
+    return stale.unionByName(fresh).unionByName(period)
+
+
+SQL_MATVIEW_TIMER_SQL = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT 'stale' AS stage, ts, event_type, n FROM hourly
+  WHERE ts < TIMESTAMP '2024-01-21'
+UNION ALL
+SELECT 'fresh' AS stage, ts, event_type, n FROM hourly
+UNION ALL
+SELECT 'period' AS stage, ts, event_type, n FROM hourly
+  WHERE ts < TIMESTAMP '2024-01-21'
+"""

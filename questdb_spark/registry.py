@@ -136,7 +136,12 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
 
 # Round-9 additions — new or materially-changed this round; first
 # verification, head of the window.
-_NEW_R9: dict[str, tuple[QueryFn, str | None]] = {}
+_NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
+    # mat-view TIMER + PERIOD refresh scheduling (r9,
+    # SqlParser.java:2590-2717): stale-before-due / fresh-after-manual /
+    # period-complete states oracle-checked
+    "sql_matview_timer": (sq.sql_matview_timer, sq.SQL_MATVIEW_TIMER_SQL),
+}
 
 # Round-8 additions — first verification; head of the window.  Round 7
 # ended without a driver correctness run (no CORRECTNESS_r07), so the

@@ -351,7 +351,9 @@ class QdbEngine:
             rewritten = top_pivot
         masked = mask_literals(rewritten)
         for nm, dd in self.matviews.items():
-            if dd.live and re.search(rf"\b{re.escape(nm)}\b", masked):
+            if (dd.live or dd.refresh_type == "timer") and re.search(
+                rf"\b{re.escape(nm)}\b", masked
+            ):
                 from .matview_ddl import read_with_live_refresh
 
                 read_with_live_refresh(self, nm)

@@ -46,8 +46,8 @@ _PART = "__mv_part"
 
 _CREATE_RE = re.compile(
     r"^create\s+(materialized|live)\s+view\s+(if\s+not\s+exists\s+)?(\w+)\s*"
-    r"(?:with\s+base\s+'?(\w+)'?\s*)?(?:refresh\s+(?:immediate|manual)\s*)?as\s*\(",
-    re.IGNORECASE,
+    r"(?:with\s+base\s+'?(\w+)'?\s*)?(refresh\b.*?)?as\s*\(",
+    re.IGNORECASE | re.DOTALL,
 )
 _REFRESH_RE = re.compile(
     r"^refresh\s+materialized\s+view\s+(\w+)(?:\s+(full|incremental))?$",
@@ -74,6 +74,156 @@ class MatViewDef:
     shape: str = "sample_by"  # sample_by | latest_on | generic
     frozen_count: int = -1  # base rows below the incremental cutoff
     base_count: int = -1  # total base rows at last refresh
+    # refresh scheduling (SqlParser.java:2590-2717, MatViewDefinition
+    # REFRESH_TYPE_TIMER/PERIOD): TIMER views refresh when a read arrives
+    # at/after next_due (the batch twin of the reference's timer job);
+    # PERIOD views bound every refresh at the last COMPLETE period
+    refresh_type: str = "immediate"  # immediate | manual | timer
+    deferred: bool = False
+    timer_every: str = ""  # '1h' interval spec; '' = no timer
+    timer_start: datetime | None = None
+    timer_tz: str | None = None
+    next_due: datetime | None = None
+    period_length: str = ""  # '' = no PERIOD clause
+    period_tz: str | None = None
+    period_delay: str = ""
+
+
+_EVERY_UNITS = {"m", "h", "d", "w", "y", "M"}  # validateMatViewEveryUnit
+_PERIOD_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}  # periodLengthSeconds
+
+
+def _stride(tok: str, what: str) -> tuple[int, str]:
+    m = re.fullmatch(r"(\d+)([a-zA-Z])", tok.strip())
+    if not m:
+        raise ValueError(f"invalid {what} interval: {tok!r}")
+    return int(m.group(1)), m.group(2)
+
+
+def _parse_refresh(text: str) -> dict:
+    """Parse the REFRESH clause of CREATE MATERIALIZED/LIVE VIEW
+    (SqlParser.java:2590-2717): IMMEDIATE | MANUAL | INCREMENTAL |
+    EVERY <interval> [DEFERRED] [START '<ts>' [TIME ZONE '<tz>']] and the
+    optional PERIOD(LENGTH <interval> [TIME ZONE '<tz>'] [DELAY <interval>])
+    tail — with the reference's validation surface (unit sets, 24h period
+    cap, delay < length, TIMER-only START)."""
+    out = {
+        "refresh_type": "immediate",
+        "deferred": False,
+        "timer_every": "",
+        "timer_start": None,
+        "timer_tz": None,
+        "period_length": "",
+        "period_tz": None,
+        "period_delay": "",
+    }
+    if not text:
+        return out
+    toks = re.findall(r"'[^']*'|\(|\)|[^\s()]+", text.strip())
+    i = 1  # skip REFRESH
+    n = len(toks)
+
+    def peek() -> str:
+        return toks[i].lower() if i < n else ""
+
+    if peek() in ("immediate", "incremental"):
+        i += 1
+    elif peek() == "manual":
+        out["refresh_type"] = "manual"
+        i += 1
+    elif peek() == "every":
+        i += 1
+        if i >= n:
+            raise ValueError("interval expected")
+        mult, unit = _stride(toks[i], "EVERY")
+        if unit not in _EVERY_UNITS:
+            raise ValueError(
+                f"unsupported interval unit: {unit}, supported units are "
+                "'m', 'h', 'd', 'w', 'y', 'M'"
+            )
+        out["refresh_type"] = "timer"
+        out["timer_every"] = f"{mult}{unit}"
+        i += 1
+    if peek() == "deferred":
+        out["deferred"] = True
+        i += 1
+    if peek() == "start":
+        # START is TIMER-only (the reference's "'as' expected" shape)
+        if out["refresh_type"] != "timer":
+            raise ValueError("'as' expected")
+        i += 1
+        lit = toks[i] if i < n else ""
+        if not (lit.startswith("'") and lit.endswith("'")):
+            raise ValueError("invalid START timestamp value")
+        try:
+            out["timer_start"] = datetime.fromisoformat(
+                lit.strip("'").replace("T", " ").rstrip("Zz")
+            ).replace(tzinfo=timezone.utc)
+        except ValueError:
+            raise ValueError("invalid START timestamp value") from None
+        i += 1
+        if peek() == "time":
+            i += 1
+            if peek() != "zone":
+                raise ValueError("'zone' expected")
+            i += 1
+            tz = toks[i] if i < n else ""
+            out["timer_tz"] = tz.strip("'")
+            i += 1
+    if peek() == "period":
+        i += 1
+        if peek() != "(":
+            raise ValueError("'(' expected")
+        i += 1
+        if peek() == "length":
+            i += 1
+            mult, unit = _stride(toks[i] if i < n else "", "LENGTH")
+            if unit not in _PERIOD_UNITS:
+                raise ValueError(
+                    f"unsupported length unit: {mult}{unit}, supported "
+                    "units are 's', 'm', 'h', 'd'"
+                )
+            if mult * _PERIOD_UNITS[unit] > 86400:
+                raise ValueError(
+                    f"maximum supported length interval is 24 hours: {mult}{unit}"
+                )
+            out["period_length"] = f"{mult}{unit}"
+            i += 1
+            if peek() == "time":
+                i += 1
+                if peek() != "zone":
+                    raise ValueError("'zone' expected")
+                i += 1
+                nxt = toks[i] if i < n else ")"
+                if nxt == ")" or nxt.lower() == "delay":
+                    raise ValueError("TIME ZONE name expected")
+                out["period_tz"] = nxt.strip("'")
+                i += 1
+            if peek() == "delay":
+                i += 1
+                dmult, dunit = _stride(toks[i] if i < n else "", "DELAY")
+                if dunit not in _PERIOD_UNITS:
+                    raise ValueError(
+                        f"unsupported length unit: {dmult}{dunit}, supported "
+                        "units are 's', 'm', 'h', 'd'"
+                    )
+                lm, lu = _stride(out["period_length"], "LENGTH")
+                if dmult * _PERIOD_UNITS[dunit] >= lm * _PERIOD_UNITS[lu]:
+                    raise ValueError(
+                        "delay cannot be equal to or greater than length"
+                    )
+                out["period_delay"] = f"{dmult}{dunit}"
+                i += 1
+        elif peek() == "sample":
+            # PERIOD(SAMPLE BY INTERVAL): length = the view's SAMPLE BY
+            i += 3  # sample, by, interval
+            out["period_length"] = "sample"
+        else:
+            raise ValueError("'length' or 'sample' expected")
+        if peek() != ")":
+            raise ValueError("')' expected")
+        i += 1
+    return out
 
 
 def is_matview_stmt(kind: str, s: str) -> bool:
@@ -108,6 +258,7 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         raise ValueError(f"cannot parse CREATE VIEW: {s!r}")
     live = m.group(1).lower() == "live"
     if_not_exists, name, with_base = bool(m.group(2)), m.group(3), m.group(4)
+    refresh = _parse_refresh(m.group(5) or "")
     if name in eng.matviews:
         if if_not_exists:
             return _status(eng, "create", name, "exists")
@@ -144,11 +295,25 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         name=name, base=base, inner_sql=inner, base_ts=base_ts, ts_out=ts_out,
         interval=interval, live=live, shape=shape,
         path=os.path.join(eng.warehouse, f"__mv_{name}"),
+        **refresh,
     )
+    if d.period_length == "sample":
+        # PERIOD(SAMPLE BY INTERVAL): length = the view's own SAMPLE BY
+        d.period_length = d.interval
     eng.matviews[name] = d
     if _restore_state(eng, d):
         return _status(eng, "create", name, "restored from checkpoint")
-    _refresh(eng, d, full=True)
+    if d.deferred:
+        # DEFERRED: no refresh at creation — register the empty schema;
+        # the first due read / manual REFRESH populates
+        _swap_write(d, _compute(eng, d, None).limit(0))
+        _save_state(d)
+        _register(eng, d)
+    else:
+        _refresh(eng, d, full=True)
+    if d.refresh_type == "timer":
+        d.next_due = _next_tick(d, _now())
+        _save_state(d)
     return _status(eng, "create", name, "live" if live else "materialized")
 
 
@@ -202,6 +367,79 @@ def _bucket_floor(dt: datetime, interval: str) -> datetime | None:
     return datetime.fromtimestamp((us - us % width) / 1_000_000, tz=timezone.utc)
 
 
+def _now() -> datetime:
+    """Wall clock for timer/period scheduling — module-level so tests can
+    monkeypatch a fixed instant."""
+    return datetime.now(timezone.utc)
+
+
+def _tz_offset(tz: str | None, at: datetime):
+    from datetime import timedelta
+    from zoneinfo import ZoneInfo
+
+    if not tz:
+        return timedelta(0)
+    try:
+        off = at.astimezone(ZoneInfo(tz)).utcoffset()
+        return off if off is not None else timedelta(0)
+    except Exception:
+        # fixed offsets like '+02:00' (Dates.parseOffset)
+        m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz)
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            return timedelta(minutes=sign * (int(m.group(2)) * 60 + int(m.group(3))))
+        raise ValueError(f"invalid timezone: {tz}") from None
+
+
+def _next_tick(d: MatViewDef, now: datetime) -> datetime:
+    """First timer tick strictly after ``now`` on the grid
+    start + k*every (MatViewTimerJob equivalent; calendar units step by
+    month/year arithmetic)."""
+    from datetime import timedelta
+
+    start = d.timer_start or now
+    if start.tzinfo is None:
+        start = start.replace(tzinfo=timezone.utc)
+    mult, unit = int(d.timer_every[:-1]), d.timer_every[-1]
+    if now < start:
+        return start
+    if unit in ("M", "y"):
+        months_per = mult * (12 if unit == "y" else 1)
+        elapsed = (now.year - start.year) * 12 + (now.month - start.month)
+        k = elapsed // months_per + 1
+        total = (start.year * 12 + start.month - 1) + k * months_per
+        while True:
+            try:
+                tick = start.replace(year=total // 12, month=total % 12 + 1)
+            except ValueError:  # day overflow (e.g. Jan 31 + 1M)
+                total += months_per
+                continue
+            if tick > now:
+                return tick
+            total += months_per
+    width = timedelta(microseconds=mult * _UNIT_MICROS[unit])
+    k = int((now - start) / width) + 1
+    return start + k * width
+
+
+def _period_cutoff(d: MatViewDef, now: datetime) -> datetime | None:
+    """Upper bound (exclusive, UTC) of the last COMPLETE period: the
+    largest local-time boundary B with B + delay <= now_local
+    (MatViewRefreshJob period semantics — an in-progress period is never
+    served)."""
+    from datetime import timedelta
+
+    if not d.period_length:
+        return None
+    off = _tz_offset(d.period_tz, now)
+    local = now + off
+    if d.period_delay:
+        dm, du = int(d.period_delay[:-1]), d.period_delay[-1]
+        local = local - timedelta(microseconds=dm * _UNIT_MICROS[du])
+    floored = _bucket_floor(local.replace(tzinfo=timezone.utc), d.period_length)
+    return floored - off
+
+
 def _compute(eng: QdbEngine, d: MatViewDef, since: datetime | None) -> DataFrame:
     """Lower the stored view query, optionally bounded to buckets >= since
     (the predicate lands on the BASE scan — parquet row groups older than
@@ -213,6 +451,17 @@ def _compute(eng: QdbEngine, d: MatViewDef, since: datetime | None) -> DataFrame
     if since is not None:
         cond = f"{d.base_ts} >= TIMESTAMP '{since.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
         q.where = f"({q.where}) AND {cond}" if q.where else cond
+    if d.period_length:
+        # PERIOD views never serve the in-progress period: every refresh
+        # (full and incremental alike) is bounded at the last complete
+        # local-time period boundary
+        cut = _period_cutoff(d, _now())
+        if cut is not None:
+            cond = (
+                f"{d.base_ts} < TIMESTAMP "
+                f"'{cut.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            )
+            q.where = f"({q.where}) AND {cond}" if q.where else cond
     return eng._lower(q)
 
 
@@ -379,6 +628,7 @@ def _save_state(d: MatViewDef) -> None:
                 "hwm": d.hwm.isoformat() if d.hwm else None,
                 "frozen_count": d.frozen_count,
                 "base_count": d.base_count,
+                "next_due": d.next_due.isoformat() if d.next_due else None,
             },
             fh,
         )
@@ -401,6 +651,9 @@ def _restore_state(eng: QdbEngine, d: MatViewDef) -> bool:
     d.hwm = datetime.fromisoformat(st["hwm"]) if st.get("hwm") else None
     d.frozen_count = st.get("frozen_count", -1)
     d.base_count = st.get("base_count", -1)
+    d.next_due = (
+        datetime.fromisoformat(st["next_due"]) if st.get("next_due") else None
+    )
     _register(eng, d)
     return True
 
@@ -413,7 +666,19 @@ def _register(eng: QdbEngine, d: MatViewDef) -> None:
 def read_with_live_refresh(eng: QdbEngine, name: str) -> None:
     """Called by the engine's table resolver: a LIVE view incrementally
     refreshes before every read (the batch stand-in for
-    REFRESH_TYPE_IMMEDIATE's refresh-on-transaction)."""
+    REFRESH_TYPE_IMMEDIATE's refresh-on-transaction); a TIMER view
+    refreshes only when the read arrives at/after its next-due tick —
+    reads before the tick serve the stored (stale) state, exactly the
+    reference's timer-job economics re-expressed pull-style."""
     d = eng.matviews.get(name)
-    if d is not None and d.live:
+    if d is None:
+        return
+    if d.live:
         _refresh(eng, d, full=False)
+        return
+    if d.refresh_type == "timer" and d.timer_every:
+        now = _now()
+        if d.next_due is not None and now >= d.next_due:
+            _refresh(eng, d, full=False)
+            d.next_due = _next_tick(d, now)
+            _save_state(d)

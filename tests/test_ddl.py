@@ -819,3 +819,136 @@ def test_show_create_qdb_types_and_empty_alter(spark):
     # data after the empty-table DDL round-trips
     eng.sql("INSERT INTO sct VALUES ('a', 1, '2024-01-01T00:00:00Z', 'u33d8')")
     assert eng.sql("SELECT count(*) AS n FROM sct").first().n == 1
+
+
+# -- mat-view TIMER / PERIOD / DEFERRED refresh (r9) -------------------------
+# Reference: SqlParser.java:2590-2717 (REFRESH_TYPE_TIMER/PERIOD parsing),
+# CreateMatViewOperation.java:49-65 (period length/delay validation),
+# MatViewTimerJob (timer scheduling — re-expressed pull-style: the due
+# check runs at read time).
+
+
+def _fix_now(monkeypatch, dt):
+    from questdb_spark.sqlfront import matview_ddl as mv
+
+    monkeypatch.setattr(mv, "_now", lambda: dt)
+
+
+def _mk_base(eng):
+    eng.sql(
+        "CREATE TABLE tb (v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    eng.sql(
+        "INSERT INTO tb VALUES (1.0,'2024-01-01T00:10:00Z'),"
+        "(2.0,'2024-01-01T01:10:00Z')"
+    )
+
+
+def test_matview_timer_refresh_on_due_read(eng, monkeypatch):
+    from datetime import datetime, timezone
+
+    _mk_base(eng)
+    _fix_now(monkeypatch, datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvt WITH BASE tb "
+        "REFRESH EVERY 1h START '2024-06-01T00:00:00' AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    d = eng.matviews["mvt"]
+    assert d.refresh_type == "timer" and d.timer_every == "1h"
+    assert d.next_due == datetime(2024, 6, 1, 13, 0, tzinfo=timezone.utc)
+    eng.sql("INSERT INTO tb VALUES (3.0,'2024-01-01T02:10:00Z')")
+    # before due: stale
+    assert eng.sql("SELECT count(*) n FROM mvt").first().n == 2
+    # at/after due: refresh fires, next_due advances
+    _fix_now(monkeypatch, datetime(2024, 6, 1, 13, 0, 1, tzinfo=timezone.utc))
+    assert eng.sql("SELECT count(*) n FROM mvt").first().n == 3
+    assert d.next_due == datetime(2024, 6, 1, 14, 0, tzinfo=timezone.utc)
+
+
+def test_matview_period_bounds_visible_data(eng, monkeypatch):
+    from datetime import datetime, timezone
+
+    _mk_base(eng)
+    eng.sql("INSERT INTO tb VALUES (3.0,'2024-01-01T02:10:00Z')")
+    # now-local - 5m delay = 02:25 → last complete 1h period ends 02:00
+    _fix_now(monkeypatch, datetime(2024, 1, 1, 2, 30, tzinfo=timezone.utc))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvp WITH BASE tb "
+        "REFRESH IMMEDIATE PERIOD (LENGTH 1h DELAY 5m) AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    assert eng.sql("SELECT count(*) n FROM mvp").first().n == 2
+    # a later refresh (now past 03:05) exposes the third period
+    _fix_now(monkeypatch, datetime(2024, 1, 1, 3, 6, tzinfo=timezone.utc))
+    eng.sql("REFRESH MATERIALIZED VIEW mvp FULL")
+    assert eng.sql("SELECT count(*) n FROM mvp").first().n == 3
+
+
+def test_matview_deferred_and_restart_state(eng, monkeypatch, spark, tmp_path):
+    from datetime import datetime, timezone
+
+    _mk_base(eng)
+    _fix_now(monkeypatch, datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvd WITH BASE tb REFRESH MANUAL DEFERRED "
+        "AS (SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    assert eng.sql("SELECT count(*) n FROM mvd").first().n == 0
+    eng.sql("REFRESH MATERIALIZED VIEW mvd FULL")
+    assert eng.sql("SELECT count(*) n FROM mvd").first().n == 2
+    # timer state survives a new engine over the same warehouse
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvt2 WITH BASE tb "
+        "REFRESH EVERY 1d START '2999-01-01' AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    due = eng.matviews["mvt2"].next_due
+    assert due == datetime(2999, 1, 1, tzinfo=timezone.utc)
+    eng2 = QdbEngine(spark, warehouse=eng.warehouse)
+    eng2.sql(
+        "CREATE MATERIALIZED VIEW mvt2 WITH BASE tb "
+        "REFRESH EVERY 1d START '2999-01-01' AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )  # restores from checkpoint, no recompute
+    assert eng2.matviews["mvt2"].next_due == due
+
+
+def test_matview_refresh_grammar_errors(eng):
+    _mk_base(eng)
+    body = "AS (SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    cases = [
+        ("REFRESH EVERY 5x", "supported units are 'm', 'h', 'd', 'w', 'y', 'M'"),
+        ("REFRESH START '2024-01-01'", "'as' expected"),  # TIMER-only START
+        ("REFRESH EVERY 1h START 'garbage'", "invalid START timestamp value"),
+        ("REFRESH IMMEDIATE PERIOD (FOO)", "'length' or 'sample' expected"),
+        ("REFRESH IMMEDIATE PERIOD (LENGTH 25h)",
+         "maximum supported length interval is 24 hours"),
+        ("REFRESH IMMEDIATE PERIOD (LENGTH 1h DELAY 2h)",
+         "delay cannot be equal to or greater than length"),
+        ("REFRESH IMMEDIATE PERIOD (LENGTH 1h TIME ZONE DELAY 1m)",
+         "TIME ZONE name expected"),
+        ("REFRESH IMMEDIATE PERIOD (LENGTH 1w)", "supported units are 's', 'm', 'h', 'd'"),
+    ]
+    for clause, want in cases:
+        with pytest.raises(ValueError, match=".*"):
+            try:
+                eng.sql(f"CREATE MATERIALIZED VIEW bad WITH BASE tb {clause} {body}")
+            except ValueError as e:
+                assert want in str(e), (clause, str(e))
+                raise
+
+
+def test_matview_timer_period_timezone(eng, monkeypatch):
+    from datetime import datetime, timezone
+
+    _mk_base(eng)
+    # 02:30 UTC = 04:30 Europe/Kyiv (UTC+2 in January): local floor 1h =
+    # 04:00 local = 02:00 UTC → both base hours visible
+    _fix_now(monkeypatch, datetime(2024, 1, 1, 2, 30, tzinfo=timezone.utc))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvz WITH BASE tb "
+        "REFRESH IMMEDIATE PERIOD (LENGTH 1h TIME ZONE 'Europe/Kyiv') AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    assert eng.sql("SELECT count(*) n FROM mvz").first().n == 2

