@@ -467,9 +467,42 @@ def simhash_hamming(hi_a: Column, lo_a: Column, hi_b: Column, lo_b: Column) -> C
     return F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
 
 
+# Driver union-find bound for dedup_clusters: edge sets at or below this
+# collect to the driver (2 ids/edge; 5M edges ≈ tens of MB) and resolve
+# in O(E α(E)) — microseconds-per-edge, zero shuffle rounds. Above it the
+# distributed log-rounds loop runs instead.
+DRIVER_CC_BOUND = 5_000_000
+
+
+def _stats_barrier(df: DataFrame) -> DataFrame:
+    """localCheckpoint + strip inherited plan statistics.
+
+    ``localCheckpoint`` alone carries the checkpointed plan's estimated
+    ``sizeInBytes`` into the new LogicalRDD (originStats).  A self-join's
+    estimate is the PRODUCT of its inputs, so in an iterative
+    join-checkpoint loop the BigInt's bit length DOUBLES every round —
+    by round ~10 the driver spends minutes in BigInteger.multiply doing
+    statistics arithmetic (measured: 0.2s → 66s per round at a constant
+    1393 rows).  Rewrapping the materialized RDD without originStats
+    resets the estimate to the session default each round, keeping stats
+    arithmetic O(1).  Falls back to the plain checkpoint where the
+    internal constructor isn't reachable (Spark Connect)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return ck
+
+
 def dedup_clusters(
     pairs: DataFrame,
-    max_iterations: int = 30,
+    max_iterations: int = 40,
+    driver_cc_bound: int = DRIVER_CC_BOUND,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into clusters: connected components —
     each doc converges to the smallest doc id in its component (the
@@ -479,32 +512,59 @@ def dedup_clusters(
     `minhash_lsh_candidates`). Output: (doc, cluster) for every doc that
     appears in a pair.
 
-    Algorithm (r9 rewrite): min-label propagation INTERLEAVED WITH
-    POINTER JUMPING (path halving: ``label := min(label, label[label])``,
-    applied twice per round).  Plain propagation is O(diameter) rounds —
-    fine for the star-shaped common case but a chain-shaped component of
-    length L (replica ladders produce them) needs L rounds: at the sf0.1
-    check a diameter>25 component burned the full iteration budget and
-    EXITED UNCONVERGED.  Each jump composes the label mapping with
-    itself, so reach per round multiplies by ~4: convergence is
-    O(log diameter) rounds — 6 rounds cover diameter ~4096 — which is
-    also exactly what a 1000-executor run wants (rounds = shuffle
-    barriers).
-
-    localCheckpoint per step (not persist): persist caches data but the
-    logical plan still nests one join deeper per round — at the 10x scale
-    check the accumulated tree alone OOM'd the driver merely RENDERING
-    the explain string; truncating lineage keeps the plan O(1) in
-    diameter.  The checkpoint also makes the jump's self-join read
-    materialized rows instead of re-executing the round's plan twice.
-    """
+    Two-path design (r9): the PAIR set is the output of banded/thresholded
+    candidate generation — orders of magnitude smaller than the corpus.
+    When it fits the driver bound, exact union-find resolves it in one
+    collect + one parallelize: zero iterative shuffles, exact O(E α(E)).
+    Larger graphs take the distributed loop: min-label propagation
+    interleaved with pointer jumping (path halving,
+    ``label := min(label, label[label])`` twice per round), which
+    converges in O(log diameter) rounds — the r8 code was O(diameter)
+    and EXITED UNCONVERGED on a >25-diameter chain component at sf0.1.
+    Each round materializes through a stats-stripping checkpoint barrier
+    (see `_stats_barrier`); rounds = shuffle barriers, which is exactly
+    the economics a 1000-executor run wants."""
+    a_type = dict(pairs.dtypes)["doc_a"]
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
         .persist()  # iterated over — never recompute the candidate-pair lineage
     )
+    n_edges = edges.count()
+    spark = pairs.sparkSession
 
+    if n_edges <= driver_cc_bound:
+        # --- driver union-find fast path ---
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # one Arrow batch collect (2 narrow columns; ≤ bound rows) — NOT
+        # toLocalIterator, which schedules one job per (possibly tiny)
+        # shuffle partition
+        pdf = edges.toPandas()
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN id so the root IS the canonical label
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        edges.unpersist()
+        return spark.createDataFrame(
+            out, f"doc {a_type}, cluster {a_type}"
+        )
+
+    # --- distributed log-rounds loop ---
     def _neighbor_min(lbl: DataFrame) -> DataFrame:
         """One min-label round; keeps the incoming label as __prev so
         convergence detection is a filter, not another join."""
@@ -536,10 +596,8 @@ def dedup_clusters(
 
     labels = edges.groupBy("u").agg(F.least(F.min("v"), F.min("u")).alias("label"))
     for _ in range(max_iterations):
-        stepped = _neighbor_min(labels).localCheckpoint(eager=True)
-        jumped = _jump(_jump(stepped).localCheckpoint(eager=True)).localCheckpoint(
-            eager=True
-        )
+        stepped = _stats_barrier(_neighbor_min(labels))
+        jumped = _stats_barrier(_jump(_stats_barrier(_jump(stepped))))
         changed = jumped.filter(F.col("label") != F.col("__prev")).limit(1).count()
         labels = jumped.select("u", "label")
         if changed == 0:

@@ -343,9 +343,21 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
     tm = _TTL_RE.search(rest)
     if tm:
         ttl = parse_ttl(int(tm.group(1)), tm.group(2))
+    # IN VOLUME '<alias>' (SqlParser.java:4608 parseInVolume): the table's
+    # storage lands under a secondary volume registered with the engine
+    # (cairo.volumes alias→path); the alias must resolve or CREATE fails
+    # with the reference's error text (SqlCompilerImpl.java:4706)
+    volume = None
+    vm = re.search(r"\bin\s+volume\s+('[^']*'|\w+)", rest, re.IGNORECASE)
+    if vm:
+        volume = vm.group(1).strip("'")
+        if volume not in eng.volumes:
+            raise ValueError(f"volume alias is not allowed [alias={volume}]")
 
     asm = re.match(r"^as\s*(\(.*\)|select\b.*)", rest, re.IGNORECASE | re.DOTALL)
-    path = os.path.join(eng.warehouse, name)
+    path = os.path.join(
+        eng.volumes[volume] if volume else eng.warehouse, name
+    )
     if asm:
         body = asm.group(1).strip()
         # strip the tail clauses that belong to CREATE, not the query —
@@ -356,6 +368,7 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
             r"\bdedup\s+upsert\s+keys\s*\([^)]*\)\s*$",
             r"\bwal\s*$",
             r"\bttl\s+\d+\s*\w+\s*$",
+            r"\bin\s+volume\s+('[^']*'|\w+)\s*$",
         )
         changed = True
         while changed:
@@ -434,6 +447,8 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         eng.ddl_schemas[name] = ", ".join(f"{c} {t_}" for c, t_ in cols)
         eng.ddl_qdb_types[name] = qdb_types
     eng.ddl_tables[name].ttl_hours_or_months = ttl
+    if volume:
+        eng.ddl_volumes[name] = volume
     eng.designated_ts[name] = ts_col
     eng.ddl_seq[name] = 0
     _refresh_view(eng, name)
@@ -927,6 +942,7 @@ def _drop(eng: QdbEngine, s: str) -> DataFrame:
     del eng.ddl_tables[name]
     eng.ddl_schemas.pop(name, None)
     eng.designated_ts.pop(name, None)
+    eng.ddl_volumes.pop(name, None)
     eng.spark.catalog.dropTempView(name)
     return _status(eng, "drop", name)
 
@@ -939,10 +955,16 @@ def _rename(eng: QdbEngine, s: str) -> DataFrame:
     t = _tbl(eng, old)
     if new in eng.ddl_tables:
         raise ValueError(f"table exists: {new}")
-    new_path = os.path.join(eng.warehouse, new)
+    # a table stays in its volume across RENAME (the reference renames
+    # the directory inside the volume, not back into the db root)
+    vol = eng.ddl_volumes.pop(old, None)
+    root = eng.volumes[vol] if vol else eng.warehouse
+    new_path = os.path.join(root, new)
     if os.path.exists(t.path):
         os.rename(t.path, new_path)
     t.path = new_path
+    if vol:
+        eng.ddl_volumes[new] = vol
     eng.ddl_tables[new] = eng.ddl_tables.pop(old)
     eng.ddl_schemas[new] = eng.ddl_schemas.pop(old, None)
     if old in eng.designated_ts:
@@ -1010,6 +1032,8 @@ def _show(eng: QdbEngine, s: str) -> DataFrame:
             tail += f" TTL {ttl} HOURS"
         elif ttl < 0:
             tail += f" TTL {-ttl} MONTHS"
+        if name in eng.ddl_volumes:
+            tail += f" IN VOLUME '{eng.ddl_volumes[name]}'"
         return eng.spark.createDataFrame(
             [(f"CREATE TABLE {name} ({cols}){tail}",)], "ddl string"
         )

@@ -107,10 +107,19 @@ def _is_agg_item(expr: str) -> bool:
 
 
 class QdbEngine:
-    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str | None = None,
+        volumes: dict[str, str] | None = None,
+    ):
         """``warehouse``: directory where DDL-created tables live as
         partitioned parquet (``TimeTable``); defaults to a fresh temp dir
-        (the reference's ``db/`` root, ``CairoConfiguration.getDbRoot``)."""
+        (the reference's ``db/`` root, ``CairoConfiguration.getDbRoot``).
+        ``volumes``: secondary storage volumes, alias → directory — the
+        targets of ``CREATE TABLE ... IN VOLUME '<alias>'``
+        (``CairoConfiguration.getVolumeDefinitions``, the cairo.volumes
+        server setting)."""
         import tempfile
 
         self.spark = spark
@@ -127,6 +136,10 @@ class QdbEngine:
         # the dialect's types, not the storage mapping)
         self.ddl_qdb_types: dict[str, dict[str, str]] = {}
         self.ddl_seq: dict[str, int] = {}
+        # IN VOLUME storage: registered volumes (alias → dir) and the
+        # alias each table was created in (SHOW CREATE TABLE round-trip)
+        self.volumes: dict[str, str] = dict(volumes or {})
+        self.ddl_volumes: dict[str, str] = {}
         # materialized / live views (sqlfront/matview_ddl.py): name → def
         self.matviews: dict = {}
         # plain (non-materialized) views: name → definition SQL, re-lowered

@@ -952,3 +952,49 @@ def test_matview_timer_period_timezone(eng, monkeypatch):
         "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
     )
     assert eng.sql("SELECT count(*) n FROM mvz").first().n == 2
+
+
+def test_create_table_in_volume(spark, tmp_path):
+    """CREATE TABLE ... IN VOLUME '<alias>' (r9, SqlParser.java:4608
+    parseInVolume): storage lands under the registered volume, SHOW
+    CREATE TABLE round-trips the clause, DETACH/ATTACH and RENAME work
+    inside the volume, unknown aliases get the reference's error."""
+    import os
+
+    vol = tmp_path / "fastdisk"
+    vol.mkdir()
+    eng = QdbEngine(
+        spark, warehouse=str(tmp_path / "wh"), volumes={"fast": str(vol)}
+    )
+    eng.sql(
+        "CREATE TABLE vt (v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts) "
+        "PARTITION BY DAY IN VOLUME 'fast'"
+    )
+    eng.sql(
+        "INSERT INTO vt VALUES (1.0,'2024-01-01T00:10:00Z'),"
+        "(2.0,'2024-01-02T01:10:00Z')"
+    )
+    assert os.path.isdir(vol / "vt")  # data in the volume, not warehouse
+    assert not os.path.exists(tmp_path / "wh" / "vt")
+    assert eng.sql("SELECT count(*) n FROM vt").first().n == 2
+    ddl = eng.sql("SHOW CREATE TABLE vt").first().ddl
+    assert "IN VOLUME 'fast'" in ddl
+    # detach/attach round-trip inside the volume
+    eng.sql("ALTER TABLE vt DETACH PARTITION LIST '2024-01-01'")
+    assert eng.sql("SELECT count(*) n FROM vt").first().n == 1
+    eng.sql("ALTER TABLE vt ATTACH PARTITION LIST '2024-01-01'")
+    assert eng.sql("SELECT count(*) n FROM vt").first().n == 2
+    # rename stays in the volume
+    eng.sql("RENAME TABLE vt TO vt2")
+    assert os.path.isdir(vol / "vt2")
+    assert eng.sql("SHOW CREATE TABLE vt2").first().ddl.count("IN VOLUME") == 1
+    # unquoted alias form + AS SELECT form
+    eng.sql("CREATE TABLE vt3 AS (SELECT * FROM vt2) TIMESTAMP(ts) IN VOLUME fast")
+    assert os.path.isdir(vol / "vt3")
+    assert eng.sql("SELECT count(*) n FROM vt3").first().n == 2
+    # unknown alias: the reference's error shape
+    with pytest.raises(ValueError, match=r"volume alias is not allowed \[alias=slow\]"):
+        eng.sql("CREATE TABLE bad (v DOUBLE, ts TIMESTAMP) IN VOLUME 'slow'")
+    # DROP removes the volume directory
+    eng.sql("DROP TABLE vt3")
+    assert not os.path.exists(vol / "vt3")

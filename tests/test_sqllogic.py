@@ -108,8 +108,11 @@ def _rows_equal(got: list[list[str]], exp: list[str]) -> bool:
 
 
 @pytest.mark.parametrize("path", CORPUS, ids=lambda p: p.stem)
-def test_sqllogic_corpus(spark, path):
-    eng = QdbEngine(spark)
+def test_sqllogic_corpus(spark, path, tmp_path):
+    # volume 'vol1' registered so IN VOLUME corpus cases resolve
+    vol = tmp_path / "vol1"
+    vol.mkdir()
+    eng = QdbEngine(spark, volumes={"vol1": str(vol)})
     for kind, sql, expected, lineno in _parse_slt(path.read_text()):
         head = sql.strip().split()[0].upper() if sql.strip() else ""
         if head in ("SET", "PRAGMA"):
