@@ -1874,3 +1874,87 @@ SELECT vec_id,
   array_to_string(qv[1:6], ',') AS flat6
 FROM t
 """
+
+
+def array_ops3(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-3 array surface (r9): the reference supports arrays up to 32
+    dims (cairo/ColumnType.java:59) with shape-generic elementwise ops
+    (DoubleArrayAddFunctionFactory walks the flat value vector) and a
+    transpose that reverses shape+strides at any rank
+    (cairo/arr/DerivedArrayView.java:305).  Exercises a 2x3x2 array built
+    from quantized embedding values: dim_length 1..3, rank-3 elementwise
+    add of two DIFFERENT arrays, unary neg, scalar scale, full flatten,
+    whole-array sum, and the rank-3 transpose (numpy-backed, axes
+    reversed).  All values integer-valued doubles -> bit-equal oracle."""
+    from .functions import arrays as A
+
+    emb = load_table(spark, sf, "embeddings")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qd = F.transform(dv, lambda x: F.round(x * 1000))
+
+    def e(i):
+        return F.element_at(qd, i)
+
+    def cube(base):
+        return F.array(
+            F.array(
+                F.array(e(base + 1), e(base + 2)),
+                F.array(e(base + 3), e(base + 4)),
+                F.array(e(base + 5), e(base + 6)),
+            ),
+            F.array(
+                F.array(e(base + 7), e(base + 8)),
+                F.array(e(base + 9), e(base + 10)),
+                F.array(e(base + 11), e(base + 12)),
+            ),
+        )
+
+    a3, b3 = cube(0), cube(12)
+    tr = A.transpose_ndim_udf(3)
+
+    def flat_str(c):
+        return F.concat_ws(",", A.flatten_ndim(c, 2).cast("array<long>"))
+
+    return emb.select(
+        "vec_id",
+        A.dim_length(a3, 1).alias("dim1"),
+        A.dim_length(a3, 2).alias("dim2"),
+        A.dim_length(a3, 3).alias("dim3"),
+        flat_str(A.elementwise_nd(a3, b3, "+", 3)).alias("add_flat"),
+        flat_str(A.array_neg_nd(a3, 3)).alias("neg_flat"),
+        flat_str(A.scale_nd(a3, 2.0, 3)).alias("scale_flat"),
+        flat_str(a3).alias("flat12"),
+        A.array_sum_nd(a3, 3).alias("total"),
+        flat_str(tr(a3)).alias("t_flat"),
+    )
+
+
+ARRAY_OPS3_SQL = """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000)) AS qv
+  FROM embeddings
+), c AS (
+  SELECT vec_id,
+    [[[qv[1], qv[2]], [qv[3], qv[4]], [qv[5], qv[6]]],
+     [[qv[7], qv[8]], [qv[9], qv[10]], [qv[11], qv[12]]]] AS a,
+    [[[qv[13], qv[14]], [qv[15], qv[16]], [qv[17], qv[18]]],
+     [[qv[19], qv[20]], [qv[21], qv[22]], [qv[23], qv[24]]]] AS b
+  FROM e
+)
+SELECT vec_id,
+  len(a) AS dim1,
+  len(a[1]) AS dim2,
+  len(a[1][1]) AS dim3,
+  array_to_string(list_transform(flatten(flatten(
+    [[[a[i][j][k] + b[i][j][k] FOR k IN [1, 2]] FOR j IN [1, 2, 3]] FOR i IN [1, 2]]
+  )), x -> CAST(x AS BIGINT)), ',') AS add_flat,
+  array_to_string(list_transform(flatten(flatten(a)), x -> CAST(-x AS BIGINT)), ',') AS neg_flat,
+  array_to_string(list_transform(flatten(flatten(a)), x -> CAST(x * 2.0 AS BIGINT)), ',') AS scale_flat,
+  array_to_string(list_transform(flatten(flatten(a)), x -> CAST(x AS BIGINT)), ',') AS flat12,
+  list_sum(flatten(flatten(a))) AS total,
+  array_to_string(list_transform(flatten(flatten(
+    [[[a[k][j][i] FOR k IN [1, 2]] FOR j IN [1, 2, 3]] FOR i IN [1, 2]]
+  )), x -> CAST(x AS BIGINT)), ',') AS t_flat
+FROM c
+"""

@@ -141,6 +141,10 @@ _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
     # SqlParser.java:2590-2717): stale-before-due / fresh-after-manual /
     # period-complete states oracle-checked
     "sql_matview_timer": (sq.sql_matview_timer, sq.SQL_MATVIEW_TIMER_SQL),
+    # rank-3 array ops (r9, cairo/arr/ DerivedArrayView.transpose,
+    # ColumnType.java:59 32-dim limit): dims/elementwise/neg/scale/
+    # flatten/sum/transpose on a 2x3x2 array
+    "array_ops3": (fn.array_ops3, fn.ARRAY_OPS3_SQL),
 }
 
 # Round-8 additions — first verification; head of the window.  Round 7

@@ -91,11 +91,10 @@ def _typed_fields(fields: Column, kind: str) -> Column:
     return F.map_from_entries(conv)
 
 
-def ilp_to_table(parsed: DataFrame, measurement: str, ts_default_col: str | None = None) -> DataFrame:
-    """Project one measurement's rows to a flat table: tag columns + typed
-    field columns (schema inferred from the first micro-batch — the
-    ILP auto-create behavior)."""
-    rows = parsed.filter(F.col("measurement") == measurement)
+def infer_layout(rows: DataFrame) -> dict[str, list[str]]:
+    """Column layout of a measurement's parsed rows (the ILP auto-create
+    pass, ``LineTcpParser`` + ``DefaultColumnTypes``): distinct tag keys
+    and per-type field keys.  One aggregate over the (static) frame."""
     sample = rows.select(
         F.map_keys(F.col("tags")).alias("tk"),
         F.map_keys(F.col("fields_double")).alias("fd"),
@@ -109,11 +108,31 @@ def ilp_to_table(parsed: DataFrame, measurement: str, ts_default_col: str | None
         F.array_distinct(F.flatten(F.collect_list("fs"))).alias("fs"),
         F.array_distinct(F.flatten(F.collect_list("fb"))).alias("fb"),
     ).first()
+    return {
+        "tags": sorted(sample["tk"] or []),
+        "double": sorted(sample["fd"] or []),
+        "long": sorted(sample["fl"] or []),
+        "string": sorted(sample["fs"] or []),
+        "bool": sorted(sample["fb"] or []),
+    }
+
+
+def project_layout(rows: DataFrame, layout: dict[str, list[str]]) -> DataFrame:
+    """Flatten parsed ILP rows to the given column layout (works on
+    static AND streaming frames — pure column expressions)."""
     cols: list[Column] = []
-    for t in sorted(sample["tk"] or []):
+    for t in layout["tags"]:
         cols.append(F.col("tags").getItem(t).alias(t))
-    for kind, key in (("fields_double", "fd"), ("fields_long", "fl"),
-                      ("fields_string", "fs"), ("fields_bool", "fb")):
-        for c in sorted(sample[key] or []):
+    for kind, key in (("fields_double", "double"), ("fields_long", "long"),
+                      ("fields_string", "string"), ("fields_bool", "bool")):
+        for c in layout[key]:
             cols.append(F.col(kind).getItem(c).alias(c))
     return rows.select(*cols, F.col("ts"))
+
+
+def ilp_to_table(parsed: DataFrame, measurement: str, ts_default_col: str | None = None) -> DataFrame:
+    """Project one measurement's rows to a flat table: tag columns + typed
+    field columns (schema inferred from the first micro-batch — the
+    ILP auto-create behavior)."""
+    rows = parsed.filter(F.col("measurement") == measurement)
+    return project_layout(rows, infer_layout(rows))

@@ -117,3 +117,75 @@ def compact(
 
     shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def start_ilp_ingest(
+    spark: SparkSession,
+    *,
+    measurement: str,
+    out_path: str,
+    checkpoint: str,
+    host: str | None = None,
+    port: int | None = None,
+    lines_path: str | None = None,
+    dedup_keys: Sequence[str] = (),
+    watermark: str = "10 seconds",
+    partition_unit: str = "day",
+    trigger_available_now: bool = False,
+):
+    """End-to-end ILP ingest (SURVEY §2.1; reference
+    ``cutlass/line/tcp/LineTcpReceiver.java`` + ``ApplyWal2TableJob``):
+    a live line source → `parse_ilp` → watermark (o3MaxLag) → per-batch
+    WAL upsert into time-partitioned parquet.
+
+    Source: exactly one of ``(host, port)`` — Structured Streaming's
+    ``socket`` source, the TCP listener mapping — or ``lines_path`` — a
+    ``text`` file-stream (the replayable form: restarts resume from the
+    checkpoint, which a raw socket cannot).
+
+    The column layout is inferred from the FIRST non-empty micro-batch
+    (the ILP auto-create behavior) and persisted beside the checkpoint,
+    so a restarted stream keeps the established table schema instead of
+    re-inferring a narrower one from whatever the next batch holds."""
+    import json
+
+    from ..sources.ilp import infer_layout, parse_ilp, project_layout
+
+    if (host is None) == (lines_path is None):
+        raise ValueError("exactly one of (host, port) or lines_path")
+    if host is not None:
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", int(port))
+            .load()
+        )
+    else:
+        raw = spark.readStream.format("text").load(lines_path)
+    parsed = (
+        parse_ilp(raw, "value")
+        .filter(F.col("measurement") == measurement)
+        .withWatermark("ts", watermark)
+    )
+    os.makedirs(checkpoint, exist_ok=True)
+    schema_file = os.path.join(checkpoint, "_ilp_schema.json")
+    upsert = _batch_upsert(out_path, "ts", list(dedup_keys), partition_unit, "__seq")
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        try:
+            with open(schema_file) as fh:
+                layout = json.load(fh)
+        except (OSError, ValueError):
+            if batch.isEmpty():
+                return
+            layout = infer_layout(batch)
+            with open(schema_file, "w") as fh:
+                json.dump(layout, fh)
+        upsert(project_layout(batch, layout), batch_id)
+
+    w = parsed.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
