@@ -93,6 +93,8 @@ HEAVY = [
     "sql_limit_neg_range",
     "sql_grammar_r8",
     "sql_interval_eq",
+    # r9 additions: rank-3 arrays + timer/period matview lifecycle
+    "array_ops3",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
@@ -159,7 +161,7 @@ def main() -> None:
         "queries": out,
     }
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.environ.get("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r08.json")),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.environ.get("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r09.json")),
         "w",
     ) as f:
         json.dump(doc, f, indent=1)
