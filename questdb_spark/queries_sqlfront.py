@@ -1448,3 +1448,53 @@ UNION ALL
 SELECT 'period' AS stage, ts, event_type, n FROM hourly
   WHERE ts < TIMESTAMP '2024-01-21'
 """
+
+
+def sql_in_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """CREATE TABLE ... IN VOLUME lifecycle (r9, SqlParser.java:4608
+    parseInVolume; SqlCompilerImpl.java:4706 unknown-alias error): a table
+    created in a registered secondary volume takes inserts, detaches and
+    re-attaches a partition inside the volume, survives RENAME (stays
+    in-volume), and SHOW CREATE TABLE round-trips the clause. All data is
+    literal so the oracle is pure constants; storage-location facts are
+    surfaced as boolean columns the hash check pins."""
+    import os as _os
+    import tempfile as _tempfile
+
+    vol = _tempfile.mkdtemp(prefix="qdb_vol_")
+    eng = QdbEngine(spark, volumes={"fast": vol})
+    eng.sql(
+        "CREATE TABLE vtab (v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts) "
+        "PARTITION BY DAY IN VOLUME 'fast'"
+    )
+    eng.sql(
+        "INSERT INTO vtab VALUES (1.5,'2024-02-01T00:10:00Z'),"
+        "(2.5,'2024-02-02T01:10:00Z'),(4.0,'2024-02-02T02:10:00Z')"
+    )
+    eng.sql("ALTER TABLE vtab DETACH PARTITION LIST '2024-02-01'")
+    n_detached = eng.sql("SELECT count(*) AS n FROM vtab").collect()[0]["n"]
+    eng.sql("ALTER TABLE vtab ATTACH PARTITION LIST '2024-02-01'")
+    eng.sql("RENAME TABLE vtab TO vtab2")
+    ddl = eng.sql("SHOW CREATE TABLE vtab2").collect()[0]["ddl"]
+    in_vol_dir = _os.path.isdir(_os.path.join(vol, "vtab2"))
+    bad_alias_rejected = False
+    try:
+        eng.sql("CREATE TABLE vbad (v DOUBLE, ts TIMESTAMP) IN VOLUME 'nope'")
+    except ValueError as e:
+        bad_alias_rejected = "volume alias is not allowed" in str(e)
+    return eng.sql(
+        f"SELECT ts, v, CAST({n_detached} AS BIGINT) AS n_while_detached, "
+        f"{str('IN VOLUME ' + chr(39) + 'fast' + chr(39) in ddl).lower()} AS ddl_roundtrip, "
+        f"{str(in_vol_dir).lower()} AS stored_in_volume, "
+        f"{str(bad_alias_rejected).lower()} AS bad_alias_rejected "
+        "FROM vtab2 ORDER BY ts"
+    )
+
+
+SQL_IN_VOLUME_SQL = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-02-01 00:10:00', 1.5, CAST(2 AS BIGINT), TRUE, TRUE, TRUE),
+  (TIMESTAMP '2024-02-02 01:10:00', 2.5, CAST(2 AS BIGINT), TRUE, TRUE, TRUE),
+  (TIMESTAMP '2024-02-02 02:10:00', 4.0, CAST(2 AS BIGINT), TRUE, TRUE, TRUE)
+) AS t(ts, v, n_while_detached, ddl_roundtrip, stored_in_volume, bad_alias_rejected)
+"""

@@ -145,6 +145,8 @@ _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
     # ColumnType.java:59 32-dim limit): dims/elementwise/neg/scale/
     # flatten/sum/transpose on a 2x3x2 array
     "array_ops3": (fn.array_ops3, fn.ARRAY_OPS3_SQL),
+    # CREATE TABLE ... IN VOLUME lifecycle (r9, SqlParser.java:4608)
+    "sql_in_volume": (sq.sql_in_volume, sq.SQL_IN_VOLUME_SQL),
 }
 
 # Round-8 additions — first verification; head of the window.  Round 7

@@ -300,9 +300,17 @@ def _has_files(t: TimeTable) -> bool:
 
 def _refresh_view(eng: QdbEngine, name: str) -> None:
     """Keep a temp view in sync so ANSI queries (plain ``spark.sql``) see
-    the table too, not only the dialect path."""
-    eng.ddl_read(name).createOrReplaceTempView(name)
-    _refresh_plain_views(eng)
+    the table too, not only the dialect path.  DEFERRED (r9 lifecycle
+    trim): re-registering eagerly cost a mergeSchema footer scan + plan
+    analysis after EVERY mutating statement; the table is instead marked
+    dirty and the view rebuilt on the next statement that actually
+    references it (QdbEngine._flush_dirty_views)."""
+    eng._dirty_views.add(name)
+    # plain views over this table pin the base file listing of their last
+    # compile — mark them too, flushed on reference like the base table
+    for vn, vq in eng.views.items():
+        if re.search(rf"\b{re.escape(name)}\b", vq):
+            eng._dirty_views.add(vn)
 
 
 # -- CREATE -----------------------------------------------------------------
@@ -943,6 +951,7 @@ def _drop(eng: QdbEngine, s: str) -> DataFrame:
     eng.ddl_schemas.pop(name, None)
     eng.designated_ts.pop(name, None)
     eng.ddl_volumes.pop(name, None)
+    eng._dirty_views.discard(name)
     eng.spark.catalog.dropTempView(name)
     return _status(eng, "drop", name)
 
@@ -970,6 +979,7 @@ def _rename(eng: QdbEngine, s: str) -> DataFrame:
     if old in eng.designated_ts:
         eng.designated_ts[new] = eng.designated_ts.pop(old)
     eng.ddl_seq[new] = eng.ddl_seq.pop(old, 0)
+    eng._dirty_views.discard(old)
     eng.spark.catalog.dropTempView(old)
     _refresh_view(eng, new)
     return _status(eng, "rename", new, f"from {old}")

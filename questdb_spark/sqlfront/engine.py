@@ -160,6 +160,11 @@ class QdbEngine:
         # statement, keyed by the hex id the reference hands back.
         self.copy_log: list[dict] = []
         self._copy_seq = 0
+        # DDL tables / plain views whose temp-view registration is stale
+        # (mutated since last re-register) — flushed lazily on the next
+        # statement that references them (r9 lifecycle trim: the eager
+        # re-register cost a mergeSchema scan + analysis per statement)
+        self._dirty_views: set[str] = set()
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,
@@ -256,11 +261,42 @@ class QdbEngine:
                         pass
                 self._sub_views.clear()
 
+    def _flush_dirty_views(self, text: str) -> None:
+        """Re-register stale temp views REFERENCED by this statement
+        (mutating DDL marks instead of re-registering — see
+        ddl._refresh_view). Base tables flush before plain views so a
+        view recompile sees current data."""
+        if not self._dirty_views:
+            return
+        hit = [
+            n
+            for n in list(self._dirty_views)
+            if re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)
+        ]
+        for n in hit:
+            if n in self.ddl_tables:
+                self._dirty_views.discard(n)
+                try:
+                    self.ddl_read(n).createOrReplaceTempView(n)
+                except Exception:
+                    pass
+        for n in hit:
+            if n in self.views and n in self._dirty_views:
+                self._dirty_views.discard(n)
+                try:
+                    self.sql(self.views[n]).createOrReplaceTempView(n)
+                except Exception:
+                    pass
+
     def _sql_inner(self, query: str) -> DataFrame:
         from . import ddl
 
         if ddl.statement_kind(query) is not None:
+            # DDL/DML handlers read base storage directly or re-enter
+            # eng.sql for their query bodies (where the flush below and
+            # the _table hook cover resolution) — no statement-level flush
             return ddl.execute(self, query)
+        self._flush_dirty_views(mask_literals(query))
         declared = expand_declare(query)
         # top-level WITH over dialect bodies: bind each CTE as a scoped
         # table, then lower the main query (SqlParser.java parseWith).
@@ -1684,6 +1720,8 @@ class QdbEngine:
                 read_with_live_refresh(self, name)
             df = self.tables[name]
         else:
+            if name in self._dirty_views:  # stale DDL-table temp view
+                self._flush_dirty_views(name)
             df = self.spark.table(name)  # temp views / catalog tables
         return df.alias(alias) if alias else df
 

@@ -467,6 +467,8 @@ def _compute(eng: QdbEngine, d: MatViewDef, since: datetime | None) -> DataFrame
 
 def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
     spark = eng.spark
+    if d.base in eng._dirty_views:  # stale DDL-table temp view
+        eng._flush_dirty_views(d.base)
     base_df = eng.tables.get(d.base) or spark.table(d.base)
     frozen_now = None
     if d.base_ts in base_df.columns:

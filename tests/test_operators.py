@@ -514,3 +514,41 @@ def test_decimal256_divide_rescale(spark):
             want = (x + 5 * 10 ** (k - 1)) // 10**k  # HALF_UP
             assert row[f"q{k}"] == str(want), (x, k)
 
+
+
+def test_rank_n_array_ops(spark):
+    """Rank-N array forms (r9): recursive-HOF elementwise ops and the
+    numpy transpose at rank 3 and 4 (DerivedArrayView.transpose reverses
+    shape at any rank); rank validation at the 32-dim reference limit."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from questdb_spark.functions import arrays as A
+
+    a4 = [[[[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]], [[[7.0, 8.0], [9.0, 10.0], [11.0, 12.0]]]]
+    df = spark.createDataFrame(
+        [(a4,)], "a array<array<array<array<double>>>>"
+    )
+    r = df.select(
+        A.elementwise_nd(F.col("a"), F.col("a"), "+", 4).alias("dbl"),
+        A.array_neg_nd(F.col("a"), 4).alias("neg"),
+        A.scale_nd(F.col("a"), 3.0, 4).alias("x3"),
+        A.array_sum_nd(F.col("a"), 4).alias("tot"),
+        A.transpose_ndim_udf(4)(F.col("a")).alias("t"),
+        A.dim_length(F.col("a"), 1).alias("d1"),
+        A.dim_length(F.col("a"), 4).alias("d4"),
+    ).first()
+    npa = np.asarray(a4)
+    assert np.allclose(np.asarray(r["dbl"]), npa * 2)
+    assert np.allclose(np.asarray(r["neg"]), -npa)
+    assert np.allclose(np.asarray(r["x3"]), npa * 3)
+    assert r["tot"] == npa.sum()
+    assert np.asarray(r["t"]).shape == npa.T.shape
+    assert np.allclose(np.asarray(r["t"]), npa.T)
+    assert (r["d1"], r["d4"]) == (2, 2)
+    # rank bounds: the reference's 32-dim limit
+    with _pytest.raises(ValueError, match="maximum number of array dimensions"):
+        A.map_nd(F.col("a"), lambda x: x, 33)
+    with _pytest.raises(ValueError, match="maximum number of array dimensions"):
+        A.transpose_ndim_udf(0)
