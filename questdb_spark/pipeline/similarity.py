@@ -592,3 +592,115 @@ def int8_topk(
     )
     scored = base.select(F.col(id_col), dot.alias("dot_q8"), cos.alias("cosine_q8"))
     return scored.orderBy(F.col("cosine_q8").desc(), F.col(id_col).asc()).limit(k)
+
+
+# -- k-NN JOIN (r9) -----------------------------------------------------------
+#
+# Top-k corpus neighbors for EVERY row of a query SET — the batch form a
+# retrieval/dedup pipeline actually runs (single-query top-k is the degenerate
+# |Q|=1 case). Reference parity: QuestDB has no vector ops; this is part of
+# the LLM-pipeline extension alongside SURVEY.md §2.
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact k-NN join by quantized cosine: every query row gets its k
+    nearest corpus rows.
+
+    Scale shape: queries are BROADCAST (|Q| small by assumption — the
+    batch of probes, not a second corpus); scoring is one corpus pass
+    producing |corpus|·|Q| scored rows, and the per-query top-k is a
+    window on q_id (one shuffle whose width is |Q| keys). At 100 TB this
+    is the scan-bound exact baseline; `knn_join_ivf` is the pruned path.
+    Scores are integer-quantized dots (bit-stable across engines); ties
+    resolve by corpus id ascending."""
+    from pyspark.sql import Window
+
+    q_id = q_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id).alias("q_id"), quantize(F.col(vec_col)).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__v"))
+    dot = dot_q(F.col("__v"), F.col("__qv"))
+    n2a, n2b = dot_q(F.col("__v"), F.col("__v")), dot_q(F.col("__qv"), F.col("__qv"))
+    scored = c.crossJoin(q).select(
+        "q_id",
+        id_col,
+        dot.alias("dot_q"),
+        F.when((n2a == 0) | (n2b == 0), F.lit(0.0))
+        .otherwise(
+            dot / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+        )
+        .alias("cosine"),
+    )
+    if exclude_self:
+        # queries drawn from the corpus match themselves at cosine 1 —
+        # drop the self pair BEFORE ranking so k true neighbors survive
+        scored = scored.filter(F.col("q_id") != F.col(id_col))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-pruned k-NN join: corpus rows carry their coarse cell (pure
+    projection over plan-literal centroids — the stored index's
+    partitioning key), each query probes its `n_probe` nearest cells, and
+    scoring runs ONLY inside probed cells via a broadcast equi-join on
+    cell id. Recall is bounded by the probe set; raise n_probe to trade
+    scan fraction for recall."""
+    from pyspark.sql import Window
+
+    q_id = q_id_col or id_col
+    cu, csu = _cell_udf(centroids), _cells_udf(centroids, n_probe)
+    rv = F.col(vec_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id).alias("q_id"),
+            quantize(rv).alias("__qv"),
+            F.explode(csu(rv)).alias("__qc"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), quantize(rv).alias("__v"), cu(rv).alias("__cell")
+    )
+    dot = dot_q(F.col("__v"), F.col("__qv"))
+    n2a, n2b = dot_q(F.col("__v"), F.col("__v")), dot_q(F.col("__qv"), F.col("__qv"))
+    scored = c.join(q, F.col("__cell") == F.col("__qc")).select(
+        "q_id",
+        id_col,
+        F.when((n2a == 0) | (n2b == 0), F.lit(0.0))
+        .otherwise(
+            dot / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+        )
+        .alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1036,3 +1036,49 @@ SELECT source, COUNT(*) AS n_total,
   MAX(rate) AS rate
 FROM s GROUP BY source
 """
+
+
+def embedding_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN JOIN (r9): top-5 corpus neighbors for EVERY row of a 4-vector
+    query set (vec_id 0..3), self-matches excluded — the batch retrieval
+    form (single-query top-k is the |Q|=1 degenerate case). Queries
+    broadcast; one corpus pass scores |corpus|x|Q| rows; per-query top-k
+    is a window on q_id. Scores = integer-quantized dot (bit-stable);
+    ties resolve by corpus id."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    # self-matches excluded BEFORE ranking: each query gets 5 true
+    # neighbors (a query that also lives in the corpus always matches
+    # itself at cosine 1 otherwise)
+    out = similarity.knn_join(
+        emb.alias("c"), queries, k=5, exclude_self=True
+    )
+    return out.select("q_id", "vec_id", "dot_q", "cosine", "rank")
+
+
+EMBEDDING_KNN_JOIN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, {_QUANT_SQL.format(v='embedding')} AS qv
+  FROM embeddings WHERE vec_id < 4
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+    CAST({_DOT_SQL.format(a=_QUANT_SQL.format(v='e.embedding'), b='q.qv')} AS BIGINT) AS dot_q,
+    {_DOT_SQL.format(a=_QUANT_SQL.format(v='e.embedding'), b=_QUANT_SQL.format(v='e.embedding'))} AS n2a,
+    {_DOT_SQL.format(a='q.qv', b='q.qv')} AS n2b
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT q_id, vec_id, dot_q,
+    CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+         ELSE dot_q / (SQRT(CAST(n2a AS DOUBLE)) * SQRT(CAST(n2b AS DOUBLE)))
+    END AS cosine,
+    ROW_NUMBER() OVER (
+      PARTITION BY q_id
+      ORDER BY CASE WHEN n2a = 0 OR n2b = 0 THEN 0.0
+                    ELSE dot_q / (SQRT(CAST(n2a AS DOUBLE)) * SQRT(CAST(n2b AS DOUBLE)))
+               END DESC, vec_id ASC
+    ) AS rank
+  FROM scored WHERE q_id != vec_id
+)
+SELECT q_id, vec_id, dot_q, cosine, rank
+FROM ranked WHERE rank <= 5
+"""

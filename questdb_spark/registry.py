@@ -147,6 +147,8 @@ _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
     "array_ops3": (fn.array_ops3, fn.ARRAY_OPS3_SQL),
     # CREATE TABLE ... IN VOLUME lifecycle (r9, SqlParser.java:4608)
     "sql_in_volume": (sq.sql_in_volume, sq.SQL_IN_VOLUME_SQL),
+    # k-NN JOIN over a query SET (r9, LLM-pipeline batch retrieval)
+    "embedding_knn_join": (pl.embedding_knn_join, pl.EMBEDDING_KNN_JOIN_SQL),
 }
 
 # Round-8 additions — first verification; head of the window.  Round 7
