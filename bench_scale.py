@@ -93,8 +93,9 @@ HEAVY = [
     "sql_limit_neg_range",
     "sql_grammar_r8",
     "sql_interval_eq",
-    # r9 additions: rank-3 arrays + timer/period matview lifecycle
+    # r9 additions: rank-3 arrays + batch k-NN join
     "array_ops3",
+    "embedding_knn_join",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

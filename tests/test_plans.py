@@ -322,3 +322,42 @@ def test_with_cte_no_extra_shuffle(spark):
     df = sql_with_cte_bare(spark, SF_DIR)
     assert shuffle_count(df) == 2
     assert "BatchEvalPython" not in plan_text(df)
+
+
+def test_knn_join_broadcast_and_single_window_shuffle(spark):
+    """r9 k-NN join plan shape: the query batch joins under BROADCAST
+    (BroadcastNestedLoopJoin — the deliberate brute-force baseline, never
+    CartesianProduct), and the per-query top-k is ONE window shuffle on
+    q_id; the IVF variant joins on cell id (equi-join, broadcast hash)."""
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    df = similarity.knn_join(emb, queries, k=5)
+    txt = plan_text(df)
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "CartesianProduct" not in txt
+    assert "Window" in txt
+    cents = similarity.ivf_centroids(emb, n_cells=8)
+    ivf = similarity.knn_join_ivf(emb, queries, cents, k=5, n_probe=2)
+    t2 = plan_text(ivf)
+    assert "BroadcastHashJoin" in t2 or "BroadcastNestedLoopJoin" not in t2
+    assert "CartesianProduct" not in t2
+
+
+def test_near_dup_two_phase_cap_no_global_sort(spark):
+    """r9 two-phase degree cap: the oversized-bucket set is found by a
+    partial-aggregated count and BROADCAST back; the md5-ordered window
+    sort applies only behind the oversized filter — the common path is a
+    union whose left leg has no Window at all (plan contains exactly one
+    Window, fed by the oversized-bucket semi side)."""
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = similarity.cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert txt.count("Window") >= 1  # the capped leg
+    assert "Union" in txt  # pass-through leg + capped leg
