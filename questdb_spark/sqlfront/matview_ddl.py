@@ -265,7 +265,15 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         raise ValueError(f"view exists: {name}")
     inner, _rest = _balanced_group(s[m.end() - 1 :])  # trailing PARTITION BY ignored:
     # storage is always date-partitioned parquet (PartitionBy is a native
-    # storage detail the parquet layout subsumes)
+    # storage detail the parquet layout subsumes).  IN VOLUME on a mat
+    # view (SqlCompilerImpl.java:4589) relocates the view's storage like
+    # CREATE TABLE's form does, with the same unknown-alias error.
+    volume = None
+    vm = re.search(r"\bin\s+volume\s+('[^']*'|\w+)", _rest, re.IGNORECASE)
+    if vm:
+        volume = vm.group(1).strip("'")
+        if volume not in eng.volumes:
+            raise ValueError(f"volume alias is not allowed [alias={volume}]")
     q = parse(eng._rewrite_intervals(inner))
     base = with_base or q.table
     base_ts = eng.designated_ts.get(base, "ts")
@@ -294,7 +302,9 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
     d = MatViewDef(
         name=name, base=base, inner_sql=inner, base_ts=base_ts, ts_out=ts_out,
         interval=interval, live=live, shape=shape,
-        path=os.path.join(eng.warehouse, f"__mv_{name}"),
+        path=os.path.join(
+            eng.volumes[volume] if volume else eng.warehouse, f"__mv_{name}"
+        ),
         **refresh,
     )
     if d.period_length == "sample":

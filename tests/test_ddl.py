@@ -998,3 +998,25 @@ def test_create_table_in_volume(spark, tmp_path):
     # DROP removes the volume directory
     eng.sql("DROP TABLE vt3")
     assert not os.path.exists(vol / "vt3")
+
+
+def test_matview_in_volume(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... IN VOLUME (SqlCompilerImpl.java:4589):
+    the view's storage lands under the volume; unknown aliases error."""
+    import os
+
+    vol = tmp_path / "mvvol"
+    vol.mkdir()
+    eng = QdbEngine(spark, warehouse=str(tmp_path / "wh"), volumes={"v": str(vol)})
+    _mk_base(eng)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvv WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h) IN VOLUME 'v'"
+    )
+    assert os.path.isdir(vol / "__mv_mvv")
+    assert eng.sql("SELECT count(*) n FROM mvv").first().n == 2
+    with pytest.raises(ValueError, match=r"volume alias is not allowed"):
+        eng.sql(
+            "CREATE MATERIALIZED VIEW mvb WITH BASE tb AS ("
+            "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h) IN VOLUME 'nope'"
+        )
