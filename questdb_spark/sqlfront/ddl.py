@@ -1018,7 +1018,31 @@ def _show(eng: QdbEngine, s: str) -> DataFrame:
         if d is None:
             raise ValueError(f"no such view: {cm.group(1)}")
         kind_kw = "LIVE" if d.live else "MATERIALIZED"
-        ddl = (f"CREATE {kind_kw} VIEW {d.name} WITH BASE '{d.base}' AS "
+        # refresh clause round-trips (r9: TIMER/PERIOD/DEFERRED forms)
+        refresh = ""
+        if d.refresh_type == "timer" and d.timer_every:
+            # reference token order: EVERY -> DEFERRED -> START -> PERIOD
+            refresh = f" REFRESH EVERY {d.timer_every}"
+            if d.deferred:
+                refresh += " DEFERRED"
+            if d.timer_start is not None:
+                refresh += f" START '{d.timer_start.strftime('%Y-%m-%dT%H:%M:%S')}'"
+                if d.timer_tz:
+                    refresh += f" TIME ZONE '{d.timer_tz}'"
+        elif d.refresh_type == "manual":
+            refresh = " REFRESH MANUAL"
+            if d.deferred:
+                refresh += " DEFERRED"
+        elif d.deferred:
+            refresh = " REFRESH IMMEDIATE DEFERRED"
+        if d.period_length:
+            refresh = (refresh or " REFRESH IMMEDIATE") + (
+                f" PERIOD (LENGTH {d.period_length}"
+                + (f" TIME ZONE '{d.period_tz}'" if d.period_tz else "")
+                + (f" DELAY {d.period_delay}" if d.period_delay else "")
+                + ")"
+            )
+        ddl = (f"CREATE {kind_kw} VIEW {d.name} WITH BASE '{d.base}'{refresh} AS "
                f"({d.inner_sql.strip()})")
         return eng.spark.createDataFrame([(ddl,)], "ddl string")
     cm = re.match(r"show create table (\w+)", low)

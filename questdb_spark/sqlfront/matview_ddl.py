@@ -223,6 +223,10 @@ def _parse_refresh(text: str) -> dict:
         if peek() != ")":
             raise ValueError("')' expected")
         i += 1
+    if i < n:
+        # trailing tokens the grammar doesn't place (e.g. DEFERRED after
+        # START — the reference orders DEFERRED before START/PERIOD)
+        raise ValueError("'as' expected")
     return out
 
 

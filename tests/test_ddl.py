@@ -1020,3 +1020,29 @@ def test_matview_in_volume(spark, tmp_path):
             "CREATE MATERIALIZED VIEW mvb WITH BASE tb AS ("
             "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h) IN VOLUME 'nope'"
         )
+
+
+def test_show_create_matview_refresh_roundtrip(eng, monkeypatch):
+    """SHOW CREATE MATERIALIZED VIEW re-emits TIMER/PERIOD/DEFERRED
+    refresh clauses (r9) — and the emitted DDL re-parses."""
+    from datetime import datetime, timezone
+
+    _mk_base(eng)
+    _fix_now(monkeypatch, datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc))
+    # reference token order: EVERY -> DEFERRED -> START -> PERIOD
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvr WITH BASE tb "
+        "REFRESH EVERY 2h DEFERRED START '2024-06-01T00:00:00' "
+        "PERIOD (LENGTH 1h DELAY 5m) AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    ddl = eng.sql("SHOW CREATE MATERIALIZED VIEW mvr").first().ddl
+    assert "REFRESH EVERY 2h" in ddl
+    assert "START '2024-06-01T00:00:00'" in ddl
+    assert "DEFERRED" in ddl
+    assert "PERIOD (LENGTH 1h DELAY 5m)" in ddl
+    # the emitted DDL re-parses on a fresh engine
+    eng.sql("DROP MATERIALIZED VIEW mvr")
+    eng.sql(ddl)
+    d = eng.matviews["mvr"]
+    assert d.refresh_type == "timer" and d.deferred and d.period_length == "1h"
