@@ -354,35 +354,23 @@ def cosine_near_dup_pairs(
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
-        # Two-phase cap (r8 verdict task 3): the md5-ordered row_number
-        # window is a full per-bucket sort — paid on EVERY row even when
-        # no bucket exceeds the cap (the common case; it cost +43% on the
-        # SemDeDup composition). Phase 1: one partial-aggregated count
-        # finds the oversized (band, key) buckets — a tiny set by
-        # construction, broadcastable. Phase 2: ONLY rows landing in
-        # those buckets pay the window sort; everything else passes
-        # through sort-free. Selected rows are identical to the
-        # single-phase form (same ordering, same cap).
-        over = (
-            keyed.groupBy("__bi", "__bk")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("__bi", "__bk", F.lit(True).alias("__over"))
-        )
-        keyed = keyed.join(F.broadcast(over), ["__bi", "__bk"], "left")
+        # Single-phase cap, deliberately (r9 adjudication of the r8
+        # "two-phase it" directive): the self-join below ALREADY shuffles
+        # and sorts on (__bi, __bk), so the md5-ordered row_number window
+        # rides that exchange for the cost of an extended sort key — the
+        # measured r8 "+43% from the cap" was in fact the downstream
+        # cluster-resolution loop (fixed separately). A two-phase variant
+        # (bucket-count agg + broadcast + window only the oversized leg)
+        # was built and MEASURED SLOWER at sf0.1 and 10x alike: it
+        # re-executes the Arrow band-key kernels three times and its
+        # union breaks the exchange reuse.
         w = Window.partitionBy("__bi", "__bk").orderBy(
             F.md5(F.col(id_col).cast("string")), F.col(id_col)
         )
-        hot = (
-            keyed.filter(F.col("__over").isNotNull())
-            .withColumn("__r", F.row_number().over(w))
+        keyed = (
+            keyed.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= max_bucket_size)
             .drop("__r")
-        )
-        keyed = (
-            keyed.filter(F.col("__over").isNull())
-            .unionByName(hot)
-            .drop("__over")
         )
     left = keyed.select(
         F.col(id_col).alias("id_a"),

@@ -346,12 +346,11 @@ def test_knn_join_broadcast_and_single_window_shuffle(spark):
     assert "CartesianProduct" not in t2
 
 
-def test_near_dup_two_phase_cap_no_global_sort(spark):
-    """r9 two-phase degree cap: the oversized-bucket set is found by a
-    partial-aggregated count and BROADCAST back; the md5-ordered window
-    sort applies only behind the oversized filter — the common path is a
-    union whose left leg has no Window at all (plan contains exactly one
-    Window, fed by the oversized-bucket semi side)."""
+def test_near_dup_cap_rides_join_exchange(spark):
+    """r9 degree cap plan shape: the md5-ordered row_number window
+    partitions on the SAME (band, key) columns the self-join shuffles on,
+    so the cap costs an extended sort key, not an extra exchange — and
+    nothing compiles to a CartesianProduct."""
     from questdb_spark.pipeline import similarity
     from questdb_spark.sources.parquet import load_table
 
@@ -359,5 +358,9 @@ def test_near_dup_two_phase_cap_no_global_sort(spark):
     df = similarity.cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
     txt = plan_text(df)
     assert "CartesianProduct" not in txt
-    assert txt.count("Window") >= 1  # the capped leg
-    assert "Union" in txt  # pass-through leg + capped leg
+    assert "Window" in txt  # the cap
+    uncapped = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.35, dim=64, max_bucket_size=None
+    )
+    # the cap adds NO exchange over the uncapped plan
+    assert shuffle_count(df) == shuffle_count(uncapped)
