@@ -269,3 +269,137 @@ def decode_image_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return src.mapInPandas(decode, schema=LEGACY_DECODE_SCHEMA)
+
+
+# -- video containers: frame sampling (r9) -----------------------------------
+#
+# The brief's frame-sample op: video = an opaque binary container of
+# frames. No codec exists in this container, so the synthesizer builds a
+# deterministic frame container (magic + frame count + length-prefixed
+# PNG frames — each frame a REAL parseable PNG); the sampler explodes
+# every k-th frame into its own row via mapInPandas. The plumbing —
+# schema, 1→N batch explosion, Arrow round trip, downstream decode — is
+# the real thing; only pixel decode is absent.
+
+VIDEO_MAGIC = b"QV01"
+
+
+def _frame_dims(doc_id: int, frame_idx: int) -> tuple[int, int]:
+    return _dims(doc_id * 31 + frame_idx)
+
+
+def synthesize_video(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap each document in a frame container: ``2 + doc_id % 4`` PNG
+    frames, frame i sized ``_dims(doc_id*31 + i)``, body = the text."""
+    src = df.select(F.col("doc_id"), F.col(text_col).alias("_t"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_t"]):
+                body = text.encode("utf-8")
+                n = 2 + doc_id % 4
+                buf = [VIDEO_MAGIC, struct.pack(">I", n)]
+                for i in range(n):
+                    w, h = _frame_dims(doc_id, i)
+                    frame = _png(w, h, body)
+                    buf.append(struct.pack(">I", len(frame)))
+                    buf.append(frame)
+                out.append(b"".join(buf))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return src.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Explode each video container into every ``every``-th frame:
+    (doc_id, n_frames, frame_idx, frame).  One output row per sampled
+    frame — the 1→N mapInPandas batch-shape change a real frame sampler
+    performs, with no driver involvement."""
+    src = df.select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, idxs, frames = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] != VIDEO_MAGIC:
+                    continue  # not a video container
+                n = struct.unpack(">I", buf[4:8])[0]
+                pos = 8
+                for i in range(n):
+                    ln = struct.unpack(">I", buf[pos : pos + 4])[0]
+                    frame = buf[pos + 4 : pos + 4 + ln]
+                    pos += 4 + ln
+                    if i % every == 0:
+                        ids.append(doc_id)
+                        ns.append(n)
+                        idxs.append(i)
+                        frames.append(frame)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": ns, "frame_idx": idxs, "frame": frames}
+            )
+
+    return src.mapInPandas(
+        sample, schema="doc_id long, n_frames int, frame_idx int, frame binary"
+    )
+
+
+def resize_image(
+    df: DataFrame, num: int = 1, den: int = 2, payload_col: str = "frame"
+) -> DataFrame:
+    """Resize PNG payloads by num/den: the HEADER is genuinely rewritten
+    (new dimensions, floor-scaled, min 1) so a downstream `decode_image`
+    reads the resized geometry from the bytes — the pixel resample itself
+    is the STUBBED step (no image libs in this container; the body is
+    carried through unchanged, documented)."""
+    cols = [c for c in df.columns if c != payload_col]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                buf = bytes(payload)
+                if buf[:4] != b"\x89PNG":
+                    out.append(buf)  # non-PNG passes through
+                    continue
+                w, h = struct.unpack(">II", buf[16:24])
+                nw, nh = max(1, w * num // den), max(1, h * num // den)
+                out.append(buf[:16] + struct.pack(">II", nw, nh) + buf[24:])
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(resize, schema=schema)
+
+
+def frame_features(
+    df: DataFrame, payload_col: str = "frame", bins: int = 16
+) -> DataFrame:
+    """Byte-histogram feature vector per payload — a REAL (if simple)
+    content feature: the 256 byte values fold into ``bins`` equal-width
+    bins, L1-normalized. Vectorized: one np.bincount per row over the
+    Arrow batch; no Python in the per-byte path."""
+    cols = [c for c in df.columns if c != payload_col]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        width = 256 // bins
+        for pdf in batches:
+            vecs = []
+            for payload in pdf[payload_col]:
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(a // width, minlength=bins)[:bins]
+                tot = hist.sum()
+                vecs.append((hist / (tot if tot else 1)).astype(np.float64).tolist())
+            out = pdf[cols].copy()
+            out["features"] = vecs
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != payload_col
+    ) + ", features array<double>"
+    return df.mapInPandas(feats, schema=schema)

@@ -1082,3 +1082,50 @@ WITH q AS (
 SELECT q_id, vec_id, dot_q, cosine, rank
 FROM ranked WHERE rank <= 5
 """
+
+
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sample + resize pipeline (r9): documents → deterministic
+    frame containers (2 + doc_id%4 length-prefixed PNG frames) → every-2nd
+    frame exploded to its own row (mapInPandas 1→N) → header-true half
+    resize → dimensions decoded back FROM THE BYTES. The oracle recomputes
+    every field arithmetically, so container build, frame walk, resize
+    header rewrite, and decode must all agree byte-for-byte."""
+    docs = load_table(spark, sf, "documents")
+    vids = multimodal.synthesize_video(docs)
+    frames = multimodal.sample_frames(vids, every=2)
+    small = multimodal.resize_image(frames, num=1, den=2)
+    dec = multimodal.decode_image(
+        small.select(
+            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    ).select(
+        F.col("doc_id").alias("frame_key"),
+        F.col("width").alias("w2"),
+        F.col("height").alias("h2"),
+    )
+    return (
+        small.select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("frame_key"),
+        )
+        .join(dec, "frame_key")
+        .select("doc_id", "n_frames", "frame_idx", "w2", "h2")
+    )
+
+
+# frame i of doc d is a PNG sized _dims(d*31+i) = (16+((d*31+i)*7)%625,
+# 16+((d*31+i)*13)%465); sampling keeps even i < 2 + d%4; the half resize
+# floors each dimension (min 1 — unreachable here since dims >= 16).
+MULTIMODAL_FRAMES_SQL = """
+SELECT d.doc_id,
+  CAST(2 + d.doc_id % 4 AS INTEGER) AS n_frames,
+  CAST(t.i AS INTEGER) AS frame_idx,
+  CAST((16 + ((d.doc_id * 31 + t.i) * 7) % 625) // 2 AS INTEGER) AS w2,
+  CAST((16 + ((d.doc_id * 31 + t.i) * 13) % 465) // 2 AS INTEGER) AS h2
+FROM documents d, range(0, 6) t(i)
+WHERE t.i < 2 + d.doc_id % 4 AND t.i % 2 = 0
+"""

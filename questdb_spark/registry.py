@@ -149,6 +149,8 @@ _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
     "sql_in_volume": (sq.sql_in_volume, sq.SQL_IN_VOLUME_SQL),
     # k-NN JOIN over a query SET (r9, LLM-pipeline batch retrieval)
     "embedding_knn_join": (pl.embedding_knn_join, pl.EMBEDDING_KNN_JOIN_SQL),
+    # video frame-sample + resize + decode pipeline (r9 multimodal)
+    "multimodal_frames": (pl.multimodal_frames, pl.MULTIMODAL_FRAMES_SQL),
 }
 
 # Round-8 additions — first verification; head of the window.  Round 7

@@ -72,3 +72,66 @@ def test_decode_image_edge_payloads(spark):
     assert out[5]["format"] == "jpeg"  # magic says jpeg even without SOF
     assert out[6]["format"] == "unknown"
     assert out[6]["n_bytes"] == len(b"plain text, no magic")
+
+
+def test_video_frame_sampling_and_resize(spark):
+    """r9 frame pipeline: container build → every-2nd frame explode →
+    header-true half resize → decode reads the resized dims from bytes."""
+    from pyspark.sql import functions as F
+
+    from questdb_spark.pipeline import multimodal as mm
+    from questdb_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    vids = mm.synthesize_video(docs)
+    frames = mm.sample_frames(vids, every=2)
+    rows = frames.select("doc_id", "n_frames", "frame_idx").collect()
+    for r in rows:
+        assert r["n_frames"] == 2 + r["doc_id"] % 4
+        assert r["frame_idx"] % 2 == 0 and r["frame_idx"] < r["n_frames"]
+    # per-doc sampled count = ceil(n_frames / 2)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    for d, n in per_doc.items():
+        assert n == (2 + d % 4 + 1) // 2
+    # resize halves the header dims; decode reads them back from bytes
+    small = mm.resize_image(frames, num=1, den=2)
+    dec = mm.decode_image(
+        small.select(
+            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    for r in dec.collect():
+        d, i = r["doc_id"] // 8, r["doc_id"] % 8
+        w, h = mm._frame_dims(d, i)
+        assert r["format"] == "png"
+        assert (r["width"], r["height"]) == (w // 2, h // 2)
+
+
+def test_frame_features_byte_histogram(spark):
+    """frame_features equals a python-side byte histogram, L1-normalized."""
+    import numpy as np
+
+    from questdb_spark.pipeline import multimodal as mm
+    from questdb_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    frames = mm.sample_frames(mm.synthesize_video(docs), every=2)
+    feats = mm.frame_features(frames, bins=16)
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["features"] for r in feats.collect()
+    }
+    raw = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames.collect()}
+    assert set(got) == set(raw)
+    for k, buf in raw.items():
+        a = np.frombuffer(buf, dtype=np.uint8)
+        hist = np.bincount(a // 16, minlength=16)[:16]
+        want = (hist / hist.sum()).tolist()
+        assert np.allclose(got[k], want)
+        assert abs(sum(got[k]) - 1.0) < 1e-9
