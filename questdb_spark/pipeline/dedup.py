@@ -525,16 +525,22 @@ def dedup_clusters(
     (see `_stats_barrier`); rounds = shuffle barriers, which is exactly
     the economics a 1000-executor run wants."""
     a_type = dict(pairs.dtypes)["doc_a"]
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .persist()  # iterated over — never recompute the candidate-pair lineage
-    )
-    n_edges = edges.count()
     spark = pairs.sparkSession
 
-    if n_edges <= driver_cc_bound:
+    # Bound check folded into the collect itself: fetch bound+1 RAW pairs in
+    # ONE pass — if we get ≤ bound back, that IS the complete pair set.
+    # Union-find is insensitive to edge direction and duplicates, so the
+    # fast path collects the pairs as-is, skipping both the symmetrize-union
+    # and the distinct() shuffle entirely (the r9 path paid distinct +
+    # persist + count + collect = two full materializations and a shuffle;
+    # this is one narrow collect riding the candidate-pair lineage).
+    pdf = None
+    if driver_cc_bound > 0:
+        pdf = pairs.select("doc_a", "doc_b").limit(driver_cc_bound + 1).toPandas()
+        if len(pdf) > driver_cc_bound:
+            pdf = None  # over bound — partial collect discarded, go distributed
+
+    if pdf is not None:
         # --- driver union-find fast path ---
         parent: dict = {}
 
@@ -546,11 +552,7 @@ def dedup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        # one Arrow batch collect (2 narrow columns; ≤ bound rows) — NOT
-        # toLocalIterator, which schedules one job per (possibly tiny)
-        # shuffle partition
-        pdf = edges.toPandas()
-        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        for u, v in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
@@ -559,12 +561,17 @@ def dedup_clusters(
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
         out = [(x, find(x)) for x in parent]
-        edges.unpersist()
         return spark.createDataFrame(
             out, f"doc {a_type}, cluster {a_type}"
         )
 
     # --- distributed log-rounds loop ---
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()  # iterated over — never recompute the candidate-pair lineage
+    )
     def _neighbor_min(lbl: DataFrame) -> DataFrame:
         """One min-label round; keeps the incoming label as __prev so
         convergence detection is a filter, not another join."""

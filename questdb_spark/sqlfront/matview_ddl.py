@@ -87,6 +87,9 @@ class MatViewDef:
     period_length: str = ""  # '' = no PERIOD clause
     period_tz: str | None = None
     period_delay: str = ""
+    # storage schema captured at write time: lets _register skip the
+    # parquet footer-inference job on every re-registration
+    stored_schema: object = None
 
 
 _EVERY_UNITS = {"m", "h", "d", "w", "y", "M"}  # validateMatViewEveryUnit
@@ -533,12 +536,69 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
         if frozen_now != d.frozen_count:
             cutoff = None
 
+    # Fold the post-refresh frozen-region count into the compute/write pass
+    # (r10): the NEXT cutoff is already derivable from the stats pass's
+    # new_hwm, so an Observation on the base scan counts the frozen rows
+    # for free during the write job.  Without this fold the count was its
+    # own full base scan — which on the INCREMENTAL path defeats the whole
+    # point of incremental refresh at scale (tail-pruned compute followed
+    # by an unpruned count).  On the incremental path the observation rides
+    # the already-pruned tail scan (filter BELOW the CollectMetrics node,
+    # so parquet pushdown is preserved) and counts tail rows >= next
+    # cutoff; frozen = n_now - that.
+    obs = None
+    obs_mode = None  # "full": metric IS frozen; "tail": frozen = n_now - metric
+    nxt_new = None
+    if d.shape == "sample_by" and new_hwm is not None and d.base in eng.tables:
+        hwm_utc = new_hwm if new_hwm.tzinfo else new_hwm.replace(tzinfo=timezone.utc)
+        nxt_new = _bucket_floor(hwm_utc, d.interval)
+
+    def _observed_base(pred_col, pre_filter=None):
+        from pyspark.sql import Observation
+
+        nonlocal obs
+        obs = Observation()
+        base = base_df if pre_filter is None else base_df.filter(pre_filter)
+        return base.observe(obs, F.count_if(pred_col).alias("frozen_metric"))
+
+    def _compute_with_swap(observed, since):
+        """Swap the base for its observed twin only while the PLAN is
+        built, under the engine's refresh lock — concurrent refreshes of
+        views over the same base (two CREATEs on two threads) must not
+        capture each other's Observation, or the loser's obs.get() would
+        block forever waiting for an action that never runs.  The write
+        action itself happens outside the lock, so only driver-side plan
+        building is serialized."""
+        if observed is None:
+            return _compute(eng, d, since)
+        with eng._mv_refresh_lock:
+            eng.tables[d.base] = observed
+            try:
+                return _compute(eng, d, since)
+            finally:
+                eng.tables[d.base] = base_df
+
+    if not hasattr(eng, "_mv_refresh_lock"):
+        import threading
+
+        eng._mv_refresh_lock = threading.Lock()
+
     changed = 1
     if cutoff is None:
-        out = _compute(eng, d, None)
+        observed = None
+        if nxt_new is not None:
+            observed = _observed_base(F.col(d.base_ts) < _ts_lit(nxt_new))
+            obs_mode = "full"
+        out = _compute_with_swap(observed, None)
         if d.shape == "sample_by":
+            # repartition on the storage key: one task per date dir
+            # instead of shuffle_partitions × dates tiny files (AQE
+            # coalesces small dates; write+commit time is file-bound)
             out = out.withColumn(_PART, F.col(d.ts_out).cast("date"))
-            out.write.partitionBy(_PART).mode("overwrite").parquet(d.path)
+            out.repartition(F.col(_PART)).write.partitionBy(_PART).mode(
+                "overwrite"
+            ).parquet(d.path)
+            d.stored_schema = out.schema
         else:
             _swap_write(d, out)
     elif new_hwm is not None and d.hwm is not None and _same_hwm(new_hwm, d.hwm) \
@@ -557,7 +617,21 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
         merged = _latest(state.unionByName(tail), ts_col, keys)
         _swap_write(d, merged.select(*tail.columns))
     else:  # sample_by bucket-window incremental
-        tail = _compute(eng, d, cutoff).withColumn(_PART, F.col(d.ts_out).cast("date"))
+        observed = None
+        # both are _bucket_floor outputs → tz-aware UTC, directly comparable
+        if nxt_new is not None and nxt_new >= cutoff:
+            # observation rides the tail scan: pre-filter keeps pushdown,
+            # and every base row >= nxt_new is >= cutoff (nxt_new >= cutoff
+            # checked above — hwm can regress if rows above the cutoff were
+            # deleted) so the tail sees all of them
+            observed = _observed_base(
+                F.col(d.base_ts) >= _ts_lit(nxt_new),
+                pre_filter=F.col(d.base_ts) >= _ts_lit(cutoff),
+            )
+            obs_mode = "tail"
+        tail = _compute_with_swap(observed, cutoff).withColumn(
+            _PART, F.col(d.ts_out).cast("date")
+        )
         existing = spark.read.parquet(d.path)
         # rows of the touched date partitions that precede the recomputed
         # window must ride along in the overwrite (same merge the streaming
@@ -566,19 +640,31 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
             tail.select(_PART).distinct(), _PART, "left_semi"
         )
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        carry.unionByName(tail).write.partitionBy(_PART).mode("overwrite").parquet(d.path)
+        merged = carry.unionByName(tail)
+        merged.repartition(F.col(_PART)).write.partitionBy(_PART).mode(
+            "overwrite"
+        ).parquet(d.path)
+        d.stored_schema = merged.schema
     if new_hwm is not None:
         d.hwm = new_hwm if new_hwm.tzinfo else new_hwm.replace(tzinfo=timezone.utc)
     d.base_count = n_now
     if changed or d.frozen_count < 0:
         if d.shape == "sample_by":
-            # frozen region = rows below the NEXT bucket-floor cutoff
-            nxt = _incr_cutoff(d)
-            d.frozen_count = (
-                base_df.filter(F.col(d.base_ts) < _ts_lit(nxt)).count()
-                if nxt is not None
-                else n_now
-            )
+            # frozen region = rows below the NEXT bucket-floor cutoff —
+            # read from the write pass's Observation when it ran; the
+            # standalone scan remains only as the fallback (base not in
+            # eng.tables, or the no-op-refresh/first-population edges)
+            if obs_mode == "full":
+                d.frozen_count = int(obs.get["frozen_metric"])
+            elif obs_mode == "tail":
+                d.frozen_count = int(n_now - obs.get["frozen_metric"])
+            else:
+                nxt = _incr_cutoff(d)
+                d.frozen_count = (
+                    base_df.filter(F.col(d.base_ts) < _ts_lit(nxt)).count()
+                    if nxt is not None
+                    else n_now
+                )
         else:
             # frozen region = rows <= hwm, which is every row: free
             d.frozen_count = n_now
@@ -615,6 +701,7 @@ def _swap_write(d: MatViewDef, out: DataFrame) -> None:
     be derived from the current files — never read+overwrite in place)."""
     tmp = d.path.rstrip("/") + ".swap"
     out.write.mode("overwrite").parquet(tmp)
+    d.stored_schema = out.schema
     state = os.path.join(d.path, _STATE_FILE)
     saved = None
     if os.path.exists(state):
@@ -675,7 +762,12 @@ def _restore_state(eng: QdbEngine, d: MatViewDef) -> bool:
 
 
 def _register(eng: QdbEngine, d: MatViewDef) -> None:
-    df = eng.spark.read.parquet(d.path).drop(_PART)
+    # explicit schema skips the footer/partition-inference job; restored
+    # sessions (no captured schema yet) fall back to inference once
+    reader = eng.spark.read
+    if d.stored_schema is not None:
+        reader = reader.schema(d.stored_schema)
+    df = reader.parquet(d.path).drop(_PART)
     eng.register(d.name, df, designated_ts=d.ts_out)
 
 

@@ -35,3 +35,21 @@ def test_dedup_clusters_components(spark):
     )
     got = {r["doc"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 12: 1, 3: 3, 7: 3, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_over_bound_falls_back_distributed(spark):
+    """An edge set over driver_cc_bound must discard the partial collect and
+    take the distributed path — same labels either way (r10: the bound check
+    is folded into the collect as limit(bound+1))."""
+    from questdb_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (3, 7), (20, 21)], ["doc_a", "doc_b"]
+    )
+    want = {1: 1, 5: 1, 9: 1, 12: 1, 3: 3, 7: 3, 20: 20, 21: 20}
+    for bound in (0, 1):  # 0 skips the collect entirely; 1 collects then discards
+        got = {
+            r["doc"]: r["cluster"]
+            for r in dedup_clusters(pairs, driver_cc_bound=bound).collect()
+        }
+        assert got == want, (bound, got)
