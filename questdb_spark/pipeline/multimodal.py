@@ -325,10 +325,19 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
                 buf = bytes(payload)
                 if buf[:4] != VIDEO_MAGIC:
                     continue  # not a video container
+                if len(buf) < 8:
+                    continue  # truncated before the frame count
                 n = struct.unpack(">I", buf[4:8])[0]
                 pos = 8
                 for i in range(n):
+                    # bounds-check the declared prefixes (r10 advice: a
+                    # truncated/corrupt container must skip the row, not
+                    # raise struct.error and fail the whole job)
+                    if pos + 4 > len(buf):
+                        break
                     ln = struct.unpack(">I", buf[pos : pos + 4])[0]
+                    if ln > len(buf) - pos - 4:
+                        break  # length prefix runs past the buffer
                     frame = buf[pos + 4 : pos + 4 + ln]
                     pos += 4 + ln
                     if i % every == 0:
@@ -349,10 +358,15 @@ def resize_image(
     df: DataFrame, num: int = 1, den: int = 2, payload_col: str = "frame"
 ) -> DataFrame:
     """Resize PNG payloads by num/den: the HEADER is genuinely rewritten
-    (new dimensions, floor-scaled, min 1) so a downstream `decode_image`
-    reads the resized geometry from the bytes — the pixel resample itself
-    is the STUBBED step (no image libs in this container; the body is
-    carried through unchanged, documented)."""
+    (new dimensions, floor-scaled, min 1) with the IHDR CRC recomputed
+    (zlib.crc32 over chunk type + data — r10 advice: the rewritten header
+    must stay a VALID PNG chunk for real decoders, not only the in-repo
+    CRC-ignoring parser), so a downstream `decode_image` reads the resized
+    geometry from the bytes — the pixel resample itself is the STUBBED
+    step (no image libs in this container; the body is carried through
+    unchanged, documented)."""
+    import zlib
+
     cols = [c for c in df.columns if c != payload_col]
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -360,12 +374,16 @@ def resize_image(
             out = []
             for payload in pdf[payload_col]:
                 buf = bytes(payload)
-                if buf[:4] != b"\x89PNG":
+                if buf[:4] != b"\x89PNG" or len(buf) < 33:
                     out.append(buf)  # non-PNG passes through
                     continue
                 w, h = struct.unpack(">II", buf[16:24])
                 nw, nh = max(1, w * num // den), max(1, h * num // den)
-                out.append(buf[:16] + struct.pack(">II", nw, nh) + buf[24:])
+                ihdr_data = struct.pack(">II", nw, nh) + buf[24:29]
+                crc = zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF
+                out.append(
+                    buf[:16] + ihdr_data + struct.pack(">I", crc) + buf[33:]
+                )
             pdf = pdf.copy()
             pdf[payload_col] = out
             yield pdf

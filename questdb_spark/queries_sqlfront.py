@@ -855,9 +855,11 @@ def sql_scalar_batch2(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar long-tail batch 2 through the dialect parser: finance trio
     (FinanceUtils mid/spread, WeightedMidPriceFunctionFactory wmid),
     day_of_week Mon=1 / day_of_week_sunday_first Sun=1, is_end_of_month,
-    millis/micros components (MillisOfSecond/MicrosOfMills), position
-    (1-based, 0-absent), and to_uuid/to_long256 canonical lowercase-hex
-    builders (LongsToUuid/LongsToLong256FunctionFactory)."""
+    millis/micros/nanos components (MillisOfSecondFunctionFactory,
+    MicrosOfMillsFunctionFactory, NanosOfMicrosFunctionFactory — floor-mod
+    0-999 incl. pre-1970 timestamps; nanos over the int64 nano shadow),
+    position (1-based, 0-absent), and to_uuid/to_long256 canonical
+    lowercase-hex builders (LongsToUuid/LongsToLong256FunctionFactory)."""
     eng = _engine(spark, sf, {"events": "ts"})
     return eng.sql(
         "SELECT event_id, "
@@ -869,11 +871,17 @@ def sql_scalar_batch2(spark: SparkSession, sf: str) -> DataFrame:
         "is_end_of_month(ts2) AS eom, "
         "millis(ts2) AS ms, "
         "micros(ts2) AS us, "
+        "millis(ts_neg) AS ms_neg, "
+        "micros(ts_neg) AS us_neg, "
+        "nanos(unix_micros(ts2) * 1000 + event_id % 1000) AS ns, "
+        "nanos(0 - (event_id % 1000) - 1) AS ns_neg, "
         "position(event_type, 'ic') AS pos, "
         "to_uuid(event_id, user_id) AS uid, "
         "to_long256(event_id, user_id, 7, 0) AS l256 "
         "FROM (SELECT event_id, user_id, event_type, "
         "  timestamp_micros(unix_micros(ts) + event_id % 1000000) AS ts2, "
+        "  timestamp_micros(unix_micros(ts) + event_id % 1000000 "
+        "    - 3470000000000000) AS ts_neg, "
         "  value AS bid, value + 1.5 AS ask, "
         "  cast(user_id % 50 + 1 AS DOUBLE) AS bsz, "
         "  cast(event_id % 30 + 1 AS DOUBLE) AS asz FROM events)"
@@ -884,6 +892,7 @@ SQL_SCALAR_BATCH2_SQL = """
 WITH b AS (
   SELECT event_id, user_id, event_type,
     ts + to_microseconds(event_id % 1000000) AS ts2,
+    ts + to_microseconds(event_id % 1000000 - 3470000000000000) AS ts_neg,
     value AS bid, value + 1.5 AS ask,
     CAST(user_id % 50 + 1 AS DOUBLE) AS bsz,
     CAST(event_id % 30 + 1 AS DOUBLE) AS asz
@@ -898,6 +907,13 @@ SELECT event_id,
   (day(ts2) = day(last_day(ts2))) AS eom,
   CAST((epoch_us(ts2) % 1000000) // 1000 AS INT) AS ms,
   CAST(epoch_us(ts2) % 1000 AS INT) AS us,
+  -- integer // truncates toward zero in DuckDB: make the division exact
+  -- first (subtract the floor-mod remainder), then floor-mod the quotient
+  CAST(((((epoch_us(ts_neg) - ((epoch_us(ts_neg) % 1000 + 1000) % 1000))
+      // 1000) % 1000) + 1000) % 1000 AS INT) AS ms_neg,
+  CAST(((epoch_us(ts_neg) % 1000) + 1000) % 1000 AS INT) AS us_neg,
+  CAST(event_id % 1000 AS INT) AS ns,
+  CAST((((0 - (event_id % 1000) - 1) % 1000) + 1000) % 1000 AS INT) AS ns_neg,
   CAST(strpos(event_type, 'ic') AS INT) AS pos,
   concat_ws('-',
     substring(concat(lpad(lower(to_hex(user_id)), 16, '0'),

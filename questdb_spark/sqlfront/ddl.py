@@ -37,7 +37,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, functions as F
 
 from ..table import PARTITION_COL, TimeTable
-from .parser import split_top_level
+from .parser import mask_literals, split_top_level
 
 if TYPE_CHECKING:  # pragma: no cover
     from .engine import QdbEngine
@@ -307,10 +307,18 @@ def _refresh_view(eng: QdbEngine, name: str) -> None:
     references it (QdbEngine._flush_dirty_views)."""
     eng._dirty_views.add(name)
     # plain views over this table pin the base file listing of their last
-    # compile — mark them too, flushed on reference like the base table
-    for vn, vq in eng.views.items():
-        if re.search(rf"\b{re.escape(name)}\b", vq):
-            eng._dirty_views.add(vn)
+    # compile — mark them too, flushed on reference like the base table.
+    # Propagation is TRANSITIVE (r10 advice): a view over a view over the
+    # mutated table must be marked too, so walk to a fixpoint over the
+    # view bodies, not just one level.
+    frontier = [name]
+    while frontier:
+        cur = frontier.pop()
+        pat = re.compile(rf"\b{re.escape(cur)}\b")
+        for vn, vq in eng.views.items():
+            if vn not in eng._dirty_views and pat.search(vq):
+                eng._dirty_views.add(vn)
+                frontier.append(vn)
 
 
 # -- CREATE -----------------------------------------------------------------
@@ -356,9 +364,20 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
     # (cairo.volumes alias→path); the alias must resolve or CREATE fails
     # with the reference's error text (SqlCompilerImpl.java:4706)
     volume = None
-    vm = re.search(r"\bin\s+volume\s+('[^']*'|\w+)", rest, re.IGNORECASE)
+    # search the literal-masked text anchored at tail-clause position (r10
+    # advice: the raw search also hit "... in volume x ..." INSIDE string
+    # literals of a CREATE ... AS SELECT body); mask positions line up 1:1
+    # with the original, so the alias is read back from the real text
+    masked_rest = mask_literals(rest)
+    vm = re.search(
+        r"\bin\s+volume\s+('[^']*'|\w+)\s*"
+        r"(?=$|\btimestamp\s*\(|\bpartition\s+by\b|\bwal\b|\bttl\s+\d|"
+        r"\bdedup\s+upsert\b)",
+        masked_rest,
+        re.IGNORECASE,
+    )
     if vm:
-        volume = vm.group(1).strip("'")
+        volume = rest[vm.start(1):vm.end(1)].strip("'").strip()
         if volume not in eng.volumes:
             raise ValueError(f"volume alias is not allowed [alias={volume}]")
 
@@ -382,9 +401,13 @@ def _create(eng: QdbEngine, s: str) -> DataFrame:
         while changed:
             changed = False
             for pat in pats:
-                nb = re.sub(pat, "", body, flags=re.IGNORECASE).strip()
-                if nb != body:
-                    body, changed = nb, True
+                # match against the literal mask so a body ENDING in a
+                # string like '... in volume x' never loses literal text;
+                # spans line up 1:1, so the cut applies to the original
+                m2 = re.search(pat, mask_literals(body), re.IGNORECASE)
+                if m2:
+                    body = (body[: m2.start()] + body[m2.end():]).strip()
+                    changed = True
         if body.startswith("("):
             body = body[1:-1]
         df = eng.sql(body)

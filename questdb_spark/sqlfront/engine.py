@@ -206,6 +206,20 @@ class QdbEngine:
         df.createOrReplaceTempView(name)
 
     # ------------------------------------------------------------------
+    def flush_views(self, *names: str) -> None:
+        """Re-register every stale temp view now (or only ``names``).
+
+        Dirty-marked views are normally flushed lazily when the next
+        ``eng.sql`` statement references them; a DIRECT ``spark.sql()``
+        read bypasses that hook and can see the stale pinned plan (or a
+        deleted-file listing after UPDATE/REFRESH rewrote partitions).
+        Call this before handing the session to plain-ANSI readers."""
+        if names:
+            self._flush_dirty_views(" ".join(names))
+        elif self._dirty_views:
+            self._flush_dirty_views(" ".join(self._dirty_views))
+
+    # ------------------------------------------------------------------
     def sql(self, query: str, args: dict | list | tuple | None = None) -> DataFrame:
         """Execute a QuestDB-dialect query or DDL/DML statement.
 
@@ -273,20 +287,35 @@ class QdbEngine:
             for n in list(self._dirty_views)
             if re.search(rf"\b{re.escape(n)}\b", text, re.IGNORECASE)
         ]
+        # a failed recompile KEEPS the dirty mark (r10 advice: discarding
+        # it pinned a stale temp view permanently with no signal) — the
+        # next statement that references the name retries, and the warning
+        # makes the stale window visible
+        import warnings
+
         for n in hit:
             if n in self.ddl_tables:
-                self._dirty_views.discard(n)
                 try:
                     self.ddl_read(n).createOrReplaceTempView(n)
-                except Exception:
-                    pass
+                    self._dirty_views.discard(n)
+                except Exception as e:
+                    warnings.warn(
+                        f"temp view refresh failed for table {n!r} "
+                        f"(still marked stale, will retry): {e}"
+                    )
         for n in hit:
             if n in self.views and n in self._dirty_views:
+                # discard BEFORE the recompile (self.sql re-enters this
+                # flush) and re-add on failure so the retry signal survives
                 self._dirty_views.discard(n)
                 try:
                     self.sql(self.views[n]).createOrReplaceTempView(n)
-                except Exception:
-                    pass
+                except Exception as e:
+                    self._dirty_views.add(n)
+                    warnings.warn(
+                        f"temp view refresh failed for view {n!r} "
+                        f"(still marked stale, will retry): {e}"
+                    )
 
     def _sql_inner(self, query: str) -> DataFrame:
         from . import ddl
@@ -2509,12 +2538,19 @@ _FN_MACROS: dict = {
     "day_of_week": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
     "day_of_week_sunday_first": lambda a: f"dayofweek({a[0]})",
     "is_end_of_month": lambda a: f"(day({a[0]}) = day(last_day({a[0]})))",
-    "millis": lambda a: f"CAST((unix_micros({a[0]}) % 1000000) DIV 1000 AS INT)",
-    "micros": lambda a: f"CAST(unix_micros({a[0]}) % 1000 AS INT)",
+    # floor-mod (pmod), not Spark's sign-following %: the reference's
+    # Micros.getMillisOfSecond/getMicrosOfMilli return 0-999 for pre-1970
+    # timestamps too (e.g. 1969-12-31 23:59:59.999999 → millis 999,
+    # micros 999); floor division likewise for the millis digit pair
+    "millis": lambda a: (
+        f"CAST(pmod((unix_micros({a[0]}) - pmod(unix_micros({a[0]}), 1000))"
+        f" DIV 1000, 1000) AS INT)"
+    ),
+    "micros": lambda a: f"CAST(pmod(unix_micros({a[0]}), 1000) AS INT)",
     # nanos(N) is defined over TIMESTAMP_NANO values — here the int64
     # nano shadow column (functions/nanos.py); a micro TIMESTAMP arg
     # fails type-checking rather than silently returning 0
-    "nanos": lambda a: f"CAST(({a[0]}) % 1000 AS INT)",
+    "nanos": lambda a: f"CAST(pmod(({a[0]}), 1000) AS INT)",
     # position(str, substr) (PositionFunctionFactory — 1-based, 0 = absent;
     # Spark's locate takes (substr, str))
     "position": lambda a: f"locate({a[1]}, {a[0]})",

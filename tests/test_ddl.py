@@ -1046,3 +1046,49 @@ def test_show_create_matview_refresh_roundtrip(eng, monkeypatch):
     eng.sql(ddl)
     d = eng.matviews["mvr"]
     assert d.refresh_type == "timer" and d.deferred and d.period_length == "1h"
+
+
+def test_in_volume_literal_in_body_not_matched(spark, tmp_path):
+    """A string literal containing 'in volume x' inside a CREATE ... AS
+    SELECT body must NOT trigger volume resolution (r10 advice: the raw
+    regex searched the whole rest incl. the SELECT body's literals)."""
+    import os
+
+    vol = tmp_path / "v1"
+    vol.mkdir()
+    eng = QdbEngine(
+        spark, warehouse=str(tmp_path / "wh2"), volumes={"fast": str(vol)}
+    )
+    # 'in volume nope' only inside a literal: must not raise, must land
+    # in the warehouse, and the literal must survive intact
+    eng.sql(
+        "CREATE TABLE lt AS (SELECT CAST(1.5 AS DOUBLE) v, "
+        "'stored in volume nope' note, "
+        "TIMESTAMP '2024-01-01 00:10:00' ts) TIMESTAMP(ts)"
+    )
+    assert os.path.isdir(tmp_path / "wh2" / "lt")
+    row = eng.sql("SELECT note FROM lt").first()
+    assert row.note == "stored in volume nope"
+    # literal at the very END of the body: the tail-clause strip loop
+    # must not eat it either
+    eng.sql("CREATE TABLE lt2 AS (SELECT 2 k, 'keep in volume fast' s)")
+    assert eng.sql("SELECT s FROM lt2").first().s == "keep in volume fast"
+    assert os.path.isdir(tmp_path / "wh2" / "lt2")
+    assert not os.path.exists(vol / "lt2")
+
+
+def test_view_on_view_transitive_staleness(spark, tmp_path):
+    """A plain view OVER another plain view over a mutated table serves
+    current data (r10 advice: dirty marks now propagate transitively)."""
+    eng = QdbEngine(spark, warehouse=str(tmp_path / "wh3"))
+    eng.sql("CREATE TABLE bt (v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY")
+    eng.sql("INSERT INTO bt VALUES (1.0,'2024-01-01T00:10:00Z')")
+    eng.sql("CREATE VIEW v_lvl1 AS (SELECT v, ts FROM bt)")
+    eng.sql("CREATE VIEW v_lvl2 AS (SELECT count(*) n FROM v_lvl1)")
+    assert eng.sql("SELECT n FROM v_lvl2").first().n == 1
+    eng.sql("INSERT INTO bt VALUES (2.0,'2024-01-02T00:10:00Z')")
+    assert eng.sql("SELECT n FROM v_lvl2").first().n == 2
+    # flush_views makes DIRECT spark.sql reads current too
+    eng.sql("INSERT INTO bt VALUES (3.0,'2024-01-03T00:10:00Z')")
+    eng.flush_views()
+    assert spark.sql("SELECT n FROM v_lvl2").first().n == 3
