@@ -1410,6 +1410,62 @@ GROUP BY event_type
 """
 
 
+def sql_matview_alter(spark: SparkSession, sf: str) -> DataFrame:
+    """ALTER MATERIALIZED VIEW statement surface (r10,
+    SqlCompilerImpl.java:2145 compileAlterMatView): SUSPEND WAL parks a
+    refresh so the view serves its stored prefix (stale stage), RESUME WAL
+    applies the backlog (resumed stage), and SET TTL evicts buckets older
+    than the TTL from the newest bucket (ttl stage).  Each stage is
+    emitted as tagged rows so the oracle checks all three states
+    relationally; SET REFRESH / ALTER COLUMN forms are pytest-covered."""
+    eng = _engine(spark, sf, {"events": "ts"})
+    eng.register(
+        "ev_alter10",
+        load_table(spark, sf, "events").filter(
+            F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+        ),
+        designated_ts="ts",
+    )
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_alter10 WITH BASE ev_alter10 AS ("
+        "SELECT ts, count(*) AS n FROM ev_alter10 SAMPLE BY 1h)"
+    )
+    # base append parked behind SUSPEND WAL: the view serves its stored
+    # prefix (reference: refresh txns queue until an operator RESUMEs)
+    eng.register("ev_alter10", load_table(spark, sf, "events"), designated_ts="ts")
+    eng.sql("ALTER MATERIALIZED VIEW mv_alter10 SUSPEND WAL")
+    eng.sql("REFRESH MATERIALIZED VIEW mv_alter10 INCREMENTAL")  # parks
+    # materialize the suspended snapshot: RESUME below rewrites partitions
+    suspended = eng.sql(
+        "SELECT 'suspended' AS stage, ts, n FROM mv_alter10"
+    ).localCheckpoint(eager=True)
+    eng.sql("ALTER MATERIALIZED VIEW mv_alter10 RESUME WAL")  # catch-up
+    resumed = eng.sql(
+        "SELECT 'resumed' AS stage, ts, n FROM mv_alter10"
+    ).localCheckpoint(eager=True)
+    # TTL eviction: buckets whose date partition is 4+ days older than
+    # the newest bucket date drop (enforceTtl boundary: newest - 72h,
+    # partitions evict once their ceiling passes it)
+    eng.sql("ALTER MATERIALIZED VIEW mv_alter10 SET TTL 3 DAYS")
+    ttl = eng.sql("SELECT 'ttl' AS stage, ts, n FROM mv_alter10")
+    return suspended.unionByName(resumed).unionByName(ttl)
+
+
+SQL_MATVIEW_ALTER_SQL = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT 'suspended' AS stage, ts, n FROM hourly
+  WHERE ts < TIMESTAMP '2024-01-15'
+UNION ALL
+SELECT 'resumed' AS stage, ts, n FROM hourly
+UNION ALL
+SELECT 'ttl' AS stage, ts, n FROM hourly
+  WHERE CAST(ts AS DATE) > (SELECT max(CAST(ts AS DATE)) - 4 FROM hourly)
+"""
+
+
 def sql_matview_timer(spark: SparkSession, sf: str) -> DataFrame:
     """Mat-view TIMER + PERIOD refresh scheduling (r9,
     SqlParser.java:2590-2717 REFRESH_TYPE_TIMER/PERIOD,

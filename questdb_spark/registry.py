@@ -134,8 +134,51 @@ _PRIORITY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_aggs": (fn.approx_aggs, fn.APPROX_AGGS_SQL),
 }
 
-# Round-9 additions — new or materially-changed this round; first
-# verification, head of the window.
+# Round-10 additions — first verification, head of the window.
+_NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
+    # ALTER MATERIALIZED VIEW statement surface (r10,
+    # SqlCompilerImpl.java:2145): SUSPEND/RESUME WAL park/apply refreshes,
+    # SET TTL evicts old buckets — three oracle-checked stages
+    "sql_matview_alter": (sq.sql_matview_alter, sq.SQL_MATVIEW_ALTER_SQL),
+}
+
+# Entries sitting on code materially changed in r10 (cluster-resolution
+# collect fold, mat-view Observation fold + concurrent creates, floor-mod
+# sub-second extractors, multimodal CRC/bounds) — re-verify right after
+# the new block.
+_CHANGED_R10_NAMES = [
+    "sql_matview_timer",
+    "sql_matview",
+    "dedup_cluster_canonical",
+    "dedup_jaccard",
+    "sql_scalar_batch2",
+    "multimodal_frames",
+    "multimodal_decode",
+    "sql_in_volume",
+]
+
+# The 20 entries whose latest driver check is round 5 (VERDICT r9 task 2)
+# — verifying these makes every registry entry driver-green within r6-r10.
+_RECHECK_R10_NAMES = [
+    "geohash_events", "ipv4_subnets", "uuid_long256_bin", "array_ops",
+    "pivot_events", "unnest_tokens", "lateral_topn", "interval_search",
+    "percentiles_exact", "generate_series_rnd", "haversine_paths",
+    "union_harmonize_types", "sql_dedup_upsert_sample_by", "sql_rnd_macros",
+    "sql_live_view_latest", "sql_window_join_dynamic",
+    "cb_expr_group_pagination", "cb_case_group_sample",
+    "contamination_check", "training_corpus_filter",
+]
+
+# Next-stalest (r6-verified) entries fill the spare window slots.
+_RECHECK_R6_STALE_NAMES = [
+    "sample_by_3M_2y", "nanos_sample_by", "decimal256_div", "approx_aggs",
+    "ilp_roundtrip", "sql_wal_suspend_resume", "catalog_functions",
+    "sql_query_activity", "ema_events", "vwema_events", "asof_join_keyless",
+    "theta_join_nested_loop", "embedding_int8_topk", "multimodal_decode",
+    "text_quality", "pii_scrub", "sequence_packing", "stratified_sample",
+    "mixture_weights", "corpus_mix_sample", "dedup_clusters",
+]
+
 _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
     # mat-view TIMER + PERIOD refresh scheduling (r9,
     # SqlParser.java:2590-2717): stale-before-due / fresh-after-manual /
@@ -381,12 +424,12 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix_sample": (pl.corpus_mix_sample, pl.CORPUS_MIX_SAMPLE_SQL),
 }
 
-# Window order, round 9 (VERDICT r8 task 1): first verification for the
-# r9 additions, then the 18 entries whose last driver check was round 4
-# — after this round every registry entry is driver-verified within
-# r5-r9.  The spare ~slots go to the next-stalest block (r5-verified);
-# r6/r7/r8-green blocks demote past the window.
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+# Window order, round 10 (VERDICT r9 task 2): the r10 additions first,
+# then entries on materially-changed r10 code, then the 20 r5-stale
+# entries — after this round every registry entry is driver-verified
+# within r6-r10.  Spare slots go to the next-stalest (r6-verified) block;
+# everything else keeps its old relative order past the window.
+_ALL_BLOCKS: dict[str, tuple[QueryFn, str | None]] = {
     **_NEW_R9,
     **_RECHECK_R9,
     **_RECHECK_R5,
@@ -398,6 +441,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **_NEW_R7,
     **_NEW_R8,
     **_RECHECK_R7,
+}
+
+_WINDOW_R10 = (
+    list(_NEW_R10)
+    + _CHANGED_R10_NAMES
+    + _RECHECK_R10_NAMES
+    + _RECHECK_R6_STALE_NAMES
+)
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **_NEW_R10,
+    **{n: _ALL_BLOCKS[n] for n in _WINDOW_R10 if n in _ALL_BLOCKS},
+    **_ALL_BLOCKS,
 }
 
 

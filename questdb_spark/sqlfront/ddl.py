@@ -119,7 +119,9 @@ def execute(eng: QdbEngine, sql: str) -> DataFrame:
 
     kind = statement_kind(sql)
     s = sql.strip().rstrip(";")
-    if kind in ("create", "refresh", "drop") and matview_ddl.is_matview_stmt(kind, s):
+    if kind in ("create", "refresh", "alter", "drop") and matview_ddl.is_matview_stmt(
+        kind, s
+    ):
         return matview_ddl.execute(eng, kind, s)
     if kind == "create" and re.match(r"^create\s+view\b", s, re.IGNORECASE):
         return _create_view(eng, s)
@@ -689,6 +691,7 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse ALTER: {s!r}")
     name, rest = m.group(1), m.group(2).strip()
+    _check_view_modification(eng, name)
     t = _tbl(eng, name)
     low = rest.lower()
 
@@ -979,11 +982,24 @@ def _drop(eng: QdbEngine, s: str) -> DataFrame:
     return _status(eng, "drop", name)
 
 
+def _check_view_modification(eng: QdbEngine, name: str) -> None:
+    """Table-statement verbs on a view are rejected with the reference's
+    shape (SqlCompilerImpl.java:2074 checkViewModification: mat views
+    cannot be renamed/ALTER TABLEd — DROP + CREATE is the only escape)."""
+    d = eng.matviews.get(name)
+    if d is not None:
+        kind = "live view" if d.live else "materialized view"
+        raise ValueError(f"cannot modify {kind} [view={name}]")
+    if name in eng.views:
+        raise ValueError(f"cannot modify view [view={name}]")
+
+
 def _rename(eng: QdbEngine, s: str) -> DataFrame:
     m = re.match(r"^rename\s+table\s+(\w+)\s+to\s+(\w+)$", s, re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse RENAME: {s!r}")
     old, new = m.group(1), m.group(2)
+    _check_view_modification(eng, old)
     t = _tbl(eng, old)
     if new in eng.ddl_tables:
         raise ValueError(f"table exists: {new}")

@@ -90,6 +90,13 @@ class MatViewDef:
     # storage schema captured at write time: lets _register skip the
     # parquet footer-inference job on every re-registration
     stored_schema: object = None
+    # ALTER MATERIALIZED/LIVE VIEW state (r10 — SqlCompilerImpl.java:2145
+    # compileAlterMatView, :2126 compileAlterLiveView):
+    wal_suspended: bool = False  # SUSPEND WAL: refreshes park, reads serve stored
+    refresh_limit: int = 0  # SET REFRESH LIMIT: hours>0 / months<0 (parse_ttl form)
+    ttl_hours_or_months: int = 0  # SET TTL: evict view buckets older than TTL
+    symbol_capacities: dict = field(default_factory=dict)  # col -> capacity
+    indexed_columns: dict = field(default_factory=dict)  # col -> block size
 
 
 _EVERY_UNITS = {"m", "h", "d", "w", "y", "M"}  # validateMatViewEveryUnit
@@ -238,6 +245,7 @@ def is_matview_stmt(kind: str, s: str) -> bool:
     return (
         (kind == "create" and bool(re.match(r"create (materialized|live) view\b", low)))
         or kind == "refresh"
+        or (kind == "alter" and bool(re.match(r"alter (materialized|live) view\b", low)))
         or (kind == "drop" and bool(re.match(r"drop (materialized|live) view\b", low)))
     )
 
@@ -247,6 +255,8 @@ def execute(eng: QdbEngine, kind: str, s: str) -> DataFrame:
         return _create(eng, s)
     if kind == "refresh":
         return _refresh_stmt(eng, s)
+    if kind == "alter":
+        return _alter(eng, s)
     return _drop(eng, s)
 
 
@@ -342,6 +352,11 @@ def _refresh_stmt(eng: QdbEngine, s: str) -> DataFrame:
     d = eng.matviews.get(name)
     if d is None:
         raise ValueError(f"no such materialized view: {name}")
+    if d.wal_suspended:
+        # suspended WAL parks the refresh txn (same economics as the
+        # table-level queue): the view keeps serving its stored state
+        # until ALTER ... RESUME WAL applies the backlog
+        return _status(eng, f"refresh_{mode}", name, "wal suspended; refresh parked")
     n = _refresh(eng, d, full=mode == "full")
     return _status(eng, f"refresh_{mode}", name, f"{n} buckets-window rows")
 
@@ -360,6 +375,224 @@ def _drop(eng: QdbEngine, s: str) -> DataFrame:
     eng.tables.pop(name, None)
     eng.spark.catalog.dropTempView(name)
     return _status(eng, "drop", name)
+
+
+_ALTER_VIEW_RE = re.compile(
+    r"^alter\s+(materialized|live)\s+view\s+(\w+)\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _alter(eng: QdbEngine, s: str) -> DataFrame:
+    """ALTER MATERIALIZED VIEW (SqlCompilerImpl.java:2145
+    compileAlterMatView) and ALTER LIVE VIEW (:2126 compileAlterLiveView).
+
+    Mat-view forms: SET REFRESH [IMMEDIATE|MANUAL|EVERY <i> [START ..
+    [TIME ZONE ..]]] [PERIOD (..)], SET REFRESH LIMIT <n><u>, SET TTL
+    <n><u>, ALTER COLUMN <c> SYMBOL CAPACITY <n> | ADD INDEX | DROP
+    INDEX, SUSPEND WAL [WITH code, 'msg'], RESUME WAL [FROM TXN n],
+    REBASE WAL.  Live views accept only the WAL-control verbs (the
+    reference rejects structural ALTERs: a live view's schema is a
+    function of its SELECT).
+
+    Spark lowering: scheduling/TTL/limit mutate the MatViewDef and are
+    persisted to the state checkpoint; SUSPEND parks refreshes (reads
+    serve the stored prefix) and RESUME applies the backlog with one
+    catch-up refresh; symbol capacity / index are storage metadata
+    recorded for SHOW-parity (parquet has no symbol index — validation
+    surface matches the reference's error shapes)."""
+    m = _ALTER_VIEW_RE.match(re.sub(r"\s+", " ", s.strip()))
+    if not m:
+        raise ValueError(f"cannot parse ALTER VIEW: {s!r}")
+    kind_word, name, rest = m.group(1).lower(), m.group(2), m.group(3).strip()
+    d = eng.matviews.get(name)
+    if d is None:
+        raise ValueError(
+            f"materialized view does not exist: {name}"
+            if kind_word == "materialized"
+            else f"live view does not exist: {name}"
+        )
+    if kind_word == "materialized" and d.live:
+        raise ValueError("materialized view name expected")
+    if kind_word == "live" and not d.live:
+        raise ValueError("live view name expected")
+    low = rest.lower()
+
+    # WAL-control verbs (shared by both view kinds)
+    if low.startswith("suspend wal"):
+        if not re.fullmatch(
+            r"suspend\s+wal(\s+with\s+\S+\s*,\s*'[^']*')?", low
+        ):
+            raise ValueError(f"cannot parse SUSPEND WAL: {rest!r}")
+        d.wal_suspended = True
+        _save_state(d)
+        return _status(eng, "alter", name, "wal suspended")
+    if low.startswith("resume wal"):
+        if not re.fullmatch(
+            r"resume\s+wal(?:\s+from\s+(?:txn|transaction)\s+\d+)?", low
+        ):
+            raise ValueError(f"cannot parse RESUME WAL: {rest!r}")
+        d.wal_suspended = False
+        # apply the parked backlog: one catch-up refresh brings the view
+        # current (the batch analog of replaying queued WAL txns)
+        n = _refresh(eng, d, full=False)
+        _save_state(d)
+        return _status(eng, "alter", name, f"wal resumed; applied {n}")
+    if low.startswith("rebase wal"):
+        rm = re.fullmatch(r"rebase\s+wal(?:\s+into\s+('[^']*'|\S+))?", low)
+        if not rm:
+            raise ValueError(f"cannot parse REBASE WAL: {rest!r}")
+        tgt = (rm.group(1) or "").strip("'")
+        if tgt and ("/" in tgt or "\\" in tgt or ".." in tgt):
+            raise ValueError(f"invalid rebase target directory [dir={tgt}]")
+        # rebase mints a fresh WAL lineage past a poison txn: the batch
+        # analog clears suspension and re-adopts the stored state as the
+        # new base point (next refresh recomputes bookkeeping from it)
+        d.wal_suspended = False
+        d.frozen_count = -1
+        _save_state(d)
+        return _status(eng, "alter", name, "wal rebased")
+
+    if kind_word == "live":
+        raise ValueError("'resume' or 'suspend' expected")
+
+    # --- mat-view-only structural/scheduling forms ---
+    if low.startswith("set ttl"):
+        tm = re.fullmatch(r"set\s+ttl\s+(\d+)\s*(\w+)", low)
+        if not tm:
+            raise ValueError(f"cannot parse SET TTL: {rest!r}")
+        from .ddl import parse_ttl
+
+        d.ttl_hours_or_months = parse_ttl(int(tm.group(1)), tm.group(2))
+        _enforce_view_ttl(eng, d)
+        _save_state(d)
+        return _status(eng, "alter", name, f"ttl {tm.group(1)} {tm.group(2)}")
+
+    if low.startswith("set refresh limit"):
+        lm = re.fullmatch(r"set\s+refresh\s+limit\s+(\d+)\s*(\w+)", low)
+        if not lm:
+            raise ValueError(f"cannot parse SET REFRESH LIMIT: {rest!r}")
+        from .ddl import parse_ttl
+
+        d.refresh_limit = parse_ttl(int(lm.group(1)), lm.group(2))
+        _save_state(d)
+        return _status(
+            eng, "alter", name, f"refresh limit {lm.group(1)} {lm.group(2)}"
+        )
+
+    if low.startswith("set refresh"):
+        clause = rest[len("set "):]
+        parsed = _parse_refresh(clause)
+        if parsed["deferred"]:
+            # DEFERRED is a CREATE-only token (the reference's SET REFRESH
+            # grammar throws unexpectedToken on it)
+            raise ValueError("unexpected token [token=deferred]")
+        d.refresh_type = parsed["refresh_type"]
+        d.timer_every = parsed["timer_every"]
+        d.timer_start = parsed["timer_start"]
+        d.timer_tz = parsed["timer_tz"]
+        d.period_length = parsed["period_length"]
+        d.period_tz = parsed["period_tz"]
+        d.period_delay = parsed["period_delay"]
+        if d.period_length == "sample":
+            d.period_length = d.interval
+        if d.refresh_type == "timer":
+            # reference: timer start defaults to NOW when START is absent
+            if d.timer_start is None:
+                d.timer_start = _now()
+            d.next_due = _next_tick(d, _now())
+        else:
+            d.next_due = None
+        _save_state(d)
+        return _status(eng, "alter", name, f"refresh {d.refresh_type}")
+
+    if low.startswith("set "):
+        raise ValueError("'ttl' or 'refresh' expected")
+
+    if low.startswith("alter column"):
+        cm = re.fullmatch(
+            r"alter\s+column\s+(\w+)\s+"
+            r"(symbol\s+capacity\s+(\d+)|add\s+index(?:\s+capacity\s+(\d+))?"
+            r"|drop\s+index)",
+            low,
+        )
+        if not cm:
+            raise ValueError(
+                "'symbol capacity', 'add index' or 'drop index' expected"
+            )
+        col, verb = cm.group(1), cm.group(2)
+        view_df = eng.tables.get(name)
+        cols = dict(view_df.dtypes) if view_df is not None else {}
+        if col not in cols:
+            raise ValueError(
+                f"column '{col}' does not exist in materialized view '{name}'"
+            )
+        if verb.startswith("symbol"):
+            if cols[col] != "string":
+                raise ValueError(
+                    f"column '{col}' is of type '{cols[col]}'. "
+                    "SYMBOL CAPACITY supports column type 'SYMBOL' only."
+                )
+            d.symbol_capacities[col] = int(cm.group(3))
+            _save_state(d)
+            return _status(
+                eng, "alter", name, f"symbol capacity {col} {cm.group(3)}"
+            )
+        if verb.startswith("add"):
+            if col in d.indexed_columns:
+                raise ValueError(f"column '{col}' already indexed")
+            if cols[col] != "string":
+                raise ValueError(
+                    f"column '{col}' is of type '{cols[col]}'. "
+                    "Index supports column type 'SYMBOL' only."
+                )
+            d.indexed_columns[col] = int(cm.group(4) or 0)
+            _save_state(d)
+            return _status(eng, "alter", name, f"add index {col}")
+        if col not in d.indexed_columns:
+            raise ValueError(f"column '{col}' is not indexed")
+        d.indexed_columns.pop(col)
+        _save_state(d)
+        return _status(eng, "alter", name, f"drop index {col}")
+
+    raise ValueError(
+        "'alter', 'set', 'resume', 'suspend' or 'rebase' expected"
+    )
+
+
+def _enforce_view_ttl(eng: QdbEngine, d: MatViewDef) -> None:
+    """Evict view date-partitions older than TTL from the newest bucket
+    (TableWriter.enforceTtl economics on the view's own storage: directory
+    removals keyed off partition names, no data rewrite; the newest
+    partition is never evicted)."""
+    from datetime import timedelta
+
+    ttl = d.ttl_hours_or_months
+    if ttl == 0 or not os.path.isdir(d.path):
+        return
+    parts = sorted(
+        p for p in os.listdir(d.path) if p.startswith(f"{_PART}=")
+    )
+    if len(parts) < 2:
+        return
+    newest = datetime.strptime(parts[-1].split("=", 1)[1], "%Y-%m-%d")
+    if ttl > 0:
+        boundary = newest - timedelta(hours=ttl)
+    else:
+        months = -ttl
+        mo = (newest.month - 1 - months) % 12 + 1
+        yr = newest.year + (newest.month - 1 - months) // 12
+        boundary = newest.replace(year=yr, month=mo)
+    evicted = False
+    for p in parts[:-1]:
+        start = datetime.strptime(p.split("=", 1)[1], "%Y-%m-%d")
+        if start + timedelta(days=1) <= boundary:
+            shutil.rmtree(os.path.join(d.path, p), ignore_errors=True)
+            evicted = True
+        else:
+            break
+    if evicted:
+        _register(eng, d)
 
 
 # ---------------------------------------------------------------------------
@@ -529,12 +762,27 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
         return 1
 
     cutoff = None if full or d.hwm is None else _incr_cutoff(d)
+    o3_escalated = False
     if cutoff is not None and d.frozen_count >= 0 and frozen_now is not None:
         # O3 guard (WalTxnRangeLoader stand-in): rows landed BELOW the
         # incremental cutoff since the last refresh are invisible to a
         # tail recompute — a changed frozen-region count escalates to FULL
         if frozen_now != d.frozen_count:
             cutoff = None
+            o3_escalated = True
+            if d.refresh_limit and d.shape == "sample_by":
+                # SET REFRESH LIMIT (ofSetMatViewRefreshLimit): bound how
+                # far back the O3 escalation recomputes — buckets older
+                # than hwm - limit keep their stored values instead of a
+                # FULL recompute (the point of the limit on huge views)
+                lim = _minus_hours_or_months(
+                    d.hwm if d.hwm.tzinfo else d.hwm.replace(tzinfo=timezone.utc),
+                    d.refresh_limit,
+                )
+                lim_cut = _bucket_floor(lim, d.interval)
+                base_cut = _incr_cutoff(d)
+                if lim_cut is not None and base_cut is not None:
+                    cutoff = min(base_cut, lim_cut)
 
     # Fold the post-refresh frozen-region count into the compute/write pass
     # (r10): the NEXT cutoff is already derivable from the stats pass's
@@ -601,8 +849,8 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
             d.stored_schema = out.schema
         else:
             _swap_write(d, out)
-    elif new_hwm is not None and d.hwm is not None and _same_hwm(new_hwm, d.hwm) \
-            and n_now == d.base_count:
+    elif not o3_escalated and new_hwm is not None and d.hwm is not None \
+            and _same_hwm(new_hwm, d.hwm) and n_now == d.base_count:
         changed = 0
     elif d.shape == "latest_on":
         # per-key state merge: latest over (stored state ∪ new tail)
@@ -670,7 +918,23 @@ def _refresh(eng: QdbEngine, d: MatViewDef, full: bool) -> int:
             d.frozen_count = n_now
     _save_state(d)
     _register(eng, d)
+    if changed and d.ttl_hours_or_months:
+        _enforce_view_ttl(eng, d)
     return changed
+
+
+def _minus_hours_or_months(dt: datetime, hours_or_months: int) -> datetime:
+    """Subtract a parse_ttl-encoded span (hours>0 / months<0) — the same
+    arithmetic TableWriter.enforceTtl uses for its boundary."""
+    from calendar import monthrange
+    from datetime import timedelta
+
+    if hours_or_months > 0:
+        return dt - timedelta(hours=hours_or_months)
+    months = -hours_or_months
+    mo = (dt.month - 1 - months) % 12 + 1
+    yr = dt.year + (dt.month - 1 - months) // 12
+    return dt.replace(year=yr, month=mo, day=min(dt.day, monthrange(yr, mo)[1]))
 
 
 def _incr_cutoff(d: MatViewDef) -> datetime | None:
@@ -732,6 +996,11 @@ def _save_state(d: MatViewDef) -> None:
                 "frozen_count": d.frozen_count,
                 "base_count": d.base_count,
                 "next_due": d.next_due.isoformat() if d.next_due else None,
+                "wal_suspended": d.wal_suspended,
+                "refresh_limit": d.refresh_limit,
+                "ttl": d.ttl_hours_or_months,
+                "symbol_capacities": d.symbol_capacities,
+                "indexed_columns": d.indexed_columns,
             },
             fh,
         )
@@ -757,6 +1026,11 @@ def _restore_state(eng: QdbEngine, d: MatViewDef) -> bool:
     d.next_due = (
         datetime.fromisoformat(st["next_due"]) if st.get("next_due") else None
     )
+    d.wal_suspended = st.get("wal_suspended", False)
+    d.refresh_limit = st.get("refresh_limit", 0)
+    d.ttl_hours_or_months = st.get("ttl", 0)
+    d.symbol_capacities = st.get("symbol_capacities", {}) or {}
+    d.indexed_columns = st.get("indexed_columns", {}) or {}
     _register(eng, d)
     return True
 
@@ -781,6 +1055,8 @@ def read_with_live_refresh(eng: QdbEngine, name: str) -> None:
     d = eng.matviews.get(name)
     if d is None:
         return
+    if d.wal_suspended:
+        return  # SUSPEND WAL: reads serve the stored (stale) prefix
     if d.live:
         _refresh(eng, d, full=False)
         return

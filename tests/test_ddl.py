@@ -1092,3 +1092,156 @@ def test_view_on_view_transitive_staleness(spark, tmp_path):
     eng.sql("INSERT INTO bt VALUES (3.0,'2024-01-03T00:10:00Z')")
     eng.flush_views()
     assert spark.sql("SELECT n FROM v_lvl2").first().n == 3
+
+
+# --- ALTER MATERIALIZED VIEW / ALTER LIVE VIEW (r10) -----------------------
+# SqlCompilerImpl.java:2145 compileAlterMatView, :2126 compileAlterLiveView
+
+
+def test_alter_matview_set_refresh_changes_schedule(eng, monkeypatch):
+    """SET REFRESH EVERY reschedules an IMMEDIATE view onto a timer: the
+    behavior provably changes — post-ALTER appends stay invisible until
+    the tick, then apply."""
+    from datetime import datetime, timezone
+
+    _mk_base(eng)
+    _fix_now(monkeypatch, datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mva WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    assert eng.matviews["mva"].refresh_type == "immediate"
+    eng.sql("ALTER MATERIALIZED VIEW mva SET REFRESH EVERY 1h START '2024-06-01T12:30:00'")
+    d = eng.matviews["mva"]
+    assert d.refresh_type == "timer" and d.timer_every == "1h"
+    assert d.next_due == datetime(2024, 6, 1, 12, 30, tzinfo=timezone.utc)
+    # pre-tick: append invisible (timer hasn't fired)
+    eng.sql("INSERT INTO tb VALUES (9.0,'2024-01-01T05:10:00Z')")
+    assert eng.sql("SELECT count(*) n FROM mva").first().n == 2
+    # post-tick read applies it
+    _fix_now(monkeypatch, datetime(2024, 6, 1, 12, 31, tzinfo=timezone.utc))
+    assert eng.sql("SELECT count(*) n FROM mva").first().n == 3
+    # and back to immediate
+    eng.sql("ALTER MATERIALIZED VIEW mva SET REFRESH IMMEDIATE")
+    d = eng.matviews["mva"]
+    assert d.refresh_type == "immediate" and d.next_due is None
+    # SHOW CREATE reflects the new schedule (no stale timer clause)
+    ddl = eng.sql("SHOW CREATE MATERIALIZED VIEW mva").first().ddl
+    assert "REFRESH EVERY" not in ddl
+    # DEFERRED is CREATE-only in the reference's SET REFRESH grammar
+    with pytest.raises(ValueError, match="token=deferred"):
+        eng.sql("ALTER MATERIALIZED VIEW mva SET REFRESH EVERY 1h DEFERRED")
+
+
+def test_alter_matview_suspend_resume_wal(eng):
+    """SUSPEND WAL parks refreshes (reads serve the stored prefix);
+    RESUME WAL applies the backlog."""
+    _mk_base(eng)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvw WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    eng.sql("ALTER MATERIALIZED VIEW mvw SUSPEND WAL")
+    eng.sql("INSERT INTO tb VALUES (5.0,'2024-01-01T07:10:00Z')")
+    st = eng.sql("REFRESH MATERIALIZED VIEW mvw INCREMENTAL").first()
+    assert "suspended" in st.detail
+    assert eng.sql("SELECT count(*) n FROM mvw").first().n == 2  # stale prefix
+    st = eng.sql("ALTER MATERIALIZED VIEW mvw RESUME WAL").first()
+    assert "resumed" in st.detail
+    assert eng.sql("SELECT count(*) n FROM mvw").first().n == 3
+    # error-tag form accepted; FROM TXN form accepted
+    eng.sql("ALTER MATERIALIZED VIEW mvw SUSPEND WAL WITH 24, 'too many open files'")
+    eng.sql("ALTER MATERIALIZED VIEW mvw RESUME WAL FROM TXN 3")
+
+
+def test_alter_live_view_wal_verbs_only(eng):
+    """ALTER LIVE VIEW accepts RESUME|SUSPEND WAL and nothing structural;
+    suspended live views stop refreshing on read."""
+    _mk_base(eng)
+    eng.sql(
+        "CREATE LIVE VIEW lvw WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    assert eng.sql("SELECT count(*) n FROM lvw").first().n == 2
+    eng.sql("ALTER LIVE VIEW lvw SUSPEND WAL")
+    eng.sql("INSERT INTO tb VALUES (4.0,'2024-01-01T03:10:00Z')")
+    assert eng.sql("SELECT count(*) n FROM lvw").first().n == 2  # stale
+    eng.sql("ALTER LIVE VIEW lvw RESUME WAL")
+    assert eng.sql("SELECT count(*) n FROM lvw").first().n == 3
+    with pytest.raises(ValueError, match="'resume' or 'suspend' expected"):
+        eng.sql("ALTER LIVE VIEW lvw SET TTL 2 DAYS")
+    # kind mismatch both ways
+    with pytest.raises(ValueError, match="materialized view name expected"):
+        eng.sql("ALTER MATERIALIZED VIEW lvw SUSPEND WAL")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvx WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    with pytest.raises(ValueError, match="live view name expected"):
+        eng.sql("ALTER LIVE VIEW mvx SUSPEND WAL")
+
+
+def test_alter_matview_set_ttl_evicts_old_buckets(eng):
+    _mk_base(eng)
+    eng.sql("INSERT INTO tb VALUES (7.0,'2024-03-01T00:10:00Z')")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvttl WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    assert eng.sql("SELECT count(*) n FROM mvttl").first().n == 3
+    eng.sql("ALTER MATERIALIZED VIEW mvttl SET TTL 7 DAYS")
+    # the January buckets are > 7 days older than the March bucket
+    assert eng.sql("SELECT count(*) n FROM mvttl").first().n == 1
+
+
+def test_alter_matview_column_forms_and_errors(eng):
+    _mk_base(eng)
+    eng.sql("ALTER TABLE tb ADD COLUMN sym SYMBOL")
+    eng.sql("INSERT INTO tb VALUES (3.0,'2024-01-01T02:10:00Z','a')")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvc WITH BASE tb AS ("
+        "SELECT ts, sym, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN sym SYMBOL CAPACITY 512")
+    assert eng.matviews["mvc"].symbol_capacities["sym"] == 512
+    eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN sym ADD INDEX")
+    with pytest.raises(ValueError, match="already indexed"):
+        eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN sym ADD INDEX")
+    eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN sym DROP INDEX")
+    with pytest.raises(ValueError, match="is not indexed"):
+        eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN sym DROP INDEX")
+    with pytest.raises(ValueError, match="does not exist in materialized view"):
+        eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN nope ADD INDEX")
+    with pytest.raises(ValueError, match="SYMBOL"):
+        eng.sql("ALTER MATERIALIZED VIEW mvc ALTER COLUMN s ADD INDEX")
+    # rename is rejected with the reference's checkViewModification shape
+    with pytest.raises(ValueError, match=r"cannot modify materialized view \[view=mvc\]"):
+        eng.sql("RENAME TABLE mvc TO mvc2")
+    with pytest.raises(ValueError, match=r"cannot modify materialized view \[view=mvc\]"):
+        eng.sql("ALTER TABLE mvc ADD COLUMN x DOUBLE")
+    # non-existent view
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("ALTER MATERIALIZED VIEW ghost SET TTL 1 DAY")
+
+
+def test_alter_matview_refresh_limit_bounds_o3(eng):
+    """SET REFRESH LIMIT caps how far back an O3 base write escalates the
+    recompute: buckets older than hwm - limit keep their stored values."""
+    _mk_base(eng)
+    eng.sql("INSERT INTO tb VALUES (7.0,'2024-03-01T00:10:00Z')")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvl WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    eng.sql("ALTER MATERIALIZED VIEW mvl SET REFRESH LIMIT 7 DAYS")
+    assert eng.matviews["mvl"].refresh_limit == 7 * 24
+    # O3 write far below the limit window: the stored January bucket
+    # keeps its value (1.0), while an in-window O3 write applies
+    eng.sql("INSERT INTO tb VALUES (100.0,'2024-01-01T00:20:00Z')")
+    eng.sql("REFRESH MATERIALIZED VIEW mvl INCREMENTAL")
+    rows = {r.ts.isoformat(): r.s for r in eng.sql("SELECT * FROM mvl").collect()}
+    assert rows["2024-01-01T00:00:00"] == 1.0  # untouched: beyond the limit
+    eng.sql("INSERT INTO tb VALUES (50.0,'2024-02-25T00:10:00Z')")
+    eng.sql("REFRESH MATERIALIZED VIEW mvl INCREMENTAL")
+    rows = {r.ts.isoformat(): r.s for r in eng.sql("SELECT * FROM mvl").collect()}
+    assert rows.get("2024-02-25T00:00:00") == 50.0  # in-window O3 applied
