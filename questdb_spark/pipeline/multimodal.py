@@ -354,6 +354,66 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+RASTER_MAGIC = b"QR01"
+
+
+def synthesize_raster(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Wrap each document id in an UNCOMPRESSED grayscale raster (r10 —
+    BMP-style rows without the BMP bookkeeping): ``QR01 | w u32 | h u32 |
+    w*h pixel bytes`` row-major, pixel(i) = (doc_id + i*31) % 251.  The
+    pixel formula is arithmetic on purpose: a SQL oracle can recompute
+    the RESIZED pixel bytes exactly, so the resample below is verified
+    pixel-true, not just header-true.  Dims are small (w 8-31, h 8-23):
+    the verification target is the resample math, not byte volume."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + (int(doc_id) * 7) % 24
+                h = 8 + (int(doc_id) * 13) % 16
+                px = (int(doc_id) + np.arange(w * h, dtype=np.int64) * 31) % 251
+                out.append(
+                    RASTER_MAGIC
+                    + struct.pack(">II", w, h)
+                    + px.astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return src.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def raster_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse QR01 rasters: (doc_id, width, height, n_bytes, checksum) with
+    checksum = sum over pixels of value * (index+1) — position-sensitive,
+    so any resample that permutes or miscomputes a single byte changes it."""
+    cols = [c for c in df.columns if c != payload_col]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nb, cks = [], [], [], []
+            for payload in pdf[payload_col]:
+                buf = bytes(payload)
+                if buf[:4] != RASTER_MAGIC or len(buf) < 12:
+                    ws.append(None); hs.append(None); nb.append(len(buf)); cks.append(None)
+                    continue
+                w, h = struct.unpack(">II", buf[4:12])
+                px = np.frombuffer(buf[12 : 12 + w * h], dtype=np.uint8).astype(np.int64)
+                ws.append(w); hs.append(h); nb.append(len(buf))
+                cks.append(int((px * (np.arange(px.size) + 1)).sum()))
+            out = pdf[cols].copy()
+            out["width"], out["height"] = ws, hs
+            out["n_bytes"], out["checksum"] = nb, cks
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != payload_col
+    ) + ", width int, height int, n_bytes int, checksum bigint"
+    return df.mapInPandas(stats, schema=schema)
+
+
 def resize_image(
     df: DataFrame, num: int = 1, den: int = 2, payload_col: str = "frame"
 ) -> DataFrame:
@@ -374,6 +434,21 @@ def resize_image(
             out = []
             for payload in pdf[payload_col]:
                 buf = bytes(payload)
+                if buf[:4] == RASTER_MAGIC and len(buf) >= 12:
+                    # uncompressed raster: REAL nearest-neighbor resample
+                    # (r10) — pixel bytes, not just the header
+                    w, h = struct.unpack(">II", buf[4:12])
+                    nw, nh = max(1, w * num // den), max(1, h * num // den)
+                    arr = np.frombuffer(
+                        buf[12 : 12 + w * h], dtype=np.uint8
+                    ).reshape(h, w)
+                    ys = np.arange(nh) * den // num
+                    xs = np.arange(nw) * den // num
+                    res = arr[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
+                    out.append(
+                        RASTER_MAGIC + struct.pack(">II", nw, nh) + res.tobytes()
+                    )
+                    continue
                 if buf[:4] != b"\x89PNG" or len(buf) < 33:
                     out.append(buf)  # non-PNG passes through
                     continue

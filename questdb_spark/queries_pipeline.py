@@ -1084,6 +1084,44 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def multimodal_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Pixel-TRUE image resize over an uncompressed raster container (r10):
+    synthesize QR01 grayscale rasters with an arithmetic pixel formula,
+    nearest-neighbor downscale 1/2 in numpy inside the mapInPandas kernel
+    (real pixel bytes, not just the header), then checksum the RESIZED
+    bytes position-sensitively.  The oracle recomputes the same resized
+    pixels from the formula — a single wrong or misplaced byte breaks the
+    value hash."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    rasters = multimodal.synthesize_raster(docs)
+    small = multimodal.resize_image(rasters, num=1, den=2, payload_col="payload")
+    return multimodal.raster_stats(small)
+
+
+# Mirrors the synthesizer + resampler arithmetic: w = 8+(id*7)%24,
+# h = 8+(id*13)%16, NN 1/2 downscale picks source pixel (2y, 2x), pixel
+# value = (id + src_index*31) % 251, checksum weights each resized pixel
+# by its output position + 1.
+MULTIMODAL_RASTER_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id * 7) % 24 AS w,
+         8 + (doc_id * 13) % 16 AS h
+  FROM documents
+),
+d2 AS (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2 FROM dims)
+SELECT d.doc_id,
+  CAST(d.w2 AS INT) AS width,
+  CAST(d.h2 AS INT) AS height,
+  CAST(12 + d.w2 * d.h2 AS INT) AS n_bytes,
+  CAST(SUM(((d.doc_id + ((y.y * 2) * d.w + x.x * 2) * 31) % 251)
+           * (y.y * d.w2 + x.x + 1)) AS BIGINT) AS checksum
+FROM d2 d, range(0, 12) y(y), range(0, 16) x(x)
+WHERE y.y < d.h2 AND x.x < d.w2
+GROUP BY d.doc_id, d.w2, d.h2
+"""
+
+
 def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sample + resize pipeline (r9): documents → deterministic
     frame containers (2 + doc_id%4 length-prefixed PNG frames) → every-2nd

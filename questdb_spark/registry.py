@@ -140,6 +140,11 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     # SqlCompilerImpl.java:2145): SUSPEND/RESUME WAL park/apply refreshes,
     # SET TTL evicts old buckets — three oracle-checked stages
     "sql_matview_alter": (sq.sql_matview_alter, sq.SQL_MATVIEW_ALTER_SQL),
+    # pixel-true raster resize (r10): resized BYTES hash an arithmetic oracle
+    "multimodal_raster_resize": (
+        pl.multimodal_raster_resize,
+        pl.MULTIMODAL_RASTER_SQL,
+    ),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

@@ -135,3 +135,40 @@ def test_frame_features_byte_histogram(spark):
         want = (hist / hist.sum()).tolist()
         assert np.allclose(got[k], want)
         assert abs(sum(got[k]) - 1.0) < 1e-9
+
+
+def test_raster_resize_pixel_true(spark):
+    """QR01 nearest-neighbor resample is pixel-exact: downscale 1/2 picks
+    source (2y,2x); upscale 2/1 repeats each pixel; odd dims floor."""
+    import numpy as np
+    import struct
+    from questdb_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame([(3,), (4,)], ["doc_id"])
+    rasters = mm.synthesize_raster(df)
+    rows = {r.doc_id: bytes(r.payload) for r in rasters.collect()}
+    for doc_id, buf in rows.items():
+        w, h = struct.unpack(">II", buf[4:12])
+        assert w == 8 + doc_id * 7 % 24 and h == 8 + doc_id * 13 % 16
+        px = np.frombuffer(buf[12:], dtype=np.uint8)
+        assert px.size == w * h
+        assert (px == (doc_id + np.arange(w * h) * 31) % 251).all()
+    # downscale: every resized pixel equals the formula at (2y, 2x)
+    small = {r.doc_id: bytes(r.payload)
+             for r in mm.resize_image(rasters, 1, 2, "payload").collect()}
+    for doc_id, buf in small.items():
+        w = 8 + doc_id * 7 % 24
+        w2, h2 = struct.unpack(">II", buf[4:12])
+        got = np.frombuffer(buf[12:], dtype=np.uint8).reshape(h2, w2)
+        for y in (0, h2 - 1):
+            for x in (0, w2 - 1):
+                assert got[y, x] == (doc_id + (2 * y * w + 2 * x) * 31) % 251
+    # upscale 2/1 repeats pixels: out(y,x) = in(y//2, x//2)
+    big = {r.doc_id: bytes(r.payload)
+           for r in mm.resize_image(rasters, 2, 1, "payload").collect()}
+    for doc_id, buf in big.items():
+        w = 8 + doc_id * 7 % 24
+        w2, h2 = struct.unpack(">II", buf[4:12])
+        assert w2 == 2 * w
+        got = np.frombuffer(buf[12:], dtype=np.uint8).reshape(h2, w2)
+        assert got[1, 1] == got[0, 0] == doc_id % 251
