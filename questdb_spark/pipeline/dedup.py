@@ -566,11 +566,17 @@ def dedup_clusters(
         )
 
     # --- distributed log-rounds loop ---
-    edges = (
+    # materialize via the stats-stripping checkpoint, NOT persist():
+    # every loop round localCheckpoints plans referencing this frame, and
+    # on Spark 4.1 a localCheckpoint over a plan containing a cached
+    # InMemoryRelation dies in CacheManager.tryRebuildCacheEntry (NPE in
+    # TableCacheQueryStageExec rebuild — hit at the 100x decade run).
+    # The checkpoint both cuts the candidate-pair lineage and keeps
+    # InMemoryRelation out of every downstream plan.
+    edges = _stats_barrier(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
-        .persist()  # iterated over — never recompute the candidate-pair lineage
     )
     def _neighbor_min(lbl: DataFrame) -> DataFrame:
         """One min-label round; keeps the incoming label as __prev so
@@ -609,5 +615,4 @@ def dedup_clusters(
         labels = jumped.select("u", "label")
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("cluster"))

@@ -414,6 +414,87 @@ def raster_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(stats, schema=schema)
 
 
+AUDIO_MAGIC = b"QA01"
+
+
+def synthesize_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Wrap each document id in a synthetic signed-8-bit PCM container
+    (r10 — the audio leg of the multimodal family): ``QA01 | sample_rate
+    u32 | n_samples u32 | n_samples x i8``.  Sample formula
+    s(i) = ((doc_id + i*37) % 199) - 99 is arithmetic on purpose so a SQL
+    oracle can recompute the windowed features exactly (same verification
+    pattern as the QR01 raster)."""
+    src = df.select(F.col(id_col).alias("doc_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 + (i % 3) * 4000
+                n = 256 + (i % 7) * 64
+                smp = ((i + np.arange(n, dtype=np.int64) * 37) % 199) - 99
+                out.append(
+                    AUDIO_MAGIC
+                    + struct.pack(">II", rate, n)
+                    + smp.astype(np.int8).tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return src.mapInPandas(build, schema="doc_id long, payload binary")
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", frame: int = 128
+) -> DataFrame:
+    """Windowed DSP features per PCM frame — REAL (if simple) signal math,
+    vectorized in numpy over the Arrow batch, one output row per frame:
+    energy = sum(s^2), zero_crossings = count of strict sign flips between
+    adjacent in-frame samples, peak = max(|s|).  All integer-exact, so the
+    oracle comparison is bit-stable.  Trailing partial frames are dropped
+    (frames = n_samples // frame), matching real frame-hop pipelines."""
+    cols = [c for c in df.columns if c != payload_col]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            fi, rates, ns, en, zc, pk = [], [], [], [], [], []
+            for idx in range(len(pdf)):
+                buf = bytes(pdf[payload_col].iloc[idx])
+                if buf[:4] != AUDIO_MAGIC or len(buf) < 12:
+                    continue  # not audio / truncated: skip the row
+                rate, n = struct.unpack(">II", buf[4:12])
+                if len(buf) - 12 < n:
+                    continue  # declared length past the buffer
+                nf = n // frame
+                if nf == 0:
+                    continue
+                a = (
+                    np.frombuffer(buf[12 : 12 + nf * frame], dtype=np.int8)
+                    .astype(np.int64)
+                    .reshape(nf, frame)
+                )
+                for c in cols:
+                    rows[c].extend([pdf[c].iloc[idx]] * nf)
+                fi.extend(range(nf))
+                rates.extend([rate] * nf)
+                ns.extend([n] * nf)
+                en.extend((a * a).sum(axis=1).tolist())
+                zc.extend(((a[:, :-1] * a[:, 1:]) < 0).sum(axis=1).tolist())
+                pk.extend(np.abs(a).max(axis=1).tolist())
+            out = pd.DataFrame({c: rows[c] for c in cols})
+            out["frame_idx"], out["sample_rate"], out["n_samples"] = fi, rates, ns
+            out["energy"], out["zero_crossings"], out["peak"] = en, zc, pk
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != payload_col
+    ) + (", frame_idx int, sample_rate int, n_samples int, "
+         "energy bigint, zero_crossings int, peak int")
+    return df.mapInPandas(feats, schema=schema)
+
+
 def resize_image(
     df: DataFrame, num: int = 1, den: int = 2, payload_col: str = "frame"
 ) -> DataFrame:

@@ -1122,6 +1122,50 @@ GROUP BY d.doc_id, d.w2, d.h2
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio leg of the multimodal family (r10): synthesize signed-8-bit
+    PCM containers with an arithmetic sample formula, then compute REAL
+    windowed DSP features (per-128-sample frame energy / strict
+    zero-crossings / peak) in a vectorized numpy kernel.  The oracle
+    recomputes every frame feature from the formula — integer-exact, so
+    the hash pins the actual signal math, not just row counts."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    audio = multimodal.synthesize_audio(docs)
+    return multimodal.audio_features(audio, frame=128)
+
+
+# Mirrors the synthesizer + framer arithmetic: rate = 8000+(id%3)*4000,
+# n = 256+(id%7)*64, s(i) = ((id + i*37) % 199) - 99, frames = n // 128,
+# within-frame adjacent pairs only for zero crossings.
+MULTIMODAL_AUDIO_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+         CAST(256 + (doc_id % 7) * 64 AS INT) AS n_samples
+  FROM documents
+),
+frames AS (
+  SELECT d.*, CAST(f.f AS INT) AS frame_idx
+  FROM docs d, range(0, 5) f(f)
+  WHERE f.f < n_samples // 128
+),
+samples AS (
+  SELECT fr.doc_id, fr.frame_idx, fr.sample_rate, fr.n_samples, i.i,
+         ((fr.doc_id + (fr.frame_idx * 128 + i.i) * 37) % 199) - 99 AS s,
+         CASE WHEN i.i < 127 THEN
+           ((fr.doc_id + (fr.frame_idx * 128 + i.i + 1) * 37) % 199) - 99
+         END AS s_next
+  FROM frames fr, range(0, 128) i(i)
+)
+SELECT doc_id, frame_idx, sample_rate, n_samples,
+  CAST(SUM(s * s) AS BIGINT) AS energy,
+  CAST(count_if(s * s_next < 0) AS INT) AS zero_crossings,
+  CAST(MAX(ABS(s)) AS INT) AS peak
+FROM samples
+GROUP BY doc_id, frame_idx, sample_rate, n_samples
+"""
+
+
 def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sample + resize pipeline (r9): documents → deterministic
     frame containers (2 + doc_id%4 length-prefixed PNG frames) → every-2nd

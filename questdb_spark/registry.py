@@ -145,6 +145,12 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
         pl.multimodal_raster_resize,
         pl.MULTIMODAL_RASTER_SQL,
     ),
+    # audio PCM container + windowed DSP features (r10): frame energy /
+    # zero-crossings / peak hash an arithmetic oracle
+    "multimodal_audio_features": (
+        pl.multimodal_audio_features,
+        pl.MULTIMODAL_AUDIO_SQL,
+    ),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

@@ -172,3 +172,35 @@ def test_raster_resize_pixel_true(spark):
         assert w2 == 2 * w
         got = np.frombuffer(buf[12:], dtype=np.uint8).reshape(h2, w2)
         assert got[1, 1] == got[0, 0] == doc_id % 251
+
+
+def test_audio_features_windowed(spark):
+    """QA01 PCM container: frame energy / strict zero-crossings / peak are
+    integer-exact vs a direct numpy recomputation; trailing partial frames
+    drop; corrupt payloads skip rows instead of failing the job."""
+    import numpy as np
+    import struct
+    from questdb_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame([(2,), (9,)], ["doc_id"])
+    audio = mm.synthesize_audio(df)
+    rows = mm.audio_features(audio, frame=128).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        n = 256 + doc_id % 7 * 64
+        assert len(frames) == n // 128
+        smp = ((doc_id + np.arange(n, dtype=np.int64) * 37) % 199) - 99
+        for r in sorted(frames, key=lambda r: r.frame_idx):
+            a = smp[r.frame_idx * 128 : (r.frame_idx + 1) * 128]
+            assert r.energy == int((a * a).sum())
+            assert r.zero_crossings == int(((a[:-1] * a[1:]) < 0).sum())
+            assert r.peak == int(np.abs(a).max())
+            assert r.sample_rate == 8000 + doc_id % 3 * 4000
+    # corrupt container: declared n_samples past the buffer -> row skipped
+    bad = spark.createDataFrame(
+        [(1, mm.AUDIO_MAGIC + struct.pack(">II", 8000, 10_000) + b"xy")],
+        "doc_id long, payload binary",
+    )
+    assert mm.audio_features(bad).count() == 0
