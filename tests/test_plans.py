@@ -364,3 +364,17 @@ def test_near_dup_cap_rides_join_exchange(spark):
     )
     # the cap adds NO exchange over the uncapped plan
     assert shuffle_count(df) == shuffle_count(uncapped)
+
+
+def test_multimodal_raster_audio_no_shuffle(spark):
+    """r10 raster/audio pipelines are pure map chains: synthesize →
+    resize/frame → stats runs entirely in mapInPandas with NO Exchange —
+    at 100 TB these ops never shuffle, they stream partition-local."""
+    from questdb_spark.pipeline import multimodal as mm
+    from questdb_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    raster = mm.raster_stats(mm.resize_image(mm.synthesize_raster(docs), 1, 2, "payload"))
+    assert "Exchange" not in plan_text(raster)
+    audio = mm.audio_features(mm.synthesize_audio(docs))
+    assert "Exchange" not in plan_text(audio)
