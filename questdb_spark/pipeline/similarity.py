@@ -692,3 +692,109 @@ def knn_join_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- Product quantization (IVF-PQ's compression half, r10) ------------------
+# The standard 100 TB ANN layout: corpus vectors compress to m sub-codes
+# (here 8 bytes instead of 64 floats — 32x), and a query scans CODES with
+# per-subvector lookup tables (asymmetric distance computation) instead of
+# touching raw vectors.  Codebooks are deterministic (sub-slices of the k
+# lowest-id vectors, same convention as ivf_centroids) so a SQL oracle can
+# name the identical codewords; distances are exact integer arithmetic on
+# the fixed-point grid.
+
+PQ_M = 8  # subvectors (dim 64 -> 8 dims each)
+PQ_K = 16  # codewords per subvector
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """codebooks[s][j] = sub-slice s of the j-th lowest-id vector,
+    quantized.  A bounded collect of k vectors (k·dim ints) — the trained
+    index every PQ system ships to workers; never data-proportional."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__v"))
+        .orderBy("__id")
+        .limit(k)
+        .collect()
+    )
+    vecs = [list(r["__v"]) for r in rows]
+    d_sub = len(vecs[0]) // m
+    return [
+        [v[s * d_sub : (s + 1) * d_sub] for v in vecs] for s in range(m)
+    ]
+
+
+def _sub_l2(vec: Column, start: int, codeword: list[int]) -> Column:
+    """Exact squared L2 of vec[start : start+len(codeword)] to a literal
+    codeword — unrolled integer expression, no UDF."""
+    terms = [
+        (F.element_at(vec, start + i + 1) - F.lit(int(c)))
+        for i, c in enumerate(codeword)
+    ]
+    out = None
+    for t in terms:
+        sq = t * t
+        out = sq if out is None else out + sq
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector into its m nearest sub-codewords (ties -> lowest
+    code).  Pure projection over plan-literal codebooks: no join, no
+    shuffle — the shape a 100 TB encode job wants (one pass, map-only)."""
+    v = quantize(F.col(vec_col))
+    d_sub = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        dists = F.array(*[_sub_l2(v, s * d_sub, cw) for cw in cb])
+        # array_position returns the FIRST index (1-based) of the min —
+        # the deterministic lowest-j tie-break the oracle mirrors
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[int],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance scan: LUT[s][j] = L2²(query sub-slice s,
+    codeword j) computed once from the (bounded, |q|=1) query vector, then
+    every corpus row costs m array lookups + adds over its CODES — raw
+    vectors are never read.  Global top-k is the only ordering step."""
+    d_sub = len(codebooks[0][0])
+    luts = [
+        [
+            sum(
+                (int(query_vec[s * d_sub + i]) - int(cw[i])) ** 2
+                for i in range(d_sub)
+            )
+            for cw in cb
+        ]
+        for s, cb in enumerate(codebooks)
+    ]
+    adc = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in lut]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes_df.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

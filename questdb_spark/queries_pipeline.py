@@ -1084,6 +1084,63 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (r10 — IVF-PQ's compression half, the
+    standard 100 TB index layout): corpus vectors encode to 8 sub-codes
+    against deterministic codebooks (sub-slices of the 16 lowest-id
+    vectors), and the query scans CODES via per-subvector lookup tables
+    (asymmetric distance) — raw vectors are never read at query time.
+    Encode is a pure map; the scan's only ordering step is the global
+    top-k.  Oracle recomputes codebooks, codes, LUTs, and the ADC ranking
+    in SQL — exact integer arithmetic end to end."""
+    emb = load_table(spark, sf, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cbs)
+    # the single query vector: a bounded 1x64-int collect (|q|=1 by
+    # contract, same adjudication as the plan-time IVF centroids)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    return similarity.pq_adc_topk(codes, qv, cbs, k=10)
+
+
+_PQ_SUB_L2 = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "({a}[s.s*8 + i] - {b}[s.s*8 + i]) * ({a}[s.s*8 + i] - {b}[s.s*8 + i])))"
+)
+
+EMBEDDING_PQ_SQL = f"""
+WITH e AS (SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v FROM embeddings),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+subd AS (
+  SELECT e.vec_id, s.s, cb.j, {_PQ_SUB_L2.format(a='e.v', b='cb.cv')} AS dist
+  FROM e, range(0, 8) s(s), cb
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM subd)
+  WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+lut AS (
+  SELECT s.s, cb.j, {_PQ_SUB_L2.format(a='q.qv', b='cb.cv')} AS dist
+  FROM q, range(0, 8) s(s), cb
+)
+SELECT codes.vec_id, CAST(SUM(lut.dist) AS BIGINT) AS adc_dist
+FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.j
+GROUP BY codes.vec_id
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def multimodal_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Pixel-TRUE image resize over an uncompressed raster container (r10):
     synthesize QR01 grayscale rasters with an arithmetic pixel formula,

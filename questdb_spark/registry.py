@@ -151,6 +151,8 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
         pl.multimodal_audio_features,
         pl.MULTIMODAL_AUDIO_SQL,
     ),
+    # product-quantization ANN (r10): code-only ADC scan vs full SQL oracle
+    "embedding_ann_pq": (pl.embedding_ann_pq, pl.EMBEDDING_PQ_SQL),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

@@ -378,3 +378,27 @@ def test_multimodal_raster_audio_no_shuffle(spark):
     assert "Exchange" not in plan_text(raster)
     audio = mm.audio_features(mm.synthesize_audio(docs))
     assert "Exchange" not in plan_text(audio)
+
+
+def test_pq_encode_map_only_and_adc_no_join(spark):
+    """r10 PQ plan shapes: encode is a pure projection over plan-literal
+    codebooks (no Exchange, no Join — one map pass at any corpus size);
+    the ADC scan's only ordering step is the global top-k
+    (TakeOrderedAndProject) with no join back to raw vectors."""
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cbs)
+    enc_txt = plan_text(codes)
+    assert "Exchange" not in enc_txt and "Join" not in enc_txt
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    scan_txt = plan_text(similarity.pq_adc_topk(codes, qv, cbs, k=10))
+    assert "Join" not in scan_txt
+    assert "TakeOrderedAndProject" in scan_txt
