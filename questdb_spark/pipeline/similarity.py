@@ -749,10 +749,13 @@ def pq_encode(
     codebooks: list[list[list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra: list | None = None,
 ) -> DataFrame:
     """Encode each vector into its m nearest sub-codewords (ties -> lowest
     code).  Pure projection over plan-literal codebooks: no join, no
-    shuffle — the shape a 100 TB encode job wants (one pass, map-only)."""
+    shuffle — the shape a 100 TB encode job wants (one pass, map-only).
+    ``extra``: additional Columns to carry through the same projection
+    (e.g. the IVF cell id, so the whole stored index is ONE encode pass)."""
     v = quantize(F.col(vec_col))
     d_sub = len(codebooks[0][0])
     codes = []
@@ -761,7 +764,7 @@ def pq_encode(
         # array_position returns the FIRST index (1-based) of the min —
         # the deterministic lowest-j tie-break the oracle mirrors
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"), *(extra or []))
 
 
 def pq_adc_topk(
@@ -798,3 +801,39 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query_vec: list[int],
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed IVF-PQ index — the production 100 TB ANN layout end to
+    end: corpus rows carry a coarse cell (plan-literal centroids) AND
+    their PQ codes; the query probes its `n_probe` nearest cells (exact
+    integer L2² on the driver — the query is one bounded vector) and the
+    asymmetric-distance scan touches ONLY probed cells' codes.  The cell
+    filter is a pushable `isin` predicate, so a cell-partitioned layout
+    prunes at the scan; raw vectors are never read at query time."""
+    dists = [
+        (
+            sum((int(query_vec[i]) - int(c[i])) ** 2 for i in range(len(c))),
+            cid,
+        )
+        for cid, c in enumerate(centroids)
+    ]
+    probe = [cid for _, cid in sorted(dists)[:n_probe]]
+    cu = _cell_udf(centroids)
+    # cell + codes in ONE map-only projection — the stored-index encode
+    # pass; query-time work is then filter(cell isin probes) + ADC only
+    coded = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col,
+        extra=[cu(F.col(vec_col)).alias("__cell")],
+    )
+    pruned = coded.filter(F.col("__cell").isin(*probe)).select(id_col, "codes")
+    return pq_adc_topk(pruned, query_vec, codebooks, k=k, id_col=id_col)

@@ -1141,6 +1141,78 @@ LIMIT 10
 """
 
 
+def embedding_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed IVF-PQ index (r10): coarse cells AND PQ codes from one
+    map-only encode pass; the query probes its 2 nearest cells and the
+    asymmetric-distance scan touches only probed cells' codes — the
+    production 100 TB ANN layout end to end.  Oracle recomputes cell
+    assignment, probe set, codes, LUTs, and the pruned ADC ranking."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_cells=16)
+    cbs = similarity.pq_codebooks(emb)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    return similarity.ivfpq_topk(emb, qv, cents, cbs, k=10, n_probe=2)
+
+
+_FULL_L2 = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+EMBEDDING_IVFPQ_SQL = f"""
+WITH e AS (SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v FROM embeddings),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+celld AS (
+  SELECT e.vec_id, cb.j, {_FULL_L2.format(a='e.v', b='cb.cv')} AS dist
+  FROM e, cb
+),
+cell AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM celld)
+  WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT j FROM (
+    SELECT cb.j, {_FULL_L2.format(a='q.qv', b='cb.cv')} AS dist FROM q, cb
+    ORDER BY dist, j LIMIT 2)
+),
+ep AS (
+  SELECT e.vec_id, e.v FROM e
+  JOIN cell ON e.vec_id = cell.vec_id
+  WHERE cell.cell IN (SELECT j FROM probe)
+),
+subd AS (
+  SELECT ep.vec_id, s.s, cb.j, {_PQ_SUB_L2.format(a='ep.v', b='cb.cv')} AS dist
+  FROM ep, range(0, 8) s(s), cb
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM subd)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT s.s, cb.j, {_PQ_SUB_L2.format(a='q.qv', b='cb.cv')} AS dist
+  FROM q, range(0, 8) s(s), cb
+)
+SELECT codes.vec_id, CAST(SUM(lut.dist) AS BIGINT) AS adc_dist
+FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.j
+GROUP BY codes.vec_id
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def multimodal_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Pixel-TRUE image resize over an uncompressed raster container (r10):
     synthesize QR01 grayscale rasters with an arithmetic pixel formula,
