@@ -415,3 +415,37 @@ def test_knn_join_ivf_recall_and_exactness(spark):
     exact_incl = similarity.knn_join(emb, queries, k=5)
     want = {(r["q_id"], r["vec_id"], r["rank"]) for r in exact_incl.collect()}
     assert full_pairs == want
+
+
+def test_pq_adc_recall_sane(spark):
+    """PQ/IVF-PQ are lossy by design — pin a recall floor so a broken
+    encode (wrong codes, wrong LUT indexing) fails loudly: the exact
+    cosine top-10 and the ADC top-10 must overlap on most of the head.
+    Deterministic data + deterministic codebooks -> stable recall."""
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=10
+        ).collect()
+    }
+    cbs = similarity.pq_codebooks(emb)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    pq = {
+        r.vec_id
+        for r in similarity.pq_adc_topk(
+            similarity.pq_encode(emb, cbs), qv, cbs, k=10
+        ).collect()
+    }
+    # the query itself must rank first in both (self-distance 0)
+    assert 0 in exact and 0 in pq
+    assert len(exact & pq) >= 3, f"ADC recall collapsed: {exact & pq}"
