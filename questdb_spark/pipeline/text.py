@@ -197,3 +197,41 @@ def _all_ngrams(tokens: Column, n: int) -> Column:
     return F.when(F.size(tokens) >= n, acc).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_token_len: int = 4,
+) -> DataFrame:
+    """tf-df keyword extraction (r10): the top-k most characteristic terms
+    per document — highest term frequency first, rarest corpus-wide
+    (lowest document frequency) breaking ties, token text last.  The
+    integer-only (tf desc, df asc, token asc) ordering is the rank
+    formulation of tf-idf (idf is monotone in -df), so the result is
+    bit-exact across engines with no float log anywhere.
+
+    Two hash aggregations + one window: tf = count per (doc, token),
+    df = distinct-doc count per token (computed FROM the tf table — no
+    second pass over the corpus), top-k via row_number.  Short tokens
+    (< min_token_len chars) drop first: they are stopword-like and df
+    ranking alone cannot keep 'the' out of small corpora."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    ).filter(F.length("token") >= min_token_len)
+    tf = toks.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "rank", "token", "tf", "df")
+    )

@@ -1213,6 +1213,33 @@ LIMIT 10
 """
 
 
+def doc_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """tf-df keyword extraction (r10): top-3 characteristic terms per
+    document by (tf desc, df asc, token asc) — the integer-rank form of
+    tf-idf, bit-exact with no float log.  Two hash aggs + one window."""
+    docs = load_table(spark, sf, "documents")
+    return text.top_terms(docs, "doc_id", k=3)
+
+
+DOC_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id AS doc, t.token
+  FROM documents,
+       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(token)
+  WHERE length(t.token) >= 4
+),
+tf AS (SELECT doc, token, COUNT(*) AS tf FROM toks GROUP BY doc, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT doc, CAST(rank AS INT) AS rank, token, tf, df FROM (
+  SELECT tf.doc, tf.token, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (token))
+WHERE rank <= 3
+"""
+
+
 def multimodal_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Pixel-TRUE image resize over an uncompressed raster container (r10):
     synthesize QR01 grayscale rasters with an arithmetic pixel formula,

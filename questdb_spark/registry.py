@@ -154,6 +154,8 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     # product-quantization ANN (r10): code-only ADC scan vs full SQL oracle
     "embedding_ann_pq": (pl.embedding_ann_pq, pl.EMBEDDING_PQ_SQL),
     "embedding_ann_ivfpq": (pl.embedding_ann_ivfpq, pl.EMBEDDING_IVFPQ_SQL),
+    # tf-df keyword extraction (r10): integer-rank tf-idf, two aggs + window
+    "doc_top_terms": (pl.doc_top_terms, pl.DOC_TOP_TERMS_SQL),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution
