@@ -1466,6 +1466,53 @@ SELECT 'ttl' AS stage, ts, n FROM hourly
 """
 
 
+def sql_pipeline_table_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-pipeline operators callable as SQL table functions (r10):
+    dedup_pairs('t', thr) / minhash_candidates('t') / top_terms('t', k)
+    in FROM position — the dialect twin of the Python pipeline API, so a
+    SQL-only user reaches the production near-dup/keyword operators.  The
+    lowering IS the production operator (bucketed joins, two aggs +
+    window); each branch aggregates to an integer checksum the oracle
+    recomputes from the equivalent relational form."""
+    eng = _engine(spark, sf, {})
+    eng.register("documents", load_table(spark, sf, "documents"))
+    return eng.sql(
+        "SELECT 'jaccard' AS fn, count(*) AS n, "
+        "  CAST(sum(doc_a + doc_b) AS BIGINT) AS chk "
+        "  FROM dedup_pairs('documents', 0.12) "
+        "UNION ALL "
+        "SELECT 'minhash' AS fn, count(*) AS n, "
+        "  CAST(sum(doc_a + doc_b) AS BIGINT) AS chk "
+        "  FROM minhash_candidates('documents') "
+        "UNION ALL "
+        "SELECT 'terms' AS fn, count(*) AS n, "
+        "  CAST(sum(tf * 1000 + df) AS BIGINT) AS chk "
+        "  FROM top_terms('documents', 3)"
+    )
+
+
+def _pipeline_table_fns_sql() -> str:
+    from .queries_pipeline import (
+        DOC_TOP_TERMS_SQL,
+        MINHASH_LSH_SQL,
+        _jaccard_sql,
+    )
+
+    return f"""
+SELECT 'jaccard' AS fn, count(*) AS n, CAST(sum(doc_a + doc_b) AS BIGINT) AS chk
+FROM ({_jaccard_sql(0.12, None)})
+UNION ALL
+SELECT 'minhash' AS fn, count(*) AS n, CAST(sum(doc_a + doc_b) AS BIGINT) AS chk
+FROM ({MINHASH_LSH_SQL})
+UNION ALL
+SELECT 'terms' AS fn, count(*) AS n, CAST(sum(tf * 1000 + df) AS BIGINT) AS chk
+FROM ({DOC_TOP_TERMS_SQL})
+"""
+
+
+SQL_PIPELINE_TABLE_FNS_SQL = _pipeline_table_fns_sql()
+
+
 def sql_matview_timer(spark: SparkSession, sf: str) -> DataFrame:
     """Mat-view TIMER + PERIOD refresh scheduling (r9,
     SqlParser.java:2590-2717 REFRESH_TYPE_TIMER/PERIOD,

@@ -156,6 +156,12 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_ann_ivfpq": (pl.embedding_ann_ivfpq, pl.EMBEDDING_IVFPQ_SQL),
     # tf-df keyword extraction (r10): integer-rank tf-idf, two aggs + window
     "doc_top_terms": (pl.doc_top_terms, pl.DOC_TOP_TERMS_SQL),
+    # pipeline ops as SQL table functions (r10): dedup_pairs / minhash /
+    # top_terms reachable from the dialect
+    "sql_pipeline_table_fns": (
+        sq.sql_pipeline_table_fns,
+        sq.SQL_PIPELINE_TABLE_FNS_SQL,
+    ),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

@@ -407,6 +407,7 @@ class QdbEngine:
             lambda m: f"(SELECT id AS x FROM range(1, {int(m.group(1)) + 1}))",
         )
         rewritten = self._rewrite_catalog_fns(rewritten)
+        rewritten = self._rewrite_pipeline_fns(rewritten)
         rewritten = self._rewrite_read_parquet(rewritten)
         # expression-position subqueries with dialect clauses (IN / EXISTS
         # / scalar positions) can't ride through F.expr or spark.sql
@@ -543,7 +544,8 @@ class QdbEngine:
     _BARE_TABLE_FN_RE = re.compile(
         r"(?:read_parquet|long_sequence|generate_series|tables|"
         r"table_columns|table_partitions|wal_transactions|query_activity|"
-        r"functions|keywords|views|materialized_views|live_views)\s*\(",
+        r"functions|keywords|views|materialized_views|live_views|"
+        r"dedup_pairs|minhash_candidates|top_terms)\s*\(",
         re.IGNORECASE,
     )
 
@@ -1259,6 +1261,64 @@ class QdbEngine:
                 "single path string literal"
             )
         return rewritten
+
+    _PIPELINE_FN_RE = re.compile(
+        # over the literal-MASKED text (quoted content blanked; name read
+        # back from the original via its span), numeric args stay visible
+        r"\b(dedup_pairs|minhash_candidates|top_terms)"
+        r"\s*\(\s*('[^']*')\s*((?:,\s*[\d.]+\s*)*)\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_pipeline_fns(self, s: str) -> str:
+        """LLM-pipeline operators as SQL table functions in FROM position
+        (r10 — the dialect twin of the Python pipeline API, same shape as
+        the catalogue functions): ``dedup_pairs('t'[, threshold])`` →
+        n-gram Jaccard near-dup pairs, ``minhash_candidates('t')`` →
+        MinHash-LSH banded candidate pairs, ``top_terms('t'[, k])`` →
+        tf-df keyword extraction.  The named table must expose the
+        documents convention (doc_id, text).  Each call materializes as a
+        temp view substituted into the statement — the lowering is the
+        exact production operator, so plan shape (bucketed joins, two
+        aggs + window) is identical to the Python route."""
+        from ..pipeline import dedup as _dedup
+        from ..pipeline import text as _text
+
+        masked = mask_literals(s)
+        out: list[str] = []
+        last = 0
+        n_seen = 0
+        for m in self._PIPELINE_FN_RE.finditer(masked):
+            fn = m.group(1).lower()
+            tname = s[m.start(2) : m.end(2)].strip("'")
+            args = [a.strip() for a in (m.group(3) or "").split(",") if a.strip()]
+            base = self._table(tname, None)
+            for need in ("doc_id", "text"):
+                if need not in base.columns:
+                    raise ValueError(
+                        f"{fn}() requires a documents-shaped table with "
+                        f"doc_id/text columns; {tname!r} lacks {need!r}"
+                    )
+            if fn == "dedup_pairs":
+                thr = float(args[0]) if args else 0.5
+                df = _dedup.ngram_jaccard_pairs(base, "doc_id", threshold=thr)
+            elif fn == "minhash_candidates":
+                df = _dedup.minhash_lsh_candidates(
+                    base, "doc_id", n_hashes=16, band_size=4
+                )
+            else:  # top_terms
+                k = int(float(args[0])) if args else 3
+                df = _text.top_terms(base, "doc_id", k=k)
+            n_seen += 1
+            view = f"__qdb_pipe_{fn}_{n_seen}"
+            df.createOrReplaceTempView(view)
+            out.append(s[last : m.start()])
+            out.append(view)
+            last = m.end()
+        if not out:
+            return s
+        out.append(s[last:])
+        return "".join(out)
 
     _CATALOG_FN_RE = re.compile(
         # matched over the literal-MASKED text: quoted content is blanked,
