@@ -191,14 +191,14 @@ _RECHECK_R10_NAMES = [
     "contamination_check", "training_corpus_filter",
 ]
 
-# Next-stalest (r6-verified) entries fill the spare window slots.
+# Next-stalest (r6-verified) entries fill the spare window slots —
+# trimmed so new + changed + r5-stale + these land inside the driver's
+# ~50-query window.
 _RECHECK_R6_STALE_NAMES = [
     "sample_by_3M_2y", "nanos_sample_by", "decimal256_div", "approx_aggs",
     "ilp_roundtrip", "sql_wal_suspend_resume", "catalog_functions",
     "sql_query_activity", "ema_events", "vwema_events", "asof_join_keyless",
-    "theta_join_nested_loop", "embedding_int8_topk", "multimodal_decode",
-    "text_quality", "pii_scrub", "sequence_packing", "stratified_sample",
-    "mixture_weights", "corpus_mix_sample", "dedup_clusters",
+    "theta_join_nested_loop", "embedding_int8_topk",
 ]
 
 _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
