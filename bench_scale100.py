@@ -84,6 +84,18 @@ def _jaccard_staged(spark, sf):
     return dedup.ngram_jaccard_pairs(canon, "doc_id", threshold=0.12)
 
 
+def _ann_pq(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    return similarity.pq_adc_topk(similarity.pq_encode(emb, cbs), qv, cbs, k=10)
+
+
 def _clusters_distributed(spark, sf):
     # same staging as _jaccard_staged (the un-staged pair generation OOMs
     # at this duplication level); driver_cc_bound=0 forces the distributed
@@ -99,6 +111,7 @@ CASES = {
     "dedup_jaccard_staged": _jaccard_staged,
     "embedding_near_dup": REGISTRY["embedding_near_dup"][0],
     "embedding_knn_join_ivf": _knn_join_ivf,
+    "embedding_ann_pq": _ann_pq,
     "dedup_clusters_distributed": _clusters_distributed,
 }
 
@@ -121,6 +134,8 @@ NOTES = {
     "with every other replica)",
     "embedding_knn_join_ivf": "|Q|=4 fixed, k=5 fixed -> output constant; "
     "probes read n_probe/n_cells of the corpus",
+    "embedding_ann_pq": "map-only encode + asymmetric-distance scan over "
+    "8-byte codes (32x smaller than raw vectors); output constant top-10",
     "dedup_clusters_distributed": "driver_cc_bound=0 forces the log-rounds "
     "min-label + path-halving loop over the exact-Jaccard edge set of the "
     "exact-deduped (staged) corpus; also regression-covers the Spark 4.1 "

@@ -730,20 +730,6 @@ def pq_codebooks(
     ]
 
 
-def _sub_l2(vec: Column, start: int, codeword: list[int]) -> Column:
-    """Exact squared L2 of vec[start : start+len(codeword)] to a literal
-    codeword — unrolled integer expression, no UDF."""
-    terms = [
-        (F.element_at(vec, start + i + 1) - F.lit(int(c)))
-        for i, c in enumerate(codeword)
-    ]
-    out = None
-    for t in terms:
-        sq = t * t
-        out = sq if out is None else out + sq
-    return out
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[int]]],
@@ -752,19 +738,32 @@ def pq_encode(
     extra: list | None = None,
 ) -> DataFrame:
     """Encode each vector into its m nearest sub-codewords (ties -> lowest
-    code).  Pure projection over plan-literal codebooks: no join, no
-    shuffle — the shape a 100 TB encode job wants (one pass, map-only).
+    code).  Map-only: one vectorized Arrow kernel over plan-shipped
+    codebooks — no join, no shuffle, the shape a 100 TB encode job wants.
+    (A first cut unrolled the m*K*d_sub distance arithmetic into Catalyst
+    expressions; exact and shuffle-free too, but the driver paid ~13s
+    compiling 1024 expression nodes PER QUERY — a scale-invariant fixed
+    cost the numpy kernel doesn't have.  argmin's first-minimum is the
+    same lowest-code tie-break the oracle mirrors.)
     ``extra``: additional Columns to carry through the same projection
     (e.g. the IVF cell id, so the whole stored index is ONE encode pass)."""
-    v = quantize(F.col(vec_col))
-    d_sub = len(codebooks[0][0])
-    codes = []
-    for s, cb in enumerate(codebooks):
-        dists = F.array(*[_sub_l2(v, s * d_sub, cw) for cw in cb])
-        # array_position returns the FIRST index (1-based) of the min —
-        # the deterministic lowest-j tie-break the oracle mirrors
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"), *(extra or []))
+    cb = np.array(codebooks, dtype=np.int64)  # m x K x d_sub
+    m, _K, d_sub = cb.shape
+    cnorms = [np.einsum("ij,ij->i", cb[s], cb[s]) for s in range(m)]
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        out = np.empty((q.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = q[:, s * d_sub : (s + 1) * d_sub]
+            # ||sub-c||² = ||sub||² − 2 sub·c + ||c||²; ||sub||² is
+            # row-constant -> argmin over (−2 sub·c + ||c||²)
+            d = -2 * (sub @ cb[s].T) + cnorms[s]
+            out[:, s] = np.argmin(d, axis=1)  # first min = lowest code
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"), *(extra or []))
 
 
 def pq_adc_topk(
