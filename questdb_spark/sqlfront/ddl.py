@@ -519,6 +519,7 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse INSERT: {s!r}")
     name, collist, body = m.group(1), m.group(2), m.group(3).strip()
+    _check_view_modification(eng, name)
     t = _tbl(eng, name)
     target = eng.ddl_read(name, dedup=False)
     tcols = [c for c in target.columns if c not in (PARTITION_COL, t.seq_col)]
@@ -591,6 +592,7 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse UPDATE: {s!r}")
     name, rest = m.group(1), m.group(2)
+    _check_view_modification(eng, name)
     # clause boundaries at paren depth 0 only — `substring(x FROM 1)` or a
     # WHERE inside a subquery must not split the statement
     sets, from_clause, where = rest, None, None
@@ -909,6 +911,7 @@ def _truncate(eng: QdbEngine, s: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse TRUNCATE: {s!r}")
     name = m.group(1)
+    _check_view_modification(eng, name)
     t = _tbl(eng, name)
     if eng.ddl_schemas.get(name) is None and _has_files(t):
         # AS-SELECT table: snapshot the schema BEFORE deleting the data so

@@ -1245,3 +1245,20 @@ def test_alter_matview_refresh_limit_bounds_o3(eng):
     eng.sql("REFRESH MATERIALIZED VIEW mvl INCREMENTAL")
     rows = {r.ts.isoformat(): r.s for r in eng.sql("SELECT * FROM mvl").collect()}
     assert rows.get("2024-02-25T00:00:00") == 50.0  # in-window O3 applied
+
+
+def test_dml_on_views_rejected(eng):
+    """INSERT/UPDATE/TRUNCATE against a view get the reference's
+    checkViewModification shape, not a missing-table error."""
+    _mk_base(eng)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvg WITH BASE tb AS ("
+        "SELECT ts, sum(v) s FROM tb SAMPLE BY 1h)"
+    )
+    for stmt in (
+        "INSERT INTO mvg VALUES ('2024-01-01T00:00:00Z', 1.0)",
+        "UPDATE mvg SET s = 0",
+        "TRUNCATE TABLE mvg",
+    ):
+        with pytest.raises(ValueError, match=r"cannot modify materialized view \[view=mvg\]"):
+            eng.sql(stmt)
