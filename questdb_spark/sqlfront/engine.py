@@ -1312,6 +1312,7 @@ class QdbEngine:
             n_seen += 1
             view = f"__qdb_pipe_{fn}_{n_seen}"
             df.createOrReplaceTempView(view)
+            self._sub_views.append(view)  # statement-scoped: dropped on exit
             out.append(s[last : m.start()])
             out.append(view)
             last = m.end()
