@@ -1240,6 +1240,62 @@ WHERE rank <= 3
 """
 
 
+def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality measurement as a first-class operator (r10): recall@10
+    of every ANN route against the exact cosine ranking, for the standard
+    query (vec_id 0) — the metric an LLM-retrieval pipeline monitors when
+    it tunes probes/bands/codebooks.  Each route's top-10 semi-joins the
+    (broadcast-small) exact top-10; the oracle recomputes both rankings
+    relationally and intersects.  Integer counts only — bit-stable."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = F.broadcast(
+        similarity.cosine_topk(emb, query, k=10).select("vec_id")
+    )
+
+    def hits(name: str, route: DataFrame) -> DataFrame:
+        return (
+            route.select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(
+                F.lit(name).alias("route"),
+                F.count(F.lit(1)).cast("int").alias("hits"),
+            )
+        )
+
+    cents = similarity.ivf_centroids(emb, n_cells=16)
+    cbs = similarity.pq_codebooks(emb)
+    qv = [
+        int(x)
+        for x in query.select(
+            similarity.quantize(F.col("embedding")).alias("q")
+        ).first()["q"]
+    ]
+    lsh = similarity.ann_lsh_topk(emb, query, k=10, dim=64)
+    ivf = similarity.ann_ivf_topk(emb, query, cents, k=10, n_probe=2)
+    pq = similarity.pq_adc_topk(similarity.pq_encode(emb, cbs), qv, cbs, k=10)
+    return (
+        hits("ivf", ivf).unionByName(hits("lsh", lsh)).unionByName(hits("pq", pq))
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({EMBEDDING_TOPK_SQL})),
+lsh AS (SELECT vec_id FROM ({EMBEDDING_ANN_SQL})),
+ivf AS (SELECT vec_id FROM ({EMBEDDING_IVF_SQL})),
+pq AS (SELECT vec_id FROM ({EMBEDDING_PQ_SQL}))
+SELECT 'ivf' AS route,
+  CAST((SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact)) AS INT) AS hits
+UNION ALL
+SELECT 'lsh' AS route,
+  CAST((SELECT count(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM exact)) AS INT) AS hits
+UNION ALL
+SELECT 'pq' AS route,
+  CAST((SELECT count(*) FROM pq WHERE vec_id IN (SELECT vec_id FROM exact)) AS INT) AS hits
+"""
+
+
 def multimodal_raster_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Pixel-TRUE image resize over an uncompressed raster container (r10):
     synthesize QR01 grayscale rasters with an arithmetic pixel formula,
@@ -1367,3 +1423,5 @@ SELECT d.doc_id,
 FROM documents d, range(0, 6) t(i)
 WHERE t.i < 2 + d.doc_id % 4 AND t.i % 2 = 0
 """
+
+ANN_RECALL_SQL = _ann_recall_sql()

@@ -162,6 +162,8 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_pipeline_table_fns,
         sq.SQL_PIPELINE_TABLE_FNS_SQL,
     ),
+    # ANN index-quality report (r10): recall@10 of lsh/ivf/pq vs exact
+    "ann_recall_report": (pl.ann_recall_report, pl.ANN_RECALL_SQL),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution
