@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.asof import asof_join, lt_join, splice_join
+from .operators.sessions import sessionize
 from .operators.latest import latest_on
 from .operators.sample_by import sample_by
 from .operators.window_join import horizon_join, markout_agg, window_join
@@ -592,4 +593,36 @@ SELECT "offset", COUNT(*) AS n_masters, COUNT(purchase_ts) AS n_matched,
   CAST(CAST(ROUND(SUM(CAST(purchase_value AS DECIMAL(12,2))), 2) AS DECIMAL(20,2)) AS DOUBLE)
     / COUNT(purchase_ts) AS avg_markout_value
 FROM j GROUP BY "offset"
+"""
+
+
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (r10, operators/sessions.py): per-user
+    sessions over the events stream with a 30-minute inactivity gap —
+    session id, bounds, and event count.  One shuffle: the lag flag and
+    the cumulative session id share a single Window sort.  Oracle builds
+    the identical lag + running-sum construction in SQL."""
+    ev = load_table(spark, sf, "events")
+    return sessionize(ev, "ts", "user_id", gap_seconds=1800, tiebreak_col="event_id")
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
 """

@@ -164,6 +164,8 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # ANN index-quality report (r10): recall@10 of lsh/ivf/pq vs exact
     "ann_recall_report": (pl.ann_recall_report, pl.ANN_RECALL_SQL),
+    # gap-based sessionization (r10): one-shuffle lag + running-sum windows
+    "sessionize_events": (ts.sessionize_events, ts.SESSIONIZE_SQL),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

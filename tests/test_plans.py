@@ -402,3 +402,15 @@ def test_pq_encode_map_only_and_adc_no_join(spark):
     scan_txt = plan_text(similarity.pq_adc_topk(codes, qv, cbs, k=10))
     assert "Join" not in scan_txt
     assert "TakeOrderedAndProject" in scan_txt
+
+
+def test_sessionize_single_shuffle(spark):
+    """r10 sessionization: lag flag, cumulative session id, and the
+    per-session aggregate all ride ONE exchange on the key — the window
+    sort and the groupBy share hash partitioning."""
+    from questdb_spark.operators.sessions import sessionize
+    from questdb_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    txt = plan_text(sessionize(ev, "ts", "user_id", 1800, "event_id"))
+    assert txt.count("Exchange") == 1, txt
