@@ -411,6 +411,9 @@ def test_sessionize_single_shuffle(spark):
     from questdb_spark.operators.sessions import sessionize
     from questdb_spark.sources.parquet import load_table
 
+    import re
+
     ev = load_table(spark, SF_DIR, "events")
     txt = plan_text(sessionize(ev, "ts", "user_id", 1800, "event_id"))
-    assert txt.count("Exchange") == 1, txt
+    # formatted mode prints every node twice (tree + detail) — count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
