@@ -160,3 +160,38 @@ def streaming_asof_join(
     return unioned.groupBy(*keys).applyInPandasWithState(
         advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Streaming twin of ``operators.sessions.sessionize`` on Spark's
+    NATIVE session windows: ``session_window(ts, gap)`` merges events
+    within the gap and holds sessions open in state until the watermark
+    passes session_end + gap — no custom state function needed, which is
+    exactly the built-in-first rule this engine follows.
+
+    Boundary note: the native window is half-open ``[start, last+gap)``,
+    so an event landing EXACTLY gap after its predecessor opens a new
+    session here, while the batch operator's strict-greater flag keeps it
+    (a measure-zero divergence on continuous timestamps; documented
+    rather than papered over)."""
+    gap = f"{int(gap_seconds)} seconds"
+    return (
+        stream.withWatermark(ts_col, gap)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            key_col,
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )

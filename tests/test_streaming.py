@@ -559,3 +559,65 @@ def test_ilp_ingest_socket_round_trip(spark, tmp_path):
     finally:
         q.stop()
         srv.close()
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    """Native session_window sessionization: sessions carry across
+    micro-batches in state, and the complete-output result equals the
+    batch operator over the concatenated history (timestamps chosen away
+    from exact gap boundaries — see streaming_sessionize boundary note)."""
+    import shutil
+
+    from questdb_spark.operators.sessions import sessionize
+    from questdb_spark.streaming.stateful import streaming_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="ssess_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    # two users; per-user event trains with intra-session gaps of 40s and
+    # inter-session gaps of 500s (session gap = 120s)
+    def mk(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            for u in ("a", "b"):
+                sec = i * 40 + (500 if i >= 5 else 0) + (0 if u == "a" else 7)
+                rows.append((u, f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"))
+        return rows
+
+    def write_batch(lo, hi, name):
+        df = spark.createDataFrame(mk(lo, hi), "k string, ts_s string").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    write_batch(0, 5, "b0")
+    write_batch(5, 10, "b1")
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_sessionize(stream, "ts", "k", gap_seconds=120)
+        .writeStream.format("memory")
+        .queryName("ssess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM ssess_out").collect()
+    }
+    full = spark.createDataFrame(mk(0, 10), "k string, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    expected = {
+        (r["k"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in sessionize(full, "ts", "k", gap_seconds=120).collect()
+    }
+    assert got == expected and len(got) == 4  # 2 users x 2 sessions
+    shutil.rmtree(tmp, ignore_errors=True)
