@@ -836,3 +836,110 @@ def ivfpq_topk(
     )
     pruned = coded.filter(F.col("__cell").isin(*probe)).select(id_col, "codes")
     return pq_adc_topk(pruned, query_vec, codebooks, k=k, id_col=id_col)
+
+
+# -- distributed k-means training (r10) ---------------------------------------
+#
+# The missing piece of the IVF story: `ivf_centroids` deterministically
+# SAMPLES a coarse quantizer; `kmeans_train` actually TRAINS one with
+# Lloyd's iterations, the way FAISS/MLlib build the index that a 100 TB
+# ANN deployment ships.  Everything is exact int64 arithmetic on the
+# fixed-point grid so a SQL oracle can replay the identical iterations:
+#
+#   init       centroids = quantized vectors of the k lowest ids
+#                          (the ivf_centroids convention)
+#   assign     cell = argmin over centroids of exact squared-L2
+#                          (ties -> lower cell id)
+#   update     centroid[j] = floor(mean of assigned q[j])), computed as
+#                          (sum + count*KM_OFF) // count - KM_OFF with
+#                          positive operands so truncation == floor in
+#                          every engine; empty cells keep their centroid
+#
+# Scale shape (the same one MLlib's KMeans uses): each iteration is ONE
+# map pass (vectorized Arrow argmin over plan-shipped centroids) + ONE
+# partial-aggregated groupBy of k*dim cells — the shuffle moves k*dim
+# longs per map task, never data.  The per-iteration collect is the
+# k x dim model update (bounded, never data-proportional).
+
+KM_OFF = 1 << 20  # |q| <= ~1e4 << KM_OFF, count*KM_OFF << 2^63
+
+
+def _cell_dist_udf(centroids: list[list[int]]):
+    """vec -> (nearest cell id, exact int64 squared-L2 to it)."""
+    cents = np.array(centroids, dtype=np.int64)
+    cn = np.einsum("ij,ij->i", cents, cents)
+
+    @pandas_udf("cell int, dist bigint")
+    def f(v: pd.Series) -> pd.DataFrame:
+        q = _quant_np(v)
+        # ||q-c||^2 = ||q||^2 - 2 q.c + ||c||^2, all int64-exact
+        d = -2 * (q @ cents.T) + cn
+        cell = np.argmin(d, axis=1)  # first min = lowest cell id
+        dist = d[np.arange(len(cell)), cell] + np.einsum("ij,ij->i", q, q)
+        return pd.DataFrame({"cell": cell.astype(np.int32), "dist": dist})
+
+    return f
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Lloyd's k-means over the quantized embedding column; returns the
+    trained centroids (k x dim ints).  `iters` assignment+update rounds."""
+    cents = ivf_centroids(df, n_cells=k, id_col=id_col, vec_col=vec_col)
+    q = df.select(
+        F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
+    )
+    for _ in range(iters):
+        cd = _cell_dist_udf(cents)
+        stats = (
+            q.select(cd(F.col("__v")).alias("__a"), F.posexplode("__q"))
+            .groupBy(F.col("__a.cell").alias("cell"), F.col("pos"))
+            .agg(F.sum("col").alias("s"), F.count("*").alias("cnt"))
+            .collect()  # k*dim model-update rows — bounded, documented
+        )
+        nxt = [list(c) for c in cents]
+        for r in stats:
+            nxt[r["cell"]][r["pos"]] = (
+                r["s"] + r["cnt"] * KM_OFF
+            ) // r["cnt"] - KM_OFF
+        cents = nxt
+    return cents
+
+
+def kmeans_report(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final-assignment report for a trained model: one row per
+    (cell, pos) carrying the centroid value plus the cell's size and
+    exact integer inertia (sum of squared-L2 of its members) — the
+    everything-checkable training summary."""
+    spark = df.sparkSession
+    cd = _cell_dist_udf(centroids)
+    agg = (
+        df.select(cd(F.col(vec_col)).alias("__a"))
+        .groupBy(F.col("__a.cell").alias("cell"))
+        .agg(F.count("*").alias("size"), F.sum("__a.dist").alias("inertia"))
+    )
+    cent_rows = [
+        (ci, pos, int(val))
+        for ci, cent in enumerate(centroids)
+        for pos, val in enumerate(cent)
+    ]
+    cents_df = spark.createDataFrame(cent_rows, "cell int, pos int, cval bigint")
+    return (
+        cents_df.join(F.broadcast(agg), "cell", "left")
+        .select(
+            "cell", "pos", "cval",
+            F.coalesce("size", F.lit(0)).alias("size"),
+            F.coalesce("inertia", F.lit(0)).alias("inertia"),
+        )
+        .orderBy("cell", "pos")
+    )

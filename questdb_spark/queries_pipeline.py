@@ -1425,3 +1425,124 @@ WHERE t.i < 2 + d.doc_id % 4 AND t.i % 2 = 0
 """
 
 ANN_RECALL_SQL = _ann_recall_sql()
+
+
+# --------------------------------------------------------------------------
+# Distributed k-means training (r10)
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_OFF = 1 << 20  # similarity.KM_OFF — positive operands make // a floor
+
+
+def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (r10): train
+    `_KM_ITERS` assignment+update rounds on the fixed-point grid, then
+    report (cell, pos, cval, size, inertia) — the full trained model plus
+    final-assignment statistics, every value an exact integer.  The
+    oracle replays the identical iterations as a DuckDB CTE chain, so an
+    assignment tie-break, floor-mean, or empty-cell divergence on either
+    side breaks the hash."""
+    emb = load_table(spark, sf, "embeddings")
+    cents = similarity.kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
+    return similarity.kmeans_report(emb, cents)
+
+
+def _kmeans_cte(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """CTE chain replaying kmeans_train: ex = unnested quantized corpus,
+    c0 = init (k lowest-id vectors), then per iteration assignment by
+    exact squared-L2 argmin (ties -> lower cell) and floor-mean update
+    (empty cells keep their centroid).  Final centroids: c{iters}."""
+    parts = [f"""ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings),
+init_ids AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT i.cell, ex.pos, ex.q AS cval FROM ex JOIN init_ids i USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        parts.append(f"""d{i} AS (
+  SELECT ex.vec_id, c.cell, SUM((ex.q - c.cval) * (ex.q - c.cval)) AS dist
+  FROM ex JOIN {p} c ON ex.pos = c.pos GROUP BY 1, 2),
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d{i}) WHERE rn = 1),
+s{i} AS (
+  SELECT a.cell, ex.pos, SUM(ex.q) AS s, COUNT(*) AS cnt
+  FROM ex JOIN a{i} a USING (vec_id) GROUP BY 1, 2),
+c{i} AS (
+  SELECT c.cell, c.pos,
+         COALESCE((s.s + s.cnt * {_KM_OFF}) // s.cnt - {_KM_OFF}, c.cval) AS cval
+  FROM {p} c LEFT JOIN s{i} s ON c.cell = s.cell AND c.pos = s.pos)""")
+    return ",\n".join(parts)
+
+
+def _kmeans_report_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    t = iters
+    return f"""
+WITH {_kmeans_cte(k, iters)},
+fd AS (
+  SELECT ex.vec_id, c.cell, SUM((ex.q - c.cval) * (ex.q - c.cval)) AS dist
+  FROM ex JOIN c{t} c ON ex.pos = c.pos GROUP BY 1, 2),
+fa AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM fd) WHERE rn = 1),
+g AS (
+  SELECT cell, COUNT(*) AS size, SUM(dist) AS inertia FROM fa GROUP BY cell)
+SELECT CAST(c.cell AS INTEGER) AS cell, CAST(c.pos AS INTEGER) AS pos,
+       CAST(c.cval AS BIGINT) AS cval,
+       CAST(COALESCE(g.size, 0) AS BIGINT) AS size,
+       CAST(COALESCE(g.inertia, 0) AS BIGINT) AS inertia
+FROM c{t} c LEFT JOIN g USING (cell)
+ORDER BY cell, pos
+"""
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_report_sql()
+
+
+def embedding_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe over a TRAINED coarse quantizer (r10): same pruned scan
+    shape as `embedding_ann_ivf`, but the cells come from kmeans_train
+    instead of deterministic sampling — the index an actual deployment
+    ships.  Oracle: the k-means CTE chain feeding the same probe logic."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    cents = similarity.kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
+    return similarity.ann_ivf_topk(emb, query, cents, k=10, n_probe=2)
+
+
+EMBEDDING_IVF_TRAINED_SQL = f"""
+WITH {_kmeans_cte()},
+e AS (SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v FROM embeddings),
+fd AS (
+  SELECT ex.vec_id, c.cell, SUM((ex.q - c.cval) * (ex.q - c.cval)) AS dist
+  FROM ex JOIN c{_KM_ITERS} c ON ex.pos = c.pos GROUP BY 1, 2),
+fa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM fd) WHERE rn = 1),
+qp AS (
+  SELECT cell AS qc FROM (
+    SELECT cell, ROW_NUMBER() OVER (ORDER BY dist, cell) AS rn
+    FROM fd WHERE vec_id = 0) WHERE rn <= 2),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.v, fa.cell, qq.qv
+  FROM e JOIN fa USING (vec_id) JOIN qp ON fa.cell = qp.qc CROSS JOIN qq)
+SELECT vec_id,
+  {_DOT_SQL.format(a='v', b='qv')}
+    / (SQRT({_DOT_SQL.format(a='v', b='v')}) * SQRT({_DOT_SQL.format(a='qv', b='qv')})) AS cosine,
+  cell
+FROM cand
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""

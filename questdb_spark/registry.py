@@ -166,6 +166,14 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     "ann_recall_report": (pl.ann_recall_report, pl.ANN_RECALL_SQL),
     # gap-based sessionization (r10): one-shuffle lag + running-sum windows
     "sessionize_events": (ts.sessionize_events, ts.SESSIONIZE_SQL),
+    # distributed k-means training (r10): Lloyd's iterations on the
+    # fixed-point grid, model + assignment stats vs a CTE-chain replay
+    "embedding_kmeans": (pl.embedding_kmeans, pl.EMBEDDING_KMEANS_SQL),
+    # IVF probe over the TRAINED quantizer — the deployed-index path
+    "embedding_ann_ivf_trained": (
+        pl.embedding_ann_ivf_trained,
+        pl.EMBEDDING_IVF_TRAINED_SQL,
+    ),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

@@ -449,3 +449,59 @@ def test_pq_adc_recall_sane(spark):
     # the query itself must rank first in both (self-distance 0)
     assert 0 in exact and 0 in pq
     assert len(exact & pq) >= 3, f"ADC recall collapsed: {exact & pq}"
+
+
+def test_kmeans_train_properties(spark):
+    """Lloyd's invariants on real data: (a) exact integer inertia is
+    non-increasing across iterations (floor-rounding of centroids can
+    only add a bounded constant, so we allow equality but not growth
+    beyond the k*dim/4 rounding slack); (b) training moves the centroids
+    off the sampled init; (c) every cell id is in range."""
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def inertia(cents):
+        from pyspark.sql import functions as F
+
+        cd = similarity._cell_dist_udf(cents)
+        row = (
+            emb.select(cd(F.col("embedding")).alias("a"))
+            .agg(F.sum("a.dist").alias("i"))
+            .collect()[0]
+        )
+        return int(row["i"])
+
+    init = similarity.ivf_centroids(emb, n_cells=8)
+    one = similarity.kmeans_train(emb, k=8, iters=1)
+    two = similarity.kmeans_train(emb, k=8, iters=2)
+    i0, i1, i2 = inertia(init), inertia(one), inertia(two)
+    slack = 8 * len(init[0])  # floor-rounding perturbs each coord by <1
+    assert i1 <= i0 + slack, (i0, i1)
+    assert i2 <= i1 + slack, (i1, i2)
+    assert two != init, "training never moved the centroids"
+    assert i2 < i0, "two Lloyd's rounds should strictly reduce inertia on real data"
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """A centroid that captures nothing must survive the update unchanged
+    (the oracle's LEFT JOIN + COALESCE contract).  Seeds 0 and 1 are
+    IDENTICAL vectors, so the argmin tie-break sends both to cell 0 and
+    cell 1 goes empty on iteration 1."""
+    from questdb_spark.pipeline import similarity
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [
+        (10 + i, [5.0, 5.0 + 0.001 * i]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_train(df, k=2, iters=1)
+    assert cents[1] == [0, 0], "empty cell must keep its init centroid"
+    # report re-assigns against the FINAL centroids: the two origin
+    # vectors come back to the untouched cell 1 (dist 0), the cluster
+    # stays with the moved cell 0 — and sizes account for every vector
+    sizes = {
+        r["cell"]: r["size"]
+        for r in similarity.kmeans_report(df, cents).collect()
+    }
+    assert sizes == {0: 4, 1: 2}, sizes

@@ -417,3 +417,31 @@ def test_sessionize_single_shuffle(spark):
     txt = plan_text(sessionize(ev, "ts", "user_id", 1800, "event_id"))
     # formatted mode prints every node twice (tree + detail) — count nodes
     assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
+
+
+def test_kmeans_iteration_single_shuffle_no_join(spark):
+    """r10 k-means training: each Lloyd's iteration is ONE map pass
+    (Arrow argmin over plan-shipped centroids) + ONE hash aggregate of
+    k*dim cells — no join anywhere, and the only exchange moves k*dim
+    partial sums per map task, never data."""
+    import re
+
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_cells=8)
+    cd = similarity._cell_dist_udf(cents)
+    q = emb.select(
+        F.col("embedding").alias("__v"),
+        similarity.quantize(F.col("embedding")).alias("__q"),
+    )
+    stats = (
+        q.select(cd(F.col("__v")).alias("__a"), F.posexplode("__q"))
+        .groupBy(F.col("__a.cell").alias("cell"), F.col("pos"))
+        .agg(F.sum("col").alias("s"), F.count("*").alias("cnt"))
+    )
+    txt = plan_text(stats)
+    assert "Join" not in txt
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
+    assert "HashAggregate" in txt  # partial+final: map-side combine
