@@ -1519,3 +1519,88 @@ WHERE EXISTS (
 )
 GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
 """
+
+
+def window_stat_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed statistical aggregates (reference functions/window/
+    StdDev*/Var*/Corr/CovarPop/CovarSamp window classes): moving
+    variance / stddev / covariance / correlation over a 10-row frame.
+    Same exact-decimal moment identities as `agg_stats`, just OVER a
+    frame — the decimal window SUMs are order-exact in both engines, and
+    the final double arithmetic is textually identical, so values match
+    bit-for-bit.  Degenerate frames resolve explicitly (n=1 -> NULL
+    sample stats; zero variance -> NULL corr) instead of leaning on
+    engine-specific NaN behavior."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 300)
+    x = dec2("l_extendedprice")
+    y = dec2("l_quantity")
+    # the driver's synthetic lineitem has duplicate (orderkey, linenumber)
+    # keys — extend the sort to every column entering the arithmetic so
+    # remaining ties are interchangeable rows (frame multisets identical)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .rowsBetween(-9, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = to_dbl(F.sum(x).over(w), 2)
+    sxx = to_dbl(F.sum((x * x).cast("decimal(25,4)")).over(w), 0)
+    sy = to_dbl(F.sum(y).over(w), 2)
+    syy = to_dbl(F.sum((y * y).cast("decimal(25,4)")).over(w), 2)
+    sxy = to_dbl(F.sum((x * y).cast("decimal(25,4)")).over(w), 0)
+    var_pop = (sxx - sx * sx / n) / n
+    var_samp = (sxx - sx * sx / n) / (n - 1)
+    covar_samp = (sxy - sx * sy / n) / (n - 1)
+    denom = (sxx - sx * sx / n) * (syy - sy * sy / n)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        var_pop.alias("var_pop_w"),
+        F.when(n > 1, var_samp).alias("var_samp_w"),
+        F.when((n > 1) & (var_samp >= 0), F.sqrt(var_samp)).alias("stddev_w"),
+        F.when(n > 1, covar_samp).alias("covar_samp_w"),
+        F.when(denom > 0, (sxy - sx * sy / n) / F.sqrt(denom)).alias("corr_w"),
+    )
+
+
+_WS_N = "COUNT(*) OVER w"
+_WS_SX = _sql_dbl("SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER w", 2)
+_WS_SXX = _sql_dbl(
+    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(25,4))) OVER w", 0
+)
+_WS_SY = _sql_dbl("SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w", 2)
+_WS_SYY = _sql_dbl(
+    "SUM(CAST(CAST(l_quantity AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))) OVER w", 2
+)
+_WS_SXY = _sql_dbl(
+    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))) OVER w", 0
+)
+
+WINDOW_STAT_AGGS_SQL = f"""
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+    {_WS_N} AS n, {_WS_SX} AS sx, {_WS_SXX} AS sxx,
+    {_WS_SY} AS sy, {_WS_SYY} AS syy, {_WS_SXY} AS sxy
+  FROM lineitem
+  WHERE l_orderkey < 300
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  (sxx - sx * sx / n) / n AS var_pop_w,
+  CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS var_samp_w,
+  CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) >= 0
+       THEN SQRT((sxx - sx * sx / n) / (n - 1)) END AS stddev_w,
+  CASE WHEN n > 1 THEN (sxy - sx * sy / n) / (n - 1) END AS covar_samp_w,
+  CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+       THEN (sxy - sx * sy / n)
+            / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) END AS corr_w
+FROM m
+"""

@@ -1629,3 +1629,70 @@ SELECT * FROM (VALUES
   (TIMESTAMP '2024-02-02 02:10:00', 4.0, CAST(2 AS BIGINT), TRUE, TRUE, TRUE)
 ) AS t(ts, v, n_while_detached, ddl_roundtrip, stored_in_volume, bad_alias_rejected)
 """
+
+
+def sql_catalogue_introspection(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine introspection surface (r10): table_writer_metrics() counters
+    driven by a deterministic statement sequence (functions/table/
+    TableWriterMetricsFunctionFactory KEYS), reader_pool()/writer_pool()
+    listings, memory_metrics() sanity, and the catalogue scalar batch —
+    typeOf (TypeOfFunctionFactory ColumnType names), array_build,
+    version()/current_database()/current_schema()/current_data_id()
+    (catalogue/Constants.java).  Everything lands as (name, value BIGINT)
+    rows so the oracle is a literal table."""
+    eng = _engine(spark, sf, {})
+    eng.sql(
+        "CREATE TABLE cat_t (ts TIMESTAMP, x INT) "
+        "TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    eng.sql(
+        "INSERT INTO cat_t VALUES ('2024-01-01T00:00:00', 1), "
+        "('2024-01-01T01:00:00', 2), ('2024-01-02T00:00:00', 3)"
+    )
+    eng.sql(
+        "INSERT INTO cat_t VALUES ('2024-01-02T01:00:00', 4), "
+        "('2024-01-03T00:00:00', 5)"
+    )
+    eng.sql("UPDATE cat_t SET x = 9 WHERE x = 1")
+    return eng.sql("""
+SELECT name, value FROM table_writer_metrics()
+UNION ALL SELECT 'version_ok',
+  CASE WHEN version() LIKE 'PostgreSQL 12.3%QuestDB' THEN 1 ELSE 0 END
+UNION ALL SELECT 'db_ok',
+  CASE WHEN current_database() = 'qdb' AND current_schema() = 'public'
+            AND current_data_id() = 0 THEN 1 ELSE 0 END
+UNION ALL SELECT 'typeof_ok',
+  CASE WHEN typeOf(CAST(1 AS INT)) = 'INT' AND typeOf(1e0) = 'DOUBLE'
+            AND typeOf('s') = 'STRING' AND typeOf(true) = 'BOOLEAN'
+            AND typeOf(CAST(1 AS BIGINT)) = 'LONG' THEN 1 ELSE 0 END
+UNION ALL SELECT 'array_build_ok',
+  CASE WHEN array_build(7, 8, 9)[2] = 8 THEN 1 ELSE 0 END
+UNION ALL SELECT 'writer_pool_rows', (SELECT count(*) FROM writer_pool())
+UNION ALL SELECT 'reader_pool_txn',
+  (SELECT max(current_txn) FROM reader_pool())
+UNION ALL SELECT 'memory_pos',
+  (SELECT CASE WHEN min(bytes) > 0 THEN 1 ELSE 0 END FROM memory_metrics())
+ORDER BY name
+""")
+
+
+# the statement sequence fixes every counter: INSERT#1 = 3 rows (first
+# commit, write path), INSERT#2 = 2 rows (append path, txn 1), UPDATE =
+# commit 3 (row counts not re-counted — see engine.writer_metrics note)
+SQL_CATALOGUE_INTROSPECTION_SQL = """
+SELECT * FROM (VALUES
+  ('array_build_ok', CAST(1 AS BIGINT)),
+  ('committed_rows', 5),
+  ('db_ok', 1),
+  ('memory_pos', 1),
+  ('o3commits', 0),
+  ('physically_written_rows', 5),
+  ('reader_pool_txn', 1),
+  ('rollbacks', 0),
+  ('total_commits', 3),
+  ('typeof_ok', 1),
+  ('version_ok', 1),
+  ('writer_pool_rows', 1)
+) AS t(name, value)
+ORDER BY name
+"""

@@ -174,6 +174,15 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
         pl.embedding_ann_ivf_trained,
         pl.EMBEDDING_IVF_TRAINED_SQL,
     ),
+    # engine introspection surface (r10): writer metrics counters, pool
+    # listings, typeOf/array_build/version/current_* catalogue scalars
+    "sql_catalogue_introspection": (
+        sq.sql_catalogue_introspection,
+        sq.SQL_CATALOGUE_INTROSPECTION_SQL,
+    ),
+    # windowed stddev/var/corr/covar (reference functions/window/ stat
+    # classes) via exact-decimal moment sums OVER frames
+    "window_stat_aggs": (core.window_stat_aggs, core.WINDOW_STAT_AGGS_SQL),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

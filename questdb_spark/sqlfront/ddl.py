@@ -524,11 +524,13 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
     target = eng.ddl_read(name, dedup=False)
     tcols = [c for c in target.columns if c not in (PARTITION_COL, t.seq_col)]
 
+    n_rows = None  # statically known commit size (table_writer_metrics)
     if body.lower().startswith("values"):
         cols = (
             [c.strip() for c in collist.split(",")] if collist else list(tcols)
         )
         tuples = body[len("values") :].strip()
+        n_rows = len(split_top_level(mask_literals(tuples), ","))
         df = eng.spark.sql(
             f"SELECT * FROM VALUES {tuples} AS v({', '.join(cols)})"
         )
@@ -562,6 +564,7 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
             sel.append(F.lit(None).cast(tgt_fields[c]).alias(c))
     aligned = df.select(*sel)
 
+    merge_path = t.dedup_enabled and _has_files(t)
     if _has_files(t) or t.dedup_enabled:
         # dedup tables always go through append: the first commit needs
         # the in-batch last-write-wins pass too (string_dedup.test)
@@ -569,6 +572,17 @@ def _insert(eng: QdbEngine, s: str) -> DataFrame:
         t.append(aligned, seq=eng.ddl_seq[name])
     else:
         t.write(aligned)
+    # table_writer_metrics counters: one commit; rows only when statically
+    # sized (VALUES) — see the status-row note below for why INSERT SELECT
+    # is never re-counted; the dedup merge-on-append path IS the O3/WAL
+    # merge machinery, so it counts as an o3 commit
+    wm = eng.writer_metrics
+    wm["total_commits"] += 1
+    if merge_path:
+        wm["o3commits"] += 1
+    if n_rows is not None:
+        wm["committed_rows"] += n_rows
+        wm["physically_written_rows"] += n_rows
     # TTL runs inside the ingest commit (TableWriter.enforceTtl:2684)
     evicted = t.enforce_ttl()
     _refresh_view(eng, name)
@@ -641,6 +655,7 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
             rewritten_assign[lhs.strip()] = F.expr(rhs)
         t.update_from(other, join_pred, rewritten_assign)
         _refresh_view(eng, name)
+        eng.writer_metrics["total_commits"] += 1
         return _status(eng, "update", name, f"from {from_tbl}")
     pred = (
         F.expr(eng.rewrite_predicate(where.strip(), table=name))
@@ -649,6 +664,7 @@ def _update(eng: QdbEngine, s: str) -> DataFrame:
     )
     t.update_where(pred, assignments)
     _refresh_view(eng, name)
+    eng.writer_metrics["total_commits"] += 1
     return _status(eng, "update", name, ", ".join(assignments))
 
 
@@ -843,6 +859,7 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         if not re.match(r"rebase\s+wal$", rest, re.IGNORECASE):
             raise ValueError(f"cannot parse REBASE WAL: {rest!r}")
         discarded = t.rebase_wal()
+        eng.writer_metrics["rollbacks"] += len(discarded)
         detail = "wal rebased" + (
             f"; discarded txns {discarded}" if discarded else ""
         )
@@ -859,6 +876,8 @@ def _alter(eng: QdbEngine, s: str) -> DataFrame:
         applied, skipped = t.resume_wal(
             from_txn=int(rm.group(1)) if rm.group(1) else None
         )
+        eng.writer_metrics["total_commits"] += len(applied)
+        eng.writer_metrics["rollbacks"] += len(skipped)
         detail = f"wal resumed; applied txns {applied}" + (
             f"; skipped txns {skipped}" if skipped else ""
         )

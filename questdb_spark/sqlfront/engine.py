@@ -165,6 +165,22 @@ class QdbEngine:
         # statement that references them (r9 lifecycle trim: the eager
         # re-register cost a mergeSchema scan + analysis per statement)
         self._dirty_views: set[str] = set()
+        # table_writer_metrics() counters (TableWriterMetricsRecordCursor
+        # Factory KEYS).  Counted where the engine already knows the
+        # numbers without extra jobs: commits/rollbacks are statement
+        # events; committed_rows counts statically-sized commits (VALUES
+        # tuple lists, replayed WAL txns) — INSERT SELECT contributes a
+        # commit but no row count (counting would re-run the SELECT, see
+        # _insert's status-row note); physically_written_rows adds the
+        # same rows (merge-path partition rewrites are not re-counted —
+        # reported value is a lower bound, documented)
+        self.writer_metrics: dict[str, int] = {
+            "total_commits": 0,
+            "o3commits": 0,
+            "rollbacks": 0,
+            "committed_rows": 0,
+            "physically_written_rows": 0,
+        }
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,
@@ -545,6 +561,7 @@ class QdbEngine:
         r"(?:read_parquet|long_sequence|generate_series|tables|"
         r"table_columns|table_partitions|wal_transactions|query_activity|"
         r"functions|keywords|views|materialized_views|live_views|"
+        r"memory_metrics|table_writer_metrics|reader_pool|writer_pool|"
         r"dedup_pairs|minhash_candidates|top_terms)\s*\(",
         re.IGNORECASE,
     )
@@ -1326,7 +1343,8 @@ class QdbEngine:
         # so the table-name group matches the quotes and is read back from
         # the original via its span
         r"\b(tables|all_tables|wal_tables|query_activity|functions|keywords"
-        r"|views|materialized_views|live_views)\s*\(\s*\)"
+        r"|views|materialized_views|live_views|memory_metrics"
+        r"|table_writer_metrics|reader_pool|writer_pool)\s*\(\s*\)"
         r"|\b(table_columns|table_partitions|wait_wal_table|touch"
         r"|hydrate_table_metadata|wal_transactions)\s*\(\s*('[^']*')\s*\)",
         re.IGNORECASE,
@@ -1380,6 +1398,56 @@ class QdbEngine:
                     if kind == "views"
                     else "view_name string, base_table string, refresh_shape string"
                 )
+                view = f"__qdb_{kind}"
+                df = (
+                    self.spark.createDataFrame(rows, schema)
+                    if rows
+                    else self.spark.createDataFrame([], schema)
+                )
+                df.createOrReplaceTempView(view)
+            elif m.group(1) and m.group(1).lower() in (
+                "memory_metrics", "table_writer_metrics",
+                "reader_pool", "writer_pool",
+            ):
+                # functions/table/{MemoryMetrics,TableWriterMetrics,
+                # ReaderPool,WriterPool}FunctionFactory — engine
+                # introspection.  writer metrics come from the statement
+                # counters (see __init__); pool listings map this engine's
+                # writer state: thread ids are 0 (one logical writer per
+                # table under Spark's scheduler), last_access is NULL (no
+                # wall clock — keeps the functions oracle-checkable)
+                kind = m.group(1).lower()
+                if kind == "table_writer_metrics":
+                    order = ["total_commits", "o3commits", "rollbacks",
+                             "committed_rows", "physically_written_rows"]
+                    rows = [(n, self.writer_metrics[n]) for n in order]
+                    schema = "name string, value long"
+                elif kind == "memory_metrics":
+                    import resource
+
+                    rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                    rows = [
+                        ("driver_rss", int(rss_kb) * 1024),
+                        ("tagged_total", int(rss_kb) * 1024),
+                    ]
+                    schema = "memory_tag string, bytes long"
+                elif kind == "writer_pool":
+                    rows = [
+                        (n, 0, None,
+                         "suspended" if t._wal_state()["suspended"] else None)
+                        for n, t in sorted(self.ddl_tables.items())
+                    ]
+                    schema = ("table_name string, owner_thread_id long, "
+                              "last_access_timestamp timestamp, "
+                              "ownership_reason string")
+                else:  # reader_pool
+                    rows = [
+                        (n, 0, None, self.ddl_seq.get(n, 0))
+                        for n in sorted(self.ddl_tables)
+                    ]
+                    schema = ("table_name string, owner_thread_id long, "
+                              "last_access_timestamp timestamp, "
+                              "current_txn long")
                 view = f"__qdb_{kind}"
                 df = (
                     self.spark.createDataFrame(rows, schema)
@@ -3563,7 +3631,10 @@ def _expand_fn_macros(s: str) -> str:
         s = "".join(out)
         if not changed:
             break
-    return s
+    # sentinel used by expansions that must call a Spark built-in a macro
+    # SHADOWS (typeof): restored only after the fixpoint so the emitted
+    # call can't re-match its own macro
+    return s.replace("__qdb_typeof__(", "typeof(")
 
 
 # QuestDB column-type names → Spark cast targets (json_extract ::type and

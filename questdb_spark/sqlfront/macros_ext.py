@@ -489,7 +489,56 @@ EXT_FN_MACROS: dict = {
     # arrays
     "matmul": _matmul_sql,
     "transpose": _transpose_sql,
+    # catalogue runtime constants (catalogue/Constants.java: DB_NAME "qdb",
+    # PUBLIC_SCHEMA "public", PG_CATALOG_VERSION_CONSTANT; honest engine
+    # suffix replaces the reference's compiler tag)
+    "version": lambda a: (
+        "'PostgreSQL 12.3, compiled for Apache Spark, 64-bit, QuestDB'"
+    ),
+    "current_database": lambda a: "'qdb'",
+    "current_catalog": lambda a: "'qdb'",
+    "current_schema": lambda a: "'public'",
+    # CurrentDataIdFunctionFactory: replica data id — 0 on a primary that
+    # never ingested a replication snapshot, which is this engine always
+    "current_data_id": lambda a: "CAST(0 AS BIGINT)",
+    # array/BuildArrayFunctionFactory.java — array_build(v1, v2, ...)
+    "array_build": lambda a: f"array({', '.join(a)})",
+    # catalogue/TypeOfFunctionFactory.java — QuestDB ColumnType names from
+    # the expression's Spark type (STRING maps the reference's default
+    # varchar storage; nested/decimal types print upper-cased as-is)
+    "typeof": lambda a: _typeof_sql(a[0]),
 }
+
+
+_TYPEOF_MAP = {
+    "boolean": "BOOLEAN",
+    "tinyint": "BYTE",
+    "smallint": "SHORT",
+    "int": "INT",
+    "bigint": "LONG",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "STRING",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BINARY",
+    "void": "NULL",
+}
+
+
+def _typeof_sql(x: str) -> str:
+    # emits the SENTINEL spelling: the expansion itself needs Spark's
+    # typeof(), which this macro shadows — the raw name would re-match on
+    # the next fixpoint pass and nest another CASE per pass.  The expander
+    # restores the sentinel to `typeof` after the loop.
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _TYPEOF_MAP.items()
+    )
+    return (
+        f"(CASE __qdb_typeof__({x}) {whens} "
+        f"ELSE upper(__qdb_typeof__({x})) END)"
+    )
 
 EXT_RND_MACROS: dict = {
     "rnd_decimal": _rnd_decimal_sql,

@@ -195,3 +195,30 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.dedup.exact_dedup``: emit only the
+    FIRST arrival of each content hash — the dedup gate a continuous
+    training-data ingest runs in front of the corpus store.
+
+    Built-in-first: Spark's streaming ``dropDuplicates`` keys its state
+    store by the hash column, so cross-micro-batch duplicates drop
+    without a custom state function.  With ``ts_col`` the watermark
+    bounds state to the late-data horizon (the 100 TB shape: state size
+    follows the duplicate-arrival window, not corpus cardinality);
+    without it, state holds every distinct hash seen — correct, but
+    unbounded, so ingest jobs should always pass the event-time column."""
+    out = stream.withColumn("__h", F.md5(F.col(text_col).cast("string")))
+    if ts_col is not None:
+        out = out.withWatermark(ts_col, watermark)
+        # duplicates beyond the watermark horizon are admitted again by
+        # design (state was evicted) — dropDuplicatesWithinWatermark is
+        # the exact contract for that
+        return out.dropDuplicatesWithinWatermark(["__h"]).drop("__h")
+    return out.dropDuplicates(["__h"]).drop("__h")

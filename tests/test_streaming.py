@@ -621,3 +621,54 @@ def test_streaming_sessionize_matches_batch(spark):
     }
     assert got == expected and len(got) == 4  # 2 users x 2 sessions
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_exact_across_batches(spark):
+    """Streaming exact dedup: duplicates inside a micro-batch AND across
+    micro-batches drop (state store carries hashes); every distinct text
+    survives exactly once, and a text first seen in batch 0 must keep its
+    batch-0 row even when batch 1 repeats it."""
+    import shutil
+
+    from questdb_spark.streaming.stateful import streaming_dedup_exact
+
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    # batch 0: A A B; batch 1: B C A (cross-batch dupes B and A)
+    write_batch([(0, "A"), (1, "A"), (2, "B")], "b0")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = os.path.join(tmp, "out")
+
+    def run_once():
+        q = (
+            streaming_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)  # shared: 2nd run restarts
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    write_batch([(3, "B"), (4, "C"), (5, "A")], "b1")
+    run_once()
+    got = {
+        r["text"]: r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    # exactly one survivor per text; A and B survived from batch 0 even
+    # though batch 1 repeated them (the checkpoint restart kept the state)
+    assert set(got) == {"A", "B", "C"}, got
+    assert got["A"] in (0, 1) and got["B"] == 2 and got["C"] == 4, got
+    shutil.rmtree(tmp, ignore_errors=True)
