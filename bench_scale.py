@@ -96,6 +96,10 @@ HEAVY = [
     # r9 additions: rank-3 arrays + batch k-NN join
     "array_ops3",
     "embedding_knn_join",
+    # r10 additions: trained quantizer + windowed moment stats
+    "embedding_kmeans",
+    "embedding_ann_ivf_trained",
+    "window_stat_aggs",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

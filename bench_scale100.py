@@ -113,6 +113,7 @@ CASES = {
     "embedding_knn_join_ivf": _knn_join_ivf,
     "embedding_ann_pq": _ann_pq,
     "dedup_clusters_distributed": _clusters_distributed,
+    "embedding_kmeans": REGISTRY["embedding_kmeans"][0],
 }
 
 NOTES = {
@@ -136,6 +137,9 @@ NOTES = {
     "probes read n_probe/n_cells of the corpus",
     "embedding_ann_pq": "map-only encode + asymmetric-distance scan over "
     "8-byte codes (32x smaller than raw vectors); output constant top-10",
+    "embedding_kmeans": "Lloyd's training: iterations and model size are "
+    "scale-invariant, each round = one Arrow argmin map pass + one k*dim "
+    "aggregate — runtime follows the scan, output constant (k*dim rows)",
     "dedup_clusters_distributed": "driver_cc_bound=0 forces the log-rounds "
     "min-label + path-halving loop over the exact-Jaccard edge set of the "
     "exact-deduped (staged) corpus; also regression-covers the Spark 4.1 "

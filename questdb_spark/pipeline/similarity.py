@@ -943,3 +943,69 @@ def kmeans_report(
         )
         .orderBy("cell", "pos")
     )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """TRAIN the PQ codebooks with per-subspace k-means (the FAISS recipe;
+    `pq_codebooks` is the sampled init).  All m subspaces train in ONE
+    job per iteration: the encode kernel assigns every subspace's code in
+    one Arrow pass, and the update is a single groupBy over
+    (subspace, code, subpos) — m*k*d_sub model rows, never data.  Same
+    exact-integer contract as `kmeans_train` (argmin ties -> lowest code,
+    floor-mean via the positive-offset trick, empty codewords persist),
+    so a SQL oracle can replay training subspace-by-subspace."""
+    cbs = pq_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    d_sub = len(cbs[0][0])
+    base = df.select(
+        F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
+    )
+    for _ in range(iters):
+        enc = _pq_encode_udf(cbs)
+        stats = (
+            base.select(enc(F.col("__v")).alias("__c"), F.posexplode("__q"))
+            .select(
+                (F.col("pos") / d_sub).cast("int").alias("sub"),
+                F.element_at(
+                    F.col("__c"), (F.col("pos") / d_sub).cast("int") + 1
+                ).alias("code"),
+                (F.col("pos") % d_sub).alias("subpos"),
+                F.col("col").alias("q"),
+            )
+            .groupBy("sub", "code", "subpos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("cnt"))
+            .collect()  # m*k*d_sub model rows — bounded, documented
+        )
+        nxt = [[list(cw) for cw in cb] for cb in cbs]
+        for r in stats:
+            nxt[r["sub"]][r["code"]][r["subpos"]] = (
+                r["s"] + r["cnt"] * KM_OFF
+            ) // r["cnt"] - KM_OFF
+        cbs = nxt
+    return cbs
+
+
+def _pq_encode_udf(codebooks: list[list[list[int]]]):
+    """vec -> array of m nearest sub-codewords (the pq_encode kernel,
+    exposed for reuse by training)."""
+    cb = np.array(codebooks, dtype=np.int64)  # m x K x d_sub
+    m, _K, d_sub = cb.shape
+    cnorms = [np.einsum("ij,ij->i", cb[s], cb[s]) for s in range(m)]
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        q = _quant_np(v)
+        out = np.empty((q.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = q[:, s * d_sub : (s + 1) * d_sub]
+            d = -2 * (sub @ cb[s].T) + cnorms[s]
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return enc

@@ -1274,8 +1274,15 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     lsh = similarity.ann_lsh_topk(emb, query, k=10, dim=64)
     ivf = similarity.ann_ivf_topk(emb, query, cents, k=10, n_probe=2)
     pq = similarity.pq_adc_topk(similarity.pq_encode(emb, cbs), qv, cbs, k=10)
+    # the TRAINED quantizer route (r10): same probe shape, k-means cells —
+    # the report is where training pays rent as a measured recall delta
+    tcents = similarity.kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
+    ivft = similarity.ann_ivf_topk(emb, query, tcents, k=10, n_probe=2)
     return (
-        hits("ivf", ivf).unionByName(hits("lsh", lsh)).unionByName(hits("pq", pq))
+        hits("ivf", ivf)
+        .unionByName(hits("ivf_trained", ivft))
+        .unionByName(hits("lsh", lsh))
+        .unionByName(hits("pq", pq))
     )
 
 
@@ -1284,9 +1291,13 @@ def _ann_recall_sql() -> str:
 WITH exact AS (SELECT vec_id FROM ({EMBEDDING_TOPK_SQL})),
 lsh AS (SELECT vec_id FROM ({EMBEDDING_ANN_SQL})),
 ivf AS (SELECT vec_id FROM ({EMBEDDING_IVF_SQL})),
+ivft AS (SELECT vec_id FROM ({EMBEDDING_IVF_TRAINED_SQL})),
 pq AS (SELECT vec_id FROM ({EMBEDDING_PQ_SQL}))
 SELECT 'ivf' AS route,
   CAST((SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM exact)) AS INT) AS hits
+UNION ALL
+SELECT 'ivf_trained' AS route,
+  CAST((SELECT count(*) FROM ivft WHERE vec_id IN (SELECT vec_id FROM exact)) AS INT) AS hits
 UNION ALL
 SELECT 'lsh' AS route,
   CAST((SELECT count(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM exact)) AS INT) AS hits
@@ -1424,7 +1435,8 @@ FROM documents d, range(0, 6) t(i)
 WHERE t.i < 2 + d.doc_id % 4 AND t.i % 2 = 0
 """
 
-ANN_RECALL_SQL = _ann_recall_sql()
+# ANN_RECALL_SQL is assigned at module end: the trained-IVF route's SQL
+# (EMBEDDING_IVF_TRAINED_SQL) is defined below in the k-means section.
 
 
 # --------------------------------------------------------------------------
@@ -1544,5 +1556,155 @@ SELECT vec_id,
   cell
 FROM cand
 ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# assigned here (not at the report function) so the trained-IVF CTE can
+# reference EMBEDDING_IVF_TRAINED_SQL defined above
+ANN_RECALL_SQL = _ann_recall_sql()
+
+
+# --------------------------------------------------------------------------
+# Trained product quantization (r10): per-subspace k-means
+# --------------------------------------------------------------------------
+
+_PQT_ITERS = 2
+_PQT_DSUB = 8  # dim 64 / PQ_M 8
+
+
+def embedding_pq_train(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ codebook TRAINING (r10): per-subspace k-means, all 8 subspaces in
+    one aggregate per Lloyd's round (the FAISS recipe; `embedding_ann_pq`
+    uses the sampled init).  Returns every trained codeword value plus its
+    final usage count — the full trained model, exact integers, against a
+    DuckDB CTE replay of the identical iterations."""
+    emb = load_table(spark, sf, "embeddings")
+    cbs = similarity.pq_train(emb, iters=_PQT_ITERS)
+    codes = similarity.pq_encode(emb, cbs)
+    usage = (
+        codes.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("used"))
+    )
+    cb_rows = [
+        (s, j, p, int(v))
+        for s, cb in enumerate(cbs)
+        for j, cw in enumerate(cb)
+        for p, v in enumerate(cw)
+    ]
+    cbdf = spark.createDataFrame(
+        cb_rows, "sub int, code int, subpos int, cval bigint"
+    )
+    return (
+        cbdf.join(F.broadcast(usage), ["sub", "code"], "left")
+        .select(
+            "sub", "code", "subpos", "cval",
+            F.coalesce("used", F.lit(0)).cast("bigint").alias("used"),
+        )
+        .orderBy("sub", "code", "subpos")
+    )
+
+
+def _pq_train_cte(iters: int = _PQT_ITERS) -> str:
+    """CTE chain replaying pq_train: exs = (vec, subspace, subpos, q),
+    cb0 = sampled init (PQ_K lowest-id vectors sliced), then per round
+    per-(vec, subspace) argmin assignment (ties -> lowest code) and
+    floor-mean codeword update (empty codewords persist)."""
+    parts = [f"""ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings),
+exs AS (
+  SELECT vec_id, CAST(pos // {_PQT_DSUB} AS INT) AS sub,
+         CAST(pos % {_PQT_DSUB} AS INT) AS subpos, q
+  FROM ex),
+ii AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {similarity.PQ_K})),
+cb0 AS (SELECT i.code, e.sub, e.subpos, e.q AS cval
+        FROM exs e JOIN ii i USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        p = f"cb{i - 1}"
+        parts.append(f"""pd{i} AS (
+  SELECT e.vec_id, e.sub, c.code,
+         SUM((e.q - c.cval) * (e.q - c.cval)) AS dist
+  FROM exs e JOIN {p} c ON e.sub = c.sub AND e.subpos = c.subpos
+  GROUP BY 1, 2, 3),
+pa{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM pd{i}) WHERE rn = 1),
+ps{i} AS (
+  SELECT a.sub, a.code, e.subpos, SUM(e.q) AS s, COUNT(*) AS cnt
+  FROM exs e JOIN pa{i} a ON e.vec_id = a.vec_id AND e.sub = a.sub
+  GROUP BY 1, 2, 3),
+cb{i} AS (
+  SELECT c.sub, c.code, c.subpos,
+         COALESCE((s.s + s.cnt * {_KM_OFF}) // s.cnt - {_KM_OFF}, c.cval) AS cval
+  FROM {p} c LEFT JOIN ps{i} s
+    ON c.sub = s.sub AND c.code = s.code AND c.subpos = s.subpos)""")
+    return ",\n".join(parts)
+
+
+EMBEDDING_PQ_TRAIN_SQL = f"""
+WITH {_pq_train_cte()},
+fd AS (
+  SELECT e.vec_id, e.sub, c.code,
+         SUM((e.q - c.cval) * (e.q - c.cval)) AS dist
+  FROM exs e JOIN cb{_PQT_ITERS} c ON e.sub = c.sub AND e.subpos = c.subpos
+  GROUP BY 1, 2, 3),
+fa AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM fd) WHERE rn = 1),
+u AS (SELECT sub, code, COUNT(*) AS used FROM fa GROUP BY 1, 2)
+SELECT CAST(c.sub AS INTEGER) AS sub, CAST(c.code AS INTEGER) AS code,
+       CAST(c.subpos AS INTEGER) AS subpos, CAST(c.cval AS BIGINT) AS cval,
+       CAST(COALESCE(u.used, 0) AS BIGINT) AS used
+FROM cb{_PQT_ITERS} c LEFT JOIN u ON c.sub = u.sub AND c.code = u.code
+ORDER BY sub, code, subpos
+"""
+
+
+def embedding_ann_pq_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC scan over TRAINED codebooks (r10): identical query shape to
+    `embedding_ann_pq` (map-only encode, LUT distance over codes, one
+    top-k) — the codebooks just come from pq_train.  Training quality
+    shows up as a smaller quantization error for the same scan cost."""
+    emb = load_table(spark, sf, "embeddings")
+    cbs = similarity.pq_train(emb, iters=_PQT_ITERS)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    return similarity.pq_adc_topk(similarity.pq_encode(emb, cbs), qv, cbs, k=10)
+
+
+EMBEDDING_PQ_TRAINED_SQL = f"""
+WITH {_pq_train_cte()},
+fd AS (
+  SELECT e.vec_id, e.sub, c.code,
+         SUM((e.q - c.cval) * (e.q - c.cval)) AS dist
+  FROM exs e JOIN cb{_PQT_ITERS} c ON e.sub = c.sub AND e.subpos = c.subpos
+  GROUP BY 1, 2, 3),
+fa AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+    FROM fd) WHERE rn = 1),
+qd AS (
+  SELECT c.sub, c.code, SUM((e.q - c.cval) * (e.q - c.cval)) AS d
+  FROM exs e JOIN cb{_PQT_ITERS} c ON e.sub = c.sub AND e.subpos = c.subpos
+  WHERE e.vec_id = 0
+  GROUP BY 1, 2)
+SELECT fa.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+FROM fa JOIN qd ON fa.sub = qd.sub AND fa.code = qd.code
+GROUP BY fa.vec_id
+ORDER BY adc_dist ASC, vec_id ASC
 LIMIT 10
 """

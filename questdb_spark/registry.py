@@ -183,6 +183,12 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     # windowed stddev/var/corr/covar (reference functions/window/ stat
     # classes) via exact-decimal moment sums OVER frames
     "window_stat_aggs": (core.window_stat_aggs, core.WINDOW_STAT_AGGS_SQL),
+    # trained PQ (r10): per-subspace k-means, one aggregate per round
+    "embedding_pq_train": (pl.embedding_pq_train, pl.EMBEDDING_PQ_TRAIN_SQL),
+    "embedding_ann_pq_trained": (
+        pl.embedding_ann_pq_trained,
+        pl.EMBEDDING_PQ_TRAINED_SQL,
+    ),
 }
 
 # Entries sitting on code materially changed in r10 (cluster-resolution

@@ -222,3 +222,101 @@ def streaming_dedup_exact(
         # the exact contract for that
         return out.dropDuplicatesWithinWatermark(["__h"]).drop("__h")
     return out.dropDuplicates(["__h"]).drop("__h")
+
+
+def streaming_window_join(
+    master: DataFrame,
+    slave: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    lo_seconds: float,
+    hi_seconds: float,
+) -> DataFrame:
+    """Stream-stream WINDOW JOIN: each master row aggregates the
+    key-matching slave values inside ``[ts+lo, ts+hi]`` — the streaming
+    twin of ``operators/window_join.window_join`` (sum/count form).
+
+    A positive ``hi`` means a master row cannot emit until the slave
+    stream has provably passed its horizon, so state buffers BOTH pending
+    masters and a slave tail per key; a master emits in the first batch
+    where some slave timestamp reaches ``ts + hi`` (same per-key
+    monotonicity contract as ``streaming_asof_join``: slave event time is
+    non-decreasing across micro-batches; in-batch order is free).  Masters
+    at the stream tail stay pending — exactly the semantics a live
+    look-ahead join must have.  The slave buffer trims to the earliest
+    pending horizon, so state is bounded by window width x arrival rate,
+    never history.  One stateful shuffle on the join keys, like the batch
+    bucketed lowering."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    lo_us = int(lo_seconds * 1_000_000)
+    hi_us = int(hi_seconds * 1_000_000)
+    tagged_m = master.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    tagged_s = slave.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    unioned = tagged_m.unionByName(tagged_s)
+
+    key_fields = ", ".join(
+        f"{k} {master.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, {ts_col} {master.schema[ts_col].dataType.simpleString()}, "
+        "w_sum double, w_count bigint"
+    )
+    state_schema = (
+        "m_ts array<long>, s_ts array<long>, s_v array<double>, max_s long"
+    )
+    out_names = keys + [ts_col, "w_sum", "w_count"]
+
+    def advance(key, pdf_iter, state):
+        if state.exists:
+            m_ts, s_ts, s_v, max_s = state.get
+            m_ts, s_ts, s_v = list(m_ts), list(s_ts), list(s_v)
+        else:
+            m_ts, s_ts, s_v, max_s = [], [], [], -(1 << 62)
+        for pdf in pdf_iter:
+            ts_us = pdf["__ts"].astype("int64") // 1000  # ns -> us
+            is_s = pdf["__side"].to_numpy() == 0
+            m_ts.extend(ts_us[~is_s].tolist())
+            s_ts.extend(ts_us[is_s].tolist())
+            s_v.extend(pdf["__v"][is_s].astype(float).tolist())
+            if is_s.any():
+                max_s = max(max_s, int(ts_us[is_s].max()))
+            emit_mask = [t + hi_us <= max_s for t in m_ts]
+            ready = [t for t, e in zip(m_ts, emit_mask) if e]
+            m_ts = [t for t, e in zip(m_ts, emit_mask) if not e]
+            if ready:
+                rm = np.array(ready, dtype=np.int64)[:, None]
+                st = np.array(s_ts, dtype=np.int64)[None, :]
+                sv = np.array(s_v, dtype=np.float64)[None, :]
+                inw = (st >= rm + lo_us) & (st <= rm + hi_us)
+                w_sum = np.where(inw, sv, 0.0).sum(axis=1)
+                w_cnt = inw.sum(axis=1).astype(np.int64)
+                yield pd.DataFrame({
+                    **{k: v for k, v in zip(keys, key)},
+                    ts_col: pd.to_datetime(np.array(ready) * 1000),
+                    "w_sum": w_sum,
+                    "w_count": w_cnt,
+                })[out_names]
+            # trim the slave tail to the earliest pending horizon
+            floor_us = (min(m_ts) + lo_us) if m_ts else (max_s - hi_us + lo_us)
+            kept = [(t, v) for t, v in zip(s_ts, s_v) if t >= floor_us]
+            s_ts, s_v = [t for t, _ in kept], [v for _, v in kept]
+        state.update((m_ts, s_ts, s_v, max_s))
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -505,3 +505,84 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
         for r in similarity.kmeans_report(df, cents).collect()
     }
     assert sizes == {0: 4, 1: 2}, sizes
+
+
+def test_kmeans_matches_python_shadow_fuzz(spark):
+    """Multi-seed fuzz: kmeans_train on random integer-grid vectors must
+    equal a pure-Python reference that implements the documented rules
+    (lowest-id init, argmin-with-lowest-cell ties, floor-mean update,
+    empty cells keep centroids) — independently of Spark partitioning."""
+    import random
+
+    from questdb_spark.pipeline import similarity
+
+    def py_kmeans(vecs, k, iters):
+        ids = sorted(vecs)
+        cents = [list(vecs[i]) for i in ids[:k]]
+        for _ in range(iters):
+            assign = {}
+            for i in ids:
+                dists = [
+                    sum((a - b) ** 2 for a, b in zip(vecs[i], c))
+                    for c in cents
+                ]
+                assign[i] = dists.index(min(dists))  # first min = low cell
+            nxt = [list(c) for c in cents]
+            for ci in range(k):
+                members = [i for i in ids if assign[i] == ci]
+                if members:
+                    nxt[ci] = [
+                        sum(vecs[i][p] for i in members) // len(members)
+                        for p in range(len(cents[0]))
+                    ]
+            cents = nxt
+        return cents
+
+    for seed in (7, 23, 1031):
+        rng = random.Random(seed)
+        n, dim, k, iters = 40, 4, 5, 3
+        # values on the /1000 grid so quantization is exact round-trip
+        vecs = {
+            i: [rng.randint(-3000, 3000) for _ in range(dim)]
+            for i in range(n)
+        }
+        rows = [
+            (i, [v / 1000.0 for v in vec]) for i, vec in vecs.items()
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.kmeans_train(df, k=k, iters=iters)
+        want = py_kmeans(vecs, k, iters)
+        assert got == want, (seed, got, want)
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    """Per-subspace k-means must cut total quantization error (sum over
+    corpus x subspaces of the assigned codeword distance) vs the sampled
+    init — the measurable reason to train codebooks at all."""
+    import numpy as np
+
+    from questdb_spark.pipeline import similarity
+    from questdb_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def total_err(cbs):
+        cb = np.array(cbs, dtype=np.int64)
+        m, _k, d_sub = cb.shape
+        q = np.array(
+            [r["q"] for r in emb.select(
+                similarity.quantize(F.col("embedding")).alias("q")
+            ).collect()],
+            dtype=np.int64,
+        )
+        err = 0
+        for s in range(m):
+            sub = q[:, s * d_sub:(s + 1) * d_sub]
+            d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            err += int(d.min(axis=1).sum())
+        return err
+
+    init = similarity.pq_codebooks(emb)
+    trained = similarity.pq_train(emb, iters=2)
+    e0, e1 = total_err(init), total_err(trained)
+    assert e1 < e0, (e0, e1)

@@ -672,3 +672,87 @@ def test_streaming_dedup_exact_across_batches(spark):
     assert set(got) == {"A", "B", "C"}, got
     assert got["A"] in (0, 1) and got["B"] == 2 and got["C"] == 4, got
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_window_join_matches_batch(spark):
+    """Stream-stream WINDOW JOIN: a master row emits once the slave stream
+    passes its look-ahead horizon, with sum/count over [ts-30s, ts+30s]
+    equal to the batch window_join over the concatenated history.  The
+    final master (horizon never passed) must stay pending — the honest
+    live semantics."""
+    import shutil
+
+    from questdb_spark.operators.window_join import window_join
+    from questdb_spark.streaming.stateful import streaming_window_join
+
+    tmp = tempfile.mkdtemp(prefix="swj_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def t(sec):
+        return f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+    # side 0 = slave (k, ts, v); side 1 = master (k, ts)
+    b0 = [("a", t(0), 0, 1.0), ("a", t(10), 1, None), ("a", t(20), 0, 2.0),
+          ("b", t(15), 1, None), ("b", t(25), 0, 10.0)]
+    b1 = [("a", t(50), 0, 4.0), ("a", t(70), 1, None),  # t50 passes t10+30
+          ("b", t(60), 0, 20.0)]                         # t60 passes t15+30
+    b2 = [("a", t(110), 0, 8.0),  # passes t70+30
+          ("a", t(200), 1, None)]  # tail master: horizon never passed
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows, "k string, ts_s string, is_m int, v double"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "is_m", "v")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    for i, b in enumerate((b0, b1, b2)):
+        write(b, f"b{i}")
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, is_m int, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_window_join(
+            stream.filter("is_m = 1").select("k", "ts"),
+            stream.filter("is_m = 0").select("k", "ts", "v"),
+            "ts", ["k"], "v", -30, 30,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["k"], str(r["ts"])): (r["w_sum"], r["w_count"])
+        for r in spark.read.parquet(out).collect()
+    }
+    allrows = b0 + b1 + b2
+    full = spark.createDataFrame(
+        allrows, "k string, ts_s string, is_m int, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "is_m", "v")
+    batch = window_join(
+        full.filter("is_m = 1").select(
+            "k", "ts", F.monotonically_increasing_id().alias("mid")
+        ),
+        full.filter("is_m = 0").select("k", "ts", "v"),
+        "ts", ["k"], "-30 seconds", "30 seconds",
+        {"w_sum": F.sum("s.v"), "w_count": F.count("s.v")},
+        master_id="mid",
+    )
+    expected = {
+        (r["k"], str(r["ts"])): (r["w_sum"], r["w_count"])
+        for r in batch.collect()
+        if str(r["ts"]) != "2024-01-01 00:03:20"  # tail master stays pending
+    }
+    # normalize: batch emits null sum for empty windows, streaming emits 0.0
+    norm = lambda p: (0.0 if p[0] is None else p[0], p[1])
+    assert {k: norm(v) for k, v in got.items()} == {
+        k: norm(v) for k, v in expected.items()
+    }, (got, expected)
+    assert ("a", "2024-01-01 00:03:20") not in got  # pending tail
+    shutil.rmtree(tmp, ignore_errors=True)
