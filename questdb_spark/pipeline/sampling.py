@@ -109,6 +109,27 @@ def pack_sequences(
     )
 
 
+def _temp_power(x, alpha: float):
+    """x^alpha for the quarter-grid alphas via IEEE-exact sqrt
+    compositions (sqrt is correctly rounded and engine-identical; libm
+    pow() is NOT, so arbitrary exponents would break oracle bit-equality):
+    1 -> x, 0.5 -> sqrt(x), 0.25 -> sqrt(sqrt(x)),
+    0.75 -> sqrt(x)*sqrt(sqrt(x)) — products of exact-rounded ops are
+    deterministic across engines."""
+    if alpha == 1.0:
+        return x
+    if alpha == 0.5:
+        return F.sqrt(x)
+    if alpha == 0.25:
+        return F.sqrt(F.sqrt(x))
+    if alpha == 0.75:
+        return F.sqrt(x) * F.sqrt(F.sqrt(x))
+    raise NotImplementedError(
+        "alpha must be one of 1, 0.75, 0.5, 0.25 (sqrt-composable — libm "
+        "pow() is not bit-deterministic across engines)"
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     *,
@@ -129,9 +150,7 @@ def mixture_weights(
         F.count("*").alias("n_docs"),
         F.sum(F.size(tokens_col(F.col(text_col)))).alias("n_tokens"),
     )
-    if alpha != 0.5:  # pragma: no cover - sqrt keeps engines bit-identical
-        raise NotImplementedError("alpha=0.5 (sqrt temperature) only")
-    pw = F.sqrt(F.col("n_tokens").cast("double"))
+    pw = _temp_power(F.col("n_tokens").cast("double"), alpha)
     wall = Window.partitionBy()
     d6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
     return (

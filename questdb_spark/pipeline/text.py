@@ -235,3 +235,73 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select("doc", "rank", "token", "tf", "df")
     )
+
+
+def bpe_merge_step(toks: Column, a: str, b: str, joiner: str = " ") -> Column:
+    """One BPE merge applied to a token array: greedy left-to-right fold
+    replacing each adjacent (a, b) with the merged token.  Pure Catalyst
+    HOF (aggregate with an array accumulator) — per-row, no shuffle, the
+    map-only shape a corpus-wide re-tokenization pass needs.  The space
+    joiner cannot collide with original tokens (whitespace-split)."""
+    merged = a + joiner + b
+    empty = F.array().cast("array<string>")
+    first = F.slice(toks, 1, 1)
+    rest = F.when(
+        F.size(toks) >= 2, F.slice(toks, 2, F.size(toks) - 1)
+    ).otherwise(empty)
+    fold = F.aggregate(
+        rest,
+        first,
+        lambda acc, t: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (t == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+    return F.when(F.size(toks) == 0, toks).otherwise(fold)
+
+
+def bpe_train(
+    df, text_col: str = "text", merges: int = 3
+) -> list[tuple[int, str, str, int]]:
+    """BPE-style merge training (the tokenizer-construction loop): per
+    round, count adjacent token pairs (in-row pair build -> one hash
+    aggregate), pick the most frequent pair (ties -> lexicographic), and
+    rewrite the corpus with `bpe_merge_step`.  Returns the learned merge
+    table [(rank, tok_a, tok_b, count)].
+
+    Scale shape: each round is ONE aggregate job whose collect is a single
+    model row (the argmax pair) — the per-round corpus rewrite is a lazy
+    map layer, so k merges = k scans, the same pass structure a
+    distributed BPE/unigram trainer runs at 100 TB."""
+    cur = df.select(tokens_col(F.col(text_col)).alias("__t"))
+    out: list[tuple[int, str, str, int]] = []
+    pairs = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+        "(t, i) -> struct(t AS a, element_at(__t, i + 2) AS b))"
+    )
+    for r in range(1, merges + 1):
+        top = (
+            cur.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()  # 1-row model update per round — bounded
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        out.append((r, a, b, n))
+        cur = cur.select(bpe_merge_step(F.col("__t"), a, b).alias("__t"))
+    return out
+
+
+def bpe_apply(df, merges: list[tuple[int, str, str, int]], text_col: str = "text"):
+    """Apply a learned merge table in rank order — the tokenize step a
+    trained model ships.  Returns (original columns..., __t token array)."""
+    cur = df.withColumn("__t", tokens_col(F.col(text_col)))
+    for _r, a, b, _n in merges:
+        cur = cur.withColumn("__t", bpe_merge_step(F.col("__t"), a, b))
+    return cur

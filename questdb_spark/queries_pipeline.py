@@ -1708,3 +1708,232 @@ GROUP BY fa.vec_id
 ORDER BY adc_dist ASC, vec_id ASC
 LIMIT 10
 """
+
+
+def mixture_temperature_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature sweep over the quarter-grid alphas (r10): the mixture
+    table a data-loader ablation actually compares — one row per
+    (alpha, domain) with weight and boost.  All four powers compose from
+    IEEE-exact sqrt (libm pow() is not bit-deterministic across engines),
+    so every value hash-matches the oracle."""
+    docs = load_table(spark, sf, "documents")
+    out = None
+    for alpha in (0.25, 0.5, 0.75, 1.0):
+        part = sampling.mixture_weights(
+            docs, alpha=alpha, group_col="source"
+        ).select(F.lit(alpha).alias("alpha"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _mix_sweep_sql() -> str:
+    pws = {
+        0.25: "SQRT(SQRT(CAST(n_tokens AS DOUBLE)))",
+        0.5: "SQRT(CAST(n_tokens AS DOUBLE))",
+        0.75: "SQRT(CAST(n_tokens AS DOUBLE)) * SQRT(SQRT(CAST(n_tokens AS DOUBLE)))",
+        1.0: "CAST(n_tokens AS DOUBLE)",
+    }
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({a} AS DOUBLE) AS alpha, domain, n_docs, n_tokens,
+  CAST(CAST({pw} / SUM({pw}) OVER () AS DECIMAL(18,6)) AS DOUBLE) AS weight,
+  CAST(CAST(({pw} / SUM({pw}) OVER ()) / (n_tokens / SUM(n_tokens) OVER ())
+    AS DECIMAL(18,6)) AS DOUBLE) AS boost
+FROM per"""
+        for a, pw in pws.items()
+    )
+    return f"""
+WITH per AS (
+  SELECT source AS domain, COUNT(*) AS n_docs,
+    CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+{arms}
+"""
+
+
+MIXTURE_SWEEP_SQL = _mix_sweep_sql()
+
+
+def bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-style merge-candidate statistics (r10): the top adjacent token
+    pairs across the corpus — the quantity a BPE/unigram trainer ranks at
+    every merge step.  Pairs build IN-ROW (transform over the token array,
+    no lag shuffle), then one hash aggregate and one top-k; ties resolve
+    lexicographically so the ranking is engine-stable."""
+    docs = load_table(spark, sf, "documents")
+    toks = text.tokens_col(F.col("text"))
+    pairs = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(t, i) -> struct(t AS a, element_at(__toks, i + 2) AS b))"
+    )
+    return (
+        docs.select(toks.alias("__toks"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> [t[i], t[i + 1]])) AS p
+  FROM toks
+)
+SELECT p[1] AS tok_a, p[2] AS tok_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n DESC, tok_a, tok_b
+LIMIT 50
+"""
+
+
+_BPE_MERGES = 3
+
+
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative BPE merge training (r10): 3 rounds of count-pairs ->
+    argmax -> greedy corpus rewrite (pipeline/text.bpe_train), returning
+    the learned merge table plus the live corpus token count AFTER all
+    merges (computed through the full fold chain, so the rewrite
+    expressions themselves are oracle-checked, not just the argmaxes)."""
+    docs = load_table(spark, sf, "documents")
+    merges = text.bpe_train(docs, merges=_BPE_MERGES)
+    applied = text.bpe_apply(docs, merges)
+    after = applied.agg(
+        F.sum(F.size("__t")).cast("bigint").alias("corpus_tokens_after")
+    )
+    mdf = spark.createDataFrame(
+        merges, "rank int, tok_a string, tok_b string, n bigint"
+    )
+    return mdf.crossJoin(F.broadcast(after)).orderBy("rank")
+
+
+def _bpe_train_sql(merges: int = _BPE_MERGES) -> str:
+    parts = [f"t0 AS (SELECT {_TOKS} AS t FROM documents)"]
+    for i in range(1, merges + 1):
+        p = f"t{i - 1}"
+        parts.append(f"""p{i} AS (
+  SELECT p[1] AS a, p[2] AS b, COUNT(*) AS n FROM (
+    SELECT unnest(list_transform(range(1, len(t)), j -> [t[j], t[j + 1]])) AS p
+    FROM {p})
+  GROUP BY 1, 2),
+m{i} AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+t{i} AS (
+  SELECT CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+    ELSE reduce(list_transform(t, x -> [x]), (acc, x) ->
+      CASE WHEN len(acc) > 0 AND acc[-1] = m{i}.a AND x[1] = m{i}.b
+           THEN list_slice(acc, 1, len(acc) - 1) || [m{i}.a || ' ' || m{i}.b]
+           ELSE acc || x END)
+    END AS t
+  FROM {p} CROSS JOIN m{i})""")
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS tok_a, b AS tok_b, n FROM m{i}"
+        for i in range(1, merges + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+mt AS ({arms}),
+fin AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS corpus_tokens_after FROM t{merges})
+SELECT CAST(mt.rank AS INTEGER) AS rank, mt.tok_a, mt.tok_b, mt.n,
+       fin.corpus_tokens_after
+FROM mt CROSS JOIN fin
+ORDER BY rank
+"""
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest gate (r10): classify NEW documents (doc_id%5==0
+    — the held-out "incoming batch") against the EXISTING corpus (the
+    rest): 'exact_dup' (content hash already stored), 'near_dup' (shares
+    a MinHash LSH band with a stored doc), or 'kept'.  This is the gate a
+    continuously-growing training corpus runs per delivery — dedup against
+    the STORE, not within the batch (in-batch dedup is `dedup_exact`).
+    Scale shape: one hash semi-join + one banded semi-join, both equi-key;
+    the corpus side is the big one and never self-joins."""
+    docs = load_table(spark, sf, "documents")
+    is_new = (F.col("doc_id") % 5) == 0
+    newh = docs.filter(is_new).select(
+        F.col("doc_id").alias("doc"), F.md5("text").alias("__h")
+    )
+    corph = docs.filter(~is_new).select(F.md5("text").alias("__h")).distinct()
+    exact = newh.join(corph, "__h", "left_semi").select("doc")
+    rest = newh.join(corph, "__h", "left_anti").select("doc")
+    sig = dedup.minhash_signature(docs, "doc_id", n_hashes=_MH_HASHES)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"h{b * _MH_BAND + j}") for j in range(_MH_BAND)]
+                ).alias("val"),
+            )
+            for b in range(_MH_HASHES // _MH_BAND)
+        ]
+    )
+    bt = sig.select(
+        "doc", ((F.col("doc") % 5) == 0).alias("is_new"), F.explode(bands).alias("b")
+    ).select("doc", "is_new", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    near = (
+        bt.filter("is_new")
+        .join(
+            bt.filter(~F.col("is_new")).select("band", "val").distinct(),
+            ["band", "val"],
+            "left_semi",
+        )
+        .select("doc")
+        .distinct()
+        .join(rest, "doc", "left_semi")
+    )
+    kept = rest.join(near, "doc", "left_anti")
+    return (
+        exact.select("doc", F.lit("exact_dup").alias("verdict"))
+        .unionByName(near.select("doc", F.lit("near_dup").alias("verdict")))
+        .unionByName(kept.select("doc", F.lit("kept").alias("verdict")))
+        .orderBy("doc")
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    n_bands = _MH_HASHES // _MH_BAND
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, is_new, {b} AS band, concat_ws('-', ".format(b=b)
+        + ", ".join(f"h{b * _MH_BAND + j}" for j in range(_MH_BAND))
+        + ") AS val FROM sig"
+        for b in range(n_bands)
+    )
+    mins = ",\n  ".join(
+        "MIN(({a} * h + {b}) % {p}) AS h{i}".format(
+            a=dedup.hash_coeffs(i)[0], b=dedup.hash_coeffs(i)[1],
+            p=dedup.MERSENNE_P, i=i,
+        )
+        for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH newh AS (SELECT doc_id AS doc, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+corph AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 != 0),
+exact AS (SELECT doc FROM newh WHERE h IN (SELECT h FROM corph)),
+rest AS (SELECT doc FROM newh WHERE h NOT IN (SELECT h FROM corph)),
+d AS (SELECT doc_id, doc_id % 5 = 0 AS is_new, {_sql_shingles(3, _TOKS)} AS sh FROM documents),
+shg AS (SELECT doc_id AS doc, is_new, UNNEST(sh) AS shingle FROM d),
+hv AS (SELECT doc, is_new, {_sql_hex8_mod_p('md5(shingle)')} AS h FROM shg),
+sig AS (SELECT doc, is_new, {mins} FROM hv GROUP BY doc, is_new),
+bands AS ({band_rows}),
+near AS (
+  SELECT DISTINCT a.doc FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.is_new AND NOT b.is_new AND a.doc IN (SELECT doc FROM rest))
+SELECT doc, 'exact_dup' AS verdict FROM exact
+UNION ALL SELECT doc, 'near_dup' FROM near
+UNION ALL SELECT doc, 'kept' FROM rest WHERE doc NOT IN (SELECT doc FROM near)
+ORDER BY doc
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()

@@ -183,6 +183,19 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     # windowed stddev/var/corr/covar (reference functions/window/ stat
     # classes) via exact-decimal moment sums OVER frames
     "window_stat_aggs": (core.window_stat_aggs, core.WINDOW_STAT_AGGS_SQL),
+    # incremental ingest gate (r10): new batch vs stored corpus —
+    # exact-hash + LSH-band semi-joins, per-doc verdict
+    "incremental_dedup": (pl.incremental_dedup, pl.INCREMENTAL_DEDUP_SQL),
+    # BPE merge-candidate stats (r10): in-row pair build, one agg + top-k
+    "bpe_merge_candidates": (pl.bpe_merge_candidates, pl.BPE_MERGE_SQL),
+    # iterative BPE trainer (r10): 3 count->argmax->greedy-rewrite rounds,
+    # oracle replays the identical loop incl. the fold rewrites
+    "bpe_train_merges": (pl.bpe_train_merges, pl.BPE_TRAIN_SQL),
+    # temperature sweep (r10): quarter-grid alphas via sqrt compositions
+    "mixture_temperature_sweep": (
+        pl.mixture_temperature_sweep,
+        pl.MIXTURE_SWEEP_SQL,
+    ),
     # trained PQ (r10): per-subspace k-means, one aggregate per round
     "embedding_pq_train": (pl.embedding_pq_train, pl.EMBEDDING_PQ_TRAIN_SQL),
     "embedding_ann_pq_trained": (

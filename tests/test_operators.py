@@ -552,3 +552,40 @@ def test_rank_n_array_ops(spark):
         A.map_nd(F.col("a"), lambda x: x, 33)
     with _pytest.raises(ValueError, match="maximum number of array dimensions"):
         A.transpose_ndim_udf(0)
+
+
+def test_bpe_merge_step_greedy_and_cascade(spark):
+    """Greedy left-to-right merge semantics: 'a a a' with pair (a,a) gives
+    ['a a', 'a'] (no overlap reuse); a later round can merge a previously
+    merged token; empty and 1-token rows pass through."""
+    from pyspark.sql import functions as F
+
+    from questdb_spark.pipeline.text import bpe_apply, bpe_merge_step, bpe_train
+
+    rows = [(1, "a a a"), (2, "x a a y"), (3, "a"), (4, "")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", bpe_merge_step(toks, "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["a a", "a"]
+    assert got[2] == ["x", "a a", "y"]
+    assert got[3] == ["a"]
+    # cascade: merging ('a a', 'a') on the round-1 output of row 1
+    got2 = (
+        df.filter("id = 1")
+        .select(bpe_merge_step(bpe_merge_step(toks, "a", "a"), "a a", "a").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got2 == ["a a a"]
+    # train + apply round-trip: merges learned on a tiny corpus apply
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the cat mat") for i in range(4)], ["id", "text"]
+    )
+    merges = bpe_train(corpus, merges=2)
+    assert merges[0][1:3] == ("the", "cat")  # most frequent pair, tie-broken
+    applied = bpe_apply(corpus, merges).select("__t").collect()
+    assert all("the cat" in r["__t"] for r in applied)
