@@ -1390,7 +1390,11 @@ def decimal256_div(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_linenumber").alias("lineno"),
         d.alias("d"),
         *[w[f].alias(c) for f, c in zip(D.FIELDS, lcols)],
-    )
+        # limb division is CPU-bound per row (deep decimal(38) trees), and
+        # the parquet source yields only a few byte-sized splits — width
+        # must follow cores, not bytes, when the cost is per-row compute
+        # (same rule as the EMA applyInPandas stages; r3 scale addenda)
+    ).repartition(spark.sparkContext.defaultParallelism)
     df, qs, rcol = D.staged_divmod(base, lcols, F.col("d"), "dv_")
     # rescale by 10^20: whole-limb shift (k//18 = 1) then staged division
     # by 10^(k%18), HALF_UP bump from digit 19 of the original value
@@ -1410,13 +1414,36 @@ def decimal256_div(spark: SparkSession, sf: str) -> DataFrame:
     bump = F.when(round_up, F.lit(1)).otherwise(F.lit(0)).cast("long")
     zero = F.lit(0).cast("long")
     rs_limbs = D._add_limbs(ss, [bump, zero, zero, zero])
-    return df.select(
+    rows = df.select(
         "okey",
         "lineno",
         "d",
         D._to_string_limbs(qs).alias("q_str"),
         F.col(rcol).cast("long").alias("r"),
         D._to_string_limbs(rs_limbs).alias("rs_str"),
+    )
+    # every row's (quotient, remainder, rescale) still computes — but the
+    # driver receives 95 checksum rows instead of 600k wide strings (the
+    # old shape spent ~80% of its bench time serializing results through
+    # collect(), not dividing).  The md5-derived row hash makes any single
+    # wrong digit on any row break the aggregate.
+    rowhash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "okey", "lineno", "q_str", "r", "rs_str")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        rows.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("r").cast("bigint").alias("sum_r"),
+            F.sum(rowhash).cast("bigint").alias("sum_hash"),
+        )
+        .orderBy("d")
     )
 
 
@@ -1427,13 +1454,30 @@ WITH b AS (
       * 1000000000000000000::HUGEINT + l_orderkey AS x,
     l_partkey % 97 + 3 AS d
   FROM lineitem
+),
+rws AS (
+  SELECT okey, lineno, d,
+    CAST(x // d AS VARCHAR) AS q_str,
+    CAST(x % d AS BIGINT) AS r,
+    CAST((x + 50000000000000000000::HUGEINT)
+         // 100000000000000000000::HUGEINT AS VARCHAR) AS rs_str
+  FROM b
 )
-SELECT okey, lineno, d,
-  CAST(x // d AS VARCHAR) AS q_str,
-  CAST(x % d AS BIGINT) AS r,
-  CAST((x + 50000000000000000000::HUGEINT)
-       // 100000000000000000000::HUGEINT AS VARCHAR) AS rs_str
-FROM b
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(r) AS BIGINT) AS sum_r,
+  CAST(SUM((
+    (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 1, 1)) - 1) * 268435456
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 2, 1)) - 1) * 16777216
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 3, 1)) - 1) * 1048576
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 4, 1)) - 1) * 65536
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 5, 1)) - 1) * 4096
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 6, 1)) - 1) * 256
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 7, 1)) - 1) * 16
+  + (strpos('0123456789abcdef', substr(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 8, 1)) - 1)
+  )) AS BIGINT) AS sum_hash
+FROM rws
+GROUP BY d
+ORDER BY d
 """
 
 

@@ -48,6 +48,20 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # openCostInBytes is Spark's per-file seek model (default 4 MB): it
+        # FLOORS split sizes, so any table under ~4 MB scans as ONE task and
+        # every CPU-heavy map over it (vector kernels, HOF trees, simhash)
+        # runs serial.  1 MB is the measured sweet spot at bench scale:
+        # sub-MB lifecycle/dimension tables stay single-task (per-task
+        # overhead dominates them — 128 KB cost lifecycle queries ~40%),
+        # while MB-range fact/embedding tables split enough to parallelize
+        # kernel maps (simhash warm 1.13s -> 0.77s).  Large files split by
+        # maxPartitionBytes regardless, so cluster-scale plans are
+        # unchanged.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(1024 * 1024)),
+        )
         # --- correctness / interop -----------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
