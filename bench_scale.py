@@ -100,6 +100,13 @@ HEAVY = [
     "embedding_kmeans",
     "embedding_ann_ivf_trained",
     "window_stat_aggs",
+    # r10 session 2: trained PQ, ingest gate, BPE trainer
+    "embedding_pq_train",
+    "embedding_ann_pq_trained",
+    "incremental_dedup",
+    "bpe_train_merges",
+    "bpe_merge_candidates",
+    "mixture_temperature_sweep",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

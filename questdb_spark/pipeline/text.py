@@ -275,26 +275,43 @@ def bpe_train(
     model row (the argmax pair) — the per-round corpus rewrite is a lazy
     map layer, so k merges = k scans, the same pass structure a
     distributed BPE/unigram trainer runs at 100 TB."""
-    cur = df.select(tokens_col(F.col(text_col)).alias("__t"))
+    spark = df.sparkSession
+    # pair explode + greedy folds are CPU-bound per row and the source is
+    # often a single small split — width follows cores, not bytes (the
+    # EMA/decimal-division rule); paid once, the persist keeps the layout
+    cur = (
+        df.select(tokens_col(F.col(text_col)).alias("__t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     out: list[tuple[int, str, str, int]] = []
     pairs = F.expr(
         "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
         "(t, i) -> struct(t AS a, element_at(__t, i + 2) AS b))"
     )
-    for r in range(1, merges + 1):
-        top = (
-            cur.select(F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
-            .collect()  # 1-row model update per round — bounded
-        )
-        if not top:
-            break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        out.append((r, a, b, n))
-        cur = cur.select(bpe_merge_step(F.col("__t"), a, b).alias("__t"))
+    try:
+        for r in range(1, merges + 1):
+            top = (
+                cur.select(F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()  # 1-row model update per round — bounded
+            )
+            if not top:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            out.append((r, a, b, n))
+            # persist each round's rewrite: round r's pair count must not
+            # re-execute rounds 1..r-1's folds (k rounds would otherwise
+            # cost O(k^2) corpus scans); previous round's cache released
+            prev, cur = cur, cur.select(
+                bpe_merge_step(F.col("__t"), a, b).alias("__t")
+            ).persist()
+            prev.unpersist()
+    finally:
+        cur.unpersist()
     return out
 
 

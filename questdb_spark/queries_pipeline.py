@@ -1801,7 +1801,11 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     expressions themselves are oracle-checked, not just the argmaxes)."""
     docs = load_table(spark, sf, "documents")
     merges = text.bpe_train(docs, merges=_BPE_MERGES)
-    applied = text.bpe_apply(docs, merges)
+    # the greedy fold is interpreted per element — width-repartition the
+    # apply pass so 3 stacked folds don't run on one small-file split
+    applied = text.bpe_apply(
+        docs.repartition(spark.sparkContext.defaultParallelism), merges
+    )
     after = applied.agg(
         F.sum(F.size("__t")).cast("bigint").alias("corpus_tokens_after")
     )

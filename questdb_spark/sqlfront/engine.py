@@ -15,7 +15,9 @@ emitting RecordCursorFactories) — then Catalyst optimizes and executes.
 
 from __future__ import annotations
 
+import os
 import re
+from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -562,6 +564,7 @@ class QdbEngine:
         r"table_columns|table_partitions|wal_transactions|query_activity|"
         r"functions|keywords|views|materialized_views|live_views|"
         r"memory_metrics|table_writer_metrics|reader_pool|writer_pool|"
+        r"export_files|import_files|"
         r"dedup_pairs|minhash_candidates|top_terms)\s*\(",
         re.IGNORECASE,
     )
@@ -1344,7 +1347,8 @@ class QdbEngine:
         # the original via its span
         r"\b(tables|all_tables|wal_tables|query_activity|functions|keywords"
         r"|views|materialized_views|live_views|memory_metrics"
-        r"|table_writer_metrics|reader_pool|writer_pool)\s*\(\s*\)"
+        r"|table_writer_metrics|reader_pool|writer_pool"
+        r"|export_files|import_files)\s*\(\s*\)"
         r"|\b(table_columns|table_partitions|wait_wal_table|touch"
         r"|hydrate_table_metadata|wal_transactions)\s*\(\s*('[^']*')\s*\)",
         re.IGNORECASE,
@@ -1399,6 +1403,61 @@ class QdbEngine:
                     else "view_name string, base_table string, refresh_shape string"
                 )
                 view = f"__qdb_{kind}"
+                df = (
+                    self.spark.createDataFrame(rows, schema)
+                    if rows
+                    else self.spark.createDataFrame([], schema)
+                )
+                df.createOrReplaceTempView(view)
+            elif m.group(1) and m.group(1).lower() in (
+                "export_files", "import_files",
+            ):
+                # catalogue/{Export,Import}FilesFunctionFactory: list the
+                # files under the COPY export/import roots.  This engine's
+                # root is its own copy log (every COPY records its target),
+                # so the listing walks the logged paths.  modifiedTime is
+                # wall-clock by nature — pytest-verified, not oracle-hashed.
+                kind = "export" if m.group(1).lower().startswith("export") else "import"
+                rows = []
+                for e in self.copy_log:
+                    if e.get("kind") != kind:
+                        continue
+                    tgt = e.get("target", "")
+                    # imports log the TARGET TABLE name — list the storage
+                    # files the import created
+                    if kind == "import" and tgt in self.ddl_tables:
+                        tgt = self.ddl_tables[tgt].path
+                    paths = []
+                    if os.path.isdir(tgt):
+                        for root, _dirs, fns in os.walk(tgt):
+                            # skip Spark bookkeeping (_SUCCESS, .crc): the
+                            # listing is the export artifacts, not sidecars
+                            paths += [
+                                os.path.join(root, f)
+                                for f in fns
+                                if not f.startswith((".", "_"))
+                            ]
+                    elif os.path.isfile(tgt):
+                        paths = [tgt]
+                    for p in sorted(paths):
+                        try:
+                            st = os.stat(p)
+                        except OSError:
+                            continue
+                        sz = int(st.st_size)
+                        human = (
+                            f"{sz} B" if sz < 1024
+                            else f"{sz / 1024:.1f} KiB" if sz < 1024 ** 2
+                            else f"{sz / 1024 ** 2:.1f} MiB"
+                        )
+                        rows.append(
+                            (p, sz, human,
+                             datetime.fromtimestamp(st.st_mtime, tz=timezone.utc)
+                             .replace(tzinfo=None))
+                        )
+                schema = ("path string, diskSize long, diskSizeHuman string, "
+                          "modifiedTime timestamp")
+                view = f"__qdb_{kind}_files"
                 df = (
                     self.spark.createDataFrame(rows, schema)
                     if rows

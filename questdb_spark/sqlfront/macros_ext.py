@@ -501,6 +501,9 @@ EXT_FN_MACROS: dict = {
     # CurrentDataIdFunctionFactory: replica data id — 0 on a primary that
     # never ingested a replication snapshot, which is this engine always
     "current_data_id": lambda a: "CAST(0 AS BIGINT)",
+    # CurrentUserFunctionFactory: the security principal — the OSS
+    # reference's default context is the admin principal
+    "current_user": lambda a: "'admin'",
     # array/BuildArrayFunctionFactory.java — array_build(v1, v2, ...)
     "array_build": lambda a: f"array({', '.join(a)})",
     # catalogue/TypeOfFunctionFactory.java — QuestDB ColumnType names from
