@@ -322,3 +322,43 @@ def bpe_apply(df, merges: list[tuple[int, str, str, int]], text_col: str = "text
     for _r, a, b, _n in merges:
         cur = cur.withColumn("__t", bpe_merge_step(F.col("__t"), a, b))
     return cur
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window document chunking (retrieval/embedding prep): token
+    windows of `size` every `stride` tokens (overlap = size - stride),
+    one row per chunk with its token span and re-joined text.  The last
+    window is kept whenever it contains new tokens (standard tokenizer
+    chunking: ceil((n - size) / stride) + 1 windows, n <= size -> 1).
+    Pure in-row transform + explode — map-only, no shuffle; at 100 TB
+    chunking is a streaming pass over the corpus."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, size).alias("ctoks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            (F.col("c.chunk_idx") * stride).alias("tok_start"),
+            F.size("c.ctoks").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )

@@ -1968,3 +1968,91 @@ def _pq_cached(spark: SparkSession, sf: str) -> list[list[list[int]]]:
             load_table(spark, sf, "embeddings"), iters=_PQT_ITERS
         )
     return _TRAINED_CACHE[key]
+
+
+def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking (r10): 32-token windows every 24 tokens
+    (8-token overlap) — the retrieval/embedding prep pass.  Map-only
+    in-row transform + explode; the oracle recomputes every window with
+    list_slice, so off-by-one in window count, start, or the tail window
+    breaks the hash."""
+    docs = load_table(spark, sf, "documents")
+    return text.chunk_documents(docs, size=32, stride=24)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= 32 THEN 1
+         ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM t),
+e AS (SELECT doc_id, unnest(range(0, n_chunks)) AS ci, toks FROM c)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+  CAST(ci * 24 AS INT) AS tok_start,
+  CAST(len(list_slice(toks, ci * 24 + 1, ci * 24 + 32)) AS INT) AS n_tokens,
+  array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ') AS chunk_text
+FROM e
+"""
+
+
+def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card summary (r10): the per-source corpus statistics a
+    training-data pipeline publishes with every snapshot — doc/token/char
+    counts, exact-duplicate counts, language mix, and quality-flag counts
+    — in one pass (a single grouped aggregate over per-doc expressions,
+    plus a broadcast-joined per-source duplicate count)."""
+    docs = load_table(spark, sf, "documents")
+    toks = text.tokens_col(F.col("text"))
+    en = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    per = docs.select(
+        "source",
+        F.size(toks).alias("__nt"),
+        F.length("text").alias("__nc"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(en, t))) * 100
+         >= F.size(toks)).alias("__has_en"),  # >= 1% english stopwords
+        (F.size(toks) >= 10).alias("__long_enough"),
+        F.md5("text").alias("__h"),
+    )
+    dups = (
+        per.groupBy("source", "__h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("dup_docs"))
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+        F.sum("__nc").cast("bigint").alias("n_chars"),
+        F.sum(F.col("__has_en").cast("long")).cast("bigint").alias("n_english_ish"),
+        F.sum(F.col("__long_enough").cast("long")).cast("bigint").alias("n_len_ok"),
+    )
+    return (
+        agg.join(F.broadcast(dups), "source")
+        .orderBy("source")
+    )
+
+
+CORPUS_REPORT_SQL = f"""
+WITH per AS (
+  SELECT source, len({_TOKS}) AS nt, length(text) AS nc,
+    len(list_filter({_TOKS}, t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) * 100
+      >= len({_TOKS}) AS has_en,
+    len({_TOKS}) >= 10 AS len_ok,
+    md5(text) AS h
+  FROM documents),
+d AS (
+  SELECT source, CAST(SUM(c - 1) AS BIGINT) AS dup_docs FROM (
+    SELECT source, h, COUNT(*) AS c FROM per GROUP BY 1, 2)
+  GROUP BY source)
+SELECT per.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+  CAST(SUM(nc) AS BIGINT) AS n_chars,
+  CAST(SUM(CASE WHEN has_en THEN 1 ELSE 0 END) AS BIGINT) AS n_english_ish,
+  CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+  ANY_VALUE(d.dup_docs) AS dup_docs
+FROM per JOIN d ON per.source = d.source
+GROUP BY per.source
+ORDER BY per.source
+"""

@@ -183,6 +183,10 @@ _NEW_R10: dict[str, tuple[QueryFn, str | None]] = {
     # windowed stddev/var/corr/covar (reference functions/window/ stat
     # classes) via exact-decimal moment sums OVER frames
     "window_stat_aggs": (core.window_stat_aggs, core.WINDOW_STAT_AGGS_SQL),
+    # dataset-card summary (r10): one-pass per-source corpus stats
+    "corpus_report": (pl.corpus_report, pl.CORPUS_REPORT_SQL),
+    # sliding-window chunking (r10): map-only retrieval prep
+    "doc_chunks": (pl.doc_chunks, pl.DOC_CHUNKS_SQL),
     # incremental ingest gate (r10): new batch vs stored corpus —
     # exact-hash + LSH-band semi-joins, per-doc verdict
     "incremental_dedup": (pl.incremental_dedup, pl.INCREMENTAL_DEDUP_SQL),
