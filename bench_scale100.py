@@ -114,6 +114,7 @@ CASES = {
     "embedding_ann_pq": _ann_pq,
     "dedup_clusters_distributed": _clusters_distributed,
     "embedding_kmeans": REGISTRY["embedding_kmeans"][0],
+    "incremental_dedup": REGISTRY["incremental_dedup"][0],
 }
 
 NOTES = {
@@ -137,6 +138,10 @@ NOTES = {
     "probes read n_probe/n_cells of the corpus",
     "embedding_ann_pq": "map-only encode + asymmetric-distance scan over "
     "8-byte codes (32x smaller than raw vectors); output constant top-10",
+    "incremental_dedup": "ingest gate on a 100x-duplicated store: the new "
+    "batch classifies via hash + band SEMI-joins (existence, not pairs), so "
+    "candidate blow-up never materializes — output grows with the batch, "
+    "not with corpus duplication",
     "embedding_kmeans": "Lloyd's training: iterations and model size are "
     "scale-invariant, each round = one Arrow argmin map pass + one k*dim "
     "aggregate — runtime follows the scan, output constant (k*dim rows)",

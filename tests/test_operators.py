@@ -589,3 +589,41 @@ def test_bpe_merge_step_greedy_and_cascade(spark):
     assert merges[0][1:3] == ("the", "cat")  # most frequent pair, tie-broken
     applied = bpe_apply(corpus, merges).select("__t").collect()
     assert all("the cat" in r["__t"] for r in applied)
+
+
+def test_chunk_documents_windows(spark):
+    """Window arithmetic: n<=size -> 1 chunk; exact multiples; tail rule
+    (a window starts while new tokens remain); stride validation."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from questdb_spark.pipeline.text import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, words(5)), (2, words(8)), (3, words(9)), (4, words(20))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, size=8, stride=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["n_tokens"])
+        )
+    for v in got.values():
+        v.sort()
+    assert got[1] == [(0, 0, 5)]            # shorter than one window
+    assert got[2] == [(0, 0, 8)]            # exactly one window
+    assert got[3] == [(0, 0, 8), (1, 4, 5)] # tail window carries the rest
+    # n=20: ceil((20-8)/4)+1 = 4 windows, last covers tokens 12..19
+    assert got[4] == [(0, 0, 8), (1, 4, 8), (2, 8, 8), (3, 12, 8)]
+    # overlap property: consecutive windows share size-stride tokens
+    texts = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"].split()
+        for r in out.collect()
+    }
+    assert texts[(4, 0)][4:] == texts[(4, 1)][:4]
+    with _pt.raises(ValueError):
+        chunk_documents(df, size=4, stride=8)
