@@ -31,8 +31,33 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_quiet_box(limit: float = 3.0, max_wait_s: float = 300.0) -> None:
+    """Quiet-box gate (VERDICT r10 task 8): BENCH_r10 started at loadavg
+    4.19 and read ~8% slow vs the builder's clean run.  Wait (bounded)
+    for the 1-minute load to drop below `limit` before timing anything;
+    a box that never quiets still runs — loadavg_start in the artifact
+    keeps the run self-identifying either way."""
+    limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", limit))
+    if limit <= 0:
+        return
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        try:
+            if os.getloadavg()[0] < limit:
+                return
+        except OSError:
+            return
+        print(
+            f"bench: loadavg {os.getloadavg()[0]:.2f} >= {limit} — waiting "
+            "for a quiet box",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _wait_quiet_box()
     load_start = _loadavg()
     spark = get_session("questdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

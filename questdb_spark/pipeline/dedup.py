@@ -39,6 +39,14 @@ N_HASHES = 128  # production default: 128 slots
 BAND_SIZE = 8  # → 16 bands
 SIMHASH_BITS = 64
 MAX_SHINGLE_DF = 100_000  # stop-shingle guard: boilerplate shared by >100k docs
+# Corpus-relative guard (r11, the BENCH_SF2_r10 structural lesson): an
+# ABSOLUTE df cap is wrong under heavy duplication — replicate a corpus
+# 100x and every shingle's occurrence count grows 100x, so a fixed cap
+# either stops firing (too high) or drops everything (too low).  The
+# production default is therefore a FRACTION of the corpus: a shingle is
+# a stop-shingle when it occurs in more than ~1 in 10k documents'
+# shingle slots — that tracks duplication by construction.
+MAX_SHINGLE_DF_FRAC = 1e-4
 # Fused-path IN-ROW pair-enumeration bound (r8 verdict): a shingle with df
 # just under MAX_SHINGLE_DF would expand to ~df²/2 structs INSIDE ONE ROW
 # (5×10⁹ at the 100k cap — an executor OOM). The drop threshold and the
@@ -100,6 +108,21 @@ def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     return _spread(df).select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
 
 
+def resolve_shingle_guard(
+    n_docs: int, frac: float = MAX_SHINGLE_DF_FRAC, floor: int = 2
+) -> int:
+    """Corpus-relative stop-shingle cap: ``max(floor, ceil(frac * n_docs))``.
+    The floor keeps tiny corpora from dropping every repeated shingle
+    (ceil(1e-4 * 500) = 1 would kill ALL near-dup signal); the fraction
+    makes the threshold scale with corpus duplication — the structural
+    fix for the absolute-cap failure measured in BENCH_SF2_r10
+    (``dedup_jaccard_guarded``'s fixed cap of 3 drops every shingle at
+    100x replication)."""
+    import math
+
+    return max(floor, math.ceil(frac * n_docs))
+
+
 def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
     """Remove stop-shingles (occurrence count > max_shingle_df). Occurrence
     count — not distinct-doc count — is the metric that actually bounds the
@@ -127,6 +150,7 @@ def ngram_jaccard_pairs(
     band_size: int = BAND_SIZE,
     unsafe_exact: bool = False,
     fused_enum_bound: int | None = None,
+    max_shingle_df_frac: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -149,7 +173,15 @@ def ngram_jaccard_pairs(
     above which the guarded fused path switches from in-row pair
     enumeration to chunked (posexplode) enumeration — identical results,
     O(df) instead of O(df²) peak per-row memory.
+
+    ``max_shingle_df_frac``: corpus-RELATIVE guard — the cap becomes
+    ``resolve_shingle_guard(count(df), frac)`` so the threshold scales
+    with corpus size/duplication (overrides ``max_shingle_df``).  Costs
+    one count() of the input — a parquet-footer metadata job, noise next
+    to the shingle aggregation it protects.
     """
+    if max_shingle_df_frac is not None:
+        max_shingle_df = resolve_shingle_guard(df.count(), max_shingle_df_frac)
     if max_shingle_df is None and not lsh_prefilter and not unsafe_exact:
         raise ValueError(
             "ngram_jaccard_pairs with max_shingle_df=None is the ungated "

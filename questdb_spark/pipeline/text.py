@@ -289,6 +289,7 @@ def bpe_train(
         "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
         "(t, i) -> struct(t AS a, element_at(__t, i + 2) AS b))"
     )
+    prev = None
     try:
         for r in range(1, merges + 1):
             top = (
@@ -299,19 +300,30 @@ def bpe_train(
                 .limit(1)
                 .collect()  # 1-row model update per round — bounded
             )
+            # the collect above materialized cur's cache (its fold read
+            # from prev's still-live cache — one incremental scan); only
+            # NOW is prev safe to release.  Unpersisting before cur is
+            # materialized would make round r recompute the whole fold
+            # chain from t0 — the O(k^2) corpus-rescan cost the persist
+            # dance exists to prevent.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
             out.append((r, a, b, n))
             # persist each round's rewrite: round r's pair count must not
             # re-execute rounds 1..r-1's folds (k rounds would otherwise
-            # cost O(k^2) corpus scans); previous round's cache released
+            # cost O(k^2) corpus scans); released at the top of the next
+            # round, after the new layer is materialized
             prev, cur = cur, cur.select(
                 bpe_merge_step(F.col("__t"), a, b).alias("__t")
             ).persist()
-            prev.unpersist()
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return out
 
 

@@ -1558,11 +1558,15 @@ def window_stat_aggs(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
-        var_pop.alias("var_pop_w"),
+        # n=1 frames would otherwise leak moment-rounding residue (sxx is
+        # rounded at scale 0, sx*sx is not), so a partition's first row
+        # must resolve to exactly 0 / NULL, not the rounding artifact
+        F.when(n > 1, var_pop).otherwise(F.lit(0.0)).alias("var_pop_w"),
         F.when(n > 1, var_samp).alias("var_samp_w"),
         F.when((n > 1) & (var_samp >= 0), F.sqrt(var_samp)).alias("stddev_w"),
         F.when(n > 1, covar_samp).alias("covar_samp_w"),
-        F.when(denom > 0, (sxy - sx * sy / n) / F.sqrt(denom)).alias("corr_w"),
+        F.when((n > 1) & (denom > 0), (sxy - sx * sy / n) / F.sqrt(denom))
+        .alias("corr_w"),
     )
 
 
@@ -1594,12 +1598,12 @@ WITH m AS (
                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 )
 SELECT l_orderkey, l_linenumber, l_returnflag,
-  (sxx - sx * sx / n) / n AS var_pop_w,
+  CASE WHEN n > 1 THEN (sxx - sx * sx / n) / n ELSE 0.0 END AS var_pop_w,
   CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS var_samp_w,
   CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) >= 0
        THEN SQRT((sxx - sx * sx / n) / (n - 1)) END AS stddev_w,
   CASE WHEN n > 1 THEN (sxy - sx * sy / n) / (n - 1) END AS covar_samp_w,
-  CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+  CASE WHEN n > 1 AND (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
        THEN (sxy - sx * sy / n)
             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)) END AS corr_w
 FROM m

@@ -134,7 +134,7 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
 
 
-def _jaccard_sql(threshold: float, max_shingle_df: int | None) -> str:
+def _jaccard_sql(threshold: float, max_shingle_df: int | str | None) -> str:
     guard = ""
     if max_shingle_df is not None:
         guard = f""",
@@ -167,16 +167,27 @@ DEDUP_JACCARD_SQL = _jaccard_sql(0.12, None)
 
 
 def dedup_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
-    """Stop-shingle guard actively firing: shingles shared by >3 docs are
-    dropped BEFORE the self-join (the O(df²) blow-up never materializes).
-    3 is a test-scale cap chosen so the guard demonstrably drops shingles
-    at sf0.01 (max df there is 7); the library production default is
-    `dedup.MAX_SHINGLE_DF` = 100k."""
+    """Stop-shingle guard actively firing, CORPUS-RELATIVE form (r11):
+    the cap is ``resolve_shingle_guard(n_docs, frac=0.005)`` =
+    max(2, ceil(0.5% of docs)) — 3 at sf0.01's 500 docs (identical drops
+    to the old absolute demo cap; max df there is 7), 25 at sf0.1's
+    5000.  A relative threshold is the BENCH_SF2_r10 structural lesson:
+    an absolute cap stops tracking duplication the moment the corpus is
+    replicated (the fixed cap of 3 dropped EVERY shingle at 100x).  The
+    oracle derives the same cap from its own COUNT(*), pinning the
+    relative-guard semantics.  Shingles above the cap are dropped BEFORE
+    the self-join — the O(df²) blow-up never materializes.  The library
+    production default is `dedup.MAX_SHINGLE_DF_FRAC` = 1e-4."""
     docs = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12, max_shingle_df=3)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.12, max_shingle_df_frac=0.005
+    )
 
 
-DEDUP_JACCARD_GUARDED_SQL = _jaccard_sql(0.12, 3)
+DEDUP_JACCARD_GUARDED_SQL = _jaccard_sql(
+    0.12,
+    "GREATEST(2, CAST(CEIL(0.005 * (SELECT COUNT(*) FROM documents)) AS BIGINT))",
+)
 
 
 # DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): positional

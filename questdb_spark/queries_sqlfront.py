@@ -793,9 +793,12 @@ def sql_geo_date_encoding(spark: SparkSession, sf: str) -> DataFrame:
     (GeoDistanceMetersFunctionFactory equirectangular 111320 m/deg with
     midpoint-latitude cos; WithinBox/WithinRadius/GeoWithinRadiusLatLon
     inclusive predicates; IsLeapYear/DaysPerMonth; Base64/Sha1/Sha256 over
-    binary). Lat/lon are derived deterministically from events columns;
-    distances round through DECIMAL(18,4) so a last-ulp libm divergence
-    between engines cannot flip the hash."""
+    binary; str/ToCharBinFunctionFactory hex dump of BINARY — 16 bytes
+    per line, 8-hex-digit offset prefix, Chars.java:1334 toSink format —
+    exercised single- and multi-line). Lat/lon are derived
+    deterministically from events columns; distances round through
+    DECIMAL(18,4) so a last-ulp libm divergence between engines cannot
+    flip the hash."""
     eng = _engine(spark, sf, {"events": "ts"})
     return eng.sql(
         "SELECT event_id, "
@@ -807,7 +810,10 @@ def sql_geo_date_encoding(spark: SparkSession, sf: str) -> DataFrame:
         "days_in_month(ts) AS dim, "
         "base64(sha256(event_type), 8) AS b64_8, "
         "cast(base64_decode(base64(event_type)) AS STRING) AS roundtrip, "
-        "sha1(event_type) AS h1 "
+        "sha1(event_type) AS h1, "
+        "to_char(base64_decode(base64(event_type))) AS bin_dump, "
+        "to_char(base64_decode(base64(concat(event_type, ':', event_type, "
+        "':', event_type, ':', event_type)))) AS bin_dump_multi "
         "FROM (SELECT event_id, ts, event_type, "
         "  cast(user_id % 90 AS DOUBLE) AS lat, "
         "  cast(event_id % 180 AS DOUBLE) - 90.0 AS lon FROM events)"
@@ -822,6 +828,27 @@ def _sha1_case_sql(values: list[str]) -> str:
 
     arms = " ".join(
         f"WHEN event_type = '{v}' THEN '{hashlib.sha1(v.encode()).hexdigest()}'"
+        for v in values
+    )
+    return f"(CASE {arms} END)"
+
+
+def _hexdump(bs: bytes) -> str:
+    """Reference to_char(bin) format (std/Chars.java:1334 toSink): 16
+    bytes per line, 8-hex-digit offset prefix, ' xx' per byte."""
+    return "\n".join(
+        f"{off:08x}" + "".join(f" {b:02x}" for b in bs[off : off + 16])
+        for off in range(0, len(bs), 16)
+    )
+
+
+def _hexdump_case_sql(values: list[str], expr) -> str:
+    """Independent oracle for to_char(bin): the (fixed) event_type domain
+    hex-dumped by Python, newlines spliced via chr(10)."""
+    arms = " ".join(
+        "WHEN event_type = '{v}' THEN '{d}'".format(
+            v=v, d=_hexdump(expr(v).encode()).replace("\n", "' || chr(10) || '")
+        )
         for v in values
     )
     return f"(CASE {arms} END)"
@@ -846,9 +873,24 @@ SELECT event_id,
   CAST(day(last_day(ts)) AS INT) AS dim,
   to_base64(ENCODE(substring(sha256(event_type), 1, 8))) AS b64_8,
   event_type AS roundtrip,
-  __SHA1_CASE__ AS h1
+  __SHA1_CASE__ AS h1,
+  __DUMP1__ AS bin_dump,
+  __DUMP4__ AS bin_dump_multi
 FROM b
-""".replace("__SHA1_CASE__", _sha1_case_sql(["click", "error", "purchase", "signup", "view"]))
+""".replace(
+    "__SHA1_CASE__", _sha1_case_sql(["click", "error", "purchase", "signup", "view"])
+).replace(
+    "__DUMP1__",
+    _hexdump_case_sql(
+        ["click", "error", "purchase", "signup", "view"], lambda v: v
+    ),
+).replace(
+    "__DUMP4__",
+    _hexdump_case_sql(
+        ["click", "error", "purchase", "signup", "view"],
+        lambda v: ":".join([v] * 4),
+    ),
+)
 
 
 def sql_scalar_batch2(spark: SparkSession, sf: str) -> DataFrame:
@@ -1638,7 +1680,12 @@ def sql_catalogue_introspection(spark: SparkSession, sf: str) -> DataFrame:
     listings, memory_metrics() sanity, and the catalogue scalar batch —
     typeOf (TypeOfFunctionFactory ColumnType names), array_build,
     version()/current_database()/current_schema()/current_data_id()
-    (catalogue/Constants.java).  Everything lands as (name, value BIGINT)
+    (catalogue/Constants.java), plus the r11 stragglers — table_storage()
+    (TableStorageFunctionFactory: per-table partition/row/disk listing;
+    wall-clock-free fields asserted exactly, diskSize as a >0 sanity bit)
+    and wait_wal_table('t', seqTxn)
+    (WaitWalTableSeqTxnFunctionFactory: boolean, true once the applied
+    writer txn reaches seqTxn).  Everything lands as (name, value BIGINT)
     rows so the oracle is a literal table."""
     eng = _engine(spark, sf, {})
     eng.sql(
@@ -1672,6 +1719,12 @@ UNION ALL SELECT 'reader_pool_txn',
   (SELECT max(current_txn) FROM reader_pool())
 UNION ALL SELECT 'memory_pos',
   (SELECT CASE WHEN min(bytes) > 0 THEN 1 ELSE 0 END FROM memory_metrics())
+UNION ALL SELECT 'storage_ok',
+  (SELECT CASE WHEN partitionCount = 3 AND rowCount = 5 AND walEnabled
+               AND partitionBy = 'DAY' AND diskSize > 0 THEN 1 ELSE 0 END
+   FROM table_storage() WHERE tableName = 'cat_t')
+UNION ALL SELECT 'wal_wait_ok',
+  CASE WHEN wait_wal_table('cat_t', 1) THEN 1 ELSE 0 END
 ORDER BY name
 """)
 
@@ -1689,9 +1742,11 @@ SELECT * FROM (VALUES
   ('physically_written_rows', 5),
   ('reader_pool_txn', 1),
   ('rollbacks', 0),
+  ('storage_ok', 1),
   ('total_commits', 3),
   ('typeof_ok', 1),
   ('version_ok', 1),
+  ('wal_wait_ok', 1),
   ('writer_pool_rows', 1)
 ) AS t(name, value)
 ORDER BY name

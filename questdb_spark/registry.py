@@ -235,14 +235,40 @@ _RECHECK_R10_NAMES = [
     "contamination_check", "training_corpus_filter",
 ]
 
-# Next-stalest (r6-verified) entries fill the spare window slots —
-# trimmed so new + changed + r5-stale + these land inside the driver's
-# ~50-query window.
+# Round-11 window (VERDICT r10 task 1): entries on code materially
+# changed in r11 first, then ALL 46 entries whose latest driver check is
+# round 6 — after this round every registry entry is driver-verified
+# within r8-r11.  4 changed + 46 stale = exactly the ~50-slot window.
+_CHANGED_R11_NAMES = [
+    # n=1 frame guard (var_pop residue / corr range) — hash changed
+    "window_stat_aggs",
+    # + table_storage() + wait_wal_table('t', seqTxn) rows, batched collects
+    "sql_catalogue_introspection",
+    # corpus-relative stop-shingle guard (max_shingle_df_frac)
+    "dedup_jaccard_guarded",
+    # edge-set checkpoint between the pair and union-find stages
+    "dedup_cluster_canonical",
+]
+
+# The 46 entries whose latest driver check is round 6 (VERDICT r10 "What's
+# missing" #1 — the full staleness rotation; sql_geo_date_encoding also
+# carries the new to_char(bin) hex-dump columns).
 _RECHECK_R6_STALE_NAMES = [
-    "sample_by_3M_2y", "nanos_sample_by", "decimal256_div", "approx_aggs",
-    "ilp_roundtrip", "sql_wal_suspend_resume", "catalog_functions",
-    "sql_query_activity", "ema_events", "vwema_events", "asof_join_keyless",
-    "theta_join_nested_loop", "embedding_int8_topk",
+    "nanos_sample_by", "decimal256_div", "approx_aggs", "ilp_roundtrip",
+    "sql_wal_suspend_resume", "catalog_functions", "sql_query_activity",
+    "ema_events", "vwema_events", "asof_join_keyless", "embedding_int8_topk",
+    "window_groups_exclude", "pii_scrub", "text_repetition",
+    "stratified_sample", "sequence_packing", "mixture_weights",
+    "sql_geo_date_encoding", "embedding_dedup_canonical", "corpus_mix_sample",
+    "sql_window_join", "twap_vwap_events", "sparkline_daily",
+    "sql_sample_by_having", "interval_repeat", "cast_matrix",
+    "q8_market_share", "q9_product_profit", "q14_promo_revenue",
+    "q18_large_orders", "q19_discounted_revenue", "q15_top_supplier",
+    "q16_parts_supplier_count", "q22_global_sales", "sql_setop_sample_by",
+    "cb_topk_users", "cb_regex_extract_group", "sql_window_join_prevailing",
+    "window_lead_lag", "window_join_events", "asof_join_events",
+    "asof_join_tolerance", "lt_join_events", "splice_join_events",
+    "horizon_join_events", "sample_by_1h",
 ]
 
 _NEW_R9: dict[str, tuple[QueryFn, str | None]] = {
@@ -490,12 +516,12 @@ _NEW_R6: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_mix_sample": (pl.corpus_mix_sample, pl.CORPUS_MIX_SAMPLE_SQL),
 }
 
-# Window order, round 10 (VERDICT r9 task 2): the r10 additions first,
-# then entries on materially-changed r10 code, then the 20 r5-stale
-# entries — after this round every registry entry is driver-verified
-# within r6-r10.  Spare slots go to the next-stalest (r6-verified) block;
-# everything else keeps its old relative order past the window.
+# Window order, round 11 (VERDICT r10 task 1): entries on materially-
+# changed r11 code first, then the full 46-entry r6-stale rotation —
+# after this round every registry entry is driver-verified within
+# r8-r11.  Everything else keeps its old relative order past the window.
 _ALL_BLOCKS: dict[str, tuple[QueryFn, str | None]] = {
+    **_NEW_R10,
     **_NEW_R9,
     **_RECHECK_R9,
     **_RECHECK_R5,
@@ -509,16 +535,10 @@ _ALL_BLOCKS: dict[str, tuple[QueryFn, str | None]] = {
     **_RECHECK_R7,
 }
 
-_WINDOW_R10 = (
-    list(_NEW_R10)
-    + _CHANGED_R10_NAMES
-    + _RECHECK_R10_NAMES
-    + _RECHECK_R6_STALE_NAMES
-)
+_WINDOW_R11 = _CHANGED_R11_NAMES + _RECHECK_R6_STALE_NAMES
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    **_NEW_R10,
-    **{n: _ALL_BLOCKS[n] for n in _WINDOW_R10 if n in _ALL_BLOCKS},
+    **{n: _ALL_BLOCKS[n] for n in _WINDOW_R11 if n in _ALL_BLOCKS},
     **_ALL_BLOCKS,
 }
 

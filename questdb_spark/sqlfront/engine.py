@@ -1347,10 +1347,11 @@ class QdbEngine:
         # the original via its span
         r"\b(tables|all_tables|wal_tables|query_activity|functions|keywords"
         r"|views|materialized_views|live_views|memory_metrics"
-        r"|table_writer_metrics|reader_pool|writer_pool"
+        r"|table_writer_metrics|reader_pool|writer_pool|table_storage"
         r"|export_files|import_files)\s*\(\s*\)"
         r"|\b(table_columns|table_partitions|wait_wal_table|touch"
-        r"|hydrate_table_metadata|wal_transactions)\s*\(\s*('[^']*')\s*\)",
+        r"|hydrate_table_metadata|wal_transactions)\s*\(\s*('[^']*')\s*\)"
+        r"|\b(wait_wal_table)\s*\(\s*('[^']*')\s*,\s*(\d+)\s*\)",
         re.IGNORECASE,
     )
 
@@ -1365,7 +1366,94 @@ class QdbEngine:
         out: list[str] = []
         last = 0
         for m in self._CATALOG_FN_RE.finditer(masked):
-            if m.group(1) and m.group(1).lower() == "query_activity":
+            if m.group(4):
+                # wait_wal_table('t', seqTxn) — functions/table/
+                # WaitWalTableSeqTxnFunctionFactory.java ("wait_wal_table(sL)")
+                # + WaitWalFunction.java:76: boolean, true once the applied
+                # writer txn reaches seqTxn.  WAL apply is synchronous here,
+                # so "caught up" is decidable immediately: applied = the
+                # highest issued txn not parked by SUSPEND WAL.  A wait that
+                # could never complete in this single-session engine (txn
+                # parked by suspend, or never issued) raises — the honest
+                # degenerate of the reference's bounded wait, which also
+                # throws on timeout/cancel rather than hanging.
+                tname = s[m.start(5) + 1 : m.end(5) - 1]
+                if tname not in self.ddl_tables:
+                    raise ValueError(f"no such table: {tname}")
+                t = self.ddl_tables[tname]
+                pend = set(t._wal_state()["pending"])
+                top = self.ddl_seq.get(tname, 0)
+                applied = max(
+                    (x for x in range(1, top + 1) if x not in pend), default=0
+                )
+                seq = int(m.group(6))
+                if applied < seq:
+                    raise ValueError(
+                        f"wait_wal_table timed out: {tname} applied txn "
+                        f"{applied} < {seq} (suspended or not yet issued)"
+                    )
+                view = "true"
+            elif m.group(1) and m.group(1).lower() == "table_storage":
+                # functions/table/TableStorageFunctionFactory.java +
+                # engine/table/TableStorageRecordCursorFactory.java:243-248:
+                # one row per table — (tableName, walEnabled, partitionBy,
+                # partitionCount, rowCount, diskSize).  rowCount comes from
+                # parquet FOOTER metadata (pyarrow, driver-side — no Spark
+                # job; the reference reads it from txReader the same way),
+                # diskSize = Files.getDirSize analogue, partitionCount = the
+                # partition directories (1 for PartitionBy NONE).
+                import pyarrow.parquet as _pq
+
+                rows = []
+                for n, t in sorted(self.ddl_tables.items()):
+                    dsize, rcount, parts, root_pq = 0, 0, set(), False
+                    for root, dirs, fns in os.walk(t.path):
+                        dirs[:] = [d for d in dirs if not d.startswith(".")]
+                        for fname in fns:
+                            fp = os.path.join(root, fname)
+                            try:
+                                dsize += os.path.getsize(fp)
+                            except OSError:
+                                continue
+                            if fname.endswith(".parquet"):
+                                rel = os.path.relpath(root, t.path)
+                                if "=" in rel:
+                                    parts.add(rel)
+                                else:
+                                    root_pq = True
+                                try:
+                                    rcount += _pq.ParquetFile(
+                                        fp
+                                    ).metadata.num_rows
+                                except Exception:
+                                    pass
+                    rows.append(
+                        (n, True, t.partition_by.upper(),
+                         len(parts) if parts else (1 if root_pq else 0),
+                         rcount, dsize)
+                    )
+                for n in sorted(self.tables):
+                    rcount, dsize = 0, 0
+                    for fp in self.tables[n].inputFiles():
+                        p = fp.removeprefix("file:")
+                        try:
+                            dsize += os.path.getsize(p)
+                            rcount += _pq.ParquetFile(p).metadata.num_rows
+                        except Exception:
+                            continue
+                    rows.append((n, False, "NONE", 1, rcount, dsize))
+                schema = (
+                    "tableName string, walEnabled boolean, partitionBy "
+                    "string, partitionCount long, rowCount long, diskSize long"
+                )
+                view = "__qdb_table_storage"
+                df = (
+                    self.spark.createDataFrame(rows, schema)
+                    if rows
+                    else self.spark.createDataFrame([], schema)
+                )
+                df.createOrReplaceTempView(view)
+            elif m.group(1) and m.group(1).lower() == "query_activity":
                 # griffin/QueryRegistry.java + functions/activity/: the
                 # session's query log (timestamps omitted — the reference
                 # emits wall-clock columns; a deterministic registry is

@@ -477,6 +477,18 @@ EXT_FN_MACROS: dict = {
         else f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)"
     ),
     "to_str": lambda a: f"date_format({a[0]}, {a[1]})",
+    # str/ToCharBinFunctionFactory.java + std/Chars.java:1334 toSink —
+    # hex dump of a BINARY value: 16 bytes per line, each line prefixed
+    # with the 8-hex-digit byte offset (Numbers.appendHexPadded), every
+    # byte as " xx" lowercase; NULL -> NULL, empty -> ''
+    "to_char": lambda a: (
+        f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+        f"WHEN octet_length({a[0]}) = 0 THEN '' ELSE "
+        f"array_join(transform(sequence(0, (octet_length({a[0]}) - 1) div 16), "
+        f"i -> concat(lpad(lower(hex(i * 16)), 8, '0'), "
+        f"regexp_replace(substring(lower(hex({a[0]})), i * 32 + 1, 32), "
+        f"'(..)', ' $1'))), chr(10)) END)"
+    ),
     "to_long128": lambda a: (
         f"concat({_hex16(a[1])}, {_hex16(a[0])})"
         if len(a) == 2

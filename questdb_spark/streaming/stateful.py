@@ -240,14 +240,21 @@ def streaming_window_join(
     A positive ``hi`` means a master row cannot emit until the slave
     stream has provably passed its horizon, so state buffers BOTH pending
     masters and a slave tail per key; a master emits in the first batch
-    where some slave timestamp reaches ``ts + hi`` (same per-key
-    monotonicity contract as ``streaming_asof_join``: slave event time is
-    non-decreasing across micro-batches; in-batch order is free).  Masters
-    at the stream tail stay pending — exactly the semantics a live
-    look-ahead join must have.  The slave buffer trims to the earliest
-    pending horizon, so state is bounded by window width x arrival rate,
-    never history.  One stateful shuffle on the join keys, like the batch
-    bucketed lowering."""
+    where some slave timestamp reaches ``ts + hi``.  Arrival contracts
+    (both load-bearing): *slave* event time is non-decreasing across
+    micro-batches per key (same as ``streaming_asof_join``); a *master*
+    arriving in a later batch must satisfy ``ts >= max_slave_ts - hi`` —
+    older masters would reach back past the trimmed slave tail (with
+    pending masters the tail is kept back to the earliest pending
+    horizon, which is strictly more permissive).  In-batch order on both
+    sides is genuinely free: the whole micro-batch is buffered before any
+    emit/trim decision, so a group spanning multiple Arrow chunks cannot
+    lose slave rows to a chunk-local trim.  Masters at the stream tail
+    stay pending — exactly the semantics a live look-ahead join must
+    have.  The slave buffer trims to the earliest pending horizon, so
+    state is bounded by window width x arrival rate, never history.  One
+    stateful shuffle on the join keys, like the batch bucketed
+    lowering."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -287,6 +294,11 @@ def streaming_window_join(
             m_ts, s_ts, s_v = list(m_ts), list(s_ts), list(s_v)
         else:
             m_ts, s_ts, s_v, max_s = [], [], [], -(1 << 62)
+        # Buffer EVERY chunk before emitting: one group's micro-batch can
+        # span multiple Arrow chunks (>~10k rows), and a per-chunk
+        # emit+trim would let chunk-1 slaves advance max_s and trim the
+        # tail before a chunk-2 master (earlier ts) registers its
+        # horizon — silently undercounting its w_sum/w_count.
         for pdf in pdf_iter:
             ts_us = pdf["__ts"].astype("int64") // 1000  # ns -> us
             is_s = pdf["__side"].to_numpy() == 0
@@ -295,26 +307,26 @@ def streaming_window_join(
             s_v.extend(pdf["__v"][is_s].astype(float).tolist())
             if is_s.any():
                 max_s = max(max_s, int(ts_us[is_s].max()))
-            emit_mask = [t + hi_us <= max_s for t in m_ts]
-            ready = [t for t, e in zip(m_ts, emit_mask) if e]
-            m_ts = [t for t, e in zip(m_ts, emit_mask) if not e]
-            if ready:
-                rm = np.array(ready, dtype=np.int64)[:, None]
-                st = np.array(s_ts, dtype=np.int64)[None, :]
-                sv = np.array(s_v, dtype=np.float64)[None, :]
-                inw = (st >= rm + lo_us) & (st <= rm + hi_us)
-                w_sum = np.where(inw, sv, 0.0).sum(axis=1)
-                w_cnt = inw.sum(axis=1).astype(np.int64)
-                yield pd.DataFrame({
-                    **{k: v for k, v in zip(keys, key)},
-                    ts_col: pd.to_datetime(np.array(ready) * 1000),
-                    "w_sum": w_sum,
-                    "w_count": w_cnt,
-                })[out_names]
-            # trim the slave tail to the earliest pending horizon
-            floor_us = (min(m_ts) + lo_us) if m_ts else (max_s - hi_us + lo_us)
-            kept = [(t, v) for t, v in zip(s_ts, s_v) if t >= floor_us]
-            s_ts, s_v = [t for t, _ in kept], [v for _, v in kept]
+        emit_mask = [t + hi_us <= max_s for t in m_ts]
+        ready = [t for t, e in zip(m_ts, emit_mask) if e]
+        m_ts = [t for t, e in zip(m_ts, emit_mask) if not e]
+        if ready:
+            rm = np.array(ready, dtype=np.int64)[:, None]
+            st = np.array(s_ts, dtype=np.int64)[None, :]
+            sv = np.array(s_v, dtype=np.float64)[None, :]
+            inw = (st >= rm + lo_us) & (st <= rm + hi_us)
+            w_sum = np.where(inw, sv, 0.0).sum(axis=1)
+            w_cnt = inw.sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({
+                **{k: v for k, v in zip(keys, key)},
+                ts_col: pd.to_datetime(np.array(ready) * 1000),
+                "w_sum": w_sum,
+                "w_count": w_cnt,
+            })[out_names]
+        # trim the slave tail to the earliest pending horizon
+        floor_us = (min(m_ts) + lo_us) if m_ts else (max_s - hi_us + lo_us)
+        kept = [(t, v) for t, v in zip(s_ts, s_v) if t >= floor_us]
+        s_ts, s_v = [t for t, _ in kept], [v for _, v in kept]
         state.update((m_ts, s_ts, s_v, max_s))
 
     return unioned.groupBy(*keys).applyInPandasWithState(

@@ -755,4 +755,57 @@ def test_streaming_window_join_matches_batch(spark):
         k: norm(v) for k, v in expected.items()
     }, (got, expected)
     assert ("a", "2024-01-01 00:03:20") not in got  # pending tail
+
+
+def test_streaming_window_join_multi_chunk_group(spark):
+    """A single group's micro-batch spanning multiple Arrow chunks must not
+    lose slave rows to a chunk-local trim: with per-chunk emit+trim, a
+    slave-only first chunk advances max_s and trims the tail before a
+    later-chunk master (earlier ts) registers its horizon, silently
+    undercounting w_sum/w_count.  arrow.maxRecordsPerBatch=1 forces every
+    row into its own chunk, so the batch-buffered rewrite is what makes
+    this deterministic regardless of in-batch arrival order."""
+    import shutil
+
+    from questdb_spark.streaming.stateful import streaming_window_join
+
+    tmp = tempfile.mkdtemp(prefix="swjc_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    # one key, ONE micro-batch: slaves t0(v=1) and t100(v=2) plus a master
+    # at t10 whose window is [-20s, +40s] -> must count ONLY v=1.
+    rows = [("a", "2024-01-01 00:00:00", 0, 1.0),
+            ("a", "2024-01-01 00:01:40", 0, 2.0),
+            ("a", "2024-01-01 00:00:10", 1, None)]
+    df = spark.createDataFrame(
+        rows, "k string, ts_s string, is_m int, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "is_m", "v")
+    df.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, is_m int, v double")
+            .parquet(src + "/*")
+        )
+        q = (
+            streaming_window_join(
+                stream.filter("is_m = 1").select("k", "ts"),
+                stream.filter("is_m = 0").select("k", "ts", "v"),
+                "ts", ["k"], "v", -30, 30,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1, got
+    assert (got[0]["w_sum"], got[0]["w_count"]) == (1.0, 1), got
+    shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
