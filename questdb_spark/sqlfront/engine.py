@@ -1355,13 +1355,62 @@ class QdbEngine:
         re.IGNORECASE,
     )
 
+    @staticmethod
+    def _inline_values(rows: list[tuple], schema: str) -> str:
+        """Render metadata rows as an inline ``VALUES`` subquery instead of
+        a ``createDataFrame`` temp view (r11 lifecycle-perf fix): a python
+        ``createDataFrame`` costs ~0.4s PER VIEW (schema inference + an RDD
+        job at execution), which dominated every multi-table-function
+        lifecycle query — the catalogue listings are literal driver-side
+        metadata, so a pure local VALUES relation is the right plan (no
+        job, constant-folded, and the optimizer sees real row counts)."""
+        _SQL_T = {
+            "string": "STRING", "long": "BIGINT", "int": "INT",
+            "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+            "double": "DOUBLE",
+        }
+        cols = []
+        for part in schema.split(","):
+            name, typ = part.strip().rsplit(" ", 1)
+            cols.append((name, _SQL_T[typ.lower()]))
+
+        def lit(v, typ: str) -> str:
+            if v is None:
+                return f"CAST(NULL AS {typ})"
+            if typ == "STRING":
+                # Spark literals treat backslash as an escape char — double
+                # it first (query_activity rows carry regex-laden SQL text)
+                return (
+                    "'"
+                    + str(v).replace("\\", "\\\\").replace("'", "''")
+                    + "'"
+                )
+            if typ == "BOOLEAN":
+                return "true" if v else "false"
+            if typ == "TIMESTAMP":
+                return f"TIMESTAMP '{v}'"
+            if typ == "BIGINT":
+                return f"CAST({int(v)} AS BIGINT)"
+            if typ == "INT":
+                return f"CAST({int(v)} AS INT)"
+            return repr(v)
+        names = ", ".join(n for n, _ in cols)
+        if not rows:
+            empties = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+            return f"(SELECT {empties} FROM (SELECT 1) WHERE 1 = 0)"
+        body = ", ".join(
+            "(" + ", ".join(lit(v, t) for v, (_, t) in zip(r, cols)) + ")"
+            for r in rows
+        )
+        return f"(SELECT * FROM VALUES {body} AS t({names}))"
+
     def _rewrite_catalog_fns(self, s: str) -> str:
         """Catalogue table functions in FROM position (``tables()``,
         ``table_columns('t')``, ``table_partitions('t')`` —
-        griffin/engine/functions/catalogue/): materialize the metadata as a
-        temp view at statement time and substitute its name.  Metadata is
-        engine-dict-scale, so building the tiny DataFrame per statement is
-        free and always current."""
+        griffin/engine/functions/catalogue/): materialize the metadata as
+        an inline VALUES relation at statement time and substitute it.
+        Metadata is engine-dict-scale, so building the literal text per
+        statement is free and always current."""
         masked = mask_literals(s)
         out: list[str] = []
         last = 0
@@ -1447,12 +1496,7 @@ class QdbEngine:
                     "string, partitionCount long, rowCount long, diskSize long"
                 )
                 view = "__qdb_table_storage"
-                df = (
-                    self.spark.createDataFrame(rows, schema)
-                    if rows
-                    else self.spark.createDataFrame([], schema)
-                )
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             elif m.group(1) and m.group(1).lower() == "query_activity":
                 # griffin/QueryRegistry.java + functions/activity/: the
                 # session's query log (timestamps omitted — the reference
@@ -1463,12 +1507,7 @@ class QdbEngine:
                     (e["query_id"], e["query"], e["state"]) for e in self.query_log
                 ]
                 view = "__qdb_query_activity"
-                df = (
-                    self.spark.createDataFrame(rows, schema)
-                    if rows
-                    else self.spark.createDataFrame([], schema)
-                )
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             elif m.group(1) and m.group(1).lower() in (
                 "views", "materialized_views", "live_views",
             ):
@@ -1491,12 +1530,7 @@ class QdbEngine:
                     else "view_name string, base_table string, refresh_shape string"
                 )
                 view = f"__qdb_{kind}"
-                df = (
-                    self.spark.createDataFrame(rows, schema)
-                    if rows
-                    else self.spark.createDataFrame([], schema)
-                )
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             elif m.group(1) and m.group(1).lower() in (
                 "export_files", "import_files",
             ):
@@ -1546,12 +1580,7 @@ class QdbEngine:
                 schema = ("path string, diskSize long, diskSizeHuman string, "
                           "modifiedTime timestamp")
                 view = f"__qdb_{kind}_files"
-                df = (
-                    self.spark.createDataFrame(rows, schema)
-                    if rows
-                    else self.spark.createDataFrame([], schema)
-                )
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             elif m.group(1) and m.group(1).lower() in (
                 "memory_metrics", "table_writer_metrics",
                 "reader_pool", "writer_pool",
@@ -1596,12 +1625,7 @@ class QdbEngine:
                               "last_access_timestamp timestamp, "
                               "current_txn long")
                 view = f"__qdb_{kind}"
-                df = (
-                    self.spark.createDataFrame(rows, schema)
-                    if rows
-                    else self.spark.createDataFrame([], schema)
-                )
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             elif m.group(1) and m.group(1).lower() in ("functions", "keywords"):
                 # FunctionListFunctionFactory / PgGetKeywordsFunctionFactory
                 # analogues: the dialect's OWN callable surface — macro
@@ -1622,8 +1646,7 @@ class QdbEngine:
                     rows = [(k,) for k in sorted(kws)]
                     schema = "keyword string"
                 view = f"__qdb_{kind}"
-                df = self.spark.createDataFrame(rows, schema)
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             elif m.group(1):  # tables()/all_tables()/wal_tables()
                 # param columns mirror TablesFunctionFactory (reference
                 # defaults: maxUncommittedRows 500k, o3MaxLag 10 min);
@@ -1647,12 +1670,7 @@ class QdbEngine:
                     "suspended boolean, max_uncommitted_rows long, o3_max_lag string"
                 )
                 view = "__qdb_tables"
-                df = (
-                    self.spark.createDataFrame(rows, schema)
-                    if rows
-                    else self.spark.createDataFrame([], schema)
-                )
-                df.createOrReplaceTempView(view)
+                view = self._inline_values(rows, schema)
             else:  # table_columns / table_partitions
                 fn_name = m.group(2).lower()
                 # table name read from the ORIGINAL text (mask blanks it)
@@ -1674,12 +1692,7 @@ class QdbEngine:
                         for txn in range(1, top + 1)
                     ]
                     schema = "txn long, state string"
-                    df = (
-                        self.spark.createDataFrame(rows, schema)
-                        if rows
-                        else self.spark.createDataFrame([], schema)
-                    )
-                    df.createOrReplaceTempView(view)
+                    view = self._inline_values(rows, schema)
                 elif fn_name == "wait_wal_table":
                     # WAL application is synchronous in this engine; the
                     # wait degenerates to an existence check

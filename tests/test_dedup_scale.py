@@ -49,6 +49,37 @@ def test_guard_drops_hot_shingles(spark):
     assert guarded.count() == 0
 
 
+def test_corpus_relative_guard(spark):
+    """Corpus-relative stop-shingle guard (r11, the BENCH_SF2_r10
+    structural lesson): the cap resolves as max(floor, ceil(frac*n_docs))
+    and the frac path must equal the absolute path at the resolved cap."""
+    assert dedup.resolve_shingle_guard(500, 0.005) == 3
+    assert dedup.resolve_shingle_guard(5000, 0.005) == 25
+    assert dedup.resolve_shingle_guard(5000, dedup.MAX_SHINGLE_DF_FRAC) == 2
+    assert dedup.resolve_shingle_guard(10, 1e-6) == 2  # floor holds
+    boiler = "common header boilerplate"
+    rows = [(i, f"{boiler} unique{i} text{i} body{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # frac 0.25 of 20 docs -> cap 5: same drops as the absolute cap 5
+    rel = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.01, max_shingle_df_frac=0.25
+        )
+    )
+    absolute = _pairs_set(
+        dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.01, max_shingle_df=5)
+    )
+    assert rel == absolute == {}
+    # a cap-tracking fraction keeps true near-dups: frac 1.0 -> cap 20,
+    # nothing drops, the boilerplate connects everything
+    assert (
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.01, max_shingle_df_frac=1.0
+        ).count()
+        == 20 * 19 // 2
+    )
+
+
 def test_lsh_prefilter_matches_exact_on_candidates(spark):
     """LSH-prefiltered Jaccard returns a subset of the exact pairs, with
     bit-identical jaccard values for every pair it returns; with enough
