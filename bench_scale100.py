@@ -276,7 +276,8 @@ def main() -> None:
         "scale_factor_ratio": REPLICAS,
         "loadavg_start": list(os.getloadavg()),
         "note": "derived 100x of sf0.1 (key-shifted replicas of "
-        "documents/embeddings, same construction as the 10x harness)",
+        "documents/embeddings/events, same construction as the 10x "
+        "harness)",
         "queries": out,
     }
     with open(path, "w") as f:

@@ -27,18 +27,29 @@ def tables(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, kind string, is_temporary boolean")
 
 
-def table_columns(spark: SparkSession, table: str) -> DataFrame:
-    """table_columns('t'): name/type/nullable per column."""
-    rows = [
+TABLE_COLUMNS_SCHEMA = "column_name string, data_type string, nullable boolean"
+TABLE_PARTITIONS_SCHEMA = "partition string, n_files int, bytes long"
+
+
+def table_columns_rows(spark: SparkSession, table: str) -> list[tuple]:
+    """table_columns('t') rows: name/type/nullable per column (driver-side
+    catalog metadata — the SQL engine renders these as inline VALUES)."""
+    return [
         (c.name, c.dataType, c.nullable)
         for c in spark.catalog.listColumns(table)
     ]
-    return spark.createDataFrame(rows, "column_name string, data_type string, nullable boolean")
 
 
-def table_partitions(spark: SparkSession, path: str) -> DataFrame:
-    """table_partitions('t'): one row per time partition of a TimeTable
-    directory with file counts and sizes (QuestDB shows partition dirs)."""
+def table_columns(spark: SparkSession, table: str) -> DataFrame:
+    """table_columns('t'): name/type/nullable per column."""
+    return spark.createDataFrame(
+        table_columns_rows(spark, table), TABLE_COLUMNS_SCHEMA
+    )
+
+
+def table_partitions_rows(path: str) -> list[tuple]:
+    """table_partitions('t') rows: one row per time partition of a
+    TimeTable directory with file counts and sizes."""
     parts = []
     for entry in sorted(os.listdir(path)):
         full = os.path.join(path, entry)
@@ -47,7 +58,15 @@ def table_partitions(spark: SparkSession, path: str) -> DataFrame:
         files = [f for f in os.listdir(full) if f.endswith(".parquet")]
         size = sum(os.path.getsize(os.path.join(full, f)) for f in files)
         parts.append((entry.split("=", 1)[1], len(files), size))
-    return spark.createDataFrame(parts, "partition string, n_files int, bytes long")
+    return parts
+
+
+def table_partitions(spark: SparkSession, path: str) -> DataFrame:
+    """table_partitions('t'): one row per time partition of a TimeTable
+    directory with file counts and sizes (QuestDB shows partition dirs)."""
+    return spark.createDataFrame(
+        table_partitions_rows(path), TABLE_PARTITIONS_SCHEMA
+    )
 
 
 def copy_from_csv(

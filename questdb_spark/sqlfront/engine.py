@@ -1731,13 +1731,19 @@ class QdbEngine:
                 elif fn_name == "table_columns":
                     if tname in self.ddl_tables:
                         self.ddl_read(tname).createOrReplaceTempView(tname)
-                    catalog.table_columns(self.spark, tname).createOrReplaceTempView(view)
+                    view = self._inline_values(
+                        catalog.table_columns_rows(self.spark, tname),
+                        catalog.TABLE_COLUMNS_SCHEMA,
+                    )
                 else:
                     if tname not in self.ddl_tables:
                         raise ValueError(f"no such table: {tname}")
-                    catalog.table_partitions(
-                        self.spark, self.ddl_tables[tname].path
-                    ).createOrReplaceTempView(view)
+                    view = self._inline_values(
+                        catalog.table_partitions_rows(
+                            self.ddl_tables[tname].path
+                        ),
+                        catalog.TABLE_PARTITIONS_SCHEMA,
+                    )
             out.append(s[last : m.start()])
             out.append(view)
             last = m.end()

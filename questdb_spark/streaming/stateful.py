@@ -130,9 +130,15 @@ def streaming_asof_join(
     def advance(key, pdf_iter, state):
         # vectorized within each micro-batch: pandas merge_asof (C loop)
         # against the batch's slave rows with the carried payload prepended
-        # as a sentinel at -inf — no per-row Python
+        # as a sentinel at -inf — no per-row Python.  The WHOLE batch is
+        # buffered before the merge (same rule as streaming_window_join):
+        # emitted rows are final in append mode, so a per-chunk merge
+        # would let a chunk-1 master emit before a chunk-2 slave with an
+        # earlier timestamp is visible.
         carried = list(state.get) if state.exists else [None] * len(payload_cols)
-        for pdf in pdf_iter:
+        chunks = list(pdf_iter)
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is not None and len(pdf):
             slaves = pdf[pdf["__side"] == 0].sort_values("__ts", kind="mergesort")
             masters = pdf[pdf["__side"] == 1].sort_values("__ts", kind="mergesort")
             scols = {f"__s_{c}": [v] for c, v in zip(payload_cols, carried)}
@@ -156,6 +162,267 @@ def streaming_asof_join(
                 })
                 yield out[out_names]
         state.update(tuple(carried))
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_lt_join(
+    master: DataFrame,
+    slave: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Stream-stream LT JOIN: every master row is enriched with the
+    latest key-matching slave payload STRICTLY BEFORE its timestamp —
+    the streaming twin of ``operators/asof.lt_join`` (reference LT JOIN,
+    SqlCodeGenerator LT join family), completing the streaming
+    time-series join set next to the ASOF and WINDOW JOIN twins.
+
+    Same union-tag + per-key ``merge_asof`` lowering as
+    ``streaming_asof_join``, with ``allow_exact_matches=False``.  The
+    cross-batch state must carry the last TWO slave rows WITH their true
+    timestamps: a master in a later batch that TIES the newest slave's
+    timestamp takes the strictly-earlier slave, so a single carried
+    payload (the ASOF state) would either wrongly match the tie (-inf
+    sentinel) or wrongly null it (single true-ts sentinel).  Arrival
+    contract is the family's usual per-key monotonicity on both sides;
+    state is O(1) per key and the plan is ONE stateful shuffle on the
+    join keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    mcols = [c for c in master.columns]
+    tagged_m = master.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__m_{c}") for c in mcols if c not in keys and c != ts_col],
+        *[F.lit(None).cast(slave.schema[c].dataType).alias(f"__s_{c}") for c in payload_cols],
+    )
+    tagged_s = slave.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(master.schema[c].dataType).alias(f"__m_{c}")
+          for c in mcols if c not in keys and c != ts_col],
+        *[F.col(c).alias(f"__s_{c}") for c in payload_cols],
+    )
+    unioned = tagged_m.unionByName(tagged_s)
+
+    out_fields = (
+        [f"{k} {master.schema[k].dataType.simpleString()}" for k in keys]
+        + [f"{ts_col} {master.schema[ts_col].dataType.simpleString()}"]
+        + [f"{c} {master.schema[c].dataType.simpleString()}"
+           for c in mcols if c not in keys and c != ts_col]
+        + [f"{c} {slave.schema[c].dataType.simpleString()}" for c in payload_cols]
+    )
+    out_schema = ", ".join(out_fields)
+    # two carried slave rows, oldest first; NULL ts = slot empty
+    state_schema = ", ".join(
+        [f"ts{i} timestamp" for i in range(2)]
+        + [
+            f"p{i}_{j} {slave.schema[c].dataType.simpleString()}"
+            for i in range(2)
+            for j, c in enumerate(payload_cols)
+        ]
+    )
+    out_names = [f.split()[0] for f in out_fields]
+    mpass = [c for c in mcols if c not in keys and c != ts_col]
+    np_ = len(payload_cols)
+
+    def advance(key, pdf_iter, state):
+        if state.exists:
+            st = list(state.get)
+            carried = [
+                (st[i], st[2 + i * np_ : 2 + (i + 1) * np_])
+                for i in range(2)
+                if st[i] is not None
+            ]
+        else:
+            carried = []
+        # buffer the WHOLE micro-batch first (same rule as
+        # streaming_window_join): emitted rows are final in append mode,
+        # so merging per Arrow chunk would let a chunk-1 master emit
+        # before its chunk-2 slave (earlier ts) is visible
+        chunks = list(pdf_iter)
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is not None and len(pdf):
+            slaves = pdf[pdf["__side"] == 0].sort_values("__ts", kind="mergesort")
+            masters = pdf[pdf["__side"] == 1].sort_values("__ts", kind="mergesort")
+            scols = {
+                "__ts": [t for t, _ in carried],
+                **{
+                    f"__s_{c}": [p[j] for _, p in carried]
+                    for j, c in enumerate(payload_cols)
+                },
+            }
+            prefix = pd.DataFrame(scols, columns=["__ts"] + [f"__s_{c}" for c in payload_cols])
+            stable = pd.concat(
+                [prefix, slaves[["__ts"] + [f"__s_{c}" for c in payload_cols]]],
+                ignore_index=True,
+            )
+            for _, row in slaves.iterrows():
+                carried.append(
+                    (row["__ts"], [row[f"__s_{c}"] for c in payload_cols])
+                )
+            carried = carried[-2:]
+            if len(masters):
+                merged = pd.merge_asof(
+                    masters[["__ts"] + [f"__m_{c}" for c in mpass]],
+                    stable, on="__ts", allow_exact_matches=False,
+                )
+                out = pd.DataFrame({
+                    **{k: v for k, v in zip(keys, key)},
+                    ts_col: merged["__ts"],
+                    **{c: merged[f"__m_{c}"] for c in mpass},
+                    **{c: merged[f"__s_{c}"] for c in payload_cols},
+                })
+                yield out[out_names]
+        pad = [(None, [None] * np_)] * (2 - len(carried))
+        full = pad + carried
+        state.update(
+            tuple([t for t, _ in full] + [v for _, p in full for v in p])
+        )
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_splice_join(
+    master: DataFrame,
+    slave: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Stream-stream SPLICE JOIN: full-outer time-ordered merge — every
+    row from EITHER side emits with the latest payload of BOTH sides as
+    of its timestamp (equal timestamps see each other, the reference's
+    ``SpliceJoinLightRecordCursorFactory.java:62`` RANGE semantics) —
+    the streaming twin of ``operators/asof.splice_join``.
+
+    Unlike the WINDOW JOIN twin, splice needs NO look-ahead: each output
+    row references only the other side's past, so every batch row emits
+    immediately and state is just the last row of each side per key
+    (O(1)).  The whole micro-batch is buffered, forward-filled in time
+    order, and equal-timestamp groups take the group-last fill so ties
+    match both directions.  Arrival contract: per-key monotone event
+    time on both sides across micro-batches (same family contract).
+    One stateful shuffle on the join keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    mpay = [c for c in master.columns if c not in keys and c != ts_col]
+    spay = [c for c in slave.columns if c not in keys and c != ts_col]
+    mset = set(mpay)
+
+    tagged_m = master.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.col(ts_col).alias("__m_ts"),
+        F.lit(None).cast("timestamp").alias("__s_ts"),
+        *[F.col(c).alias(f"__m_{c}") for c in mpay],
+        *[F.lit(None).cast(slave.schema[c].dataType).alias(f"__s_{c}") for c in spay],
+    )
+    tagged_s = slave.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(None).cast("timestamp").alias("__m_ts"),
+        F.col(ts_col).alias("__s_ts"),
+        *[F.lit(None).cast(master.schema[c].dataType).alias(f"__m_{c}") for c in mpay],
+        *[F.col(c).alias(f"__s_{c}") for c in spay],
+    )
+    unioned = tagged_m.unionByName(tagged_s)
+
+    out_fields = (
+        [f"{k} {master.schema[k].dataType.simpleString()}" for k in keys]
+        + [f"{ts_col} {master.schema[ts_col].dataType.simpleString()}"]
+        + ["master_ts timestamp"]
+        + [f"{c} {master.schema[c].dataType.simpleString()}" for c in mpay]
+        + ["slave_ts timestamp"]
+        + [
+            f"{c}_slave {slave.schema[c].dataType.simpleString()}"
+            if c in mset
+            else f"{c} {slave.schema[c].dataType.simpleString()}"
+            for c in spay
+        ]
+    )
+    out_schema = ", ".join(out_fields)
+    out_names = [f.rsplit(" ", 1)[0] for f in out_fields]
+    mcols_ = ["__m_ts"] + [f"__m_{c}" for c in mpay]
+    scols_ = ["__s_ts"] + [f"__s_{c}" for c in spay]
+    state_schema = ", ".join(
+        ["m_ts timestamp"]
+        + [f"m{i} {master.schema[c].dataType.simpleString()}" for i, c in enumerate(mpay)]
+        + ["s_ts timestamp"]
+        + [f"s{i} {slave.schema[c].dataType.simpleString()}" for i, c in enumerate(spay)]
+    )
+
+    def advance(key, pdf_iter, state):
+        nm = len(mpay)
+        if state.exists:
+            st = list(state.get)
+            m_carr, s_carr = st[: 1 + nm], st[1 + nm :]
+        else:
+            m_carr, s_carr = [None] * (1 + nm), [None] * (1 + len(spay))
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf["__sent"] = 0
+            sentinels = []
+            for carr, cols in ((m_carr, mcols_), (s_carr, scols_)):
+                if carr[0] is not None:
+                    row = {c: None for c in pdf.columns}
+                    row["__ts"] = carr[0]
+                    row["__sent"] = 1
+                    for c, v in zip(cols, carr):
+                        row[c] = v
+                    sentinels.append(row)
+            if sentinels:
+                pdf = pd.concat(
+                    [pd.DataFrame(sentinels, columns=pdf.columns), pdf],
+                    ignore_index=True,
+                )
+            pdf = pdf.sort_values(
+                ["__ts", "__sent"], ascending=[True, False], kind="mergesort"
+            ).reset_index(drop=True)
+            for c in mcols_ + scols_:
+                pdf[c] = pdf[c].ffill()
+            # equal timestamps are peers: every row in a tie group takes
+            # the group's LAST fill, so both sides of a tie see each other
+            pdf[mcols_ + scols_] = pdf.groupby("__ts", sort=False)[
+                mcols_ + scols_
+            ].transform("last")
+            out = pdf[pdf["__sent"] == 0]
+            if len(out):
+                res = pd.DataFrame({
+                    **{k: v for k, v in zip(keys, key)},
+                    ts_col: out["__ts"],
+                    "master_ts": out["__m_ts"],
+                    **{c: out[f"__m_{c}"] for c in mpay},
+                    "slave_ts": out["__s_ts"],
+                    **{
+                        (f"{c}_slave" if c in mset else c): out[f"__s_{c}"]
+                        for c in spay
+                    },
+                })
+                yield res[out_names]
+            tail = pdf.iloc[-1]
+            m_carr = [None if pd.isna(tail["__m_ts"]) else tail["__m_ts"]] + [
+                None if (v := tail[f"__m_{c}"]) is pd.NA or pd.isna(v) else v
+                for c in mpay
+            ]
+            s_carr = [None if pd.isna(tail["__s_ts"]) else tail["__s_ts"]] + [
+                None if (v := tail[f"__s_{c}"]) is pd.NA or pd.isna(v) else v
+                for c in spay
+            ]
+        state.update(tuple(m_carr + s_carr))
 
     return unioned.groupBy(*keys).applyInPandasWithState(
         advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

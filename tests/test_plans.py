@@ -445,3 +445,32 @@ def test_kmeans_iteration_single_shuffle_no_join(spark):
     assert "Join" not in txt
     assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
     assert "HashAggregate" in txt  # partial+final: map-side combine
+
+
+def test_catalogue_fns_are_local_relations(spark):
+    """r11 lifecycle-perf invariant: catalogue table functions compile to
+    LocalTableScan (an inline VALUES relation folded by the optimizer) —
+    never a python createDataFrame RDD scan, whose per-view schema
+    inference + RDD job cost ~0.4s and dominated every multi-function
+    lifecycle query."""
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    eng.sql(
+        "CREATE TABLE plancat (ts TIMESTAMP, x INT) "
+        "TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    eng.sql("INSERT INTO plancat VALUES ('2024-01-01T00:00:00', 1)")
+    for q in (
+        "SELECT * FROM table_writer_metrics()",
+        "SELECT * FROM writer_pool()",
+        "SELECT * FROM reader_pool()",
+        "SELECT * FROM table_storage()",
+        "SELECT * FROM tables()",
+        "SELECT * FROM wal_transactions('plancat')",
+    ):
+        txt = plan_text(eng.sql(q))
+        assert "Scan ExistingRDD" not in txt, (q, txt)
+        assert "LocalTableScan" in txt or "LocalRelation" in txt or (
+            "Scan OneRowRelation" in txt
+        ), (q, txt)

@@ -439,6 +439,139 @@ def test_streaming_asof_join_across_batches(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_lt_join_across_batches(spark):
+    """Stateful stream-stream LT JOIN (strictly-before): equals the batch
+    lt_join over the concatenated history, INCLUDING a master in a later
+    batch that ties the newest slave's timestamp — the case that forces
+    the two-row carried state (a single carried payload either matches
+    the tie or nulls it, both wrong)."""
+    import shutil
+
+    from questdb_spark.operators.asof import lt_join
+    from questdb_spark.streaming.stateful import streaming_lt_join
+
+    tmp = tempfile.mkdtemp(prefix="sltj_")
+    msrc, ssrc, out, ckpt = (os.path.join(tmp, d) for d in ("m", "s", "out", "ckpt"))
+    os.makedirs(msrc); os.makedirs(ssrc)
+
+    def write(rows, path, name, cols):
+        spark.createDataFrame(rows, f"k string, ts_s string, {cols}") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"),
+                    *[c.split()[0] for c in cols.split(",")]) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+    def run():
+        m = spark.readStream.schema("k string, ts timestamp, mval double") \
+            .parquet(msrc + "/*")
+        s = spark.readStream.schema("k string, ts timestamp, quote double") \
+            .parquet(ssrc + "/*")
+        q = streaming_lt_join(m, s, "ts", ["k"], ["quote"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    t = lambda mm, ss=0: f"2024-01-01 00:{mm:02d}:{ss:02d}"
+    # batch 0: slaves at t5 (v=50) and t10 (v=100); masters at t5 (ties
+    # the older slave -> NULL under strictly-before... no: t5 ties slave
+    # t5, so it takes nothing earlier -> NULL) and t7 (-> 50)
+    sb0 = [("a", t(5), 50.0), ("a", t(10), 100.0)]
+    mb0 = [("a", t(5), 1.0), ("a", t(7), 2.0)]
+    # batch 1: master at t10 TIES the carried newest slave -> must take
+    # the strictly-earlier carried slave (50); master at t11 -> 100;
+    # new slave t12 (v=120) then master t13 -> 120
+    sb1 = [("a", t(12), 120.0)]
+    mb1 = [("a", t(10), 3.0), ("a", t(11), 4.0), ("a", t(13), 5.0)]
+    write(mb0, msrc, "b0", "mval double"); write(sb0, ssrc, "b0", "quote double")
+    run()
+    write(mb1, msrc, "b1", "mval double"); write(sb1, ssrc, "b1", "quote double")
+    run()
+
+    got = {
+        (r["k"], str(r["ts"])): r["quote"]
+        for r in spark.read.parquet(out).collect()
+    }
+    mfull = spark.createDataFrame(mb0 + mb1, "k string, ts_s string, mval double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "mval")
+    sfull = spark.createDataFrame(sb0 + sb1, "k string, ts_s string, quote double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "quote")
+    expected = {
+        (r["k"], str(r["ts"])): r["quote"]
+        for r in lt_join(mfull, sfull, "ts", keys=["k"]).collect()
+    }
+    assert len(got) == 5
+    assert got == expected, (got, expected)
+    # the tie master specifically took the strictly-earlier slave
+    assert got[("a", t(10))] == 50.0
+    assert got[("a", t(5))] is None
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_splice_join_across_batches(spark):
+    """Stateful stream-stream SPLICE: every row from either side emits
+    with the prevailing payload of BOTH sides; equals the batch
+    splice_join over the concatenated history, including a same-batch
+    equal-timestamp tie (both directions must see each other).
+    Cross-batch ties are outside the arrival contract: the earlier row
+    has already emitted when the tie arrives."""
+    import shutil
+
+    from questdb_spark.operators.asof import splice_join
+    from questdb_spark.streaming.stateful import streaming_splice_join
+
+    tmp = tempfile.mkdtemp(prefix="sspl_")
+    msrc, ssrc, out, ckpt = (os.path.join(tmp, d) for d in ("m", "s", "out", "ckpt"))
+    os.makedirs(msrc); os.makedirs(ssrc)
+
+    def write(rows, path, name, cols):
+        spark.createDataFrame(rows, f"k string, ts_s string, {cols}") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"),
+                    *[c.split()[0] for c in cols.split(",")]) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+    def run():
+        m = spark.readStream.schema("k string, ts timestamp, mval double") \
+            .parquet(msrc + "/*")
+        s = spark.readStream.schema("k string, ts timestamp, quote double") \
+            .parquet(ssrc + "/*")
+        q = streaming_splice_join(m, s, "ts", ["k"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    t = lambda mm: f"2024-01-01 00:{mm:02d}:00"
+    # batch 0: slave t2 (20), master t3 (1), SAME-TS tie at t5 (master 2 /
+    # slave 50) — both must see each other; slave-only t6 (60)
+    mb0 = [("a", t(3), 1.0), ("a", t(5), 2.0)]
+    sb0 = [("a", t(2), 20.0), ("a", t(5), 50.0), ("a", t(6), 60.0)]
+    # batch 1: master t8 sees carried slave t6; slave t9 sees carried
+    # master t8
+    mb1 = [("a", t(8), 3.0)]
+    sb1 = [("a", t(9), 90.0)]
+    write(mb0, msrc, "b0", "mval double"); write(sb0, ssrc, "b0", "quote double")
+    run()
+    write(mb1, msrc, "b1", "mval double"); write(sb1, ssrc, "b1", "quote double")
+    run()
+
+    def rowfn(r):
+        return (r["k"], str(r["ts"]), str(r["master_ts"]), str(r["slave_ts"]),
+                r["mval"], r["quote"])
+
+    got_rows = sorted(rowfn(r) for r in spark.read.parquet(out).collect())
+    mfull = spark.createDataFrame(mb0 + mb1, "k string, ts_s string, mval double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "mval")
+    sfull = spark.createDataFrame(sb0 + sb1, "k string, ts_s string, quote double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "quote")
+    expected_rows = sorted(
+        rowfn(r) for r in splice_join(mfull, sfull, "ts", keys=["k"]).collect()
+    )
+    assert len(got_rows) == 7  # one output row per input row, both sides
+    assert got_rows == expected_rows, (got_rows, expected_rows)
+    # the same-batch tie matched in both directions (two identical rows)
+    tie = [r for r in got_rows if r[1] == t(5)]
+    assert len(tie) == 2 and all(r[4:] == (2.0, 50.0) for r in tie), tie
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_ilp_ingest_end_to_end_file_stream(spark, tmp_path):
     """r8 verdict task 6: live lines → table → query round trip through
     `start_ilp_ingest` — 3 micro-batches, out-of-order rows through the
