@@ -31,6 +31,33 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_probe() -> dict:
+    """Single-thread CPU speed probe + steal sample: loadavg alone cannot
+    distinguish 'busy box' from 'slow box' (r11 finding: identical code
+    measured ~2x over its r10 medians at loadavg 1.3 — the host itself
+    was slower, which loadavg_start cannot show).  A fixed 2M-iteration
+    python loop gives a wall-ms number comparable across rounds, and one
+    second of /proc/stat delta yields the hypervisor steal share."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    probe_ms = round((time.perf_counter() - t0) * 1000, 1)
+    steal_pct = None
+    try:
+        def _stat():
+            with open("/proc/stat") as fh:
+                return list(map(int, fh.readline().split()[1:]))
+        a = _stat()
+        time.sleep(1)
+        b = _stat()
+        d = [y - x for x, y in zip(a, b)]
+        steal_pct = round(d[7] / max(sum(d), 1) * 100, 1) if len(d) > 7 else None
+    except OSError:
+        pass
+    return {"cpu_probe_ms": probe_ms, "steal_pct": steal_pct}
+
+
 def _wait_quiet_box(limit: float = 3.0, max_wait_s: float = 300.0) -> None:
     """Quiet-box gate (VERDICT r10 task 8): BENCH_r10 started at loadavg
     4.19 and read ~8% slow vs the builder's clean run.  Wait (bounded)
@@ -59,6 +86,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _wait_quiet_box()
     load_start = _loadavg()
+    cpu_probe = _cpu_probe()
     spark = get_session("questdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -128,6 +156,7 @@ def main() -> None:
                     "repeats": repeats,
                     "sf_dir": sf_dir,
                     "loadavg_start": load_start,
+                    "cpu_probe": cpu_probe,
                     "loadavg_end": load_end,
                     "queries": detail,
                 },
@@ -163,6 +192,7 @@ def main() -> None:
                 "top20": top20,
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
+                "cpu_probe": cpu_probe,
                 "metric": "total_query_seconds",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

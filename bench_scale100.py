@@ -135,12 +135,10 @@ def _jaccard_prod_guard(spark, sf):
 def _jaccard_prod_staged(spark, sf):
     # production pipeline ordering + production-default relative guard:
     # exact dedup collapses the replicas, then the relative cap resolves
-    # against the CANONICAL corpus — the measured non-zero production run
-    docs = load_table(spark, sf, "documents").dropDuplicates(["text"])
-    return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", threshold=0.12,
-        max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
-    )
+    # against the CANONICAL corpus — the measured non-zero production
+    # run.  Since r11 this is the oracle-checked registry query
+    # (min-doc_id canonicalization, deterministic across runs).
+    return REGISTRY["dedup_jaccard_prod_staged"][0](spark, sf)
 
 
 def _clusters_distributed(spark, sf):

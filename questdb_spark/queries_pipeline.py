@@ -190,6 +190,54 @@ DEDUP_JACCARD_GUARDED_SQL = _jaccard_sql(
 )
 
 
+def dedup_jaccard_prod_staged(spark: SparkSession, sf: str) -> DataFrame:
+    """THE production near-dup ordering as a first-class oracle-checked
+    query (r11): exact dedup FIRST (md5-equivalent text groupBy, min
+    doc_id canonical), then n-gram Jaccard under the corpus-RELATIVE
+    production stop-shingle guard (`dedup.MAX_SHINGLE_DF_FRAC` = 1e-4 of
+    the CANONICAL corpus).  This is the pipeline the 100x decade
+    measurements mandate (BENCH_SF2_r10/r11): running near-dup on an
+    un-exact-deduped corpus turns wholesale duplication into O(occ²)
+    shingle joins, while the staged form is replication-invariant by
+    construction (`dedup_jaccard_prod_staged` 100x row: 1.4x time,
+    1.0x output)."""
+    docs = load_table(spark, sf, "documents")
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return dedup.ngram_jaccard_pairs(
+        canon, "doc_id", threshold=0.12,
+        max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
+    )
+
+
+# The guard CTE counts OCCURRENCES (COUNT(*)) to mirror the fused path's
+# collect_list-size check exactly; on this corpus shingles don't repeat
+# within a document, so it equals the distinct-doc form the absolute-cap
+# oracle uses.
+DEDUP_JACCARD_PROD_STAGED_SQL = f"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM canon),
+sh0 AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) > GREATEST(2, CAST(CEIL(0.0001 *
+          (SELECT COUNT(*) FROM canon)) AS BIGINT))),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+  common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.12
+"""
+
+
 # DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): positional
 # nibble parse of the first 8 hex chars (lowercase md5 → strpos is exact).
 def _sql_hex8_mod_p(m: str) -> str:

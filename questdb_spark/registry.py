@@ -537,8 +537,20 @@ _ALL_BLOCKS: dict[str, tuple[QueryFn, str | None]] = {
 
 _WINDOW_R11 = _CHANGED_R11_NAMES + _RECHECK_R6_STALE_NAMES
 
+# Round-11 additions placed PAST the driver window (the 50 slots are the
+# staleness rotation this round; first driver verification lands in the
+# r12 window — the full-suite oracle run covers them meanwhile).
+_NEW_R11_POST: dict[str, tuple[QueryFn, str | None]] = {
+    # production staged near-dup: exact dedup -> corpus-relative guard
+    "dedup_jaccard_prod_staged": (
+        pl.dedup_jaccard_prod_staged,
+        pl.DEDUP_JACCARD_PROD_STAGED_SQL,
+    ),
+}
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **{n: _ALL_BLOCKS[n] for n in _WINDOW_R11 if n in _ALL_BLOCKS},
+    **_NEW_R11_POST,
     **_ALL_BLOCKS,
 }
 
