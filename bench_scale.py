@@ -107,6 +107,8 @@ HEAVY = [
     "bpe_train_merges",
     "bpe_merge_candidates",
     "mixture_temperature_sweep",
+    # r11: corpus-relative guard + staged production near-dup
+    "dedup_jaccard_prod_staged",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
