@@ -294,6 +294,122 @@ def streaming_lt_join(
     )
 
 
+def streaming_horizon_join(
+    master: DataFrame,
+    slave: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    horizons_seconds: Sequence[float],
+) -> DataFrame:
+    """Stream-stream HORIZON JOIN (markout): for each master row and each
+    horizon offset h, the latest key-matching slave value as of
+    ``ts + h`` — the streaming twin of ``operators/window_join.
+    horizon_join`` (reference MarkoutHorizon factories), completing the
+    streaming family (ASOF / LT / SPLICE / WINDOW / HORIZON).
+
+    A master cannot emit until the slave stream provably passes its
+    LARGEST horizon, so state buffers pending masters plus a slave tail
+    per key (the window-join look-ahead shape); emission yields one row
+    per (master, horizon) like the batch exploded-ASOF form.  The slave
+    tail trims to the earliest pending ``ts + min(h)`` KEEPING the one
+    prevailing row before that floor (an as-of lookup reaches backward,
+    unlike the window join's closed interval).  Whole micro-batches are
+    buffered before emit/trim (the family rule); arrival contract: slave
+    event time non-decreasing per key, masters no older than
+    ``max_slave_ts - max(h)``.  One stateful shuffle on the join keys."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(keys)
+    h_us = sorted(int(h * 1_000_000) for h in horizons_seconds)
+    min_h, max_h = h_us[0], h_us[-1]
+    tagged_m = master.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    tagged_s = slave.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    unioned = tagged_m.unionByName(tagged_s)
+
+    key_fields = ", ".join(
+        f"{k} {master.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, {ts_col} {master.schema[ts_col].dataType.simpleString()}, "
+        "horizon_s double, slave_ts timestamp, v double"
+    )
+    state_schema = (
+        "m_ts array<long>, s_ts array<long>, s_v array<double>, max_s long"
+    )
+    out_names = keys + [ts_col, "horizon_s", "slave_ts", "v"]
+
+    def advance(key, pdf_iter, state):
+        if state.exists:
+            m_ts, s_ts, s_v, max_s = state.get
+            m_ts, s_ts, s_v = list(m_ts), list(s_ts), list(s_v)
+        else:
+            m_ts, s_ts, s_v, max_s = [], [], [], -(1 << 62)
+        for pdf in pdf_iter:  # buffer the whole micro-batch first
+            ts_us = pdf["__ts"].astype("int64") // 1000  # ns -> us
+            is_s = pdf["__side"].to_numpy() == 0
+            m_ts.extend(ts_us[~is_s].tolist())
+            s_ts.extend(ts_us[is_s].tolist())
+            s_v.extend(pdf["__v"][is_s].astype(float).tolist())
+            if is_s.any():
+                max_s = max(max_s, int(ts_us[is_s].max()))
+        ready = sorted(t for t in m_ts if t + max_h <= max_s)
+        m_ts = [t for t in m_ts if t + max_h > max_s]
+        if ready:
+            order = np.argsort(np.array(s_ts, dtype=np.int64), kind="stable")
+            st = np.array(s_ts, dtype=np.int64)[order]
+            sv = np.array(s_v, dtype=np.float64)[order]
+            rows_ts, rows_h, rows_sts, rows_v = [], [], [], []
+            rm = np.array(ready, dtype=np.int64)
+            for h in h_us:
+                idx = np.searchsorted(st, rm + h, side="right") - 1
+                ok = idx >= 0
+                rows_ts.extend(rm.tolist())
+                rows_h.extend([h / 1_000_000.0] * len(rm))
+                rows_sts.extend(
+                    [int(st[i]) if o else None for i, o in zip(idx, ok)]
+                )
+                rows_v.extend(
+                    [float(sv[i]) if o else None for i, o in zip(idx, ok)]
+                )
+            yield pd.DataFrame({
+                **{k: v for k, v in zip(keys, key)},
+                ts_col: pd.to_datetime(np.array(rows_ts) * 1000),
+                "horizon_s": rows_h,
+                # int path only: µs*1000 exceeds float64's 53-bit mantissa
+                "slave_ts": pd.Series(
+                    [pd.NaT if x is None else pd.Timestamp(x * 1000)
+                     for x in rows_sts]
+                ),
+                "v": pd.Series(rows_v, dtype="float64"),
+            })[out_names]
+        # trim: keep the tail from the earliest still-needed as-of floor,
+        # PLUS the single prevailing row before it
+        floor_us = (min(m_ts) + min_h) if m_ts else (max_s - max_h + min_h)
+        pairs = sorted(zip(s_ts, s_v))
+        before = [i for i, (t, _) in enumerate(pairs) if t < floor_us]
+        start = before[-1] if before else 0
+        kept = pairs[start:]
+        s_ts, s_v = [t for t, _ in kept], [v for _, v in kept]
+        state.update((m_ts, s_ts, s_v, max_s))
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_splice_join(
     master: DataFrame,
     slave: DataFrame,

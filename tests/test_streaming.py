@@ -572,6 +572,87 @@ def test_streaming_splice_join_across_batches(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_horizon_join_matches_batch(spark):
+    """Stateful stream-stream HORIZON JOIN (markout): one row per
+    (master, horizon) with the prevailing slave value as of ts+h, equal
+    to the batch horizon_join over the concatenated history.  A master
+    emits only once the slave stream passes its LARGEST horizon; the
+    tail master stays pending.  The cross-batch case exercises the
+    keep-one-before-the-floor trim: a batch-1 master's 0s horizon
+    reaches back to a batch-0 slave that a closed-interval trim would
+    have dropped."""
+    import shutil
+
+    from questdb_spark.operators.window_join import horizon_join
+    from questdb_spark.streaming.stateful import streaming_horizon_join
+
+    tmp = tempfile.mkdtemp(prefix="shzn_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def t(sec):
+        return f"2024-01-01 00:{sec // 60:02d}:{sec % 60:02d}"
+
+    # side 0 = slave (k, ts, v); side 1 = master
+    b0 = [("a", t(0), 0, 5.0), ("a", t(10), 1, None), ("a", t(25), 0, 7.0),
+          ("a", t(45), 0, 9.0)]  # t45 >= t10+30 -> master t10 emits
+    b1 = [("a", t(60), 1, None),  # needs slaves to t90
+          ("a", t(95), 0, 11.0)]  # passes t60+30 -> master t60 emits
+    b2 = [("a", t(200), 1, None)]  # tail master: stays pending
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            rows, "k string, ts_s string, is_m int, v double"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "is_m", "v")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    for i, b in enumerate((b0, b1, b2)):
+        write(b, f"b{i}")
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, is_m int, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_horizon_join(
+            stream.filter("is_m = 1").select("k", "ts"),
+            stream.filter("is_m = 0").select("k", "ts", "v"),
+            "ts", ["k"], "v", [0, 10, 30],
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["k"], str(r["ts"]), r["horizon_s"]): (str(r["slave_ts"]), r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    allrows = b0 + b1 + b2
+    full = spark.createDataFrame(
+        allrows, "k string, ts_s string, is_m int, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "is_m", "v")
+    batch = horizon_join(
+        full.filter("is_m = 1").select("k", "ts"),
+        full.filter("is_m = 0").select("k", "ts", "v"),
+        "ts", ["k"], ["0 seconds", "10 seconds", "30 seconds"],
+    )
+    h_to_s = {"0 seconds": 0.0, "10 seconds": 10.0, "30 seconds": 30.0}
+    expected = {
+        (r["k"], str(r["ts"]), h_to_s[r["horizon"]]): (str(r["slave_ts"]), r["v"])
+        for r in batch.collect()
+        if str(r["ts"]) != "2024-01-01 00:03:20"  # tail master pending
+    }
+    assert len(got) == 6  # 2 emitted masters x 3 horizons
+    assert got == expected, (got, expected)
+    # the 0s horizon of master t60 reached BACK to the batch-0 slave t45
+    assert got[("a", t(60), 0.0)] == (t(45), 9.0)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_ilp_ingest_end_to_end_file_stream(spark, tmp_path):
     """r8 verdict task 6: live lines → table → query round trip through
     `start_ilp_ingest` — 3 micro-batches, out-of-order rows through the
