@@ -242,12 +242,14 @@ _RECHECK_R10_NAMES = [
 _CHANGED_R11_NAMES = [
     # n=1 frame guard (var_pop residue / corr range) — hash changed
     "window_stat_aggs",
-    # + table_storage() + wait_wal_table('t', seqTxn) rows, batched collects
+    # + table_storage() + wait_wal_table('t', seqTxn) rows, inline VALUES
     "sql_catalogue_introspection",
     # corpus-relative stop-shingle guard (max_shingle_df_frac)
     "dedup_jaccard_guarded",
-    # edge-set checkpoint between the pair and union-find stages
-    "dedup_cluster_canonical",
+    # NEW r11: staged production near-dup (exact dedup -> relative guard)
+    "dedup_jaccard_prod_staged",
+    # dedup_cluster_canonical is NOT here: r10-green, hash unchanged (the
+    # r11 work on it was a profile adjudication, not a code change)
 ]
 
 # The 46 entries whose latest driver check is round 6 (VERDICT r10 "What's
@@ -537,20 +539,18 @@ _ALL_BLOCKS: dict[str, tuple[QueryFn, str | None]] = {
 
 _WINDOW_R11 = _CHANGED_R11_NAMES + _RECHECK_R6_STALE_NAMES
 
-# Round-11 additions placed PAST the driver window (the 50 slots are the
-# staleness rotation this round; first driver verification lands in the
-# r12 window — the full-suite oracle run covers them meanwhile).
-_NEW_R11_POST: dict[str, tuple[QueryFn, str | None]] = {
+# Round-11 new queries (inside the window via _CHANGED_R11_NAMES).
+_NEW_R11: dict[str, tuple[QueryFn, str | None]] = {
     # production staged near-dup: exact dedup -> corpus-relative guard
     "dedup_jaccard_prod_staged": (
         pl.dedup_jaccard_prod_staged,
         pl.DEDUP_JACCARD_PROD_STAGED_SQL,
     ),
 }
+_ALL_BLOCKS.update(_NEW_R11)
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **{n: _ALL_BLOCKS[n] for n in _WINDOW_R11 if n in _ALL_BLOCKS},
-    **_NEW_R11_POST,
     **_ALL_BLOCKS,
 }
 
