@@ -143,6 +143,7 @@ def main() -> None:
     # BENCH_DETAIL.json name meant every rerun clobbered the previous
     # run's record — driver vs builder vs judge artifacts collided)
     load_end = _loadavg()
+    cpu_probe_end = _cpu_probe()  # the host's speed drifts mid-run too
     tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
     default_name = f"BENCH_DETAIL_{tag}.json" if tag else "BENCH_DETAIL.json"
     detail_path = os.environ.get(
@@ -157,6 +158,7 @@ def main() -> None:
                     "sf_dir": sf_dir,
                     "loadavg_start": load_start,
                     "cpu_probe": cpu_probe,
+                    "cpu_probe_end": cpu_probe_end,
                     "loadavg_end": load_end,
                     "queries": detail,
                 },
@@ -193,6 +195,7 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
                 "cpu_probe": cpu_probe,
+                "cpu_probe_end": cpu_probe_end,
                 "metric": "total_query_seconds",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

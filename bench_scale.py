@@ -172,6 +172,8 @@ def main() -> None:
     doc = {
         "scale_factor_ratio": REPLICAS,
         "note": "derived 10x of sf0.1 (key-shifted replicas, fixed time range)",
+        "loadavg": list(os.getloadavg()),
+        "cpu_probe": __import__("bench")._cpu_probe(),
         "queries": out,
     }
     with open(

@@ -273,6 +273,7 @@ def main() -> None:
     doc = {
         "scale_factor_ratio": REPLICAS,
         "loadavg_start": list(os.getloadavg()),
+        "cpu_probe": __import__("bench")._cpu_probe(),
         "note": "derived 100x of sf0.1 (key-shifted replicas of "
         "documents/embeddings/events, same construction as the 10x "
         "harness)",
