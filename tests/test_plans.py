@@ -474,3 +474,43 @@ def test_catalogue_fns_are_local_relations(spark):
         assert "LocalTableScan" in txt or "LocalRelation" in txt or (
             "Scan OneRowRelation" in txt
         ), (q, txt)
+
+
+def test_streaming_join_twins_single_stateful_shuffle(spark):
+    """The stream-stream join family's scale invariant: each twin lowers
+    to ONE keyed exchange feeding one FlatMapGroupsInPandasWithState —
+    the layout a 1000-executor stateful job wants (state partitioned by
+    the join key, no second shuffle)."""
+    import re
+
+    from questdb_spark.streaming.stateful import (
+        streaming_asof_join,
+        streaming_horizon_join,
+        streaming_lt_join,
+        streaming_splice_join,
+        streaming_window_join,
+    )
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            (F.col("value") % 3).cast("string").alias("k"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("v"),
+        )
+    )
+    m = rate.select("k", "ts")
+    s = rate.select("k", "ts", "v")
+    mv = rate.select("k", "ts", F.col("v").alias("mval"))
+    twins = {
+        "asof": streaming_asof_join(mv, s, "ts", ["k"], ["v"]),
+        "lt": streaming_lt_join(mv, s, "ts", ["k"], ["v"]),
+        "splice": streaming_splice_join(mv, s, "ts", ["k"]),
+        "window": streaming_window_join(m, s, "ts", ["k"], "v", -30, 30),
+        "horizon": streaming_horizon_join(m, s, "ts", ["k"], "v", [0, 30]),
+    }
+    for name, df in twins.items():
+        txt = plan_text(df)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", txt))
+        assert n_ex == 1, (name, n_ex, txt)
+        assert "FlatMapGroupsInPandasWithState" in txt, (name, txt)
