@@ -606,27 +606,35 @@ def test_streaming_horizon_join_matches_batch(spark):
         ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "is_m", "v")
         df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
 
-    for i, b in enumerate((b0, b1, b2)):
-        write(b, f"b{i}")
-    stream = (
-        spark.readStream.schema("k string, ts timestamp, is_m int, v double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src + "/*")
-    )
-    q = (
-        streaming_horizon_join(
-            stream.filter("is_m = 1").select("k", "ts"),
-            stream.filter("is_m = 0").select("k", "ts", "v"),
-            "ts", ["k"], "v", [0, 10, 30],
+    def run():
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, is_m int, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
         )
-        .writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+        q = (
+            streaming_horizon_join(
+                stream.filter("is_m = 1").select("k", "ts"),
+                stream.filter("is_m = 0").select("k", "ts", "v"),
+                "ts", ["k"], "v", [0, 10, 30],
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    for i, b in enumerate((b0, b1)):
+        write(b, f"b{i}")
+    run()
+    # RESTART from the checkpoint: the pending master + slave tail must
+    # survive in state, so b2 alone completes the picture identically to
+    # a single uninterrupted run
+    write(b2, "b2")
+    run()
     got = {
         (r["k"], str(r["ts"]), r["horizon_s"]): (str(r["slave_ts"]), r["v"])
         for r in spark.read.parquet(out).collect()
