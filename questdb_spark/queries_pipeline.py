@@ -2055,6 +2055,56 @@ FROM e
 """
 
 
+def chunk_retrieval_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end retrieval pipeline row (r11): sliding-window chunking
+    -> per-chunk distinct-token sets -> exact set-overlap (token
+    Jaccard) scoring against a fixed query -> deterministic top-k.  The
+    lexical twin of the embedding ANN rows with a fully SQL-expressible
+    scorer, so the WHOLE pipeline — chunker included — is oracle-checked
+    end to end (retrieval evals need exactly this composed shape).
+    Scale shape: chunking is a map-only explode, scoring is a map with a
+    plan-shipped query token set (no join), and the top-k lowers to
+    TakeOrderedAndProject — nothing shuffles more than k rows."""
+    docs = load_table(spark, sf, "documents")
+    chunks = text.chunk_documents(docs, size=32, stride=24)
+    q_tokens = sorted({"spark", "table", "filter", "scan"})
+    qarr = F.array(*[F.lit(t) for t in q_tokens])
+    ctoks = F.array_distinct(F.split(F.col("chunk_text"), " "))
+    common = F.size(F.array_intersect(ctoks, qarr))
+    union = F.size(ctoks) + F.lit(len(q_tokens)) - common
+    score = common.cast("double") / union
+    return (
+        chunks.select("doc_id", "chunk_idx", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id", "chunk_idx")
+        .limit(20)
+    )
+
+
+CHUNK_RETRIEVAL_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= 32 THEN 1
+         ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM t),
+e AS (SELECT doc_id, unnest(range(0, n_chunks)) AS ci, toks FROM c),
+ch AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+    list_distinct(list_slice(toks, ci * 24 + 1, ci * 24 + 32)) AS ct
+  FROM e),
+s AS (
+  SELECT doc_id, chunk_idx, ct,
+    len(list_filter(ct, x -> x IN ('filter', 'scan', 'spark', 'table')))
+      AS common
+  FROM ch)
+SELECT doc_id, chunk_idx,
+  CAST(common AS DOUBLE) / (len(ct) + 4 - common) AS score
+FROM s WHERE common > 0
+ORDER BY score DESC, doc_id, chunk_idx LIMIT 20
+"""
+
+
 def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-card summary (r10): the per-source corpus statistics a
     training-data pipeline publishes with every snapshot — doc/token/char

@@ -549,8 +549,19 @@ _NEW_R11: dict[str, tuple[QueryFn, str | None]] = {
 }
 _ALL_BLOCKS.update(_NEW_R11)
 
+# Round-11 additions PAST the full window (first driver verification in
+# r12; oracle-verified by the full pytest suite this round).
+_NEW_R11_POST: dict[str, tuple[QueryFn, str | None]] = {
+    # end-to-end lexical retrieval: chunk -> token-set score -> top-k
+    "chunk_retrieval_topk": (
+        pl.chunk_retrieval_topk,
+        pl.CHUNK_RETRIEVAL_SQL,
+    ),
+}
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **{n: _ALL_BLOCKS[n] for n in _WINDOW_R11 if n in _ALL_BLOCKS},
+    **_NEW_R11_POST,
     **_ALL_BLOCKS,
 }
 
