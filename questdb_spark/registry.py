@@ -239,6 +239,12 @@ _RECHECK_R10_NAMES = [
 # changed in r11 first, then ALL 46 entries whose latest driver check is
 # round 6 — after this round every registry entry is driver-verified
 # within r8-r11.  4 changed + 46 stale = exactly the ~50-slot window.
+#
+# r12 rotation plan: chunk_retrieval_topk (added past this window) plus
+# any r12 changes go first; the next-stalest block is the ~50 entries
+# whose latest check is round 8 (the r8 grammar/function-surface and
+# TPC-H/recheck families) — rotating those keeps every entry within a
+# 4-round driver-check horizon.
 _CHANGED_R11_NAMES = [
     # n=1 frame guard (var_pop residue / corr range) — hash changed
     "window_stat_aggs",
