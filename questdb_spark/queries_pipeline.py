@@ -202,7 +202,16 @@ def dedup_jaccard_prod_staged(spark: SparkSession, sf: str) -> DataFrame:
     construction (`dedup_jaccard_prod_staged` 100x row: 1.4x time,
     1.0x output)."""
     docs = load_table(spark, sf, "documents")
-    canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # checkpoint the canonical corpus: the relative guard needs count(canon)
+    # BEFORE the plan is final, and without materialization that count
+    # would execute the exact-dedup groupBy a SECOND time inside the main
+    # pipeline — a full extra shuffle of the corpus at 100 TB.  One
+    # materialized pass + a metadata-cheap count is the scale shape.
+    canon = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     return dedup.ngram_jaccard_pairs(
         canon, "doc_id", threshold=0.12,
         max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
