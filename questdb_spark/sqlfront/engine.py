@@ -1495,7 +1495,6 @@ class QdbEngine:
                     "tableName string, walEnabled boolean, partitionBy "
                     "string, partitionCount long, rowCount long, diskSize long"
                 )
-                view = "__qdb_table_storage"
                 view = self._inline_values(rows, schema)
             elif m.group(1) and m.group(1).lower() == "query_activity":
                 # griffin/QueryRegistry.java + functions/activity/: the

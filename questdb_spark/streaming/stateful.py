@@ -50,8 +50,14 @@ def streaming_ema(
             ema, last_ts = state.get
         else:
             ema, last_ts = None, None
-        parts = []
-        for pdf in pdf_iter:
+        # buffer the WHOLE micro-batch before folding (family rule, same
+        # as the join twins): when one key's batch spans >1 Arrow chunk,
+        # a per-chunk fold advances the recurrence in chunk order rather
+        # than timestamp order and flags a chunk-2 row older than
+        # chunk-1's tail as late — silently diverging from the batch EMA
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values([ts_col], kind="mergesort")
             out = []
             for t, v in zip(pdf[ts_col], pdf[value_col]):
@@ -62,9 +68,10 @@ def streaming_ema(
                 last_ts = t
                 out.append(ema)
             pdf[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
-            parts.append(pdf)
-        state.update((ema, last_ts))
-        yield from parts
+            state.update((ema, last_ts))
+            yield pdf
+        else:
+            state.update((ema, last_ts))
 
     return stream.groupBy(*keys).applyInPandasWithState(
         advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -254,6 +261,7 @@ def streaming_lt_join(
         if pdf is not None and len(pdf):
             slaves = pdf[pdf["__side"] == 0].sort_values("__ts", kind="mergesort")
             masters = pdf[pdf["__side"] == 1].sort_values("__ts", kind="mergesort")
+            pcols = ["__ts"] + [f"__s_{c}" for c in payload_cols]
             scols = {
                 "__ts": [t for t, _ in carried],
                 **{
@@ -261,15 +269,27 @@ def streaming_lt_join(
                     for j, c in enumerate(payload_cols)
                 },
             }
-            prefix = pd.DataFrame(scols, columns=["__ts"] + [f"__s_{c}" for c in payload_cols])
-            stable = pd.concat(
-                [prefix, slaves[["__ts"] + [f"__s_{c}" for c in payload_cols]]],
-                ignore_index=True,
+            # coerce the prefix to the batch dtypes: with no carried state
+            # the prefix columns come up object-dtype, and merge_asof
+            # rejects object vs datetime64 when the batch has masters but
+            # no slaves (batch lt_join emits NULL payloads on that input)
+            prefix = pd.DataFrame(scols, columns=pcols).astype(
+                {c: pdf[c].dtype for c in pcols}
             )
-            for _, row in slaves.iterrows():
-                carried.append(
-                    (row["__ts"], [row[f"__s_{c}"] for c in payload_cols])
-                )
+            stable = pd.concat([prefix, slaves[pcols]], ignore_index=True)
+            # carry the newest slave row plus the newest row with a
+            # STRICTLY smaller timestamp (equal-ts rows collapse to the
+            # last one): carrying the last two ROWS loses the
+            # strictly-earlier payload when the two newest slaves tie on
+            # ts, and a later-batch master tying that ts would get NULL
+            # where batch lt_join finds the evicted earlier slave
+            tail = slaves[pcols].drop_duplicates("__ts", keep="last").tail(2)
+            for _, row in tail.iterrows():
+                entry = (row["__ts"], [row[f"__s_{c}"] for c in payload_cols])
+                if carried and carried[-1][0] == entry[0]:
+                    carried[-1] = entry
+                else:
+                    carried.append(entry)
             carried = carried[-2:]
             if len(masters):
                 merged = pd.merge_asof(

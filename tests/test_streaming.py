@@ -380,6 +380,52 @@ def test_streaming_ema_stateful_across_batches(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_ema_multi_chunk_group(spark):
+    """A single key's micro-batch spanning multiple Arrow chunks must fold
+    in TIMESTAMP order, not chunk order: with a per-chunk fold, a chunk-2
+    row older than chunk-1's tail is flagged late (NULL) and the rest fold
+    in arrival order, silently diverging from the batch EMA.
+    arrow.maxRecordsPerBatch=1 forces every row into its own chunk; rows
+    are written newest-first so chunk order disagrees with time order."""
+    import shutil
+
+    from questdb_spark.functions.finance import ema as batch_ema
+    from questdb_spark.streaming.stateful import streaming_ema
+
+    tmp = tempfile.mkdtemp(prefix="semac_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    rows = [  # one key, ONE micro-batch, newest-first on disk
+        ("a", "2024-01-01 00:02:00", 4.0),
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 00:01:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, v double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    df.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        stream = spark.readStream.schema("k string, ts timestamp, v double") \
+            .parquet(src + "/*")
+        q = streaming_ema(stream, "ts", "v", alpha=0.3, keys=["k"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {str(r["ts"]): r["ema"] for r in spark.read.parquet(out).collect()}
+    expected = {
+        str(r["ts"]): r["ema"]
+        for r in batch_ema(df, "ts", "v", alpha=0.3, keys=["k"]).collect()
+    }
+    assert len(got) == 3
+    for ts, e in expected.items():
+        assert got[ts] is not None and abs(got[ts] - e) < 1e-9, (ts, got, expected)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_asof_join_across_batches(spark):
     """Stateful stream-stream ASOF: master rows enrich with the prevailing
     slave payload, carried across micro-batches; equals the batch
@@ -503,6 +549,82 @@ def test_streaming_lt_join_across_batches(spark):
     # the tie master specifically took the strictly-earlier slave
     assert got[("a", t(10))] == 50.0
     assert got[("a", t(5))] is None
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_lt_join_dup_ts_carry_and_master_only_start(spark):
+    """Two LT-join state edges in one run.  (1) master-only FIRST batch
+    with no slaves and no carried state: batch lt_join emits NULL payloads
+    on that input; the streaming twin must too, not crash with
+    pd.MergeError on the object-dtype empty prefix.  (2) the two newest
+    slaves TIE on timestamp: the carry must keep (newest ts row, newest
+    STRICTLY-earlier ts row) — carrying the last two ROWS holds the tied
+    ts twice, and a later-batch master tying it gets NULL where batch
+    lt_join finds the strictly-earlier slave the carry evicted."""
+    import shutil
+
+    from questdb_spark.operators.asof import lt_join
+    from questdb_spark.streaming.stateful import streaming_lt_join
+
+    tmp = tempfile.mkdtemp(prefix="sltd_")
+    msrc, ssrc, out, ckpt = (os.path.join(tmp, d) for d in ("m", "s", "out", "ckpt"))
+    os.makedirs(msrc); os.makedirs(ssrc)
+
+    def write(rows, path, name, cols):
+        spark.createDataFrame(rows, f"k string, ts_s string, {cols}") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"),
+                    *[c.split()[0] for c in cols.split(",")]) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+    def run():
+        m = spark.readStream.schema("k string, ts timestamp, mval double") \
+            .parquet(msrc + "/*")
+        s = spark.readStream.schema("k string, ts timestamp, quote double") \
+            .parquet(ssrc + "/*")
+        q = streaming_lt_join(m, s, "ts", ["k"], ["quote"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    t = lambda mm: f"2024-01-01 00:{mm:02d}:00"
+    # batch 0: key "b" has MASTERS ONLY (edge 1 — empty prefix, no slaves)
+    mb0 = [("b", t(1), 9.0), ("b", t(2), 9.5)]
+    write(mb0, msrc, "b0", "mval double")
+    write([], ssrc, "b0", "quote double")
+    run()
+    # batch 1: key "a" slaves t5=50 and a DUP-ts pair at t10 (same payload:
+    # batch order among tied slave rows is nondeterministic, the carry
+    # question is 50-vs-NULL, not which dup wins); key "b" gets a slave
+    sb1 = [("a", t(5), 50.0), ("a", t(10), 100.0), ("a", t(10), 100.0),
+           ("b", t(3), 30.0)]
+    write(sb1, ssrc, "b1", "quote double")
+    write([], msrc, "b1", "mval double")
+    run()
+    # batch 2: key "a" master TIES the carried newest slave ts (edge 2 —
+    # must take the strictly-earlier 50); master above the tie -> 100;
+    # key "b" master after its slave -> 30
+    mb2 = [("a", t(10), 3.0), ("a", t(11), 4.0), ("b", t(4), 9.9)]
+    write(mb2, msrc, "b2", "mval double")
+    write([], ssrc, "b2", "quote double")
+    run()
+
+    got = {
+        (r["k"], str(r["ts"])): r["quote"]
+        for r in spark.read.parquet(out).collect()
+    }
+    mfull = spark.createDataFrame(mb0 + mb2, "k string, ts_s string, mval double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "mval")
+    sfull = spark.createDataFrame(sb1, "k string, ts_s string, quote double") \
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "quote")
+    expected = {
+        (r["k"], str(r["ts"])): r["quote"]
+        for r in lt_join(mfull, sfull, "ts", keys=["k"]).collect()
+    }
+    assert len(got) == 5, got
+    assert got == expected, (got, expected)
+    assert got[("b", t(1))] is None and got[("b", t(2))] is None  # edge 1
+    assert got[("a", t(10))] == 50.0                              # edge 2
+    assert got[("a", t(11))] == 100.0 and got[("b", t(4))] == 30.0
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -977,6 +1099,7 @@ def test_streaming_window_join_matches_batch(spark):
         k: norm(v) for k, v in expected.items()
     }, (got, expected)
     assert ("a", "2024-01-01 00:03:20") not in got  # pending tail
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_streaming_window_join_multi_chunk_group(spark):
@@ -1029,5 +1152,4 @@ def test_streaming_window_join_multi_chunk_group(spark):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1, got
     assert (got[0]["w_sum"], got[0]["w_count"]) == (1.0, 1), got
-    shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
