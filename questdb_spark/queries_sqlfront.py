@@ -795,8 +795,10 @@ def sql_geo_date_encoding(spark: SparkSession, sf: str) -> DataFrame:
     inclusive predicates; IsLeapYear/DaysPerMonth; Base64/Sha1/Sha256 over
     binary; str/ToCharBinFunctionFactory hex dump of BINARY — 16 bytes
     per line, 8-hex-digit offset prefix, Chars.java:1334 toSink format —
-    exercised single- and multi-line). Lat/lon are derived
-    deterministically from events columns; distances round through
+    exercised single- and multi-line on a deterministic 1-in-8 row subset:
+    the dump is the query's only regexp-per-row expression and the subset
+    keeps its cost bounded without narrowing the surface). Lat/lon are
+    derived deterministically from events columns; distances round through
     DECIMAL(18,4) so a last-ulp libm divergence between engines cannot
     flip the hash."""
     eng = _engine(spark, sf, {"events": "ts"})
@@ -811,9 +813,11 @@ def sql_geo_date_encoding(spark: SparkSession, sf: str) -> DataFrame:
         "base64(sha256(event_type), 8) AS b64_8, "
         "cast(base64_decode(base64(event_type)) AS STRING) AS roundtrip, "
         "sha1(event_type) AS h1, "
-        "to_char(base64_decode(base64(event_type))) AS bin_dump, "
+        "CASE WHEN event_id % 8 = 0 THEN "
+        "to_char(base64_decode(base64(event_type))) END AS bin_dump, "
+        "CASE WHEN event_id % 8 = 0 THEN "
         "to_char(base64_decode(base64(concat(event_type, ':', event_type, "
-        "':', event_type, ':', event_type)))) AS bin_dump_multi "
+        "':', event_type, ':', event_type)))) END AS bin_dump_multi "
         "FROM (SELECT event_id, ts, event_type, "
         "  cast(user_id % 90 AS DOUBLE) AS lat, "
         "  cast(event_id % 180 AS DOUBLE) - 90.0 AS lon FROM events)"
@@ -874,8 +878,8 @@ SELECT event_id,
   to_base64(ENCODE(substring(sha256(event_type), 1, 8))) AS b64_8,
   event_type AS roundtrip,
   __SHA1_CASE__ AS h1,
-  __DUMP1__ AS bin_dump,
-  __DUMP4__ AS bin_dump_multi
+  CASE WHEN event_id % 8 = 0 THEN __DUMP1__ END AS bin_dump,
+  CASE WHEN event_id % 8 = 0 THEN __DUMP4__ END AS bin_dump_multi
 FROM b
 """.replace(
     "__SHA1_CASE__", _sha1_case_sql(["click", "error", "purchase", "signup", "view"])

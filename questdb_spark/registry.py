@@ -543,7 +543,7 @@ _ALL_BLOCKS: dict[str, tuple[QueryFn, str | None]] = {
     **_RECHECK_R7,
 }
 
-_WINDOW_R11 = _CHANGED_R11_NAMES + _RECHECK_R6_STALE_NAMES
+_WINDOW_R11 = _CHANGED_R11_NAMES + _RECHECK_R6_STALE_NAMES  # r11 history
 
 # Round-11 new queries (inside the window via _CHANGED_R11_NAMES).
 _NEW_R11: dict[str, tuple[QueryFn, str | None]] = {
@@ -565,10 +565,29 @@ _NEW_R11_POST: dict[str, tuple[QueryFn, str | None]] = {
     ),
 }
 
+# Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
+# above): chunk_retrieval_topk (added past the r11 window — first driver
+# verification) and entries on materially-changed r12 code first, then the
+# 50-entry block whose latest driver check is round 8 (= _NEW_R8 + _NEW_R7
+# + _RECHECK_R7 + _RECHECK_R4, exactly the CORRECTNESS_r08 rows never
+# re-checked since).  After this round every registry entry is
+# driver-verified within r9-r12; if the driver's window stops short of the
+# full 52, the tail of the _RECHECK_R4 block rolls to the r13 window.
+_CHANGED_R12_NAMES = [
+    # to_char(bin) hex-dump columns bounded to a deterministic 1-in-8 row
+    # subset in BOTH engines (VERDICT r11 task 7) — hash changed
+    "sql_geo_date_encoding",
+]
+_R8_STALE_NAMES = (
+    list(_NEW_R8) + list(_NEW_R7) + list(_RECHECK_R7) + list(_RECHECK_R4)
+)
+_WINDOW_R12 = ["chunk_retrieval_topk"] + _CHANGED_R12_NAMES + _R8_STALE_NAMES
+
+_LOOKUP: dict[str, tuple[QueryFn, str | None]] = {**_ALL_BLOCKS, **_NEW_R11_POST}
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    **{n: _ALL_BLOCKS[n] for n in _WINDOW_R11 if n in _ALL_BLOCKS},
-    **_NEW_R11_POST,
+    **{n: _LOOKUP[n] for n in _WINDOW_R12 if n in _LOOKUP},
     **_ALL_BLOCKS,
+    **_NEW_R11_POST,
 }
 
 
