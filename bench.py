@@ -58,12 +58,14 @@ def _cpu_probe() -> dict:
     return {"cpu_probe_ms": probe_ms, "steal_pct": steal_pct}
 
 
-def _wait_quiet_box(limit: float = 3.0, max_wait_s: float = 300.0) -> None:
+def _wait_quiet_box(limit: float = 2.5, max_wait_s: float = 300.0) -> None:
     """Quiet-box gate (VERDICT r10 task 8): BENCH_r10 started at loadavg
     4.19 and read ~8% slow vs the builder's clean run.  Wait (bounded)
     for the 1-minute load to drop below `limit` before timing anything;
     a box that never quiets still runs — loadavg_start in the artifact
-    keeps the run self-identifying either way."""
+    keeps the run self-identifying either way.  Default tightened 3.0 ->
+    2.5 in r12: BENCH_r11 started at exactly 3.0, the old gate boundary
+    (VERDICT r11 task 8)."""
     limit = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", limit))
     if limit <= 0:
         return

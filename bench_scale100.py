@@ -16,13 +16,16 @@ fixed time range, same construction as the 10x harness) and runs:
   (bucketed equi-join), SAMPLE BY FILL(linear) — and the
   production-default corpus-relative Jaccard guard rows
   (dedup_jaccard_prod_guard / _prod_staged, MAX_SHINGLE_DF_FRAC=1e-4).
+- r12 (VERDICT r11 task 6): the remaining flagship time-series
+  operators — HORIZON/markout (explode horizons + keyed ASOF), SPLICE
+  (full-outer union window), LATEST ON (max_by per key).
 
 Timing is `.count()` (which also yields the output cardinality for the
 output-growth annotations — exact-pair outputs grow ~quadratically in
 replication by construction, so time ratios are only meaningful against
-output ratios). Emits ONE JSON line and writes BENCH_SF2_r11.json
+output ratios). Emits ONE JSON line and writes BENCH_SF2_r12.json
 (SPARK_GRAFT_SF2_OUT to override; rows measured in earlier rounds stay
-in BENCH_SF2_r10.json).
+in BENCH_SF2_r11.json / BENCH_SF2_r10.json).
 """
 
 from __future__ import annotations
@@ -171,6 +174,10 @@ CASES = {
     "asof_join_events": REGISTRY["asof_join_events"][0],
     "sql_window_join_dynamic": REGISTRY["sql_window_join_dynamic"][0],
     "sample_by_fill_linear": REGISTRY["sample_by_fill_linear"][0],
+    # r12: the remaining flagship time-series ops (VERDICT r11 task 6)
+    "horizon_join_events": REGISTRY["horizon_join_events"][0],
+    "splice_join_events": REGISTRY["splice_join_events"][0],
+    "latest_on_user": REGISTRY["latest_on_user"][0],
 }
 
 NOTES = {
@@ -223,6 +230,15 @@ NOTES = {
     "output grows linearly with replication",
     "sample_by_fill_linear": "one hash-agg shuffle + spine/key grid fill; "
     "grid rows = days x users grow linearly with the 100x user population",
+    "horizon_join_events": "markout = explode(horizons) over the master "
+    "side + ONE keyed ASOF union-tag window; 100x = 100x users at constant "
+    "per-key density, output = masters x horizons grows linearly",
+    "splice_join_events": "full-outer time merge = union + one window "
+    "pass per key (the ASOF plan shape, both sides emitting); output = "
+    "all rows of both sides, linear in replication",
+    "latest_on_user": "LATEST ON = one hash agg (max_by struct per key); "
+    "output = one row per user, 100x users -> 100x rows, shuffle moves "
+    "one struct per key",
 }
 
 
@@ -249,7 +265,7 @@ def main() -> None:
     out = {}
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        os.environ.get("SPARK_GRAFT_SF2_OUT", "BENCH_SF2_r11.json"),
+        os.environ.get("SPARK_GRAFT_SF2_OUT", "BENCH_SF2_r12.json"),
     )
     if _only and os.path.exists(path):  # subset rerun: merge over previous
         with open(path) as f:
