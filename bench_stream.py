@@ -39,9 +39,11 @@ from bench import _cpu_probe, _loadavg  # noqa: E402
 from questdb_spark.session import get_session  # noqa: E402
 from questdb_spark.streaming.stateful import (  # noqa: E402
     streaming_asof_join,
+    streaming_dedup_exact,
     streaming_ema,
     streaming_horizon_join,
     streaming_lt_join,
+    streaming_sessionize,
     streaming_splice_join,
     streaming_window_join,
 )
@@ -148,6 +150,22 @@ TWINS = {
         s.filter("is_m = 1").select("k", "ts"),
         s.filter("is_m = 0").select("k", "ts", "v"),
         "ts", ["k"], "v", [1.0, 5.0],
+    ),
+    # the two built-in-backed stateful ops, for the complete streaming
+    # perf story: native session windows (state = open sessions) and the
+    # dropDuplicates ingest gate (state = distinct hashes in the
+    # watermark horizon; v % 25 forces ~96% duplicates so the gate does
+    # real dropping and phase 2 re-sees only phase-1 hashes)
+    "sessionize": lambda s: streaming_sessionize(
+        s.filter("is_m = 1").select("k", "ts"), "ts", "k", 10
+    ),
+    "dedup_gate": lambda s: streaming_dedup_exact(
+        s.filter("is_m = 0").select(
+            "k", "ts",
+            F.concat(F.col("k"), F.lit(":"), (F.col("v") % 25).cast("string"))
+            .alias("text"),
+        ),
+        text_col="text", ts_col="ts",
     ),
 }
 
