@@ -2114,6 +2114,114 @@ ORDER BY score DESC, doc_id, chunk_idx LIMIT 20
 """
 
 
+def retrieval_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (r12): the lexical
+    route (doc-level token Jaccard vs a fixed query, the
+    chunk_retrieval_topk scorer) and the vector route (exact quantized
+    dot product vs the vec_id-0 query embedding, the embedding_topk
+    kernel) each produce a top-50 candidate ranking; RRF fuses them as
+    sum(1/(60 + rank)) with a missing side contributing 0 — the standard
+    two-retriever fusion a RAG/eval pipeline runs.
+
+    Scale shape: each side is a map-scored TakeOrderedAndProject (the
+    candidate cut is `orderBy().limit(50)`, never a global row_number
+    over the corpus), the rank window then runs on <= 50 rows, and the
+    fusion is a full outer join of two 50-row sets — nothing past the
+    cut is shuffled.  All fused scores are 1/(60+r) sums over small
+    integers, bit-identical across engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+
+    q_tokens = sorted({"spark", "table", "filter", "scan"})
+    qarr = F.array(*[F.lit(t) for t in q_tokens])
+    toks = F.array_distinct(text.tokens_col(F.col("text")))
+    common = F.size(F.array_intersect(toks, qarr))
+    union = F.size(toks) + F.lit(len(q_tokens)) - common
+    lex50 = (
+        docs.select(
+            "doc_id", (common.cast("double") / union).alias("lex_score")
+        )
+        .filter(F.col("lex_score") > 0)
+        .orderBy(F.col("lex_score").desc(), "doc_id")
+        .limit(50)
+    )
+    wl = Window.orderBy(F.col("lex_score").desc(), "doc_id")
+    lexr = lex50.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("r_lex")
+    )
+
+    # query embedding shipped as a plan literal (model-scale collect,
+    # the embedding_ann_* convention); exact int64 grid dot product
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    qcol = F.array(*[F.lit(v).cast("long") for v in qv])
+    dot = similarity.dot_q(similarity.quantize(F.col("embedding")), qcol)
+    vec50 = (
+        emb.select(F.col("vec_id").alias("doc_id"), dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), "doc_id")
+        .limit(50)
+    )
+    wv = Window.orderBy(F.col("dot").desc(), "doc_id")
+    vecr = vec50.select(
+        "doc_id", F.row_number().over(wv).cast("int").alias("r_vec")
+    )
+
+    one = F.lit(1.0)
+    fused = lexr.join(vecr, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(one / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(60) + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+        "r_lex",
+        "r_vec",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
+
+
+_RRF_IN = "('filter', 'scan', 'spark', 'table')"
+
+RETRIEVAL_HYBRID_RRF_SQL = f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(list_filter(toks, x -> x IN {_RRF_IN})) AS common,
+         len(toks) AS n
+  FROM t),
+lex50 AS (
+  SELECT doc_id, lex_score FROM (
+    SELECT doc_id, CAST(common AS DOUBLE) / (n + 4 - common) AS lex_score
+    FROM s WHERE common > 0)
+  ORDER BY lex_score DESC, doc_id LIMIT 50),
+lexr AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS INT) AS r_lex
+  FROM lex50),
+q AS (SELECT {_QUANT_SQL.format(v='embedding')} AS qv
+      FROM embeddings WHERE vec_id = 0),
+v AS (
+  SELECT vec_id AS doc_id,
+    {_DOT_SQL.format(a=_QUANT_SQL.format(v='embedding'), b='q.qv')} AS dot
+  FROM embeddings, q),
+vec50 AS (SELECT doc_id, dot FROM v ORDER BY dot DESC, doc_id LIMIT 50),
+vecr AS (
+  SELECT doc_id,
+    CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS INT) AS r_vec
+  FROM vec50)
+SELECT doc_id,
+  COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0)
+    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0.0) AS rrf,
+  r_lex, r_vec
+FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
 def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-card summary (r10): the per-source corpus statistics a
     training-data pipeline publishes with every snapshot — doc/token/char

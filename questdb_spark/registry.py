@@ -565,6 +565,18 @@ _NEW_R11_POST: dict[str, tuple[QueryFn, str | None]] = {
     ),
 }
 
+# Round-12 addition PAST the r12 window (first driver verification in
+# r13 — head of that window, with any r13 changes, then whatever of the
+# _RECHECK_R4 tail the r12 driver run left unchecked).
+_NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
+    # hybrid retrieval: lexical Jaccard top-50 + quantized-dot top-50
+    # fused by reciprocal rank (RRF), both cuts TakeOrderedAndProject
+    "retrieval_hybrid_rrf": (
+        pl.retrieval_hybrid_rrf,
+        pl.RETRIEVAL_HYBRID_RRF_SQL,
+    ),
+}
+
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
 # above): chunk_retrieval_topk (added past the r11 window — first driver
 # verification) and entries on materially-changed r12 code first, then the
@@ -588,6 +600,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **{n: _LOOKUP[n] for n in _WINDOW_R12 if n in _LOOKUP},
     **_ALL_BLOCKS,
     **_NEW_R11_POST,
+    **_NEW_R12_POST,
 }
 
 

@@ -514,3 +514,18 @@ def test_streaming_join_twins_single_stateful_shuffle(spark):
         n_ex = len(re.findall(r"\(\d+\) Exchange", txt))
         assert n_ex == 1, (name, n_ex, txt)
         assert "FlatMapGroupsInPandasWithState" in txt, (name, txt)
+
+
+def test_retrieval_hybrid_rrf_plan(spark):
+    """Hybrid RRF (r12): both candidate cuts must lower to
+    TakeOrderedAndProject (never a global row_number over the corpus —
+    the rank windows run on the <=50-row cut), the fusion join of two
+    50-row sets must not be a CartesianProduct, and no Python reaches
+    the hot path (the quantized dot is a Catalyst HOF)."""
+    from questdb_spark.queries_pipeline import retrieval_hybrid_rrf
+
+    df = retrieval_hybrid_rrf(spark, SF_DIR)
+    txt = plan_text(df)
+    assert txt.count("TakeOrderedAndProject") >= 2, txt
+    assert "BatchEvalPython" not in txt
+    assert "CartesianProduct" not in txt
