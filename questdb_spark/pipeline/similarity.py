@@ -911,6 +911,21 @@ def kmeans_train(
     return cents
 
 
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector cell assignment for a trained model: ONE Arrow map pass
+    with the centroids shipped as plan literals (the IVF encode shape) —
+    no join, no shuffle; downstream ops group on the cell column."""
+    cd = _cell_dist_udf(centroids)
+    return df.select(
+        F.col(id_col), cd(F.col(vec_col)).alias("__a")
+    ).select(id_col, F.col("__a.cell").alias("cell"))
+
+
 def kmeans_report(
     df: DataFrame,
     centroids: list[list[int]],

@@ -1588,6 +1588,67 @@ ORDER BY cell, pos
 EMBEDDING_KMEANS_SQL = _kmeans_report_sql()
 
 
+_CBS_CAP = 20
+
+
+def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced subsampling (r12): train the k-means quantizer,
+    assign every vector to its cell (one Arrow map pass, centroids as
+    plan literals), then keep at most `_CBS_CAP` vectors per cell by a
+    deterministic hash priority — the topic-balancing step a corpus
+    pipeline runs so over-represented clusters cannot dominate a
+    training mix (the SemDeDup/DSIR-style diversity cut).
+
+    Scale shape: assignment is map-only; the per-cell cap is one
+    row_number window partitioned by cell (in production k is large —
+    thousands of cells — so the partitioning spreads; the md5 priority
+    makes the kept set replayable by any engine).  The oracle replays
+    training, assignment, and the capped ranking as one CTE chain."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = similarity.kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
+    assigned = similarity.kmeans_assign(emb, cents)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CBS_CAP)
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .orderBy("cell", "vec_id")
+    )
+
+
+def _cluster_balanced_sample_sql(
+    k: int = _KM_K, iters: int = _KM_ITERS, cap: int = _CBS_CAP
+) -> str:
+    t = iters
+    return f"""
+WITH {_kmeans_cte(k, iters)},
+fd AS (
+  SELECT ex.vec_id, c.cell, SUM((ex.q - c.cval) * (ex.q - c.cval)) AS dist
+  FROM ex JOIN c{t} c ON ex.pos = c.pos GROUP BY 1, 2),
+fa AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM fd) WHERE rn = 1),
+r AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM fa)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell
+FROM r WHERE rk <= {cap}
+ORDER BY cell, vec_id
+"""
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = _cluster_balanced_sample_sql()
+
+
 def embedding_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """IVF probe over a TRAINED coarse quantizer (r10): same pruned scan
     shape as `embedding_ann_ivf`, but the cells come from kmeans_train

@@ -575,6 +575,12 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
         pl.retrieval_hybrid_rrf,
         pl.RETRIEVAL_HYBRID_RRF_SQL,
     ),
+    # cluster-balanced subsampling: trained k-means assignment + a
+    # deterministic hash-priority cap per cell (topic-balancing cut)
+    "cluster_balanced_sample": (
+        pl.cluster_balanced_sample,
+        pl.CLUSTER_BALANCED_SAMPLE_SQL,
+    ),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
