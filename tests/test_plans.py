@@ -529,3 +529,17 @@ def test_retrieval_hybrid_rrf_plan(spark):
     assert txt.count("TakeOrderedAndProject") >= 2, txt
     assert "BatchEvalPython" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_cluster_balanced_sample_plan(spark):
+    """Cluster-balanced sampling (r12): assignment must stay an Arrow
+    map pass (no row-at-a-time Python, no join against a centroid
+    table), and the whole query is at most the cap window's exchange
+    plus the final order — never a CartesianProduct."""
+    from questdb_spark.queries_pipeline import cluster_balanced_sample
+
+    df = cluster_balanced_sample(spark, SF_DIR)
+    txt = plan_text(df)
+    assert "BatchEvalPython" not in txt  # ArrowEvalPython only
+    assert "CartesianProduct" not in txt
+    assert shuffle_count(df) <= 2, txt  # cap window + final sort
