@@ -209,10 +209,19 @@ def _window_join_dynamic(
 
     def const_micros(b: str) -> int | None:
         """Fold a bound to a literal when it references no master columns:
-        evaluate against a single-row local relation — column references
-        fail analysis there, which is exactly the data-dependent case."""
+        evaluate against a single-row local relation.  A static identifier
+        scan screens out expressions that mention any master column first,
+        so the data-dependent case returns None WITHOUT tripping an
+        analysis exception (the listener logged those at ERROR — pure
+        noise); a function name shadowing a column name only costs the
+        conservative fallback (one scalar aggregate), never correctness."""
         if not b.startswith("dyn:"):
             return interval_micros(b)
+        import re as _re
+
+        idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", b[4:]))
+        if any(c in idents for c in master.columns):
+            return None
         try:
             row = (
                 master.sparkSession.sql("SELECT 1 AS __const_probe")
