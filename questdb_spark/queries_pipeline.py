@@ -619,6 +619,62 @@ SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-priority canonical selection (r12): near-dup clusters keep
+    their BEST member — longest text, ties to the lowest doc_id — rather
+    than the lowest id (`dedup_cluster_canonical`'s policy).  Real corpus
+    pipelines keep the highest-quality variant of a near-dup group (the
+    longest copy usually carries the least truncation), so the cluster
+    resolution needs a keep-policy hook; this is that policy as a
+    first-class oracle-checked query.  One aggregate over the cluster
+    labels joined to a map-side length score; emits only multi-member
+    clusters (singletons are trivially kept)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.12)
+    clusters = dedup.dedup_clusters(pairs)
+    qual = docs.select(
+        F.col("doc_id").alias("doc"), F.length("text").cast("long").alias("q")
+    )
+    j = clusters.join(qual, "doc")
+    return (
+        j.groupBy("cluster")
+        .agg(
+            # max over (q, -doc): longest text, ties -> lowest doc id
+            F.max_by(
+                F.col("doc"), F.struct(F.col("q"), (-F.col("doc")).alias("t"))
+            ).alias("keep_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("q").cast("bigint").alias("best_len"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS ({_jaccard_sql(0.12, None)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+cl AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc),
+j AS (
+  SELECT cl.cluster, cl.doc, CAST(length(d.text) AS BIGINT) AS q
+  FROM cl JOIN documents d ON cl.doc = d.doc_id)
+SELECT cluster,
+  FIRST(doc ORDER BY q DESC, doc) AS keep_doc,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MAX(q) AS BIGINT) AS best_len
+FROM j GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster
+"""
+
+
 def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     """N-gram decontamination (r5, LLM-pipeline first-class op): docs with
     doc_id % 10 == 0 stand in as the benchmark set; every other document

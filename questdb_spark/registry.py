@@ -581,6 +581,9 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
         pl.cluster_balanced_sample,
         pl.CLUSTER_BALANCED_SAMPLE_SQL,
     ),
+    # keep-best cluster resolution: near-dup clusters keep the longest
+    # member (ties -> lowest id) instead of the lowest id
+    "dedup_keep_best": (pl.dedup_keep_best, pl.DEDUP_KEEP_BEST_SQL),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
