@@ -619,6 +619,99 @@ SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc
 """
 
 
+_DSIR_NB = 1024  # hashed-feature buckets
+
+
+def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights (r12): score every raw document by
+    how target-like its hashed-unigram distribution is — the
+    data-selection op (Xie et al.'s DSIR recipe) a training-data
+    pipeline runs to up-sample domain-relevant text.  Docs with
+    doc_id % 10 == 0 stand in as the target set (the
+    contamination_check convention); features are md5-hashed token
+    buckets (engine-independent); per-token weight =
+    ln(p_target(bucket) / p_raw(bucket)) with Laplace smoothing, and the
+    per-doc weight sums those terms THROUGH DECIMAL(18,9) so the float
+    sum is order-independent and hash-comparable (the decimal-sum rule).
+
+    Scale shape: two bucket-count aggregates (<= NB rows each, broadcast
+    back), one explode + broadcast join + one per-doc aggregate — the
+    distributions are model-scale, the corpus is touched twice, nothing
+    shuffles more than the doc-level result."""
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(text.tokens_col(F.col("text"))).alias("t")
+    )
+    b = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+            % dedup.MERSENNE_P
+            % _DSIR_NB
+        ).alias("bkt"),
+    )
+    tgt = (
+        b.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = (
+        b.filter(F.col("doc_id") % 10 != 0)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    # corpus token totals: two scalars (model-scale collect, the
+    # ivf_centroids convention) shipped back as plan literals
+    tt = int(tgt.agg(F.sum("ct")).first()[0] or 0)
+    tr = int(raw.agg(F.sum("cr")).first()[0] or 0)
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+        * F.lit(float(tr + _DSIR_NB))
+    ) / (
+        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+        * F.lit(float(tt + _DSIR_NB))
+    )
+    term = F.log(ratio).cast("decimal(18,9)")
+    return (
+        b.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(tgt), "bkt", "left")
+        .join(F.broadcast(raw), "bkt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(term).cast("double").alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql(nb: int = _DSIR_NB) -> str:
+    hex8 = _sql_hex8_mod_p("md5(t)")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+b AS (SELECT doc_id, ({hex8} % {nb}) AS bkt FROM tok),
+tgt AS (SELECT bkt, COUNT(*) AS ct FROM b WHERE doc_id % 10 = 0 GROUP BY bkt),
+raw AS (SELECT bkt, COUNT(*) AS cr FROM b WHERE doc_id % 10 != 0 GROUP BY bkt),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM b WHERE doc_id % 10 = 0) AS tt,
+         (SELECT COUNT(*) FROM b WHERE doc_id % 10 != 0) AS tr),
+terms AS (
+  SELECT b.doc_id,
+    CAST(ln(
+      ((COALESCE(tgt.ct, 0) + 1.0) * CAST(tot.tr + {nb} AS DOUBLE))
+      / ((COALESCE(raw.cr, 0) + 1.0) * CAST(tot.tt + {nb} AS DOUBLE))
+    ) AS DECIMAL(18,9)) AS term
+  FROM b LEFT JOIN tgt USING (bkt) LEFT JOIN raw USING (bkt), tot
+  WHERE b.doc_id % 10 != 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(term) AS DOUBLE) AS weight
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+DSIR_IMPORTANCE_SQL = _dsir_sql()
+
+
 def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-priority canonical selection (r12): near-dup clusters keep
     their BEST member — longest text, ties to the lowest doc_id — rather

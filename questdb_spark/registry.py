@@ -584,6 +584,12 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
     # keep-best cluster resolution: near-dup clusters keep the longest
     # member (ties -> lowest id) instead of the lowest id
     "dedup_keep_best": (pl.dedup_keep_best, pl.DEDUP_KEEP_BEST_SQL),
+    # DSIR-style data selection: per-doc hashed-unigram importance
+    # weight ln(p_target/p_raw), decimal-summed for hash determinism
+    "dsir_importance_weights": (
+        pl.dsir_importance_weights,
+        pl.DSIR_IMPORTANCE_SQL,
+    ),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
