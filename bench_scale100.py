@@ -153,6 +153,33 @@ def _clusters_distributed(spark, sf):
     return dedup.dedup_clusters(pairs, driver_cc_bound=0)
 
 
+def _keep_best_staged(spark, sf):
+    # keep-best cluster resolution behind the staged production ordering
+    # (the registry query runs the unstaged Jaccard, which on a
+    # 100%-duplicated 100x corpus is the documented OOM case — staging is
+    # what production runs; see dedup_jaccard_staged)
+    from pyspark.sql import functions as _F
+
+    docs = load_table(spark, sf, "documents")
+    canon = docs.dropDuplicates(["text"])
+    pairs = dedup.ngram_jaccard_pairs(canon, "doc_id", threshold=0.12)
+    clusters = dedup.dedup_clusters(pairs)
+    qual = canon.select(
+        _F.col("doc_id").alias("doc"), _F.length("text").cast("long").alias("q")
+    )
+    return (
+        clusters.join(qual, "doc")
+        .groupBy("cluster")
+        .agg(
+            _F.max_by(
+                _F.col("doc"), _F.struct(_F.col("q"), (-_F.col("doc")).alias("t"))
+            ).alias("keep_doc"),
+            _F.count(_F.lit(1)).alias("n_members"),
+        )
+        .filter(_F.col("n_members") >= 2)
+    )
+
+
 CASES = {
     "minhash_lsh": REGISTRY["minhash_lsh"][0],
     # dedup_jaccard_guarded (the registry DEMO cap) is deliberately absent
@@ -178,6 +205,11 @@ CASES = {
     "horizon_join_events": REGISTRY["horizon_join_events"][0],
     "splice_join_events": REGISTRY["splice_join_events"][0],
     "latest_on_user": REGISTRY["latest_on_user"][0],
+    # r12 new pipeline ops
+    "retrieval_hybrid_rrf": REGISTRY["retrieval_hybrid_rrf"][0],
+    "cluster_balanced_sample": REGISTRY["cluster_balanced_sample"][0],
+    "dsir_importance_weights": REGISTRY["dsir_importance_weights"][0],
+    "dedup_keep_best_staged": lambda spark, sf: _keep_best_staged(spark, sf),
 }
 
 NOTES = {
@@ -239,6 +271,20 @@ NOTES = {
     "latest_on_user": "LATEST ON = one hash agg (max_by struct per key); "
     "output = one row per user, 100x users -> 100x rows, shuffle moves "
     "one struct per key",
+    "retrieval_hybrid_rrf": "both candidate cuts are "
+    "TakeOrderedAndProject (top-50 each side), fusion joins two 50-row "
+    "sets — output constant top-15, runtime follows the two scans",
+    "cluster_balanced_sample": "k-means training dominates (one argmin "
+    "map pass + one k*dim aggregate per round, see embedding_kmeans); "
+    "assignment map-only; the per-cell cap window sorts only within "
+    "cells; output constant (cap x cells)",
+    "dsir_importance_weights": "two <=1024-row bucket distributions "
+    "broadcast over one token explode + one per-doc aggregate; output "
+    "grows with the raw-doc count (linear)",
+    "dedup_keep_best_staged": "exact dedup first (the production "
+    "ordering — unstaged Jaccard on a 100%-duplicated corpus is the "
+    "documented OOM case), then keep-longest per canonical cluster; "
+    "output invariant to replication",
 }
 
 
