@@ -151,6 +151,7 @@ def ngram_jaccard_pairs(
     unsafe_exact: bool = False,
     fused_enum_bound: int | None = None,
     max_shingle_df_frac: float | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -192,7 +193,15 @@ def ngram_jaccard_pairs(
     if fused_enum_bound is None:
         fused_enum_bound = min(FUSED_ENUM_BOUND, max_shingle_df or FUSED_ENUM_BOUND)
     sh = _shingle_table(df, id_col, text_col, n)
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    # metric="containment": common / min(|a|, |b|) — the truncated-copy
+    # detector (a prefix copy scores ~1.0 here but low Jaccard); same
+    # candidate generation and guards, only the final score differs
+    if metric == "jaccard":
+        jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    elif metric == "containment":
+        jac = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     if not lsh_prefilter and max_shingle_df is not None:
         # Guarded exact path, fused: the guard bounds every shingle's doc
         # list to ≤ max_shingle_df entries, so candidate pairs can be
@@ -249,8 +258,8 @@ def ngram_jaccard_pairs(
         return (
             common.join(sa, "doc_a")
             .join(sb, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", jac.alias(metric))
+            .filter(F.col(metric) >= threshold)
         )
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)
@@ -298,8 +307,8 @@ def ngram_jaccard_pairs(
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", jac.alias(metric))
+        .filter(F.col(metric) >= threshold)
     )
 
 

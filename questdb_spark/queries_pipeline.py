@@ -166,6 +166,39 @@ WHERE common / (sa.sz + sb.sz - common) >= {threshold}
 DEDUP_JACCARD_SQL = _jaccard_sql(0.12, None)
 
 
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment near-dup pairs (r12): score = common shingles /
+    min(|a|, |b|) — the truncated-copy detector.  A document that is a
+    prefix (or any subset) of a longer one scores ~1.0 here while its
+    Jaccard can sit far below any dedup threshold (the union is
+    dominated by the longer doc), so web pipelines run containment
+    NEXT TO Jaccard to catch partial crawls and quote-heavy mirrors.
+    Same guarded candidate generation as the Jaccard family — only the
+    final score differs, so the scale story is unchanged."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, metric="containment"
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM documents),
+sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+  common / LEAST(sa.sz, sb.sz) AS containment
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / LEAST(sa.sz, sb.sz) >= 0.5
+"""
+
+
 def dedup_jaccard_guarded(spark: SparkSession, sf: str) -> DataFrame:
     """Stop-shingle guard actively firing, CORPUS-RELATIVE form (r11):
     the cap is ``resolve_shingle_guard(n_docs, frac=0.005)`` =

@@ -590,6 +590,8 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
         pl.dsir_importance_weights,
         pl.DSIR_IMPORTANCE_SQL,
     ),
+    # containment near-dup (truncated-copy detector): common / min size
+    "dedup_containment": (pl.dedup_containment, pl.DEDUP_CONTAINMENT_SQL),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
