@@ -745,6 +745,82 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 DSIR_IMPORTANCE_SQL = _dsir_sql()
 
 
+def corpus_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit (r12): assign canonical (exact-deduped,
+    min-id) documents a deterministic 90/5/5 train/val/test split by md5
+    bucket, then classify every near-dup pair by the split pair of its
+    members — a pair straddling two splits is train/eval leakage that
+    exact dedup missed, the audit run before any benchmark split ships.
+    Output: one row per (split_a, split_b) combination with its pair
+    count; off-diagonal rows are the leakage.
+
+    Scale shape: the split is a map-side expression, the pair set is the
+    guarded Jaccard lineage, and the classification is two broadcast-
+    size joins against the (doc_id, split) projection + one tiny
+    aggregate."""
+    docs = load_table(spark, sf, "documents")
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % dedup.MERSENNE_P
+        % 20
+    )
+    split = (
+        F.when(bucket == 0, F.lit("test"))
+        .when(bucket == 1, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    sp = canon.select("doc_id", split.alias("split"))
+    pairs = dedup.ngram_jaccard_pairs(canon, "doc_id", threshold=0.12)
+    pa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    pb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+CORPUS_SPLIT_LEAKAGE_SQL = f"""
+WITH canon AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM canon),
+sh AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.12
+),
+sp AS (
+  SELECT doc_id,
+    CASE ({_sql_hex8_mod_p("md5(CAST(doc_id AS VARCHAR))")} % 20)
+      WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+  FROM canon)
+SELECT LEAST(a.split, b.split) AS split_a,
+       GREATEST(a.split, b.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN sp a ON pairs.doc_a = a.doc_id
+JOIN sp b ON pairs.doc_b = b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-priority canonical selection (r12): near-dup clusters keep
     their BEST member — longest text, ties to the lowest doc_id — rather

@@ -592,6 +592,12 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # containment near-dup (truncated-copy detector): common / min size
     "dedup_containment": (pl.dedup_containment, pl.DEDUP_CONTAINMENT_SQL),
+    # split-leakage audit: hash split over canonical docs + near-dup
+    # pairs classified by split combination (off-diagonal = leakage)
+    "corpus_split_leakage": (
+        pl.corpus_split_leakage,
+        pl.CORPUS_SPLIT_LEAKAGE_SQL,
+    ),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
