@@ -180,6 +180,16 @@ def _keep_best_staged(spark, sf):
     )
 
 
+def _containment_staged(spark, sf):
+    # containment scoring behind the staged production ordering (same
+    # reason as _keep_best_staged: the unstaged shingle join on a
+    # 100%-duplicated corpus is the documented OOM case)
+    docs = load_table(spark, sf, "documents").dropDuplicates(["text"])
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, metric="containment"
+    )
+
+
 CASES = {
     "minhash_lsh": REGISTRY["minhash_lsh"][0],
     # dedup_jaccard_guarded (the registry DEMO cap) is deliberately absent
@@ -210,6 +220,8 @@ CASES = {
     "cluster_balanced_sample": REGISTRY["cluster_balanced_sample"][0],
     "dsir_importance_weights": REGISTRY["dsir_importance_weights"][0],
     "dedup_keep_best_staged": lambda spark, sf: _keep_best_staged(spark, sf),
+    "dedup_containment_staged": lambda spark, sf: _containment_staged(spark, sf),
+    "corpus_split_leakage": REGISTRY["corpus_split_leakage"][0],
 }
 
 NOTES = {
@@ -285,6 +297,13 @@ NOTES = {
     "ordering — unstaged Jaccard on a 100%-duplicated corpus is the "
     "documented OOM case), then keep-longest per canonical cluster; "
     "output invariant to replication",
+    "dedup_containment_staged": "containment = common/min(sz) over the "
+    "staged canonical corpus — same guarded candidate lineage as the "
+    "Jaccard family, output invariant to replication",
+    "corpus_split_leakage": "canonicalization (groupBy text, min id) "
+    "makes the audit replication-invariant by construction; the split "
+    "is a map-side md5 expression, classification two joins against "
+    "the (doc, split) projection",
 }
 
 
