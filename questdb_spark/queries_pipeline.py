@@ -1467,6 +1467,48 @@ LIMIT 10
 """
 
 
+def embedding_ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage ANN serving (r12): PQ asymmetric-distance scan produces
+    a top-50 SHORTLIST from codes alone, then only those 50 ids fetch
+    their raw (quantized) vectors for an exact L2² re-rank — the
+    standard recall-repair pattern every production ANN deployment runs
+    (compressed scan for candidates, exact math for the final order).
+
+    Scale shape: stage 1 reads 8-byte codes only (the 32x scan saving),
+    stage 2 is a broadcast of the 50-row shortlist against the corpus —
+    the exact kernel touches 50 vectors regardless of corpus size.
+    Output carries both distances so the re-rank's effect is visible
+    (and oracle-checked)."""
+    emb = load_table(spark, sf, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cbs)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    shortlist = similarity.pq_adc_topk(codes, qv, cbs, k=50)
+    qcol = F.array(*[F.lit(v).cast("long") for v in qv])
+    exact = F.aggregate(
+        F.zip_with(
+            similarity.quantize(F.col("embedding")),
+            qcol,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", "adc_dist", exact.alias("exact_dist"))
+        .orderBy(F.col("exact_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+
+
 def embedding_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Composed IVF-PQ index (r10): coarse cells AND PQ codes from one
     map-only encode pass; the query probes its 2 nearest cells and the
@@ -1535,6 +1577,42 @@ SELECT codes.vec_id, CAST(SUM(lut.dist) AS BIGINT) AS adc_dist
 FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.j
 GROUP BY codes.vec_id
 ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+EMBEDDING_PQ_RERANK_SQL = f"""
+WITH e AS (SELECT vec_id, {_QUANT_SQL.format(v='embedding')} AS v FROM embeddings),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+subd AS (
+  SELECT e.vec_id, s.s, cb.j, {_PQ_SUB_L2.format(a='e.v', b='cb.cv')} AS dist
+  FROM e, range(0, 8) s(s), cb
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM subd)
+  WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+lut AS (
+  SELECT s.s, cb.j, {_PQ_SUB_L2.format(a='q.qv', b='cb.cv')} AS dist
+  FROM q, range(0, 8) s(s), cb
+),
+adc AS (
+  SELECT codes.vec_id, CAST(SUM(lut.dist) AS BIGINT) AS adc_dist
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.j
+  GROUP BY codes.vec_id
+  ORDER BY adc_dist ASC, vec_id ASC
+  LIMIT 50
+)
+SELECT a.vec_id, a.adc_dist,
+  CAST({_FULL_L2.format(a='e.v', b='q.qv')} AS BIGINT) AS exact_dist
+FROM adc a JOIN e ON e.vec_id = a.vec_id, q
+ORDER BY exact_dist ASC, a.vec_id ASC
 LIMIT 10
 """
 

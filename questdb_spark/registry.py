@@ -598,6 +598,11 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
         pl.corpus_split_leakage,
         pl.CORPUS_SPLIT_LEAKAGE_SQL,
     ),
+    # two-stage ANN: PQ ADC top-50 shortlist -> exact L2 re-rank top-10
+    "embedding_ann_pq_rerank": (
+        pl.embedding_ann_pq_rerank,
+        pl.EMBEDDING_PQ_RERANK_SQL,
+    ),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
