@@ -222,6 +222,7 @@ CASES = {
     "dedup_keep_best_staged": lambda spark, sf: _keep_best_staged(spark, sf),
     "dedup_containment_staged": lambda spark, sf: _containment_staged(spark, sf),
     "corpus_split_leakage": REGISTRY["corpus_split_leakage"][0],
+    "embedding_ann_pq_rerank": REGISTRY["embedding_ann_pq_rerank"][0],
 }
 
 NOTES = {
@@ -304,6 +305,9 @@ NOTES = {
     "makes the audit replication-invariant by construction; the split "
     "is a map-side md5 expression, classification two joins against "
     "the (doc, split) projection",
+    "embedding_ann_pq_rerank": "stage 1 scans 8-byte codes only; stage "
+    "2's exact kernel touches the 50-row shortlist regardless of corpus "
+    "size — output constant top-10",
 }
 
 
