@@ -543,3 +543,26 @@ def test_cluster_balanced_sample_plan(spark):
     assert "BatchEvalPython" not in txt  # ArrowEvalPython only
     assert "CartesianProduct" not in txt
     assert shuffle_count(df) <= 2, txt  # cap window + final sort
+
+
+def test_r12_pipeline_ops_plans(spark):
+    """r12 additions keep the 100 TB shapes: DSIR's bucket distributions
+    come back as broadcast joins (never a shuffle join against the token
+    explode), and the dedup/audit/re-rank compositions stay JVM-side
+    with no cartesian products."""
+    from questdb_spark import queries_pipeline as pl
+
+    dsir = pl.dsir_importance_weights(spark, SF_DIR)
+    txt = plan_text(dsir)
+    assert "BroadcastHashJoin" in txt
+    assert "BatchEvalPython" not in txt and "CartesianProduct" not in txt
+
+    for fn in (
+        pl.dedup_containment,
+        pl.corpus_split_leakage,
+        pl.dedup_keep_best,
+        pl.embedding_ann_pq_rerank,
+    ):
+        txt = plan_text(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in txt, fn.__name__
+        assert "CartesianProduct" not in txt, fn.__name__
