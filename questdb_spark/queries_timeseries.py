@@ -94,6 +94,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def ohlc_1h(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candles (r12) — the canonical QuestDB demo query: SAMPLE BY
+    1h with first/last/min/max per symbol, the exact shape the
+    reference's first/last fast path targets
+    (``SampleByFirstLastRecordCursorFactory.java:71``,
+    ``SqlOptimiser.rewriteSingleFirstLastGroupBy:10993``).  first/last
+    take the (ts, event_id) order so ties are total in both engines
+    (event timestamps are micro-aligned nanos — lossless under the
+    loader's truncation); turnover sums through DECIMAL so the float is
+    order-independent.  One bucketed hash aggregate — the plan every
+    candlestick dashboard wants at 100 TB."""
+    ev = load_table(spark, sf, "events")
+    pri = F.struct(F.col("ts"), F.col("event_id"))
+    return sample_by(
+        ev,
+        "ts",
+        "1h",
+        {
+            "open": F.min_by("value", pri),
+            "high": F.max("value"),
+            "low": F.min("value"),
+            "close": F.max_by("value", pri),
+            "n_trades": F.count(F.lit(1)).cast("bigint"),
+            "turnover": F.sum(F.col("value").cast(D2)).cast("decimal(20,2)").cast("double"),
+        },
+        keys=["event_type"],
+    )
+
+
+OHLC_1H_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ts_bucket, event_type,
+  FIRST(value ORDER BY ts, event_id) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  FIRST(value ORDER BY ts DESC, event_id DESC) AS close,
+  CAST(COUNT(*) AS BIGINT) AS n_trades,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS DOUBLE) AS turnover
+FROM events GROUP BY 1, 2
+"""
+
+
 def sample_by_first_obs(spark: SparkSession, sf: str) -> DataFrame:
     """SAMPLE BY 90m ALIGN TO FIRST OBSERVATION: buckets originate at the
     stream's first timestamp, not calendar boundaries

@@ -603,6 +603,9 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
         pl.embedding_ann_pq_rerank,
         pl.EMBEDDING_PQ_RERANK_SQL,
     ),
+    # OHLC candles: SAMPLE BY 1h first/last/min/max — the reference's
+    # first/last fast-path shape (SampleByFirstLastRecordCursorFactory)
+    "ohlc_1h": (ts.ohlc_1h, ts.OHLC_1H_SQL),
 }
 
 # Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
