@@ -195,3 +195,29 @@ def test_bpe_train_vs_naive_python(spark):
         corpus = [fold(t, a, b, a + " " + b) for t in corpus]
 
     assert [(r, a, b, int(n)) for r, a, b, n in got] == expected
+
+
+def test_ema_vs_naive_python_fold(spark):
+    """The EMA oracle replays the same recurrence as a recursive CTE
+    (mirrored formula), so recompute it with a naive pure-Python fold
+    (y = a*x + (1-a)*y in plain floats, no pandas ewm, no guard) and
+    compare with tolerance — the relative error of reordering the same
+    linear recurrence is bounded far below 1e-9 at these magnitudes."""
+    from questdb_spark.functions.finance import ema as batch_ema
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    got = {
+        (r["user_id"], r["ts"]): r["ema"]
+        for r in batch_ema(ev, "ts", "value", alpha=0.2, keys=["user_id"]).collect()
+    }
+    pdf = ev.toPandas().sort_values(["user_id", "ts"], kind="mergesort")
+    expected = {}
+    for uid, grp in pdf.groupby("user_id", sort=False):
+        y = None
+        for t, x in zip(grp["ts"], grp["value"]):
+            x = float(x)
+            y = x if y is None else 0.2 * x + 0.8 * y
+            expected[(uid, t)] = y
+    assert len(got) == len(expected) > 0
+    for k, e in expected.items():
+        assert abs(got[k] - e) <= 1e-9 * max(1.0, abs(e)), (k, got[k], e)
