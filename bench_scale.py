@@ -109,6 +109,16 @@ HEAVY = [
     "mixture_temperature_sweep",
     # r11: corpus-relative guard + staged production near-dup
     "dedup_jaccard_prod_staged",
+    # r12 additions: retrieval fusion, diversity/selection cuts, audits,
+    # two-stage ANN, OHLC candles
+    "retrieval_hybrid_rrf",
+    "cluster_balanced_sample",
+    "dedup_keep_best",
+    "dsir_importance_weights",
+    "dedup_containment",
+    "corpus_split_leakage",
+    "embedding_ann_pq_rerank",
+    "ohlc_1h",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
@@ -157,6 +167,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     out = {}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r09.json"),
+    )
+    if _only and os.path.exists(path):  # subset rerun: merge over previous
+        with open(path) as f:
+            out = json.load(f).get("queries", {})
     for name in HEAVY:
         try:
             t_small = run(spark, name, SRC)
@@ -176,10 +193,7 @@ def main() -> None:
         "cpu_probe": __import__("bench")._cpu_probe(),
         "queries": out,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), os.environ.get("SPARK_GRAFT_SF1_OUT", "BENCH_SF1_r09.json")),
-        "w",
-    ) as f:
+    with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc, separators=(",", ":")))
 
