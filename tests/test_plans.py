@@ -566,3 +566,13 @@ def test_r12_pipeline_ops_plans(spark):
         txt = plan_text(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in txt, fn.__name__
         assert "CartesianProduct" not in txt, fn.__name__
+
+
+def test_ohlc_single_shuffle(spark):
+    """OHLC candles = ONE bucketed aggregate: a single exchange
+    (partial->final agg on (event_type, bucket)), no Python."""
+    from questdb_spark.queries_timeseries import ohlc_1h
+
+    df = ohlc_1h(spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    assert "BatchEvalPython" not in plan_text(df)
