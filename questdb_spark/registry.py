@@ -565,9 +565,10 @@ _NEW_R11_POST: dict[str, tuple[QueryFn, str | None]] = {
     ),
 }
 
-# Round-12 addition PAST the r12 window (first driver verification in
+# Round-12 additions PAST the r12 window (first driver verification in
 # r13 — head of that window, with any r13 changes, then whatever of the
-# _RECHECK_R4 tail the r12 driver run left unchecked).
+# _RECHECK_R4 tail the r12 driver run left unchecked; if the driver's
+# window stopped at 50, that tail is conditional_cast + text_quality).
 _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
     # hybrid retrieval: lexical Jaccard top-50 + quantized-dot top-50
     # fused by reciprocal rank (RRF), both cuts TakeOrderedAndProject
