@@ -735,3 +735,47 @@ def streaming_window_join(
     return unioned.groupBy(*keys).applyInPandasWithState(
         advance, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_ohlc(
+    stream: DataFrame,
+    ts_col: str,
+    sym_col: str,
+    price_col: str,
+    bucket: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Live OHLC candles — the streaming twin of the batch
+    ``queries_timeseries.ohlc_1h`` SAMPLE BY shape (QuestDB's flagship
+    live-dashboard query over continuously-ingested trades): a tumbling
+    ``window(ts, bucket)`` aggregation per symbol with open/close taken
+    by min_by/max_by over event time, high/low/count alongside.
+
+    Built-in-first: Spark's windowed streaming aggregation carries the
+    per-(symbol, bucket) state and the watermark closes candles — no
+    custom state function.  Append mode emits each candle exactly once,
+    when the watermark passes ``bucket end + watermark`` (the live
+    chart's "candle finalized" event); state is one row per open candle
+    per symbol, trimmed by the watermark — bounded regardless of stream
+    length.  Open/close tie-break inside a bucket is event-time order
+    (micro-aligned in this engine's data; a same-ts tie is broken by the
+    price struct itself, documented rather than hidden)."""
+    w = stream.withWatermark(ts_col, watermark)
+    pri = F.struct(F.col(ts_col), F.col(price_col))
+    return (
+        w.groupBy(
+            F.col(sym_col), F.window(F.col(ts_col), bucket).alias("__w")
+        )
+        .agg(
+            F.min_by(F.col(price_col), pri).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(F.col(price_col), pri).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        )
+        .select(
+            sym_col,
+            F.col("__w.start").alias("bucket"),
+            "open", "high", "low", "close", "n_trades",
+        )
+    )

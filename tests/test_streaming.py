@@ -1153,3 +1153,64 @@ def test_streaming_window_join_multi_chunk_group(spark):
     assert len(got) == 1, got
     assert (got[0]["w_sum"], got[0]["w_count"]) == (1.0, 1), got
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """Live OHLC candles: tumbling windowed aggregation with min_by/
+    max_by open/close; a candle emits exactly once, when the watermark
+    passes its end, and equals the batch OHLC over the concatenated
+    history.  The final (still-open) candle stays pending — the honest
+    live semantics (same rule as the window-join twin's tail master)."""
+    import shutil
+
+    from questdb_spark.streaming.stateful import streaming_ohlc
+
+    tmp = tempfile.mkdtemp(prefix="sohlc_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    def t(h, m):
+        return f"2024-01-01 {h:02d}:{m:02d}:00"
+
+    # unique ts per symbol so open/close tie order is total on both sides
+    b0 = [("a", t(0, 5), 10.0), ("a", t(0, 20), 14.0), ("a", t(0, 50), 12.0),
+          ("b", t(0, 10), 100.0), ("b", t(0, 40), 90.0),
+          ("a", t(1, 15), 13.0), ("b", t(1, 30), 95.0)]
+    b1 = [("a", t(2, 5), 11.0), ("b", t(2, 10), 97.0)]  # closes hours 0-1
+
+    def write(rows, name):
+        spark.createDataFrame(rows, "sym string, ts_s string, price double") \
+            .select("sym", F.col("ts_s").cast("timestamp").alias("ts"), "price") \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    write(b0, "b0")
+    write(b1, "b1")
+    stream = (
+        spark.readStream.schema("sym string, ts timestamp, price double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_ohlc(stream, "ts", "sym", "price", bucket="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["sym"], str(r["bucket"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n_trades"]
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        ("a", "2024-01-01 00:00:00"): (10.0, 14.0, 10.0, 12.0, 3),
+        ("b", "2024-01-01 00:00:00"): (100.0, 100.0, 90.0, 90.0, 2),
+        ("a", "2024-01-01 01:00:00"): (13.0, 13.0, 13.0, 13.0, 1),
+        ("b", "2024-01-01 01:00:00"): (95.0, 95.0, 95.0, 95.0, 1),
+    }
+    assert got == expected, (got, expected)  # hour-2 candles still open
+    shutil.rmtree(tmp, ignore_errors=True)
