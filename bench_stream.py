@@ -43,6 +43,7 @@ from questdb_spark.streaming.stateful import (  # noqa: E402
     streaming_ema,
     streaming_horizon_join,
     streaming_lt_join,
+    streaming_ohlc,
     streaming_sessionize,
     streaming_splice_join,
     streaming_window_join,
@@ -156,8 +157,11 @@ TWINS = {
     # dropDuplicates ingest gate (state = distinct hashes in the
     # watermark horizon; v % 25 forces ~96% duplicates so the gate does
     # real dropping and phase 2 re-sees only phase-1 hashes)
+    # 10s-on / 10s-off input (v % 20 < 10) so sessions actually CLOSE —
+    # the unfiltered 1s cadence is one never-ending session per key
+    # (output 0, state still bounded, but a meaningless throughput row)
     "sessionize": lambda s: streaming_sessionize(
-        s.filter("is_m = 1").select("k", "ts"), "ts", "k", 10
+        s.filter("is_m = 1 AND v % 20 < 10").select("k", "ts"), "ts", "k", 10
     ),
     "dedup_gate": lambda s: streaming_dedup_exact(
         s.filter("is_m = 0").select(
@@ -166,6 +170,12 @@ TWINS = {
             .alias("text"),
         ),
         text_col="text", ts_col="ts",
+    ),
+    # live candles: built-in windowed agg state (one open candle/key);
+    # 1-minute buckets so each phase closes several candles per key
+    "ohlc": lambda s: streaming_ohlc(
+        s.filter("is_m = 0").select("k", "ts", "v"),
+        "ts", "k", "v", bucket="1 minute",
     ),
 }
 
@@ -177,7 +187,19 @@ def main() -> None:
     probe = _cpu_probe()
 
     results: dict[str, dict] = {}
-    for name, build in TWINS.items():
+    out_path = os.environ.get(
+        "SPARK_GRAFT_STREAM_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM_r12.json"),
+    )
+    only = os.environ.get("SPARK_GRAFT_STREAM_ONLY")
+    todo = TWINS
+    if only:
+        want = {w.strip() for w in only.split(",") if w.strip()}
+        todo = {k: v for k, v in TWINS.items() if k in want}
+        if os.path.exists(out_path):  # subset rerun: merge over previous
+            with open(out_path) as fh:
+                results = json.load(fh).get("twins", {})
+    for name, build in todo.items():
         tmp = tempfile.mkdtemp(prefix=f"sbench_{name}_")
         src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
         os.makedirs(src)
@@ -219,10 +241,6 @@ def main() -> None:
         "loadavg_end": _loadavg(),
         "twins": results,
     }
-    out_path = os.environ.get(
-        "SPARK_GRAFT_STREAM_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM_r12.json"),
-    )
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
     print(json.dumps(artifact, separators=(",", ":")))
