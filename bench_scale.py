@@ -173,7 +173,11 @@ def main() -> None:
     )
     if _only and os.path.exists(path):  # subset rerun: merge over previous
         with open(path) as f:
-            out = json.load(f).get("queries", {})
+            prev = json.load(f).get("queries", {})
+        # keep only names still in HEAVY: a stale row for a removed query
+        # would otherwise be silently re-stamped with the new host
+        # loadavg/cpu_probe metadata (ADVICE r12)
+        out = {k: v for k, v in prev.items() if k in HEAVY}
     for name in HEAVY:
         try:
             t_small = run(spark, name, SRC)

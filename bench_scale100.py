@@ -153,43 +153,6 @@ def _clusters_distributed(spark, sf):
     return dedup.dedup_clusters(pairs, driver_cc_bound=0)
 
 
-def _keep_best_staged(spark, sf):
-    # keep-best cluster resolution behind the staged production ordering
-    # (the registry query runs the unstaged Jaccard, which on a
-    # 100%-duplicated 100x corpus is the documented OOM case — staging is
-    # what production runs; see dedup_jaccard_staged)
-    from pyspark.sql import functions as _F
-
-    docs = load_table(spark, sf, "documents")
-    canon = docs.dropDuplicates(["text"])
-    pairs = dedup.ngram_jaccard_pairs(canon, "doc_id", threshold=0.12)
-    clusters = dedup.dedup_clusters(pairs)
-    qual = canon.select(
-        _F.col("doc_id").alias("doc"), _F.length("text").cast("long").alias("q")
-    )
-    return (
-        clusters.join(qual, "doc")
-        .groupBy("cluster")
-        .agg(
-            _F.max_by(
-                _F.col("doc"), _F.struct(_F.col("q"), (-_F.col("doc")).alias("t"))
-            ).alias("keep_doc"),
-            _F.count(_F.lit(1)).alias("n_members"),
-        )
-        .filter(_F.col("n_members") >= 2)
-    )
-
-
-def _containment_staged(spark, sf):
-    # containment scoring behind the staged production ordering (same
-    # reason as _keep_best_staged: the unstaged shingle join on a
-    # 100%-duplicated corpus is the documented OOM case)
-    docs = load_table(spark, sf, "documents").dropDuplicates(["text"])
-    return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", threshold=0.5, metric="containment"
-    )
-
-
 CASES = {
     "minhash_lsh": REGISTRY["minhash_lsh"][0],
     # dedup_jaccard_guarded (the registry DEMO cap) is deliberately absent
@@ -219,8 +182,11 @@ CASES = {
     "retrieval_hybrid_rrf": REGISTRY["retrieval_hybrid_rrf"][0],
     "cluster_balanced_sample": REGISTRY["cluster_balanced_sample"][0],
     "dsir_importance_weights": REGISTRY["dsir_importance_weights"][0],
-    "dedup_keep_best_staged": lambda spark, sf: _keep_best_staged(spark, sf),
-    "dedup_containment_staged": lambda spark, sf: _containment_staged(spark, sf),
+    # r13: promoted from bench-local twins to oracle-checked registry
+    # entries (VERDICT r12 task 2) — the bench now measures the exact
+    # library composition the registry exports
+    "dedup_keep_best_staged": REGISTRY["dedup_keep_best_staged"][0],
+    "dedup_containment_staged": REGISTRY["dedup_containment_staged"][0],
     "corpus_split_leakage": REGISTRY["corpus_split_leakage"][0],
     "embedding_ann_pq_rerank": REGISTRY["embedding_ann_pq_rerank"][0],
 }

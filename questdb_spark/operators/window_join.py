@@ -219,8 +219,11 @@ def _window_join_dynamic(
             return interval_micros(b)
         import re as _re
 
-        idents = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", b[4:]))
-        if any(c in idents for c in master.columns):
+        # Spark resolves column references case-insensitively by default,
+        # so the screen must compare casefolded on both sides (ADVICE r12)
+        # — 'dyn:PRICE + ...' over column 'price' is data-dependent.
+        idents = {i.lower() for i in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", b[4:])}
+        if any(c.lower() in idents for c in master.columns):
             return None
         try:
             row = (

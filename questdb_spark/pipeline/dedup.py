@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import shingles_col, tokens_col
 
@@ -79,6 +80,49 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
         .groupBy("text_hash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
         .filter(F.col("n_dups") > 1)
+    )
+
+
+def canonicalize_exact(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Stage 0 of every production near-dup pipeline: exact dedup to one
+    canonical (min-id) row per distinct text.  Running near-dup on an
+    un-exact-deduped corpus turns wholesale duplication into O(occ²)
+    shingle joins (the BENCH_SF2_r10 OOM); the staged ordering is
+    replication-invariant by construction.  The result is localCheckpoint-
+    materialized because the corpus-relative stop-shingle guard counts the
+    CANONICAL corpus before the candidate plan is final — without
+    materialization that count would re-execute the exact-dedup groupBy a
+    second time inside the main pipeline, a full extra shuffle of the
+    corpus at 100 TB.  Returns (text_col, id_col)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .localCheckpoint(eager=True)
+    )
+
+
+def keep_best_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Resolve near-dup clusters to their BEST member: highest quality
+    score, ties to the lowest doc id — the keep-policy hook real corpus
+    pipelines want (the longest copy usually carries the least
+    truncation) instead of min-id canonicalization.  ``clusters`` is
+    (doc, cluster) from `dedup_clusters`; ``quality`` is (doc, q).  One
+    aggregate over the cluster labels; emits only multi-member clusters
+    (singletons are trivially kept)."""
+    return (
+        clusters.join(quality, "doc")
+        .groupBy("cluster")
+        .agg(
+            # max over (q, -doc): highest quality, ties -> lowest doc id
+            F.max_by(
+                F.col("doc"), F.struct(F.col("q"), (-F.col("doc")).alias("t"))
+            ).alias("keep_doc"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("q").cast("bigint").alias("best_len"),
+        )
+        .filter(F.col("n_members") >= 2)
     )
 
 
@@ -309,6 +353,106 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias(metric))
         .filter(F.col(metric) >= threshold)
+    )
+
+
+VERBATIM_GRAM = 12  # fingerprint width (tokens) for long-span detection
+VERBATIM_MIN_SPAN = 20  # report spans of at least this many tokens
+# long grams are far rarer than 3-gram shingles, so the hot-fingerprint
+# floor sits higher than the shingle guard's floor of 2 — a legitimate
+# 12-token quote repeated a handful of times must survive
+VERBATIM_OCC_FLOOR = 8
+
+
+def verbatim_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    gram: int = VERBATIM_GRAM,
+    min_span: int = VERBATIM_MIN_SPAN,
+    max_fp_occ: int | None = None,
+    max_fp_occ_frac: float | None = MAX_SHINGLE_DF_FRAC,
+) -> DataFrame:
+    """Cross-document verbatim long-span detection — the distributed
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    every maximal run of >= ``min_span`` tokens that two different
+    documents share verbatim (a 200-token quote inside two otherwise-
+    different docs), without materializing a suffix array.
+
+    Method: positional ``gram``-token rolling fingerprints (one md5 per
+    position), hot-fingerprint guard (corpus-relative occurrence cap,
+    same discipline as the shingle guard), fingerprint equi-join across
+    documents, then run collapse on the DIAGONAL: along a shared span,
+    ``pos_a - pos_b`` is constant and ``pos_a`` advances by 1, so
+    ``pos_a - row_number() OVER (doc_a, doc_b, diag ORDER BY pos_a)`` is
+    constant per maximal run (gaps start a new island).  Span length =
+    run length + gram - 1 tokens.
+
+    Scale shape: the fingerprint table is O(total tokens); the guard
+    bounds every fingerprint's match fan-out to cap² BEFORE the
+    equi-join (never all-pairs); the island window partitions by
+    (doc_a, doc_b, diag) — each partition is one shared region, tiny by
+    construction.  Run it on an exact-deduped (canonicalized) corpus:
+    wholesale duplication belongs to `canonicalize_exact`, this operator
+    is for PARTIAL verbatim overlap.
+
+    Returns (doc_a, doc_b, start_a, start_b, span_tokens) with 1-based
+    token positions, doc_a < doc_b."""
+    if max_fp_occ is None and max_fp_occ_frac is not None:
+        max_fp_occ = resolve_shingle_guard(
+            df.count(), max_fp_occ_frac, floor=VERBATIM_OCC_FLOOR
+        )
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    grams = (
+        base.filter(F.size("__toks") >= gram)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {gram} + 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                    f"md5(array_join(slice(__toks, i, {gram}), ' ')) AS fp))"
+                )
+            ).alias("g"),
+        )
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+    if max_fp_occ is not None:
+        hot = (
+            grams.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_fp_occ)
+            .select("fp")
+        )
+        grams = grams.join(F.broadcast(hot), "fp", "left_anti")
+    a = grams.select(
+        F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = grams.select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    m = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            F.min("pos_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(gram - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
 
 

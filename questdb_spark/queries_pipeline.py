@@ -235,16 +235,7 @@ def dedup_jaccard_prod_staged(spark: SparkSession, sf: str) -> DataFrame:
     construction (`dedup_jaccard_prod_staged` 100x row: 1.4x time,
     1.0x output)."""
     docs = load_table(spark, sf, "documents")
-    # checkpoint the canonical corpus: the relative guard needs count(canon)
-    # BEFORE the plan is final, and without materialization that count
-    # would execute the exact-dedup groupBy a SECOND time inside the main
-    # pipeline — a full extra shuffle of the corpus at 100 TB.  One
-    # materialized pass + a metadata-cheap count is the scale shape.
-    canon = (
-        docs.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    canon = dedup.canonicalize_exact(docs, "doc_id")
     return dedup.ngram_jaccard_pairs(
         canon, "doc_id", threshold=0.12,
         max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
@@ -278,6 +269,178 @@ JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
 WHERE common / (sa.sz + sb.sz - common) >= 0.12
 """
+
+
+def _staged_pairs_sql(threshold: float, metric: str) -> str:
+    """Oracle body for the STAGED candidate pipeline: exact dedup (min-id
+    canonical) -> production corpus-relative stop-shingle guard (occurrence
+    count over the CANONICAL corpus, GREATEST(2, ceil(1e-4 * n)) — the
+    exact `resolve_shingle_guard` formula) -> pair scoring.  ``metric``
+    picks the final score: jaccard = common / union, containment =
+    common / min size (same candidates, different score)."""
+    score = (
+        "common / (sa.sz + sb.sz - common)"
+        if metric == "jaccard"
+        else "common / LEAST(sa.sz, sb.sz)"
+    )
+    return f"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+d AS (SELECT doc_id, {_sql_shingles(3, _TOKS)} AS sh FROM canon),
+sh0 AS (SELECT doc_id AS doc, UNNEST(sh) AS shingle FROM d),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) > GREATEST(2, CAST(CEIL(0.0001 *
+          (SELECT COUNT(*) FROM canon)) AS BIGINT))),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b, {score} AS {metric}
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE {score} >= {threshold}
+"""
+
+
+def dedup_containment_staged(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment near-dup behind the PRODUCTION staged ordering (r13,
+    VERDICT r12 task 2): exact dedup first (`canonicalize_exact`), then
+    guarded candidate generation under the corpus-relative stop-shingle
+    cap, scored by containment = common / min(|a|, |b|) — the
+    truncated-copy detector.  This is the shape a 100 TB corpus runs
+    (the unstaged registry form `dedup_containment` is the oracle-parity
+    demo; on a wholesale-duplicated corpus its unguarded shingle join is
+    the documented BENCH_SF2 OOM case, while this staged form is
+    replication-invariant — measured 0.86x at 100x in BENCH_SF2_r12)."""
+    docs = load_table(spark, sf, "documents")
+    canon = dedup.canonicalize_exact(docs, "doc_id")
+    return dedup.ngram_jaccard_pairs(
+        canon, "doc_id", threshold=0.5, metric="containment",
+        max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
+    )
+
+
+DEDUP_CONTAINMENT_STAGED_SQL = _staged_pairs_sql(0.5, "containment")
+
+
+def dedup_keep_best_staged(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best cluster resolution behind the PRODUCTION staged ordering
+    (r13, VERDICT r12 task 2): exact dedup -> guarded Jaccard candidates
+    -> connected components -> `keep_best_canonical` (longest canonical
+    text wins, ties to the lowest doc id).  The library exports each
+    stage (`canonicalize_exact`, `ngram_jaccard_pairs`,
+    `dedup_clusters`, `keep_best_canonical`); this entry wires the
+    production composition end-to-end.  Replication-invariant by
+    construction — measured 1.07x at 100x in BENCH_SF2_r12."""
+    docs = load_table(spark, sf, "documents")
+    canon = dedup.canonicalize_exact(docs, "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(
+        canon, "doc_id", threshold=0.12,
+        max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    qual = canon.select(
+        F.col("doc_id").alias("doc"), F.length("text").cast("long").alias("q")
+    )
+    return dedup.keep_best_canonical(clusters, qual).orderBy("cluster")
+
+
+DEDUP_KEEP_BEST_STAGED_SQL = f"""
+WITH RECURSIVE pairs AS ({_staged_pairs_sql(0.12, "jaccard")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+cl AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc),
+canon AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+j AS (
+  SELECT cl.cluster, cl.doc, CAST(length(d.text) AS BIGINT) AS q
+  FROM cl JOIN canon d ON cl.doc = d.doc_id)
+SELECT cluster,
+  FIRST(doc ORDER BY q DESC, doc) AS keep_doc,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(MAX(q) AS BIGINT) AS best_len
+FROM j GROUP BY cluster HAVING COUNT(*) >= 2 ORDER BY cluster
+"""
+
+
+def dedup_verbatim_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup (r13, VERDICT r12 task 3 — the last
+    missing dedup modality): cross-document VERBATIM long-span detection,
+    the distributed approximation of Lee et al. 2022's suffix-array
+    dedup.  Doc-level exact dedup catches whole-text copies and Jaccard/
+    containment catch shuffled near-dups, but none of them localize a
+    20-token quote pasted inside two otherwise-different documents —
+    this does, reporting (doc_a, doc_b, start_a, start_b, span_tokens)
+    for every maximal shared run of >= 20 tokens.  Staged per the
+    production discipline (#2): exact dedup first (`canonicalize_exact`),
+    spans over the canonical corpus.  Reference parity: the reference's
+    dedup is exact-key (`dedup.cpp`); this is the corpus-text analogue
+    the LLM brief asks for.
+
+    Scale shape: positional 12-token rolling fingerprints (O(total
+    tokens)), corpus-relative hot-fingerprint guard BEFORE the equi-join
+    (cap² fan-out per fingerprint, never all-pairs), island-window run
+    collapse partitioned by (doc_a, doc_b, diagonal)."""
+    docs = load_table(spark, sf, "documents")
+    canon = dedup.canonicalize_exact(docs, "doc_id")
+    return dedup.verbatim_spans(canon, "doc_id").orderBy(
+        "doc_a", "doc_b", "start_a", "start_b"
+    )
+
+
+def _verbatim_spans_sql(
+    gram: int = dedup.VERBATIM_GRAM,
+    min_span: int = dedup.VERBATIM_MIN_SPAN,
+    floor: int = dedup.VERBATIM_OCC_FLOOR,
+) -> str:
+    """Oracle replay of `verbatim_spans` over the canonical corpus: same
+    tokenization, same positional md5 fingerprints, same relative guard,
+    same diagonal-island run collapse."""
+    return f"""
+WITH canon AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM canon),
+gr AS (
+  SELECT doc_id AS doc, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(toks, i, i + {gram} - 1), ' ')) AS fp
+  FROM t, UNNEST(range(1, len(toks) - {gram} + 2)) AS u(i)
+  WHERE len(toks) >= {gram}),
+hot AS (SELECT fp FROM gr GROUP BY fp
+        HAVING COUNT(*) > GREATEST({floor}, CAST(CEIL(0.0001 *
+          (SELECT COUNT(*) FROM canon)) AS BIGINT))),
+gg AS (SELECT * FROM gr WHERE fp NOT IN (SELECT fp FROM hot)),
+m AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM gg a JOIN gg b ON a.fp = b.fp AND a.doc < b.doc),
+isl AS (
+  SELECT *, pos_a - ROW_NUMBER() OVER (
+    PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+  FROM m),
+spans AS (
+  SELECT doc_a, doc_b,
+    CAST(MIN(pos_a) AS BIGINT) AS start_a,
+    CAST(MIN(pos_b) AS BIGINT) AS start_b,
+    CAST(COUNT(*) + {gram} - 1 AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, island)
+SELECT doc_a, doc_b, start_a, start_b, span_tokens
+FROM spans WHERE span_tokens >= {min_span}
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
+DEDUP_VERBATIM_SPANS_SQL = _verbatim_spans_sql()
 
 
 # DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): positional
@@ -664,8 +827,10 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     contamination_check convention); features are md5-hashed token
     buckets (engine-independent); per-token weight =
     ln(p_target(bucket) / p_raw(bucket)) with Laplace smoothing, and the
-    per-doc weight sums those terms THROUGH DECIMAL(18,9) so the float
-    sum is order-independent and hash-comparable (the decimal-sum rule).
+    per-doc weight sums those terms THROUGH DECIMAL(18,6) so the float
+    sum is order-independent and hash-comparable (the decimal-sum rule;
+    scale 6, not 9, keeps the libm-ln rounding boundary far from the
+    quantum — ADVICE r12).
 
     Scale shape: two bucket-count aggregates (<= NB rows each, broadcast
     back), one explode + broadcast join + one per-doc aggregate — the
@@ -704,7 +869,11 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
         * F.lit(float(tt + _DSIR_NB))
     )
-    term = F.log(ratio).cast("decimal(18,9)")
+    # DECIMAL(18,6), not (18,9): ln is not correctly rounded in either
+    # libm, and with O(1) per-term values a 1e-9 quantum leaves a ~ulp-
+    # sized boundary-hit chance per term across engines (ADVICE r12) —
+    # the coarser quantum puts the rounding boundary ~1000 ulp away.
+    term = F.log(ratio).cast("decimal(18,6)")
     return (
         b.filter(F.col("doc_id") % 10 != 0)
         .join(F.broadcast(tgt), "bkt", "left")
@@ -733,7 +902,7 @@ terms AS (
     CAST(ln(
       ((COALESCE(tgt.ct, 0) + 1.0) * CAST(tot.tr + {nb} AS DOUBLE))
       / ((COALESCE(raw.cr, 0) + 1.0) * CAST(tot.tt + {nb} AS DOUBLE))
-    ) AS DECIMAL(18,9)) AS term
+    ) AS DECIMAL(18,6)) AS term
   FROM b LEFT JOIN tgt USING (bkt) LEFT JOIN raw USING (bkt), tot
   WHERE b.doc_id % 10 != 0)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -837,20 +1006,7 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     qual = docs.select(
         F.col("doc_id").alias("doc"), F.length("text").cast("long").alias("q")
     )
-    j = clusters.join(qual, "doc")
-    return (
-        j.groupBy("cluster")
-        .agg(
-            # max over (q, -doc): longest text, ties -> lowest doc id
-            F.max_by(
-                F.col("doc"), F.struct(F.col("q"), (-F.col("doc")).alias("t"))
-            ).alias("keep_doc"),
-            F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.max("q").cast("bigint").alias("best_len"),
-        )
-        .filter(F.col("n_members") >= 2)
-        .orderBy("cluster")
-    )
+    return dedup.keep_best_canonical(clusters, qual).orderBy("cluster")
 
 
 DEDUP_KEEP_BEST_SQL = f"""

@@ -609,17 +609,9 @@ _NEW_R12_POST: dict[str, tuple[QueryFn, str | None]] = {
     "ohlc_1h": (ts.ohlc_1h, ts.OHLC_1H_SQL),
 }
 
-# Window order, round 12 (VERDICT r11 task 2, executing the plan recorded
-# above): chunk_retrieval_topk (added past the r11 window — first driver
-# verification) and entries on materially-changed r12 code first, then the
-# 50-entry block whose latest driver check is round 8 (= _NEW_R8 + _NEW_R7
-# + _RECHECK_R7 + _RECHECK_R4, exactly the CORRECTNESS_r08 rows never
-# re-checked since).  After this round every registry entry is
-# driver-verified within r9-r12; if the driver's window stops short of the
-# full 52, the tail of the _RECHECK_R4 block rolls to the r13 window.
+# r12 window history (executed by CORRECTNESS_r12: 50/50 green; the
+# 2-entry tail conditional_cast + text_quality rolled to r13 as planned).
 _CHANGED_R12_NAMES = [
-    # to_char(bin) hex-dump columns bounded to a deterministic 1-in-8 row
-    # subset in BOTH engines (VERDICT r11 task 7) — hash changed
     "sql_geo_date_encoding",
 ]
 _R8_STALE_NAMES = (
@@ -627,12 +619,87 @@ _R8_STALE_NAMES = (
 )
 _WINDOW_R12 = ["chunk_retrieval_topk"] + _CHANGED_R12_NAMES + _R8_STALE_NAMES
 
-_LOOKUP: dict[str, tuple[QueryFn, str | None]] = {**_ALL_BLOCKS, **_NEW_R11_POST}
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    **{n: _LOOKUP[n] for n in _WINDOW_R12 if n in _LOOKUP},
+# Round-13 additions — first driver verification, head of the r13 window.
+_NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
+    # staged containment near-dup promoted from bench_scale100 into the
+    # library/registry (VERDICT r12 task 2): exact dedup -> guarded
+    # candidates -> containment score
+    "dedup_containment_staged": (
+        pl.dedup_containment_staged,
+        pl.DEDUP_CONTAINMENT_STAGED_SQL,
+    ),
+    # staged keep-best cluster resolution (VERDICT r12 task 2): exact
+    # dedup -> guarded Jaccard -> CC -> keep_best_canonical
+    "dedup_keep_best_staged": (
+        pl.dedup_keep_best_staged,
+        pl.DEDUP_KEEP_BEST_STAGED_SQL,
+    ),
+    # substring-level exact dedup (VERDICT r12 task 3): cross-document
+    # verbatim long-span detection — positional 12-token fingerprints,
+    # diagonal-island run collapse (distributed Lee et al. 2022)
+    "dedup_verbatim_spans": (
+        pl.dedup_verbatim_spans,
+        pl.DEDUP_VERBATIM_SPANS_SQL,
+    ),
+}
+
+# Entries on code materially changed in r13 — re-verify inside the window.
+_CHANGED_R13_NAMES = [
+    # canonicalize_exact refactor (identical semantics, shared stage-0)
+    "dedup_jaccard_prod_staged",
+]
+
+# Window order, round 13 (VERDICT r12 task 1, executing the plan recorded
+# in the r12 registry): the 3 r13 additions + the 8 r12 additions (first
+# driver check) + the last 2 r8-stale entries (the documented r12 tail) +
+# the r13-changed entry, then the 44-entry block whose latest driver check
+# is round 9, ordered so the cheapest-to-roll entries (TPC-H/plain-SQL
+# shapes, all stable since r2) sit at the tail.  3+8+2+1+44 = 58: a
+# 50-slot driver window reaches through the first 36 of the r9-stale
+# block; the documented 8-entry tail (q12/q13/q17/q21 +
+# sql_read_parquet/sql_bind_positional/sql_ddl_dml_roundtrip/
+# sql_plain_view) rolls to the r14 window.  dsir_importance_weights and
+# dedup_keep_best carry r13 code changes (DECIMAL(18,6) log quantum —
+# ADVICE r12; keep_best_canonical refactor) and are already in the head
+# via _NEW_R12_POST.
+_R9_STALE_NAMES = [
+    "dedup_exact", "doc_fingerprints", "language_detect", "token_counts",
+    "minhash_signatures", "minhash_lsh", "simhash_docs", "embedding_topk",
+    "embedding_ann_lsh", "embedding_ann_multiprobe", "embedding_ann_ivf",
+    "embedding_near_dup", "embedding_knn_join", "l2price_orderbook",
+    "spread_mid_events", "markout_horizon_agg", "sample_by_first_obs",
+    "sample_by_tz_day", "decimal256_sum", "regr_bit_aggs",
+    "count_star_fast", "bind_variables", "rnd_generators", "array_ops3",
+    "cb_referer_domains", "cb_minute_groups", "cb_wide_sums",
+    "sql_sample_by", "sql_sample_by_first_obs", "sql_latest_on",
+    "sql_asof_join", "sql_horizon_markout", "sql_multi_join_sample_by",
+    "sql_subquery_dialect", "sql_pivot", "sql_declare_neg_limit",
+    # --- expected r14 roll-over tail below this line ---
+    "q12_priority_lines", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q21_waiting_suppliers",
+    "sql_read_parquet", "sql_bind_positional", "sql_ddl_dml_roundtrip",
+    "sql_plain_view",
+]
+_WINDOW_R13 = (
+    list(_NEW_R13)
+    + list(_NEW_R12_POST)
+    + ["conditional_cast", "text_quality"]
+    + _CHANGED_R13_NAMES
+    + _R9_STALE_NAMES
+)
+
+_LOOKUP: dict[str, tuple[QueryFn, str | None]] = {
     **_ALL_BLOCKS,
     **_NEW_R11_POST,
     **_NEW_R12_POST,
+    **_NEW_R13,
+}
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **{n: _LOOKUP[n] for n in _WINDOW_R13 if n in _LOOKUP},
+    **_ALL_BLOCKS,
+    **_NEW_R11_POST,
+    **_NEW_R12_POST,
+    **_NEW_R13,
 }
 
 

@@ -744,6 +744,7 @@ def streaming_ohlc(
     price_col: str,
     bucket: str = "1 hour",
     watermark: str = "0 seconds",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Live OHLC candles — the streaming twin of the batch
     ``queries_timeseries.ohlc_1h`` SAMPLE BY shape (QuestDB's flagship
@@ -757,11 +758,14 @@ def streaming_ohlc(
     when the watermark passes ``bucket end + watermark`` (the live
     chart's "candle finalized" event); state is one row per open candle
     per symbol, trimmed by the watermark — bounded regardless of stream
-    length.  Open/close tie-break inside a bucket is event-time order
-    (micro-aligned in this engine's data; a same-ts tie is broken by the
-    price struct itself, documented rather than hidden)."""
+    length.  Open/close tie-break inside a bucket is event-time order;
+    a same-ts tie is broken by ``tie_col`` when given (pass the
+    event-id column for exact parity with the batch twin's
+    ``(ts, event_id)`` order — ADVICE r12), else by the price value
+    itself (documented rather than hidden)."""
     w = stream.withWatermark(ts_col, watermark)
-    pri = F.struct(F.col(ts_col), F.col(price_col))
+    tie = F.col(tie_col) if tie_col is not None else F.col(price_col)
+    pri = F.struct(F.col(ts_col), tie)
     return (
         w.groupBy(
             F.col(sym_col), F.window(F.col(ts_col), bucket).alias("__w")

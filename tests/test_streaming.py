@@ -1214,3 +1214,55 @@ def test_streaming_ohlc_matches_batch(spark):
     }
     assert got == expected, (got, expected)  # hour-2 candles still open
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ohlc_tie_col_batch_parity(spark):
+    """Same-timestamp ticks inside a bucket (ADVICE r12): with
+    ``tie_col`` set to the event-id column the streaming candle breaks
+    open/close ties by (ts, event_id) — exactly the batch twin's order —
+    so open picks the LOWEST id at the tied first ts and close the
+    HIGHEST id at the tied last ts, regardless of price values."""
+    import shutil
+
+    from questdb_spark.streaming.stateful import streaming_ohlc
+
+    tmp = tempfile.mkdtemp(prefix="sohlct_")
+    src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+
+    ts0 = "2024-01-01 00:05:00"  # tied open ts
+    ts1 = "2024-01-01 00:50:00"  # tied close ts
+    # prices chosen so the price-struct fallback would pick differently:
+    # at ts0, id 1 has the HIGHER price (20.0 > 5.0) yet must win open;
+    # at ts1, id 4 has the LOWER price (1.0 < 30.0) yet must win close.
+    rows = [
+        ("a", ts0, 20.0, 1), ("a", ts0, 5.0, 2),
+        ("a", ts1, 30.0, 3), ("a", ts1, 1.0, 4),
+        ("a", "2024-01-01 02:00:00", 9.0, 5),  # closes hour 0
+    ]
+    spark.createDataFrame(
+        rows, "sym string, ts_s string, price double, event_id long"
+    ).select(
+        "sym", F.col("ts_s").cast("timestamp").alias("ts"), "price", "event_id"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    stream = spark.readStream.schema(
+        "sym string, ts timestamp, price double, event_id long"
+    ).parquet(src + "/*")
+    q = (
+        streaming_ohlc(
+            stream, "ts", "sym", "price", bucket="1 hour", tie_col="event_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["sym"], str(r["bucket"])): (r["open"], r["close"], r["n_trades"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("a", "2024-01-01 00:00:00"): (20.0, 1.0, 4)}, got
+    shutil.rmtree(tmp, ignore_errors=True)
