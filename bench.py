@@ -94,8 +94,16 @@ def main() -> None:
 
     # warm-up: JVM, parquet footers, codegen — plus one pandas-UDF query so
     # the Python worker pool (fork + numpy import per core) is paid here,
-    # not inside the first measured Arrow-kernel query
-    warm = [*list(REGISTRY.items())[:3], ("embedding_topk", REGISTRY["embedding_topk"])]
+    # not inside the first measured Arrow-kernel query, and one live-view
+    # query so the dialect engine's catalog/warehouse first-use cost is
+    # paid here too (VERDICT r12 task 4: the driver's single-shot r12 run
+    # absorbed that warmup into sql_live_view_latest — 7.27s vs a 2.0s
+    # clean median)
+    warm = [
+        *list(REGISTRY.items())[:3],
+        ("embedding_topk", REGISTRY["embedding_topk"]),
+        ("sql_live_view_latest", REGISTRY["sql_live_view_latest"]),
+    ]
     for name, (fn, _) in warm:
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -119,6 +119,10 @@ HEAVY = [
     "corpus_split_leakage",
     "embedding_ann_pq_rerank",
     "ohlc_1h",
+    # r13 additions: staged promotions + verbatim-span dedup
+    "dedup_containment_staged",
+    "dedup_keep_best_staged",
+    "dedup_verbatim_spans",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

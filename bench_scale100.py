@@ -189,6 +189,8 @@ CASES = {
     "dedup_containment_staged": REGISTRY["dedup_containment_staged"][0],
     "corpus_split_leakage": REGISTRY["corpus_split_leakage"][0],
     "embedding_ann_pq_rerank": REGISTRY["embedding_ann_pq_rerank"][0],
+    # r13: substring-level verbatim-span dedup (VERDICT r12 task 3)
+    "dedup_verbatim_spans": REGISTRY["dedup_verbatim_spans"][0],
 }
 
 NOTES = {
@@ -274,6 +276,11 @@ NOTES = {
     "embedding_ann_pq_rerank": "stage 1 scans 8-byte codes only; stage "
     "2's exact kernel touches the 50-row shortlist regardless of corpus "
     "size — output constant top-10",
+    "dedup_verbatim_spans": "staged: exact dedup first, then positional "
+    "12-token fingerprints over the CANONICAL corpus — replication-"
+    "invariant by construction (bucketed fingerprint equi-join under the "
+    "corpus-relative occurrence cap, never all-pairs; island windows "
+    "partition by (pair, diagonal))",
 }
 
 

@@ -16,6 +16,10 @@ performance-unmeasured.  This harness measures, per twin:
   whose state grows with INPUT rather than with keys/pending-tail would
   show phase-2 size ~2x phase-1; the family design (O(1) or
   bounded-tail per key) predicts ~flat.
+- **kernel rows/sec** (r13, VERDICT r12 task 5): one 1M-row batch at the
+  same key cardinality, fresh state — the micro-batch fixed cost is paid
+  once instead of 50x, so this is the merge/window kernel throughput a
+  capacity plan sizes executors with.
 
 Writes BENCH_STREAM_r12-style JSON (SPARK_GRAFT_STREAM_OUT) and prints it.
 Host-drift stamps (cpu_probe, loadavg) match bench.py so cross-round
@@ -52,18 +56,28 @@ from questdb_spark.streaming.stateful import (  # noqa: E402
 N_KEYS = int(os.environ.get("SPARK_GRAFT_STREAM_KEYS", "200"))
 ROWS_PER_KEY_BATCH = int(os.environ.get("SPARK_GRAFT_STREAM_RPKB", "50"))
 N_BATCHES = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "5"))
+# kernel-throughput phase (VERDICT r12 task 5): the 20k-row micro-batches
+# above are dominated by Structured Streaming's per-batch fixed cost
+# (planning, state-store commit, sink) — the honest END-TO-END number, but
+# not the kernel rows/sec a capacity plan sizes executors with.  One
+# 1M-row batch (2500 rows/key/side at the SAME key cardinality) amortizes
+# the fixed cost away and measures the merge/window kernels themselves.
+BIG_ROWS_PER_KEY = int(os.environ.get("SPARK_GRAFT_STREAM_RPKB_BIG", "2500"))
 
 
-def _write_batches(spark, src: str, first_batch: int, n_batches: int) -> int:
-    """Tagged micro-batch files: per key, ROWS_PER_KEY_BATCH rows per side
+def _write_batches(
+    spark, src: str, first_batch: int, n_batches: int,
+    rows_per_key: int = ROWS_PER_KEY_BATCH,
+) -> int:
+    """Tagged micro-batch files: per key, ``rows_per_key`` rows per side
     per batch, event time strictly increasing across batches (the family's
     per-key monotone arrival contract).  Master rows sit 500ms after the
     same-index slave row so every asof/lt lookup does real work."""
     total = 0
     for b in range(first_batch, first_batch + n_batches):
-        lo = b * ROWS_PER_KEY_BATCH
+        lo = b * rows_per_key
         rows = (
-            spark.range(N_KEYS * ROWS_PER_KEY_BATCH)
+            spark.range(N_KEYS * rows_per_key)
             .select(
                 F.concat(F.lit("k"), (F.col("id") % N_KEYS).cast("string")).alias("k"),
                 (F.col("id") / N_KEYS).cast("long").alias("i"),
@@ -87,7 +101,7 @@ def _write_batches(spark, src: str, first_batch: int, n_batches: int) -> int:
             )
         )
         both.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"b{b:03d}"))
-        total += 2 * N_KEYS * ROWS_PER_KEY_BATCH
+        total += 2 * N_KEYS * rows_per_key
     return total
 
 
@@ -189,7 +203,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     out_path = os.environ.get(
         "SPARK_GRAFT_STREAM_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM_r12.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM_r13.json"),
     )
     only = os.environ.get("SPARK_GRAFT_STREAM_ONLY")
     todo = TWINS
@@ -210,6 +224,15 @@ def main() -> None:
             in2 = _write_batches(spark, src, N_BATCHES, N_BATCHES)
             wall2, state2 = _run_phase(spark, build, src, out, ckpt)
             out2 = spark.read.parquet(out).count()
+            # kernel-throughput phase: ONE big batch, fresh state — the
+            # per-batch fixed cost is paid once over 1M rows instead of
+            # once per 20k, so this rows/sec is the kernel number
+            bsrc, bout, bckpt = (os.path.join(tmp, d) for d in ("bsrc", "bout", "bckpt"))
+            os.makedirs(bsrc)
+            in3 = _write_batches(
+                spark, bsrc, 0, 1, rows_per_key=BIG_ROWS_PER_KEY
+            )
+            wall3, _ = _run_phase(spark, build, bsrc, bout, bckpt)
             results[name] = {
                 "input_rows_phase1": in1,
                 "output_rows_phase1": out1,
@@ -221,6 +244,9 @@ def main() -> None:
                 "rows_per_sec_phase2": round(in2 / wall2),
                 "state_phase1": state1,
                 "state_phase2": state2,
+                "input_rows_bigbatch": in3,
+                "wall_s_bigbatch": round(wall3, 2),
+                "rows_per_sec_bigbatch": round(in3 / wall3),
                 "n_keys": N_KEYS,
                 "n_batches_per_phase": N_BATCHES,
             }
@@ -235,6 +261,7 @@ def main() -> None:
         "n_keys": N_KEYS,
         "rows_per_key_batch": ROWS_PER_KEY_BATCH,
         "n_batches_per_phase": N_BATCHES,
+        "big_rows_per_key": BIG_ROWS_PER_KEY,
         "loadavg_start": load_start,
         "cpu_probe": probe,
         "cpu_probe_end": _cpu_probe(),

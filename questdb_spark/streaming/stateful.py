@@ -14,6 +14,18 @@ advances; cross-batch ordering relies on the source's per-key monotonic
 delivery (the ingest path's watermark + sorted WAL apply provides it —
 out-of-order rows older than the carried timestamp are surfaced with a
 NULL ema rather than silently corrupting the state).
+
+Arrival contract, join twins (ASOF/LT/SPLICE/WINDOW/HORIZON): cross-batch
+SLAVE timestamps must arrive non-decreasing per key.  IN-batch disorder
+is always fine — every micro-batch is buffered whole and sorted before
+merging.  A violating batch (a slave OLDER than the carried newest) is
+NOT merged back in time, because bounded O(1) state cannot re-order
+emitted history: the ASOF twin treats the late slave as the new
+prevailing state (arrival order wins — subsequent masters can diverge
+from the batch twin), while the LT twin carries TRUE timestamps and
+fails loudly (its merge table stops being time-ordered) instead of
+emitting silently-wrong rows.  Both outcomes are pinned by
+``test_streaming_join_arrival_contract_violation``.
 """
 
 from __future__ import annotations
@@ -95,6 +107,12 @@ def streaming_asof_join(
     the prevailing payload across micro-batches. One stateful shuffle on
     the join keys — the same layout the batch union-tag lowering uses, so
     the plan scales identically.
+
+    Arrival contract (module docstring): cross-batch slave timestamps
+    non-decreasing per key.  On a violating late slave, arrival order
+    wins — the late payload becomes the prevailing state and later
+    masters diverge from the batch twin (pinned by
+    ``test_streaming_join_arrival_contract_violation``).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -195,9 +213,12 @@ def streaming_lt_join(
     timestamp takes the strictly-earlier slave, so a single carried
     payload (the ASOF state) would either wrongly match the tie (-inf
     sentinel) or wrongly null it (single true-ts sentinel).  Arrival
-    contract is the family's usual per-key monotonicity on both sides;
-    state is O(1) per key and the plan is ONE stateful shuffle on the
-    join keys."""
+    contract is the family's usual per-key monotonicity on both sides
+    (module docstring); because this twin's state carries TRUE
+    timestamps, a violating late slave is detected and the query fails
+    loudly rather than emitting silently-wrong rows (pinned by
+    ``test_streaming_join_arrival_contract_violation``).  State is O(1)
+    per key and the plan is ONE stateful shuffle on the join keys."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -19,6 +19,7 @@ import re
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from questdb_spark.sources.parquet import load_table
 
@@ -221,3 +222,120 @@ def test_ema_vs_naive_python_fold(spark):
     assert len(got) == len(expected) > 0
     for k, e in expected.items():
         assert abs(got[k] - e) <= 1e-9 * max(1.0, abs(e)), (k, got[k], e)
+
+
+def test_decimal256_vs_python_bigint(spark):
+    """The decimal256 oracle replays the SAME limb construction in DuckDB
+    HUGEINTs (mirrored formula), so recompute every exported operation
+    with Python's native arbitrary-precision integers — a completely
+    independent arithmetic engine.  Deterministic LCG operands (70-digit
+    adds/subs/divides, 35-digit multiplies so products fit 72 digits);
+    exact string equality on every row, covering add / subtract /
+    multiply / divide_long / mod_long / rescale (HALF_UP) / compare /
+    the widened-limb SUM aggregate / the string round-trip."""
+    from questdb_spark.functions import decimal256 as d256
+
+    # fixed LCG — no RNG, identical across runs
+    xs, x = [], 12345
+    for _ in range(80):
+        x = (x * 6364136223846793005 + 1442695040888963407) % 10**70
+        xs.append(x)
+    rows = []
+    for i in range(0, 80, 2):
+        a, b = xs[i], xs[i + 1]
+        if a < b:
+            a, b = b, a
+        am, bm = a % 10**35, b % 10**35
+        d = 1 + (a % (10**17 - 1))
+        rows.append((str(a), str(b), str(am), str(bm), d))
+    df = spark.createDataFrame(
+        rows, "sa string, sb string, sma string, smb string, d long"
+    )
+    wa, wb = d256.from_string(F.col("sa")), d256.from_string(F.col("sb"))
+    got = df.select(
+        "sa", "sb", "sma", "smb", "d",
+        d256.to_string(d256.add(wa, wb)).alias("add_s"),
+        d256.to_string(d256.subtract(wa, wb)).alias("sub_s"),
+        d256.to_string(
+            d256.multiply(
+                d256.from_string(F.col("sma")), d256.from_string(F.col("smb"))
+            )
+        ).alias("mul_s"),
+        d256.divide_long_str(wa, F.col("d")).alias("div_s"),
+        d256.mod_long(wa, F.col("d")).alias("mod_l"),
+        d256.rescale_str(wa, 5).alias("r5"),
+        d256.rescale_str(wa, 23).alias("r23"),
+        d256.compare(wa, wb).alias("cmp"),
+        d256.to_string(wa).alias("rt"),
+    ).collect()
+    assert len(got) == len(rows)
+
+    def half_up(v: int, k: int) -> int:
+        return v // 10**k + (1 if (v // 10 ** (k - 1)) % 10 >= 5 else 0)
+
+    for r in got:
+        a, b = int(r["sa"]), int(r["sb"])
+        am, bm, d = int(r["sma"]), int(r["smb"]), int(r["d"])
+        assert r["rt"] == str(a)
+        assert r["add_s"] == str(a + b), (a, b)
+        assert r["sub_s"] == str(a - b), (a, b)
+        assert r["mul_s"] == str(am * bm), (am, bm)
+        assert r["div_s"] == str(a // d), (a, d)
+        assert r["mod_l"] == a % d, (a, d)
+        assert r["r5"] == str(half_up(a, 5)), a
+        assert r["r23"] == str(half_up(a, 23)), a
+        assert r["cmp"] == (1 if a > b else 0), (a, b)
+    # widened-limb SUM: one map-side-combinable aggregate vs python sum
+    total = df.select(d256.from_string(F.col("sa")).alias("w")).agg(
+        *d256.sum_agg(F.col("w"))
+    ).select(d256.to_string(d256.normalized()).alias("s")).collect()[0]["s"]
+    assert total == str(sum(int(r0[0]) for r0 in rows))
+
+
+def test_pq_adc_vs_naive_reconstruction(spark):
+    """The PQ/ADC oracle replays the same LUT construction in SQL
+    (mirrored formula), so recompute the whole index with naive numpy on
+    DIFFERENT routes: encode by literal ||sub - codeword||^2 (the
+    distributed kernel uses the -2*sub@c + ||c||^2 identity), ADC by
+    RECONSTRUCTION distance ||query - concat(codewords[codes])||^2 (the
+    operator sums per-subspace LUT lookups).  Exact integer equality on
+    every code and on the top-10 (distance, id) list; plus an exact-
+    top-10 overlap floor so the approximation itself stays sane."""
+    from questdb_spark.pipeline import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cbs = similarity.pq_codebooks(emb)
+    codes_df = similarity.pq_encode(emb, cbs)
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000.0
+    q = (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    qvec = q[0]  # the lowest-id vector is the query
+
+    got = similarity.pq_adc_topk(
+        codes_df, [int(v) for v in qvec], cbs, k=10
+    ).collect()
+
+    cb = np.array(cbs, dtype=np.int64)  # m x K x d_sub
+    m, _k, d_sub = cb.shape
+    codes = np.empty((q.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        sub = q[:, s * d_sub : (s + 1) * d_sub]
+        # literal squared difference — NOT the dot-product identity
+        dist = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = dist.argmin(axis=1)  # first min = lowest code
+    spark_codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    for i, vid in enumerate(ids):
+        assert spark_codes[int(vid)] == [int(c) for c in codes[i]], vid
+
+    # ADC by reconstruction: decode every row to its codeword concat
+    recon = np.concatenate([cb[s][codes[:, s]] for s in range(m)], axis=1)
+    dist = ((recon - qvec[None, :]) ** 2).sum(axis=1)
+    naive = sorted(zip(dist.tolist(), ids.tolist()))[:10]
+    assert [(int(r["adc_dist"]), int(r["vec_id"])) for r in got] == naive
+
+    # approximation sanity: ADC top-10 overlaps the exact quantized top-10
+    exact_d = ((q - qvec[None, :]) ** 2).sum(axis=1)
+    exact = {i for _, i in sorted(zip(exact_d.tolist(), ids.tolist()))[:10]}
+    assert len({i for _, i in naive} & exact) >= 3

@@ -552,6 +552,98 @@ def test_streaming_lt_join_across_batches(spark):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_join_arrival_contract_violation(spark):
+    """Arrival-contract documentation test (VERDICT r12 task 6): the join
+    twins assume cross-batch slave timestamps arrive NON-DECREASING per
+    key.  This pins what happens when a later batch violates that — a
+    slave OLDER than the carried newest:
+
+    - ASOF twin (payload-only state): arrival order wins.  The late
+      slave becomes the new prevailing state, so subsequent masters take
+      its payload and DIVERGE from the batch twin (which would prefer
+      the earlier-arrived slave with the later timestamp).  Silent, by
+      design — O(1) state cannot re-order history.
+    - LT twin (state carries TRUE timestamps): the violation is
+      detectable, and the twin fails LOUDLY (the merge table is no
+      longer time-ordered) rather than emitting silently-wrong rows."""
+    import shutil
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from questdb_spark.streaming.stateful import (
+        streaming_asof_join,
+        streaming_lt_join,
+    )
+
+    t = lambda mm: f"2024-01-01 00:{mm:02d}:00"
+
+    def write(rows, path, name, cols):
+        spark.createDataFrame(rows, f"k string, ts_s string, {cols}") \
+            .select("k", F.col("ts_s").cast("timestamp").alias("ts"),
+                    *[c.split()[0] for c in cols.split(",")]) \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+    # --- ASOF twin: silent arrival-order-wins divergence ---
+    tmp = tempfile.mkdtemp(prefix="sviol_a_")
+    msrc, ssrc, out, ckpt = (os.path.join(tmp, d) for d in ("m", "s", "out", "ckpt"))
+    os.makedirs(msrc); os.makedirs(ssrc)
+
+    def run_asof():
+        m = spark.readStream.schema("k string, ts timestamp, mval double") \
+            .parquet(msrc + "/*")
+        s = spark.readStream.schema("k string, ts timestamp, quote double") \
+            .parquet(ssrc + "/*")
+        q = streaming_asof_join(m, s, "ts", ["k"], ["quote"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    write([("a", t(20), 1.0)], msrc, "b0", "mval double")
+    write([("a", t(10), 100.0)], ssrc, "b0", "quote double")
+    run_asof()
+    # batch 1 violates: slave t5 is OLDER than the carried newest (t10)
+    write([("a", t(30), 2.0)], msrc, "b1", "mval double")
+    write([("a", t(5), 50.0)], ssrc, "b1", "quote double")
+    run_asof()
+    got = {str(r["ts"]): r["quote"] for r in spark.read.parquet(out).collect()}
+    assert got[t(20)] == 100.0  # in-contract batch: matches batch twin
+    # DOCUMENTED divergence: batch asof over full history would give the
+    # t30 master the t10 slave (100.0); the twin gives the late t5 slave
+    # (50.0) because arrival order replaced the carried state
+    assert got[t(30)] == 50.0, got
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- LT twin: loud failure (true-ts state detects the violation) ---
+    tmp = tempfile.mkdtemp(prefix="sviol_l_")
+    msrc, ssrc, out, ckpt = (os.path.join(tmp, d) for d in ("m", "s", "out", "ckpt"))
+    os.makedirs(msrc); os.makedirs(ssrc)
+
+    def run_lt():
+        m = spark.readStream.schema("k string, ts timestamp, mval double") \
+            .parquet(msrc + "/*")
+        s = spark.readStream.schema("k string, ts timestamp, quote double") \
+            .parquet(ssrc + "/*")
+        q = streaming_lt_join(m, s, "ts", ["k"], ["quote"]) \
+            .writeStream.format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    write([("a", t(20), 1.0)], msrc, "b0", "mval double")
+    write([("a", t(5), 50.0), ("a", t(10), 100.0)], ssrc, "b0", "quote double")
+    run_lt()
+    # batch 1 violates: slave t7 lands BETWEEN the two carried timestamps
+    write([("a", t(30), 2.0)], msrc, "b1", "mval double")
+    write([("a", t(7), 70.0)], ssrc, "b1", "quote double")
+    try:
+        run_lt()
+        raise AssertionError(
+            "LT twin accepted an out-of-contract late slave silently"
+        )
+    except StreamingQueryException:
+        pass  # documented: loud rejection, not silent divergence
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_lt_join_dup_ts_carry_and_master_only_start(spark):
     """Two LT-join state edges in one run.  (1) master-only FIRST batch
     with no slaves and no carried state: batch lt_join emits NULL payloads
