@@ -414,6 +414,62 @@ def raster_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(stats, schema=schema)
 
 
+DHASH_GRID_W = 9  # 9 columns -> 8 adjacent comparisons per row
+DHASH_GRID_H = 8  # x 8 rows = 64 difference bits
+
+
+def raster_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash (dHash) over DECODED QR01 raster bytes —
+    the dedup x multimodal bridge (r13): the standard image near-dup
+    fingerprint (resize to a tiny grid, hash the sign of adjacent-pixel
+    differences; brightness/scale-invariant by construction).  The pixel
+    matrix is sampled on a 9x8 nearest-neighbor grid (``src = i * dim //
+    grid`` — the `resize_image` resample convention), then
+    ``bit(r, c) = 1 iff grid[r, c] < grid[r, c+1]``; the 64 bits pack
+    into two BIGINT halves (rows 0-3 -> ``dhash_hi``, rows 4-7 ->
+    ``dhash_lo``, weight ``2^(row*8 + col)`` within each half — the
+    simhash hi/lo packing convention, clear of the int64 sign bit).
+    Non-raster payloads hash to NULL.  Map-only Arrow kernel; the
+    downstream dedup is one groupBy on the 16-byte hash."""
+    cols = [c for c in df.columns if c != payload_col]
+    w_bits = 1 << (
+        np.arange(4, dtype=np.int64)[:, None] * 8
+        + np.arange(8, dtype=np.int64)[None, :]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for payload in pdf[payload_col]:
+                buf = bytes(payload)
+                if buf[:4] != RASTER_MAGIC or len(buf) < 12:
+                    his.append(None)
+                    los.append(None)
+                    continue
+                w, h = struct.unpack(">II", buf[4:12])
+                arr = (
+                    np.frombuffer(buf[12 : 12 + w * h], dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                rs = (np.arange(DHASH_GRID_H) * h) // DHASH_GRID_H
+                cs = (np.arange(DHASH_GRID_W) * w) // DHASH_GRID_W
+                g = arr[rs][:, cs]
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)  # 8 x 8
+                his.append(int((bits[:4] * w_bits).sum()))
+                los.append(int((bits[4:] * w_bits).sum()))
+            out = pdf[cols].copy()
+            out["dhash_hi"], out["dhash_lo"] = his, los
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != payload_col
+    ) + ", dhash_hi bigint, dhash_lo bigint"
+    return df.mapInPandas(hashes, schema=schema)
+
+
 AUDIO_MAGIC = b"QA01"
 
 

@@ -1905,6 +1905,79 @@ GROUP BY d.doc_id, d.w2, d.h2
 """
 
 
+def multimodal_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup — the dedup x multimodal bridge (r13,
+    VERDICT r12 task 8): dHash every DECODED raster (9x8 nearest-neighbor
+    grid, sign of adjacent-pixel differences, 64 bits packed hi/lo), then
+    group identical hashes — the screen an image-corpus pipeline runs
+    before training.  Demo corpus: documents map to images via
+    ``img_id = doc_id % 173`` so real duplicate groups exist (several
+    docs share one image), mirroring how crawl corpora repeat images
+    across pages.
+
+    Scale shape: hash once per DISTINCT image (map-only Arrow kernel over
+    the decoded bytes), join the 16-byte fingerprint back to the doc
+    mapping, one groupBy on the hash — the exact-dedup discipline
+    (`dedup.cpp`'s hash-key groupBy, applied to pixels).  The oracle
+    recomputes the dHash arithmetically from the synthesizer formula, so
+    the value hash pins the sampling grid, the comparison sign, and the
+    bit packing."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 173).alias("img_id")
+    )
+    imgs = docs.select("img_id").distinct()
+    rasters = multimodal.synthesize_raster(imgs, id_col="img_id")
+    hashed = multimodal.raster_dhash(rasters).withColumnRenamed(
+        "doc_id", "img_id"
+    )
+    return (
+        docs.join(hashed, "img_id")
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("dhash_hi", "dhash_lo")
+    )
+
+
+def _dhash_half_sql(half: int) -> str:
+    """One packed 32-bit dHash half from the synthesizer arithmetic:
+    pixel(idx) = (img_id + idx*31) % 251 over a w x h raster with
+    w = 8+(img_id*7)%24, h = 8+(img_id*13)%16, sampled at
+    src_r = r*h//8, src_c = c*w//9 (the raster_dhash grid)."""
+    terms = []
+    for r in range(half * 4, half * 4 + 4):
+        for c in range(8):
+            p1 = f"((img_id + ((({r} * h) // 8) * w + (({c} * w) // 9)) * 31) % 251)"
+            p2 = f"((img_id + ((({r} * h) // 8) * w + ((({c} + 1) * w) // 9)) * 31) % 251)"
+            weight = 1 << ((r - half * 4) * 8 + c)
+            terms.append(f"(CASE WHEN {p1} < {p2} THEN {weight} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+MULTIMODAL_DHASH_SQL = f"""
+WITH d AS (SELECT doc_id, doc_id % 173 AS img_id FROM documents),
+dims AS (
+  SELECT DISTINCT img_id,
+         8 + (img_id * 7) % 24 AS w,
+         8 + (img_id * 13) % 16 AS h
+  FROM d
+),
+hs AS (
+  SELECT img_id,
+         CAST({_dhash_half_sql(0)} AS BIGINT) AS dhash_hi,
+         CAST({_dhash_half_sql(1)} AS BIGINT) AS dhash_lo
+  FROM dims
+),
+j AS (SELECT d.doc_id, hs.dhash_hi, hs.dhash_lo FROM d JOIN hs USING (img_id))
+SELECT dhash_hi, dhash_lo, MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM j GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY 1, 2
+"""
+
+
 def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio leg of the multimodal family (r10): synthesize signed-8-bit
     PCM containers with an arithmetic sample formula, then compute REAL

@@ -641,6 +641,12 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         pl.dedup_verbatim_spans,
         pl.DEDUP_VERBATIM_SPANS_SQL,
     ),
+    # perceptual-hash image dedup (VERDICT r12 task 8): dHash over the
+    # decoded raster path, grouped exactly — the dedup x multimodal bridge
+    "multimodal_dhash_neardup": (
+        pl.multimodal_dhash_neardup,
+        pl.MULTIMODAL_DHASH_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.
@@ -650,18 +656,18 @@ _CHANGED_R13_NAMES = [
 ]
 
 # Window order, round 13 (VERDICT r12 task 1, executing the plan recorded
-# in the r12 registry): the 3 r13 additions + the 8 r12 additions (first
+# in the r12 registry): the 4 r13 additions + the 8 r12 additions (first
 # driver check) + the last 2 r8-stale entries (the documented r12 tail) +
 # the r13-changed entry, then the 44-entry block whose latest driver check
 # is round 9, ordered so the cheapest-to-roll entries (TPC-H/plain-SQL
-# shapes, all stable since r2) sit at the tail.  3+8+2+1+44 = 58: a
-# 50-slot driver window reaches through the first 36 of the r9-stale
-# block; the documented 8-entry tail (q12/q13/q17/q21 +
-# sql_read_parquet/sql_bind_positional/sql_ddl_dml_roundtrip/
-# sql_plain_view) rolls to the r14 window.  dsir_importance_weights and
-# dedup_keep_best carry r13 code changes (DECIMAL(18,6) log quantum —
-# ADVICE r12; keep_best_canonical refactor) and are already in the head
-# via _NEW_R12_POST.
+# shapes, all stable since r2) sit at the tail.  4+8+2+1+44 = 59: a
+# 50-slot driver window reaches through the first 35 of the r9-stale
+# block; the documented 9-entry tail (sql_declare_neg_limit +
+# q12/q13/q17/q21 + sql_read_parquet/sql_bind_positional/
+# sql_ddl_dml_roundtrip/sql_plain_view) rolls to the r14 window.
+# dsir_importance_weights and dedup_keep_best carry r13 code changes
+# (DECIMAL(18,6) log quantum — ADVICE r12; keep_best_canonical refactor)
+# and are already in the head via _NEW_R12_POST.
 _R9_STALE_NAMES = [
     "dedup_exact", "doc_fingerprints", "language_detect", "token_counts",
     "minhash_signatures", "minhash_lsh", "simhash_docs", "embedding_topk",
@@ -673,8 +679,9 @@ _R9_STALE_NAMES = [
     "cb_referer_domains", "cb_minute_groups", "cb_wide_sums",
     "sql_sample_by", "sql_sample_by_first_obs", "sql_latest_on",
     "sql_asof_join", "sql_horizon_markout", "sql_multi_join_sample_by",
-    "sql_subquery_dialect", "sql_pivot", "sql_declare_neg_limit",
+    "sql_subquery_dialect", "sql_pivot",
     # --- expected r14 roll-over tail below this line ---
+    "sql_declare_neg_limit",
     "q12_priority_lines", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q21_waiting_suppliers",
     "sql_read_parquet", "sql_bind_positional", "sql_ddl_dml_roundtrip",
