@@ -284,6 +284,7 @@ NOTES = {
 }
 
 
+_ALL_CASES = set(CASES)
 _only = os.environ.get("SPARK_GRAFT_SF2_ONLY")
 if _only:
     _want = {w.strip() for w in _only.split(",") if w.strip()}
@@ -311,7 +312,11 @@ def main() -> None:
     )
     if _only and os.path.exists(path):  # subset rerun: merge over previous
         with open(path) as f:
-            out = json.load(f).get("queries", {})
+            prev = json.load(f).get("queries", {})
+        # drop rows for names no longer in CASES (same ADVICE-r12 fix as
+        # bench_scale.py: stale rows must not be re-stamped with fresh
+        # host metadata). _ALL_CASES is the pre-filter case list.
+        out = {k: v for k, v in prev.items() if k in _ALL_CASES}
     for name, fn in CASES.items():
         try:
             t_small, rows_small = run(spark, fn, SRC)

@@ -212,7 +212,9 @@ def main() -> None:
         todo = {k: v for k, v in TWINS.items() if k in want}
         if os.path.exists(out_path):  # subset rerun: merge over previous
             with open(out_path) as fh:
-                results = json.load(fh).get("twins", {})
+                prev = json.load(fh).get("twins", {})
+            # drop rows for names no longer in TWINS (ADVICE-r12 fix)
+            results = {k: v for k, v in prev.items() if k in TWINS}
     for name, build in todo.items():
         tmp = tempfile.mkdtemp(prefix=f"sbench_{name}_")
         src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
