@@ -470,6 +470,64 @@ def raster_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(hashes, schema=schema)
 
 
+def dhash_hamming_pairs(
+    hashed: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual NEAR-dup image pairs by banded Hamming distance over
+    dHash fingerprints (r13) — the LSH discipline applied to images: the
+    64-bit hash splits into 4x16-bit bands, candidate pairs collide on at
+    least one band, and only candidates pay the exact popcount filter
+    ``bit_count(hi_a XOR hi_b) + bit_count(lo_a XOR lo_b) <=
+    max_hamming``.  Pigeonhole guarantees full recall for distance <= 3
+    (four bands, so <=3 flipped bits leave one band clean); beyond that,
+    banding is the standard recall/cost trade — the same contract as
+    MinHash-LSH banding.  Never all-pairs: cost is bounded by band-bucket
+    collision counts (a production corpus adds the hot-bucket guard, the
+    `_drop_hot_shingles` discipline).  Input is `raster_dhash` output;
+    returns (img_a, img_b, hamming) with img_a < img_b."""
+    bands = None
+    for i, (col, sh) in enumerate(
+        [("dhash_hi", 0), ("dhash_hi", 16), ("dhash_lo", 0), ("dhash_lo", 16)]
+    ):
+        part = hashed.select(
+            F.col(id_col).alias("img"),
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(col), sh).bitwiseAND(F.lit(65535)).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.img") < F.col("b.img")),
+        )
+        .select(F.col("a.img").alias("img_a"), F.col("b.img").alias("img_b"))
+        .distinct()
+    )
+    ha = hashed.select(
+        F.col(id_col).alias("img_a"),
+        F.col("dhash_hi").alias("__hi_a"),
+        F.col("dhash_lo").alias("__lo_a"),
+    )
+    hb = hashed.select(
+        F.col(id_col).alias("img_b"),
+        F.col("dhash_hi").alias("__hi_b"),
+        F.col("dhash_lo").alias("__lo_b"),
+    )
+    ham = (
+        F.bit_count(F.col("__hi_a").bitwiseXOR(F.col("__hi_b")))
+        + F.bit_count(F.col("__lo_a").bitwiseXOR(F.col("__lo_b")))
+    ).cast("bigint")
+    return (
+        cand.join(ha, "img_a")
+        .join(hb, "img_b")
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 AUDIO_MAGIC = b"QA01"
 
 

@@ -1978,6 +1978,68 @@ FROM j GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY 1, 2
 """
 
 
+def multimodal_dhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual NEAR-dup image pairs (r13): banded Hamming over dHash —
+    exact-dHash grouping (`multimodal_dhash_neardup`) catches identical
+    fingerprints, this catches visually-similar ones (<= 6 flipped
+    difference bits of 64), the screen that survives re-encode /
+    brightness jitter.  LSH discipline end to end: 4x16-bit bands
+    generate candidates, only collisions pay the exact popcount — never
+    all-pairs.  The oracle replays the SAME banding (candidates, then
+    filter), so both engines agree on the banded result by construction
+    rather than relying on recall."""
+    docs = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") % 173).alias("img_id")
+    )
+    imgs = docs.select("img_id").distinct()
+    rasters = multimodal.synthesize_raster(imgs, id_col="img_id")
+    hashed = multimodal.raster_dhash(rasters).withColumnRenamed(
+        "doc_id", "img_id"
+    )
+    return multimodal.dhash_hamming_pairs(
+        hashed, id_col="img_id", max_hamming=6
+    ).orderBy("img_a", "img_b")
+
+
+MULTIMODAL_DHASH_HAMMING_SQL = f"""
+WITH d AS (SELECT DISTINCT doc_id % 173 AS img_id FROM documents),
+dims AS (
+  SELECT img_id,
+         8 + (img_id * 7) % 24 AS w,
+         8 + (img_id * 13) % 16 AS h
+  FROM d
+),
+hs AS (
+  SELECT img_id,
+         CAST({_dhash_half_sql(0)} AS BIGINT) AS dhash_hi,
+         CAST({_dhash_half_sql(1)} AS BIGINT) AS dhash_lo
+  FROM dims
+),
+bands AS (
+  SELECT img_id, b.b AS band,
+         CASE b.b WHEN 0 THEN dhash_hi % 65536
+                  WHEN 1 THEN dhash_hi // 65536
+                  WHEN 2 THEN dhash_lo % 65536
+                  ELSE dhash_lo // 65536 END AS key
+  FROM hs, range(0, 4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.img_id < b.img_id
+),
+p AS (
+  SELECT img_a, img_b,
+         CAST(bit_count(xor(ha.dhash_hi, hb.dhash_hi))
+            + bit_count(xor(ha.dhash_lo, hb.dhash_lo)) AS BIGINT) AS hamming
+  FROM cand
+  JOIN hs ha ON ha.img_id = cand.img_a
+  JOIN hs hb ON hb.img_id = cand.img_b
+)
+SELECT img_a, img_b, hamming FROM p WHERE hamming <= 6 ORDER BY img_a, img_b
+"""
+
+
 def multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio leg of the multimodal family (r10): synthesize signed-8-bit
     PCM containers with an arithmetic sample formula, then compute REAL

@@ -647,6 +647,11 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         pl.multimodal_dhash_neardup,
         pl.MULTIMODAL_DHASH_SQL,
     ),
+    # perceptual NEAR-dup (r13): banded Hamming over dHash, LSH discipline
+    "multimodal_dhash_hamming": (
+        pl.multimodal_dhash_hamming,
+        pl.MULTIMODAL_DHASH_HAMMING_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.
@@ -656,13 +661,13 @@ _CHANGED_R13_NAMES = [
 ]
 
 # Window order, round 13 (VERDICT r12 task 1, executing the plan recorded
-# in the r12 registry): the 4 r13 additions + the 8 r12 additions (first
+# in the r12 registry): the 5 r13 additions + the 8 r12 additions (first
 # driver check) + the last 2 r8-stale entries (the documented r12 tail) +
 # the r13-changed entry, then the 44-entry block whose latest driver check
 # is round 9, ordered so the cheapest-to-roll entries (TPC-H/plain-SQL
-# shapes, all stable since r2) sit at the tail.  4+8+2+1+44 = 59: a
-# 50-slot driver window reaches through the first 35 of the r9-stale
-# block; the documented 9-entry tail (sql_declare_neg_limit +
+# shapes, all stable since r2) sit at the tail.  5+8+2+1+44 = 60: a
+# 50-slot driver window reaches through the first 34 of the r9-stale
+# block; the documented 10-entry tail (sql_pivot/sql_declare_neg_limit +
 # q12/q13/q17/q21 + sql_read_parquet/sql_bind_positional/
 # sql_ddl_dml_roundtrip/sql_plain_view) rolls to the r14 window.
 # dsir_importance_weights and dedup_keep_best carry r13 code changes
@@ -679,9 +684,9 @@ _R9_STALE_NAMES = [
     "cb_referer_domains", "cb_minute_groups", "cb_wide_sums",
     "sql_sample_by", "sql_sample_by_first_obs", "sql_latest_on",
     "sql_asof_join", "sql_horizon_markout", "sql_multi_join_sample_by",
-    "sql_subquery_dialect", "sql_pivot",
+    "sql_subquery_dialect",
     # --- expected r14 roll-over tail below this line ---
-    "sql_declare_neg_limit",
+    "sql_pivot", "sql_declare_neg_limit",
     "q12_priority_lines", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q21_waiting_suppliers",
     "sql_read_parquet", "sql_bind_positional", "sql_ddl_dml_roundtrip",
