@@ -126,6 +126,7 @@ HEAVY = [
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
+_ALL_HEAVY = set(HEAVY)  # pre-filter list — the merge keeps these rows
 _only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
 if _only:
     _want = {w.strip() for w in _only.split(",") if w.strip()}
@@ -178,10 +179,11 @@ def main() -> None:
     if _only and os.path.exists(path):  # subset rerun: merge over previous
         with open(path) as f:
             prev = json.load(f).get("queries", {})
-        # keep only names still in HEAVY: a stale row for a removed query
-        # would otherwise be silently re-stamped with the new host
-        # loadavg/cpu_probe metadata (ADVICE r12)
-        out = {k: v for k, v in prev.items() if k in HEAVY}
+        # keep only names still in the FULL case list (not the subset —
+        # a subset rerun must preserve the other cases' rows): a stale
+        # row for a REMOVED query would otherwise be silently re-stamped
+        # with the new host loadavg/cpu_probe metadata (ADVICE r12)
+        out = {k: v for k, v in prev.items() if k in _ALL_HEAVY}
     for name in HEAVY:
         try:
             t_small = run(spark, name, SRC)
