@@ -1,0 +1,296 @@
+"""Trained linear text classification over hashed bag-of-words features.
+
+The fastText/CCNet-style quality- and language-filter a training-data
+pipeline runs at corpus scale is a LINEAR classifier over hashed n-gram
+counts — the model is tiny (one weight per hash bucket), the feature
+extraction is a map-only pass, and training touches the corpus once per
+epoch.  This module implements that shape with the repo's exact-arithmetic
+training discipline (the contract `similarity.kmeans_train` and
+`text.bpe_train` established), twice over:
+
+- `perceptron_train`: iterative batch-perceptron epochs over integer
+  token counts — every round (margins, misclassification sets,
+  gradients, weight vectors) replayable bit-for-bit by a SQL oracle.
+- `nb_train`/`nb_score`: one-pass multinomial Naive Bayes — closed-form
+  counts, decimal-quantized log-likelihood-ratio weights, and EXACT
+  decimal serving arithmetic (order-independent distributed sums).
+
+- Features: hashed unigram counts.  Bucket = first-8-hex-chars of
+  md5(token) mod 2^31-1 mod `n_feats` (the engine-independent hash idiom
+  every dedup/DSIR operator here uses), plus one constant bias feature at
+  index `n_feats`.
+- Model: integer weight vector, zero-initialised.
+- Update (one epoch): margin_d = <x_d, w>; doc d is misclassified iff
+  y_d * margin_d <= 0 (zero margin counts as wrong, which is what makes
+  the zero-init first round a plain class-frequency vote); then
+  w += sum over misclassified of y_d * x_d — the classic batch
+  perceptron, all in int64.
+
+Scale shape: the per-doc feature array is built once and persisted
+(2 cols, n_feats+1 ints per doc); each epoch is ONE map over the cached
+frame (margin = aggregate(zip_with(x, w_literal))) plus ONE hash
+aggregate of exploded misclassified features producing n_feats+1 model
+rows — the kmeans/PQ trainer discipline: jobs-per-epoch constant, only
+model-sized rows ever reach the driver.  At 100 TB you raise `n_feats`
+to 2^20 and nothing else changes; the weight vector still ships as a
+plan literal (8 MiB broadcast) and the gradient aggregate still returns
+one row per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE_P
+
+N_FEATS = 32  # test-scale default; production = 2^18..2^21 buckets
+ROUNDS = 3
+
+
+def bucket_col(tok: Column, n_feats: int = N_FEATS) -> Column:
+    """Engine-independent hash bucket for a token (md5-anchored)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % MERSENNE_P
+        % n_feats
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_feats: int = N_FEATS,
+) -> DataFrame:
+    """Per-doc dense hashed-unigram count vector of length n_feats + 1
+    (last slot = constant-1 bias).  One explode + one groupBy; the dense
+    array materializes from the bucket->count map so downstream epochs
+    are pure map passes."""
+    from .text import tokens_col
+
+    per = (
+        df.select(
+            F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
+        )
+        .select(id_col, bucket_col(F.col("__t"), n_feats).alias("__j"))
+        .groupBy(id_col, "__j")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__j", "__c"))
+            ).alias("__m")
+        )
+    )
+    dense = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_feats - 1)),
+            lambda j: F.coalesce(
+                F.element_at(F.col("__m"), j.cast("long")), F.lit(0).cast("long")
+            ),
+        ),
+        F.array(F.lit(1).cast("long")),  # bias slot
+    )
+    return per.select(id_col, dense.alias("x"))
+
+
+def perceptron_train(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = ROUNDS,
+) -> tuple[list[list[int]], list[int]]:
+    """Batch-perceptron training over persisted features.
+
+    `feats` = (id, x: array<long>) from `hashed_features`; `labels` =
+    (id, y) with y in {+1, -1}.  Returns (weights_per_round, errors_per
+    round): weights_per_round[r] is w AFTER round r's update and
+    errors_per_round[r] is the misclassified count that round (before
+    the update) — the training curve an eval dashboard plots.
+    """
+    base = feats.join(labels, id_col).select("x", "y").persist()
+    try:
+        dim = len(base.first()["x"])
+        w = [0] * dim
+        weights_hist: list[list[int]] = []
+        errors_hist: list[int] = []
+        for _ in range(rounds):
+            wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+            margin = F.aggregate(
+                F.zip_with(F.col("x"), wlit, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            mis = base.withColumn("__m", margin).filter(
+                F.col("y") * F.col("__m") <= 0
+            )
+            stats = (
+                mis.select("y", F.posexplode("x"))
+                .groupBy("pos")
+                .agg(
+                    F.sum(F.col("y") * F.col("col")).alias("g"),
+                    # every misclassified doc contributes one row per pos,
+                    # so any group's count IS the misclassified-doc count —
+                    # the error curve costs no extra job
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()  # n_feats+1 model rows — bounded, documented
+            )
+            n_err = int(stats[0]["n"]) if stats else 0
+            for r in stats:
+                w[r["pos"]] += int(r["g"])
+            weights_hist.append(list(w))
+            errors_hist.append(n_err)
+    finally:
+        base.unpersist()
+    return weights_hist, errors_hist
+
+
+def score(
+    feats: DataFrame,
+    weights: list[int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained weight vector: one map pass, margin per doc
+    (positive = class +1).  The weights ship as plan literals — no join,
+    no shuffle; the 100 TB serving path."""
+    wlit = F.array(*[F.lit(int(v)).cast("long") for v in weights])
+    margin = F.aggregate(
+        F.zip_with(F.col("x"), wlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return feats.select(F.col(id_col), margin.alias("margin"))
+
+
+def nb_train(
+    docs: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_feats: int = N_FEATS,
+) -> DataFrame:
+    """Multinomial Naive Bayes over hashed unigram counts — the one-pass
+    CLOSED-FORM text classifier (the converging sibling of the
+    batch-perceptron trace): per-class bucket token counts with Laplace
+    smoothing, log-likelihood-ratio weights.
+
+    Exactness: each bucket weight is ONE ln of an exact int64 rational —
+    ln(((n_pos+1)*(N_neg+D)) / ((n_neg+1)*(N_pos+D))) — quantized to
+    DECIMAL(18,6) (the DSIR-adjudicated quantum), so serving can run in
+    exact decimal arithmetic with no float-summation order hazard.  The
+    prior row (feature = n_feats) is ln(docs_pos/docs_neg) the same way.
+
+    Output: one row per bucket (feature, n_pos, n_neg, weight) plus the
+    prior row — the whole model, n_feats+1 rows.  Scale shape: ONE
+    explode + ONE hash aggregate over (bucket) with conditional sums,
+    one 1-row totals aggregate broadcast back; at 100 TB this is a
+    single map-side-combinable pass, and the model stays broadcast-size
+    at any corpus scale (production n_feats = 2^18..2^21).
+    """
+    from .text import tokens_col
+
+    spark = docs.sparkSession
+    ex = (
+        docs.join(labels, id_col)
+        .select(
+            F.col("y"),
+            F.explode(tokens_col(F.col(text_col))).alias("__t"),
+        )
+        .select("y", bucket_col(F.col("__t"), n_feats).alias("__j"))
+    )
+    pos = (F.col("y") == 1).cast("long")
+    neg = (F.col("y") == -1).cast("long")
+    counts = ex.groupBy("__j").agg(
+        F.sum(pos).alias("n_pos"), F.sum(neg).alias("n_neg")
+    )
+    full = spark.range(n_feats).select(
+        F.col("id").cast("long").alias("__j")
+    )
+    counts = (
+        full.join(counts, "__j", "left")
+        .select(
+            "__j",
+            F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
+        )
+    )
+    totals = ex.agg(
+        F.sum(pos).alias("t_pos"), F.sum(neg).alias("t_neg")
+    )
+    d_doc = labels.agg(
+        F.sum(pos).alias("d_pos"), F.sum(neg).alias("d_neg")
+    )
+    w = (
+        F.log(
+            (
+                (F.col("n_pos") + 1) * (F.col("t_neg") + F.lit(n_feats))
+            ).cast("double")
+            / (
+                (F.col("n_neg") + 1) * (F.col("t_pos") + F.lit(n_feats))
+            ).cast("double")
+        )
+        .cast("decimal(18,6)")
+    )
+    buckets = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__j").cast("int").alias("feature"),
+            "n_pos",
+            "n_neg",
+            w.alias("weight"),
+        )
+    )
+    prior = d_doc.select(
+        F.lit(n_feats).cast("int").alias("feature"),
+        F.col("d_pos").cast("long").alias("n_pos"),
+        F.col("d_neg").cast("long").alias("n_neg"),
+        F.log(
+            F.col("d_pos").cast("double") / F.col("d_neg").cast("double")
+        )
+        .cast("decimal(18,6)")
+        .alias("weight"),
+    )
+    return buckets.unionByName(prior)
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_feats: int = N_FEATS,
+) -> DataFrame:
+    """Score docs with a trained NB model: (doc_id, score DECIMAL) where
+    score = prior + sum_j tf_j * w_j in EXACT decimal arithmetic —
+    order-independent, so distributed summation cannot perturb the
+    result.  One explode + one broadcast join on the n_feats+1-row model
+    + one doc-keyed aggregate."""
+    from .text import tokens_col
+
+    ex = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("__t"),
+        )
+        .select(id_col, bucket_col(F.col("__t"), n_feats).alias("__j"))
+        .groupBy(id_col, "__j")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    buckets = model.filter(F.col("feature") < n_feats).select(
+        F.col("feature").cast("long").alias("__j"), "weight"
+    )
+    prior = model.filter(F.col("feature") == n_feats).select(
+        F.col("weight").alias("__prior")
+    )
+    return (
+        ex.join(F.broadcast(buckets), "__j")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("__s"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            (F.col("__s") + F.col("__prior")).alias("score"),
+        )
+    )

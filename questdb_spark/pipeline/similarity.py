@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.storagelevel import StorageLevel
 
 QUANT = 1000
 
@@ -891,9 +892,14 @@ def kmeans_train(
     """Lloyd's k-means over the quantized embedding column; returns the
     trained centroids (k x dim ints).  `iters` assignment+update rounds."""
     cents = ivf_centroids(df, n_cells=k, id_col=id_col, vec_col=vec_col)
+    # persist the 2-column projected training frame across Lloyd's rounds:
+    # every iteration otherwise re-runs the parquet scan + quantize kernel.
+    # At cluster scale this is the standard trainer discipline — the
+    # projected (vector, quantized) pair is what fits executor storage,
+    # not the source table; MEMORY_AND_DISK so a spill degrades, not dies.
     q = df.select(
         F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
         cd = _cell_dist_udf(cents)
         stats = (
@@ -908,6 +914,7 @@ def kmeans_train(
                 r["s"] + r["cnt"] * KM_OFF
             ) // r["cnt"] - KM_OFF
         cents = nxt
+    q.unpersist()
     return cents
 
 
@@ -978,9 +985,11 @@ def pq_train(
     so a SQL oracle can replay training subspace-by-subspace."""
     cbs = pq_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
     d_sub = len(cbs[0][0])
+    # same persist discipline as kmeans_train: the per-iteration job must
+    # read the cached projected frame, not re-decode parquet + re-quantize.
     base = df.select(
         F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
         enc = _pq_encode_udf(cbs)
         stats = (
@@ -1003,6 +1012,7 @@ def pq_train(
                 r["s"] + r["cnt"] * KM_OFF
             ) // r["cnt"] - KM_OFF
         cbs = nxt
+    base.unpersist()
     return cbs
 
 

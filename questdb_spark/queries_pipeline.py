@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pipeline import dedup, multimodal, sampling, similarity, text
+from .pipeline import classify, dedup, multimodal, sampling, similarity, text
 from .sources.parquet import load_table
 
 # shared SQL fragments -------------------------------------------------------
@@ -2969,4 +2969,423 @@ SELECT per.source,
 FROM per JOIN d ON per.source = d.source
 GROUP BY per.source
 ORDER BY per.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Trained linear classifier (r13) — the fastText/CCNet-style corpus filter
+# --------------------------------------------------------------------------
+
+_CLF_D = classify.N_FEATS
+_CLF_ROUNDS = classify.ROUNDS
+
+
+def _clf_trained(spark: SparkSession, sf: str):
+    """Train-once cache for the two classifier registry entries (the
+    serving entry must not re-pay training; same discipline as
+    `_kmeans_cached`)."""
+    key = ("perceptron", sf, _CLF_D, _CLF_ROUNDS)
+    if key not in _TRAINED_CACHE:
+        docs = load_table(spark, sf, "documents")
+        feats = classify.hashed_features(docs, n_feats=_CLF_D)
+        labels = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("y"),
+        )
+        _TRAINED_CACHE[key] = classify.perceptron_train(
+            feats, labels, rounds=_CLF_ROUNDS
+        )
+    return _TRAINED_CACHE[key]
+
+
+def classifier_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained corpus classifier (r13): batch-perceptron language filter
+    over hashed unigram counts — the linear fastText/CCNet filter shape a
+    training-data pipeline labels its corpus with, trained with the
+    repo's exact-integer discipline so the oracle replays every epoch.
+    Output = the full training trace: weight vector after each round plus
+    that round's misclassified count (the training curve).
+
+    What the trace shows on THIS corpus: the synthetic `lang` column is
+    independent of the text, so no linear separator exists and the batch
+    perceptron does what theory says it must — it oscillates between the
+    two class-prior votes (round 1: everything misclassified under zero
+    weights; thereafter errors flip between the two class sizes).  The
+    deliverable is the bit-exact distributed epoch machinery (margins ->
+    misclassified set -> integer gradient -> update), verified round by
+    round against the oracle; `classifier_nb_train` below is the
+    converging one-pass model over the same feature map.
+
+    Scale shape (see pipeline/classify.py): per-epoch cost is one map
+    over the persisted (doc, feature-array) frame plus one hash aggregate
+    returning n_feats+1 model rows; weights ship as plan literals.  The
+    reference has no trainer — this is pipeline scope (SURVEY LLM brief);
+    cf. the exact-integer training contract of kmeans_train/bpe_train."""
+    weights_hist, errors_hist = _clf_trained(spark, sf)
+    rows = [
+        (r + 1, j, int(wv), int(errors_hist[r]))
+        for r, wr in enumerate(weights_hist)
+        for j, wv in enumerate(wr)
+    ]
+    return spark.createDataFrame(
+        rows, "round int, feature int, weight bigint, errors bigint"
+    ).orderBy("round", "feature")
+
+
+def _clf_cte(d: int = _CLF_D, rounds: int = _CLF_ROUNDS) -> str:
+    """CTE chain replaying perceptron_train: fx = hashed-unigram counts
+    (+bias feature at index d), w0 = zeros, then per round margin ->
+    misclassified (y*margin <= 0) -> integer gradient -> weight update."""
+    hex8 = _sql_hex8_mod_p("md5(t)")
+    parts = [
+        f"""ex AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+fx AS (
+  SELECT doc_id, CAST({hex8} % {d} AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ex GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {d}, 1 FROM documents),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+w0 AS (
+  SELECT CAST(unnest(range(0, {d + 1})) AS BIGINT) AS j,
+         CAST(0 AS BIGINT) AS w)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = f"w{i - 1}"
+        parts.append(f"""m{i} AS (
+  SELECT f.doc_id, SUM(f.c * w.w) AS mg
+  FROM fx f JOIN {p} w USING (j) GROUP BY 1),
+mis{i} AS (
+  SELECT m.doc_id, l.y FROM m{i} m JOIN lab l USING (doc_id)
+  WHERE l.y * m.mg <= 0),
+e{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM mis{i}),
+g{i} AS (
+  SELECT f.j, SUM(mi.y * f.c) AS g
+  FROM fx f JOIN mis{i} mi USING (doc_id) GROUP BY 1),
+w{i} AS (
+  SELECT w.j, w.w + COALESCE(g.g, 0) AS w
+  FROM {p} w LEFT JOIN g{i} g USING (j))""")
+    return ",\n".join(parts)
+
+
+def _clf_train_sql(d: int = _CLF_D, rounds: int = _CLF_ROUNDS) -> str:
+    arms = " UNION ALL ".join(
+        f"""SELECT {i} AS round, CAST(j AS INT) AS feature,
+  CAST(w AS BIGINT) AS weight, (SELECT e FROM e{i}) AS errors FROM w{i}"""
+        for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_clf_cte(d, rounds)}
+{arms}
+ORDER BY round, feature
+"""
+
+
+CLASSIFIER_TRAIN_SQL = _clf_train_sql()
+
+
+def classifier_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Serving-side eval of the trained perceptron (r13): score every doc
+    with the final weight vector (ONE map pass, weights as plan literals
+    — no join, the 100 TB serving path) and aggregate the confusion
+    matrix plus margin mass per cell.  Bit-stable: margins are integer
+    dot products.  On this signal-free corpus the final-round vote is a
+    class-prior vote (see classifier_perceptron_train) — the matrix
+    records that honestly; the eval machinery is the deliverable."""
+    weights_hist, _ = _clf_trained(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    feats = classify.hashed_features(docs, n_feats=_CLF_D)
+    scored = classify.score(feats, weights_hist[-1])
+    lab = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("actual"),
+    )
+    return (
+        scored.join(lab, "doc_id")
+        .select(
+            "actual",
+            F.when(F.col("margin") > 0, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("pred"),
+            "margin",
+        )
+        .groupBy("actual", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("margin").cast("bigint").alias("margin_sum"),
+        )
+        .orderBy("actual", "pred")
+    )
+
+
+CLASSIFIER_CONFUSION_SQL = f"""
+WITH {_clf_cte()},
+mf AS (
+  SELECT f.doc_id, SUM(f.c * w.w) AS mg
+  FROM fx f JOIN w{_CLF_ROUNDS} w USING (j) GROUP BY 1)
+SELECT
+  CASE WHEN l.y = 1 THEN 'en' ELSE 'other' END AS actual,
+  CASE WHEN m.mg > 0 THEN 'en' ELSE 'other' END AS pred,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(m.mg) AS BIGINT) AS margin_sum
+FROM mf m JOIN lab l USING (doc_id)
+GROUP BY 1, 2
+ORDER BY actual, pred
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (r13) — the standard lexical ranking function
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("filter", "scan", "spark", "table")  # fixed sum order
+# constants kept as SOURCE STRINGS: both engines must parse the same
+# decimal literal (computing k1+1 in python floats could differ from the
+# parsed "2.2" by one ulp, which a product then amplifies past the hash)
+_BM25_K1 = "1.2"
+_BM25_K1P1 = "2.2"
+_BM25_1MB = "0.25"
+_BM25_B = "0.75"
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 document ranking (r13): the standard Okapi scoring the
+    lexical side of a retrieval stack actually serves (the Lucene
+    positive-idf variant: ln(1 + (N-df+0.5)/(df+0.5))), over the same
+    fixed query as chunk_retrieval_topk/retrieval_hybrid_rrf.
+
+    Determinism: idf is the single libm call — quantized to
+    DECIMAL(18,6) in both engines (the DSIR-adjudicated quantum); every
+    other factor is IEEE-exact from integer inputs with an identical
+    association order, and the final score is re-quantized so the top-k
+    cut ties break on doc_id identically.  Scale shape: corpus stats are
+    one 1-row aggregate broadcast back; scoring is a map pass; the cut is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", text.tokens_col(F.col("text")).alias("t")
+    ).withColumn("dl", F.size("t").cast("long"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(
+                F.array_contains(F.col("t"), term).cast("long")
+            ).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    rel = F.col("dl").cast("double") / avgdl
+    denom_base = F.lit(float(_BM25_K1)) * (
+        F.lit(float(_BM25_1MB)) + F.lit(float(_BM25_B)) * rel
+    )
+    contribs = []
+    for term in _BM25_TERMS:
+        tf = F.size(
+            F.filter(F.col("t"), lambda x: x == F.lit(term))  # noqa: B023
+        ).cast("double")
+        idf = (
+            F.log(
+                F.lit(1.0)
+                + (
+                    F.col("n_docs").cast("double")
+                    - F.col(f"df_{term}").cast("double")
+                    + F.lit(0.5)
+                )
+                / (F.col(f"df_{term}").cast("double") + F.lit(0.5))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+        )
+        contribs.append(
+            (idf * (tf * F.lit(float(_BM25_K1P1)))) / (tf + denom_base)
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    score = score.cast("decimal(18,6)").cast("double")
+    return (
+        j.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_sql() -> str:
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(t, '{term}') THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS df_{term}"
+        for term in _BM25_TERMS
+    )
+    contribs = " + ".join(
+        f"""(CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{term} AS DOUBLE) + 0.5)
+   / (CAST(df_{term} AS DOUBLE) + 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
+ * (CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE) * {_BM25_K1P1}))
+ / (CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE)
+    + {_BM25_K1} * ({_BM25_1MB} + {_BM25_B}
+      * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+        for term in _BM25_TERMS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS BIGINT) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
+  FROM base)
+SELECT doc_id,
+  CAST(CAST({contribs} AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM base, stats
+WHERE CAST(CAST({contribs} AS DECIMAL(18,6)) AS DOUBLE) > 0
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+RETRIEVAL_BM25_SQL = _bm25_sql()
+
+
+def classifier_nb_train(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass multinomial Naive Bayes language model (r13): the
+    converging closed-form sibling of the perceptron trace — per-class
+    Laplace-smoothed bucket counts and log-likelihood-ratio weights over
+    the same hashed-unigram feature map (pipeline/classify.nb_train).
+    Output = the entire model: one row per bucket (counts + weight) plus
+    the prior row at feature = n_feats.  Scale shape: one explode + one
+    hash aggregate + a 1-row totals broadcast; the model is
+    broadcast-size at any corpus scale."""
+    docs = load_table(spark, sf, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    model = classify.nb_train(docs, labels, n_feats=_CLF_D)
+    return model.select(
+        "feature",
+        "n_pos",
+        "n_neg",
+        F.col("weight").cast("double").alias("weight"),
+    ).orderBy("feature")
+
+
+def _nb_cte(d: int = _CLF_D) -> str:
+    hex8 = _sql_hex8_mod_p("md5(t)")
+    return f"""lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+  FROM documents),
+exd AS (
+  SELECT e.doc_id, l.y, CAST({hex8} % {d} AS BIGINT) AS j
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents) e
+  JOIN lab l USING (doc_id)),
+cnt AS (
+  SELECT j, CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+  FROM exd GROUP BY j),
+fullb AS (SELECT CAST(unnest(range(0, {d})) AS BIGINT) AS j),
+c2 AS (
+  SELECT f.j, COALESCE(c.np, 0) AS np, COALESCE(c.nn, 0) AS nn
+  FROM fullb f LEFT JOIN cnt c USING (j)),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM exd),
+dd AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS dn
+  FROM lab),
+model AS (
+  SELECT CAST(j AS INT) AS feature, np AS n_pos, nn AS n_neg,
+    CAST(ln(CAST((np + 1) * (tn + {d}) AS DOUBLE)
+          / CAST((nn + 1) * (tp + {d}) AS DOUBLE)) AS DECIMAL(18,6)) AS weight
+  FROM c2, tot
+  UNION ALL
+  SELECT {d}, dp, dn,
+    CAST(ln(CAST(dp AS DOUBLE) / CAST(dn AS DOUBLE)) AS DECIMAL(18,6))
+  FROM dd)"""
+
+
+CLASSIFIER_NB_TRAIN_SQL = f"""
+WITH {_nb_cte()}
+SELECT feature, n_pos, n_neg, CAST(weight AS DOUBLE) AS weight
+FROM model
+ORDER BY feature
+"""
+
+
+def classifier_nb_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Serving-side eval of the NB model (r13): exact-decimal per-doc
+    log-odds (prior + sum tf_j * w_j — decimal products and sums, so
+    distributed summation order cannot perturb a single bit), confusion
+    matrix against the actual label plus the score mass per cell.
+    Scale shape: one explode, one broadcast join on the model, one
+    doc-keyed aggregate, one 4-row matrix aggregate."""
+    docs = load_table(spark, sf, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    model = classify.nb_train(docs, labels, n_feats=_CLF_D)
+    scored = classify.nb_score(docs, model, n_feats=_CLF_D)
+    lab = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("actual"),
+    )
+    return (
+        scored.join(lab, "doc_id")
+        .select(
+            "actual",
+            F.when(F.col("score") > 0, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("pred"),
+            "score",
+        )
+        .groupBy("actual", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("score").cast("double").alias("score_sum"),
+        )
+        .orderBy("actual", "pred")
+    )
+
+
+CLASSIFIER_NB_CONFUSION_SQL = f"""
+WITH {_nb_cte()},
+tf AS (
+  SELECT doc_id, j, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM exd GROUP BY 1, 2),
+s AS (
+  SELECT t.doc_id, SUM(t.tf * m.weight) AS sl
+  FROM tf t JOIN model m ON t.j = m.feature
+  GROUP BY 1),
+sc AS (
+  SELECT doc_id,
+         sl + (SELECT weight FROM model WHERE feature = {_CLF_D}) AS score
+  FROM s)
+SELECT
+  CASE WHEN l.y = 1 THEN 'en' ELSE 'other' END AS actual,
+  CASE WHEN sc.score > 0 THEN 'en' ELSE 'other' END AS pred,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(sc.score) AS DOUBLE) AS score_sum
+FROM sc JOIN lab l USING (doc_id)
+GROUP BY 1, 2
+ORDER BY actual, pred
 """

@@ -652,6 +652,37 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         pl.multimodal_dhash_hamming,
         pl.MULTIMODAL_DHASH_HAMMING_SQL,
     ),
+    # trained linear corpus classifier (r13): batch-perceptron language
+    # filter over hashed unigram counts, exact-integer training — the
+    # oracle replays every epoch (margins/misclassified/gradients) as a
+    # CTE chain, kmeans/BPE discipline
+    "classifier_perceptron_train": (
+        pl.classifier_perceptron_train,
+        pl.CLASSIFIER_TRAIN_SQL,
+    ),
+    # serving-side eval of the trained classifier: one map pass with
+    # plan-literal weights -> confusion matrix + margin mass
+    "classifier_confusion": (
+        pl.classifier_confusion,
+        pl.CLASSIFIER_CONFUSION_SQL,
+    ),
+    # BM25 (Okapi, Lucene positive-idf variant) lexical ranking (r13):
+    # 1-row corpus-stats broadcast + map scoring + TakeOrderedAndProject
+    "retrieval_bm25_topk": (
+        pl.retrieval_bm25_topk,
+        pl.RETRIEVAL_BM25_SQL,
+    ),
+    # one-pass multinomial Naive Bayes (r13): closed-form counts +
+    # decimal log-likelihood-ratio weights — the converging classifier
+    "classifier_nb_train": (
+        pl.classifier_nb_train,
+        pl.CLASSIFIER_NB_TRAIN_SQL,
+    ),
+    # NB serving eval: exact-decimal log-odds scoring -> confusion matrix
+    "classifier_nb_confusion": (
+        pl.classifier_nb_confusion,
+        pl.CLASSIFIER_NB_CONFUSION_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.
@@ -661,15 +692,18 @@ _CHANGED_R13_NAMES = [
 ]
 
 # Window order, round 13 (VERDICT r12 task 1, executing the plan recorded
-# in the r12 registry): the 5 r13 additions + the 8 r12 additions (first
-# driver check) + the last 2 r8-stale entries (the documented r12 tail) +
-# the r13-changed entry, then the 44-entry block whose latest driver check
+# in the r12 registry): the 10 r13 additions (5 dedup/multimodal + the
+# classifier/BM25 family) + the 8 r12 additions (first driver check) +
+# the last 2 r8-stale entries (the documented r12 tail) + the
+# r13-changed entry, then the 44-entry block whose latest driver check
 # is round 9, ordered so the cheapest-to-roll entries (TPC-H/plain-SQL
-# shapes, all stable since r2) sit at the tail.  5+8+2+1+44 = 60: a
-# 50-slot driver window reaches through the first 34 of the r9-stale
-# block; the documented 10-entry tail (sql_pivot/sql_declare_neg_limit +
-# q12/q13/q17/q21 + sql_read_parquet/sql_bind_positional/
-# sql_ddl_dml_roundtrip/sql_plain_view) rolls to the r14 window.
+# shapes, all stable since r2) sit at the tail.  10+8+2+1+44 = 65: a
+# 50-slot driver window reaches through the first 29 of the r9-stale
+# block; the documented 15-entry tail (sql_latest_on/sql_asof_join/
+# sql_horizon_markout/sql_multi_join_sample_by/sql_subquery_dialect +
+# sql_pivot/sql_declare_neg_limit + q12/q13/q17/q21 + sql_read_parquet/
+# sql_bind_positional/sql_ddl_dml_roundtrip/sql_plain_view) rolls to the
+# r14 window.
 # dsir_importance_weights and dedup_keep_best carry r13 code changes
 # (DECIMAL(18,6) log quantum — ADVICE r12; keep_best_canonical refactor)
 # and are already in the head via _NEW_R12_POST.
@@ -682,10 +716,11 @@ _R9_STALE_NAMES = [
     "sample_by_tz_day", "decimal256_sum", "regr_bit_aggs",
     "count_star_fast", "bind_variables", "rnd_generators", "array_ops3",
     "cb_referer_domains", "cb_minute_groups", "cb_wide_sums",
-    "sql_sample_by", "sql_sample_by_first_obs", "sql_latest_on",
+    "sql_sample_by", "sql_sample_by_first_obs",
+    # --- expected r14 roll-over tail below this line ---
+    "sql_latest_on",
     "sql_asof_join", "sql_horizon_markout", "sql_multi_join_sample_by",
     "sql_subquery_dialect",
-    # --- expected r14 roll-over tail below this line ---
     "sql_pivot", "sql_declare_neg_limit",
     "q12_priority_lines", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q21_waiting_suppliers",

@@ -1,0 +1,193 @@
+"""Independent checks for the trained-classifier family (r13).
+
+The registry oracles for classifier_* replay the same formulas in SQL, so
+(per the test_independent_oracle rationale) these tests recompute training
+with NAIVE plain-Python implementations and, for NB, verify the trainer
+recovers a PLANTED signal — the validation a training harness actually
+needs: a label constructed to be learnable must produce the weight the
+math says it should.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from questdb_spark.pipeline import classify
+from questdb_spark.sources.parquet import load_table
+
+from .conftest import SF_DIR
+
+P = (1 << 31) - 1
+
+
+def _bucket(tok: str, d: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % P % d
+
+
+def _docs(spark):
+    return (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+
+def test_perceptron_trace_vs_naive_python(spark):
+    """The distributed batch-perceptron trace (margins -> misclassified ->
+    gradient -> update) must equal a plain-Python loop over the same
+    hashed features, round by round, weight by weight."""
+    d = classify.N_FEATS
+    pdf = _docs(spark)
+    feats, labels = [], []
+    for _, row in pdf.iterrows():
+        toks = row["text"].strip().lower().split()
+        x = [0] * (d + 1)
+        x[d] = 1
+        for t in toks:
+            x[_bucket(t, d)] += 1
+        feats.append(x)
+        labels.append(1 if row["lang"] == "en" else -1)
+
+    # naive reference trace
+    w = [0] * (d + 1)
+    ref_hist, ref_errs = [], []
+    for _ in range(classify.ROUNDS):
+        g = [0] * (d + 1)
+        n = 0
+        for x, y in zip(feats, labels):
+            m = sum(a * b for a, b in zip(x, w))
+            if y * m <= 0:
+                n += 1
+                for j in range(d + 1):
+                    g[j] += y * x[j]
+        for j in range(d + 1):
+            w[j] += g[j]
+        ref_hist.append(list(w))
+        ref_errs.append(n)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sf = classify.hashed_features(docs, n_feats=d)
+    lab = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    hist, errs = classify.perceptron_train(sf, lab, rounds=classify.ROUNDS)
+    assert errs == ref_errs
+    assert hist == ref_hist
+
+
+def test_nb_recovers_planted_signal(spark):
+    """Train NB on a label PLANTED in the text (doc contains the token
+    'spark'): the bucket 'spark' hashes into must get the strictly
+    largest positive weight — every positive doc contains it, so its
+    smoothed likelihood ratio dominates every other bucket's."""
+    d = classify.N_FEATS
+    docs = load_table(spark, SF_DIR, "documents")
+    from questdb_spark.pipeline.text import tokens_col
+
+    labels = docs.select(
+        "doc_id",
+        F.when(
+            F.array_contains(tokens_col(F.col("text")), "spark"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    model = classify.nb_train(docs, labels, n_feats=d).toPandas()
+    spark_bucket = _bucket("spark", d)
+    buckets = model[model["feature"] < d].set_index("feature")["weight"]
+    top = buckets.astype(float).idxmax()
+    assert top == spark_bucket
+    assert float(buckets[spark_bucket]) > 0
+
+
+def test_nb_weights_vs_naive_python(spark):
+    """NB counts must match a plain-Python tally exactly and weights must
+    match a naive math.log recomputation to the decimal quantum."""
+    d = classify.N_FEATS
+    pdf = _docs(spark)
+    np_, nn_ = [0] * d, [0] * d
+    tp = tn = dp = dn = 0
+    for _, row in pdf.iterrows():
+        y = 1 if row["lang"] == "en" else -1
+        toks = row["text"].strip().lower().split()
+        if y == 1:
+            dp += 1
+        else:
+            dn += 1
+        for t in toks:
+            j = _bucket(t, d)
+            if y == 1:
+                np_[j] += 1
+                tp += 1
+            else:
+                nn_[j] += 1
+                tn += 1
+
+    docs = load_table(spark, SF_DIR, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    model = (
+        classify.nb_train(docs, labels, n_feats=d)
+        .toPandas()
+        .sort_values("feature")
+        .reset_index(drop=True)
+    )
+    for j in range(d):
+        row = model.iloc[j]
+        assert int(row["n_pos"]) == np_[j]
+        assert int(row["n_neg"]) == nn_[j]
+        ref = math.log(
+            ((np_[j] + 1) * (tn + d)) / ((nn_[j] + 1) * (tp + d))
+        )
+        assert abs(float(row["weight"]) - ref) <= 1.5e-6
+    prior = model.iloc[d]
+    assert int(prior["n_pos"]) == dp and int(prior["n_neg"]) == dn
+    assert abs(float(prior["weight"]) - math.log(dp / dn)) <= 1.5e-6
+
+
+def test_nb_score_exact_decimal(spark):
+    """Serving is exact-decimal: score must equal the Decimal-arithmetic
+    recomputation bit-for-bit (no float tolerance)."""
+    from decimal import Decimal
+
+    d = classify.N_FEATS
+    docs = load_table(spark, SF_DIR, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    model = classify.nb_train(docs, labels, n_feats=d)
+    scored = (
+        classify.nb_score(docs, model, n_feats=d)
+        .toPandas()
+        .set_index("doc_id")["score"]
+    )
+    mp = {
+        int(r["feature"]): Decimal(str(r["weight"]))
+        for _, r in model.toPandas().iterrows()
+    }
+    pdf = _docs(spark)
+    for _, row in pdf.iterrows():
+        toks = row["text"].strip().lower().split()
+        s = mp[d]
+        for t in toks:
+            s += mp[_bucket(t, d)]
+        assert Decimal(str(scored[row["doc_id"]])) == s
