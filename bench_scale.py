@@ -123,11 +123,13 @@ HEAVY = [
     "dedup_containment_staged",
     "dedup_keep_best_staged",
     "dedup_verbatim_spans",
-    # r13 session 2: trained-classifier family + BM25 ranking
+    # r13 session 2: trained-classifier family + BM25 ranking + serving
     "classifier_perceptron_train",
     "classifier_nb_train",
     "classifier_nb_confusion",
     "retrieval_bm25_topk",
+    "retrieval_prf_expand",
+    "retrieval_mmr_rerank",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

@@ -1034,3 +1034,86 @@ def _pq_encode_udf(codebooks: list[list[list[int]]]):
         return pd.Series(list(out))
 
     return enc
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein 1998) — the standard retrieval-serving step between a
+    relevance cut and the final context window: greedily pick documents
+    maximizing rel(d) - max_{s in picked} sim(d, s) (lambda = 0.5, both
+    halves scaled x2 so the score stays subtraction-exact).
+
+    Stage 1: exact cosine top-`k_candidates` shortlist — a
+    TakeOrderedAndProject over the corpus; the only stage that touches
+    every vector.  Stage 2: pairwise candidate cosines via a broadcast
+    self-join (k^2 rows, corpus-size-independent).  Stage 3: the greedy
+    loop runs on the COLLECTED k-bounded score table (k + k^2 rows — a
+    model-scale collect per the kmeans/PQ discipline; at 100 TB stages 1
+    and 2 are the distributed work and stage 3 touches <= a few hundred
+    numbers).  Determinism: relevance and pairwise cosines quantize to
+    DECIMAL(18,6) before the greedy compare (sqrt and division are
+    IEEE-correctly-rounded in both engines), ties break on lowest id, so
+    an oracle can replay pick by pick.
+    """
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    pair, n2 = _pair_dot_udf(), _norm2_udf()
+    cand = cosine_topk(df, query, k=k_candidates, id_col=id_col, vec_col=vec_col)
+    cand = cand.join(df.select(id_col, vec_col), id_col)
+    cv = cand.select(
+        F.col(id_col).alias("__i"),
+        F.col(vec_col).alias("__v"),
+        F.col("cosine").cast("decimal(18,6)").alias("__rel"),
+    )
+    a = cv.select(F.col("__i").alias("__ia"), F.col("__v").alias("__va"))
+    b = cv.select(F.col("__i").alias("__ib"), F.col("__v").alias("__vb"))
+    sim = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            "__ia",
+            "__ib",
+            (
+                pair(F.col("__va"), F.col("__vb"))
+                / (
+                    F.sqrt(n2(F.col("__va")))
+                    * F.sqrt(n2(F.col("__vb")))
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("__s"),
+        )
+    )
+    rels = {
+        r["__i"]: Decimal(str(r["__rel"])) for r in cv.select("__i", "__rel").collect()
+    }
+    sims = {
+        (r["__ia"], r["__ib"]): Decimal(str(r["__s"])) for r in sim.collect()
+    }
+    picked: list[tuple[int, Decimal]] = []
+    remaining = set(rels)
+    while remaining and len(picked) < k_select:
+        best_id, best_m = None, None
+        for d in sorted(remaining):
+            if picked:
+                m = rels[d] - max(sims[(d, s)] for s, _ in picked)
+            else:
+                m = rels[d]
+            if best_m is None or m > best_m:
+                best_id, best_m = d, m
+        picked.append((best_id, best_m))
+        remaining.discard(best_id)
+    rows = [
+        (rank + 1, did, float(m)) for rank, (did, m) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, f"rank int, {id_col} bigint, mmr double"
+    )

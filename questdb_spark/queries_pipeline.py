@@ -3155,20 +3155,11 @@ _BM25_1MB = "0.25"
 _BM25_B = "0.75"
 
 
-def retrieval_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 document ranking (r13): the standard Okapi scoring the
-    lexical side of a retrieval stack actually serves (the Lucene
-    positive-idf variant: ln(1 + (N-df+0.5)/(df+0.5))), over the same
-    fixed query as chunk_retrieval_topk/retrieval_hybrid_rrf.
-
-    Determinism: idf is the single libm call — quantized to
-    DECIMAL(18,6) in both engines (the DSIR-adjudicated quantum); every
-    other factor is IEEE-exact from integer inputs with an identical
-    association order, and the final score is re-quantized so the top-k
-    cut ties break on doc_id identically.  Scale shape: corpus stats are
-    one 1-row aggregate broadcast back; scoring is a map pass; the cut is
-    TakeOrderedAndProject."""
-    docs = load_table(spark, sf, "documents")
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, t, score): every document BM25-scored against the fixed
+    query — the shared stage behind the top-k cut and the PRF feedback
+    round.  Corpus stats are one 1-row aggregate broadcast back; scoring
+    is a map pass."""
     base = docs.select(
         "doc_id", text.tokens_col(F.col("text")).alias("t")
     ).withColumn("dl", F.size("t").cast("long"))
@@ -3213,8 +3204,25 @@ def retrieval_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     for c in contribs[1:]:
         score = score + c
     score = score.cast("decimal(18,6)").cast("double")
+    return j.select("doc_id", "t", score.alias("score"))
+
+
+def retrieval_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 document ranking (r13): the standard Okapi scoring the
+    lexical side of a retrieval stack actually serves (the Lucene
+    positive-idf variant: ln(1 + (N-df+0.5)/(df+0.5))), over the same
+    fixed query as chunk_retrieval_topk/retrieval_hybrid_rrf.
+
+    Determinism: idf is the single libm call — quantized to
+    DECIMAL(18,6) in both engines (the DSIR-adjudicated quantum); every
+    other factor is IEEE-exact from integer inputs with an identical
+    association order, and the final score is re-quantized so the top-k
+    cut ties break on doc_id identically.  Scale shape: see
+    `_bm25_scored`; the cut is TakeOrderedAndProject."""
+    docs = load_table(spark, sf, "documents")
     return (
-        j.select("doc_id", score.alias("score"))
+        _bm25_scored(docs)
+        .select("doc_id", "score")
         .filter(F.col("score") > 0)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
@@ -3236,24 +3244,27 @@ def _bm25_sql() -> str:
       * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
         for term in _BM25_TERMS
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS BIGINT) AS dl
   FROM documents),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
-  FROM base)
-SELECT doc_id,
-  CAST(CAST({contribs} AS DECIMAL(18,6)) AS DOUBLE) AS score
-FROM base, stats
-WHERE CAST(CAST({contribs} AS DECIMAL(18,6)) AS DOUBLE) > 0
+  FROM base),
+bsc AS (
+  SELECT doc_id, t,
+    CAST(CAST({contribs} AS DECIMAL(18,6)) AS DOUBLE) AS score
+  FROM base, stats)"""
+
+
+RETRIEVAL_BM25_SQL = f"""
+WITH {_bm25_sql()}
+SELECT doc_id, score
+FROM bsc
+WHERE score > 0
 ORDER BY score DESC, doc_id
 LIMIT 20
 """
-
-
-RETRIEVAL_BM25_SQL = _bm25_sql()
 
 
 def classifier_nb_train(spark: SparkSession, sf: str) -> DataFrame:
@@ -3389,3 +3400,141 @@ FROM sc JOIN lab l USING (doc_id)
 GROUP BY 1, 2
 ORDER BY actual, pred
 """
+
+
+def retrieval_prf_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (r13): the RM3-style
+    second retrieval round a lexical stack runs — BM25 top-10 feedback
+    docs, top-5 expansion terms by feedback term frequency (original
+    query terms excluded, ties lexical), then the corpus re-scores with
+    INTEGER term weights (2 per original-term occurrence, 1 per
+    expansion-term occurrence) so round two is libm-free and exact.
+
+    Scale shape: the feedback cut is TakeOrderedAndProject over the
+    BM25-scored map pass; term extraction explodes only the 10 feedback
+    docs; the re-score is one explode + one broadcast join on the 9-term
+    weight table + one doc-keyed aggregate — no stage grows with corpus
+    duplication."""
+    docs = load_table(spark, sf, "documents")
+    scored = _bm25_scored(docs)
+    fb = (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+    orig = list(_BM25_TERMS)
+    exp_terms = (
+        fb.select(F.explode("t").alias("term"))
+        .filter(~F.col("term").isin(orig))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(5)
+        .select("term", F.lit(1).cast("long").alias("wt"))
+    )
+    orig_w = spark.createDataFrame(
+        [(t, 2) for t in orig], "term string, wt long"
+    )
+    weights = exp_terms.unionByName(orig_w)
+    ex = docs.select(
+        "doc_id", F.explode(text.tokens_col(F.col("text"))).alias("term")
+    )
+    return (
+        ex.join(F.broadcast(weights), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+_PRF_ORIG_ARR = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+RETRIEVAL_PRF_SQL = f"""
+WITH {_bm25_sql()},
+fb AS (
+  SELECT doc_id, t FROM bsc WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 10),
+et AS (
+  SELECT term, CAST(1 AS BIGINT) AS wt FROM (
+    SELECT term, COUNT(*) AS c FROM (SELECT unnest(t) AS term FROM fb)
+    WHERE NOT list_contains({_PRF_ORIG_ARR}, term)
+    GROUP BY term ORDER BY c DESC, term LIMIT 5)),
+w AS (
+  SELECT term, wt FROM et
+  UNION ALL
+  SELECT unnest({_PRF_ORIG_ARR}) AS term, CAST(2 AS BIGINT) AS wt),
+ex AS (SELECT doc_id, unnest(t) AS term FROM base)
+SELECT e.doc_id, CAST(SUM(w.wt) AS BIGINT) AS score
+FROM ex e JOIN w USING (term)
+GROUP BY e.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+_MMR_KC = 20
+_MMR_KS = 5
+
+
+def retrieval_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity re-rank (r13): exact cosine top-20 shortlist ->
+    greedy maximal-marginal-relevance selection of 5 (lambda = 0.5, x2
+    scaling: pick argmax rel(d) - max_{s picked} sim(d, s)) — the
+    de-duplicating serving cut between retrieval and the context window
+    (see pipeline/similarity.mmr_rerank for the stage/scale analysis;
+    the greedy runs on the collected k-bounded score table, the
+    kmeans-discipline model-scale collect).  The oracle replays the
+    shortlist, the k^2 pairwise cosines, and every greedy pick."""
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.mmr_rerank(
+        emb, query, k_candidates=_MMR_KC, k_select=_MMR_KS
+    )
+
+
+def _mmr_sql(kc: int = _MMR_KC, ks: int = _MMR_KS) -> str:
+    qv = _QUANT_SQL.format(v="embedding")
+    dot_vq = _DOT_SQL.format(a="v", b="qv")
+    dot_vv = _DOT_SQL.format(a="v", b="v")
+    dot_qq = _DOT_SQL.format(a="qv", b="qv")
+    parts = [f"""q AS (SELECT {qv} AS qv FROM embeddings WHERE vec_id = 0),
+base AS (SELECT vec_id, {qv} AS v, q.qv AS qv FROM embeddings, q),
+cand AS (
+  SELECT vec_id, v, CAST(cosine AS DECIMAL(18,6)) AS rel FROM (
+    SELECT vec_id, v,
+      {dot_vq} / (SQRT({dot_vv}) * SQRT({dot_qq})) AS cosine
+    FROM base
+    ORDER BY cosine DESC, vec_id ASC LIMIT {kc})),
+pair AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    CAST({_DOT_SQL.format(a='a.v', b='b.v')}
+      / (SQRT({_DOT_SQL.format(a='a.v', b='a.v')})
+         * SQRT({_DOT_SQL.format(a='b.v', b='b.v')})) AS DECIMAL(18,6)) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+pk1 AS (SELECT vec_id, rel AS m FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+ps1 AS (SELECT vec_id FROM pk1)"""]
+    for i in range(2, ks + 1):
+        parts.append(f"""st{i} AS (
+  SELECT c.vec_id,
+    c.rel - (SELECT MAX(p.s) FROM pair p
+             WHERE p.ia = c.vec_id
+               AND p.ib IN (SELECT vec_id FROM ps{i - 1})) AS m
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM ps{i - 1})),
+pk{i} AS (SELECT vec_id, m FROM st{i} ORDER BY m DESC, vec_id LIMIT 1),
+ps{i} AS (SELECT vec_id FROM ps{i - 1}
+          UNION ALL SELECT vec_id FROM pk{i})""")
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, CAST(m AS DOUBLE) AS mmr FROM pk{i}"
+        for i in range(1, ks + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+{arms}
+ORDER BY rank
+"""
+
+
+RETRIEVAL_MMR_SQL = _mmr_sql()

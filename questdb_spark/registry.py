@@ -683,6 +683,18 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         pl.classifier_nb_confusion,
         pl.CLASSIFIER_NB_CONFUSION_SQL,
     ),
+    # pseudo-relevance-feedback expansion (r13): BM25 top-10 feedback ->
+    # top-5 expansion terms -> integer-weighted libm-free re-score
+    "retrieval_prf_expand": (
+        pl.retrieval_prf_expand,
+        pl.RETRIEVAL_PRF_SQL,
+    ),
+    # MMR diversity re-rank (r13): cosine top-20 shortlist -> greedy
+    # rel - max-sim picks; oracle replays every pick as a CTE chain
+    "retrieval_mmr_rerank": (
+        pl.retrieval_mmr_rerank,
+        pl.RETRIEVAL_MMR_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.
@@ -692,14 +704,15 @@ _CHANGED_R13_NAMES = [
 ]
 
 # Window order, round 13 (VERDICT r12 task 1, executing the plan recorded
-# in the r12 registry): the 10 r13 additions (5 dedup/multimodal + the
-# classifier/BM25 family) + the 8 r12 additions (first driver check) +
-# the last 2 r8-stale entries (the documented r12 tail) + the
-# r13-changed entry, then the 44-entry block whose latest driver check
-# is round 9, ordered so the cheapest-to-roll entries (TPC-H/plain-SQL
-# shapes, all stable since r2) sit at the tail.  10+8+2+1+44 = 65: a
-# 50-slot driver window reaches through the first 29 of the r9-stale
-# block; the documented 15-entry tail (sql_latest_on/sql_asof_join/
+# in the r12 registry): the 12 r13 additions (5 dedup/multimodal + the
+# classifier family + the BM25/PRF/MMR retrieval trio) + the 8 r12
+# additions (first driver check) + the last 2 r8-stale entries (the
+# documented r12 tail) + the r13-changed entry, then the 44-entry block
+# whose latest driver check is round 9, ordered so the cheapest-to-roll
+# entries (TPC-H/plain-SQL shapes, all stable since r2) sit at the
+# tail.  12+8+2+1+44 = 67: a 50-slot driver window reaches through the
+# first 27 of the r9-stale block; the documented 17-entry tail
+# (sql_sample_by/sql_sample_by_first_obs + sql_latest_on/sql_asof_join/
 # sql_horizon_markout/sql_multi_join_sample_by/sql_subquery_dialect +
 # sql_pivot/sql_declare_neg_limit + q12/q13/q17/q21 + sql_read_parquet/
 # sql_bind_positional/sql_ddl_dml_roundtrip/sql_plain_view) rolls to the
@@ -716,8 +729,8 @@ _R9_STALE_NAMES = [
     "sample_by_tz_day", "decimal256_sum", "regr_bit_aggs",
     "count_star_fast", "bind_variables", "rnd_generators", "array_ops3",
     "cb_referer_domains", "cb_minute_groups", "cb_wide_sums",
-    "sql_sample_by", "sql_sample_by_first_obs",
     # --- expected r14 roll-over tail below this line ---
+    "sql_sample_by", "sql_sample_by_first_obs",
     "sql_latest_on",
     "sql_asof_join", "sql_horizon_markout", "sql_multi_join_sample_by",
     "sql_subquery_dialect",

@@ -191,3 +191,68 @@ def test_nb_score_exact_decimal(spark):
         for t in toks:
             s += mp[_bucket(t, d)]
         assert Decimal(str(scored[row["doc_id"]])) == s
+
+
+def test_mmr_rerank_vs_naive_numpy(spark):
+    """retrieval_mmr_rerank's oracle replays the same quantized greedy,
+    so (mirrored-formula rationale) recompute MMR independently: raw
+    float64 cosines via numpy, un-quantized greedy.  Picks must agree
+    unless a decision gap sits inside the 1e-6 decimal quantum, which we
+    assert away for this data."""
+    import numpy as np
+
+    from questdb_spark.queries_pipeline import (
+        _MMR_KC,
+        _MMR_KS,
+        retrieval_mmr_rerank,
+    )
+
+    got = retrieval_mmr_rerank(spark, SF_DIR).toPandas()
+    emb = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb["vec_id"].to_numpy()
+    m = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.sign(m[ids == 0] * 1000) * np.floor(np.abs(m[ids == 0] * 1000) + 0.5)
+    qm = np.sign(m * 1000) * np.floor(np.abs(m * 1000) + 0.5)
+    rel = (qm @ q.T).ravel() / (
+        np.sqrt((qm * qm).sum(axis=1)) * np.sqrt((q * q).sum())
+    )
+    order = np.lexsort((ids, -rel))[:_MMR_KC]
+    cand = ids[order]
+    crel = {int(i): rel[np.where(ids == i)[0][0]] for i in cand}
+    cm = {int(i): qm[np.where(ids == i)[0][0]] for i in cand}
+
+    def cos(a, b):
+        return (cm[a] @ cm[b]) / (
+            np.sqrt(cm[a] @ cm[a]) * np.sqrt(cm[b] @ cm[b])
+        )
+
+    picked = []
+    remaining = sorted(int(i) for i in cand)
+    for _ in range(_MMR_KS):
+        best, best_m = None, None
+        for d in remaining:
+            if picked:
+                mm = crel[d] - max(cos(d, s) for s in picked)
+            else:
+                mm = crel[d]
+            if best_m is None or mm > best_m + 1e-9:
+                best, best_m = d, mm
+        picked.append(best)
+        remaining.remove(best)
+
+    got = got.sort_values("rank")
+    assert list(got["vec_id"]) == picked
+    # the engine's decimal-quantized scores sit within the quantum of the
+    # naive float recomputation
+    for r, d in zip(got.itertuples(index=False), picked):
+        naive = (
+            crel[d]
+            if r.rank == 1
+            else crel[d] - max(cos(d, s) for s in picked[: r.rank - 1])
+        )
+        assert abs(r.mmr - naive) <= 2e-6
