@@ -191,6 +191,12 @@ CASES = {
     "embedding_ann_pq_rerank": REGISTRY["embedding_ann_pq_rerank"][0],
     # r13: substring-level verbatim-span dedup (VERDICT r12 task 3)
     "dedup_verbatim_spans": REGISTRY["dedup_verbatim_spans"][0],
+    # r13 session 2: trained-classifier family + retrieval serving
+    "classifier_nb_train": REGISTRY["classifier_nb_train"][0],
+    "classifier_perceptron_train": REGISTRY["classifier_perceptron_train"][0],
+    "retrieval_bm25_topk": REGISTRY["retrieval_bm25_topk"][0],
+    "retrieval_prf_expand": REGISTRY["retrieval_prf_expand"][0],
+    "retrieval_mmr_rerank": REGISTRY["retrieval_mmr_rerank"][0],
 }
 
 NOTES = {
@@ -281,6 +287,20 @@ NOTES = {
     "invariant by construction (bucketed fingerprint equi-join under the "
     "corpus-relative occurrence cap, never all-pairs; island windows "
     "partition by (pair, diagonal))",
+    "classifier_nb_train": "one-pass conditional-count aggregate + 1-row "
+    "totals broadcast; model output constant (n_feats+1 rows) — runtime "
+    "follows the scan",
+    "classifier_perceptron_train": "3 epochs x (map margin over the "
+    "persisted feature frame + feature-keyed gradient aggregate); model "
+    "rows constant per epoch, output = the 99-row trace at any scale",
+    "retrieval_bm25_topk": "1-row corpus-stats aggregate broadcast back + "
+    "map scoring + TakeOrderedAndProject; output constant top-20",
+    "retrieval_prf_expand": "two corpus scans (BM25 feedback round + "
+    "integer re-score) + a 10-doc term explode + 9-term broadcast join; "
+    "output constant top-15",
+    "retrieval_mmr_rerank": "shortlist TakeOrderedAndProject is the only "
+    "corpus-scan stage; pairwise k^2 cosines and the greedy loop are "
+    "corpus-size-independent; output constant 5 picks",
 }
 
 

@@ -1067,7 +1067,11 @@ def mmr_rerank(
     spark = df.sparkSession
     pair, n2 = _pair_dot_udf(), _norm2_udf()
     cand = cosine_topk(df, query, k=k_candidates, id_col=id_col, vec_col=vec_col)
-    cand = cand.join(df.select(id_col, vec_col), id_col)
+    # re-attach vectors by broadcasting the k-row shortlist against the
+    # corpus scan — without the hint Spark's stats pick a sort-merge join
+    # that shuffles the full corpus (measured 14x at 100x; broadcast makes
+    # this stage the second of exactly two corpus map-scans)
+    cand = df.select(id_col, vec_col).join(F.broadcast(cand), id_col)
     cv = cand.select(
         F.col(id_col).alias("__i"),
         F.col(vec_col).alias("__v"),

@@ -2980,24 +2980,28 @@ _CLF_D = classify.N_FEATS
 _CLF_ROUNDS = classify.ROUNDS
 
 
+def _clf_train_run(spark: SparkSession, sf: str):
+    """One full perceptron training run (no cache)."""
+    docs = load_table(spark, sf, "documents")
+    feats = classify.hashed_features(docs, n_feats=_CLF_D)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    return classify.perceptron_train(feats, labels, rounds=_CLF_ROUNDS)
+
+
 def _clf_trained(spark: SparkSession, sf: str):
-    """Train-once cache for the two classifier registry entries (the
-    serving entry must not re-pay training; same discipline as
-    `_kmeans_cached`)."""
+    """Train-once cache for the SERVING entry (classifier_confusion must
+    not re-pay training; same discipline as `_kmeans_cached`).  The
+    TRAIN entry bypasses this on purpose — its job is to measure
+    training (the embedding_kmeans rule)."""
     key = ("perceptron", sf, _CLF_D, _CLF_ROUNDS)
     if key not in _TRAINED_CACHE:
-        docs = load_table(spark, sf, "documents")
-        feats = classify.hashed_features(docs, n_feats=_CLF_D)
-        labels = docs.select(
-            "doc_id",
-            F.when(F.col("lang") == "en", F.lit(1))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("y"),
-        )
-        _TRAINED_CACHE[key] = classify.perceptron_train(
-            feats, labels, rounds=_CLF_ROUNDS
-        )
+        _TRAINED_CACHE[key] = _clf_train_run(spark, sf)
     return _TRAINED_CACHE[key]
 
 
@@ -3024,7 +3028,7 @@ def classifier_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
     returning n_feats+1 model rows; weights ship as plan literals.  The
     reference has no trainer — this is pipeline scope (SURVEY LLM brief);
     cf. the exact-integer training contract of kmeans_train/bpe_train."""
-    weights_hist, errors_hist = _clf_trained(spark, sf)
+    weights_hist, errors_hist = _clf_train_run(spark, sf)
     rows = [
         (r + 1, j, int(wv), int(errors_hist[r]))
         for r, wr in enumerate(weights_hist)

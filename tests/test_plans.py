@@ -576,3 +576,35 @@ def test_ohlc_single_shuffle(spark):
     df = ohlc_1h(spark, SF_DIR)
     assert shuffle_count(df) == 1
     assert "BatchEvalPython" not in plan_text(df)
+
+
+def test_r13_retrieval_classifier_plans(spark):
+    """r13 additions keep the 100 TB shapes: BM25's corpus stats come
+    back as a broadcast (1-row nested-loop, never a shuffle join) and
+    the cut is TakeOrderedAndProject; PRF's re-score joins the 9-term
+    weight table broadcast; NB training's totals come back broadcast and
+    nothing is Python row-at-a-time; the perceptron feature build stays
+    one exchange chain with no cartesian product."""
+    from questdb_spark import queries_pipeline as pl
+    from questdb_spark.pipeline import classify
+    from questdb_spark.sources.parquet import load_table
+
+    bm = pl.retrieval_bm25_topk(spark, SF_DIR)
+    txt = plan_text(bm)
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "BatchEvalPython" not in txt and "CartesianProduct" not in txt
+
+    prf = pl.retrieval_prf_expand(spark, SF_DIR)
+    txt = plan_text(prf)
+    assert "BroadcastHashJoin" in txt, txt
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "BatchEvalPython" not in txt and "CartesianProduct" not in txt
+
+    nb = pl.classifier_nb_train(spark, SF_DIR)
+    txt = plan_text(nb)
+    assert "BatchEvalPython" not in txt and "CartesianProduct" not in txt
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = classify.hashed_features(docs)
+    txt = plan_text(feats)
+    assert "BatchEvalPython" not in txt and "CartesianProduct" not in txt
