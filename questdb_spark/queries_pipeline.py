@@ -3159,11 +3159,16 @@ _BM25_1MB = "0.25"
 _BM25_B = "0.75"
 
 
-def _bm25_scored(docs: DataFrame) -> DataFrame:
-    """(doc_id, t, score): every document BM25-scored against the fixed
-    query — the shared stage behind the top-k cut and the PRF feedback
-    round.  Corpus stats are one 1-row aggregate broadcast back; scoring
-    is a map pass."""
+def _bm25_scored(
+    docs: DataFrame, terms: tuple[str, ...] | None = None
+) -> DataFrame:
+    """(doc_id, t, score): every document BM25-scored against the query
+    terms (default: the fixed 4-term query) — the shared stage behind the
+    top-k cut, the PRF feedback round, and the bm25_topk() SQL table
+    function.  Corpus stats are one 1-row aggregate broadcast back;
+    scoring is a map pass."""
+    if terms is None:
+        terms = _BM25_TERMS
     base = docs.select(
         "doc_id", text.tokens_col(F.col("text")).alias("t")
     ).withColumn("dl", F.size("t").cast("long"))
@@ -3173,8 +3178,8 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
         *[
             F.sum(
                 F.array_contains(F.col("t"), term).cast("long")
-            ).alias(f"df_{term}")
-            for term in _BM25_TERMS
+            ).alias(f"df_{i}")
+            for i, term in enumerate(terms)
         ],
     )
     j = base.crossJoin(F.broadcast(stats))
@@ -3184,7 +3189,7 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
         F.lit(float(_BM25_1MB)) + F.lit(float(_BM25_B)) * rel
     )
     contribs = []
-    for term in _BM25_TERMS:
+    for i, term in enumerate(terms):
         tf = F.size(
             F.filter(F.col("t"), lambda x: x == F.lit(term))  # noqa: B023
         ).cast("double")
@@ -3193,10 +3198,10 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
                 F.lit(1.0)
                 + (
                     F.col("n_docs").cast("double")
-                    - F.col(f"df_{term}").cast("double")
+                    - F.col(f"df_{i}").cast("double")
                     + F.lit(0.5)
                 )
-                / (F.col(f"df_{term}").cast("double") + F.lit(0.5))
+                / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
             )
             .cast("decimal(18,6)")
             .cast("double")
@@ -3233,24 +3238,26 @@ def retrieval_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(
+    terms: tuple[str, ...] = _BM25_TERMS, table: str = "documents"
+) -> str:
     df_cols = ", ".join(
         f"CAST(SUM(CASE WHEN list_contains(t, '{term}') THEN 1 ELSE 0 END) "
-        f"AS BIGINT) AS df_{term}"
-        for term in _BM25_TERMS
+        f"AS BIGINT) AS df_{i}"
+        for i, term in enumerate(terms)
     )
     contribs = " + ".join(
-        f"""(CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{term} AS DOUBLE) + 0.5)
-   / (CAST(df_{term} AS DOUBLE) + 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
+        f"""(CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)
+   / (CAST(df_{i} AS DOUBLE) + 0.5)) AS DECIMAL(18,6)) AS DOUBLE)
  * (CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE) * {_BM25_K1P1}))
  / (CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE)
     + {_BM25_K1} * ({_BM25_1MB} + {_BM25_B}
       * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
-        for term in _BM25_TERMS
+        for i, term in enumerate(terms)
     )
     return f"""base AS (
   SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS BIGINT) AS dl
-  FROM documents),
+  FROM {table}),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
@@ -3297,14 +3304,16 @@ def classifier_nb_train(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("feature")
 
 
-def _nb_cte(d: int = _CLF_D) -> str:
+def _nb_cte(
+    d: int = _CLF_D, table: str = "documents", pos: str = "en"
+) -> str:
     hex8 = _sql_hex8_mod_p("md5(t)")
     return f"""lab AS (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-  FROM documents),
+  SELECT doc_id, CASE WHEN lang = '{pos}' THEN 1 ELSE -1 END AS y
+  FROM {table}),
 exd AS (
   SELECT e.doc_id, l.y, CAST({hex8} % {d} AS BIGINT) AS j
-  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents) e
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM {table}) e
   JOIN lab l USING (doc_id)),
 cnt AS (
   SELECT j, CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,

@@ -1559,6 +1559,58 @@ FROM ({DOC_TOP_TERMS_SQL})
 SQL_PIPELINE_TABLE_FNS_SQL = _pipeline_table_fns_sql()
 
 
+def sql_retrieval_table_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """The r13 retrieval/classifier operators callable as SQL table
+    functions: ``bm25_topk('t', 'terms'[, k])`` ranks documents with
+    Okapi BM25 and ``classify_nb('t', 'poslang')`` returns the trained
+    Naive Bayes model relation — the dialect twins of
+    retrieval_bm25_topk / classifier_nb_train, so a SQL-only user
+    reaches the trained-filter and ranking operators.  The lowerings ARE
+    the production operators (1-row stats broadcast + map scoring;
+    one-pass conditional-count aggregate), exercised here with a
+    DIFFERENT query string and positive class than the Python-route
+    registry entries so the parameterization is what's checked."""
+    eng = _engine(spark, sf, {})
+    eng.register("documents", load_table(spark, sf, "documents"))
+    # the masses sum DECIMAL(18,6) values (scores/weights are exact at
+    # that scale), so distributed summation order cannot perturb a bit
+    return eng.sql(
+        "SELECT 'bm25' AS fn, count(*) AS n, "
+        "  CAST(sum(doc_id) AS BIGINT) AS chk, "
+        "  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS mass "
+        "  FROM bm25_topk('documents', 'merge sort window', 15) "
+        "UNION ALL "
+        "SELECT 'nb' AS fn, count(*) AS n, "
+        "  CAST(sum(feature * (n_pos + n_neg)) AS BIGINT) AS chk, "
+        "  CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS mass "
+        "  FROM classify_nb('documents', 'fr')"
+    )
+
+
+def _retrieval_table_fns_sql() -> str:
+    from .queries_pipeline import _bm25_sql, _nb_cte
+
+    terms = tuple(sorted(set("merge sort window".split())))
+    return f"""
+SELECT 'bm25' AS fn, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS chk,
+  CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS mass
+FROM (
+  WITH {_bm25_sql(terms)}
+  SELECT doc_id, score FROM bsc WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 15)
+UNION ALL
+SELECT 'nb' AS fn, count(*) AS n,
+  CAST(sum(feature * (n_pos + n_neg)) AS BIGINT) AS chk,
+  CAST(sum(weight) AS DOUBLE) AS mass
+FROM (
+  WITH {_nb_cte(pos="fr")}
+  SELECT feature, n_pos, n_neg, weight FROM model)
+"""
+
+
+SQL_RETRIEVAL_TABLE_FNS_SQL = _retrieval_table_fns_sql()
+
+
 def sql_matview_timer(spark: SparkSession, sf: str) -> DataFrame:
     """Mat-view TIMER + PERIOD refresh scheduling (r9,
     SqlParser.java:2590-2717 REFRESH_TYPE_TIMER/PERIOD,

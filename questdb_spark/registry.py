@@ -695,6 +695,13 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         pl.retrieval_mmr_rerank,
         pl.RETRIEVAL_MMR_SQL,
     ),
+    # r13 ops as SQL table functions: bm25_topk('t','terms',k) /
+    # classify_nb('t','pos') in FROM position, exercised with DIFFERENT
+    # parameters than the Python-route entries
+    "sql_retrieval_table_fns": (
+        sq.sql_retrieval_table_fns,
+        sq.SQL_RETRIEVAL_TABLE_FNS_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.

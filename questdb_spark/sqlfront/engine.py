@@ -565,7 +565,8 @@ class QdbEngine:
         r"functions|keywords|views|materialized_views|live_views|"
         r"memory_metrics|table_writer_metrics|reader_pool|writer_pool|"
         r"export_files|import_files|"
-        r"dedup_pairs|minhash_candidates|top_terms)\s*\(",
+        r"dedup_pairs|minhash_candidates|top_terms|bm25_topk|"
+        r"classify_nb)\s*\(",
         re.IGNORECASE,
     )
 
@@ -1284,9 +1285,13 @@ class QdbEngine:
 
     _PIPELINE_FN_RE = re.compile(
         # over the literal-MASKED text (quoted content blanked; name read
-        # back from the original via its span), numeric args stay visible
-        r"\b(dedup_pairs|minhash_candidates|top_terms)"
-        r"\s*\(\s*('[^']*')\s*((?:,\s*[\d.]+\s*)*)\)",
+        # back from the original via its span), numeric args stay visible;
+        # an optional SECOND string literal carries the query terms
+        # (bm25_topk) or the positive class (classify_nb)
+        r"\b(dedup_pairs|minhash_candidates|top_terms|bm25_topk|"
+        r"classify_nb)"
+        r"\s*\(\s*('[^']*')\s*(?:,\s*('[^']*')\s*)?"
+        r"((?:,\s*[\d.]+\s*)*)\)",
         re.IGNORECASE,
     )
 
@@ -1311,13 +1316,20 @@ class QdbEngine:
         for m in self._PIPELINE_FN_RE.finditer(masked):
             fn = m.group(1).lower()
             tname = s[m.start(2) : m.end(2)].strip("'")
-            args = [a.strip() for a in (m.group(3) or "").split(",") if a.strip()]
+            sarg = (
+                s[m.start(3) : m.end(3)].strip("'")
+                if m.group(3) is not None
+                else None
+            )
+            args = [a.strip() for a in (m.group(4) or "").split(",") if a.strip()]
             base = self._table(tname, None)
-            for need in ("doc_id", "text"):
+            need_cols = ("doc_id", "text", "lang") if fn == "classify_nb" else ("doc_id", "text")
+            for need in need_cols:
                 if need not in base.columns:
                     raise ValueError(
                         f"{fn}() requires a documents-shaped table with "
-                        f"doc_id/text columns; {tname!r} lacks {need!r}"
+                        f"{'/'.join(need_cols)} columns; "
+                        f"{tname!r} lacks {need!r}"
                     )
             if fn == "dedup_pairs":
                 thr = float(args[0]) if args else 0.5
@@ -1325,6 +1337,48 @@ class QdbEngine:
             elif fn == "minhash_candidates":
                 df = _dedup.minhash_lsh_candidates(
                     base, "doc_id", n_hashes=16, band_size=4
+                )
+            elif fn == "bm25_topk":
+                # bm25_topk('t', 'term term ...'[, k]) -> (doc_id, score):
+                # the Okapi ranking as a relation — terms sorted/deduped so
+                # the fixed summation order is caller-independent
+                from .. import queries_pipeline as _qp
+
+                if not sarg:
+                    raise ValueError(
+                        "bm25_topk() requires a query-terms string literal"
+                    )
+                terms = tuple(sorted(set(sarg.lower().split())))
+                k = int(float(args[0])) if args else 20
+                from pyspark.sql import functions as _F
+
+                df = (
+                    _qp._bm25_scored(base, terms=terms)
+                    .select("doc_id", "score")
+                    .filter(_F.col("score") > 0)
+                    .orderBy(_F.col("score").desc(), "doc_id")
+                    .limit(k)
+                )
+            elif fn == "classify_nb":
+                # classify_nb('t', 'poslang') -> the trained NB model
+                # relation (feature, n_pos, n_neg, weight)
+                from pyspark.sql import functions as _F
+
+                from ..pipeline import classify as _classify
+
+                pos = sarg if sarg else "en"
+                labels = base.select(
+                    "doc_id",
+                    _F.when(_F.col("lang") == pos, _F.lit(1))
+                    .otherwise(_F.lit(-1))
+                    .cast("long")
+                    .alias("y"),
+                )
+                df = _classify.nb_train(base, labels).select(
+                    "feature",
+                    "n_pos",
+                    "n_neg",
+                    _F.col("weight").cast("double").alias("weight"),
                 )
             else:  # top_terms
                 k = int(float(args[0])) if args else 3
