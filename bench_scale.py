@@ -130,6 +130,10 @@ HEAVY = [
     "retrieval_bm25_topk",
     "retrieval_prf_expand",
     "retrieval_mmr_rerank",
+    # r13 session 2: the dedup x multimodal bridge (distinct-image hash
+    # cost is constant under replication; duplicate groups grow)
+    "multimodal_dhash_neardup",
+    "multimodal_dhash_hamming",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"
