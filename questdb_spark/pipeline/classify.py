@@ -294,3 +294,18 @@ def nb_score(
             (F.col("__s") + F.col("__prior")).alias("score"),
         )
     )
+
+
+def nb_weights_micro(model: DataFrame) -> list[int]:
+    """Collect a trained NB model into the micro-unit integer weight
+    vector the serving/streaming gate broadcasts as plan literals:
+    element j = weight_j * 10^6 as int64 (exact — weights are
+    DECIMAL(18,6)), prior last.  Model-scale collect (n_feats+1 rows)."""
+    from decimal import Decimal
+
+    rows = model.select("feature", "weight").collect()
+    out = [0] * len(rows)
+    for r in rows:
+        w = r["weight"]
+        out[int(r["feature"])] = int(Decimal(str(w)) * (10**6))
+    return out

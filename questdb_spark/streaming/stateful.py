@@ -804,3 +804,45 @@ def streaming_ohlc(
             "open", "high", "low", "close", "n_trades",
         )
     )
+
+
+def streaming_quality_gate(
+    stream: DataFrame,
+    weights_micro: Sequence[int],
+    threshold_micro: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the trained NB corpus filter
+    (``pipeline/classify``): score every arriving document with the
+    broadcast model — log-odds = prior + sum over tokens of the token
+    bucket's weight, all in exact micro-unit int64 — and pass only rows
+    clearing ``threshold_micro``.  The quality gate a continuous
+    training-data ingest runs next to the dedup gate.
+
+    ``weights_micro`` is ``classify.nb_weights_micro(model)``: bucket
+    weights at 10^6 scale, prior last (so its length fixes n_feats).
+
+    Built-in-first and STATELESS: the whole scorer is a Catalyst
+    expression over plan literals (transform -> element_at -> aggregate)
+    — no state store, no Python; batch parity is structural because the
+    batch route evaluates the identical expression.  At 100 TB scale
+    the model rides the plan (1-8 MiB at production n_feats), so every
+    executor filters its partitions with zero shuffle."""
+    from ..pipeline.classify import bucket_col
+    from ..pipeline.text import tokens_col
+
+    n_feats = len(weights_micro) - 1
+    wlit = F.array(
+        *[F.lit(int(v)).cast("long") for v in weights_micro[:n_feats]]
+    )
+    score = F.aggregate(
+        F.transform(
+            tokens_col(F.col(text_col)),
+            lambda t: F.element_at(wlit, bucket_col(t, n_feats).cast("int") + 1),
+        ),
+        F.lit(int(weights_micro[-1])).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return stream.withColumn("score_micro", score).filter(
+        F.col("score_micro") > F.lit(int(threshold_micro))
+    )

@@ -1358,3 +1358,95 @@ def test_streaming_ohlc_tie_col_batch_parity(spark):
     }
     assert got == {("a", "2024-01-01 00:00:00"): (20.0, 1.0, 4)}, got
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_quality_gate_batch_parity(spark):
+    """The streaming NB quality gate is a stateless plan-literal scorer,
+    so its output over micro-batched arrivals must equal the batch
+    filter over the union of those batches — row for row, score for
+    score — and the passing set must be exactly the docs whose exact
+    micro-unit log-odds clear the threshold."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from questdb_spark.pipeline import classify
+    from questdb_spark.sources.parquet import load_table
+    from questdb_spark.streaming.stateful import streaming_quality_gate
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    labels = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    model = classify.nb_train(
+        load_table(spark, SF_DIR, "documents"), labels
+    )
+    w6 = classify.nb_weights_micro(model)
+
+    tmp = tempfile.mkdtemp(prefix="sqgate_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        pdf = docs.toPandas().sort_values("doc_id")
+        half = len(pdf) // 2
+        for name, part in (("b0", pdf.iloc[:half]), ("b1", pdf.iloc[half:])):
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, name))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        out = os.path.join(tmp, "out")
+        q = (
+            streaming_quality_gate(stream, w6, threshold_micro=0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.read.parquet(out)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            streaming_quality_gate(docs, w6, threshold_micro=0)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["score_micro"]) == list(want["score_micro"])
+        assert len(got) > 0
+        # the gate's micro-unit scores equal nb_score's decimal scores
+        dec = (
+            classify.nb_score(
+                load_table(spark, SF_DIR, "documents"), model
+            )
+            .toPandas()
+            .set_index("doc_id")["score"]
+        )
+        from decimal import Decimal
+
+        for r in got.itertuples(index=False):
+            assert Decimal(int(r.score_micro)) == Decimal(
+                str(dec[r.doc_id])
+            ) * (10**6)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
