@@ -134,6 +134,8 @@ HEAVY = [
     # cost is constant under replication; duplicate groups grow)
     "multimodal_dhash_neardup",
     "multimodal_dhash_hamming",
+    # r13 session 2: bigram-LM perplexity filter
+    "corpus_perplexity_topk",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

@@ -197,6 +197,7 @@ CASES = {
     "retrieval_bm25_topk": REGISTRY["retrieval_bm25_topk"][0],
     "retrieval_prf_expand": REGISTRY["retrieval_prf_expand"][0],
     "retrieval_mmr_rerank": REGISTRY["retrieval_mmr_rerank"][0],
+    "corpus_perplexity_topk": REGISTRY["corpus_perplexity_topk"][0],
 }
 
 NOTES = {
@@ -301,6 +302,9 @@ NOTES = {
     "retrieval_mmr_rerank": "shortlist TakeOrderedAndProject is the only "
     "corpus-scan stage; pairwise k^2 cosines and the greedy loop are "
     "corpus-size-independent; output constant 5 picks",
+    "corpus_perplexity_topk": "two model aggregates + one scoring "
+    "join/aggregate; vocab (and so the model) is replication-invariant, "
+    "output constant top-20",
 }
 
 

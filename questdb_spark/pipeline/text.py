@@ -374,3 +374,85 @@ def chunk_documents(
             F.array_join("c.ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram-LM perplexity scoring — the CCNet/KenLM-style quality
+    filter: train a Laplace-smoothed bigram language model on the corpus
+    in one pass, then score every document's average negative
+    log-likelihood under it (high = unusual token sequences = the
+    filter's discard pile).
+
+    Model: p(b|a) = (c(a,b)+1) / (c(a)+V) with V = distinct unigrams, so
+    each DISTINCT bigram's cost is ONE ln of an exact int64 rational —
+    nll(a,b) = ln((c(a)+V) / (c(a,b)+1)) — quantized to DECIMAL(18,6)
+    (the DSIR quantum).  Per-doc totals sum those exact decimals
+    (order-independent); the avg divides the exact decimal sum by the
+    exact bigram count as correctly-rounded doubles, so an oracle
+    matches bit-for-bit.  Scoring the training corpus itself means every
+    scored bigram exists in the model (no unseen-event branch).
+
+    Returns (id, n_bigrams, sum_nll DECIMAL, avg_nll DOUBLE); docs with
+    fewer than 2 tokens are absent (no bigram evidence).
+
+    Scale shape: bigrams build IN-ROW (the bpe_merge_candidates
+    transform — no lag window, no shuffle), the model is two hash
+    aggregates, and scoring is one explode + one model join + one
+    id-keyed aggregate.  At demo vocab the model broadcasts; production
+    vocab hashes bigrams into 2^20 buckets and the join shuffles on the
+    bucket — either way nothing is quadratic.
+    """
+    toks = tokens_col(F.col(text_col))
+    pairs = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(t, i) -> struct(t AS a, element_at(__toks, i + 2) AS b))"
+    )
+    ex = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    bi = ex.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cab")
+    )
+    model = (
+        bi.join(uni, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            "b",
+            F.log(
+                (F.col("ca") + F.col("v")).cast("double")
+                / (F.col("cab") + 1).cast("double")
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(model), ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll").alias("sum_nll"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_nll",
+            (
+                F.col("sum_nll").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_nll"),
+        )
+    )

@@ -3551,3 +3551,56 @@ ORDER BY rank
 
 
 RETRIEVAL_MMR_SQL = _mmr_sql()
+
+
+def corpus_perplexity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity filter (r13): the CCNet/KenLM-style quality
+    scorer — one-pass Laplace-smoothed bigram LM trained on the corpus,
+    every doc scored by average negative log-likelihood, top-20 most
+    perplexing docs returned (the discard pile a perplexity filter
+    drops; see pipeline/text.bigram_lm_nll for the exactness and scale
+    analysis).  Ties break on doc_id; sum_nll is surfaced as the
+    decimal-exact check column next to the correctly-rounded avg."""
+    docs = load_table(spark, sf, "documents")
+    scored = text.bigram_lm_nll(docs)
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.col("sum_nll").cast("double").alias("sum_nll"),
+            "avg_nll",
+        )
+        .orderBy(F.col("avg_nll").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+CORPUS_PERPLEXITY_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, p[1] AS a, p[2] AS b FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i + 1]]))
+        AS p
+    FROM t)),
+uni AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM (
+    SELECT unnest(toks) AS a FROM t) GROUP BY a),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM ex GROUP BY a, b),
+model AS (
+  SELECT bi.a, bi.b,
+    CAST(ln(CAST(uni.ca + v.v AS DOUBLE) / CAST(bi.cab + 1 AS DOUBLE))
+      AS DECIMAL(18,6)) AS nll
+  FROM bi JOIN uni ON bi.a = uni.a, v),
+s AS (
+  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(m.nll) AS sum_nll
+  FROM ex JOIN model m ON ex.a = m.a AND ex.b = m.b
+  GROUP BY ex.doc_id)
+SELECT doc_id, n_bigrams, CAST(sum_nll AS DOUBLE) AS sum_nll,
+  CAST(sum_nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_nll
+FROM s
+ORDER BY avg_nll DESC, doc_id
+LIMIT 20
+"""

@@ -702,6 +702,12 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         sq.sql_retrieval_table_fns,
         sq.SQL_RETRIEVAL_TABLE_FNS_SQL,
     ),
+    # bigram-LM perplexity filter (r13): the CCNet/KenLM quality scorer
+    # — one-pass smoothed LM, decimal-exact per-doc nll sums
+    "corpus_perplexity_topk": (
+        pl.corpus_perplexity_topk,
+        pl.CORPUS_PERPLEXITY_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.
