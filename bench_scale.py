@@ -134,8 +134,9 @@ HEAVY = [
     # cost is constant under replication; duplicate groups grow)
     "multimodal_dhash_neardup",
     "multimodal_dhash_hamming",
-    # r13 session 2: bigram-LM perplexity filter
+    # r13 session 2: bigram-LM perplexity filter + per-source data card
     "corpus_perplexity_topk",
+    "corpus_quality_report",
 ]
 
 # optional subset filter: SPARK_GRAFT_SCALE_ONLY="a,b,c"

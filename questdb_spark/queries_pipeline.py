@@ -3604,3 +3604,113 @@ FROM s
 ORDER BY avg_nll DESC, doc_id
 LIMIT 20
 """
+
+
+def corpus_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus data card (r13 capstone): the report a data
+    team reads before a training run, composing this round's trained
+    models — per source: doc count, exact-duplicate count (md5), docs
+    the NB language filter classifies positive (exact-decimal log-odds
+    > 0), bigram evidence mass, and LM perplexity (exact decimal nll sum
+    + correctly-rounded average).  Every number is either an integer
+    count or an exact-decimal/int64-derived double, so the whole card
+    hash-matches the oracle.
+
+    Scale shape: NB model + bigram LM each train in one pass (broadcast
+    model joins), the card is one groupBy(source) — nothing beyond the
+    constituent operators' own shapes."""
+    docs = load_table(spark, sf, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    model = classify.nb_train(docs, labels, n_feats=_CLF_D)
+    nb = classify.nb_score(docs, model, n_feats=_CLF_D).select(
+        "doc_id", (F.col("score") > 0).cast("long").alias("pred_en")
+    )
+    lm = text.bigram_lm_nll(docs).select("doc_id", "n_bigrams", "sum_nll")
+    per = (
+        docs.select("doc_id", "source", F.md5("text").alias("__h"))
+        .join(nb, "doc_id")
+        .join(lm, "doc_id", "left")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.col("__h"))
+            ).cast("bigint").alias("dup_docs"),
+            F.sum("pred_en").cast("bigint").alias("n_pred_en"),
+            F.sum(F.coalesce(F.col("n_bigrams"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.sum("sum_nll").alias("__snll"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            "n_pred_en",
+            "n_bigrams",
+            F.col("__snll").cast("double").alias("sum_nll"),
+            (
+                F.col("__snll").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_nll"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_QUALITY_REPORT_SQL = f"""
+WITH {_nb_cte()},
+tf AS (
+  SELECT doc_id, j, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM exd GROUP BY 1, 2),
+nbs AS (
+  SELECT t.doc_id,
+    CASE WHEN SUM(t.tf * m.weight)
+       + (SELECT weight FROM model WHERE feature = {_CLF_D}) > 0
+    THEN 1 ELSE 0 END AS pred_en
+  FROM tf t JOIN model m ON t.j = m.feature
+  GROUP BY t.doc_id),
+t2 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex2 AS (
+  SELECT doc_id, p[1] AS a, p[2] AS b FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i + 1]]))
+        AS p
+    FROM t2)),
+uni AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS ca FROM (
+    SELECT unnest(toks) AS a FROM t2) GROUP BY a),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+bi AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM ex2 GROUP BY a, b),
+lmm AS (
+  SELECT bi.a, bi.b,
+    CAST(ln(CAST(uni.ca + v.v AS DOUBLE) / CAST(bi.cab + 1 AS DOUBLE))
+      AS DECIMAL(18,6)) AS nll
+  FROM bi JOIN uni ON bi.a = uni.a, v),
+lms AS (
+  SELECT ex2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         SUM(m.nll) AS sum_nll
+  FROM ex2 JOIN lmm m ON ex2.a = m.a AND ex2.b = m.b
+  GROUP BY ex2.doc_id)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(d.text)) AS BIGINT) AS dup_docs,
+  CAST(SUM(n.pred_en) AS BIGINT) AS n_pred_en,
+  CAST(SUM(COALESCE(l.n_bigrams, 0)) AS BIGINT) AS n_bigrams,
+  CAST(SUM(l.sum_nll) AS DOUBLE) AS sum_nll,
+  CAST(SUM(l.sum_nll) AS DOUBLE)
+    / CAST(SUM(COALESCE(l.n_bigrams, 0)) AS DOUBLE) AS avg_nll
+FROM documents d
+JOIN nbs n USING (doc_id)
+LEFT JOIN lms l USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -708,6 +708,12 @@ _NEW_R13: dict[str, tuple[QueryFn, str | None]] = {
         pl.corpus_perplexity_topk,
         pl.CORPUS_PERPLEXITY_SQL,
     ),
+    # per-source data card composing the r13 trained models (r13):
+    # dup counts + NB-positive share + LM perplexity mass per source
+    "corpus_quality_report": (
+        pl.corpus_quality_report,
+        pl.CORPUS_QUALITY_REPORT_SQL,
+    ),
 }
 
 # Entries on code materially changed in r13 — re-verify inside the window.
