@@ -723,18 +723,19 @@ _CHANGED_R13_NAMES = [
 ]
 
 # Window order, round 13 (VERDICT r12 task 1, executing the plan recorded
-# in the r12 registry): the 13 r13 additions (5 dedup/multimodal + the
+# in the r12 registry): the 15 r13 additions (5 dedup/multimodal + the
 # classifier family + the BM25/PRF/MMR retrieval trio + the table-fn
-# dialect twin) + the 8 r12 additions (first driver check) + the last 2
-# r8-stale entries (the documented r12 tail) + the r13-changed entry,
-# then the 44-entry block whose latest driver check is round 9, ordered
-# so the cheapest-to-roll entries (TPC-H/plain-SQL shapes, all stable
-# since r2) sit at the tail.  13+8+2+1+44 = 68: a 50-slot driver window
-# reaches through the first 26 of the r9-stale block; the documented
-# 18-entry tail (cb_wide_sums + sql_sample_by/sql_sample_by_first_obs +
-# sql_latest_on/sql_asof_join/sql_horizon_markout/
-# sql_multi_join_sample_by/sql_subquery_dialect + sql_pivot/
-# sql_declare_neg_limit + q12/q13/q17/q21 + sql_read_parquet/
+# dialect twin + the perplexity filter + the data card) + the 8 r12
+# additions (first driver check) + the last 2 r8-stale entries (the
+# documented r12 tail) + the r13-changed entry, then the 44-entry block
+# whose latest driver check is round 9, ordered so the cheapest-to-roll
+# entries (TPC-H/plain-SQL shapes, all stable since r2) sit at the
+# tail.  15+8+2+1+44 = 70: a 50-slot driver window reaches through the
+# first 24 of the r9-stale block; the documented 20-entry tail
+# (cb_referer_domains/cb_minute_groups/cb_wide_sums +
+# sql_sample_by/sql_sample_by_first_obs + sql_latest_on/sql_asof_join/
+# sql_horizon_markout/sql_multi_join_sample_by/sql_subquery_dialect +
+# sql_pivot/sql_declare_neg_limit + q12/q13/q17/q21 + sql_read_parquet/
 # sql_bind_positional/sql_ddl_dml_roundtrip/sql_plain_view) rolls to the
 # r14 window.
 # dsir_importance_weights and dedup_keep_best carry r13 code changes
@@ -748,8 +749,8 @@ _R9_STALE_NAMES = [
     "spread_mid_events", "markout_horizon_agg", "sample_by_first_obs",
     "sample_by_tz_day", "decimal256_sum", "regr_bit_aggs",
     "count_star_fast", "bind_variables", "rnd_generators", "array_ops3",
-    "cb_referer_domains", "cb_minute_groups",
     # --- expected r14 roll-over tail below this line ---
+    "cb_referer_domains", "cb_minute_groups",
     "cb_wide_sums",
     "sql_sample_by", "sql_sample_by_first_obs",
     "sql_latest_on",
