@@ -256,3 +256,41 @@ def test_mmr_rerank_vs_naive_numpy(spark):
             else crel[d] - max(cos(d, s) for s in picked[: r.rank - 1])
         )
         assert abs(r.mmr - naive) <= 2e-6
+
+
+def test_retrieval_table_fn_edges(spark):
+    """bm25_topk()/classify_nb() table-function argument contract: a
+    missing terms literal and a missing lang column must error clearly;
+    the happy path must equal the library route on the same params."""
+    from questdb_spark.sqlfront.engine import QdbEngine
+
+    eng = QdbEngine(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+    eng.register("documents", docs)
+    eng.register("nolang", docs.select("doc_id", "text"))
+
+    with pytest.raises(ValueError, match="query-terms"):
+        eng.sql("SELECT * FROM bm25_topk('documents')")
+    with pytest.raises(ValueError, match="lang"):
+        eng.sql("SELECT * FROM classify_nb('nolang', 'en')")
+
+    got = (
+        eng.sql("SELECT * FROM bm25_topk('documents', 'spark table', 5)")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from questdb_spark.queries_pipeline import _bm25_scored
+
+    want = (
+        _bm25_scored(docs, terms=("spark", "table"))
+        .select("doc_id", "score")
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["score"]) == list(want["score"])
