@@ -294,3 +294,83 @@ def test_retrieval_table_fn_edges(spark):
     )
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["score"]) == list(want["score"])
+
+
+def test_bm25_random_corpus_vs_naive(spark):
+    """BM25 on seeded random corpora vs a plain-Python recomputation —
+    independent of the mirrored SQL oracle, and covering the edges the
+    fixed corpus lacks (single-token docs, repeated-token docs, query
+    terms with df=0).  Scores must agree to the idf decimal quantum."""
+    import random
+
+    from questdb_spark.queries_pipeline import _bm25_scored
+
+    rng = random.Random(1307)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "zz"]
+    for _round in range(3):
+        docs = []
+        for i in range(30):
+            n = rng.choice([1, 1, 2, 5, 12])
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # 'qq' never occurs: the df=0 idf branch
+        terms = ("aa", "dd", "qq")
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = (
+            _bm25_scored(df, terms=terms)
+            .select("doc_id", "score")
+            .toPandas()
+            .set_index("doc_id")["score"]
+        )
+        toks = {i: t.split() for i, t in docs}
+        n_docs = len(docs)
+        sum_dl = sum(len(t) for t in toks.values())
+        avgdl = sum_dl / n_docs
+        for i, t in toks.items():
+            s = 0.0
+            for term in terms:
+                dft = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+                idf = round(idf, 6)  # the DECIMAL(18,6) quantum
+                tf = sum(1 for x in t if x == term)
+                s += (idf * (tf * 2.2)) / (
+                    tf + 1.2 * (0.25 + 0.75 * (len(t) / avgdl))
+                )
+            assert abs(float(got[i]) - s) <= 5e-6, (i, float(got[i]), s)
+
+
+def test_bigram_lm_random_corpus_vs_naive(spark):
+    """Bigram-LM nll on seeded random corpora vs plain Python: exact
+    bigram counts, per-doc sums to the decimal quantum; docs with <2
+    tokens are absent."""
+    import random
+    from collections import Counter
+
+    from questdb_spark.pipeline.text import bigram_lm_nll
+
+    rng = random.Random(1309)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(25):
+        n = rng.choice([1, 2, 3, 8])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bigram_lm_nll(df).toPandas().set_index("doc_id")
+
+    toks = {i: t.split() for i, t in docs}
+    uni = Counter(x for t in toks.values() for x in t)
+    bi = Counter(
+        (t[j], t[j + 1]) for t in toks.values() for j in range(len(t) - 1)
+    )
+    v = len(uni)
+    for i, t in toks.items():
+        pairs = [(t[j], t[j + 1]) for j in range(len(t) - 1)]
+        if not pairs:
+            assert i not in got.index
+            continue
+        ref = sum(
+            round(math.log((uni[a] + v) / (bi[(a, b)] + 1)), 6)
+            for a, b in pairs
+        )
+        row = got.loc[i]
+        assert int(row["n_bigrams"]) == len(pairs)
+        assert abs(float(row["sum_nll"]) - ref) <= len(pairs) * 2e-6
