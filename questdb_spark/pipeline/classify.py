@@ -216,8 +216,14 @@ def nb_train(
             F.coalesce("n_neg", F.lit(0)).cast("long").alias("n_neg"),
         )
     )
-    totals = ex.agg(
-        F.sum(pos).alias("t_pos"), F.sum(neg).alias("t_neg")
+    # totals = column sums of the per-bucket counts — algebraically the
+    # same exact int64 sums as aggregating the explode again, one corpus
+    # pass cheaper: both consumers now hang off the groupBy(__j) shuffle,
+    # which AQE's exchange reuse executes ONCE at runtime (the original
+    # `ex.agg(...)` form shared only a mid-stage prefix with the counts
+    # aggregate, so the corpus explode ran twice)
+    totals = counts.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
     )
     d_doc = labels.agg(
         F.sum(pos).alias("d_pos"), F.sum(neg).alias("d_neg")

@@ -416,6 +416,9 @@ def bigram_lm_nll(
         .select(id_col, F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
+    # uni feeds both the model join and the V count; both consumers hang
+    # off the groupBy(a) shuffle, which AQE's exchange reuse executes once
+    # at runtime — the token explode is paid a single time (guide §2.4)
     uni = (
         df.select(F.explode(toks).alias("a"))
         .groupBy("a")

@@ -848,26 +848,38 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
             % _DSIR_NB
         ).alias("bkt"),
     )
+    # ONE exchange every consumer hangs off (r13 optimization): the
+    # original form ran the tokenize+md5 explode FIVE times — two
+    # build-time scalar collects (tt, tr) plus three subtrees of the
+    # final job (tgt broadcast, raw broadcast, the per-doc aggregate),
+    # and none of them shared an exchange, so AQE's runtime exchange
+    # reuse could not fire (guide §2.4).  Grouping to per-(doc, bucket)
+    # occurrence counts first gives all consumers the same shuffle;
+    # tgt/raw/totals re-aggregate those counts (sum-of-counts ==
+    # count-of-occurrences, exact int64), and the totals attach as
+    # broadcast columns — the exact columnar form the DuckDB oracle
+    # already computes — instead of collected plan literals.
+    c = b.groupBy("doc_id", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
     tgt = (
-        b.filter(F.col("doc_id") % 10 == 0)
+        c.filter(F.col("doc_id") % 10 == 0)
         .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("cnt").alias("ct"))
     )
     raw = (
-        b.filter(F.col("doc_id") % 10 != 0)
+        c.filter(F.col("doc_id") % 10 != 0)
         .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("cr"))
+        .agg(F.sum("cnt").alias("cr"))
     )
-    # corpus token totals: two scalars (model-scale collect, the
-    # ivf_centroids convention) shipped back as plan literals
-    tt = int(tgt.agg(F.sum("ct")).first()[0] or 0)
-    tr = int(raw.agg(F.sum("cr")).first()[0] or 0)
+    tots = (
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+        .crossJoin(raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr")))
+    )
     ratio = (
         (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-        * F.lit(float(tr + _DSIR_NB))
+        * (F.col("tr") + F.lit(_DSIR_NB)).cast("double")
     ) / (
         (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
-        * F.lit(float(tt + _DSIR_NB))
+        * (F.col("tt") + F.lit(_DSIR_NB)).cast("double")
     )
     # DECIMAL(18,6), not (18,9): ln is not correctly rounded in either
     # libm, and with O(1) per-term values a 1e-9 quantum leaves a ~ulp-
@@ -875,13 +887,16 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     # the coarser quantum puts the rounding boundary ~1000 ulp away.
     term = F.log(ratio).cast("decimal(18,6)")
     return (
-        b.filter(F.col("doc_id") % 10 != 0)
+        c.filter(F.col("doc_id") % 10 != 0)
         .join(F.broadcast(tgt), "bkt", "left")
         .join(F.broadcast(raw), "bkt", "left")
+        .crossJoin(F.broadcast(tots))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(term).cast("double").alias("weight"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            # sum over occurrences of term == sum over buckets of
+            # cnt * term — exact in decimal (integer × decimal(18,6))
+            F.sum(F.col("cnt") * term).cast("double").alias("weight"),
         )
         .orderBy("doc_id")
     )

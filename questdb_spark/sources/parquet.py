@@ -40,7 +40,27 @@ DESIGNATED_TS = {
 }
 
 
+def _plan_cache(spark: SparkSession) -> dict:
+    """Per-session memo of resolved table plans (DataFrames), keyed on
+    (sf_dir, name, variant).  `spark.read.parquet` costs ~85 ms of
+    driver-side file listing + footer/schema resolution PER CALL; a
+    catalog resolves a table's metadata once per session instead (guide
+    §6 — repeated listing of the same table is the anti-pattern table
+    formats exist to remove).  Only the *plan* is memoized: every action
+    still scans the parquet files, no row data is retained.  Safe because
+    the test datasets are immutable (read-only mounts); mutable engine
+    tables (sqlfront/table.py) never route through this loader."""
+    cache = getattr(spark, "_qdb_plan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._qdb_plan_cache = cache
+    return cache
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    cached = _plan_cache(spark).get((sf_dir, name))
+    if cached is not None:
+        return cached
     # Nanosecond parquet timestamps (QuestDB TIMESTAMP_NANO) aren't a Spark
     # type; read them as nano longs and truncate to micros (lossless for
     # this data — enforced by tests). Set at runtime so the driver's own
@@ -63,6 +83,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
         # integer division: nanos ~1.7e18 exceeds double's 53-bit mantissa
         df = df.withColumn(ts, F.expr(f"timestamp_micros({ts} div 1000)"))
+    _plan_cache(spark)[(sf_dir, name)] = df
     return df
 
 
@@ -71,6 +92,9 @@ def load_table_ns(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     NANOSECOND resolution as an epoch-nanos long shadow column ``<ts>_ns``
     (QuestDB TIMESTAMP_NANO, ColumnType.java:149-150) alongside the micros
     TimestampType column. functions/nanos.py operates on the shadow."""
+    cached = _plan_cache(spark).get((sf_dir, name, "ns"))
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -83,6 +107,7 @@ def load_table_ns(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     elif ts is not None:
         # micros-resolution storage: synthesize the shadow (×1000 exact)
         df = df.withColumn(f"{ts}_ns", to_nanos(F.col(ts)))
+    _plan_cache(spark)[(sf_dir, name, "ns")] = df
     return df
 
 
