@@ -221,20 +221,37 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df_frac``: corpus-RELATIVE guard — the cap becomes
     ``resolve_shingle_guard(count(df), frac)`` so the threshold scales
-    with corpus size/duplication (overrides ``max_shingle_df``).  Costs
-    one count() of the input — a parquet-footer metadata job, noise next
-    to the shingle aggregation it protects.
+    with corpus size/duplication (overrides ``max_shingle_df``).  The
+    threshold is computed LAZILY as a 1-row broadcast inside the
+    candidate plan (GREATEST(floor, CEIL(frac·count)) — the identical
+    arithmetic, double-mult then ceil, that `resolve_shingle_guard`
+    runs in Python), so no separate count() action runs and the corpus
+    aggregate shares the single candidate job (guide §2.4).
     """
+    guard_df = None  # lazy 1-row (__guard) corpus-relative threshold
     if max_shingle_df_frac is not None:
-        max_shingle_df = resolve_shingle_guard(df.count(), max_shingle_df_frac)
-    if max_shingle_df is None and not lsh_prefilter and not unsafe_exact:
+        guard_df = df.agg(
+            F.greatest(
+                F.lit(2).cast("long"),
+                F.ceil(
+                    F.lit(float(max_shingle_df_frac)) * F.count(F.lit(1))
+                ).cast("long"),
+            ).alias("__guard")
+        )
+        max_shingle_df = None
+    if (
+        max_shingle_df is None
+        and guard_df is None
+        and not lsh_prefilter
+        and not unsafe_exact
+    ):
         raise ValueError(
             "ngram_jaccard_pairs with max_shingle_df=None is the ungated "
             "O(df²) exact baseline; pass unsafe_exact=True to run it "
             "anyway, or use the guarded default / lsh_prefilter=True "
             "for the scale paths"
         )
-    if fused_enum_bound is None:
+    if fused_enum_bound is None and guard_df is None:
         fused_enum_bound = min(FUSED_ENUM_BOUND, max_shingle_df or FUSED_ENUM_BOUND)
     sh = _shingle_table(df, id_col, text_col, n)
     # metric="containment": common / min(|a|, |b|) — the truncated-copy
@@ -246,18 +263,30 @@ def ngram_jaccard_pairs(
         jac = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
     else:
         raise ValueError(f"unknown metric {metric!r}")
-    if not lsh_prefilter and max_shingle_df is not None:
+    if not lsh_prefilter and (max_shingle_df is not None or guard_df is not None):
         # Guarded exact path, fused: the guard bounds every shingle's doc
         # list to ≤ max_shingle_df entries, so candidate pairs can be
         # enumerated IN-ROW from one groupBy(shingle) — tokenization runs
         # ONCE (the self-join form recomputes the explode for each join
         # side and again for sizes) and the shingle equi-join disappears.
         # Three bounded shuffles total: lists, pair counts, sizes.
-        lists = (
-            sh.groupBy("shingle")
-            .agg(F.collect_list("doc").alias("ds"))
-            .filter(F.size("ds") <= max_shingle_df)  # occurrence guard
-            .select(F.array_sort("ds").alias("ds"))
+        lists = sh.groupBy("shingle").agg(F.collect_list("doc").alias("ds"))
+        if guard_df is not None:
+            # lazy corpus-relative threshold: 1-row broadcast attach; the
+            # chunked-enumeration bound follows it (min with the static
+            # in-row bound, exactly the eager-path arithmetic)
+            guard_c = F.col("__guard")
+            bound_c = (
+                F.lit(int(fused_enum_bound)).cast("long")
+                if fused_enum_bound is not None
+                else F.least(F.lit(FUSED_ENUM_BOUND).cast("long"), guard_c)
+            )
+            lists = lists.crossJoin(F.broadcast(guard_df))
+        else:
+            guard_c = F.lit(max_shingle_df).cast("long")
+            bound_c = F.lit(int(fused_enum_bound)).cast("long")
+        lists = lists.filter(F.size("ds") <= guard_c).select(
+            F.array_sort("ds").alias("ds"), bound_c.alias("__b")
         )
         # In-row pair enumeration is bounded (r8 verdict): a shingle list
         # of df elements expands to ~df²/2 structs in ONE row — fine at
@@ -272,12 +301,12 @@ def ngram_jaccard_pairs(
             "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)"
         )
         small = (
-            lists.filter(F.size("ds") <= fused_enum_bound)
+            lists.filter(F.size("ds") <= F.col("__b"))
             .select(F.explode(pair_structs).alias("p"))
             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         )
         big = (
-            lists.filter(F.size("ds") > fused_enum_bound)
+            lists.filter(F.size("ds") > F.col("__b"))
             .select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
             .select(
                 F.col("a"),
@@ -307,6 +336,17 @@ def ngram_jaccard_pairs(
         )
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)
+    elif guard_df is not None:
+        # lazy threshold on the lsh-prefilter route: same anti-join, the
+        # cap attaches as the 1-row broadcast instead of a Python int
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .crossJoin(F.broadcast(guard_df))
+            .filter(F.col("occ") > F.col("__guard"))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     if lsh_prefilter:
         # one row per colliding band comes back — dedup BEFORE the shingle
@@ -399,9 +439,15 @@ def verbatim_spans(
 
     Returns (doc_a, doc_b, start_a, start_b, span_tokens) with 1-based
     token positions, doc_a < doc_b."""
+    guard_df = None  # lazy corpus-relative cap (1-row broadcast, no action)
     if max_fp_occ is None and max_fp_occ_frac is not None:
-        max_fp_occ = resolve_shingle_guard(
-            df.count(), max_fp_occ_frac, floor=VERBATIM_OCC_FLOOR
+        guard_df = df.agg(
+            F.greatest(
+                F.lit(VERBATIM_OCC_FLOOR).cast("long"),
+                F.ceil(
+                    F.lit(float(max_fp_occ_frac)) * F.count(F.lit(1))
+                ).cast("long"),
+            ).alias("__guard")
         )
     base = _spread(df).select(
         F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("__toks")
@@ -420,26 +466,48 @@ def verbatim_spans(
         )
         .select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
     )
-    if max_fp_occ is not None:
-        hot = (
-            grams.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("occ"))
-            .filter(F.col("occ") > max_fp_occ)
-            .select("fp")
+    if max_fp_occ is not None or guard_df is not None:
+        # Guarded path, FUSED (r13 optimization): the original form ran
+        # the fingerprint explode three times — hot-count aggregate plus
+        # both sides of the fp self-join, none sharing an exchange.  The
+        # guard bounds every fingerprint's occurrence list, so the match
+        # pairs can be enumerated IN-ROW from ONE groupBy(fp) — the same
+        # discipline as the fused Jaccard path: one tokenize pass, one
+        # exchange, cap² structs max per row (cap is small by
+        # construction).  Pair multiset identical to the equi-join.
+        occs = grams.groupBy("fp").agg(
+            F.collect_list(F.struct("doc", "pos")).alias("os")
         )
-        grams = grams.join(F.broadcast(hot), "fp", "left_anti")
-    a = grams.select(
-        F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
-    )
-    b = grams.select(
-        F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "fp"
-    )
-    m = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
-        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
-    )
+        if guard_df is not None:
+            occs = occs.crossJoin(F.broadcast(guard_df)).filter(
+                F.size("os") <= F.col("__guard")
+            )
+        else:
+            occs = occs.filter(F.size("os") <= F.lit(int(max_fp_occ)))
+        pair_structs = F.expr(
+            "filter(flatten(transform(os, x -> transform(os, y -> "
+            "struct(x.doc AS doc_a, y.doc AS doc_b, "
+            "x.pos AS pos_a, y.pos AS pos_b)))), "
+            "s -> s.doc_a < s.doc_b)"
+        )
+        m = (
+            occs.select(F.explode(pair_structs).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
+            .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        )
+    else:
+        a = grams.select(
+            F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
+        )
+        b = grams.select(
+            F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "fp"
+        )
+        m = (
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "pos_a", "pos_b")
+            .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     isl = m.withColumn(
         "island", F.col("pos_a") - F.row_number().over(w)
