@@ -67,8 +67,9 @@ def hashed_features(
     (last slot = constant-1 bias).  One explode + one groupBy; the dense
     array materializes from the bucket->count map so downstream epochs
     are pure map passes."""
-    from .text import tokens_col
+    from .text import spread_by_cores, tokens_col
 
+    df = spread_by_cores(df)  # a 1-split scan would serialize the explode
     per = (
         df.select(
             F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
@@ -189,11 +190,11 @@ def nb_train(
     single map-side-combinable pass, and the model stays broadcast-size
     at any corpus scale (production n_feats = 2^18..2^21).
     """
-    from .text import tokens_col
+    from .text import spread_by_cores, tokens_col
 
     spark = docs.sparkSession
     ex = (
-        docs.join(labels, id_col)
+        spread_by_cores(docs.join(labels, id_col))
         .select(
             F.col("y"),
             F.explode(tokens_col(F.col(text_col))).alias("__t"),
@@ -273,10 +274,10 @@ def nb_score(
     order-independent, so distributed summation cannot perturb the
     result.  One explode + one broadcast join on the n_feats+1-row model
     + one doc-keyed aggregate."""
-    from .text import tokens_col
+    from .text import spread_by_cores, tokens_col
 
     ex = (
-        docs.select(
+        spread_by_cores(docs).select(
             F.col(id_col),
             F.explode(tokens_col(F.col(text_col))).alias("__t"),
         )

@@ -127,24 +127,11 @@ def keep_best_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition ahead of a 10-100× per-row expansion (tokenize/shingle
-    explode) when the scan came in with too few partitions — a handful of
-    compact parquet files would otherwise pin the whole expansion on a
-    handful of tasks. Only fires when the input is narrower than half the
-    shuffle width, so a properly-partitioned 100 TB scan passes through
-    untouched (no gratuitous full-corpus shuffle). Safe only for integer/
-    order-insensitive downstream aggregation (min/count/sum-of-int)."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    # input-file count approximates the scan's partition count without
-    # forcing plan analysis through the legacy RDD path (df.rdd breaks
-    # under Spark Connect and costs a full analysis round-trip)
-    try:
-        width = len(df.inputFiles())
-    except Exception:
-        width = target  # non-file source: assume properly partitioned
-    if 0 < width < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    """See `text.spread_by_cores` (moved there in r13 so the classifier /
+    LM / retrieval modules share the one implementation)."""
+    from .text import spread_by_cores
+
+    return spread_by_cores(df)
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -897,7 +897,13 @@ def kmeans_train(
     # At cluster scale this is the standard trainer discipline — the
     # projected (vector, quantized) pair is what fits executor storage,
     # not the source table; MEMORY_AND_DISK so a spill degrades, not dies.
-    q = df.select(
+    # Width follows cores (r13 opt): the embeddings parquet is one sub-MB
+    # split, so an un-spread persist pins every iteration's UDF+explode
+    # map stage on ONE task; the spread no-ops on a properly-partitioned
+    # production scan.
+    from .text import spread_by_cores
+
+    q = spread_by_cores(df).select(
         F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):
@@ -986,8 +992,11 @@ def pq_train(
     cbs = pq_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
     d_sub = len(cbs[0][0])
     # same persist discipline as kmeans_train: the per-iteration job must
-    # read the cached projected frame, not re-decode parquet + re-quantize.
-    base = df.select(
+    # read the cached projected frame, not re-decode parquet + re-quantize
+    # (and same width rule — see kmeans_train).
+    from .text import spread_by_cores
+
+    base = spread_by_cores(df).select(
         F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(iters):

@@ -1855,7 +1855,11 @@ def array_ops2(spark: SparkSession, sf: str) -> DataFrame:
     the DuckDB oracle."""
     from .functions import arrays as A
 
-    emb = load_table(spark, sf, "embeddings")
+    # CPU-bound per-row HOF tree over a single sub-MB split — width
+    # follows cores (same rule and measurement as array_ops3 below)
+    emb = load_table(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qv = F.transform(dv, lambda x: F.round(x * 1000).cast("long"))
     qd = F.transform(qv, lambda x: x.cast("double"))
@@ -1932,7 +1936,15 @@ def array_ops3(spark: SparkSession, sf: str) -> DataFrame:
     reversed).  All values integer-valued doubles -> bit-equal oracle."""
     from .functions import arrays as A
 
-    emb = load_table(spark, sf, "embeddings")
+    # the nested-HOF expression tree below is CPU-bound per row and the
+    # embeddings parquet is a single sub-MB split — measured 1 job /
+    # 1 stage / 1 TASK, ~3 s serial on one core at sf0.1 (r13 opt).
+    # Width must follow cores, not bytes, when the cost is per-row
+    # compute (the decimal256_div / EMA rule); the 800 KB shuffle is
+    # noise next to it.
+    emb = load_table(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     qd = F.transform(dv, lambda x: F.round(x * 1000))
 

@@ -837,6 +837,10 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     distributions are model-scale, the corpus is touched twice, nothing
     shuffles more than the doc-level result."""
     docs = load_table(spark, sf, "documents")
+    # no spread_by_cores here: measured slower (1.23 s -> 1.5 s at sf0.1)
+    # — after the one-exchange restructure below, the extra repartition
+    # shuffle and 32-wide downstream stages cost more than the explode
+    # parallelism buys on this shape
     tok = docs.select(
         "doc_id", F.explode(text.tokens_col(F.col("text"))).alias("t")
     )
@@ -3184,9 +3188,11 @@ def _bm25_scored(
     scoring is a map pass."""
     if terms is None:
         terms = _BM25_TERMS
-    base = docs.select(
-        "doc_id", text.tokens_col(F.col("text")).alias("t")
-    ).withColumn("dl", F.size("t").cast("long"))
+    base = (
+        text.spread_by_cores(docs)
+        .select("doc_id", text.tokens_col(F.col("text")).alias("t"))
+        .withColumn("dl", F.size("t").cast("long"))
+    )
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

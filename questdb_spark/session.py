@@ -44,6 +44,25 @@ def get_session(
         # --- scale knobs ---------------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing mode, measured both ways at sf0.1 (r13 opt round,
+        # BENCH_DETAIL_r13_opt_mid1 vs mid2): parallelismFirst=false (the
+        # Spark-documented busy-cluster recommendation — coalesce toward
+        # the advisory size) sped up broadcast-light shapes ~0.8x but
+        # SERIALIZED the engine's compute-dense small-byte reduce stages
+        # (in-row pair enumeration, decimal-limb folds: dedup_jaccard
+        # 2.3x, l2price 2.0x, regr_bit_aggs 1.7x slower) — byte-based
+        # coalescing is blind to CPU density.  This engine keeps the
+        # default (true: respect parallelism) and exposes the knob; at
+        # cluster scale those same stages carry real bytes and either
+        # setting yields advisory-sized partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_BYTES", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
