@@ -105,16 +105,34 @@ class TimeTable:
             return date(dt.year, dt.month, 1)
         return date(dt.year, 1, 1)
 
-    def _write_width(self) -> int:
+    def _write_width(self, df: DataFrame | None = None) -> int:
         """Shuffle width for partitioned writes.  A bare
         ``repartition(PARTITION_COL)`` uses spark.sql.shuffle.partitions
         and AQE then coalesces the (small) shuffle to ~one task, which
         writes every partition directory SERIALLY — 4x slower than a
         parallel write even at sf0.1.  An explicit width disables the
-        coalesce and spreads partition values across the cluster; on a
-        real cluster defaultParallelism is the total core count, which is
-        exactly the width a 100 TB partitioned write wants."""
-        return max(int(self.spark.sparkContext.defaultParallelism), 8)
+        coalesce and spreads partition values across the cluster.
+
+        The width is SIZE-ADAPTIVE (r13 opt, guide §6 output sizing):
+        ~32 MB of input per write task, floored at 4 (directory-level
+        write parallelism — the r8 serial-write measurement), capped at
+        defaultParallelism.  A 100 TB write saturates the cluster
+        exactly as before (the estimate exceeds cores × 32 MB); a
+        MB-scale lifecycle write stops paying 32 task launches to emit
+        30 small files (measured 0.62 s -> 0.43-0.47 s per CREATE at
+        sf0.1).  Estimate-failure falls back to full width."""
+        cores = max(int(self.spark.sparkContext.defaultParallelism), 8)
+        if df is None:
+            return cores
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return cores
+        if est <= 0 or est > (1 << 50):  # unknown / join-product estimate
+            return cores
+        return max(4, min(cores, (est >> 25) + 1))
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""
@@ -131,7 +149,7 @@ class TimeTable:
                 pass
         (
             self._with_partition(df)
-            .repartition(self._write_width(), PARTITION_COL)
+            .repartition(self._write_width(df), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode(mode)
             .partitionBy(PARTITION_COL)
@@ -197,7 +215,7 @@ class TimeTable:
         phys_ts = self._physical_name(self.ts_col)
         (
             self._with_partition(base, phys_ts)
-            .repartition(self._write_width(), PARTITION_COL)
+            .repartition(self._write_width(base), PARTITION_COL)
             .sortWithinPartitions(phys_ts)
             .write.mode("append")
             .partitionBy(PARTITION_COL)
@@ -438,7 +456,7 @@ class TimeTable:
         (
             df.drop(PARTITION_COL)
             .transform(self._with_partition)
-            .repartition(self._write_width(), PARTITION_COL)
+            .repartition(self._write_width(df), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
@@ -810,7 +828,7 @@ class TimeTable:
         tmp = self.path.rstrip("/") + ".compact"
         (
             self._with_partition(out)
-            .repartition(self._write_width(), PARTITION_COL)
+            .repartition(self._write_width(out), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
@@ -937,7 +955,7 @@ class TimeTable:
     def _rewrite_partitions(self, sub: DataFrame, parts: list) -> None:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            sub.repartition(self._write_width(), PARTITION_COL)
+            sub.repartition(self._write_width(sub), PARTITION_COL)
             .sortWithinPartitions(self._physical_name(self.ts_col))
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
