@@ -368,6 +368,11 @@ def cosine_near_dup_pairs(
         w = Window.partitionBy("__bi", "__bk").orderBy(
             F.md5(F.col(id_col).cast("string")), F.col(id_col)
         )
+        # (r13 opt note: an explicit defaultParallelism-wide repartition
+        # on (__bi, __bk) was measured here and REVERTED — task count
+        # rose 11 -> 101 with identical wall time, i.e. the residual cost
+        # of this operator is per-stage fixed overhead, not divisible
+        # pair-scoring work.)
         keyed = (
             keyed.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= max_bucket_size)
