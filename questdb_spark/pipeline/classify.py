@@ -190,11 +190,16 @@ def nb_train(
     single map-side-combinable pass, and the model stays broadcast-size
     at any corpus scale (production n_feats = 2^18..2^21).
     """
-    from .text import spread_by_cores, tokens_col
+    from .text import tokens_col
 
     spark = docs.sparkSession
+    # no spread_by_cores here: the bench median of the composed consumers
+    # (corpus_quality_report) measured ~0.5 s WORSE with a repartition
+    # ahead of this explode — the counts aggregate partial-aggregates
+    # map-side, so the extra shuffle + wider stages outweigh the explode
+    # parallelism (r13 opt A/B; same verdict as DSIR/bigram-LM)
     ex = (
-        spread_by_cores(docs.join(labels, id_col))
+        docs.join(labels, id_col)
         .select(
             F.col("y"),
             F.explode(tokens_col(F.col(text_col))).alias("__t"),
@@ -274,10 +279,11 @@ def nb_score(
     order-independent, so distributed summation cannot perturb the
     result.  One explode + one broadcast join on the n_feats+1-row model
     + one doc-keyed aggregate."""
-    from .text import spread_by_cores, tokens_col
+    from .text import tokens_col
 
+    # no spread_by_cores (same measured verdict as nb_train above)
     ex = (
-        spread_by_cores(docs).select(
+        docs.select(
             F.col(id_col),
             F.explode(tokens_col(F.col(text_col))).alias("__t"),
         )
