@@ -523,53 +523,126 @@ FROM b
 GENERATE_SERIES_SQL = _gen_sql()
 
 
+def _rnd_generators_spark_exprs() -> list[str]:
+    """Spark-SQL renderings of the exact Column trees the sources.generators
+    factories build for the rnd_generators query (same mix tags, literal
+    values and cast order — see tests/test_generators.py which asserts the
+    two routes are value-identical row for row). Built once at import; the
+    query then plans through a single selectExpr instead of ~600 py4j
+    Column-construction round-trips (~0.8 s/call driver-side)."""
+    from .sources.generators import mix_sql
+
+    def m(tag: int) -> str:
+        return mix_sql("x", 0, tag)
+
+    # rnd_symbol_weighted thresholds: replicate the factory's float loop
+    # bit-for-bit (0.7+0.2 != 0.9 in IEEE; repr round-trips the double)
+    weighted = {"hot": 0.7, "warm": 0.2, "cold": 0.1}
+    total = sum(weighted.values())
+    acc, cum = 0.0, []
+    for sym, wt in weighted.items():
+        acc += wt / total
+        cum.append((sym, acc))
+    w_expr = f"'{cum[-1][0]}'"
+    u13 = f"(({m(13)}) % 1000000) / 1.0E6"
+    for sym, c in reversed(cum[:-1]):
+        w_expr = f"CASE WHEN {u13} < {c!r}D THEN '{sym}' ELSE {w_expr} END"
+
+    u4 = (
+        "concat_ws('-', substring(md5(CAST(x + 11 AS STRING)), 1, 8), "
+        "substring(md5(CAST(x + 11 AS STRING)), 9, 4), "
+        "concat('4', substring(md5(CAST(x + 11 AS STRING)), 14, 3)), "
+        "concat('8', substring(md5(CAST(x + 11 AS STRING)), 18, 3)), "
+        "substring(md5(CAST(x + 11 AS STRING)), 21, 12))"
+    )
+    gh = "concat('', " + ", ".join(
+        f"substring('{generators._GEO_ALPHABET}', "
+        f"CAST(({m(20 + i)}) % 32 + 1 AS INT), 1)"
+        for i in range(6)
+    ) + ")"
+    dec_digits = (
+        f"concat('', lpad(CAST(({m(30)}) % 1000000000 AS STRING), 9, '0'), "
+        f"lpad(CAST(({m(39)}) % 1000 AS STRING), 3, '0'))"
+    )
+    ipsub = f"(169082880 + ({m(70)}) % 65536)"
+    ipsub_v = (
+        f"concat_ws('.', CAST(CAST(FLOOR({ipsub} / 16777216) AS INT) AS STRING), "
+        f"CAST(CAST(FLOOR({ipsub} / 65536) % 256 AS INT) AS STRING), "
+        f"CAST(CAST(FLOOR({ipsub} / 256) % 256 AS INT) AS STRING), "
+        f"CAST(CAST({ipsub} % 256 AS INT) AS STRING))"
+    )
+    uts = "unix_timestamp(CAST('{0}' AS TIMESTAMP))"
+    return [
+        "x",
+        f"({m(1)}) % 2 = 0 AS `b`",
+        f"CAST(({m(2)}) % 128 AS TINYINT) AS `by`",
+        f"CAST(({m(3)}) % 32768 AS SMALLINT) AS `sh`",
+        f"CAST((({m(4)}) % 1001) + -500 AS BIGINT) AS `lg`",
+        f"CAST((({m(5)}) % 1000000) / 1.0E6 AS FLOAT) AS `fl`",
+        f"char(({m(6)}) % 26 + 65) AS `ch`",
+        f"CASE WHEN ({m(8)}) % 10 = 0 THEN NULL "
+        f"ELSE substring(md5(CAST(x + 0 AS STRING)), 1, "
+        f"CAST((({m(7)}) % 6) + 3 AS INT)) END AS `s`",
+        f"{u4} AS `u4`",
+        f"concat_ws('.', CAST(({m(9)}) % 256 AS STRING), "
+        f"CAST(FLOOR(({m(9)}) / 256) % 256 AS STRING), "
+        f"CAST(FLOOR(({m(9)}) / 65536) % 256 AS STRING), "
+        f"CAST((FLOOR(({m(9)}) / 16777216) % 128) + 1 AS STRING)) AS `ip`",
+        f"{gh} AS `gh`",
+        "concat('0x', md5(CAST(x + 1 AS STRING)), md5(CAST(x + 2 AS STRING))) AS `l256`",
+        f"hex(unhex(substring(repeat(md5(CAST(x + 0 AS STRING)), 2), 1, "
+        f"CAST((({m(10)}) % 7) + 2 AS INT) * 2))) AS `bin_hex`",
+        # QuestDB DATE is epoch millis (ColumnType DATE → timestamp in the
+        # engine's type map); surfaced as midnight timestamps
+        f"CAST(date_add(CAST('2024-01-01' AS DATE), CAST(({m(11)}) % "
+        f"(datediff(CAST('2024-03-31' AS DATE), CAST('2024-01-01' AS DATE)) + 1) "
+        f"AS INT)) AS TIMESTAMP) AS `d`",
+        f"timestamp_seconds({uts.format('2024-01-01')} + ({m(12)}) % "
+        f"({uts.format('2024-01-08')} - {uts.format('2024-01-01')})) AS `t`",
+        f"{w_expr} AS `w`",
+        # surfaced as double for the cross-engine hash (pandas reprs a Spark
+        # DECIMAL as Decimal, DuckDB's as float; the 12-digit value is
+        # double-exact so the cast loses nothing)
+        f"CAST(CAST(concat(substring({dec_digits}, 1, 10), '.', "
+        f"substring({dec_digits}, 11, 2)) AS DECIMAL(12,2)) AS DOUBLE) AS `dec`",
+        # r4 breadth: range (*CC), null-rate, subnet, pool and nano forms
+        f"CAST((({m(60)}) % 41) + 10 AS TINYINT) AS `by2`",
+        f"CAST((({m(61)}) % 201) + -100 AS SMALLINT) AS `sh2`",
+        # nullable numerics surface as DOUBLE: pandas' NaN carrier turns a
+        # nullable int into float64 anyway, so pin the type on BOTH sides
+        f"CAST(CASE WHEN ({m(63)}) % 7 = 0 THEN NULL "
+        f"ELSE CAST((({m(62)}) % 41) + -20 AS INT) END AS DOUBLE) AS `in2`",
+        f"CAST(CASE WHEN ({m(65)}) % 9 = 0 THEN NULL "
+        f"ELSE CAST((({m(64)}) % 1000000000) + 0 AS BIGINT) END AS DOUBLE) AS `lg2`",
+        f"CASE WHEN ({m(67)}) % 5 = 0 THEN NULL "
+        f"ELSE (({m(66)}) % 1000000) / 1.0E6 END AS `dbl`",
+        f"CASE WHEN ({m(69)}) % 6 = 0 THEN NULL "
+        f"ELSE CAST((({m(68)}) % 1000000) / 1.0E6 AS FLOAT) END AS `fl2`",
+        f"CASE WHEN ({m(71)}) % 8 = 0 THEN NULL ELSE {ipsub_v} END AS `ipsub`",
+        f"CASE WHEN ({m(72)}) % 4 = 0 THEN NULL ELSE {u4} END AS `u2`",
+        f"concat('0x', md5(concat('l256a:', CAST(({m(73)}) % 5 AS STRING))), "
+        f"md5(concat('l256b:', CAST(({m(73)}) % 5 AS STRING)))) AS `l256n`",
+        f"({uts.format('2024-01-01')} + ({m(74)}) % "
+        f"({uts.format('2024-01-02')} - {uts.format('2024-01-01')})) "
+        f"* 1000000000 + ({m(75)}) % 1000000000 AS `tn`",
+        "element_at(array('aaa', 'bb', 'c'), "
+        "CAST(((x + 0) * 2654435761 % 3) + 1 AS INT)) AS `sl`",
+    ]
+
+
+_RND_GENERATORS_SPARK_EXPRS = _rnd_generators_spark_exprs()
+
+
 def rnd_generators(spark: SparkSession, sf: str) -> DataFrame:
     """rnd_* factory breadth (functions/rnd/, 47 factories in the
     reference): boolean/byte/short/long/float/char/str/varchar/uuid4/ipv4/
     geohash/long256/bin/date/timestamp/weighted-symbol, all deterministic
     functions of the row index so the DuckDB oracle reproduces every value
     exactly. The same generators power `rnd_frame` fixtures
-    (AbstractCairoTest pattern, tests/test_generators.py)."""
+    (AbstractCairoTest pattern, tests/test_generators.py, which also pins
+    this selectExpr form value-identical to the Column-API factories)."""
     base = generators.long_sequence(spark, 1000)
-    x = F.col("x")
-    return base.select(
-        "x",
-        generators.rnd_boolean(x).alias("b"),
-        generators.rnd_byte(x).alias("by"),
-        generators.rnd_short(x).alias("sh"),
-        generators.rnd_long(x, -500, 500).alias("lg"),
-        generators.rnd_float(x).alias("fl"),
-        generators.rnd_char(x).alias("ch"),
-        generators.rnd_str(x, 3, 8, null_rate=10).alias("s"),
-        generators.rnd_uuid4(x).alias("u4"),
-        generators.rnd_ipv4(x).alias("ip"),
-        generators.rnd_geohash(x, 6).alias("gh"),
-        generators.rnd_long256(x).alias("l256"),
-        F.hex(generators.rnd_bin(x, 2, 8)).alias("bin_hex"),
-        # QuestDB DATE is epoch millis (ColumnType DATE → timestamp in the
-        # engine's type map); surfaced as midnight timestamps
-        generators.rnd_date(x, "2024-01-01", "2024-03-31").cast("timestamp").alias("d"),
-        generators.rnd_timestamp(x, "2024-01-01", "2024-01-08").alias("t"),
-        generators.rnd_symbol_weighted(x, {"hot": 0.7, "warm": 0.2, "cold": 0.1}).alias("w"),
-        # surfaced as double for the cross-engine hash (pandas reprs a Spark
-        # DECIMAL as Decimal, DuckDB's as float; the 12-digit value is
-        # double-exact so the cast loses nothing)
-        generators.rnd_decimal(x, 12, 2).cast("double").alias("dec"),
-        # r4 breadth: range (*CC), null-rate, subnet, pool and nano forms
-        generators.rnd_byte_cc(x, 10, 50).alias("by2"),
-        generators.rnd_short_cc(x, -100, 100).alias("sh2"),
-        # nullable numerics surface as DOUBLE: pandas' NaN carrier turns a
-        # nullable int into float64 anyway, so pin the type on BOTH sides
-        generators.rnd_int_cc(x, -20, 20, null_rate=7).cast("double").alias("in2"),
-        generators.rnd_long_cc(x, 0, 999_999_999, null_rate=9).cast("double").alias("lg2"),
-        generators.rnd_double_cc(x, null_rate=5).alias("dbl"),
-        generators.rnd_float_c(x, null_rate=6).alias("fl2"),
-        generators.rnd_ipv4_cc(x, "10.20.0.0/16", null_rate=8).alias("ipsub"),
-        generators.rnd_uuid_cc(x, null_rate=4).alias("u2"),
-        generators.rnd_long256_n(x, 5).alias("l256n"),
-        generators.rnd_timestamp_nano(x, "2024-01-01", "2024-01-02").alias("tn"),
-        generators.rnd_str_list(x, ["aaa", "bb", "c"]).alias("sl"),
-    )
+    return base.selectExpr(*_RND_GENERATORS_SPARK_EXPRS)
 
 
 def _rnd_generators_sql() -> str:

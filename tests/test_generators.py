@@ -227,3 +227,49 @@ def test_rnd_symbol_zipf_pool(spark):
     # head member ~ 1/H6 ≈ 0.41 of draws; tail ~ 0.068 — assert the skew shape
     assert counts[0] > 2.5 * counts[-1]
     assert counts[0] / 4000 > 0.3
+
+
+def test_rnd_generators_selectexpr_matches_column_factories(spark):
+    """The rnd_generators query plans through selectExpr strings (one py4j
+    call) instead of Column-API trees; this pins the two routes
+    value-identical row for row, column for column — any drift in either
+    the factories or the string renderings breaks here."""
+    from questdb_spark.queries_functions import rnd_generators
+
+    base = G.long_sequence(spark, 200)
+    x = F.col("x")
+    column_form = base.select(
+        "x",
+        G.rnd_boolean(x).alias("b"),
+        G.rnd_byte(x).alias("by"),
+        G.rnd_short(x).alias("sh"),
+        G.rnd_long(x, -500, 500).alias("lg"),
+        G.rnd_float(x).alias("fl"),
+        G.rnd_char(x).alias("ch"),
+        G.rnd_str(x, 3, 8, null_rate=10).alias("s"),
+        G.rnd_uuid4(x).alias("u4"),
+        G.rnd_ipv4(x).alias("ip"),
+        G.rnd_geohash(x, 6).alias("gh"),
+        G.rnd_long256(x).alias("l256"),
+        F.hex(G.rnd_bin(x, 2, 8)).alias("bin_hex"),
+        G.rnd_date(x, "2024-01-01", "2024-03-31").cast("timestamp").alias("d"),
+        G.rnd_timestamp(x, "2024-01-01", "2024-01-08").alias("t"),
+        G.rnd_symbol_weighted(x, {"hot": 0.7, "warm": 0.2, "cold": 0.1}).alias("w"),
+        G.rnd_decimal(x, 12, 2).cast("double").alias("dec"),
+        G.rnd_byte_cc(x, 10, 50).alias("by2"),
+        G.rnd_short_cc(x, -100, 100).alias("sh2"),
+        G.rnd_int_cc(x, -20, 20, null_rate=7).cast("double").alias("in2"),
+        G.rnd_long_cc(x, 0, 999_999_999, null_rate=9).cast("double").alias("lg2"),
+        G.rnd_double_cc(x, null_rate=5).alias("dbl"),
+        G.rnd_float_c(x, null_rate=6).alias("fl2"),
+        G.rnd_ipv4_cc(x, "10.20.0.0/16", null_rate=8).alias("ipsub"),
+        G.rnd_uuid_cc(x, null_rate=4).alias("u2"),
+        G.rnd_long256_n(x, 5).alias("l256n"),
+        G.rnd_timestamp_nano(x, "2024-01-01", "2024-01-02").alias("tn"),
+        G.rnd_str_list(x, ["aaa", "bb", "c"]).alias("sl"),
+    )
+    expr_form = rnd_generators(spark, "").where(F.col("x") <= 200)
+    assert expr_form.schema == column_form.schema
+    a = sorted(map(repr, column_form.collect()))
+    b = sorted(map(repr, expr_form.collect()))
+    assert a == b
