@@ -41,19 +41,25 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a single query vector.
 
     ``query`` is a 1-row DataFrame with the same vec column; it is
-    broadcast (never collected on the driver)."""
+    broadcast (never collected on the driver).  ``keep_vec=True`` carries
+    the vector through the top-k as a payload column (TakeOrderedAndProject
+    holds k rows either way), so a consumer that needs the shortlist's
+    vectors — MMR — avoids a second corpus scan to re-attach them.  The
+    ordering key and tie-break are identical with or without the payload."""
     pair, n2 = _pair_dot_udf(), _norm2_udf()
     q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
     base = df.select(F.col(id_col), F.col(vec_col).alias("__v")).crossJoin(q)
     dot = pair(F.col("__v"), F.col("__qv"))
     norm = F.sqrt(n2(F.col("__v"))) * F.sqrt(n2(F.col("__qv")))
-    scored = base.select(
-        F.col(id_col), (dot / norm).alias("cosine")
-    )
+    cols = [F.col(id_col), (dot / norm).alias("cosine")]
+    if keep_vec:
+        cols.append(F.col("__v").alias(vec_col))
+    scored = base.select(*cols)
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -1076,46 +1082,43 @@ def mmr_rerank(
     IEEE-correctly-rounded in both engines), ties break on lowest id, so
     an oracle can replay pick by pick.
     """
-    from decimal import Decimal
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     spark = df.sparkSession
-    pair, n2 = _pair_dot_udf(), _norm2_udf()
-    cand = cosine_topk(df, query, k=k_candidates, id_col=id_col, vec_col=vec_col)
-    # re-attach vectors by broadcasting the k-row shortlist against the
-    # corpus scan — without the hint Spark's stats pick a sort-merge join
-    # that shuffles the full corpus (measured 14x at 100x; broadcast makes
-    # this stage the second of exactly two corpus map-scans)
-    cand = df.select(id_col, vec_col).join(F.broadcast(cand), id_col)
-    cv = cand.select(
+    # ONE corpus pass (r14 opt): the top-k carries the shortlist's vectors
+    # as TakeOrderedAndProject payload, so neither a re-attach join (a
+    # second corpus scan) nor a Spark job for the k x k pairwise cosines
+    # is needed — the pairwise table is k-bounded by construction and is
+    # computed on the driver from the SAME quantized integers with the
+    # SAME IEEE double ops (int64 dot and norms are exact; sqrt and the
+    # division are correctly rounded in numpy and the JVM alike; the
+    # decimal(18,6) quantization below replays Cast's
+    # Double.toString -> HALF_UP setScale, which Decimal(repr) matches
+    # because both sides print the shortest round-trip decimal).
+    # Pinned by test_mmr_driver_sims_match_spark_expressions.
+    cand = cosine_topk(
+        df, query, k=k_candidates, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    rows = cand.select(
         F.col(id_col).alias("__i"),
-        F.col(vec_col).alias("__v"),
         F.col("cosine").cast("decimal(18,6)").alias("__rel"),
-    )
-    a = cv.select(F.col("__i").alias("__ia"), F.col("__v").alias("__va"))
-    b = cv.select(F.col("__i").alias("__ib"), F.col("__v").alias("__vb"))
-    sim = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("__ia") != F.col("__ib"))
-        .select(
-            "__ia",
-            "__ib",
-            (
-                pair(F.col("__va"), F.col("__vb"))
-                / (
-                    F.sqrt(n2(F.col("__va")))
-                    * F.sqrt(n2(F.col("__vb")))
-                )
-            )
-            .cast("decimal(18,6)")
-            .alias("__s"),
-        )
-    )
-    rels = {
-        r["__i"]: Decimal(str(r["__rel"])) for r in cv.select("__i", "__rel").collect()
+        F.col(vec_col).alias("__v"),
+    ).collect()
+    rels = {r["__i"]: Decimal(str(r["__rel"])) for r in rows}
+    qvecs = {
+        r["__i"]: _quant_np(pd.Series([np.array(r["__v"], dtype=np.float64)]))[0]
+        for r in rows
     }
-    sims = {
-        (r["__ia"], r["__ib"]): Decimal(str(r["__s"])) for r in sim.collect()
-    }
+    six = Decimal("0.000001")
+    sims: dict[tuple[int, int], Decimal] = {}
+    for ia, va in qvecs.items():
+        na = math.sqrt(int(va @ va))
+        for ib, vb in qvecs.items():
+            if ia == ib:
+                continue
+            s = int(va @ vb) / (na * math.sqrt(int(vb @ vb)))
+            sims[(ia, ib)] = Decimal(repr(s)).quantize(six, rounding=ROUND_HALF_UP)
     picked: list[tuple[int, Decimal]] = []
     remaining = set(rels)
     while remaining and len(picked) < k_select:

@@ -374,3 +374,64 @@ def test_bigram_lm_random_corpus_vs_naive(spark):
         row = got.loc[i]
         assert int(row["n_bigrams"]) == len(pairs)
         assert abs(float(row["sum_nll"]) - ref) <= len(pairs) * 2e-6
+
+
+def test_mmr_driver_sims_match_spark_expressions(spark):
+    """The r14 single-pass mmr_rerank computes the k x k pairwise
+    DECIMAL(18,6) cosines on the driver instead of via the broadcast
+    self-join.  Pin bit-identity of that arithmetic against the original
+    Spark expressions (int64 pair-dot UDF, JVM sqrt/division, Cast to
+    decimal) over the real shortlist at this SF."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from questdb_spark.pipeline import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    cand = S.cosine_topk(emb, query, k=20, keep_vec=True)
+    rows = cand.select(
+        F.col("vec_id").alias("__i"), F.col("embedding").alias("__v")
+    ).collect()
+
+    # Spark-expression reference (the pre-r14 plan shape)
+    pair, n2 = S._pair_dot_udf(), S._norm2_udf()
+    cv = spark.createDataFrame(
+        [(r["__i"], r["__v"]) for r in rows], "i bigint, v array<float>"
+    )
+    a = cv.select(F.col("i").alias("ia"), F.col("v").alias("va"))
+    b = cv.select(F.col("i").alias("ib"), F.col("v").alias("vb"))
+    ref = {
+        (r["ia"], r["ib"]): r["s"]
+        for r in a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            (
+                pair(F.col("va"), F.col("vb"))
+                / (F.sqrt(n2(F.col("va"))) * F.sqrt(n2(F.col("vb"))))
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+        .collect()
+    }
+
+    # driver-side twin (the mmr_rerank r14 path)
+    qvecs = {
+        r["__i"]: S._quant_np(pd.Series([np.array(r["__v"], dtype=np.float64)]))[0]
+        for r in rows
+    }
+    six = Decimal("0.000001")
+    for ia, va in qvecs.items():
+        na = math.sqrt(int(va @ va))
+        for ib, vb in qvecs.items():
+            if ia == ib:
+                continue
+            s = int(va @ vb) / (na * math.sqrt(int(vb @ vb)))
+            got = Decimal(repr(s)).quantize(six, rounding=ROUND_HALF_UP)
+            assert got == ref[(ia, ib)], (ia, ib, got, ref[(ia, ib)])
