@@ -893,6 +893,109 @@ def _cell_dist_udf(centroids: list[list[int]]):
     return f
 
 
+# -- fused ANN score table (r14 opt) ------------------------------------------
+#
+# The recall report probes FIVE indexes over the same corpus; run as five
+# independent route plans that is five Arrow kernel passes + five scans.
+# Every per-vector quantity each route ranks on is a pure function of the
+# quantized vector and the (bounded) query/centroid/codebook literals, so
+# ONE kernel pass can emit them all: the exact dot and self-norm (cosine
+# ranks exact/lsh/ivf routes; the sqrt/division stays a JVM expression so
+# float semantics are untouched), the LSH bucket, the sampled and trained
+# IVF cell ids, and the PQ asymmetric distance.  Each value reuses the
+# identical numpy arithmetic of the single-purpose kernels it replaces
+# (_bucket_udf / _cell_udf / _pq_encode_udf + the JVM LUT lookup), all
+# int64-exact — route membership is bit-identical by construction and
+# pinned by test_ann_score_table_matches_route_kernels.
+
+
+def query_lsh_bucket(query_vec: list[int], dim: int = MAX_DIM) -> int:
+    """The query's LSH bucket from its QUANTIZED vector — same ints, same
+    matmul as _bucket_udf on the raw query row."""
+    m = _sign_matrix(N_PLANES, dim)
+    pows = (1 << np.arange(N_PLANES)).astype(np.int64)
+    q = np.array(query_vec, dtype=np.int64)
+    d = m[:, : len(q)] @ q
+    return int((d > 0) @ pows)
+
+
+def query_probe_cells(
+    query_vec: list[int], centroids: list[list[int]], n: int
+) -> list[int]:
+    """The query's n nearest cells — same stable argsort as _cells_udf."""
+    c = np.array(centroids, dtype=np.int64)
+    q = np.array(query_vec, dtype=np.int64)
+    d = -2 * (c[:, : len(q)] @ q) + np.einsum("ij,ij->i", c, c)
+    return [int(x) for x in np.argsort(d, kind="stable")[:n]]
+
+
+def ann_score_table(
+    df: DataFrame,
+    query_vec: list[int],
+    centroids: list[list[int]],
+    trained_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    dim: int = MAX_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Arrow pass per corpus row -> (id, dot, n2, bucket, cell, tcell,
+    adc).  ``query_vec`` is the QUANTIZED query (the same ints quantize()
+    yields), so dot == _pair_dot_udf(v, raw_query) exactly."""
+    qq = np.array(query_vec, dtype=np.int64)
+    c = np.array(centroids, dtype=np.int64)
+    cn = np.einsum("ij,ij->i", c, c)
+    t = np.array(trained_centroids, dtype=np.int64)
+    tn = np.einsum("ij,ij->i", t, t)
+    cb = np.array(codebooks, dtype=np.int64)  # m x K x d_sub
+    m, _K, d_sub = cb.shape
+    cnorms = [np.einsum("ij,ij->i", cb[s], cb[s]) for s in range(m)]
+    # ADC LUT[s][j] = exact int L2^2 of (query sub-slice s, codeword j) —
+    # the same table pq_adc_topk ships as plan literals
+    luts = np.stack(
+        [
+            np.einsum(
+                "ij,ij->i",
+                cb[s] - qq[s * d_sub : (s + 1) * d_sub],
+                cb[s] - qq[s * d_sub : (s + 1) * d_sub],
+            )
+            for s in range(m)
+        ]
+    )
+    sm = _sign_matrix(N_PLANES, dim)
+    pows = (1 << np.arange(N_PLANES)).astype(np.int64)
+
+    @pandas_udf("dot long, n2 long, bucket int, cell int, tcell int, adc long")
+    def f(v: pd.Series) -> pd.DataFrame:
+        q = _quant_np(v)
+        w = q.shape[1]
+        dot = q @ qq[:w]
+        n2 = np.einsum("ij,ij->i", q, q)
+        bucket = (((q @ sm[:, :w].T) > 0) @ pows).astype(np.int32)
+        cell = np.argmin(-2 * (q @ c[:, :w].T) + cn, axis=1).astype(np.int32)
+        tcell = np.argmin(-2 * (q @ t[:, :w].T) + tn, axis=1).astype(np.int32)
+        adc = np.zeros(len(q), dtype=np.int64)
+        for s in range(m):
+            sub = q[:, s * d_sub : (s + 1) * d_sub]
+            code = np.argmin(-2 * (sub @ cb[s].T) + cnorms[s], axis=1)
+            adc += luts[s][code]
+        return pd.DataFrame(
+            {"dot": dot, "n2": n2, "bucket": bucket, "cell": cell,
+             "tcell": tcell, "adc": adc}
+        )
+
+    out = df.select(F.col(id_col), f(F.col(vec_col)).alias("__s"))
+    return out.select(
+        id_col,
+        F.col("__s.dot").alias("dot"),
+        F.col("__s.n2").alias("n2"),
+        F.col("__s.bucket").alias("bucket"),
+        F.col("__s.cell").alias("cell"),
+        F.col("__s.tcell").alias("tcell"),
+        F.col("__s.adc").alias("adc"),
+    )
+
+
 def kmeans_train(
     df: DataFrame,
     k: int = 8,

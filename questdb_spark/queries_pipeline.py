@@ -1826,43 +1826,92 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     it tunes probes/bands/codebooks.  Each route's top-10 semi-joins the
     (broadcast-small) exact top-10; the oracle recomputes both rankings
     relationally and intersects.  Integer counts only — bit-stable."""
-    emb = load_table(spark, sf, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0)
-    exact = F.broadcast(
-        similarity.cosine_topk(emb, query, k=10).select("vec_id")
-    )
+    from pyspark.storagelevel import StorageLevel
 
-    def hits(name: str, route: DataFrame) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    # index literals — ivf_centroids(n_cells=16) and pq_codebooks(k=16)
+    # both collect the 16 lowest-id quantized vectors (same rows), and the
+    # standard query is vec_id 0, which is among them: ONE bounded collect
+    # replaces three (r14 opt; the slicing replays both constructors).
+    rows16 = (
+        emb.select(
+            F.col("vec_id").alias("__id"),
+            similarity.quantize(F.col("embedding")).alias("__v"),
+        )
+        .orderBy("__id")
+        .limit(16)
+        .collect()
+    )
+    cents = [list(r["__v"]) for r in rows16]
+    d_sub = len(cents[0]) // similarity.PQ_M
+    cbs = [
+        [v[s * d_sub : (s + 1) * d_sub] for v in cents]
+        for s in range(similarity.PQ_M)
+    ]
+    qv = next(
+        ([int(x) for x in r["__v"]] for r in rows16 if r["__id"] == 0),
+        None,
+    )
+    if qv is None:  # query row not among the 16 lowest ids — fetch it
+        qv = [
+            int(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select(similarity.quantize(F.col("embedding")).alias("q"))
+            .first()["q"]
+        ]
+    tcents = _kmeans_cached(spark, sf)
+
+    # ONE fused Arrow pass computes every route's ranking quantities
+    # (bit-identical kernels — see similarity.ann_score_table); the five
+    # top-10s are then JVM-only TakeOrdered cuts over the persisted
+    # per-vector score table instead of five separate kernel passes.
+    scores = similarity.ann_score_table(
+        emb, qv, cents, tcents, cbs, dim=64
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    scores.count()  # materialize once so the route branches share it
+    n2q = sum(x * x for x in qv)
+    cosine = F.col("dot") / (
+        F.sqrt(F.col("n2")) * F.sqrt(F.lit(n2q).cast("long"))
+    )
+    qb = similarity.query_lsh_bucket(qv, dim=64)
+    probes = similarity.query_probe_cells(qv, cents, n=2)
+    tprobes = similarity.query_probe_cells(qv, tcents, n=2)
+
+    def top(tag: str, frame: DataFrame, order) -> DataFrame:
         return (
-            route.select("vec_id")
-            .join(exact, "vec_id", "left_semi")
-            .agg(
-                F.lit(name).alias("route"),
-                F.count(F.lit(1)).cast("int").alias("hits"),
-            )
+            frame.orderBy(*order)
+            .limit(10)
+            .select(F.lit(tag).alias("r"), "vec_id")
         )
 
-    cents = similarity.ivf_centroids(emb, n_cells=16)
-    cbs = similarity.pq_codebooks(emb)
-    qv = [
-        int(x)
-        for x in query.select(
-            similarity.quantize(F.col("embedding")).alias("q")
-        ).first()["q"]
-    ]
-    lsh = similarity.ann_lsh_topk(emb, query, k=10, dim=64)
-    ivf = similarity.ann_ivf_topk(emb, query, cents, k=10, n_probe=2)
-    pq = similarity.pq_adc_topk(similarity.pq_encode(emb, cbs), qv, cbs, k=10)
-    # the TRAINED quantizer route (r10): same probe shape, k-means cells —
-    # the report is where training pays rent as a measured recall delta
-    tcents = _kmeans_cached(spark, sf)
-    ivft = similarity.ann_ivf_topk(emb, query, tcents, k=10, n_probe=2)
-    return (
-        hits("ivf", ivf)
-        .unionByName(hits("ivf_trained", ivft))
-        .unionByName(hits("lsh", lsh))
-        .unionByName(hits("pq", pq))
+    by_cos = (cosine.desc(), F.col("vec_id").asc())
+    by_adc = (F.col("adc").asc(), F.col("vec_id").asc())
+    union = (
+        top("exact", scores, by_cos)
+        .unionByName(top("lsh", scores.filter(F.col("bucket") == qb), by_cos))
+        .unionByName(
+            top("ivf", scores.filter(F.col("cell").isin(*probes)), by_cos)
+        )
+        .unionByName(
+            top("ivft", scores.filter(F.col("tcell").isin(*tprobes)), by_cos)
+        )
+        .unionByName(top("pq", scores, by_adc))
     )
+    got: dict[str, set] = {}
+    for r in union.collect():
+        got.setdefault(r["r"], set()).add(r["vec_id"])
+    scores.unpersist()
+    exact_ids = got.get("exact", set())
+    rows = [
+        (name, len(got.get(tag, set()) & exact_ids))
+        for name, tag in (
+            ("ivf", "ivf"),
+            ("ivf_trained", "ivft"),
+            ("lsh", "lsh"),
+            ("pq", "pq"),
+        )
+    ]
+    return spark.createDataFrame(rows, "route string, hits int")
 
 
 def _ann_recall_sql() -> str:

@@ -81,6 +81,17 @@ def get_session(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(1024 * 1024)),
         )
+        # Python-worker channel over a Unix domain socket instead of TCP
+        # loopback (Spark 4 feature): every Arrow-UDF task pays a
+        # JVM<->worker handshake, and the suite runs hundreds of Arrow
+        # stages; measured 4-5% on the UDF-heavy queries at sf0.1
+        # (alternating-process A/B, r14 opt).  Latency win is
+        # scale-independent — the handshake happens per task everywhere;
+        # knob for platforms without UDS support.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_PY_UDS", "true"),
+        )
         # --- correctness / interop -----------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -435,3 +435,67 @@ def test_mmr_driver_sims_match_spark_expressions(spark):
             s = int(va @ vb) / (na * math.sqrt(int(vb @ vb)))
             got = Decimal(repr(s)).quantize(six, rounding=ROUND_HALF_UP)
             assert got == ref[(ia, ib)], (ia, ib, got, ref[(ia, ib)])
+
+
+def test_ann_score_table_matches_route_kernels(spark):
+    """r14 fused recall report: the single ann_score_table pass must
+    reproduce the single-purpose kernels' values exactly — bucket
+    (_bucket_udf), sampled/trained cells (_cell_udf), ADC (pq_encode +
+    JVM LUT), dot/n2 (_pair_dot_udf/_norm2_udf vs the raw query)."""
+    from questdb_spark.pipeline import similarity as S
+    from questdb_spark.queries_pipeline import _kmeans_cached
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    cents = S.ivf_centroids(emb, n_cells=16)
+    cbs = S.pq_codebooks(emb)
+    qv = [
+        int(x)
+        for x in query.select(S.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    tcents = _kmeans_cached(spark, SF_DIR)
+    fused = {
+        r["vec_id"]: r
+        for r in S.ann_score_table(emb, qv, cents, tcents, cbs, dim=64).collect()
+    }
+
+    bud = S._bucket_udf(64)
+    cu, tcu = S._cell_udf(cents), S._cell_udf(tcents)
+    pair, n2 = S._pair_dot_udf(), S._norm2_udf()
+    qdf = F.broadcast(query.select(F.col("embedding").alias("__qv")))
+    ref = emb.crossJoin(qdf).select(
+        "vec_id",
+        bud(F.col("embedding")).alias("bucket"),
+        cu(F.col("embedding")).alias("cell"),
+        tcu(F.col("embedding")).alias("tcell"),
+        pair(F.col("embedding"), F.col("__qv")).alias("dot"),
+        n2(F.col("embedding")).alias("n2"),
+    ).collect()
+    for r in ref:
+        f = fused[r["vec_id"]]
+        for c in ("bucket", "cell", "tcell", "dot", "n2"):
+            assert f[c] == r[c], (r["vec_id"], c, f[c], r[c])
+
+    # ADC against the original encode + JVM LUT route
+    d_sub = len(cbs[0][0])
+    luts = [
+        [sum((int(qv[s * d_sub + i]) - int(cw[i])) ** 2 for i in range(d_sub))
+         for cw in cb]
+        for s, cb in enumerate(cbs)
+    ]
+    adc_ref = None
+    for s, lut in enumerate(luts):
+        term = F.element_at(
+            F.array(*[F.lit(x).cast("long") for x in lut]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        adc_ref = term if adc_ref is None else adc_ref + term
+    for r in S.pq_encode(emb, cbs).select("vec_id", adc_ref.alias("adc")).collect():
+        assert fused[r["vec_id"]]["adc"] == r["adc"], r["vec_id"]
+
+    # driver-side query helpers vs the kernel on the query row
+    q0 = fused[0]
+    assert S.query_lsh_bucket(qv, dim=64) == q0["bucket"]
+    assert S.query_probe_cells(qv, cents, 1)[0] == q0["cell"]
+    assert S.query_probe_cells(qv, tcents, 1)[0] == q0["tcell"]
