@@ -25,12 +25,35 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .operators.intervals import parse_interval_string
 from .operators.latest import latest_on
 
 PARTITION_COL = "part_date"
 _UNITS = {"hour", "day", "month", "year", "none"}  # PartitionBy.java incl. NONE
+
+
+def _as_nullable(dt):
+    """Parquet read-back relaxes nullability recursively (file sources call
+    ``asNullable``); normalize cached schemas the same way so an explicit-
+    schema read is indistinguishable from an inferred one."""
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _as_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(dt.keyType, _as_nullable(dt.valueType), True)
+    return dt
 
 
 def _any_parquet(path: str) -> bool:
@@ -114,9 +137,11 @@ class TimeTable:
         coalesce and spreads partition values across the cluster.
 
         The width is SIZE-ADAPTIVE (r13 opt, guide §6 output sizing):
-        ~32 MB of input per write task, floored at 4 (directory-level
-        write parallelism — the r8 serial-write measurement), capped at
-        defaultParallelism.  A 100 TB write saturates the cluster
+        ~32 MB of input per write task, floored at 8 (directory-level
+        write parallelism — the r8 serial-write measurement picked 4, an
+        interleaved r14 A/B moved the floor to 8: a ~30-dir day write is
+        encode-bound and 8 tasks × ~4 dirs beat 4 × ~8 by ~15%), capped
+        at defaultParallelism.  A 100 TB write saturates the cluster
         exactly as before (the estimate exceeds cores × 32 MB); a
         MB-scale lifecycle write stops paying 32 task launches to emit
         30 small files (measured 0.62 s -> 0.43-0.47 s per CREATE at
@@ -132,7 +157,88 @@ class TimeTable:
             return cores
         if est <= 0 or est > (1 << 50):  # unknown / join-product estimate
             return cores
-        return max(4, min(cores, (est >> 25) + 1))
+        return max(8, min(cores, (est >> 25) + 1))
+
+    # -- physical-schema cache (r14 opt, guide §6/§1: every mergeSchema
+    # read construction runs a footer-merging Spark job ≈150 ms at sf0.1;
+    # the engine is the only writer of its table dirs, so it KNOWS the
+    # merged physical schema and can hand it to the reader explicitly.
+    # Per-file missing columns still read as nulls (clipped parquet
+    # schema), identical to a mergeSchema read. Cache lives in the meta
+    # journal so it survives engine restarts; any doubt (type conflict,
+    # legacy dir without a cache) falls back to mergeSchema.
+    def _cached_schema(self) -> StructType | None:
+        js = self._meta().get("phys_schema")
+        if not js:
+            return None
+        try:
+            return StructType.fromJson(js)
+        except Exception:
+            return None
+
+    def _readback_schema(self, written: StructType) -> StructType:
+        """Schema a fresh read of files written with ``written`` returns:
+        data fields nullable-relaxed in written order, the partition
+        column appended LAST (Spark reorders partition columns to the
+        end) with the directory-inference type."""
+        fields = [
+            StructField(f.name, _as_nullable(f.dataType), True)
+            for f in written.fields
+            if f.name != PARTITION_COL
+        ]
+        ptype = StringType() if self.partition_by == "hour" else DateType()
+        fields.append(StructField(PARTITION_COL, ptype, True))
+        return StructType(fields)
+
+    def _drop_schema_cache(self) -> None:
+        meta = self._meta()
+        if "phys_schema" in meta:
+            meta.pop("phys_schema")
+            os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
+            with open(self._meta_path, "w") as f:
+                json.dump(meta, f)
+
+    def _note_write(
+        self, written: StructType, replace: bool, had_files: bool = True
+    ) -> None:
+        """Fold a just-written frame's schema into the cache. ``replace``
+        when the write defined the directory contents outright; otherwise
+        merge by name (new columns append, like mergeSchema) and DROP the
+        cache on any type conflict rather than guess. ``had_files``: did
+        the directory hold live parquet BEFORE this write (a merge into a
+        legacy cacheless dir with prior files must stay on mergeSchema —
+        those files' columns are unknown)."""
+        new = self._readback_schema(written)
+        if not replace:
+            cur = self._cached_schema()
+            if cur is None:
+                if had_files:
+                    self._drop_schema_cache()
+                    return
+            else:
+                by_name = {f.name: f for f in cur.fields if f.name != PARTITION_COL}
+                merged = [f for f in cur.fields if f.name != PARTITION_COL]
+                for f in new.fields:
+                    if f.name == PARTITION_COL:
+                        continue
+                    old = by_name.get(f.name)
+                    if old is None:
+                        merged.append(f)
+                    elif old.dataType != f.dataType:
+                        self._drop_schema_cache()
+                        return
+                merged.append(new.fields[-1])  # PARTITION_COL
+                new = StructType(merged)
+        self._write_meta(phys_schema=new.jsonValue())
+
+    def _read_physical(self) -> DataFrame:
+        """Scan the table directory at its merged physical schema — the
+        explicit-schema fast path when the cache knows it, the mergeSchema
+        inference read otherwise."""
+        sch = self._cached_schema()
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(self.path)
+        return self._read_physical()
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""
@@ -147,9 +253,20 @@ class TimeTable:
                 os.remove(self._meta_path)
             except OSError:
                 pass
+        # cache bookkeeping: a static overwrite (or a write into an empty
+        # dir) defines the directory contents; a dynamic-mode overwrite of
+        # a populated dir only replaces the partitions present in ``df``
+        had_files = _any_parquet(self.path)
+        full_replace = not had_files or (
+            mode == "overwrite"
+            and self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            ).lower()
+            != "dynamic"
+        )
+        out = self._with_partition(df)
         (
-            self._with_partition(df)
-            .repartition(self._write_width(df), PARTITION_COL)
+            out.repartition(self._write_width(df), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode(mode)
             .partitionBy(PARTITION_COL)
@@ -157,6 +274,7 @@ class TimeTable:
         )
         if declared:
             self._write_meta(declared_cols=declared)
+        self._note_write(out.schema, replace=full_replace, had_files=had_files)
 
     def append(self, df: DataFrame, seq: int = 0) -> None:
         """WAL-style append; `seq` orders writes for dedup resolution.
@@ -213,14 +331,16 @@ class TimeTable:
             base = base.drop("__wal_ord")
         base = self._to_physical(base)  # dedup first: keys are logical names
         phys_ts = self._physical_name(self.ts_col)
+        had_files = _any_parquet(self.path)
+        out = self._with_partition(base, phys_ts)
         (
-            self._with_partition(base, phys_ts)
-            .repartition(self._write_width(base), PARTITION_COL)
+            out.repartition(self._write_width(base), PARTITION_COL)
             .sortWithinPartitions(phys_ts)
             .write.mode("append")
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
+        self._note_write(out.schema, replace=not had_files, had_files=had_files)
 
     def _merge_upsert(self, inc: DataFrame) -> None:
         """Merge an (in-batch-deduped, seq-stamped, logical-schema) frame
@@ -237,7 +357,7 @@ class TimeTable:
         # touched partitions: one value per incoming partition (metadata-
         # scale collect, same economics as update_where)
         parts = [r[0] for r in inc.select(PARTITION_COL).distinct().collect()]
-        ex = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        ex = self._read_physical()
         ex = ex.filter(F.col(PARTITION_COL).isin(parts))
         # align schemas both ways (column tops: partitions written before an
         # ADD COLUMN lack it; incoming always carries the logical schema)
@@ -450,19 +570,21 @@ class TimeTable:
         self._require_not_suspended()
         if name not in self._logical_columns():
             raise ValueError(f"no such column: {name}")
-        df = self._logical(self.spark.read.option("mergeSchema", "true").parquet(self.path))
+        df = self._logical(self._read_physical())
         df = df.withColumn(name, F.col(name).cast(new_type))
         tmp = self.path.rstrip("/") + ".convert"
+        out = df.drop(PARTITION_COL).transform(self._with_partition)
         (
-            df.drop(PARTITION_COL)
-            .transform(self._with_partition)
-            .repartition(self._write_width(df), PARTITION_COL)
+            out.repartition(self._write_width(df), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
             .parquet(tmp)
         )
         self._swap_in(tmp)
+        # the swap replaced the whole directory (and its meta journal) with
+        # files at the materialized logical schema
+        self._note_write(out.schema, replace=True)
 
     def _logical_columns(self) -> list[str]:
         import glob as _glob
@@ -491,10 +613,27 @@ class TimeTable:
                 elif op["op"] == "rename" and op["old"] in cols:
                     cols[cols.index(op["old"])] = op["new"]
             return cols
+        sch = self._cached_schema()
+        if sch is not None:
+            # name-level ops replay over the cached physical schema — no
+            # reader construction, no py4j round trips
+            cols = [f.name for f in sch.fields if f.name != PARTITION_COL]
+            for op in self._ops():
+                if op["op"] == "add" and op["name"] not in cols:
+                    cols.append(op["name"])
+                elif op["op"] == "drop" and op["name"] in cols:
+                    cols.remove(op["name"])
+                elif op["op"] == "rename" and op["old"] in cols:
+                    if op["new"] in cols:
+                        # mixed physical state folds into the new name
+                        cols.remove(op["old"])
+                    else:
+                        cols[cols.index(op["old"])] = op["new"]
+            return cols
         return [
             c
             for c in self._logical(
-                self.spark.read.option("mergeSchema", "true").parquet(self.path)
+                self._read_physical()
             ).columns
             if c != PARTITION_COL
         ]
@@ -551,7 +690,7 @@ class TimeTable:
         """Storage is already dedup-resolved (append merges eagerly), so a
         read is a plain scan; ``dedup=True`` only hides the internal seq
         column."""
-        df = self._logical(self.spark.read.option("mergeSchema", "true").parquet(self.path))
+        df = self._logical(self._read_physical())
         if dedup and self.seq_col in df.columns:
             df = df.drop(self.seq_col)
         return df
@@ -575,7 +714,7 @@ class TimeTable:
         lo_p = self._part_bound(lo)
         hi_p = self._part_bound(hi - timedelta(microseconds=1))
         df = self._logical(
-            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            self._read_physical()
         ).filter(
             (part >= F.lit(lo_p))
             & (part <= F.lit(hi_p))
@@ -592,7 +731,7 @@ class TimeTable:
         matching rows (UpdateOperatorImpl; partition-granular like O3)."""
         self._require_not_suspended()
         df = self._logical(
-            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            self._read_physical()
         )
         # touched-partition restriction as a broadcast semi-join instead of
         # a driver collect: ONE Spark action (the dynamic-overwrite write)
@@ -619,7 +758,7 @@ class TimeTable:
         reference updates the row once per join match in storage order; a
         batch rewrite keeps exactly one row)."""
         df = self._logical(
-            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            self._read_physical()
         ).withColumn("__rid", F.monotonically_increasing_id())
         other = other.withColumn("__match", F.lit(1))
         joined = df.join(other, join_pred, "left")
@@ -641,7 +780,7 @@ class TimeTable:
     def delete_where(self, predicate: Column) -> None:
         self._require_not_suspended()
         df = self._logical(
-            self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            self._read_physical()
         )
         touched = df.filter(predicate).select(PARTITION_COL).distinct().collect()
         parts = [r[PARTITION_COL] for r in touched]
@@ -826,15 +965,17 @@ class TimeTable:
             return
         out = self.read(dedup=True).withColumn(self.seq_col, F.lit(-1))
         tmp = self.path.rstrip("/") + ".compact"
+        part = self._with_partition(out)
         (
-            self._with_partition(out)
-            .repartition(self._write_width(out), PARTITION_COL)
+            part.repartition(self._write_width(out), PARTITION_COL)
             .sortWithinPartitions(self.ts_col)
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
             .parquet(tmp)
         )
         self._swap_in(tmp)
+        # whole-directory swap at the materialized logical schema
+        self._note_write(part.schema, replace=True)
 
     def _swap_in(self, tmp: str) -> None:
         """Replace the table directory with a rewritten copy, carrying
@@ -961,3 +1102,6 @@ class TimeTable:
             .partitionBy(PARTITION_COL)
             .parquet(self.path)
         )
+        # dynamic overwrite touches only the partitions present in ``sub``;
+        # untouched partitions keep their files, so the cache merges
+        self._note_write(sub.schema, replace=False)

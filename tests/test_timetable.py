@@ -241,7 +241,10 @@ def test_alter_column_type_rewrites(spark, tmppath):
     t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
     t.rename_column("price", "px")
     t.alter_column_type("px", "string")
-    assert not os.path.exists(t._meta_path)  # ops materialized
+    # ops materialized: the journal is cleared (the meta file may survive
+    # carrying only the physical-schema cache of the rewrite)
+    assert t._ops() == []
+    assert t._meta().get("declared_cols") is None
     df = t.read()
     assert dict(df.dtypes)["px"] == "string"
     got = {r["id"]: r["px"] for r in df.collect()}
@@ -280,3 +283,52 @@ def test_compact_preserves_detached(spark, tmppath):
     assert t.attach_partition("2024-01-01") == ["2024-01-01"]
     ids = sorted(r["id"] for r in t.read().collect())
     assert ids == [1, 2, 3, 4, 5, 9]
+
+
+# -- physical-schema cache (r14 opt): explicit-schema reads must be
+# indistinguishable from mergeSchema inference reads -------------------------
+
+
+def test_schema_cache_matches_mergeschema_after_evolution(spark, tmppath):
+    """Write → ADD COLUMN (journal) → append WITH the column (column tops:
+    old files lack it): the cached-schema read must equal a mergeSchema
+    read — same columns, same dtypes, same rows (missing column → null)."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    assert t._cached_schema() is not None  # write populated the cache
+    t.add_column("note", "string")
+    t.append(
+        spark.createDataFrame(
+            [(9, "z", datetime(2024, 1, 9, 1), 9.0, "n9")],
+            ["id", "sym", "ts", "price", "note"],
+        )
+    )
+    cached = t._cached_schema()
+    assert cached is not None and "note" in [f.name for f in cached.fields]
+    via_cache = t.read()
+    merged = t._logical(
+        spark.read.option("mergeSchema", "true").parquet(t.path)
+    )
+    assert via_cache.columns == merged.columns
+    assert dict(via_cache.dtypes) == dict(merged.dtypes)
+    rows_c = sorted(map(tuple, via_cache.drop("part_date").collect()))
+    rows_m = sorted(map(tuple, merged.drop("part_date").collect()))
+    assert rows_c == rows_m
+    assert {r[0]: r[4] for r in rows_c}[1] is None  # old files: note=null
+    # name-level _logical_columns replay agrees with the DataFrame route
+    assert t._logical_columns() == [
+        c for c in merged.columns if c != "part_date"
+    ]
+
+
+def test_schema_cache_survives_restart_and_update(spark, tmppath):
+    """The cache lives in the meta journal: a NEW TimeTable instance over
+    the same dir uses it, and partition-rewrite maintenance keeps it."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t2 = TimeTable(spark, tmppath, "ts", partition_by="day")
+    assert t2._cached_schema() is not None
+    t2.update_where(F.col("id") == 1, {"price": F.lit(100.0)})
+    assert t2._cached_schema() is not None
+    got = {r["id"]: r["price"] for r in t2.read().collect()}
+    assert got[1] == 100.0 and len(got) == 5
