@@ -399,6 +399,7 @@ def verbatim_spans(
     min_span: int = VERBATIM_MIN_SPAN,
     max_fp_occ: int | None = None,
     max_fp_occ_frac: float | None = MAX_SHINGLE_DF_FRAC,
+    fused_enum_bound: int | None = None,
 ) -> DataFrame:
     """Cross-document verbatim long-span detection — the distributed
     approximation of suffix-array substring dedup (Lee et al. 2022,
@@ -460,27 +461,75 @@ def verbatim_spans(
         # guard bounds every fingerprint's occurrence list, so the match
         # pairs can be enumerated IN-ROW from ONE groupBy(fp) — the same
         # discipline as the fused Jaccard path: one tokenize pass, one
-        # exchange, cap² structs max per row (cap is small by
-        # construction).  Pair multiset identical to the equi-join.
+        # exchange.  Pair multiset identical to the equi-join.
+        #
+        # The corpus-relative guard grows with corpus size, so in-row
+        # enumeration is additionally bounded (r13 advice: at ~1e9 docs
+        # the cap is ~1e5 and an under-cap fingerprint would expand to
+        # ~1e10 structs in ONE row — the executor-OOM mode the jaccard
+        # fused path chunks around): lists over
+        # least(FUSED_ENUM_BOUND, guard) enumerate CHUNKED, one output
+        # row per left occurrence via posexplode, O(cap) structs per row,
+        # same total pairs.  Occurrence lists are struct-sorted so the
+        # TRIANGULAR slice enumerates each unordered pair once (half the
+        # structs of the old os×os cross product); sort order is
+        # (doc, pos), so slice pairs always have doc_a <= doc_b and only
+        # the same-doc diagonal needs filtering.
         occs = grams.groupBy("fp").agg(
             F.collect_list(F.struct("doc", "pos")).alias("os")
         )
         if guard_df is not None:
-            occs = occs.crossJoin(F.broadcast(guard_df)).filter(
-                F.size("os") <= F.col("__guard")
+            guard_c = F.col("__guard")
+            bound_c = (
+                F.lit(int(fused_enum_bound)).cast("long")
+                if fused_enum_bound is not None
+                else F.least(F.lit(FUSED_ENUM_BOUND).cast("long"), guard_c)
             )
+            occs = occs.crossJoin(F.broadcast(guard_df))
         else:
-            occs = occs.filter(F.size("os") <= F.lit(int(max_fp_occ)))
+            guard_c = F.lit(int(max_fp_occ)).cast("long")
+            bound_c = F.lit(
+                int(
+                    fused_enum_bound
+                    if fused_enum_bound is not None
+                    else min(FUSED_ENUM_BOUND, int(max_fp_occ))
+                )
+            ).cast("long")
+        occs = occs.filter(F.size("os") <= guard_c).select(
+            F.array_sort("os").alias("os"), bound_c.alias("__b")
+        )
         pair_structs = F.expr(
-            "filter(flatten(transform(os, x -> transform(os, y -> "
-            "struct(x.doc AS doc_a, y.doc AS doc_b, "
+            "filter(flatten(transform(os, (x, i) -> "
+            "transform(slice(os, i + 2, size(os) - i - 1), "
+            "y -> struct(x.doc AS doc_a, y.doc AS doc_b, "
             "x.pos AS pos_a, y.pos AS pos_b)))), "
             "s -> s.doc_a < s.doc_b)"
         )
-        m = (
-            occs.select(F.explode(pair_structs).alias("p"))
+        small = (
+            occs.filter(F.size("os") <= F.col("__b"))
+            .select(F.explode(pair_structs).alias("p"))
             .select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
-            .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        )
+        big = (
+            occs.filter(F.size("os") > F.col("__b"))
+            .select(F.col("os"), F.posexplode("os").alias("i", "x"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("x.pos").alias("pos_a"),
+                F.explode(
+                    F.expr("slice(os, i + 2, size(os) - i - 1)")
+                ).alias("y"),
+            )
+            .filter(F.col("doc_a") < F.col("y.doc"))
+            .select(
+                "doc_a",
+                F.col("y.doc").alias("doc_b"),
+                "pos_a",
+                F.col("y.pos").alias("pos_b"),
+            )
+        )
+        m = small.unionByName(big).withColumn(
+            "diag", F.col("pos_a") - F.col("pos_b")
         )
     else:
         a = grams.select(

@@ -57,27 +57,38 @@ def _plan_cache(spark: SparkSession) -> dict:
     return cache
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Session normalization EVERY call, cached plan or not (r13 advice:
+    pinning only on cache miss let a caller that mutates these confs
+    mid-session execute cached plans under drifted settings — timeZone
+    changes execution-time timestamp semantics, not just planning).
+
+    - nanosAsLong: nanosecond parquet timestamps (QuestDB TIMESTAMP_NANO)
+      aren't a Spark type; read as nano longs, truncate to micros
+      (lossless for this data — enforced by tests). Set at runtime so the
+      driver's own SparkSession gets it too.
+    - timeZone: timestamps are naive/UTC in the data; pin the session so
+      results are stable regardless of host timezone (the oracle is naive).
+    - inferTimestampNTZ: Spark 4.1 infers TIMESTAMP_NTZ from naive parquet
+      timestamps; the engine models QuestDB's single UTC-micros TIMESTAMP,
+      so read as LTZ (exact under the pinned-UTC session) — see tsutil.py.
+    - AQE: the engine's plans assume runtime coalescing + skew handling
+      (session.py); a caller-provided bare session gets the same behavior.
+    """
+    c = spark.conf
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session_confs(spark)
     cached = _plan_cache(spark).get((sf_dir, name))
     if cached is not None:
         return cached
-    # Nanosecond parquet timestamps (QuestDB TIMESTAMP_NANO) aren't a Spark
-    # type; read them as nano longs and truncate to micros (lossless for
-    # this data — enforced by tests). Set at runtime so the driver's own
-    # SparkSession gets it too.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # timestamps are naive/UTC in the data; pin the session so results are
-    # stable regardless of the host timezone (the DuckDB oracle is naive)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Spark 4.1 infers TIMESTAMP_NTZ from naive parquet timestamps; the
-    # engine models QuestDB's single UTC-micros TIMESTAMP, so read as LTZ
-    # (exact under the pinned-UTC session) — see tsutil.py
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    # the engine's plans assume AQE (runtime coalescing + skew handling,
-    # session.py); a caller-provided bare session gets the same behavior
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     df = normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
     ts = DESIGNATED_TS.get(name)
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
@@ -92,12 +103,10 @@ def load_table_ns(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     NANOSECOND resolution as an epoch-nanos long shadow column ``<ts>_ns``
     (QuestDB TIMESTAMP_NANO, ColumnType.java:149-150) alongside the micros
     TimestampType column. functions/nanos.py operates on the shadow."""
+    _pin_session_confs(spark)
     cached = _plan_cache(spark).get((sf_dir, name, "ns"))
     if cached is not None:
         return cached
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
     ts = DESIGNATED_TS.get(name)
     if ts is not None and dict(df.dtypes).get(ts) == "bigint":
