@@ -3358,14 +3358,14 @@ def classifier_nb_train(spark: SparkSession, sf: str) -> DataFrame:
     hash aggregate + a 1-row totals broadcast; the model is
     broadcast-size at any corpus scale."""
     docs = load_table(spark, sf, "documents")
-    labels = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("y"),
+    # label inlined as an expression over the docs row (nb_train
+    # label_expr): removes the docs-to-labels self-join per training pass
+    model = classify.nb_train(
+        docs,
+        None,
+        n_feats=_CLF_D,
+        label_expr=F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
     )
-    model = classify.nb_train(docs, labels, n_feats=_CLF_D)
     return model.select(
         "feature",
         "n_pos",
@@ -3428,25 +3428,18 @@ def classifier_nb_confusion(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one explode, one broadcast join on the model, one
     doc-keyed aggregate, one 4-row matrix aggregate."""
     docs = load_table(spark, sf, "documents")
-    labels = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("y"),
-    )
-    model = classify.nb_train(docs, labels, n_feats=_CLF_D)
-    scored = classify.nb_score(docs, model, n_feats=_CLF_D)
-    lab = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit("en"))
-        .otherwise(F.lit("other"))
-        .alias("actual"),
+    # fused train+score (one tokenize pass, shared tf exchange) with the
+    # label inlined; the carried y column replaces the labels re-join
+    _model, scored = classify.nb_train_score(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
+        n_feats=_CLF_D,
     )
     return (
-        scored.join(lab, "doc_id")
-        .select(
-            "actual",
+        scored.select(
+            F.when(F.col("y") == 1, F.lit("en"))
+            .otherwise(F.lit("other"))
+            .alias("actual"),
             F.when(F.col("score") > 0, F.lit("en"))
             .otherwise(F.lit("other"))
             .alias("pred"),
@@ -3690,15 +3683,14 @@ def corpus_quality_report(spark: SparkSession, sf: str) -> DataFrame:
     model joins), the card is one groupBy(source) — nothing beyond the
     constituent operators' own shapes."""
     docs = load_table(spark, sf, "documents")
-    labels = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1))
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("y"),
+    # fused train+score: one tokenize pass feeds the model counts AND the
+    # per-doc tf scoring via a shared (doc, y, bucket) exchange
+    _model, scored = classify.nb_train_score(
+        docs,
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
+        n_feats=_CLF_D,
     )
-    model = classify.nb_train(docs, labels, n_feats=_CLF_D)
-    nb = classify.nb_score(docs, model, n_feats=_CLF_D).select(
+    nb = scored.select(
         "doc_id", (F.col("score") > 0).cast("long").alias("pred_en")
     )
     lm = text.bigram_lm_nll(docs).select("doc_id", "n_bigrams", "sum_nll")

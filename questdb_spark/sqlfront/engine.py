@@ -1367,14 +1367,12 @@ class QdbEngine:
                 from ..pipeline import classify as _classify
 
                 pos = sarg if sarg else "en"
-                labels = base.select(
-                    "doc_id",
-                    _F.when(_F.col("lang") == pos, _F.lit(1))
-                    .otherwise(_F.lit(-1))
-                    .cast("long")
-                    .alias("y"),
-                )
-                df = _classify.nb_train(base, labels).select(
+                df = _classify.nb_train(
+                    base,
+                    None,
+                    label_expr=_F.when(_F.col("lang") == pos, _F.lit(1))
+                    .otherwise(_F.lit(-1)),
+                ).select(
                     "feature",
                     "n_pos",
                     "n_neg",

@@ -499,3 +499,25 @@ def test_ann_score_table_matches_route_kernels(spark):
     assert S.query_lsh_bucket(qv, dim=64) == q0["bucket"]
     assert S.query_probe_cells(qv, cents, 1)[0] == q0["cell"]
     assert S.query_probe_cells(qv, tcents, 1)[0] == q0["tcell"]
+
+
+def test_nb_train_score_matches_separate_train_and_score(spark):
+    """r14 fusion: nb_train_score (one shared tokenize pass) must be
+    row-identical to the nb_train + nb_score composition it replaces —
+    model rows AND per-doc scores, exact decimal equality."""
+    docs = load_table(spark, SF_DIR, "documents")
+    lab_expr = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    labels = docs.select("doc_id", lab_expr.cast("long").alias("y"))
+    want_model = classify.nb_train(docs, labels)
+    model_f, scored_f = classify.nb_train_score(docs, lab_expr)
+    m_want = sorted(map(tuple, want_model.collect()))
+    m_got = sorted(map(tuple, model_f.collect()))
+    assert m_got == m_want
+    want_scored = classify.nb_score(docs, want_model)
+    s_want = {r["doc_id"]: r["score"] for r in want_scored.collect()}
+    s_got = {r["doc_id"]: (r["y"], r["score"]) for r in scored_f.collect()}
+    assert set(s_got) == set(s_want)
+    y_ref = {r["doc_id"]: r["y"] for r in labels.collect()}
+    for d, (y, sc) in s_got.items():
+        assert sc == s_want[d], d
+        assert y == y_ref[d], d
