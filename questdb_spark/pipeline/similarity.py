@@ -315,6 +315,7 @@ def cosine_near_dup_pairs(
     n_bands: int = 2,
     planes_per_band: int = 4,
     max_bucket_size: int | None = NEAR_DUP_MAX_BUCKET,
+    sort: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: banded random-hyperplane LSH
     for candidate generation (equi-join on (band, key) — NEVER all-pairs),
@@ -426,9 +427,24 @@ def cosine_near_dup_pairs(
         )
     )
     dot = pair(F.col("__va"), F.col("__vb"))
+    scored = cand.select(
+        "id_a", "id_b", (dot / (F.col("__na") * F.col("__nb"))).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+    if not sort:
+        # set-consumers (cluster resolution's union-find collect) are
+        # order-insensitive: skip the global sort AND its barrier
+        return scored
     return (
-        cand.select("id_a", "id_b", (dot / (F.col("__na") * F.col("__nb"))).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        scored
+        # materialization barrier before the global sort (r14, guide §2.4):
+        # RangePartitioning samples its child and then shuffles it — with
+        # the join+dot stage directly underneath, that stage executed
+        # TWICE more (sample pass + sort-shuffle pass).  An exchange over
+        # the thresholded (id, id, cosine) rows — narrow, post-filter —
+        # bounds both passes to a re-read of these shuffle files
+        # (1.79 -> 1.17 s at sf0.1).  No width pin: AQE coalesces the
+        # barrier to advisory size at any scale.
+        .repartition(F.col("id_a"))
         .orderBy("id_a", "id_b")
     )
 

@@ -1446,7 +1446,12 @@ def embedding_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     shuffle shapes; the pair stage is bucket-bounded and the propagation
     is O(component diameter) iterative joins."""
     emb = load_table(spark, sf, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.35, dim=64)
+    # sort=False: union-find cluster resolution is pair-SET driven; the
+    # emitted query below orders by vec_id itself, so the pair sort (and
+    # its pre-sort barrier) would be dead work in this plan
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.35, dim=64, sort=False
+    )
     clusters = dedup.dedup_clusters(
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     )
@@ -2724,6 +2729,13 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         exact.select("doc", F.lit("exact_dup").alias("verdict"))
         .unionByName(near.select("doc", F.lit("near_dup").alias("verdict")))
         .unionByName(kept.select("doc", F.lit("kept").alias("verdict")))
+        # materialization barrier before the global sort (r14, guide
+        # §2.4, same finding as cosine_near_dup_pairs): RangePartitioning
+        # samples its child then shuffles it, and this union of semi/anti
+        # join branches is not exchange-bounded — without the barrier all
+        # three branches execute twice more.  AQE coalesces the tiny
+        # verdict rows to advisory size at any scale.
+        .repartition(F.col("doc"))
         .orderBy("doc")
     )
 
