@@ -62,22 +62,31 @@ def hashed_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_feats: int = N_FEATS,
+    label: Column | None = None,
 ) -> DataFrame:
     """Per-doc dense hashed-unigram count vector of length n_feats + 1
     (last slot = constant-1 bias).  One explode + one groupBy; the dense
     array materializes from the bucket->count map so downstream epochs
-    are pure map passes."""
+    are pure map passes.
+
+    ``label`` (an expression over the source row, r14 opt) rides through
+    the tokenize pass as a grouping column — it is functionally dependent
+    on ``id_col``, so the group cardinality is unchanged and the output
+    gains a ``y`` column with no join (the nb_train label_expr rule:
+    a docs->labels self-join costs two exchanges + a broadcast build)."""
     from .text import spread_by_cores, tokens_col
 
     df = spread_by_cores(df)  # a 1-split scan would serialize the explode
+    head = [F.col(id_col)] + ([label.alias("__y")] if label is not None else [])
+    keys = [id_col] + (["__y"] if label is not None else [])
     per = (
         df.select(
-            F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("__t")
+            *head, F.explode(tokens_col(F.col(text_col))).alias("__t")
         )
-        .select(id_col, bucket_col(F.col("__t"), n_feats).alias("__j"))
-        .groupBy(id_col, "__j")
+        .select(*keys, bucket_col(F.col("__t"), n_feats).alias("__j"))
+        .groupBy(*keys, "__j")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .groupBy(id_col)
+        .groupBy(*keys)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("__j", "__c"))
@@ -93,54 +102,95 @@ def hashed_features(
         ),
         F.array(F.lit(1).cast("long")),  # bias slot
     )
-    return per.select(id_col, dense.alias("x"))
+    out = [F.col(id_col), dense.alias("x")] + (
+        [F.col("__y").alias("y")] if label is not None else []
+    )
+    return per.select(*out)
+
+
+# Dense-gradient cutoff (r14 opt): below this dim each round's gradient
+# is ONE single-group aggregate of dim codegen'd sum expressions — no
+# explode, no by-pos shuffle.  Above it (production n_feats = 2^18+,
+# where a per-slot expression list would blow up codegen) the original
+# posexplode -> groupBy(pos) shape takes over: both are exact int64.
+DENSE_GRAD_MAX_DIM = 1024
 
 
 def perceptron_train(
     feats: DataFrame,
-    labels: DataFrame,
+    labels: DataFrame | None = None,
     id_col: str = "doc_id",
     rounds: int = ROUNDS,
+    dim: int | None = None,
 ) -> tuple[list[list[int]], list[int]]:
     """Batch-perceptron training over persisted features.
 
     `feats` = (id, x: array<long>) from `hashed_features`; `labels` =
-    (id, y) with y in {+1, -1}.  Returns (weights_per_round, errors_per
-    round): weights_per_round[r] is w AFTER round r's update and
-    errors_per_round[r] is the misclassified count that round (before
-    the update) — the training curve an eval dashboard plots.
+    (id, y) with y in {+1, -1}, or None when `feats` already carries the
+    y column (the hashed_features ``label=`` route — avoids a self-join).
+    `dim` skips the feature-width probe job when the caller knows it
+    (hashed_features always yields n_feats + 1).  Returns
+    (weights_per_round, errors_per_round): weights_per_round[r] is w
+    AFTER round r's update and errors_per_round[r] is the misclassified
+    count that round (before the update) — the training curve an eval
+    dashboard plots.
     """
-    base = feats.join(labels, id_col).select("x", "y").persist()
+    joined = feats.join(labels, id_col) if labels is not None else feats
+    base = joined.select("x", "y").persist()
     try:
-        dim = len(base.first()["x"])
+        if dim is None:
+            dim = len(base.first()["x"])
         w = [0] * dim
         weights_hist: list[list[int]] = []
         errors_hist: list[int] = []
         for _ in range(rounds):
-            wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
-            margin = F.aggregate(
-                F.zip_with(F.col("x"), wlit, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            mis = base.withColumn("__m", margin).filter(
-                F.col("y") * F.col("__m") <= 0
-            )
-            stats = (
-                mis.select("y", F.posexplode("x"))
-                .groupBy("pos")
-                .agg(
-                    F.sum(F.col("y") * F.col("col")).alias("g"),
-                    # every misclassified doc contributes one row per pos,
-                    # so any group's count IS the misclassified-doc count —
-                    # the error curve costs no extra job
+            if dim <= DENSE_GRAD_MAX_DIM:
+                # margin = <x, w> unrolled over the non-zero weights:
+                # int64 adds of exact terms in any order equal the HOF
+                # zip_with/aggregate fold (zero-weight terms add 0)
+                margin = F.lit(0).cast("long")
+                for j, v in enumerate(w):
+                    if v:
+                        margin = margin + F.col("x")[j] * F.lit(int(v)).cast(
+                            "long"
+                        )
+                mis = base.filter(F.col("y") * margin <= 0)
+                row = mis.agg(
+                    *[
+                        F.sum(F.col("y") * F.col("x")[j]).alias(f"g{j}")
+                        for j in range(dim)
+                    ],
                     F.count(F.lit(1)).alias("n"),
+                ).collect()[0]  # ONE model row — bounded, documented
+                n_err = int(row["n"])
+                if n_err:
+                    for j in range(dim):
+                        w[j] += int(row[f"g{j}"])
+            else:
+                wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+                margin = F.aggregate(
+                    F.zip_with(F.col("x"), wlit, lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
                 )
-                .collect()  # n_feats+1 model rows — bounded, documented
-            )
-            n_err = int(stats[0]["n"]) if stats else 0
-            for r in stats:
-                w[r["pos"]] += int(r["g"])
+                mis = base.withColumn("__m", margin).filter(
+                    F.col("y") * F.col("__m") <= 0
+                )
+                stats = (
+                    mis.select("y", F.posexplode("x"))
+                    .groupBy("pos")
+                    .agg(
+                        F.sum(F.col("y") * F.col("col")).alias("g"),
+                        # every misclassified doc contributes one row per
+                        # pos, so any group's count IS the misclassified-
+                        # doc count — the error curve costs no extra job
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()  # n_feats+1 model rows — bounded
+                )
+                n_err = int(stats[0]["n"]) if stats else 0
+                for r in stats:
+                    w[r["pos"]] += int(r["g"])
             weights_hist.append(list(w))
             errors_hist.append(n_err)
     finally:

@@ -1012,6 +1012,93 @@ def ann_score_table(
     )
 
 
+def quant_frame(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The projected (__id, __q) training frame every trainer pass reads:
+    id + quantized vector, width-spread, persisted by the caller.  At
+    cluster scale this is the standard trainer discipline — the projected
+    quantized column is what fits executor storage, not the source table;
+    MEMORY_AND_DISK so a spill degrades, not dies.  Width follows cores
+    (r13 opt): the embeddings parquet is one sub-MB split, so an un-spread
+    persist pins every iteration's map stage on ONE task; the spread
+    no-ops on a properly-partitioned production scan."""
+    from .text import spread_by_cores
+
+    return spread_by_cores(df).select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__q")
+    )
+
+
+def _km_update_stats(q: DataFrame, centroids: list[list[int]]):
+    """One Lloyd's round's model-update rows from the cached (__id, __q)
+    frame: per-batch mapInArrow partials (assign each vector to its argmin
+    cell, accumulate exact int64 per-(cell, pos) sums/counts in numpy),
+    then one tiny groupBy over k*dim-bounded partial rows.  Replaces the
+    posexplode(dim x rows)->groupBy shape: the shuffle now moves
+    k*dim longs per batch instead of dim rows per vector (guide §2.4/§4);
+    integer sum re-association is exact, so the collected stats are
+    bit-identical to the exploded form."""
+    import pyarrow as pa
+
+    cents = np.array(centroids, dtype=np.int64)
+    cn = np.einsum("ij,ij->i", cents, cents)
+    k, dim = cents.shape
+
+    def part(it):
+        for batch in it:
+            qm = np.stack(
+                batch.column("__q").to_numpy(zero_copy_only=False)
+            ).astype(np.int64, copy=False)
+            cell = np.argmin(-2 * (qm @ cents.T) + cn, axis=1)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, cell, qm)
+            cnts = np.bincount(cell, minlength=k)
+            present = np.nonzero(cnts > 0)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.repeat(present, dim).astype(np.int32), pa.int32()
+                    ),
+                    pa.array(
+                        np.tile(np.arange(dim, dtype=np.int32), len(present)),
+                        pa.int32(),
+                    ),
+                    pa.array(sums[present].ravel(), pa.int64()),
+                    pa.array(
+                        np.repeat(cnts[present], dim).astype(np.int64),
+                        pa.int64(),
+                    ),
+                ],
+                names=["cell", "pos", "s", "cnt"],
+            )
+
+    return (
+        q.mapInArrow(part, "cell int, pos int, s long, cnt long")
+        .groupBy("cell", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .collect()  # k*dim model-update rows — bounded, documented
+    )
+
+
+def kmeans_train_frame(
+    q: DataFrame, k: int, iters: int
+) -> list[list[int]]:
+    """Lloyd's rounds over an already-persisted (__id, __q) frame.  Init =
+    the ivf_centroids convention (k lowest-id vectors, quantized) read
+    from the SAME cached frame, so the init collect is also the action
+    that materializes the cache — one corpus scan for init + all rounds."""
+    rows = q.orderBy("__id").limit(k).collect()
+    cents = [list(r["__q"]) for r in rows]
+    for _ in range(iters):
+        stats = _km_update_stats(q, cents)
+        nxt = [list(c) for c in cents]
+        for r in stats:
+            nxt[r["cell"]][r["pos"]] = (
+                r["s"] + r["cnt"] * KM_OFF
+            ) // r["cnt"] - KM_OFF
+        cents = nxt
+    return cents
+
+
 def kmeans_train(
     df: DataFrame,
     k: int = 8,
@@ -1021,37 +1108,11 @@ def kmeans_train(
 ) -> list[list[int]]:
     """Lloyd's k-means over the quantized embedding column; returns the
     trained centroids (k x dim ints).  `iters` assignment+update rounds."""
-    cents = ivf_centroids(df, n_cells=k, id_col=id_col, vec_col=vec_col)
-    # persist the 2-column projected training frame across Lloyd's rounds:
-    # every iteration otherwise re-runs the parquet scan + quantize kernel.
-    # At cluster scale this is the standard trainer discipline — the
-    # projected (vector, quantized) pair is what fits executor storage,
-    # not the source table; MEMORY_AND_DISK so a spill degrades, not dies.
-    # Width follows cores (r13 opt): the embeddings parquet is one sub-MB
-    # split, so an un-spread persist pins every iteration's UDF+explode
-    # map stage on ONE task; the spread no-ops on a properly-partitioned
-    # production scan.
-    from .text import spread_by_cores
-
-    q = spread_by_cores(df).select(
-        F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    for _ in range(iters):
-        cd = _cell_dist_udf(cents)
-        stats = (
-            q.select(cd(F.col("__v")).alias("__a"), F.posexplode("__q"))
-            .groupBy(F.col("__a.cell").alias("cell"), F.col("pos"))
-            .agg(F.sum("col").alias("s"), F.count("*").alias("cnt"))
-            .collect()  # k*dim model-update rows — bounded, documented
-        )
-        nxt = [list(c) for c in cents]
-        for r in stats:
-            nxt[r["cell"]][r["pos"]] = (
-                r["s"] + r["cnt"] * KM_OFF
-            ) // r["cnt"] - KM_OFF
-        cents = nxt
-    q.unpersist()
-    return cents
+    q = quant_frame(df, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return kmeans_train_frame(q, k, iters)
+    finally:
+        q.unpersist()
 
 
 def kmeans_assign(
@@ -1103,6 +1164,61 @@ def kmeans_report(
     )
 
 
+def kmeans_report_rows(
+    q: DataFrame, centroids: list[list[int]]
+) -> list[tuple[int, int, int, int, int]]:
+    """Final-assignment report rows (cell, pos, cval, size, inertia) for a
+    trained model, computed from the cached (__id, __q) frame: one
+    mapInArrow pass emits per-batch (cell, size, inertia) partials with
+    the same exact int64 squared-L2 arithmetic as _cell_dist_udf, one tiny
+    groupBy sums them (integer re-association — exact), and the k-bounded
+    result merges with the centroid literals driver-side.  Model-scale
+    rows only (k*dim), never data-proportional."""
+    import pyarrow as pa
+
+    cents = np.array(centroids, dtype=np.int64)
+    cn = np.einsum("ij,ij->i", cents, cents)
+    k = cents.shape[0]
+
+    def part(it):
+        for batch in it:
+            qm = np.stack(
+                batch.column("__q").to_numpy(zero_copy_only=False)
+            ).astype(np.int64, copy=False)
+            d = -2 * (qm @ cents.T) + cn
+            cell = np.argmin(d, axis=1)
+            dist = d[np.arange(len(cell)), cell] + np.einsum(
+                "ij,ij->i", qm, qm
+            )
+            cnts = np.bincount(cell, minlength=k)
+            inertia = np.zeros(k, dtype=np.int64)
+            np.add.at(inertia, cell, dist)
+            present = np.nonzero(cnts > 0)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(present.astype(np.int32), pa.int32()),
+                    pa.array(cnts[present].astype(np.int64), pa.int64()),
+                    pa.array(inertia[present], pa.int64()),
+                ],
+                names=["cell", "size", "inertia"],
+            )
+
+    agg = {
+        int(r["cell"]): (int(r["size"]), int(r["inertia"]))
+        for r in (
+            q.mapInArrow(part, "cell int, size long, inertia long")
+            .groupBy("cell")
+            .agg(F.sum("size").alias("size"), F.sum("inertia").alias("inertia"))
+            .collect()  # k model rows — bounded, documented
+        )
+    }
+    return [
+        (ci, pos, int(val), agg.get(ci, (0, 0))[0], agg.get(ci, (0, 0))[1])
+        for ci, cent in enumerate(centroids)
+        for pos, val in enumerate(cent)
+    ]
+
+
 def pq_train(
     df: DataFrame,
     m: int = PQ_M,
@@ -1119,40 +1235,135 @@ def pq_train(
     exact-integer contract as `kmeans_train` (argmin ties -> lowest code,
     floor-mean via the positive-offset trick, empty codewords persist),
     so a SQL oracle can replay training subspace-by-subspace."""
-    cbs = pq_codebooks(df, m=m, k=k, id_col=id_col, vec_col=vec_col)
-    d_sub = len(cbs[0][0])
-    # same persist discipline as kmeans_train: the per-iteration job must
-    # read the cached projected frame, not re-decode parquet + re-quantize
-    # (and same width rule — see kmeans_train).
-    from .text import spread_by_cores
+    q = quant_frame(df, id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return pq_train_frame(q, m, k, iters)
+    finally:
+        q.unpersist()
 
-    base = spread_by_cores(df).select(
-        F.col(vec_col).alias("__v"), quantize(F.col(vec_col)).alias("__q")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+def pq_train_frame(
+    q: DataFrame, m: int, k: int, iters: int
+) -> list[list[list[int]]]:
+    """Per-subspace Lloyd's rounds over an already-persisted (__id, __q)
+    frame.  Init = the pq_codebooks convention (k lowest-id vectors,
+    quantized, sliced into m subspaces) read from the SAME cached frame,
+    so the init collect is also the cache-materializing action — one
+    corpus scan covers init + every round (same discipline as
+    kmeans_train_frame)."""
+    rows = q.orderBy("__id").limit(k).collect()
+    vecs = [list(r["__q"]) for r in rows]
+    d_sub = len(vecs[0]) // m
+    cbs = [[v[s * d_sub : (s + 1) * d_sub] for v in vecs] for s in range(m)]
     for _ in range(iters):
-        enc = _pq_encode_udf(cbs)
-        stats = (
-            base.select(enc(F.col("__v")).alias("__c"), F.posexplode("__q"))
-            .select(
-                (F.col("pos") / d_sub).cast("int").alias("sub"),
-                F.element_at(
-                    F.col("__c"), (F.col("pos") / d_sub).cast("int") + 1
-                ).alias("code"),
-                (F.col("pos") % d_sub).alias("subpos"),
-                F.col("col").alias("q"),
-            )
-            .groupBy("sub", "code", "subpos")
-            .agg(F.sum("q").alias("s"), F.count("*").alias("cnt"))
-            .collect()  # m*k*d_sub model rows — bounded, documented
-        )
+        stats = _pq_update_stats(q, cbs)
         nxt = [[list(cw) for cw in cb] for cb in cbs]
         for r in stats:
             nxt[r["sub"]][r["code"]][r["subpos"]] = (
                 r["s"] + r["cnt"] * KM_OFF
             ) // r["cnt"] - KM_OFF
         cbs = nxt
-    base.unpersist()
     return cbs
+
+
+def _pq_update_stats(q: DataFrame, codebooks: list[list[list[int]]]):
+    """One PQ round's model-update rows from the cached frame: per-batch
+    mapInArrow partials assign each (vector, subspace) its argmin code with
+    the exact _pq_encode_udf arithmetic and accumulate int64 per-(sub,
+    code, subpos) sums/counts in numpy; one tiny groupBy over the
+    m*k*d_sub-bounded partial rows replaces the posexplode(dim x rows)
+    shuffle.  Integer sum re-association is exact — the collected stats
+    are bit-identical to the exploded form."""
+    import pyarrow as pa
+
+    cb = np.array(codebooks, dtype=np.int64)  # m x K x d_sub
+    m, K, d_sub = cb.shape
+    cnorms = [np.einsum("ij,ij->i", cb[s], cb[s]) for s in range(m)]
+
+    def part(it):
+        for batch in it:
+            qm = np.stack(
+                batch.column("__q").to_numpy(zero_copy_only=False)
+            ).astype(np.int64, copy=False)
+            subs, codes, subposs, ss, cnts = [], [], [], [], []
+            for s in range(m):
+                sub = qm[:, s * d_sub : (s + 1) * d_sub]
+                code = np.argmin(-2 * (sub @ cb[s].T) + cnorms[s], axis=1)
+                sums = np.zeros((K, d_sub), dtype=np.int64)
+                np.add.at(sums, code, sub)
+                cnt = np.bincount(code, minlength=K)
+                present = np.nonzero(cnt > 0)[0]
+                subs.append(np.full(len(present) * d_sub, s, dtype=np.int32))
+                codes.append(np.repeat(present, d_sub).astype(np.int32))
+                subposs.append(
+                    np.tile(np.arange(d_sub, dtype=np.int32), len(present))
+                )
+                ss.append(sums[present].ravel())
+                cnts.append(np.repeat(cnt[present], d_sub).astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(subs), pa.int32()),
+                    pa.array(np.concatenate(codes), pa.int32()),
+                    pa.array(np.concatenate(subposs), pa.int32()),
+                    pa.array(np.concatenate(ss), pa.int64()),
+                    pa.array(np.concatenate(cnts), pa.int64()),
+                ],
+                names=["sub", "code", "subpos", "s", "cnt"],
+            )
+
+    return (
+        q.mapInArrow(part, "sub int, code int, subpos int, s long, cnt long")
+        .groupBy("sub", "code", "subpos")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .collect()  # m*k*d_sub model rows — bounded, documented
+    )
+
+
+def pq_usage_rows(
+    q: DataFrame, codebooks: list[list[list[int]]]
+) -> dict[tuple[int, int], int]:
+    """Final per-(sub, code) usage counts of a trained codebook over the
+    cached (__id, __q) frame — the encode assignment of _pq_encode_udf
+    reduced to per-batch bincount partials and one tiny groupBy (m*k
+    model rows, bounded).  Exact: counts are integers."""
+    import pyarrow as pa
+
+    cb = np.array(codebooks, dtype=np.int64)
+    m, K, d_sub = cb.shape
+    cnorms = [np.einsum("ij,ij->i", cb[s], cb[s]) for s in range(m)]
+
+    def part(it):
+        for batch in it:
+            qm = np.stack(
+                batch.column("__q").to_numpy(zero_copy_only=False)
+            ).astype(np.int64, copy=False)
+            subs, codes, useds = [], [], []
+            for s in range(m):
+                sub = qm[:, s * d_sub : (s + 1) * d_sub]
+                code = np.argmin(-2 * (sub @ cb[s].T) + cnorms[s], axis=1)
+                cnt = np.bincount(code, minlength=K)
+                present = np.nonzero(cnt > 0)[0]
+                subs.append(np.full(len(present), s, dtype=np.int32))
+                codes.append(present.astype(np.int32))
+                useds.append(cnt[present].astype(np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(subs), pa.int32()),
+                    pa.array(np.concatenate(codes), pa.int32()),
+                    pa.array(np.concatenate(useds), pa.int64()),
+                ],
+                names=["sub", "code", "used"],
+            )
+
+    return {
+        (int(r["sub"]), int(r["code"])): int(r["used"])
+        for r in (
+            q.mapInArrow(part, "sub int, code int, used long")
+            .groupBy("sub", "code")
+            .agg(F.sum("used").alias("used"))
+            .collect()  # m*k model rows — bounded, documented
+        )
+    }
 
 
 def _pq_encode_udf(codebooks: list[list[list[int]]]):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .pipeline import classify, dedup, multimodal, sampling, similarity, text
 from .sources.parquet import load_table
@@ -2225,8 +2226,28 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     assignment tie-break, floor-mean, or empty-cell divergence on either
     side breaks the hash."""
     emb = load_table(spark, sf, "embeddings")
-    cents = similarity.kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
-    return similarity.kmeans_report(emb, cents)
+    # one persisted (__id, __q) frame feeds init + both Lloyd's rounds +
+    # the final report pass (r14 opt, guide §2.4/§6): previously training
+    # and the report each re-scanned parquet and re-ran the quantize
+    # kernel.  Every collect stays model-bounded (k / k*dim rows).
+    q = similarity.quant_frame(emb, "vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cents = similarity.kmeans_train_frame(q, _KM_K, _KM_ITERS)
+        rows = similarity.kmeans_report_rows(q, cents)
+    finally:
+        q.unpersist()
+    # model-sized local relation: a 1-task in-partition sort replaces the
+    # global orderBy (RangePartitioning would sample + shuffle 512 rows
+    # across two extra jobs); total order is identical
+    return (
+        spark.createDataFrame(
+            rows, "cell int, pos int, cval bigint, size bigint, inertia bigint"
+        )
+        .coalesce(1)
+        .sortWithinPartitions("cell", "pos")
+    )
 
 
 def _kmeans_cte(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
@@ -2307,7 +2328,17 @@ def cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf, "embeddings")
-    cents = similarity.kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
+    # train over one persisted (__id, __q) frame (r14 opt — see
+    # embedding_kmeans); the ASSIGNMENT pass stays on the raw column
+    # (its quantize runs vectorized inside the Arrow kernel, and the
+    # returned plan must not reference a by-then-unpersisted frame).
+    q = similarity.quant_frame(emb, "vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cents = similarity.kmeans_train_frame(q, _KM_K, _KM_ITERS)
+    finally:
+        q.unpersist()
     assigned = similarity.kmeans_assign(emb, cents)
     w = Window.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
@@ -2409,29 +2440,34 @@ def embedding_pq_train(spark: SparkSession, sf: str) -> DataFrame:
     final usage count — the full trained model, exact integers, against a
     DuckDB CTE replay of the identical iterations."""
     emb = load_table(spark, sf, "embeddings")
-    cbs = similarity.pq_train(emb, iters=_PQT_ITERS)
-    codes = similarity.pq_encode(emb, cbs)
-    usage = (
-        codes.select(F.posexplode("codes").alias("sub", "code"))
-        .groupBy("sub", "code")
-        .agg(F.count(F.lit(1)).alias("used"))
+    # one persisted (__id, __q) frame feeds init + both rounds + the
+    # final usage count (r14 opt — see embedding_kmeans): previously the
+    # usage pass re-scanned parquet and re-ran the encode kernel.  The
+    # usage collect is m*k model rows — bounded.
+    q = similarity.quant_frame(emb, "vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    cb_rows = [
-        (s, j, p, int(v))
+    try:
+        cbs = similarity.pq_train_frame(
+            q, similarity.PQ_M, similarity.PQ_K, _PQT_ITERS
+        )
+        usage = similarity.pq_usage_rows(q, cbs)
+    finally:
+        q.unpersist()
+    rows = [
+        (s, j, p, int(v), usage.get((s, j), 0))
         for s, cb in enumerate(cbs)
         for j, cw in enumerate(cb)
         for p, v in enumerate(cw)
     ]
-    cbdf = spark.createDataFrame(
-        cb_rows, "sub int, code int, subpos int, cval bigint"
-    )
+    # model-sized local relation — 1-task sort, no range sampling (see
+    # embedding_kmeans)
     return (
-        cbdf.join(F.broadcast(usage), ["sub", "code"], "left")
-        .select(
-            "sub", "code", "subpos", "cval",
-            F.coalesce("used", F.lit(0)).cast("bigint").alias("used"),
+        spark.createDataFrame(
+            rows, "sub int, code int, subpos int, cval bigint, used bigint"
         )
-        .orderBy("sub", "code", "subpos")
+        .coalesce(1)
+        .sortWithinPartitions("sub", "code", "subpos")
     )
 
 
@@ -3061,17 +3097,21 @@ _CLF_ROUNDS = classify.ROUNDS
 
 
 def _clf_train_run(spark: SparkSession, sf: str):
-    """One full perceptron training run (no cache)."""
+    """One full perceptron training run (no cache).  The label rides
+    through the tokenize pass (hashed_features ``label=``, r14 opt) —
+    no docs->labels self-join — and dim is passed statically so no
+    feature-width probe job runs."""
     docs = load_table(spark, sf, "documents")
-    feats = classify.hashed_features(docs, n_feats=_CLF_D)
-    labels = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", F.lit(1))
+    feats = classify.hashed_features(
+        docs,
+        n_feats=_CLF_D,
+        label=F.when(F.col("lang") == "en", F.lit(1))
         .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("y"),
+        .cast("long"),
     )
-    return classify.perceptron_train(feats, labels, rounds=_CLF_ROUNDS)
+    return classify.perceptron_train(
+        feats, rounds=_CLF_ROUNDS, dim=_CLF_D + 1
+    )
 
 
 def _clf_trained(spark: SparkSession, sf: str):
@@ -3114,9 +3154,15 @@ def classifier_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
         for r, wr in enumerate(weights_hist)
         for j, wv in enumerate(wr)
     ]
-    return spark.createDataFrame(
-        rows, "round int, feature int, weight bigint, errors bigint"
-    ).orderBy("round", "feature")
+    # model-sized local relation — 1-task sort, no range sampling (see
+    # embedding_kmeans)
+    return (
+        spark.createDataFrame(
+            rows, "round int, feature int, weight bigint, errors bigint"
+        )
+        .coalesce(1)
+        .sortWithinPartitions("round", "feature")
+    )
 
 
 def _clf_cte(d: int = _CLF_D, rounds: int = _CLF_ROUNDS) -> str:
