@@ -74,6 +74,37 @@ _PIVOT_NON_COLUMN_WORDS = frozenset(
 )
 
 
+# Cross-instance statement-plan cache for PRISTINE engines (see
+# QdbEngine._pristine_sig): sig -> {statement text: lowered DataFrame},
+# plus a strong ref to every registered frame in the sig so id()s in a
+# live signature can never be reused by the allocator.  Bounded FIFO.
+_GLOBAL_PLAN_CACHE: dict = {}
+_GLOBAL_PLAN_REFS: dict = {}
+_GLOBAL_PLAN_ORDER: list = []
+_GLOBAL_PLAN_MAX = 512
+_GLOBAL_PLAN_LOCK = __import__("threading").Lock()
+
+
+def _global_plan_get(sig, query):
+    with _GLOBAL_PLAN_LOCK:
+        return _GLOBAL_PLAN_CACHE.get((sig, query))
+
+
+def _global_plan_put(sig, query, df, tables) -> None:
+    with _GLOBAL_PLAN_LOCK:
+        k = (sig, query)
+        if k in _GLOBAL_PLAN_CACHE:
+            return
+        _GLOBAL_PLAN_CACHE[k] = df
+        _GLOBAL_PLAN_REFS.setdefault(sig, tuple(tables.values()))
+        _GLOBAL_PLAN_ORDER.append(k)
+        while len(_GLOBAL_PLAN_ORDER) > _GLOBAL_PLAN_MAX:
+            old = _GLOBAL_PLAN_ORDER.pop(0)
+            _GLOBAL_PLAN_CACHE.pop(old, None)
+            if not any(key[0] == old[0] for key in _GLOBAL_PLAN_CACHE):
+                _GLOBAL_PLAN_REFS.pop(old[0], None)
+
+
 def _top_level_over(masked_expr: str) -> bool:
     """True when an ``OVER`` token sits at paren depth 0 of the (literal-
     masked) expression — i.e. the outermost construct is a window function
@@ -183,6 +214,104 @@ class QdbEngine:
             "committed_rows": 0,
             "physically_written_rows": 0,
         }
+        # statement-plan cache (r14 opt, guide §4 driver-side cost): the
+        # Python parse + lowering of a SELECT statement costs 0.1-1.5 s of
+        # py4j Column construction; the result is a pure logical plan,
+        # deterministic given (statement text, catalog state).  Keyed on
+        # (post-binding text, catalog epoch); the epoch bumps on EVERY
+        # register() and EVERY DDL/DML statement, so any plan built before
+        # a mutation can never be served after it.  Statements whose
+        # lowering reads ENGINE state rather than the catalog
+        # (introspection table functions, wall-clock date macros, CANCEL)
+        # are never cached — see _plan_cache_key.  This is the statement
+        # cache every SQL engine ships (the reference compiles once per
+        # text too); results are never cached — every action still
+        # executes the plan from parquet.
+        import os as _os
+        import threading
+
+        self._plan_cache: dict = {}
+        self._plan_cache_order: list = []
+        self._plan_cache_lock = threading.Lock()
+        self._catalog_epoch = 0
+        self._plan_cache_on = (
+            _os.environ.get("SPARK_GRAFT_STMT_CACHE", "1") != "0"
+        )
+        # While the engine is PRISTINE (registered DataFrames only — no
+        # DDL/DML has ever run), its whole catalog state is the
+        # registration signature, so lowered plans are shareable across
+        # engine INSTANCES with the identical signature (each query call
+        # builds a fresh engine; load_table memoizes table frames, making
+        # the signature stable).  The signature keys on the registered
+        # DataFrame OBJECTS (id + a strong ref held by the cache so ids
+        # can never be reused) plus designated-ts/tiebreak; the first
+        # DDL/DML flips the engine to its private epoch-keyed cache.
+        self._pristine = True
+
+    _PLAN_CACHE_MAX = 256
+    # lowerings that read mutable ENGINE state (not the catalog) or the
+    # wall clock: never cached.  Broad on purpose — each is introspection
+    # or a date macro, sub-ms to lower, never a hot path.
+    _PLAN_NOCACHE_RE = re.compile(
+        r"\b(query_activity|table_writer_metrics|memory_metrics|"
+        r"reader_pool|writer_pool|export_files|import_files|"
+        r"tables|all_tables|wal_tables|views|materialized_views|"
+        r"live_views|table_columns|table_partitions|wal_transactions|"
+        r"table_storage|functions|keywords|flush_query_cache|"
+        r"today|yesterday|tomorrow|systimestamp|sysdate|now)\s*\(",
+        re.IGNORECASE,
+    )
+
+    def _plan_cache_key(self, query: str) -> tuple | None:
+        """Cache key for a pure-plan statement, or None when the statement
+        must always re-lower (DDL/DML — which also bumps the epoch —
+        CANCEL, state-reading lowerings)."""
+        if not self._plan_cache_on:
+            return None
+        from . import ddl
+
+        if ddl.statement_kind(query) is not None:
+            with self._plan_cache_lock:
+                self._catalog_epoch += 1
+                self._pristine = False
+            return None
+        masked = mask_literals(query)
+        if re.match(r"^\s*(cancel|declare)\b", masked, re.IGNORECASE):
+            # CANCEL has side effects; DECLARE bodies expand to new text —
+            # let the expanded statement hit the cache on re-entry instead
+            return None
+        if self._PLAN_NOCACHE_RE.search(masked):
+            return None
+        # a view read re-lowers its body by contract, and a TIMER/PERIOD
+        # matview read REFRESHES when due — wall-clock-driven state the
+        # epoch cannot see.  Any statement referencing a view or matview
+        # name always re-lowers.
+        names = set(self.matviews) | set(self.views)
+        if names and re.search(
+            r"\b(" + "|".join(re.escape(n) for n in names) + r")\b",
+            masked,
+            re.IGNORECASE,
+        ):
+            return None
+        return (query, self._catalog_epoch)
+
+    def _pristine_sig(self) -> tuple | None:
+        """Cross-instance cache signature, or None once any DDL/DML ran.
+        Pristine-state catalogs consist ONLY of the registration dict, so
+        (spark, sorted (name, frame identity, ts, tiebreak)) captures the
+        entire lowering input; the global cache holds a strong ref to each
+        frame so an id() can never be reused by a dead object."""
+        if not self._pristine or self.ddl_tables or self.views or self.matviews:
+            return None
+        return (
+            id(self.spark),
+            tuple(
+                sorted(
+                    (n, id(df), self.designated_ts.get(n), self.tiebreak.get(n))
+                    for n, df in self.tables.items()
+                )
+            ),
+        )
 
     def ddl_read(self, name: str, dedup: bool = True) -> DataFrame:
         """Read a DDL-created table at its LOGICAL schema (dedup applied,
@@ -222,6 +351,8 @@ class QdbEngine:
         if tiebreak:
             self.tiebreak[name] = tiebreak
         df.createOrReplaceTempView(name)
+        with self._plan_cache_lock:
+            self._catalog_epoch += 1  # plans built before this bind are stale
 
     # ------------------------------------------------------------------
     def flush_views(self, *names: str) -> None:
@@ -277,7 +408,35 @@ class QdbEngine:
             )
         self._sql_depth += 1
         try:
-            return self._sql_inner(query)
+            key = self._plan_cache_key(query)
+            sig = self._pristine_sig() if key is not None else None
+            if key is not None:
+                hit = (
+                    _global_plan_get(sig, query)
+                    if sig is not None
+                    else self._plan_cache.get(key)
+                )
+                if hit is not None:
+                    return hit
+            out = self._sql_inner(query)
+            # re-check pristineness: the lowering itself may have executed
+            # nested statements (view bodies) — only cache globally if the
+            # engine is STILL pristine under the same signature
+            if key is not None:
+                if sig is not None and self._pristine_sig() == sig:
+                    _global_plan_put(sig, query, out, self.tables)
+                elif sig is None:
+                    with self._plan_cache_lock:
+                        if key not in self._plan_cache:
+                            self._plan_cache[key] = out
+                            self._plan_cache_order.append(key)
+                            while (
+                                len(self._plan_cache_order)
+                                > self._PLAN_CACHE_MAX
+                            ):
+                                old = self._plan_cache_order.pop(0)
+                                self._plan_cache.pop(old, None)
+            return out
         finally:
             self._sql_depth -= 1
             if self._sql_depth == 0 and self._sub_views:
