@@ -2238,16 +2238,13 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         rows = similarity.kmeans_report_rows(q, cents)
     finally:
         q.unpersist()
-    # model-sized local relation: a 1-task in-partition sort replaces the
-    # global orderBy (RangePartitioning would sample + shuffle 512 rows
-    # across two extra jobs); total order is identical
-    return (
-        spark.createDataFrame(
-            rows, "cell int, pos int, cval bigint, size bigint, inertia bigint"
-        )
-        .coalesce(1)
-        .sortWithinPartitions("cell", "pos")
-    )
+    # NOTE (r14, measured): keep the plain orderBy — a coalesce(1) +
+    # sortWithinPartitions "optimization" of this model-sized local
+    # relation measured 0.7 -> 4-5 s per action (the coalesced
+    # parallelized relation loses the LocalRelation fast path)
+    return spark.createDataFrame(
+        rows, "cell int, pos int, cval bigint, size bigint, inertia bigint"
+    ).orderBy("cell", "pos")
 
 
 def _kmeans_cte(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
@@ -2460,15 +2457,9 @@ def embedding_pq_train(spark: SparkSession, sf: str) -> DataFrame:
         for j, cw in enumerate(cb)
         for p, v in enumerate(cw)
     ]
-    # model-sized local relation — 1-task sort, no range sampling (see
-    # embedding_kmeans)
-    return (
-        spark.createDataFrame(
-            rows, "sub int, code int, subpos int, cval bigint, used bigint"
-        )
-        .coalesce(1)
-        .sortWithinPartitions("sub", "code", "subpos")
-    )
+    return spark.createDataFrame(
+        rows, "sub int, code int, subpos int, cval bigint, used bigint"
+    ).orderBy("sub", "code", "subpos")
 
 
 def _pq_train_cte(iters: int = _PQT_ITERS) -> str:
@@ -3154,15 +3145,9 @@ def classifier_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
         for r, wr in enumerate(weights_hist)
         for j, wv in enumerate(wr)
     ]
-    # model-sized local relation — 1-task sort, no range sampling (see
-    # embedding_kmeans)
-    return (
-        spark.createDataFrame(
-            rows, "round int, feature int, weight bigint, errors bigint"
-        )
-        .coalesce(1)
-        .sortWithinPartitions("round", "feature")
-    )
+    return spark.createDataFrame(
+        rows, "round int, feature int, weight bigint, errors bigint"
+    ).orderBy("round", "feature")
 
 
 def _clf_cte(d: int = _CLF_D, rounds: int = _CLF_ROUNDS) -> str:
