@@ -238,7 +238,7 @@ class TimeTable:
         sch = self._cached_schema()
         if sch is not None:
             return self.spark.read.schema(sch).parquet(self.path)
-        return self._read_physical()
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Create/replace the table: partition + sort discipline enforced."""

@@ -332,3 +332,17 @@ def test_schema_cache_survives_restart_and_update(spark, tmppath):
     assert t2._cached_schema() is not None
     got = {r["id"]: r["price"] for r in t2.read().collect()}
     assert got[1] == 100.0 and len(got) == 5
+
+
+def test_schema_cache_miss_falls_back_to_mergeschema(spark, tmppath):
+    """A table dir whose meta journal lost the phys_schema entry (legacy
+    dir, or _note_write dropped it on a type conflict) must still read via
+    mergeSchema inference — r14 regression: the fallback branch recursed
+    instead of reading."""
+    t = TimeTable(spark, tmppath, "ts", partition_by="day")
+    t.write(spark.createDataFrame(_mk_rows(), ["id", "sym", "ts", "price"]))
+    t._drop_schema_cache()
+    assert t._cached_schema() is None
+    rows = t.read().collect()  # was: RecursionError
+    assert len(rows) == 5
+    assert {r["id"] for r in rows} == {1, 2, 3, 4, 5}
