@@ -147,20 +147,21 @@ def perceptron_train(
             if dim <= DENSE_GRAD_MAX_DIM:
                 # margin = <x, w> unrolled over the non-zero weights:
                 # int64 adds of exact terms in any order equal the HOF
-                # zip_with/aggregate fold (zero-weight terms add 0)
-                margin = F.lit(0).cast("long")
-                for j, v in enumerate(w):
-                    if v:
-                        margin = margin + F.col("x")[j] * F.lit(int(v)).cast(
-                            "long"
-                        )
-                mis = base.filter(F.col("y") * margin <= 0)
-                row = mis.agg(
-                    *[
-                        F.sum(F.col("y") * F.col("x")[j]).alias(f"g{j}")
-                        for j in range(dim)
-                    ],
-                    F.count(F.lit(1)).alias("n"),
+                # zip_with/aggregate fold (zero-weight terms add 0).
+                # Rendered as ONE SQL string per round (the rnd_generators
+                # rule): the Column-factory form cost ~0.6 s/round of py4j
+                # round-trips — more than the round's execution — while a
+                # where() + selectExpr() pair is 2 driver calls for the
+                # same exact-int64 plan (x[j] is BIGINT, the weight
+                # literal carries the L suffix, so every product and sum
+                # stays 64-bit, identical to the Column route).
+                terms = " + ".join(
+                    f"x[{j}] * {int(v)}L" for j, v in enumerate(w) if v
+                )
+                mis = base.where(f"y * ({terms or '0L'}) <= 0")
+                row = mis.selectExpr(
+                    *[f"sum(y * x[{j}]) AS g{j}" for j in range(dim)],
+                    "count(1) AS n",
                 ).collect()[0]  # ONE model row — bounded, documented
                 n_err = int(row["n"])
                 if n_err:
