@@ -22,6 +22,42 @@ from .sources.parquet import load_table
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
+def _values_df(
+    spark: SparkSession,
+    rows: list[tuple],
+    cols: list[tuple[str, str]],
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Model-sized driver rows -> DataFrame via a VALUES SQL text instead
+    of createDataFrame (r14 opt, guide §4 driver boundary): the pickle
+    parallelize conversion plus the RDD-backed range sort cost ~0.75 s per
+    action, while Sort over a Catalyst LocalRelation is ~0.12 s (measured
+    6-rep medians; the VALUES list stays a LocalRelation so the noop /
+    collect action runs trivial jobs).  Integer and static-string payloads
+    only — no floats (literal round-trip risk), no untrusted strings
+    (embedded quotes).  Falls back to createDataFrame for empty input."""
+    ddl = ", ".join(f"{n} {t}" for n, t in cols)
+    if not rows:
+        df = spark.createDataFrame(rows, ddl)
+        return df.orderBy(*order_by) if order_by else df
+    def lit(v):
+        if isinstance(v, bool):
+            raise TypeError("bool not supported")
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            if "'" in v or "\\" in v:
+                raise ValueError(f"unsafe string literal: {v!r}")
+            return f"'{v}'"
+        raise TypeError(f"unsupported VALUES type: {type(v)}")
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(
+        f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)
+    )
+    tail = f" ORDER BY {', '.join(order_by)}" if order_by else ""
+    return spark.sql(f"SELECT {sel} FROM VALUES {vals}{tail}")
+
+
 def _sql_stopword_hits(words: list[str], toks: str = "t.toks") -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
     return f"len(list_filter({toks}, x -> list_contains({arr}, x)))"
@@ -1917,7 +1953,7 @@ def ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
             ("pq", "pq"),
         )
     ]
-    return spark.createDataFrame(rows, "route string, hits int")
+    return _values_df(spark, rows, [("route", "STRING"), ("hits", "INT")])
 
 
 def _ann_recall_sql() -> str:
@@ -2238,13 +2274,16 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
         rows = similarity.kmeans_report_rows(q, cents)
     finally:
         q.unpersist()
-    # NOTE (r14, measured): keep the plain orderBy — a coalesce(1) +
-    # sortWithinPartitions "optimization" of this model-sized local
-    # relation measured 0.7 -> 4-5 s per action (the coalesced
-    # parallelized relation loses the LocalRelation fast path)
-    return spark.createDataFrame(
-        rows, "cell int, pos int, cval bigint, size bigint, inertia bigint"
-    ).orderBy("cell", "pos")
+    # NOTE (r14, measured): coalesce(1) + sortWithinPartitions on the
+    # createDataFrame relation measured 0.7 -> 4-5 s per action; the
+    # VALUES text keeps the rows a Catalyst LocalRelation so the sort
+    # stays trivial (see _values_df)
+    return _values_df(
+        spark,
+        rows,
+        [("cell", "INT"), ("pos", "INT"), ("cval", "BIGINT"), ("size", "BIGINT"), ("inertia", "BIGINT")],
+        order_by=["cell", "pos"],
+    )
 
 
 def _kmeans_cte(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
@@ -2457,9 +2496,12 @@ def embedding_pq_train(spark: SparkSession, sf: str) -> DataFrame:
         for j, cw in enumerate(cb)
         for p, v in enumerate(cw)
     ]
-    return spark.createDataFrame(
-        rows, "sub int, code int, subpos int, cval bigint, used bigint"
-    ).orderBy("sub", "code", "subpos")
+    return _values_df(
+        spark,
+        rows,
+        [("sub", "INT"), ("code", "INT"), ("subpos", "INT"), ("cval", "BIGINT"), ("used", "BIGINT")],
+        order_by=["sub", "code", "subpos"],
+    )
 
 
 def _pq_train_cte(iters: int = _PQT_ITERS) -> str:
@@ -3145,9 +3187,12 @@ def classifier_perceptron_train(spark: SparkSession, sf: str) -> DataFrame:
         for r, wr in enumerate(weights_hist)
         for j, wv in enumerate(wr)
     ]
-    return spark.createDataFrame(
-        rows, "round int, feature int, weight bigint, errors bigint"
-    ).orderBy("round", "feature")
+    return _values_df(
+        spark,
+        rows,
+        [("round", "INT"), ("feature", "INT"), ("weight", "BIGINT"), ("errors", "BIGINT")],
+        order_by=["round", "feature"],
+    )
 
 
 def _clf_cte(d: int = _CLF_D, rounds: int = _CLF_ROUNDS) -> str:
