@@ -261,9 +261,9 @@ def execute(eng: QdbEngine, kind: str, s: str) -> DataFrame:
 
 
 def _status(eng: QdbEngine, op: str, name: str, detail: str = "") -> DataFrame:
-    return eng.spark.createDataFrame(
-        [(op, name, detail)], "op string, view string, detail string"
-    )
+    from .ddl import _sql_status_row
+
+    return _sql_status_row(eng.spark, ["op", "view", "detail"], [op, name, detail])
 
 
 def _create(eng: QdbEngine, s: str) -> DataFrame:
