@@ -169,6 +169,117 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def _sql_tokens_text(text_col: str) -> str:
+    """Spark-SQL text twin of text.tokens_col — same split/lower/trim."""
+    return f"split(lower(trim(`{text_col}`)), '\\\\s+')"
+
+
+def _sql_shingles_text(toks: str, n: int) -> str:
+    """Spark-SQL text twin of text.shingles_col — the identical zipped-
+    slices n-gram build (same slice bounds, same separator, same empty-
+    array fallback type)."""
+    m = f"greatest(size({toks}) - {n - 1}, 0)"
+    acc = f"slice({toks}, 1, {m})"
+    for j in range(1, n):
+        acc = (
+            f"zip_with({acc}, slice({toks}, {j + 1}, {m}), "
+            "(x, y) -> concat(x, ' ', y))"
+        )
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct({acc}) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _fused_pairs_via_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    metric: str,
+    max_shingle_df: int | None,
+    frac: float | None,
+    fused_enum_bound: int | None,
+) -> DataFrame:
+    """The guarded fused candidate pipeline as ONE spark.sql call (r14
+    opt): shingle lists -> guard filter -> bounded in-row + chunked pair
+    enumeration -> common counts -> sizes -> score.  Logically identical
+    to the former Column-chain build (same casts, same division types,
+    same guard arithmetic — GREATEST(2, CEIL(frac*count)) on the frac
+    route); rendering it as SQL text replaces ~1000 py4j round-trips
+    (~0.45 s per caller) with one ~40 ms parse.  The input DataFrame
+    rides in as a template relation, so no temp view is registered."""
+    spark = df.sparkSession
+    spread = _spread(df)
+    sh_expr = _sql_shingles_text(_sql_tokens_text(text_col), n)
+    if frac is not None:
+        guard_cte = (
+            ",\nguard AS (SELECT greatest(CAST(2 AS BIGINT), "
+            f"CAST(ceil(CAST({float(frac)!r} AS DOUBLE) * count(1)) AS BIGINT)) "
+            "AS __guard FROM {src})"
+        )
+        lists_from = "lists0 CROSS JOIN guard"
+        guard_ref = "__guard"
+        bound_sql = (
+            f"CAST({int(fused_enum_bound)} AS BIGINT)"
+            if fused_enum_bound is not None
+            else f"least(CAST({FUSED_ENUM_BOUND} AS BIGINT), __guard)"
+        )
+        hint = "/*+ BROADCAST(guard) */ "
+    else:
+        guard_cte = ""
+        lists_from = "lists0"
+        guard_ref = f"CAST({int(max_shingle_df)} AS BIGINT)"
+        bound_sql = f"CAST({int(fused_enum_bound)} AS BIGINT)"
+        hint = ""
+    if metric == "jaccard":
+        score = "common / (sz_a + sz_b - common)"
+    else:  # containment — caller validated
+        score = "common / least(sz_a, sz_b)"
+    q = f"""
+WITH sh AS (
+  SELECT `{id_col}` AS doc, explode({sh_expr}) AS shingle FROM {{inp}}
+),
+lists0 AS (SELECT shingle, collect_list(doc) AS ds FROM sh GROUP BY shingle){guard_cte},
+lists AS (
+  SELECT {hint}array_sort(ds) AS ds, {bound_sql} AS __b
+  FROM {lists_from} WHERE size(ds) <= {guard_ref}
+),
+small AS (
+  SELECT p.a AS a, p.b AS b FROM (
+    SELECT explode(filter(flatten(transform(ds, (x, i) ->
+      transform(slice(ds, i + 2, size(ds) - i - 1),
+      y -> struct(x AS a, y AS b)))), s -> s.a < s.b)) AS p
+    FROM lists WHERE size(ds) <= __b
+  ) sm
+),
+big AS (
+  SELECT a, b FROM (
+    SELECT col AS a, explode(slice(ds, pos + 2, size(ds) - pos - 1)) AS b
+    FROM (SELECT ds, posexplode(ds) FROM lists WHERE size(ds) > __b) bx
+  ) bp WHERE a < b
+),
+common_t AS (
+  SELECT a AS doc_a, b AS doc_b, count(1) AS common
+  FROM (SELECT * FROM small UNION ALL SELECT * FROM big) pr GROUP BY a, b
+),
+sizes AS (
+  SELECT doc, count(1) AS sz
+  FROM (SELECT explode(ds) AS doc FROM lists) sx GROUP BY doc
+)
+SELECT doc_a, doc_b, {metric} FROM (
+  SELECT doc_a, doc_b, {score} AS {metric}
+  FROM common_t
+  JOIN (SELECT doc AS doc_a, sz AS sz_a FROM sizes) sa USING (doc_a)
+  JOIN (SELECT doc AS doc_b, sz AS sz_b FROM sizes) sb USING (doc_b)
+) sc WHERE {metric} >= CAST({float(threshold)!r} AS DOUBLE)
+"""
+    if frac is not None:
+        return spark.sql(q, inp=spread, src=df)
+    return spark.sql(q, inp=spread)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -215,20 +326,12 @@ def ngram_jaccard_pairs(
     runs in Python), so no separate count() action runs and the corpus
     aggregate shares the single candidate job (guide §2.4).
     """
-    guard_df = None  # lazy 1-row (__guard) corpus-relative threshold
-    if max_shingle_df_frac is not None:
-        guard_df = df.agg(
-            F.greatest(
-                F.lit(2).cast("long"),
-                F.ceil(
-                    F.lit(float(max_shingle_df_frac)) * F.count(F.lit(1))
-                ).cast("long"),
-            ).alias("__guard")
-        )
+    has_frac = max_shingle_df_frac is not None
+    if has_frac:
         max_shingle_df = None
     if (
         max_shingle_df is None
-        and guard_df is None
+        and not has_frac
         and not lsh_prefilter
         and not unsafe_exact
     ):
@@ -238,88 +341,50 @@ def ngram_jaccard_pairs(
             "anyway, or use the guarded default / lsh_prefilter=True "
             "for the scale paths"
         )
-    if fused_enum_bound is None and guard_df is None:
+    if fused_enum_bound is None and not has_frac:
         fused_enum_bound = min(FUSED_ENUM_BOUND, max_shingle_df or FUSED_ENUM_BOUND)
-    sh = _shingle_table(df, id_col, text_col, n)
-    # metric="containment": common / min(|a|, |b|) — the truncated-copy
-    # detector (a prefix copy scores ~1.0 here but low Jaccard); same
-    # candidate generation and guards, only the final score differs
-    if metric == "jaccard":
-        jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    elif metric == "containment":
-        jac = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
-    else:
+    if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
-    if not lsh_prefilter and (max_shingle_df is not None or guard_df is not None):
+    if not lsh_prefilter and (max_shingle_df is not None or has_frac):
         # Guarded exact path, fused: the guard bounds every shingle's doc
         # list to ≤ max_shingle_df entries, so candidate pairs can be
         # enumerated IN-ROW from one groupBy(shingle) — tokenization runs
         # ONCE (the self-join form recomputes the explode for each join
         # side and again for sizes) and the shingle equi-join disappears.
-        # Three bounded shuffles total: lists, pair counts, sizes.
-        lists = sh.groupBy("shingle").agg(F.collect_list("doc").alias("ds"))
-        if guard_df is not None:
-            # lazy corpus-relative threshold: 1-row broadcast attach; the
-            # chunked-enumeration bound follows it (min with the static
-            # in-row bound, exactly the eager-path arithmetic)
-            guard_c = F.col("__guard")
-            bound_c = (
-                F.lit(int(fused_enum_bound)).cast("long")
-                if fused_enum_bound is not None
-                else F.least(F.lit(FUSED_ENUM_BOUND).cast("long"), guard_c)
-            )
-            lists = lists.crossJoin(F.broadcast(guard_df))
-        else:
-            guard_c = F.lit(max_shingle_df).cast("long")
-            bound_c = F.lit(int(fused_enum_bound)).cast("long")
-        lists = lists.filter(F.size("ds") <= guard_c).select(
-            F.array_sort("ds").alias("ds"), bound_c.alias("__b")
+        #
+        # Rendered as ONE spark.sql text (r14 opt, guide §4 driver-side):
+        # the Column-chain build of this branch cost ~0.45 s of py4j
+        # round-trips (~1000 socket calls) PER CALLER — ten registry
+        # queries pay it — while the SQL text parses in ~40 ms.  Every
+        # expression mirrors the Column form exactly (same casts, same
+        # division types); `test_fused_sql_matches_column_routes` pins the
+        # row-set equality and the oracle pins end-to-end results.
+        return _fused_pairs_via_sql(
+            df,
+            id_col,
+            text_col,
+            n,
+            threshold,
+            metric,
+            max_shingle_df=max_shingle_df,
+            frac=max_shingle_df_frac,
+            fused_enum_bound=fused_enum_bound,
         )
-        # In-row pair enumeration is bounded (r8 verdict): a shingle list
-        # of df elements expands to ~df²/2 structs in ONE row — fine at
-        # df ≤ fused_enum_bound (≤0.5M structs), an executor OOM near the
-        # 100k drop cap. Lists above the bound enumerate CHUNKED: one
-        # output row per left element (posexplode), each carrying ≤df
-        # structs, so per-row memory is O(df) while total pair count —
-        # and therefore the result — is unchanged.
-        pair_structs = F.expr(
-            "filter(flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds) - i - 1), "
-            "y -> struct(x AS a, y AS b)))), s -> s.a < s.b)"
-        )
-        small = (
-            lists.filter(F.size("ds") <= F.col("__b"))
-            .select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        )
-        big = (
-            lists.filter(F.size("ds") > F.col("__b"))
-            .select(F.col("ds"), F.posexplode("ds").alias("i", "a"))
-            .select(
-                F.col("a"),
-                F.explode(
-                    F.expr("slice(ds, i + 2, size(ds) - i - 1)")
-                ).alias("b"),
-            )
-            .filter(F.col("a") < F.col("b"))
-        )
-        common = (
-            small.unionByName(big)
-            .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("common"))
-        )
-        sizes = (
-            lists.select(F.explode("ds").alias("doc"))
-            .groupBy("doc")
-            .agg(F.count(F.lit(1)).alias("sz"))
-        )
-        sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-        sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-        return (
-            common.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select("doc_a", "doc_b", jac.alias(metric))
-            .filter(F.col(metric) >= threshold)
+    # --- LSH-prefilter / ungated-exact routes (Column-built; cold paths) ---
+    sh = _shingle_table(df, id_col, text_col, n)
+    if metric == "jaccard":
+        jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    else:  # containment — validated above
+        jac = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+    guard_df = None  # lazy 1-row (__guard) corpus-relative threshold
+    if has_frac:
+        guard_df = df.agg(
+            F.greatest(
+                F.lit(2).cast("long"),
+                F.ceil(
+                    F.lit(float(max_shingle_df_frac)) * F.count(F.lit(1))
+                ).cast("long"),
+            ).alias("__guard")
         )
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)

@@ -675,3 +675,67 @@ def test_verbatim_spans_chunked_route_matches_fused_and_joined(spark):
     # corpus-relative guard route (the registry default) also agrees
     guarded = spans(dedup.verbatim_spans(df, "doc_id", gram=4, min_span=6))
     assert guarded == joined
+
+
+def test_fused_sql_route_matches_column_reference(spark):
+    """r14: the guarded fused pipeline is rendered as one spark.sql text;
+    its results (both metrics, both guard forms) must equal a Column-built
+    guarded self-join reference — the shape the SQL text replaced."""
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def reference(metric: str, cap: int):
+        sh = dedup._shingle_table(docs, "doc_id", "text", 3)
+        sh = dedup._drop_hot_shingles(sh, cap)
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        if metric == "jaccard":
+            jac = F.col("common") / (
+                F.col("sz_a") + F.col("sz_b") - F.col("common")
+            )
+        else:
+            jac = F.col("common") / F.least(F.col("sz_a"), F.col("sz_b"))
+        sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+        return (
+            common.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias(metric))
+            .filter(F.col(metric) >= 0.12)
+        )
+
+    def as_map(df, metric):
+        return {(r["doc_a"], r["doc_b"]): repr(r[metric]) for r in df.collect()}
+
+    n_docs = docs.count()
+    frac_cap = dedup.resolve_shingle_guard(n_docs)
+    for metric in ("jaccard", "containment"):
+        # static-cap guard
+        got = as_map(
+            dedup.ngram_jaccard_pairs(
+                docs, "doc_id", threshold=0.12, metric=metric
+            ),
+            metric,
+        )
+        want = as_map(reference(metric, dedup.MAX_SHINGLE_DF), metric)
+        assert got == want
+        # corpus-relative guard: cap = GREATEST(2, CEIL(frac * n))
+        got_f = as_map(
+            dedup.ngram_jaccard_pairs(
+                docs,
+                "doc_id",
+                threshold=0.12,
+                metric=metric,
+                max_shingle_df_frac=dedup.MAX_SHINGLE_DF_FRAC,
+            ),
+            metric,
+        )
+        want_f = as_map(reference(metric, frac_cap), metric)
+        assert got_f == want_f
