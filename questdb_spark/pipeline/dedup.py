@@ -681,13 +681,36 @@ def minhash_signature(
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)
     sh = sh.withColumn("__h", _shingle_hash_col(F.col("shingle")))
-    aggs = []
+    # r14 opt (guide §4): at the production n_hashes=128 the Column-built
+    # agg list cost ~900 py4j round-trips (~0.35 s per caller); the same
+    # plan renders as one spark.sql text. Coefficients are < 2^31 so the
+    # INT literal × BIGINT __h promotion matches the Column form exactly.
+    slots = []
     for i in range(n_hashes):
         a, b = hash_coeffs(i)
-        aggs.append(
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"h{i}")
-        )
-    return sh.groupBy("doc").agg(*aggs)
+        slots.append(f"min(({a} * __h + {b}) % {MERSENNE_P}) AS h{i}")
+    return df.sparkSession.sql(
+        f"SELECT doc, {', '.join(slots)} FROM {{sh}} GROUP BY doc", sh=sh
+    )
+
+
+def lsh_band_table(
+    sig: DataFrame, n_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc, band, val) banding of a MinHash signature frame — the '-'
+    joined slot concatenation as one spark.sql text (r14 opt: the
+    Column-built array-of-structs cost ~200 py4j round-trips)."""
+    structs = ", ".join(
+        f"struct({b} AS band, concat_ws('-', "
+        + ", ".join(f"h{b * band_size + j}" for j in range(band_size))
+        + ") AS val)"
+        for b in range(n_hashes // band_size)
+    )
+    return sig.sparkSession.sql(
+        "SELECT doc, b.band AS band, b.val AS val FROM "
+        f"(SELECT doc, explode(array({structs})) AS b FROM {{sig}}) bt",
+        sig=sig,
+    )
 
 
 def minhash_lsh_candidates(
@@ -708,21 +731,7 @@ def minhash_lsh_candidates(
     if n_hashes % band_size:
         raise ValueError(f"band_size {band_size} must divide n_hashes {n_hashes}")
     sig = minhash_signature(df, id_col, text_col, n, n_hashes, max_shingle_df)
-    n_bands = n_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                ).alias("val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bt = sig.select(F.col("doc"), F.explode(bands).alias("b")).select(
-        "doc", F.col("b.band").alias("band"), F.col("b.val").alias("val")
-    )
+    bt = lsh_band_table(sig, n_hashes, band_size)
     a = bt.alias("a")
     b = bt.alias("b")
     return (

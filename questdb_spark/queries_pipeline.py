@@ -2768,20 +2768,9 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     exact = newh.join(corph, "__h", "left_semi").select("doc")
     rest = newh.join(corph, "__h", "left_anti").select("doc")
     sig = dedup.minhash_signature(docs, "doc_id", n_hashes=_MH_HASHES)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-", *[F.col(f"h{b * _MH_BAND + j}") for j in range(_MH_BAND)]
-                ).alias("val"),
-            )
-            for b in range(_MH_HASHES // _MH_BAND)
-        ]
+    bt = dedup.lsh_band_table(sig, _MH_HASHES, _MH_BAND).selectExpr(
+        "doc", "(doc % 5) = 0 AS is_new", "band", "val"
     )
-    bt = sig.select(
-        "doc", ((F.col("doc") % 5) == 0).alias("is_new"), F.explode(bands).alias("b")
-    ).select("doc", "is_new", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
     near = (
         bt.filter("is_new")
         .join(
