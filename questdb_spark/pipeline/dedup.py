@@ -456,6 +456,108 @@ VERBATIM_MIN_SPAN = 20  # report spans of at least this many tokens
 VERBATIM_OCC_FLOOR = 8
 
 
+def _verbatim_spans_via_sql(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int,
+    min_span: int,
+    max_fp_occ: int | None,
+    frac: float | None,
+    fused_enum_bound: int | None,
+) -> DataFrame:
+    """The guarded fused verbatim-span pipeline as ONE spark.sql call —
+    positional fingerprints -> occurrence lists -> guard -> bounded
+    triangular pair enumeration -> diagonal run collapse.  Expression-
+    for-expression the former Column chain (same casts, same guard and
+    bound arithmetic, same window); see verbatim_spans for semantics."""
+    spark = df.sparkSession
+    spread = _spread(df)
+    toks = _sql_tokens_text(text_col)
+    if frac is not None:
+        guard_cte = (
+            ",\nguard AS (SELECT greatest("
+            f"CAST({VERBATIM_OCC_FLOOR} AS BIGINT), "
+            f"CAST(ceil(CAST({float(frac)!r} AS DOUBLE) * count(1)) AS BIGINT)) "
+            "AS __guard FROM {src})"
+        )
+        occs_from = "occs0 CROSS JOIN guard"
+        guard_ref = "__guard"
+        bound_sql = (
+            f"CAST({int(fused_enum_bound)} AS BIGINT)"
+            if fused_enum_bound is not None
+            else f"least(CAST({FUSED_ENUM_BOUND} AS BIGINT), __guard)"
+        )
+        hint = "/*+ BROADCAST(guard) */ "
+    else:
+        guard_cte = ""
+        occs_from = "occs0"
+        guard_ref = f"CAST({int(max_fp_occ)} AS BIGINT)"
+        eff_bound = (
+            int(fused_enum_bound)
+            if fused_enum_bound is not None
+            else min(FUSED_ENUM_BOUND, int(max_fp_occ))
+        )
+        bound_sql = f"CAST({eff_bound} AS BIGINT)"
+        hint = ""
+    q = f"""
+WITH grams AS (
+  SELECT doc, g.pos AS pos, g.fp AS fp FROM (
+    SELECT doc, explode(transform(sequence(1, size(__toks) - {gram} + 1),
+      i -> struct(CAST(i AS BIGINT) AS pos,
+      md5(array_join(slice(__toks, i, {gram}), ' ')) AS fp))) AS g
+    FROM (SELECT `{id_col}` AS doc, {toks} AS __toks FROM {{inp}}) tz
+    WHERE size(__toks) >= {gram}
+  ) gx
+),
+occs0 AS (
+  SELECT fp, collect_list(struct(doc, pos)) AS os FROM grams GROUP BY fp
+){guard_cte},
+occs AS (
+  SELECT {hint}array_sort(os) AS os, {bound_sql} AS __b
+  FROM {occs_from} WHERE size(os) <= {guard_ref}
+),
+small AS (
+  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, p.pos_a AS pos_a, p.pos_b AS pos_b
+  FROM (
+    SELECT explode(filter(flatten(transform(os, (x, i) ->
+      transform(slice(os, i + 2, size(os) - i - 1),
+      y -> struct(x.doc AS doc_a, y.doc AS doc_b,
+                  x.pos AS pos_a, y.pos AS pos_b)))),
+      s -> s.doc_a < s.doc_b)) AS p
+    FROM occs WHERE size(os) <= __b
+  ) sm
+),
+big AS (
+  SELECT doc_a, y.doc AS doc_b, pos_a, y.pos AS pos_b FROM (
+    SELECT col.doc AS doc_a, col.pos AS pos_a,
+           explode(slice(os, pos + 2, size(os) - pos - 1)) AS y
+    FROM (SELECT os, posexplode(os) FROM occs WHERE size(os) > __b) bx
+  ) bb WHERE doc_a < y.doc
+),
+m AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag
+  FROM (SELECT * FROM small UNION ALL SELECT * FROM big) pr
+),
+isl AS (
+  SELECT doc_a, doc_b, diag, pos_a, pos_b,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+  FROM m
+)
+SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM (
+  SELECT doc_a, doc_b,
+         CAST(min(pos_a) AS BIGINT) AS start_a,
+         CAST(min(pos_b) AS BIGINT) AS start_b,
+         CAST(count(1) + {gram - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+) f WHERE span_tokens >= {min_span}
+"""
+    if frac is not None:
+        return spark.sql(q, inp=spread, src=df)
+    return spark.sql(q, inp=spread)
+
+
 def verbatim_spans(
     df: DataFrame,
     id_col: str,
@@ -492,34 +594,8 @@ def verbatim_spans(
 
     Returns (doc_a, doc_b, start_a, start_b, span_tokens) with 1-based
     token positions, doc_a < doc_b."""
-    guard_df = None  # lazy corpus-relative cap (1-row broadcast, no action)
-    if max_fp_occ is None and max_fp_occ_frac is not None:
-        guard_df = df.agg(
-            F.greatest(
-                F.lit(VERBATIM_OCC_FLOOR).cast("long"),
-                F.ceil(
-                    F.lit(float(max_fp_occ_frac)) * F.count(F.lit(1))
-                ).cast("long"),
-            ).alias("__guard")
-        )
-    base = _spread(df).select(
-        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("__toks")
-    )
-    grams = (
-        base.filter(F.size("__toks") >= gram)
-        .select(
-            "doc",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {gram} + 1), "
-                    f"i -> struct(CAST(i AS BIGINT) AS pos, "
-                    f"md5(array_join(slice(__toks, i, {gram}), ' ')) AS fp))"
-                )
-            ).alias("g"),
-        )
-        .select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
-    )
-    if max_fp_occ is not None or guard_df is not None:
+    has_guard = max_fp_occ is not None or max_fp_occ_frac is not None
+    if has_guard:
         # Guarded path, FUSED (r13 optimization): the original form ran
         # the fingerprint explode three times — hot-count aggregate plus
         # both sides of the fp self-join, none sharing an exchange.  The
@@ -540,75 +616,46 @@ def verbatim_spans(
         # structs of the old os×os cross product); sort order is
         # (doc, pos), so slice pairs always have doc_a <= doc_b and only
         # the same-doc diagonal needs filtering.
-        occs = grams.groupBy("fp").agg(
-            F.collect_list(F.struct("doc", "pos")).alias("os")
+        #
+        # Rendered as ONE spark.sql text (r14 opt, same rule as
+        # _fused_pairs_via_sql): the Column-chain build cost ~0.5 s of
+        # py4j round-trips; the SQL text parses in ~40 ms.  The window
+        # run-collapse and final aggregate ride in the same statement.
+        return _verbatim_spans_via_sql(
+            df, id_col, text_col, gram, min_span,
+            max_fp_occ=max_fp_occ,
+            frac=max_fp_occ_frac if max_fp_occ is None else None,
+            fused_enum_bound=fused_enum_bound,
         )
-        if guard_df is not None:
-            guard_c = F.col("__guard")
-            bound_c = (
-                F.lit(int(fused_enum_bound)).cast("long")
-                if fused_enum_bound is not None
-                else F.least(F.lit(FUSED_ENUM_BOUND).cast("long"), guard_c)
-            )
-            occs = occs.crossJoin(F.broadcast(guard_df))
-        else:
-            guard_c = F.lit(int(max_fp_occ)).cast("long")
-            bound_c = F.lit(
-                int(
-                    fused_enum_bound
-                    if fused_enum_bound is not None
-                    else min(FUSED_ENUM_BOUND, int(max_fp_occ))
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    grams = (
+        base.filter(F.size("__toks") >= gram)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {gram} + 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                    f"md5(array_join(slice(__toks, i, {gram}), ' ')) AS fp))"
                 )
-            ).cast("long")
-        occs = occs.filter(F.size("os") <= guard_c).select(
-            F.array_sort("os").alias("os"), bound_c.alias("__b")
+            ).alias("g"),
         )
-        pair_structs = F.expr(
-            "filter(flatten(transform(os, (x, i) -> "
-            "transform(slice(os, i + 2, size(os) - i - 1), "
-            "y -> struct(x.doc AS doc_a, y.doc AS doc_b, "
-            "x.pos AS pos_a, y.pos AS pos_b)))), "
-            "s -> s.doc_a < s.doc_b)"
-        )
-        small = (
-            occs.filter(F.size("os") <= F.col("__b"))
-            .select(F.explode(pair_structs).alias("p"))
-            .select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
-        )
-        big = (
-            occs.filter(F.size("os") > F.col("__b"))
-            .select(F.col("os"), F.posexplode("os").alias("i", "x"))
-            .select(
-                F.col("x.doc").alias("doc_a"),
-                F.col("x.pos").alias("pos_a"),
-                F.explode(
-                    F.expr("slice(os, i + 2, size(os) - i - 1)")
-                ).alias("y"),
-            )
-            .filter(F.col("doc_a") < F.col("y.doc"))
-            .select(
-                "doc_a",
-                F.col("y.doc").alias("doc_b"),
-                "pos_a",
-                F.col("y.pos").alias("pos_b"),
-            )
-        )
-        m = small.unionByName(big).withColumn(
-            "diag", F.col("pos_a") - F.col("pos_b")
-        )
-    else:
-        a = grams.select(
-            F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
-        )
-        b = grams.select(
-            F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "fp"
-        )
-        m = (
-            a.join(b, "fp")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "pos_a", "pos_b")
-            .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
-        )
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+    a = grams.select(
+        F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = grams.select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    m = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     isl = m.withColumn(
         "island", F.col("pos_a") - F.row_number().over(w)
