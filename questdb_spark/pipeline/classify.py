@@ -427,6 +427,89 @@ def nb_train_score(
     return model, scored
 
 
+def nb_train_score_sql(
+    docs: DataFrame,
+    label_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_feats: int = N_FEATS,
+) -> tuple[DataFrame, DataFrame]:
+    """``nb_train_score`` with the whole composed plan rendered as SQL
+    text (r14 opt, guide §4 driver-side): the Column-chain build costs
+    ~1350 py4j round-trips (~0.5 s) per caller, the SQL parse ~40 ms.
+    ``label_sql`` is the label as a SQL expression over the docs row
+    (e.g. "CASE WHEN lang = 'en' THEN 1 ELSE -1 END").  Expression-for-
+    expression the Column form — same casts, same ln/decimal quantization
+    — pinned by test_nb_train_score_sql_matches_column_route."""
+    from .dedup import _sql_tokens_text
+
+    spark = docs.sparkSession
+    toks = _sql_tokens_text(text_col)
+    bucket = (
+        f"CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT) "
+        f"% {MERSENNE_P} % {n_feats}"
+    )
+    common = f"""
+WITH tfc AS (
+  SELECT `{id_col}`, y, __j, CAST(count(1) AS BIGINT) AS tf FROM (
+    SELECT `{id_col}`, y, {bucket} AS __j FROM (
+      SELECT `{id_col}`, CAST({label_sql} AS BIGINT) AS y,
+             explode({toks}) AS __t FROM {{docs}}
+    ) ex
+  ) bx GROUP BY `{id_col}`, y, __j
+),
+counts0 AS (
+  SELECT __j,
+    CAST(sum(CASE WHEN y = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(sum(CASE WHEN y = -1 THEN tf ELSE 0 END) AS BIGINT) AS n_neg
+  FROM tfc GROUP BY __j
+),
+counts AS (
+  SELECT __j, CAST(coalesce(n_pos, 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(n_neg, 0) AS BIGINT) AS n_neg
+  FROM (SELECT CAST(id AS BIGINT) AS __j FROM range({n_feats})) fr
+  LEFT JOIN counts0 USING (__j)
+),
+totals AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM counts),
+buckets AS (
+  SELECT /*+ BROADCAST(totals) */ CAST(__j AS INT) AS feature, n_pos, n_neg,
+    CAST(ln(CAST((n_pos + 1) * (t_neg + {n_feats}) AS DOUBLE)
+         / CAST((n_neg + 1) * (t_pos + {n_feats}) AS DOUBLE))
+         AS DECIMAL(18,6)) AS weight
+  FROM counts CROSS JOIN totals
+),
+d_doc AS (
+  SELECT CAST(sum(CAST(y = 1 AS BIGINT)) AS BIGINT) AS d_pos,
+         CAST(sum(CAST(y = -1 AS BIGINT)) AS BIGINT) AS d_neg
+  FROM (SELECT CAST({label_sql} AS BIGINT) AS y FROM {{docs}}) dl
+),
+prior AS (
+  SELECT CAST({n_feats} AS INT) AS feature,
+         CAST(d_pos AS BIGINT) AS n_pos, CAST(d_neg AS BIGINT) AS n_neg,
+         CAST(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+              AS DECIMAL(18,6)) AS weight
+  FROM d_doc
+)"""
+    model = spark.sql(
+        common
+        + "\nSELECT * FROM buckets UNION ALL SELECT * FROM prior",
+        docs=docs,
+    )
+    scored = spark.sql(
+        common
+        + f""",
+jw AS (SELECT CAST(feature AS BIGINT) AS __j, weight FROM buckets),
+pw AS (SELECT weight AS __prior FROM prior)
+SELECT /*+ BROADCAST(pw) */ `{id_col}`, y, __s + __prior AS score FROM (
+  SELECT /*+ BROADCAST(jw) */ `{id_col}`, y, sum(tf * weight) AS __s
+  FROM tfc JOIN jw USING (__j)
+  GROUP BY `{id_col}`, y
+) s CROSS JOIN pw""",
+        docs=docs,
+    )
+    return model, scored
+
+
 def nb_score(
     docs: DataFrame,
     model: DataFrame,

@@ -396,6 +396,51 @@ def chunk_documents(
     )
 
 
+def bigram_lm_nll_sql(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``bigram_lm_nll`` rendered as ONE spark.sql text (r14 opt, guide
+    §4): the Column-chain build costs ~0.3 s of py4j round-trips per
+    caller; the SQL parse ~30 ms.  Expression-for-expression the Column
+    form below — same casts, same ln/decimal quantization — pinned by
+    test_bigram_lm_nll_sql_matches_column_route."""
+    from ..pipeline.dedup import _sql_tokens_text
+
+    toks = _sql_tokens_text(text_col)
+    q = f"""
+WITH ex AS (
+  SELECT `{id_col}`, p.a AS a, p.b AS b FROM (
+    SELECT `{id_col}`,
+           explode(transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+             (t, i) -> struct(t AS a, element_at(__toks, i + 2) AS b))) AS p
+    FROM (SELECT `{id_col}`, {toks} AS __toks FROM {{docs}}) tz
+  ) px
+),
+uni AS (
+  SELECT a, CAST(count(1) AS BIGINT) AS ca
+  FROM (SELECT explode({toks}) AS a FROM {{docs}}) ux GROUP BY a
+),
+v AS (SELECT CAST(count(1) AS BIGINT) AS v FROM uni),
+bi AS (SELECT a, b, CAST(count(1) AS BIGINT) AS cab FROM ex GROUP BY a, b),
+model AS (
+  SELECT /*+ BROADCAST(v) */ a, b,
+    CAST(ln(CAST(ca + v AS DOUBLE) / CAST(cab + 1 AS DOUBLE))
+         AS DECIMAL(18,6)) AS nll
+  FROM bi JOIN uni USING (a) CROSS JOIN v
+)
+SELECT `{id_col}`, n_bigrams, sum_nll,
+       CAST(sum_nll AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_nll
+FROM (
+  SELECT /*+ BROADCAST(model) */ `{id_col}`,
+         CAST(count(1) AS BIGINT) AS n_bigrams, sum(nll) AS sum_nll
+  FROM ex JOIN model USING (a, b)
+  GROUP BY `{id_col}`
+) s"""
+    return df.sparkSession.sql(q, docs=df)
+
+
 def bigram_lm_nll(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -3507,9 +3507,9 @@ def classifier_nb_confusion(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # fused train+score (one tokenize pass, shared tf exchange) with the
     # label inlined; the carried y column replaces the labels re-join
-    _model, scored = classify.nb_train_score(
+    _model, scored = classify.nb_train_score_sql(
         docs,
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
+        "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
         n_feats=_CLF_D,
     )
     return (
@@ -3702,7 +3702,7 @@ def corpus_perplexity_topk(spark: SparkSession, sf: str) -> DataFrame:
     analysis).  Ties break on doc_id; sum_nll is surfaced as the
     decimal-exact check column next to the correctly-rounded avg."""
     docs = load_table(spark, sf, "documents")
-    scored = text.bigram_lm_nll(docs)
+    scored = text.bigram_lm_nll_sql(docs)
     return (
         scored.select(
             "doc_id",
@@ -3762,15 +3762,15 @@ def corpus_quality_report(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # fused train+score: one tokenize pass feeds the model counts AND the
     # per-doc tf scoring via a shared (doc, y, bucket) exchange
-    _model, scored = classify.nb_train_score(
+    _model, scored = classify.nb_train_score_sql(
         docs,
-        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
+        "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
         n_feats=_CLF_D,
     )
     nb = scored.select(
         "doc_id", (F.col("score") > 0).cast("long").alias("pred_en")
     )
-    lm = text.bigram_lm_nll(docs).select("doc_id", "n_bigrams", "sum_nll")
+    lm = text.bigram_lm_nll_sql(docs).select("doc_id", "n_bigrams", "sum_nll")
     per = (
         docs.select("doc_id", "source", F.md5("text").alias("__h"))
         .join(nb, "doc_id")

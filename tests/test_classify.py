@@ -521,3 +521,44 @@ def test_nb_train_score_matches_separate_train_and_score(spark):
     for d, (y, sc) in s_got.items():
         assert sc == s_want[d], d
         assert y == y_ref[d], d
+
+
+def test_nb_train_score_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of the fused train+score plan must be
+    row-identical to the Column-built nb_train_score — model rows AND
+    per-doc (y, score), exact decimal equality."""
+    docs = load_table(spark, SF_DIR, "documents")
+    lab_expr = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    model_c, scored_c = classify.nb_train_score(docs, lab_expr)
+    model_s, scored_s = classify.nb_train_score_sql(
+        docs, "CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+    )
+    assert sorted(map(tuple, model_s.collect())) == sorted(
+        map(tuple, model_c.collect())
+    )
+    assert scored_s.columns == scored_c.columns
+    assert dict(scored_s.dtypes) == dict(scored_c.dtypes)
+    got = sorted(map(tuple, scored_s.collect()))
+    want = sorted(map(tuple, scored_c.collect()))
+    assert got == want
+
+
+def test_bigram_lm_nll_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of the bigram-LM scorer must be
+    row-identical to the Column-built bigram_lm_nll — exact decimal
+    sums and bit-equal avg doubles."""
+    from questdb_spark.pipeline import text as T
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll"], repr(r["avg_nll"]))
+        for r in T.bigram_lm_nll(docs).collect()
+    }
+    got_df = T.bigram_lm_nll_sql(docs)
+    assert got_df.columns == T.bigram_lm_nll(docs).columns
+    assert dict(got_df.dtypes) == dict(T.bigram_lm_nll(docs).dtypes)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_nll"], repr(r["avg_nll"]))
+        for r in got_df.collect()
+    }
+    assert got == want
