@@ -3314,53 +3314,59 @@ def _bm25_scored(
     scoring is a map pass."""
     if terms is None:
         terms = _BM25_TERMS
-    base = (
-        text.spread_by_cores(docs)
-        .select("doc_id", text.tokens_col(F.col("text")).alias("t"))
-        .withColumn("dl", F.size("t").cast("long"))
+    # r14 opt (guide §4): rendered as ONE spark.sql text — the Column
+    # chain cost ~0.4-0.6 s of py4j round-trips per caller (three
+    # registry queries plus the bm25_topk() table function build this
+    # stage).  Expression-for-expression the former Column form: double
+    # literals carry the D suffix (a bare decimal literal parses as
+    # DECIMAL in Spark SQL), idf and the final score quantize through
+    # DECIMAL(18,6) identically, and the contribution sum keeps the
+    # fixed left-associated term order.  The random-corpus naive BM25
+    # test and the oracle pin the values.
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    from .pipeline.dedup import _sql_tokens_text
+
+    spread = text.spread_by_cores(docs)
+    toks = _sql_tokens_text("text")
+    k1, k1p1, onemb, b = (
+        f"{float(_BM25_K1)!r}D",
+        f"{float(_BM25_K1P1)!r}D",
+        f"{float(_BM25_1MB)!r}D",
+        f"{float(_BM25_B)!r}D",
     )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum(
-                F.array_contains(F.col("t"), term).cast("long")
-            ).alias(f"df_{i}")
-            for i, term in enumerate(terms)
-        ],
+    dfs = ", ".join(
+        f"sum(CAST(array_contains(t, '{esc(term)}') AS BIGINT)) AS df_{i}"
+        for i, term in enumerate(terms)
     )
-    j = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    rel = F.col("dl").cast("double") / avgdl
-    denom_base = F.lit(float(_BM25_K1)) * (
-        F.lit(float(_BM25_1MB)) + F.lit(float(_BM25_B)) * rel
-    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    rel = f"(CAST(dl AS DOUBLE) / {avgdl})"
+    denom_base = f"({k1} * ({onemb} + {b} * {rel}))"
     contribs = []
     for i, term in enumerate(terms):
-        tf = F.size(
-            F.filter(F.col("t"), lambda x: x == F.lit(term))  # noqa: B023
-        ).cast("double")
+        tf = f"CAST(size(filter(t, x -> x = '{esc(term)}')) AS DOUBLE)"
         idf = (
-            F.log(
-                F.lit(1.0)
-                + (
-                    F.col("n_docs").cast("double")
-                    - F.col(f"df_{i}").cast("double")
-                    + F.lit(0.5)
-                )
-                / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
-            )
-            .cast("decimal(18,6)")
-            .cast("double")
+            f"CAST(CAST(ln(1.0D + (CAST(n_docs AS DOUBLE) "
+            f"- CAST(df_{i} AS DOUBLE) + 0.5D) "
+            f"/ (CAST(df_{i} AS DOUBLE) + 0.5D)) AS DECIMAL(18,6)) AS DOUBLE)"
         )
-        contribs.append(
-            (idf * (tf * F.lit(float(_BM25_K1P1)))) / (tf + denom_base)
-        )
-    score = contribs[0]
-    for c in contribs[1:]:
-        score = score + c
-    score = score.cast("decimal(18,6)").cast("double")
-    return j.select("doc_id", "t", score.alias("score"))
+        contribs.append(f"(({idf} * ({tf} * {k1p1})) / ({tf} + {denom_base}))")
+    score = " + ".join(contribs)
+    q = f"""
+WITH base AS (
+  SELECT doc_id, t, CAST(size(t) AS BIGINT) AS dl FROM (
+    SELECT doc_id, {toks} AS t FROM {{docs}}
+  ) tz
+),
+stats AS (
+  SELECT CAST(count(1) AS BIGINT) AS n_docs, sum(dl) AS sum_dl, {dfs}
+  FROM base
+)
+SELECT doc_id, t,
+       CAST(CAST({score} AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM (SELECT /*+ BROADCAST(stats) */ * FROM base CROSS JOIN stats) j"""
+    return docs.sparkSession.sql(q, docs=spread)
 
 
 def retrieval_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
