@@ -332,6 +332,89 @@ def from_string(s: Column) -> Column:
 # measured cost halves (3.4s cold / 1.0s cached, same query).
 
 
+# -- SQL-text twins ----------------------------------------------------------
+#
+# py4j Column-tree construction is a measured per-query driver cost
+# (~0.4 ms/round-trip; decimal256_div spent ~0.5 s of its 2 s building
+# 1216 round-trips — r14 profiling).  These helpers render the SAME limb
+# arithmetic as Spark-SQL expression STRINGS so a whole query builds in
+# one spark.sql parse.  Each mirrors its Column twin above token for
+# token (same casts, same literals, same subtree embedding), and the
+# equivalence is pinned by tests comparing both routes row-exactly.
+
+LIMB_SQL = "1000000000000000000"
+
+
+def sql_staged_divmod(
+    from_cte: str,
+    limb_cols: list[str],
+    d_sql: str,
+    prefix: str,
+) -> tuple[list[tuple[str, str]], list[str], str]:
+    """String twin of :func:`staged_divmod`: returns (CTE list as
+    (name, select_sql) staging each remainder over ``from_cte``,
+    little-endian quotient expression strings, remainder column name).
+    ``d_sql`` must be the divisor expression BEFORE the decimal(38,0)
+    cast (applied here, as the Column twin does)."""
+    dd = f"CAST({d_sql} AS DECIMAL(38,0))"
+    ctes: list[tuple[str, str]] = []
+    rem = "CAST(0 AS DECIMAL(38,0))"
+    src = from_cte
+    n = len(limb_cols)
+    qs: list[str] = []
+    for step, i in enumerate(reversed(range(n))):
+        acc = f"({rem} * {LIMB_SQL} + CAST({limb_cols[i]} AS DECIMAL(38,0)))"
+        r = f"{prefix}r{step}"
+        name = f"{prefix}s{step}"
+        ctes.append((name, f"SELECT *, {acc} % {dd} AS {r} FROM {src}"))
+        rem = r
+        src = name
+        qs.append(f"CAST(({acc} - {r}) / {dd} AS BIGINT)")
+    qs.reverse()
+    return ctes, qs, f"{prefix}r{n - 1}"
+
+
+def sql_add_limbs(a: list[str], b: list[str]) -> list[str]:
+    """String twin of :func:`_add_limbs` (boolean-carry add, overflow
+    assert on the top limb)."""
+    out: list[str] = []
+    carry = "CAST(0 AS BIGINT)"
+    for i, (la, lb) in enumerate(zip(a, b)):
+        s = f"({la} + {lb} + {carry})"
+        is_c = f"{s} >= {LIMB_SQL}"
+        if i == N_LIMBS - 1:
+            out.append(
+                f"CASE WHEN NOT ({is_c}) THEN {s} ELSE "
+                f"CAST(assert_true(NOT ({is_c}), 'decimal256 add overflow')"
+                f" AS BIGINT) END"
+            )
+        else:
+            out.append(f"CASE WHEN {is_c} THEN {s} - {LIMB_SQL} ELSE {s} END")
+        carry = f"CAST(CASE WHEN {is_c} THEN 1 ELSE 0 END AS BIGINT)"
+    return out
+
+
+def sql_ripple(limbs: list[str]) -> list[str]:
+    """String twin of :func:`_ripple` (generic decimal carry ripple for
+    widened SUM partials)."""
+    out: list[str] = []
+    carry = "CAST(0 AS DECIMAL(38,0))"
+    for l in limbs:
+        acc = f"(CAST({l} AS DECIMAL(38,0)) + {carry})"
+        rem = f"({acc} % {LIMB_SQL})"
+        out.append(f"CAST({rem} AS BIGINT)")
+        carry = f"CAST((({acc} - {rem}) / {LIMB_SQL}) AS DECIMAL(38,0))"
+    return out
+
+
+def sql_to_string_limbs(limbs: list[str]) -> str:
+    """String twin of :func:`_to_string_limbs` (canonical digit string)."""
+    padded = ", ".join(
+        f"lpad(CAST({l} AS STRING), 18, '0')" for l in reversed(limbs)
+    )
+    return f"regexp_replace(concat({padded}), '^0+(?=\\\\d)', '')"
+
+
 def staged_divmod(
     df: "DataFrame",
     limb_cols: list[str],

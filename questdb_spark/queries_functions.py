@@ -1362,7 +1362,42 @@ ORDER BY o_orderpriority
 
 
 def decimal256_sum(spark: SparkSession, sf: str) -> DataFrame:
-    """DECIMAL256 arithmetic past Spark's 38-digit cap
+    """DECIMAL256 group SUM — SQL-text route (same arithmetic as the
+    Column reference :func:`_decimal256_sum_columns`, pinned row-exact by
+    ``test_decimal256_sum_sql_matches_column_route``; rendered as one
+    ``spark.sql`` to drop ~600 py4j round-trips of build cost — r14)."""
+    from .functions import decimal256 as D
+
+    li = load_table(spark, sf, "lineitem")
+    cents = "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    limb_exprs = [
+        f"CAST(({cents} * 999983) % {D.LIMB_SQL} AS BIGINT)",
+        f"CAST({cents} AS BIGINT)",
+        "CAST(CAST(l_orderkey AS BIGINT) AS BIGINT)",
+        "CAST(0 AS BIGINT)",
+    ]
+    rows_sel = ", ".join(f"{e} AS {f}" for e, f in zip(limb_exprs, D.FIELDS))
+    sums_sel = ", ".join(
+        f"sum(CAST({f} AS DECIMAL(38,0))) AS sum_{f}" for f in D.FIELDS
+    )
+    rippled = D.sql_ripple([f"sum_{f}" for f in D.FIELDS])
+    out_sel = ", ".join(f"{e} AS {f}" for e, f in zip(rippled, D.FIELDS))
+    q = f"""
+WITH rows_w AS (SELECT l_returnflag, {rows_sel} FROM {{inp}}),
+agg AS (
+  SELECT l_returnflag, count(1) AS n, {sums_sel}
+  FROM rows_w GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, {out_sel},
+       {D.sql_to_string_limbs(rippled)} AS wide_str
+FROM agg ORDER BY l_returnflag
+"""
+    return spark.sql(q, inp=li)
+
+
+def _decimal256_sum_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`decimal256_sum` — DECIMAL256
+    arithmetic past Spark's 38-digit cap
     (ColumnType.java:104-135, griffin/engine/functions/decimal/): per-row
     ~54-digit values built as base-10^18 limbs, exact group SUM via four
     map-side-combinable limb sums + one carry ripple, canonical digit
@@ -1442,12 +1477,90 @@ FROM r3 ORDER BY l_returnflag
 
 
 def decimal256_div(spark: SparkSession, sf: str) -> DataFrame:
-    """DECIMAL256 divide/rescale (r6; griffin/engine/functions/math/
-    decimal div families, ColumnType.java:104-135): schoolbook limb long
-    division by a per-row divisor, exact remainder, and HALF_UP rescale by
-    10^20. Values are built 2-limb (< 10^36) so DuckDB can verify with
-    NATIVE HUGEINT division — an independent oracle, not a mirrored limb
-    algorithm (the >36-digit range is covered by the Python-bigint pytest)."""
+    """DECIMAL256 divide/rescale — SQL-text route.  Identical arithmetic
+    to :func:`_decimal256_div_columns` (the Column reference kept below,
+    pinned row-exact by ``test_decimal256_div_sql_matches_column_route``)
+    rendered as ONE ``spark.sql`` statement: the Column build cost 1216
+    py4j round-trips ≈ 0.5 s of the query's 2 s (r14 profiling — the
+    rnd_generators rule).  The narrow limb projection + cores-wide
+    repartition stay as Columns and ride in as the template relation."""
+    from .functions import decimal256 as D
+
+    li = load_table(spark, sf, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    w = D.wide(F.col("l_orderkey").cast("long"), cents)
+    d = (F.col("l_partkey") % 97 + 3).cast("long")
+    lcols = [f"L{i}" for i in range(D.N_LIMBS)]
+    base = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        d.alias("d"),
+        *[w[f].alias(c) for f, c in zip(D.FIELDS, lcols)],
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    dv_ctes, qs, rcol = D.sql_staged_divmod("{inp}", lcols, "d", "dv_")
+    # quotient digits as NAMED attributes too: in TEXT form every reuse
+    # re-embeds the expression literally, so unstaged quotients tripled
+    # the statement size and the ANTLR parse ate the py4j saving
+    # (0.35 s in one spark.sql call, measured) — CollapseProject inlines
+    # the single-use aliases back, so the executed plan is unchanged
+    qcols = [f"Q{i}" for i in range(D.N_LIMBS)]
+    q_sel = ", ".join(f"{e} AS {c}" for e, c in zip(qs, qcols))
+    # rescale by 10^20: whole-limb shift (k//18 = 1) then staged division
+    # by 10^(k%18), HALF_UP bump from digit 19 of the original value
+    k = 20
+    m, rr = divmod(k, 18)
+    shift = [f"S{i}" for i in range(D.N_LIMBS)]
+    shift_sel = ", ".join(
+        f"{lcols[i + m]} AS {s}" if i + m < D.N_LIMBS else f"CAST(0 AS BIGINT) AS {s}"
+        for i, s in enumerate(shift)
+    )
+    rs_ctes, ss, _ = D.sql_staged_divmod("shifted", shift, f"CAST({10**rr} AS INT)", "rs_")
+    tcols = [f"T{i}" for i in range(D.N_LIMBS)]
+    dl, dp = divmod(k - 1, 18)
+    bump = (
+        f"CAST(CASE WHEN ({lcols[dl]} % {10 ** (dp + 1)}) >= {5 * 10**dp} "
+        f"THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    t_sel = ", ".join(
+        [f"{e} AS {c}" for e, c in zip(ss, tcols)] + [f"{bump} AS BUMP"]
+    )
+    zero = "CAST(0 AS BIGINT)"
+    rs_limbs = D.sql_add_limbs(tcols, ["BUMP", zero, zero, zero])
+    ctes = ",\n".join(
+        [f"{name} AS ({sel})" for name, sel in dv_ctes]
+        + [
+            f"qn AS (SELECT *, {q_sel}, CAST({rcol} AS BIGINT) AS RR"
+            f" FROM {dv_ctes[-1][0]})",
+            f"shifted AS (SELECT *, {shift_sel} FROM qn)",
+        ]
+        + [f"{name} AS ({sel})" for name, sel in rs_ctes]
+        + [f"tn AS (SELECT *, {t_sel} FROM {rs_ctes[-1][0]})"]
+    )
+    q = f"""
+WITH {ctes},
+rows_t AS (
+  SELECT okey, lineno, d,
+         {D.sql_to_string_limbs(qcols)} AS q_str,
+         RR AS r,
+         {D.sql_to_string_limbs(rs_limbs)} AS rs_str
+  FROM tn
+)
+SELECT d, CAST(count(1) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(CAST(conv(substring(md5(concat_ws('|', okey, lineno, q_str, r, rs_str)), 1, 8), 16, 10) AS BIGINT)) AS BIGINT) AS sum_hash
+FROM rows_t GROUP BY d ORDER BY d
+"""
+    return spark.sql(q, inp=base)
+
+
+def _decimal256_div_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`decimal256_div` (r6; griffin/
+    engine/functions/math/ decimal div families, ColumnType.java:104-135):
+    schoolbook limb long division by a per-row divisor, exact remainder,
+    and HALF_UP rescale by 10^20. Values are built 2-limb (< 10^36) so
+    DuckDB can verify with NATIVE HUGEINT division — an independent
+    oracle, not a mirrored limb algorithm (the >36-digit range is covered
+    by the Python-bigint pytest)."""
     from .functions import decimal256 as D
 
     li = load_table(spark, sf, "lineitem")

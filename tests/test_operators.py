@@ -516,6 +516,41 @@ def test_decimal256_divide_rescale(spark):
 
 
 
+def test_decimal256_div_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of decimal256_div must be row-identical
+    to the Column-built reference — same schema, exact (n, sum_r, sum_hash)
+    per divisor (the md5 rowhash makes any single wrong digit on any row
+    break the aggregate)."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.decimal256_div(spark, SF_DIR)
+    want_df = qf._decimal256_div_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in want_df.collect()]
+    assert got == want
+
+
+def test_decimal256_sum_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of decimal256_sum must be row-identical
+    to the Column-built reference — limbs, counts and the canonical wide
+    digit string."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.decimal256_sum(spark, SF_DIR)
+    want_df = qf._decimal256_sum_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    assert [tuple(r) for r in got_df.collect()] == [
+        tuple(r) for r in want_df.collect()
+    ]
+
+
 def test_rank_n_array_ops(spark):
     """Rank-N array forms (r9): recursive-HOF elementwise ops and the
     numpy transpose at rank 3 and 4 (DerivedArrayView.transpose reverses
