@@ -1142,7 +1142,76 @@ ILP_ROUNDTRIP_SQL = _ilp_sql()
 
 
 def cast_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    """Implicit/explicit cast-matrix edges Spark's own coercion does not
+    """Cast-matrix edges — SQL-text route (same limb/carry arithmetic as
+    the Column reference :func:`_cast_matrix_columns`, pinned row-exact
+    by ``test_cast_matrix_sql_matches_column_route``; one spark.sql parse
+    replaces ~770 py4j round-trips of build — r14).  Carry totals are
+    staged as named CTE attributes so the text stays linear in limb
+    count (the same rule as the decimal256 staged divmod)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 500)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    limbs_a = ", ".join(
+        f"CAST(conv(substring(ha, {8 * i + 1}, 8), 16, 10) AS BIGINT) AS a{i}"
+        for i in range(8)
+    )
+    limbs_b = ", ".join(
+        f"CAST(conv(substring(hb, {8 * i + 1}, 8), 16, 10) AS BIGINT) AS b{i}"
+        for i in range(8)
+    )
+    # carry ripple least-significant limb (7) first; tot staged per CTE
+    carry_ctes = []
+    src = "parsed"
+    for i in range(7, -1, -1):
+        cin = (
+            "CAST(0 AS BIGINT)"
+            if i == 7
+            else f"CAST(floor(t{i + 1} / 4294967296) AS BIGINT)"
+        )
+        carry_ctes.append(f"s{i} AS (SELECT *, (a{i} + b{i} + {cin}) AS t{i} FROM {src})")
+        src = f"s{i}"
+    hexcat = ", ".join(
+        f"lower(lpad(hex(t{i} % 4294967296), 8, '0'))" for i in range(8)
+    )
+    gh_long = (
+        "aggregate(filter(transform(split(substring(gh6, 1, 6), ''), "
+        f"ch -> CASE WHEN ch != '' THEN instr('{b32}', ch) - 1 END), "
+        "p -> p IS NOT NULL), CAST(0 AS BIGINT), (acc, p) -> acc * 32 + p)"
+    )
+    q = f"""
+WITH base AS (
+  SELECT event_id, user_id,
+    concat(md5(CAST(user_id AS STRING)), md5(concat(CAST(user_id AS STRING), ':1'))) AS ha,
+    concat(md5(CAST(event_id AS STRING)), md5(concat(CAST(event_id AS STRING), ':1'))) AS hb,
+    lower(substring(md5(CAST(event_id AS STRING)), 1, 6)) AS g
+  FROM {{inp}}
+),
+parsed AS (SELECT *, {limbs_a}, {limbs_b} FROM base),
+{", ".join(carry_ctes)},
+packed AS (
+  SELECT *, concat({hexcat}) AS sum256,
+    CASE WHEN g RLIKE '^[{b32}]{{{{6}}}}$' THEN g END AS gh6
+  FROM s0
+),
+lowp AS (
+  SELECT *, CAST(conv(substring(sum256, 49, 16), 16, 10) AS DECIMAL(20,0)) AS lowv
+  FROM packed
+)
+SELECT event_id, sum256,
+  CAST(CASE WHEN lowv >= CAST('9223372036854775808' AS DECIMAL(20,0))
+            THEN lowv - CAST('18446744073709551616' AS DECIMAL(21,0))
+            ELSE lowv END AS BIGINT) AS low_long,
+  regexp_replace(sum256, '0', '') != '' AS nonzero,
+  lpad(lower(hex(user_id)), 64, '0') AS from_long,
+  gh6,
+  CASE WHEN gh6 IS NOT NULL THEN shiftright({gh_long}, 3) END AS gh_bits27
+FROM lowp
+"""
+    return spark.sql(q, inp=ev)
+
+
+def _cast_matrix_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`cast_matrix` — implicit/explicit
+    cast-matrix edges Spark's own coercion does not
     cover (reference ``functions/cast/``, 247 factories): LONG256
     arithmetic (``AddLong256FunctionFactory``) and narrowing casts
     (``CastLong256To{Long,Boolean}``), BIGINT→LONG256 widening, and
@@ -1668,7 +1737,69 @@ ORDER BY d
 
 
 def window_groups_exclude(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUPS frames + EXCLUDE clauses (WindowExpression.java:47-55) over
+    """GROUPS frames + EXCLUDE clauses — SQL-text route (same two fused
+    window passes as the Column reference
+    :func:`_window_groups_exclude_columns`, pinned row-exact by
+    ``test_window_groups_exclude_sql_matches_column_route``; one
+    spark.sql parse replaces ~570 py4j round-trips of build — r14)."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+        dec2("value").alias("v"),
+    )
+    w = "PARTITION BY user_id ORDER BY __mm"
+    rows_lo = f"OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    rows_hi = f"OVER ({w} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    rng_lo = f"OVER ({w} RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    rng_hi = f"OVER ({w} RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+    dsum, dcnt, dmin = f"sum(v) {rows_lo}", f"count(v) {rows_lo}", f"min(v) {rows_lo}"
+    esum, ecnt, emin = f"sum(v) {rows_hi}", f"count(v) {rows_hi}", f"min(v) {rows_hi}"
+    fsum, fcnt, fmax = f"sum(v) {rng_lo}", f"count(v) {rng_lo}", f"max(v) {rng_lo}"
+    gsum, gcnt, gmax = f"sum(v) {rng_hi}", f"count(v) {rng_hi}", f"max(v) {rng_hi}"
+    grp1 = (
+        "OVER (PARTITION BY user_id ORDER BY __grp "
+        "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)"
+    )
+
+    def _dd(c: str, n: str) -> str:
+        return f"CAST(CAST({c} AS DECIMAL(20,2)) AS DOUBLE) AS {n}"
+
+    q = f"""
+WITH b AS (SELECT *, unix_micros(m) AS __mm FROM {{inp}}),
+p1 AS (
+  SELECT event_id, user_id, m, v,
+    dense_rank() OVER ({w}) AS __grp,
+    CASE WHEN {dcnt} + {ecnt} > 0
+         THEN coalesce({dsum}, 0) + coalesce({esum}, 0) END AS __ec,
+    least({dmin}, {emin}) AS __mc,
+    CASE WHEN {fcnt} + {gcnt} > 0
+         THEN coalesce({fsum}, 0) + coalesce({gsum}, 0) END AS __eg,
+    ({fcnt} + {gcnt}) AS __cg,
+    CASE WHEN {fcnt} + {gcnt} + CAST(v IS NOT NULL AS BIGINT) > 0
+         THEN coalesce({fsum}, 0) + coalesce({gsum}, 0) + coalesce(v, 0)
+         END AS __et,
+    greatest({fmax}, {gmax}, v) AS __mt
+  FROM b
+),
+p2 AS (SELECT *, sum(v) {grp1} AS __g, min(v) {grp1} AS __gmin FROM p1)
+SELECT event_id, user_id, m,
+  {_dd("__g", "sum_groups")},
+  {_dd("__ec", "sum_excl_cur")},
+  {_dd("__eg", "sum_excl_grp")},
+  {_dd("__et", "sum_excl_ties")},
+  {_dd("__gmin", "min_groups")},
+  {_dd("__mc", "min_excl_cur")},
+  {_dd("__mt", "max_excl_ties")},
+  CAST(__cg AS BIGINT) AS cnt_excl_grp
+FROM p2
+"""
+    return spark.sql(q, inp=ev)
+
+
+def _window_groups_exclude_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`window_groups_exclude` — GROUPS
+    frames + EXCLUDE clauses (WindowExpression.java:47-55) over
     events: minute-truncated ts creates real peer groups per user. GROUPS
     is lowered to dense_rank+RANGE (its SQL definition); EXCLUDE variants
     are frame-subtraction identities with SQL-standard empty-frame NULLs —
@@ -1783,7 +1914,68 @@ FROM ranked
 
 
 def regr_bit_aggs(spark: SparkSession, sf: str) -> DataFrame:
-    """Aggregate long tail: linear regression (RegressionSlope/Intercept/
+    """Aggregate long tail — SQL-text route (same expressions as the
+    Column reference :func:`_regr_bit_aggs_columns`, pinned row-exact by
+    ``test_regr_bit_aggs_sql_matches_column_route``; one spark.sql parse
+    replaces ~650 py4j round-trips of build — r14)."""
+    li = load_table(spark, sf, "lineitem")
+    x = "CAST(l_quantity AS DECIMAL(12,2))"
+    y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    w = "CAST(l_linenumber AS BIGINT)"
+    wd = f"CAST({w} AS DECIMAL(3,0))"
+
+    def _dbl(c: str, s: int) -> str:
+        return f"CAST(CAST(round({c}, {s}) AS DECIMAL(20,{s})) AS DOUBLE)"
+
+    n = "CAST(n AS DOUBLE)"
+    sx, sy = _dbl("_sx", 2), _dbl("_sy", 2)
+    sxx, syy, sxy = _dbl("_sxx", 0), _dbl("_syy", 0), _dbl("_sxy", 0)
+    sw = "CAST(_sw AS DOUBLE)"
+    swy, swyy = _dbl("_swy", 2), _dbl("_swyy", 0)
+    slope = f"(({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}))"
+    r2 = (
+        f"((({n} * {sxy} - {sx} * {sy}) * ({n} * {sxy} - {sx} * {sy})) / "
+        f"(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy})))"
+    )
+    wvar = f"(({swyy} - {swy} * {swy} / {sw}) / ({sw} - 1.0D))"
+    q = f"""
+WITH base AS (
+  SELECT *, coalesce(l_shipdate >= lag(l_shipdate) OVER (
+      PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber), true) AS __ord
+  FROM {{inp}}
+),
+g AS (
+  SELECT l_returnflag,
+    count(1) AS n,
+    sum({x}) AS _sx,
+    sum({y}) AS _sy,
+    sum(CAST({x} * {x} AS DECIMAL(25,4))) AS _sxx,
+    sum(CAST({y} * {y} AS DECIMAL(25,4))) AS _syy,
+    sum(CAST({x} * {y} AS DECIMAL(25,4))) AS _sxy,
+    sum({w}) AS _sw,
+    sum(CAST({y} * {wd} AS DECIMAL(25,2))) AS _swy,
+    sum(CAST(CAST({y} * {y} AS DECIMAL(25,4)) * {wd} AS DECIMAL(30,4))) AS _swyy,
+    bit_and(l_partkey) AS band_part,
+    bit_or(l_partkey) AS bor_part,
+    bit_xor(l_partkey) AS bxor_part,
+    array_join(array_sort(collect_set(l_linestatus)), ',') AS distinct_status,
+    bool_and(__ord) AS is_ordered_shipdate
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  {slope} AS regr_slope_pq,
+  (({sy} - {slope} * {sx}) / {n}) AS regr_intercept_pq,
+  {r2} AS regr_r2_pq,
+  sqrt({wvar}) AS wstddev_price,
+  band_part, bor_part, bxor_part, distinct_status, is_ordered_shipdate
+FROM g
+"""
+    return spark.sql(q, inp=li)
+
+
+def _regr_bit_aggs_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`regr_bit_aggs`: linear regression
+    (RegressionSlope/Intercept/
     R2FunctionFactory.java, AbstractRegressionGroupByFunction.java),
     bit_and/bit_or/bit_xor (BitAndLongGroupByFunction.java family),
     string_distinct_agg (StringDistinctAggGroupByFunction.java),

@@ -551,6 +551,56 @@ def test_decimal256_sum_sql_matches_column_route(spark):
     ]
 
 
+def test_regr_bit_aggs_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of regr_bit_aggs must be row-identical
+    to the Column-built reference — bit-equal doubles included."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.regr_bit_aggs(spark, SF_DIR)
+    want_df = qf._regr_bit_aggs_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
+def test_window_groups_exclude_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of window_groups_exclude must be
+    row-identical to the Column-built reference (empty-frame NULLs and
+    bit-equal doubles included)."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.window_groups_exclude(spark, SF_DIR)
+    want_df = qf._window_groups_exclude_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
+def test_cast_matrix_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of cast_matrix must be row-identical to
+    the Column-built reference (limb carries, signed low-long
+    reinterpretation, geohash validation NULLs)."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.cast_matrix(spark, SF_DIR)
+    want_df = qf._cast_matrix_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
 def test_rank_n_array_ops(spark):
     """Rank-N array forms (r9): recursive-HOF elementwise ops and the
     numpy transpose at rank 3 and 4 (DerivedArrayView.transpose reverses
