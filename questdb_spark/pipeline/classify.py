@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lits import lit_array_long
 from .dedup import MERSENNE_P
 
 N_FEATS = 32  # test-scale default; production = 2^18..2^21 buckets
@@ -168,7 +169,7 @@ def perceptron_train(
                     for j in range(dim):
                         w[j] += int(row[f"g{j}"])
             else:
-                wlit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+                wlit = lit_array_long(w)
                 margin = F.aggregate(
                     F.zip_with(F.col("x"), wlit, lambda a, b: a * b),
                     F.lit(0).cast("long"),
@@ -207,7 +208,7 @@ def score(
     """Apply a trained weight vector: one map pass, margin per doc
     (positive = class +1).  The weights ship as plan literals — no join,
     no shuffle; the 100 TB serving path."""
-    wlit = F.array(*[F.lit(int(v)).cast("long") for v in weights])
+    wlit = lit_array_long(weights)
     margin = F.aggregate(
         F.zip_with(F.col("x"), wlit, lambda a, b: a * b),
         F.lit(0).cast("long"),

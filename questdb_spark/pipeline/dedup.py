@@ -679,7 +679,38 @@ def ngram_contamination(
     text_col: str = "text",
     n: int = 8,
 ) -> DataFrame:
-    """Benchmark decontamination check: for each corpus document, the
+    """Benchmark decontamination check — SQL-text route (same plan as the
+    Column reference :func:`_ngram_contamination_columns`, pinned
+    row-exact by ``test_ngram_contamination_sql_matches_column_route``;
+    one spark.sql parse replaces ~400 py4j round-trips across the two
+    registry callers — r14).  See the reference for semantics."""
+    sh = _sql_shingles_text(_sql_tokens_text(text_col), n)
+    q = f"""
+WITH c_sh AS (SELECT `{id_col}` AS doc, explode({sh}) AS shingle FROM {{corp}}),
+b_sh AS (
+  SELECT DISTINCT shingle
+  FROM (SELECT explode({sh}) AS shingle FROM {{bench}}) bsx
+),
+sizes AS (SELECT doc, count(1) AS n_grams FROM c_sh GROUP BY doc),
+hits AS (
+  SELECT doc, count(1) AS n_hit FROM c_sh JOIN b_sh USING (shingle) GROUP BY doc
+)
+SELECT doc, n_grams, coalesce(n_hit, 0) AS n_hit,
+       (coalesce(n_hit, 0) / n_grams) AS contamination
+FROM sizes LEFT JOIN hits USING (doc)
+"""
+    return corpus.sparkSession.sql(q, corp=_spread(corpus), bench=_spread(benchmark))
+
+
+def _ngram_contamination_columns(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Column-tree reference for :func:`ngram_contamination` — benchmark
+    decontamination check: for each corpus document, the
     fraction of its DISTINCT word n-grams that appear anywhere in the
     benchmark corpus — the standard n-gram-overlap test-set-contamination
     screen for training data.

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.lits import lit_array, lit_array_long
+
 QUANT = 1000
 
 
@@ -197,7 +199,7 @@ def plane_signs(plane: int, n: int = MAX_DIM) -> list[int]:
 
 
 def _plane_sign(vec: Column, plane: int, dim: int = MAX_DIM) -> Column:
-    signs = F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
+    signs = lit_array(plane_signs(plane, dim))
     comp = F.zip_with(vec, F.slice(signs, 1, F.size(vec)), lambda x, s: x * s)
     s = F.aggregate(comp, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (s > 0).cast("int")
@@ -479,7 +481,7 @@ def _cell_dists(vec: Column, centroids: list[list[int]]) -> list[Column]:
     """Squared-L2 distance (exact integer arithmetic) to each centroid."""
     out = []
     for cent in centroids:
-        lit = F.array(*[F.lit(c) for c in cent])
+        lit = lit_array(cent)
         d = F.aggregate(
             F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
             F.lit(0).cast("long"),
@@ -819,7 +821,7 @@ def pq_adc_topk(
     adc = None
     for s, lut in enumerate(luts):
         term = F.element_at(
-            F.array(*[F.lit(x).cast("long") for x in lut]),
+            lit_array_long(lut),
             F.element_at(F.col("codes"), s + 1) + 1,
         )
         adc = term if adc is None else adc + term

@@ -52,7 +52,30 @@ def stopword_hits(tokens: Column, words: list[str]) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality metrics: token count, char count, average token
+    """Per-document quality metrics — SQL-text route (same expressions as
+    the Column reference :func:`_text_stats_columns`, pinned row-exact by
+    ``test_text_stats_sql_matches_column_route``; one spark.sql parse
+    replaces ~200 py4j round-trips per caller — r14)."""
+    toks = f"split(lower(trim(`{text_col}`)), '\\\\s+')"
+    wl = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    keep = ", ".join(f"`{c}`" for c in df.columns if c != text_col)
+    q = f"""
+WITH t AS (SELECT *, {toks} AS __toks FROM {{inp}})
+SELECT {keep},
+  size(__toks) AS n_tokens,
+  length(`{text_col}`) AS n_chars_actual,
+  (aggregate(__toks, 0, (acc, t) -> acc + length(t)) / size(__toks)) AS avg_token_len,
+  (size(filter(__toks, t -> array_contains(array({wl}), t))) / size(__toks)) AS stopword_ratio_en,
+  (size(array_distinct(__toks)) / size(__toks)) AS distinct_token_ratio,
+  ((length(`{text_col}`) - length(regexp_replace(`{text_col}`, '[0-9]', ''))) / length(`{text_col}`)) AS digit_ratio
+FROM t
+"""
+    return df.sparkSession.sql(q, inp=df)
+
+
+def _text_stats_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-tree reference for :func:`text_stats` — per-document quality
+    metrics: token count, char count, average token
     length, stopword ratio, uppercase ratio, digit ratio, distinct-token
     ratio (type/token — a repetition signal)."""
     toks = tokens_col(F.col(text_col))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .pipeline import classify, dedup, multimodal, sampling, similarity, text
+from .functions.lits import lit_array_long
 from .sources.parquet import load_table
 
 # shared SQL fragments -------------------------------------------------------
@@ -1706,7 +1707,7 @@ def embedding_ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .first()["q"]
     ]
     shortlist = similarity.pq_adc_topk(codes, qv, cbs, k=50)
-    qcol = F.array(*[F.lit(v).cast("long") for v in qv])
+    qcol = lit_array_long(qv)
     exact = F.aggregate(
         F.zip_with(
             similarity.quantize(F.col("embedding")),
@@ -2986,7 +2987,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .select(similarity.quantize(F.col("embedding")).alias("q"))
         .first()["q"]
     ]
-    qcol = F.array(*[F.lit(v).cast("long") for v in qv])
+    qcol = lit_array_long(qv)
     dot = similarity.dot_q(similarity.quantize(F.col("embedding")), qcol)
     vec50 = (
         emb.select(F.col("vec_id").alias("doc_id"), dot.alias("dot"))

@@ -254,6 +254,47 @@ def test_ngram_contamination_hand_built(spark):
     }
 
 
+def test_ngram_contamination_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of ngram_contamination must be
+    row-identical to the Column-built reference on real documents (both
+    registry callers use n=5 over the doc_id%10 split)."""
+    from questdb_spark.pipeline.dedup import (
+        _ngram_contamination_columns,
+        ngram_contamination,
+    )
+    from questdb_spark.sources.parquet import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    got_df = ngram_contamination(corpus, bench, "doc_id", n=5)
+    want_df = _ngram_contamination_columns(corpus, bench, "doc_id", n=5)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
+def test_text_stats_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of text_stats must be row-identical to
+    the Column-built reference on real documents (all ratio doubles
+    bit-equal)."""
+    from questdb_spark.pipeline.text import _text_stats_columns, text_stats
+    from questdb_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    got_df = text_stats(docs)
+    want_df = _text_stats_columns(docs)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
 def test_int8_kernel_equals_hof_reference(spark):
     """int8 codes: Arrow kernel self-dot must equal the HOF reference
     (int8_vec + dot_q) on every real vector, and codes stay in [-127, 127]."""
