@@ -428,6 +428,67 @@ def nb_train_score(
     return model, scored
 
 
+def nb_train_sql(
+    docs: DataFrame,
+    label_sql: str,
+    text_col: str = "text",
+    n_feats: int = N_FEATS,
+) -> DataFrame:
+    """``nb_train(docs, None, label_expr=...)`` rendered as one SQL text
+    (r14, the same rule as :func:`nb_train_score_sql` but keeping
+    nb_train's cheaper model-only plan — counts keyed directly by bucket,
+    no per-doc tf granularity).  ``label_sql`` is the label as a SQL
+    expression over the docs row.  Pinned row-exact against the Column
+    route by ``test_nb_train_sql_matches_column_route``."""
+    from .dedup import _sql_tokens_text
+
+    toks = _sql_tokens_text(text_col)
+    bucket = (
+        f"CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT) "
+        f"% {MERSENNE_P} % {n_feats}"
+    )
+    q = f"""
+WITH ex AS (
+  SELECT y, {bucket} AS __j FROM (
+    SELECT CAST({label_sql} AS BIGINT) AS y, explode({toks}) AS __t FROM {{docs}}
+  ) e
+),
+counts0 AS (
+  SELECT __j, sum(CAST(y = 1 AS BIGINT)) AS n_pos,
+         sum(CAST(y = -1 AS BIGINT)) AS n_neg
+  FROM ex GROUP BY __j
+),
+counts AS (
+  SELECT __j, CAST(coalesce(n_pos, 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(n_neg, 0) AS BIGINT) AS n_neg
+  FROM (SELECT CAST(id AS BIGINT) AS __j FROM range({n_feats})) fr
+  LEFT JOIN counts0 USING (__j)
+),
+totals AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM counts),
+buckets AS (
+  SELECT /*+ BROADCAST(totals) */ CAST(__j AS INT) AS feature, n_pos, n_neg,
+    CAST(ln(CAST((n_pos + 1) * (t_neg + {n_feats}) AS DOUBLE)
+         / CAST((n_neg + 1) * (t_pos + {n_feats}) AS DOUBLE))
+         AS DECIMAL(18,6)) AS weight
+  FROM counts CROSS JOIN totals
+),
+d_doc AS (
+  SELECT sum(CAST(y = 1 AS BIGINT)) AS d_pos,
+         sum(CAST(y = -1 AS BIGINT)) AS d_neg
+  FROM (SELECT CAST({label_sql} AS BIGINT) AS y FROM {{docs}}) dl
+),
+prior AS (
+  SELECT CAST({n_feats} AS INT) AS feature,
+         CAST(d_pos AS BIGINT) AS n_pos, CAST(d_neg AS BIGINT) AS n_neg,
+         CAST(ln(CAST(d_pos AS DOUBLE) / CAST(d_neg AS DOUBLE))
+              AS DECIMAL(18,6)) AS weight
+  FROM d_doc
+)
+SELECT * FROM buckets UNION ALL SELECT * FROM prior
+"""
+    return docs.sparkSession.sql(q, docs=docs)
+
+
 def nb_train_score_sql(
     docs: DataFrame,
     label_sql: str,

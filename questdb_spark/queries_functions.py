@@ -173,7 +173,51 @@ FROM events WHERE event_id < 2000
 # --------------------------------------------------------------------------
 
 def geohash_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Geohash encoding of synthetic coordinates (QuestDB make_geohash +
+    """Geohash encoding — SQL-text route (same unrolled bit-interleave as
+    the Column reference :func:`_geohash_events_columns`, pinned row-exact
+    by ``test_geohash_events_sql_matches_column_route``).  One spark.sql
+    parse replaces ~1250 py4j round-trips, and staging gh6 as a named CTE
+    attribute computes the encode once per row where the Column route
+    re-embedded the whole tree under each of the three outputs — r14."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    bits = []
+    lon_k = lat_k = 0
+    for i in range(30):
+        if i % 2 == 0:
+            lon_k += 1
+            bits.append(f"(CAST(floor(lonn * {2 ** lon_k}) AS BIGINT) % 2)")
+        else:
+            lat_k += 1
+            bits.append(f"(CAST(floor(latn * {2 ** lat_k}) AS BIGINT) % 2)")
+    chars = []
+    for c in range(6):
+        v = "0"
+        for j in range(5):
+            v = f"({v} * 2 + {bits[c * 5 + j]})"
+        chars.append(f"substr('{b32}', CAST({v} AS INT) + 1, 1)")
+    gh_long = (
+        "aggregate(filter(transform(split(gh6, ''), "
+        f"ch -> CASE WHEN ch != '' THEN instr('{b32}', ch) - 1 END), "
+        "p -> p IS NOT NULL), CAST(0 AS BIGINT), (acc, p) -> acc * 32 + p)"
+    )
+    q = f"""
+WITH c AS (
+  SELECT event_id,
+    ((((value % 180.0D) - 90.0D) + 90.0D) / 180.0D) AS latn,
+    (((((value * 2.0D) % 360.0D) - 180.0D) + 180.0D) / 360.0D) AS lonn
+  FROM {{inp}}
+),
+g AS (SELECT event_id, concat({", ".join(chars)}) AS gh6 FROM c)
+SELECT event_id, gh6, substring(gh6, 1, 3) AS gh3, {gh_long} AS gh_long
+FROM g
+"""
+    return spark.sql(q, inp=ev)
+
+
+def _geohash_events_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`geohash_events` — geohash encoding
+    of synthetic coordinates (QuestDB make_geohash +
     GEOLONG cast), plus coarse prefix bucketing."""
     ev = load_table(spark, sf, "events").filter(F.col("event_id") < 2000)
     lat = F.col("value") % 180.0 - 90.0

@@ -2610,11 +2610,47 @@ LIMIT 10
 
 
 def mixture_temperature_sweep(spark: SparkSession, sf: str) -> DataFrame:
-    """Temperature sweep over the quarter-grid alphas (r10): the mixture
+    """Temperature sweep — SQL-text route (same per-arm expressions as
+    the Column reference :func:`_mixture_temperature_sweep_columns`,
+    pinned row-exact by
+    ``test_mixture_sweep_sql_matches_column_route``; one spark.sql parse
+    replaces ~750 py4j round-trips of four mixture_weights builds — r14).
+    All four powers compose from IEEE-exact sqrt (libm pow() is not
+    bit-deterministic across engines), so every value hash-matches the
+    oracle."""
+    from .pipeline.dedup import _sql_tokens_text
+
+    docs = load_table(spark, sf, "documents")
+    x = "CAST(n_tokens AS DOUBLE)"
+    pws = {
+        0.25: f"sqrt(sqrt({x}))",
+        0.5: f"sqrt({x})",
+        0.75: f"(sqrt({x}) * sqrt(sqrt({x})))",
+        1.0: x,
+    }
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {a}D AS alpha, domain, n_docs, n_tokens,
+  CAST(CAST(({pw} / sum({pw}) OVER ()) AS DECIMAL(18,6)) AS DOUBLE) AS weight,
+  CAST(CAST((({pw} / sum({pw}) OVER ()) / (n_tokens / sum(n_tokens) OVER ())) AS DECIMAL(18,6)) AS DOUBLE) AS boost
+FROM per"""
+        for a, pw in pws.items()
+    )
+    q = f"""
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         sum(size({_sql_tokens_text("text")})) AS n_tokens
+  FROM {{inp}} GROUP BY source
+)
+{arms}
+"""
+    return spark.sql(q, inp=docs)
+
+
+def _mixture_temperature_sweep_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`mixture_temperature_sweep` —
+    temperature sweep over the quarter-grid alphas (r10): the mixture
     table a data-loader ablation actually compares — one row per
-    (alpha, domain) with weight and boost.  All four powers compose from
-    IEEE-exact sqrt (libm pow() is not bit-deterministic across engines),
-    so every value hash-matches the oracle."""
+    (alpha, domain) with weight and boost."""
     docs = load_table(spark, sf, "documents")
     out = None
     for alpha in (0.25, 0.5, 0.75, 1.0):
@@ -2961,6 +2997,71 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     emb = load_table(spark, sf, "embeddings")
 
+    # query embedding shipped as a plan literal (model-scale collect,
+    # the embedding_ann_* convention); exact int64 grid dot product.
+    # r14: everything after this bounded collect renders as ONE spark.sql
+    # text (same expressions as the Column reference
+    # :func:`_retrieval_hybrid_rrf_columns`, pinned row-exact by
+    # ``test_hybrid_rrf_sql_matches_column_route``).
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(similarity.quantize(F.col("embedding")).alias("q"))
+        .first()["q"]
+    ]
+    from .pipeline.dedup import _sql_tokens_text
+
+    q_tokens = sorted({"spark", "table", "filter", "scan"})
+    qarr = "array(" + ", ".join(f"'{t}'" for t in q_tokens) + ")"
+    qlit = "array(" + ",".join(f"{v}L" for v in qv) + ")"
+    quant = (
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    )
+    q = f"""
+WITH lx AS (
+  SELECT doc_id,
+    (CAST(size(array_intersect(array_distinct({_sql_tokens_text("text")}), {qarr})) AS DOUBLE)
+     / (size(array_distinct({_sql_tokens_text("text")})) + {len(q_tokens)}
+        - size(array_intersect(array_distinct({_sql_tokens_text("text")}), {qarr})))) AS lex_score
+  FROM {{docs}}
+),
+lex50 AS (
+  SELECT doc_id, lex_score FROM lx WHERE lex_score > 0
+  ORDER BY lex_score DESC, doc_id LIMIT 50
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY lex_score DESC, doc_id) AS INT) AS r_lex
+  FROM lex50
+),
+vx AS (
+  SELECT vec_id AS doc_id,
+    aggregate(zip_with({quant}, {qlit}, (x, y) -> x * y),
+              CAST(0 AS BIGINT), (acc, v) -> acc + v) AS dot
+  FROM {{emb}}
+),
+vec50 AS (SELECT doc_id, dot FROM vx ORDER BY dot DESC, doc_id LIMIT 50),
+vecr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS INT) AS r_vec
+  FROM vec50
+)
+SELECT doc_id,
+  (coalesce(1.0D / (60 + r_lex), 0.0D) + coalesce(1.0D / (60 + r_vec), 0.0D)) AS rrf,
+  r_lex, r_vec
+FROM lexr FULL OUTER JOIN vecr USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+    return spark.sql(q, docs=docs, emb=emb)
+
+
+def _retrieval_hybrid_rrf_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`retrieval_hybrid_rrf`."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+
     q_tokens = sorted({"spark", "table", "filter", "scan"})
     qarr = F.array(*[F.lit(t) for t in q_tokens])
     toks = F.array_distinct(text.tokens_col(F.col("text")))
@@ -2979,8 +3080,6 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.row_number().over(wl).cast("int").alias("r_lex")
     )
 
-    # query embedding shipped as a plan literal (model-scale collect,
-    # the embedding_ann_* convention); exact int64 grid dot product
     qv = [
         int(x)
         for x in emb.filter(F.col("vec_id") == 0)
@@ -3443,12 +3542,12 @@ def classifier_nb_train(spark: SparkSession, sf: str) -> DataFrame:
     broadcast-size at any corpus scale."""
     docs = load_table(spark, sf, "documents")
     # label inlined as an expression over the docs row (nb_train
-    # label_expr): removes the docs-to-labels self-join per training pass
-    model = classify.nb_train(
+    # label_expr): removes the docs-to-labels self-join per training
+    # pass; SQL-text route (r14) replaces ~550 py4j round-trips of build
+    model = classify.nb_train_sql(
         docs,
-        None,
+        "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
         n_feats=_CLF_D,
-        label_expr=F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
     )
     return model.select(
         "feature",

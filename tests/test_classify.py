@@ -562,3 +562,20 @@ def test_bigram_lm_nll_sql_matches_column_route(spark):
         for r in got_df.collect()
     }
     assert got == want
+
+
+def test_nb_train_sql_matches_column_route(spark):
+    """r14: the model-only SQL rendering must be row-identical to the
+    Column-built nb_train with the same inlined label expression."""
+    docs = load_table(spark, SF_DIR, "documents")
+    want_df = classify.nb_train(
+        docs,
+        None,
+        label_expr=F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)),
+    )
+    got_df = classify.nb_train_sql(docs, "CASE WHEN lang = 'en' THEN 1 ELSE -1 END")
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want

@@ -780,3 +780,39 @@ def test_fused_sql_route_matches_column_reference(spark):
         )
         want_f = as_map(reference(metric, frac_cap), metric)
         assert got_f == want_f
+
+
+def test_mixture_sweep_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of mixture_temperature_sweep must be
+    row-identical to the Column-built reference (IEEE-exact sqrt powers,
+    decimal-quantized weight/boost doubles)."""
+    from questdb_spark.queries_pipeline import (
+        _mixture_temperature_sweep_columns,
+        mixture_temperature_sweep,
+    )
+
+    got_df = mixture_temperature_sweep(spark, SF_DIR)
+    want_df = _mixture_temperature_sweep_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
+def test_hybrid_rrf_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of retrieval_hybrid_rrf must be
+    row-identical to the Column-built reference (both rank windows, the
+    full-outer fusion, and the 1/(60+r) doubles)."""
+    from questdb_spark.queries_pipeline import (
+        _retrieval_hybrid_rrf_columns,
+        retrieval_hybrid_rrf,
+    )
+
+    got_df = retrieval_hybrid_rrf(spark, SF_DIR)
+    want_df = _retrieval_hybrid_rrf_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want

@@ -601,6 +601,22 @@ def test_cast_matrix_sql_matches_column_route(spark):
     assert got == want
 
 
+def test_geohash_events_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of geohash_events must be row-identical
+    to the Column-built reference (bit interleave, prefix, packed long)."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.geohash_events(spark, SF_DIR)
+    want_df = qf._geohash_events_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
+
+
 def test_rank_n_array_ops(spark):
     """Rank-N array forms (r9): recursive-HOF elementwise ops and the
     numpy transpose at rank 3 and 4 (DerivedArrayView.transpose reverses
