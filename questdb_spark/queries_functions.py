@@ -2267,7 +2267,71 @@ SELECT '__ts' AS k1, 'bucket' AS k2, pv AS n, m FROM part2
 
 
 def array_ops2(spark: SparkSession, sf: str) -> DataFrame:
-    """Array long-tail surface (griffin/engine/functions/array/):
+    """Array long-tail surface — SQL-text route (same HOF expressions as
+    the Column reference :func:`_array_ops2_columns`, pinned row-exact by
+    ``test_array_ops2_sql_matches_column_route``; one spark.sql parse
+    replaces ~810 py4j round-trips of build — r14).  qd is staged as a
+    named CTE attribute instead of re-embedding the quantize tree under
+    each of the ~17 outputs."""
+    # CPU-bound per-row HOF tree over a single sub-MB split — width
+    # follows cores (same rule and measurement as array_ops3 below)
+    emb = load_table(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fin = "filter(qd, x -> x IS NOT NULL AND NOT isnan(x))"
+    nonfin = "filter(qd, x -> x IS NULL OR isnan(x))"
+    sort_asc = f"concat(array_sort({fin}), {nonfin})"
+    sort_desc = f"concat(reverse(array_sort({fin})), {nonfin})"
+    n = f"CAST(size({fin}) AS DOUBLE)"
+    s = f"aggregate({fin}, 0.0D, (acc, x) -> acc + x)"
+    sq = f"aggregate({fin}, 0.0D, (acc, x) -> acc + x * x)"
+    shift2 = (
+        "slice(concat(array_repeat(-9999.0D, 2), "
+        "slice(qd, 1, greatest(size(qd) - 2, 0))), 1, size(qd))"
+    )
+    shift_m2 = (
+        "slice(concat(slice(qd, 3, greatest(size(qd) - 2, 0)), "
+        "array_repeat(-9999.0D, 2)), 1, size(qd))"
+    )
+    m2 = "array(slice(qd, 1, 3), slice(qd, 4, 3))"
+
+    def _csl(e: str, name: str) -> str:
+        return f"concat_ws(',', CAST({e} AS ARRAY<BIGINT>)) AS {name}"
+
+    q = f"""
+WITH b AS (
+  SELECT vec_id,
+    transform(transform(transform(embedding, x -> CAST(x AS DOUBLE)),
+              x -> CAST(round(x * 1000) AS BIGINT)), x -> CAST(x AS DOUBLE)) AS qd
+  FROM {{inp}}
+)
+SELECT vec_id,
+  {_csl(f"slice({sort_asc}, 1, 5)", "sort_asc5")},
+  {_csl(f"slice({sort_desc}, 1, 5)", "sort_desc5")},
+  CASE WHEN {n} >= 2 THEN sqrt(({sq} - {s} * {s} / {n}) / ({n} - 1.0D)) END AS sd_samp,
+  CASE WHEN {n} >= 1 THEN sqrt(({sq} - {s} * {s} / {n}) / {n}) END AS sd_pop,
+  size({fin}) AS cnt,
+  {_csl(f"slice({shift2}, 1, 5)", "shift2")},
+  {_csl(f"slice({shift_m2}, 1, 5)", "shift_m2")},
+  {_csl("slice(reverse(qd), 1, 5)", "rev5")},
+  nullif(array_position(qd, element_at(qd, 3)), 0) AS pos3,
+  nullif(array_position(qd, 1000000000.0D), 0) AS pos_missing,
+  (size(filter({sort_asc}, x -> x <= 0.0D)) + 1) AS ipa0,
+  round(element_at(qd, 1) / 8.0D, 2) AS rnd1,
+  (-element_at(qd, 1)) AS neg1,
+  (1000.0D - element_at(qd, 1)) AS ssub1,
+  (100.0D / (element_at(qd, 1) + 0.5D)) AS sdiv1,
+  size({m2}) AS dim1,
+  size(element_at({m2}, 1)) AS dim2,
+  {_csl(f"flatten({m2})", "flat6")}
+FROM b
+"""
+    return spark.sql(q, inp=emb)
+
+
+def _array_ops2_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-tree reference for :func:`array_ops2` — array long-tail
+    surface (griffin/engine/functions/array/):
     array_sort asc/desc (DoubleArraySort[Desc]FunctionFactory),
     array_stddev_samp/pop, shift ± with default (DoubleArrayShift*),
     round(D[]I), array_reverse, array_position, array_count,
@@ -2277,8 +2341,6 @@ def array_ops2(spark: SparkSession, sf: str) -> DataFrame:
     the DuckDB oracle."""
     from .functions import arrays as A
 
-    # CPU-bound per-row HOF tree over a single sub-MB split — width
-    # follows cores (same rule and measurement as array_ops3 below)
     emb = load_table(spark, sf, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )

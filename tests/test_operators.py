@@ -728,3 +728,19 @@ def test_chunk_documents_windows(spark):
     assert texts[(4, 0)][4:] == texts[(4, 1)][:4]
     with _pt.raises(ValueError):
         chunk_documents(df, size=4, stride=8)
+
+
+def test_array_ops2_sql_matches_column_route(spark):
+    """r14: the SQL-text rendering of array_ops2 must be row-identical to
+    the Column-built reference (finite-split sorts, shifts, moments)."""
+    from questdb_spark import queries_functions as qf
+
+    from .conftest import SF_DIR
+
+    got_df = qf.array_ops2(spark, SF_DIR)
+    want_df = qf._array_ops2_columns(spark, SF_DIR)
+    assert got_df.columns == want_df.columns
+    assert dict(got_df.dtypes) == dict(want_df.dtypes)
+    got = sorted(tuple(map(repr, r)) for r in got_df.collect())
+    want = sorted(tuple(map(repr, r)) for r in want_df.collect())
+    assert got == want
