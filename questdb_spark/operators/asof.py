@@ -150,19 +150,23 @@ def _chunked_carry(unioned: DataFrame, chunk: str) -> DataFrame:
     )
     within = chunked.withColumn("__carry", F.last(_SSTRUCT, ignorenulls=True).over(wc))
 
-    closing = (
-        within.filter(F.col(_SSTRUCT).isNotNull())
-        .groupBy("__chunk")
-        .agg(F.max_by(F.col(_SSTRUCT), F.struct("__ts", _SIDE)).alias("__closing"))
+    # One aggregate yields EVERY chunk plus its closing slave payload
+    # (null when the chunk has no slave rows) — the FILTER clause replays
+    # the old `filter(notNull) -> groupBy -> left-join(all_chunks
+    # distinct)` pair of passes exactly, but as a single exchange over the
+    # pre-window frame (r14 session 4, guide §2.4: the window stage used
+    # to re-execute under the closing aggregate, and the distinct added a
+    # second full pass + exchange).
+    closing = chunked.groupBy("__chunk").agg(
+        F.expr(
+            f"max_by({_SSTRUCT}, struct(__ts, {_SIDE})) "
+            f"FILTER (WHERE {_SSTRUCT} IS NOT NULL)"
+        ).alias("__closing")
     )
-    all_chunks = chunked.select("__chunk").distinct()
     wprefix = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
-    carry_in = (
-        all_chunks.join(closing, "__chunk", "left")
-        .select(
-            "__chunk",
-            F.last("__closing", ignorenulls=True).over(wprefix).alias("__carry_in"),
-        )
+    carry_in = closing.select(
+        "__chunk",
+        F.last("__closing", ignorenulls=True).over(wprefix).alias("__carry_in"),
     )
     return (
         within.join(F.broadcast(carry_in), "__chunk", "left")

@@ -2802,13 +2802,13 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("doc"), F.md5("text").alias("__h")
     )
     corph = docs.filter(~is_new).select(F.md5("text").alias("__h")).distinct()
-    exact = newh.join(corph, "__h", "left_semi").select("doc")
-    rest = newh.join(corph, "__h", "left_anti").select("doc")
     sig = dedup.minhash_signature(docs, "doc_id", n_hashes=_MH_HASHES)
     bt = dedup.lsh_band_table(sig, _MH_HASHES, _MH_BAND).selectExpr(
         "doc", "(doc % 5) = 0 AS is_new", "band", "val"
     )
-    near = (
+    # new docs sharing an LSH band with any stored doc (both band sides
+    # hang off sig's groupBy(doc) exchange — one signature pass)
+    shares = (
         bt.filter("is_new")
         .join(
             bt.filter(~F.col("is_new")).select("band", "val").distinct(),
@@ -2817,18 +2817,28 @@ def incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc")
         .distinct()
-        .join(rest, "doc", "left_semi")
     )
-    kept = rest.join(near, "doc", "left_anti")
+    # Single-pass verdict (r14 session 4, guide §2.4): the old
+    # exact/near/kept three-branch union re-executed newh/corph and the
+    # rest anti-join once PER BRANCH (broadcast-join outputs are not
+    # exchange-bounded, so AQE cannot reuse them).  One row per incoming
+    # doc with two left-join flags computes the identical partition:
+    # exact wins over near by CASE order exactly as `rest` gated the old
+    # near/kept branches.
     return (
-        exact.select("doc", F.lit("exact_dup").alias("verdict"))
-        .unionByName(near.select("doc", F.lit("near_dup").alias("verdict")))
-        .unionByName(kept.select("doc", F.lit("kept").alias("verdict")))
+        newh.join(corph.withColumn("__e", F.lit(1)), "__h", "left")
+        .join(shares.withColumn("__n", F.lit(1)), "doc", "left")
+        .select(
+            "doc",
+            F.when(F.col("__e").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("__n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
         # materialization barrier before the global sort (r14, guide
-        # §2.4, same finding as cosine_near_dup_pairs): RangePartitioning
-        # samples its child then shuffles it, and this union of semi/anti
-        # join branches is not exchange-bounded — without the barrier all
-        # three branches execute twice more.  AQE coalesces the tiny
+        # §2.4): RangePartitioning samples its child then shuffles it,
+        # and this join chain is not exchange-bounded — without the
+        # barrier it executes twice more.  AQE coalesces the tiny
         # verdict rows to advisory size at any scale.
         .repartition(F.col("doc"))
         .orderBy("doc")
