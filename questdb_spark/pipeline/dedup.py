@@ -1002,8 +1002,16 @@ def dedup_clusters(
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
         out = [(x, find(x)) for x in parent]
+        # Arrow-backed local relation (r14 session 4, guide §4/§5): the
+        # list-of-tuples route pickles + parallelizes 32 slices and its
+        # noop/join actions pay an RDD-backed relation (~0.9 s warm at
+        # sf0.1); the pandas route ships ONE Arrow batch (~0.15 s).  The
+        # explicit schema keeps the exact column types of the old form.
+        import pandas as _pd
+
         return spark.createDataFrame(
-            out, f"doc {a_type}, cluster {a_type}"
+            _pd.DataFrame(out, columns=["doc", "cluster"]),
+            schema=f"doc {a_type}, cluster {a_type}",
         )
 
     # --- distributed log-rounds loop ---

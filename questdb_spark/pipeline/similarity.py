@@ -1467,6 +1467,14 @@ def mmr_rerank(
     rows = [
         (rank + 1, did, float(m)) for rank, (did, m) in enumerate(picked)
     ]
+    # Arrow-backed local relation (r14 session 4, guide §4): the
+    # list-of-tuples route pickles + parallelizes 32 slices (~0.5-0.9 s
+    # per action warm); one Arrow batch ships the same rows in ~0.15 s.
+    # Arrow carries the float64 BITS, so the mmr doubles stay bit-exact
+    # (the reason this final was excluded from the VALUES-text pass).
+    import pandas as _pd
+
     return spark.createDataFrame(
-        rows, f"rank int, {id_col} bigint, mmr double"
+        _pd.DataFrame(rows, columns=["rank", id_col, "mmr"]),
+        schema=f"rank int, {id_col} bigint, mmr double",
     )

@@ -2744,8 +2744,14 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     after = applied.agg(
         F.sum(F.size("__t")).cast("bigint").alias("corpus_tokens_after")
     )
+    # pandas/Arrow local relation — see pipeline/dedup.dedup_clusters
+    # (r14 session 4): one Arrow batch instead of pickle + 32-slice
+    # parallelize; strings ride the batch untouched (no VALUES quoting).
+    import pandas as _pd
+
     mdf = spark.createDataFrame(
-        merges, "rank int, tok_a string, tok_b string, n bigint"
+        _pd.DataFrame(merges, columns=["rank", "tok_a", "tok_b", "n"]),
+        schema="rank int, tok_a string, tok_b string, n bigint",
     )
     return mdf.crossJoin(F.broadcast(after)).orderBy("rank")
 
@@ -3701,8 +3707,11 @@ def retrieval_prf_expand(spark: SparkSession, sf: str) -> DataFrame:
         .limit(5)
         .select("term", F.lit(1).cast("long").alias("wt"))
     )
-    orig_w = spark.createDataFrame(
-        [(t, 2) for t in orig], "term string, wt long"
+    import pandas as _pd
+
+    orig_w = spark.createDataFrame(  # Arrow batch, not pickle (r14 s4)
+        _pd.DataFrame([(t, 2) for t in orig], columns=["term", "wt"]),
+        schema="term string, wt long",
     )
     weights = exp_terms.unionByName(orig_w)
     ex = docs.select(
